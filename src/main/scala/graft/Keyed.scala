@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Keyed operations on `PCollection[(K, V)]`, mirroring the reference's
+  * impl blocks on `PCollection<(K, V)>` (reference: src/helpers/keyed.rs,
+  * basic.rs, count.rs, collect_values.rs, joins.rs, co_gbk.rs).
+  *
+  * All shuffling ops go through `groupByKey` / `joinWith`, i.e. Catalyst
+  * plans them as HashAggregate(partial) -> Exchange -> HashAggregate
+  * (final) or broadcast/sort-merge joins with AQE — the distributed
+  * versions of the reference's single-threaded barrier merges
+  * (src/runner.rs:679-715, the reference's scalability bottleneck).
+  */
+final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serializable {
+  private def ds: Dataset[(K, V)] = self.ds
+
+  // ---- projections (reference: src/helpers/keyed.rs:130,153,279) ----
+
+  def keys(implicit e: Encoder[K]): PCollection[K] =
+    new PCollection(ds.map(_._1))
+
+  def values(implicit e: Encoder[V]): PCollection[V] =
+    new PCollection(ds.map(_._2))
+
+  def kvSwap(implicit e: Encoder[(V, K)]): PCollection[(V, K)] =
+    new PCollection(ds.map { case (k, v) => (v, k) })
+
+  // ---- value-only transforms (reference: src/helpers/values.rs:67,105) ----
+
+  def mapValues[O](f: V => O)(implicit e: Encoder[(K, O)]): PCollection[(K, O)] =
+    new PCollection(ds.map { case (k, v) => (k, f(v)) })
+
+  def filterValues(p: V => Boolean): PCollection[(K, V)] =
+    new PCollection(ds.filter(kv => p(kv._2)))
+
+  // ---- grouping (reference: src/helpers/keyed.rs:213-252) ----
+
+  def groupByKey(implicit ke: Encoder[K], e: Encoder[(K, Seq[V])]): PCollection[(K, Seq[V])] =
+    new PCollection(
+      ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSeq))
+    )
+
+  /** Per-key batches (reference: group_into_batches,
+    * src/helpers/batches.rs:297).
+    */
+  def groupIntoBatches(size: Int)(implicit
+      ke: Encoder[K],
+      e: Encoder[(K, Seq[V])]
+  ): PCollection[(K, Seq[V])] =
+    new PCollection(
+      ds.groupByKey(_._1)
+        .flatMapGroups((k, it) => it.map(_._2).grouped(size).map(b => (k, b.toSeq)))
+    )
+
+  // ---- combining (reference: src/helpers/combine.rs:66-143) ----
+
+  /** Combine-per-key with a user CombineFn. Catalyst runs the partial /
+    * merge phases map-side and post-shuffle respectively — the lifted
+    * form the reference's planner pass #6 (src/planner.rs:1603) creates
+    * by hand is automatic here.
+    */
+  def combineValues[A, O](fn: CombineFn[V, A, O])(implicit
+      ke: Encoder[K],
+      be: Encoder[A],
+      oe: Encoder[O],
+      pe: Encoder[(K, O)]
+  ): PCollection[(K, O)] = {
+    val agg: Aggregator[(K, V), A, O] = new Aggregator[(K, V), A, O] {
+      override def zero: A = fn.create()
+      override def reduce(b: A, a: (K, V)): A = fn.addInput(b, a._2)
+      override def merge(b1: A, b2: A): A = fn.mergeAccumulators(b1, b2)
+      override def finish(r: A): O = fn.extractOutput(r)
+      override def bufferEncoder: Encoder[A] = be
+      override def outputEncoder: Encoder[O] = oe
+    }
+    new PCollection(ds.groupByKey(_._1).agg(agg.toColumn))
+  }
+
+  // ---- convenience per-key reductions (reference: src/helpers/basic.rs) ----
+
+  private def aggValues[O](fn: (Dataset[(K, V)]) => Dataset[(K, O)]): PCollection[(K, O)] =
+    new PCollection(fn(ds))
+
+  def sumPerKey(implicit num: Numeric[V], ke: Encoder[K], e: Encoder[(K, V)]): PCollection[(K, V)] =
+    new PCollection(ds.groupByKey(_._1).reduceGroups((a: (K, V), b: (K, V)) => (a._1, num.plus(a._2, b._2))).map(_._2))
+
+  def minPerKey(implicit ord: Ordering[V], ke: Encoder[K], e: Encoder[(K, V)]): PCollection[(K, V)] =
+    new PCollection(ds.groupByKey(_._1).reduceGroups((a: (K, V), b: (K, V)) => if (ord.lteq(a._2, b._2)) a else b).map(_._2))
+
+  def maxPerKey(implicit ord: Ordering[V], ke: Encoder[K], e: Encoder[(K, V)]): PCollection[(K, V)] =
+    new PCollection(ds.groupByKey(_._1).reduceGroups((a: (K, V), b: (K, V)) => if (ord.gteq(a._2, b._2)) a else b).map(_._2))
+
+  def averagePerKey(implicit num: Numeric[V], ke: Encoder[K], e: Encoder[(K, Double)],
+      be: Encoder[(Double, Long)]): PCollection[(K, Double)] = {
+    val agg = new Aggregator[(K, V), (Double, Long), Double] {
+      override def zero: (Double, Long) = (0.0, 0L)
+      override def reduce(b: (Double, Long), a: (K, V)): (Double, Long) =
+        (b._1 + num.toDouble(a._2), b._2 + 1)
+      override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      override def finish(r: (Double, Long)): Double = if (r._2 == 0) Double.NaN else r._1 / r._2
+      override def bufferEncoder: Encoder[(Double, Long)] = be
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    new PCollection(ds.groupByKey(_._1)(ke).agg(agg.toColumn))
+  }
+
+  def meanPerKey(implicit num: Numeric[V], ke: Encoder[K], e: Encoder[(K, Double)],
+      be: Encoder[(Double, Long)]): PCollection[(K, Double)] = averagePerKey
+
+  // ---- counting (reference: src/helpers/count.rs:116) ----
+
+  def countPerKey(implicit ke: Encoder[K], e: Encoder[(K, Long)]): PCollection[(K, Long)] =
+    new PCollection(ds.groupByKey(_._1).count())
+
+  // ---- collecting (reference: src/helpers/collect_values.rs) ----
+
+  def toListPerKey(implicit ke: Encoder[K], e: Encoder[(K, Seq[V])]): PCollection[(K, Seq[V])] =
+    groupByKey
+
+  def toSetPerKey(implicit ke: Encoder[K], e: Encoder[(K, Seq[V])]): PCollection[(K, Seq[V])] =
+    new PCollection(
+      ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSet.toSeq))
+    )
+
+  /** Driver-side materialization to a Map (reference: to_dict,
+    * src/helpers/collect_values.rs:212; to_hashmap keyed.rs:181).
+    */
+  def toDict: Map[K, V] = ds.collect().toMap
+
+  // ---- distinct (reference: src/helpers/distinct.rs:271) ----
+
+  def distinctPerKey(implicit ke: Encoder[K], e: Encoder[(K, V)]): PCollection[(K, V)] =
+    new PCollection(ds.distinct())
+
+  def distinctCountPerKey(implicit ke: Encoder[K], e: Encoder[(K, Long)]): PCollection[(K, Long)] =
+    new PCollection(
+      ds.distinct().groupByKey(_._1).count()
+    )
+
+  // ---- joins (reference: src/helpers/joins.rs) ----
+  //
+  // The reference does Bloom-prefiltered in-memory hash joins with full
+  // per-key cross products (src/helpers/joins.rs:148-252). Spark's
+  // joinWith gives identical cross-product semantics; Catalyst picks
+  // broadcast-hash vs sort-merge, and InjectRuntimeFilter provides the
+  // Bloom semi-join pruning (enabled in Sessions).
+
+  def joinInner[W](other: PCollection[(K, W)])(implicit
+      e: Encoder[(K, (V, W))]
+  ): PCollection[(K, (V, W))] = {
+    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "inner")
+    new PCollection(joined.map { case (l, r) => (l._1, (l._2, r._2)) })
+  }
+
+  def joinLeft[W](other: PCollection[(K, W)])(implicit
+      e: Encoder[(K, (V, Option[W]))]
+  ): PCollection[(K, (V, Option[W]))] = {
+    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "left_outer")
+    new PCollection(joined.map { case (l, r) => (l._1, (l._2, Option(r).map(_._2))) })
+  }
+
+  def joinRight[W](other: PCollection[(K, W)])(implicit
+      e: Encoder[(K, (Option[V], W))]
+  ): PCollection[(K, (Option[V], W))] = {
+    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "right_outer")
+    new PCollection(joined.map { case (l, r) => (r._1, (Option(l).map(_._2), r._2)) })
+  }
+
+  def joinFull[W](other: PCollection[(K, W)])(implicit
+      e: Encoder[(K, (Option[V], Option[W]))]
+  ): PCollection[(K, (Option[V], Option[W]))] = {
+    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "full_outer")
+    new PCollection(joined.map { case (l, r) =>
+      val k = if (l != null) l._1 else r._1
+      (k, (Option(l).map(_._2), Option(r).map(_._2)))
+    })
+  }
+
+  /** 2-way co-group (reference: cogroup_by_key!, src/helpers/co_gbk.rs).
+    * Full-outer grouping: every key present on either side appears once,
+    * with the (possibly empty) value lists from each side.
+    */
+  def coGroupByKey[W](other: PCollection[(K, W)])(implicit
+      ke: Encoder[K],
+      e: Encoder[(K, (Seq[V], Seq[W]))]
+  ): PCollection[(K, (Seq[V], Seq[W]))] = {
+    val left = ds.groupByKey(_._1)
+    val right = other.ds.groupByKey(_._1)
+    new PCollection(
+      left.cogroup(right)((k, ls, rs) =>
+        Iterator.single((k, (ls.map(_._2).toSeq, rs.map(_._2).toSeq)))
+      )
+    )
+  }
+}
+
+object KeyedPCollection {
+  implicit def toKeyed[K, V](pc: PCollection[(K, V)]): KeyedPCollection[K, V] =
+    new KeyedPCollection(pc)
+}

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.storage.StorageLevel
+
+import scala.reflect.ClassTag
+import scala.util.Try
+
+/** Fluent, typed, lazy collection facade mirroring the reference's
+  * `PCollection<T>` surface (reference: src/collection.rs:91-96) on top
+  * of Spark `Dataset[T]`.
+  *
+  * Design stance (SURVEY.md §7.1): every transform is a *declarative*
+  * Dataset transformation — the logical plan stays visible to Catalyst,
+  * so predicate pushdown, partial aggregation, AQE, broadcast selection
+  * and whole-stage codegen replace the reference's hand-rolled planner
+  * (src/planner.rs) wholesale. Nothing here materializes on the driver
+  * except the explicit `collect*` terminals, exactly like the
+  * reference's deferred-execution contract (src/lib.rs:452-458).
+  */
+final class PCollection[T](val ds: Dataset[T]) extends Serializable {
+
+  def spark: SparkSession = ds.sparkSession
+
+  // ---- element-wise (reference: src/helpers/common.rs, stdlib.rs) ----
+
+  def map[O: Encoder](f: T => O): PCollection[O] = new PCollection(ds.map(f))
+
+  def flatMap[O: Encoder](f: T => IterableOnce[O]): PCollection[O] =
+    new PCollection(ds.flatMap(f))
+
+  def filter(p: T => Boolean): PCollection[T] = new PCollection(ds.filter(p))
+
+  /** reference: filter_map, src/helpers/stdlib.rs:248-265 */
+  def filterMap[O: Encoder](f: T => Option[O]): PCollection[O] =
+    new PCollection(ds.flatMap(t => f(t).iterator))
+
+  /** reference: to_display_string, src/helpers/display.rs:44 */
+  def toDisplayString: PCollection[String] = {
+    implicit val e: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    map(_.toString)
+  }
+
+  // ---- batching (reference: src/helpers/batches.rs) ----
+
+  /** Chunk-wise map for CPU-amortized user code. Per-partition, so no
+    * shuffle; batch boundaries are partition-local (same contract as the
+    * reference's map_batches, src/helpers/batches.rs:64).
+    */
+  def mapBatches[O: Encoder](size: Int)(f: Seq[T] => Seq[O]): PCollection[O] =
+    new PCollection(ds.mapPartitions(it => it.grouped(size).flatMap(chunk => f(chunk))))
+
+  /** reference: batch_elements, src/helpers/batches.rs:120 */
+  def batchElements(size: Int)(implicit e: Encoder[Seq[T]]): PCollection[Seq[T]] =
+    new PCollection(ds.mapPartitions(_.grouped(size)))
+
+  /** Size-bounded batching; an oversized element is emitted alone
+    * (reference: batch_by_size, src/helpers/batches.rs:183).
+    */
+  def batchBySize(maxBytes: Long)(sizeFn: T => Long)(implicit
+      e: Encoder[Seq[T]]
+  ): PCollection[Seq[T]] =
+    new PCollection(ds.mapPartitions { it =>
+      new Iterator[Seq[T]] {
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+        private var pending: Option[T] = None
+        def hasNext: Boolean = pending.nonEmpty || it.hasNext
+        def next(): Seq[T] = {
+          buf.clear()
+          var bytes = 0L
+          var full = false
+          while (!full && (pending.nonEmpty || it.hasNext)) {
+            val t = pending.getOrElse(it.next())
+            pending = None
+            val sz = sizeFn(t)
+            if (buf.isEmpty || bytes + sz <= maxBytes) { buf += t; bytes += sz }
+            else { pending = Some(t); full = true }
+          }
+          buf.toSeq
+        }
+      }
+    })
+
+  // ---- keys (reference: src/helpers/keyed.rs) ----
+
+  def keyBy[K](f: T => K)(implicit e: Encoder[(K, T)]): PCollection[(K, T)] =
+    new PCollection(ds.map(t => (f(t), t)))
+
+  def withKeys[K](f: T => K)(implicit e: Encoder[(K, T)]): PCollection[(K, T)] = keyBy(f)
+
+  def withConstantKey[K](k: K)(implicit e: Encoder[(K, T)]): PCollection[(K, T)] =
+    new PCollection(ds.map(t => (k, t)))
+
+  // ---- limits (reference: src/helpers/common.rs:113,143) ----
+
+  /** Catalyst plans this as LocalLimit -> GlobalLimit with incremental
+    * job submission (CollectLimitExec) — the distributed version of the
+    * reference's early-termination runner (src/runner.rs:863-893).
+    */
+  def take(n: Int): PCollection[T] = new PCollection(ds.limit(n))
+
+  def first(): PCollection[T] = take(1)
+
+  // ---- set ops (reference: src/helpers/flatten.rs, distinct.rs) ----
+
+  def flatten(others: PCollection[T]*): PCollection[T] =
+    new PCollection(others.foldLeft(ds)((acc, o) => acc.union(o.ds)))
+
+  def union(other: PCollection[T]): PCollection[T] = flatten(other)
+
+  def distinct(): PCollection[T] = new PCollection(ds.distinct())
+
+  /** Dedup by extracted key, keeping one arbitrary element per key
+    * (reference: distinct_by, src/helpers/distinct.rs:200). Implemented
+    * with dropDuplicates on a derived column so Catalyst plans a
+    * hash-aggregate (map-side partial dedup) instead of a full GBK.
+    */
+  def distinctBy[K: Encoder](f: T => K)(implicit e: Encoder[(K, T)]): PCollection[T] = {
+    implicit val te: Encoder[T] = ds.encoder
+    new PCollection(
+      ds.map(t => (f(t), t)).dropDuplicates("_1").map(_._2)
+    )
+  }
+
+  // ---- shuffle control (reference: src/helpers/reshuffle.rs) ----
+
+  def reshuffle(partitions: Int): PCollection[T] =
+    new PCollection(ds.repartition(partitions))
+
+  def reshuffle(): PCollection[T] =
+    new PCollection(ds.repartition(ds.sparkSession.sessionState.conf.numShufflePartitions))
+
+  // ---- diagnostics / structure (reference: tee.rs, named.rs, log_elements.rs) ----
+
+  /** Fan-out is free in Spark (reuse the handle); cache to avoid
+    * recompute across terminals (reference tee: src/helpers/tee.rs:54;
+    * the reference's dominator-based CSE cache, src/planner.rs:1816, is
+    * Spark's InMemoryRelation).
+    */
+  def tee(): (PCollection[T], PCollection[T]) = {
+    val cached = new PCollection(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    (cached, cached)
+  }
+
+  def cache(): PCollection[T] = new PCollection(ds.persist(StorageLevel.MEMORY_AND_DISK))
+
+  def withName(name: String): PCollection[T] = new PCollection(ds.alias(name))
+
+  def logElements(prefix: String = ""): PCollection[T] = {
+    implicit val te: Encoder[T] = ds.encoder
+    map { t => System.err.println(s"$prefix$t"); t }
+  }
+
+  // ---- error handling (reference: try_process.rs, dead_letter.rs) ----
+
+  /** reference: try_map, src/helpers/try_process.rs:67 */
+  def tryMap[O](f: T => O)(implicit e: Encoder[(Option[O], Option[String])])
+      : PCollection[(Option[O], Option[String])] =
+    new PCollection(ds.map { t =>
+      Try(f(t)).toEither match {
+        case Right(o)  => (Some(o), None)
+        case Left(err) => (None, Some(Option(err.getMessage).getOrElse(err.getClass.getName)))
+      }
+    })
+
+  /** Dead-letter pattern (reference: map_catching,
+    * src/helpers/dead_letter.rs:142): one cached pass, two filtered
+    * projections — Catalyst shares the scan.
+    */
+  def mapCatching[O](f: T => O)(implicit
+      okEnc: Encoder[O],
+      dlqEnc: Encoder[(T, String)],
+      pairEnc: Encoder[(Option[O], Option[(T, String)])]
+  ): (PCollection[O], PCollection[(T, String)]) = {
+    val tagged = ds
+      .map { t =>
+        Try(f(t)).toEither match {
+          case Right(o) => (Some(o), None: Option[(T, String)])
+          case Left(e) =>
+            (None: Option[O], Some((t, Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (
+      new PCollection(tagged.flatMap(_._1.iterator)),
+      new PCollection(tagged.flatMap(_._2.iterator))
+    )
+  }
+
+  // ---- ordering barrier (reference: wait_on.rs) ----
+
+  /** Beam `Wait.on`: do not start downstream work until `signal` fully
+    * drains. Spark realization: force-evaluate the signal (a cheap
+    * count action), then return this collection unchanged.
+    */
+  def waitOn[S](signal: PCollection[S]): PCollection[T] = {
+    signal.ds.count(): Unit
+    this
+  }
+
+  // ---- terminals (reference: src/helpers/common.rs:220,251, collect_sorted.rs) ----
+
+  def collect(): Seq[T] = ds.collect().toIndexedSeq
+
+  def collectSeq(): Seq[T] = collect()
+
+  def collectPar(): Seq[T] = collect()
+
+  def collectSorted()(implicit ord: Ordering[T]): Seq[T] = collect().sorted
+
+  def count(): Long = ds.count()
+}
+
+object PCollection {
+
+  def fromSeq[T: Encoder](spark: SparkSession, data: Seq[T]): PCollection[T] =
+    new PCollection(spark.createDataset(data))
+
+  def fromIter[T: Encoder](spark: SparkSession, data: IterableOnce[T]): PCollection[T] =
+    fromSeq(spark, data.iterator.toSeq)
+
+  def apply[T](ds: Dataset[T]): PCollection[T] = new PCollection(ds)
+}

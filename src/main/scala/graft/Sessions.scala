@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every entry point (tests, Verify,
+  * Bench) shares. Tuned for local[N] smoke runs but with the knobs that
+  * matter at cluster scale (AQE, broadcast threshold, shuffle
+  * partitions) set explicitly so the same code ships to a 1000-executor
+  * cluster unchanged.
+  */
+object Sessions {
+
+  /** Build (or get) a SparkSession.
+    *
+    * @param cores parallelism for local mode; shuffle partitions match
+    *              it (the reference sizes partitions to `2 x num_cpus`,
+    *              /root/reference/src/runner.rs:91 — on a real cluster
+    *              AQE coalescing makes the static number soft anyway).
+    */
+  def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

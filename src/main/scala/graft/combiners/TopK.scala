@@ -1,0 +1,61 @@
+package graft.combiners
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.reflect.ClassTag
+
+/** Bounded top-k aggregator: O(k) memory per group, mergeable, output
+  * sorted descending (largest first) — the distributed analog of the
+  * reference's bounded min-heap combiner (reference:
+  * src/combiners/topk.rs:23-126). Use `bottomK = true` for the k
+  * smallest (topk.rs:128-205).
+  *
+  * For DataFrame-level top-k prefer the declarative forms (window
+  * row_number <= k, or orderBy().limit(k) which Catalyst plans as
+  * TakeOrderedAndProject) — this Aggregator is the typed/Dataset path
+  * and the building block for `top_k_per_key` on arbitrary ordered T.
+  */
+class TopKAggregator[T: Ordering: ClassTag](k: Int, bottomK: Boolean = false)
+    extends Aggregator[T, Array[T], Array[T]] {
+
+  private val ord0 = implicitly[Ordering[T]]
+  // internal order: "better" elements are GREATER; we keep the k best
+  private val ord = if (bottomK) ord0.reverse else ord0
+
+  override def zero: Array[T] = Array.empty[T]
+
+  override def reduce(buf: Array[T], v: T): Array[T] = {
+    if (buf.length < k) (buf :+ v).sorted(ord.reverse)
+    else if (ord.gt(v, buf(k - 1))) {
+      val out = buf.clone()
+      out(k - 1) = v
+      out.sorted(ord.reverse)
+    } else buf
+  }
+
+  override def merge(a: Array[T], b: Array[T]): Array[T] =
+    (a ++ b).sorted(ord.reverse).take(k)
+
+  override def finish(buf: Array[T]): Array[T] = buf
+
+  override def bufferEncoder: Encoder[Array[T]] = Encoders.kryo[Array[T]]
+  override def outputEncoder: Encoder[Array[T]] = Encoders.kryo[Array[T]]
+}
+
+/** Latest-by-timestamp (reference: src/combiners/latest.rs:61). The
+  * DataFrame path is the built-in `max_by(value, ts)`; this typed form
+  * serves Dataset pipelines of `Timestamped` values.
+  */
+class LatestAggregator
+    extends Aggregator[(Long, String), (Long, String), String] {
+  override def zero: (Long, String) = (Long.MinValue, null)
+  override def reduce(b: (Long, String), a: (Long, String)): (Long, String) =
+    if (a._1 >= b._1) a else b
+  override def merge(a: (Long, String), b: (Long, String)): (Long, String) =
+    if (a._1 >= b._1) a else b
+  override def finish(r: (Long, String)): String = r._2
+  override def bufferEncoder: Encoder[(Long, String)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
