@@ -1,13 +1,708 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Dedup, Multimodal, Similarity, Windowing}
+import graft.functions.TextFunctions
+import graft.sources.IOOps
+
+/** Driver contract: one named query per implemented operator from
+  * SURVEY.md §2 (+ the beyond-parity training-data-pipeline tier), each
+  * with a DuckDB oracle in [[oracleSql]] where the semantics are
+  * SQL-expressible.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match
+  * bit-for-bit):
+  *  - money/double sums go through integer cents
+  *    (`sum(cast(round(x*100,0) as bigint))/100.0`) — order-independent;
+  *  - per-row double arithmetic keeps the identical op sequence on both
+  *    sides (IEEE ops are deterministic given the same operand order);
+  *  - every rank/limit has an explicit unique tiebreak column;
+  *  - timestamps are rendered as strings (tz/precision-proof);
+  *  - arrays are rendered as sorted comma-joined strings;
+  *  - all hashing is md5 over explicit strings (content-based, partition
+  *    independent — the reference's zero-seeded-hash stance,
+  *    reference: src/combiners/distinct.rs:232-246).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
+    * nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Sessions/Verify/Bench); normalize to a microsecond timestamp.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Integer-cents of a 2-decimal double column (order-independent sums). */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private def centsSum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Element-wise (SURVEY §2.2/§2.3)
+  // =====================================================================
+
+  private val elementWise: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1995-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+    }),
+    "map_project" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 100.0).as("revenue"),
+        concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("flag_status")
+      )
+    }),
+    "filter_where" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30 && col("l_discount") > 0.05 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+    "flat_map_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    }),
+    "filter_map_props" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+      t(s, dir, "events").select(col("event_id"), k.as("k")).filter(col("k") > 50)
+    }),
+    "map_batches_upper" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      new PCollection(docs)
+        .mapBatches(256)(chunk => chunk.map { case (id, txt) => (id, txt.toUpperCase.take(20)) })
+        .ds.toDF("doc_id", "head_upper")
+    }),
+    "kv_swap" -> ((s, dir) => {
+      import s.implicits._
+      import KeyedPCollection._
+      val pc = new PCollection(t(s, dir, "customer").select("c_custkey", "c_nationkey").as[(Long, Int)])
+      pc.kvSwap.ds.toDF("nationkey", "custkey")
+    })
+  )
+
+  private val elementWiseOracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price,
+         sum(l_quantity)/count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= '1995-09-01' GROUP BY l_returnflag, l_linestatus""",
+    "map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)/100.0 AS revenue,
+         l_returnflag || '|' || l_linestatus AS flag_status FROM lineitem""",
+    "filter_where" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 30 AND l_discount > 0.05 AND l_returnflag = 'R'""",
+    "flat_map_tokens" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",
+    "filter_map_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k
+         FROM events WHERE CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) > 50""",
+    "map_batches_upper" ->
+      "SELECT doc_id, upper(substr(text, 1, 20)) AS head_upper FROM documents",
+    "kv_swap" ->
+      "SELECT c_nationkey AS nationkey, c_custkey AS custkey FROM customer"
+  )
+
+  // =====================================================================
+  // Grouping & aggregation (SURVEY §2.4)
+  // =====================================================================
+
+  private val grouping: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_by_key" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", transform(sort_array(collect_list(col("o_orderkey"))), x => x.cast("string"))).as("order_ids"))
+    }),
+    "to_set_per_key" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"))
+    }),
+    "sum_per_key" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_suppkey").agg(sum("l_quantity").as("sum_qty"))
+    }),
+    "min_max_per_key" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+    }),
+    "avg_per_key" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg((centsSum(col("c_acctbal")) / count(lit(1))).as("avg_acctbal"))
+    }),
+    "count_global" -> ((s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+    "count_per_key" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
+    "count_per_element" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(count(lit(1)).as("n"))),
+    "combine_globally" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        centsSum(col("o_totalprice")).as("total"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price")
+      )
+    }),
+    "distinct_rows" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    "distinct_by_key" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(min("doc_id").as("doc_id"))),
+    "distinct_count_per_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(countDistinct(col("l_suppkey")).as("n_supp"))),
+    "approx_count_distinct" -> ((s, dir) =>
+      // HLL++, same algorithm & error model as the reference
+      // (reference: src/combiners/distinct.rs:274-389); sketch internals
+      // differ from DuckDB's → rows-only check, exactness covered by
+      // distinct_count_per_key.
+      t(s, dir, "lineitem").agg(approx_count_distinct(col("l_partkey"), 0.016).as("approx_parts"))),
+    "approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("quartiles"))),
+    "top_k_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    }),
+    "bottom_k_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    }),
+    "top_k_global" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+    "latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+    "sample_priority" -> ((s, dir) =>
+      // Deterministic mergeable "reservoir": content-hash priority
+      // sampling (the reference's rank_from_value stance,
+      // reference: src/combiners/sampling.rs:69-188) — top-100 by
+      // md5(id), stable under any partitioning/retry.
+      events(s, dir)
+        .select(col("event_id"), md5(col("event_id").cast("string").cast("binary")).as("pri"))
+        .orderBy(col("pri"), col("event_id"))
+        .limit(100)
+        .select("event_id")),
+    "sample_per_key" -> ((s, dir) => {
+      val pri = md5(col("event_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("event_type").orderBy(pri, col("event_id"))
+      events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .select("event_type", "event_id")
+    })
+  )
+
+  private val groupingOracle: Map[String, String] = Map(
+    "group_by_key" ->
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+         FROM orders GROUP BY o_custkey""",
+    "to_set_per_key" ->
+      """SELECT l_returnflag, array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+         FROM lineitem GROUP BY l_returnflag""",
+    "sum_per_key" ->
+      "SELECT l_suppkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_suppkey",
+    "min_max_per_key" ->
+      """SELECT o_orderpriority, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderpriority""",
+    "avg_per_key" ->
+      """SELECT c_mktsegment,
+         (CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0)/count(*) AS avg_acctbal
+         FROM customer GROUP BY c_mktsegment""",
+    "count_global" -> "SELECT count(*) AS n FROM lineitem",
+    "count_per_key" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+    "count_per_element" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "combine_globally" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price FROM orders""",
+    "distinct_rows" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "distinct_by_key" ->
+      "SELECT lang, min(doc_id) AS doc_id FROM documents GROUP BY lang",
+    "distinct_count_per_key" ->
+      "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag",
+    "top_k_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "bottom_k_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "top_k_global" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events) WHERE rk = 1""",
+    "sample_priority" ->
+      """SELECT event_id FROM events
+         ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100""",
+    "sample_per_key" ->
+      """SELECT event_type, event_id FROM (
+           SELECT event_type, event_id,
+                  row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+           FROM events) WHERE rk <= 20"""
+  )
+
+  // =====================================================================
+  // Joins, co-group, sets (SURVEY §2.5/§2.6)
+  // =====================================================================
+
+  private val joins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "c_mktsegment")
+    }),
+    "join_left" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .select("c_custkey", "o_orderkey")
+    }),
+    "join_right" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+        .select("o_orderkey", "c_custkey")
+    }),
+    "join_full" -> ((s, dir) => {
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"), "full_outer")
+        .select("r_name", "n_name")
+    }),
+    "join_semi" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    }),
+    "join_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+    "join_broadcast" -> ((s, dir) => {
+      // map-side join via explicit broadcast (reference side-inputs,
+      // src/helpers/side_inputs.rs): part is the small dim.
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    "cogroup_counts" -> ((s, dir) => {
+      import s.implicits._
+      import KeyedPCollection._
+      val cust = new PCollection(t(s, dir, "customer").select("c_nationkey", "c_custkey").as[(Int, Long)])
+      val supp = new PCollection(t(s, dir, "supplier").select("s_nationkey", "s_suppkey").as[(Int, Long)])
+      cust.coGroupByKey(supp)
+        .ds.map { case (k, (cs, ss)) => (k, cs.size.toLong, ss.size.toLong) }
+        .toDF("nationkey", "n_cust", "n_supp")
+    }),
+    "flatten_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("src"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      c.union(sup)
+    }),
+    "set_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+    "set_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    })
+  )
+
+  private val joinsOracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment FROM orders
+         JOIN customer ON o_custkey = c_custkey""",
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey FROM customer
+         LEFT JOIN orders ON c_custkey = o_custkey""",
+    "join_right" ->
+      """SELECT o_orderkey, c_custkey FROM orders
+         RIGHT JOIN customer ON o_custkey = c_custkey""",
+    "join_full" ->
+      """SELECT r_name, n_name FROM region
+         FULL JOIN nation ON r_regionkey = n_regionkey""",
+    "join_semi" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "join_anti" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "join_broadcast" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
+    "cogroup_counts" ->
+      """SELECT COALESCE(c.k, su.k) AS nationkey,
+                COALESCE(c.n_cust, 0) AS n_cust, COALESCE(su.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) su
+         ON c.k = su.k""",
+    "flatten_union" ->
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer
+         UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier"""
+  )
+
+  // =====================================================================
+  // Event-time windowing + analytic windows (SURVEY §2.8)
+  // =====================================================================
+
+  private val windowing: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_tumbling" -> ((s, dir) => {
+      Windowing.tumblingAgg(
+        events(s, dir), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), centsSum(col("value")).as("total_value"))
+      )
+    }),
+    "window_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(Windowing.slide(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+        .drop("window")
+    }),
+    "window_session" -> ((s, dir) => {
+      Windowing.sessionAgg(
+        events(s, dir), "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n"))
+      )
+    }),
+    "analytic_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, dir).select(
+        col("user_id"), col("event_id"),
+        (col("value") - lag("value", 1).over(w)).as("dv")
+      )
+    }),
+    "analytic_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("user_id"), col("event_id"),
+        (sum(cents(col("value"))).over(w) / 100.0).as("running_total")
+      )
+    })
+  )
+
+  private val windowingOracle: Map[String, String] = Map(
+    "window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+         FROM events GROUP BY 1, 2""",
+    "window_sliding" ->
+      """WITH starts AS (
+           SELECT date_trunc('hour', ts) AS st FROM events
+           UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+         SELECT strftime(st, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+         FROM starts GROUP BY 1""",
+    "window_session" ->
+      """WITH d AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (SELECT user_id, ts,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM d)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id, count(*) AS n
+         FROM g GROUP BY user_id, sid""",
+    "analytic_lag" ->
+      """SELECT user_id, event_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS dv FROM events""",
+    "analytic_running" ->
+      """SELECT user_id, event_id,
+         CAST(sum(CAST(round(value*100,0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)/100.0
+           AS running_total FROM events"""
+  )
+
+  // =====================================================================
+  // Regex / error-handling / validation (SURVEY §2.9/§2.10)
+  // =====================================================================
+
+  private val regexAndErrors: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "regex_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), regexp_extract(col("text"), "(data|query|join)", 1).as("hit"))),
+    "regex_filter" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").rlike("vector.+hash")).select("doc_id")),
+    "regex_replace" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 50).as("repl"))),
+    "dead_letter" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select("event_type", "props").as[(String, String)]
+      val (ok, dlq) = new PCollection(ev).mapCatching { case (et, props) =>
+        val k = "[0-9]+".r.findFirstIn(props).getOrElse("0").toInt
+        if (k == 50) throw new IllegalArgumentException(s"simulated decode failure k=$k")
+        (et, k)
+      }
+      val okCounts = ok.ds.map(_._1).toDF("event_type").groupBy("event_type").agg(count(lit(1)).as("ok"))
+      val errCounts = dlq.ds.map(_._1._1).toDF("event_type").groupBy("event_type").agg(count(lit(1)).as("err"))
+      okCounts.join(errCounts, Seq("event_type"), "full_outer")
+        .na.fill(0L, Seq("ok", "err"))
+    }),
+    "validate_range" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value") >= 0 && col("value") <= 500 && col("event_type") =!= "")
+        .select("event_id", "value"))
+  )
+
+  private val regexAndErrorsOracle: Map[String, String] = Map(
+    "regex_extract" ->
+      "SELECT doc_id, regexp_extract(text, '(data|query|join)', 1) AS hit FROM documents",
+    "regex_filter" ->
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'vector.+hash')",
+    "regex_replace" ->
+      "SELECT doc_id, substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 50) AS repl FROM documents",
+    "dead_letter" ->
+      """SELECT event_type,
+         CAST(count(CASE WHEN CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) <> 50 THEN 1 END) AS BIGINT) AS ok,
+         CAST(count(CASE WHEN CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) = 50 THEN 1 END) AS BIGINT) AS err
+         FROM events GROUP BY event_type""",
+    "validate_range" ->
+      """SELECT event_id, value FROM events
+         WHERE value >= 0 AND value <= 500 AND event_type <> ''"""
+  )
+
+  // =====================================================================
+  // Training-data pipeline tier: text analysis, dedup, similarity,
+  // multimodal, IO roundtrips
+  // =====================================================================
+
+  private val pipelineTier: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))),
+    "text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).as("n_tokens"),
+        size(array_distinct(split(txt, " "))).as("n_distinct"),
+        TextFunctions.typeTokenRatio(txt).as("ttr")
+      )
+    }),
+    "text_lang_stopwords" -> ((s, dir) => {
+      val stops = Seq("the", "a", "of", "and", "to")
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.stopwordRatio(col("text"), stops).as("stop_ratio"),
+        TextFunctions.langGuess(col("text"), stops, 0.05).as("lang_guess")
+      )
+    }),
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text", "lang", thresholdPct = 40)),
+    "similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+    }),
+    "similarity_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", 5)
+    }),
+    "embedding_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("norm"))),
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        t(s, dir, "documents").select(col("doc_id").as("id"), col("text").cast("binary").as("payload")),
+        "id", "payload")),
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/jsonl"
+      val src = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      IOOps.writeJsonl(src, tmp)
+      IOOps.readJsonl(s, tmp, src.schema)
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+    }),
+    "io_csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/csv"
+      val src = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      IOOps.writeCsv(src, tmp, header = true)
+      IOOps.readCsv(s, tmp, src.schema, header = true)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), centsSum(col("c_acctbal")).as("total_acctbal"))
+    }),
+    "io_checkpoint" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/checkpoint"
+      IOOps.checkpoint(t(s, dir, "customer").select("c_custkey", "c_nationkey"), tmp)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  private val pipelineTierOracle: Map[String, String] = Map(
+    "text_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+         FROM documents""",
+    "text_lang_stopwords" ->
+      """SELECT doc_id, lang,
+         round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stop_ratio,
+         CASE WHEN round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE), 6) > 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+         FROM documents""",
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "dedup_exact" ->
+      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text)",
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""",
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         b AS (SELECT doc_id, j,
+                      CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+               FROM tk CROSS JOIN range(0, 16) r(j)),
+         s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j)
+         SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS simhash FROM s GROUP BY doc_id""",
+    "dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks
+                    FROM documents WHERE doc_id < 300)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
+         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.toks, b.toks)) * 100 >= len(list_distinct(list_concat(a.toks, b.toks))) * 40""",
+    "similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+         SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+           FROM s) WHERE rk <= 5""",
+    "similarity_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+               FROM q JOIN c ON q.label = c.label AND neighbor_id <> query_id)
+         SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+           FROM s) WHERE rk <= 5""",
+    "embedding_norm" ->
+      """SELECT vec_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS norm
+         FROM embeddings""",
+    "multimodal_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+         CAST(octet_length(encode(text)) % 16 AS INTEGER) AS fake_frames
+         FROM documents""",
+    "io_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang""",
+    "io_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total_acctbal
+         FROM customer GROUP BY c_mktsegment""",
+    "io_checkpoint" ->
+      "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey"
+  )
+
+  // =====================================================================
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    elementWise ++ grouping ++ joins ++ windowing ++ regexAndErrors ++ pipelineTier
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for sketch-based ops
+    * (approx_count_distinct, approx_quantiles) whose estimator internals
+    * legitimately differ from DuckDB's → driver records rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    elementWiseOracle ++ groupingOracle ++ joinsOracle ++ windowingOracle ++
+      regexAndErrorsOracle ++ pipelineTierOracle
+
+  /** Headline queries for Bench — one per major operator family, heavy
+    * enough to measure (scan+agg, joins, windows, LSH dedup, ANN).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "map_project", "filter_where", "flat_map_tokens",
+    "sum_per_key", "distinct_count_per_key", "top_k_per_key", "latest_per_key",
+    "join_inner", "join_broadcast", "cogroup_counts",
+    "window_tumbling", "window_session", "analytic_running",
+    "text_quality", "dedup_exact", "dedup_minhash_lsh", "similarity_topk"
+  )
 }

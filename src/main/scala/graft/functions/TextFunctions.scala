@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristics
+  * and document fingerprinting. All column-expression based (whole-stage
+  * codegen, no UDFs) so they scale to 100 TB document corpora: every
+  * function is a narrow per-row transform — no shuffle — and composes
+  * with Catalyst pushdown/pruning.
+  *
+  * The reference's string surface is regex-only
+  * (reference: src/helpers/regex.rs); everything beyond that is the
+  * beyond-parity training-pipeline tier.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish word/punct tokenization: words, numbers, or single
+    * non-space symbols — closer to how a subword pre-tokenizer chunks.
+    */
+  def bpeishTokens(text: Column): Column =
+    // regexp_extract_all is available as a SQL function in Spark 3.4+
+    call_function("regexp_extract_all", text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio (distinct/total tokens) — a standard quality
+    * signal: boilerplate/spammy documents repeat tokens heavily.
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 6)
+  }
+
+  /** Ratio of tokens found in `stopwords` — language-ID/quality
+    * heuristic building block.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, x => x.isInCollection(stopwords)))
+    round(hits.cast("double") / size(t).cast("double"), 6)
+  }
+
+  /** n-gram-free language guess from a stopword hit-ratio threshold.
+    * A real pipeline would score per-language stopword sets; the shape
+    * (narrow map, no shuffle) is identical.
+    */
+  def langGuess(text: Column, stopwords: Seq[String], threshold: Double): Column =
+    when(stopwordRatio(text, stopwords) > threshold, lit("en")).otherwise(lit("other"))
+
+  /** Stable content fingerprint (md5 hex) for exact dedup. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling-hash document fingerprint over word 2-shingles: md5 of the
+    * lexicographically smallest shingle hash — stable under word order
+    * permutations only when content matches, cheap to compute.
+    */
+  def shingleFingerprint(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2, md5(text.cast("binary"))).otherwise(
+      array_min(transform(
+        sequence(lit(1), size(t) - 1),
+        i => md5(concat_ws(" ", element_at(t, i), element_at(t, i + 1)).cast("binary"))
+      ))
+    )
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure
+  * DataFrame/column-expression plans (no UDFs, no driver-side loops) so
+  * they distribute: the only shuffles are the groupBy on fingerprint /
+  * (band, signature) buckets and the bucket self-join, which is the
+  * textbook LSH scale path — candidate pairs per bucket instead of the
+  * O(n^2) cross join.
+  *
+  * Determinism: every hash is md5 over explicit strings, so results are
+  * partition- and retry-independent (the same stance as the reference's
+  * zero-seeded hashing, reference: src/combiners/distinct.rs:232-246).
+  */
+object Dedup {
+
+  /** Exact dedup groups: content fingerprint -> surviving (min) id and
+    * duplicate count. `groupBy` over a hash key is a plain hash
+    * aggregate with map-side partial combine — the 100 TB-safe shape.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Word 2-shingles from a pre-split token-array column (1-based
+    * positions; empty for single-token docs — `sequence` would flip to
+    * descending on a start>stop range, so guard explicitly). Takes the
+    * token column, not the raw text, so the split isn't re-inlined into
+    * every lambda element.
+    */
+  private def shinglesOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+        )
+      )
+    )
+
+  /** MinHash signatures, wide form: one row per doc, one column
+    * `sig<i>` per salted hash function — the min md5 over the doc's
+    * shingles with salt `i`. All `numHashes` mins are computed in a
+    * SINGLE aggregation pass over the exploded shingles (no row
+    * blowup, one shuffle) — the shape that survives a 100 TB corpus:
+    * shingle explosion is a narrow flatMap, and the groupBy(doc) is
+    * map-side partially aggregated with constant per-doc state.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .select(col(idCol), explode(shinglesOf(col("tk"))).as("sh"))
+    val sigCols = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"sig$i")
+    }
+    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: `rowsPerBand` signature
+    * columns are hashed together per band; docs sharing any
+    * (band, bandSig) bucket are candidate near-duplicates. The bands
+    * relation is persisted before the self-join so the signature
+    * computation runs once, and the join key (band, bsig) hash-
+    * partitions candidates into buckets — the textbook LSH scale path
+    * (per-bucket pairs instead of an O(n^2) cross join).
+    */
+  def lshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    // stack the band signatures into (id, band, bsig) rows
+    val stackArgs = (0 until nBands).flatMap { b =>
+      val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+      Seq(b.toString, s"md5(cast(concat(${parts.mkString(",")}) as binary))")
+    }
+    val bands = sigs
+      .select(col(idCol), expr(s"stack($nBands, ${stackArgs.mkString(", ")}) AS (band, bsig)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bsig"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** SimHash fingerprint (16-bit, one bit per leading hex digit of the
+    * token md5): bit_j = sign of sum over tokens of (2*highbit_j - 1).
+    * Constant-size per-doc state; the aggregation is a narrow
+    * groupBy(id, j) then groupBy(id) — both map-side combinable.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val hexHighSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // one row per token with its md5; all `bits` signed sums aggregate in
+    // a single groupBy pass (map-side combined, constant per-doc state)
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), md5(col("tok").cast("binary")).as("h"))
+    val sumCols = (0 until bits).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(hexHighSet), lit(1)).otherwise(lit(-1)))
+        .as(s"s$j")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(sumCols.head, sumCols.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"s$j") >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    sums.select(col(idCol), fp.cast("int").as("simhash"))
+  }
+
+  /** n-gram (word-set) Jaccard similarity over candidate pairs blocked
+    * by `blockCol` (e.g. language) — the exact-verification stage that
+    * follows LSH candidate generation at scale. Integer cross-multiplied
+    * threshold test keeps the filter float-free.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdPct: Int
+  ): DataFrame = {
+    val t = docs.select(
+      col(idCol),
+      col(blockCol),
+      array_sort(array_distinct(split(col(textCol), " "))).as("toks")
+    )
+    val a = t.select(col(idCol).as("a_id"), col(blockCol).as("blk"), col("toks").as("a_toks"))
+    val b = t.select(col(idCol).as("b_id"), col(blockCol).as("blk"), col("toks").as("b_toks"))
+    a.join(b, "blk")
+      .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
+        size(array_union(col("a_toks"), col("b_toks"))).as("n_union")
+      )
+      .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6).as("jaccard")
+      )
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+}

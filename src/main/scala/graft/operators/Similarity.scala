@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (`array<float>`). Two tiers:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The candidate side streams through a broadcast of the (small)
+  *    query side, so the plan is a broadcast nested-loop with a per-query
+  *    top-k window — no O(n^2) shuffle. At 100 TB the candidate scan is
+  *    embarrassingly parallel and the window is bounded per query.
+  *  - [[ivfTopK]]: IVF-style cell-restricted search — candidates are
+  *    pre-partitioned into coarse cells (here the `label` column stands
+  *    in for a k-means cell id); each query only scans its own cell.
+  *    This is the scale path: cell pruning turns a full scan into
+  *    1/nCells of the data, and the cell column is a join key that
+  *    co-partitions without a cross join.
+  *
+  * All arithmetic is index-ordered double accumulation via the codegen'd
+  * higher-order functions (`zip_with`/`aggregate`) — deterministic and
+  * UDF-free.
+  */
+object Similarity {
+
+  /** Index-ordered dot product of two float-array columns in double
+    * precision. `aggregate` folds left-to-right, so the result is
+    * bit-stable across partitionings.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-style ANN: search only candidates in the query's coarse cell. */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(cellCol).as("cell"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol).as("cell"))
+    val scored = c
+      .join(broadcast(q), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** LSH-bucketed ANN via signed random hyperplanes derived from md5 of
+    * the dimension index (deterministic, data-independent planes).
+    * Vectors are bucketed by the sign-bit string of `nPlanes`
+    * projections; same-bucket pairs are the candidates. Scale path
+    * alternative to [[ivfTopK]] when no pre-clustering exists.
+    */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+    // plane p weight for dim i = +1 / -1 from a stable hash bit
+    val proj: Column = {
+      val planes = (0 until nPlanes).map { p =>
+        val signedSum = aggregate(
+          zip_with(
+            col(vecCol),
+            // deterministic pseudo-plane: sign from md5(p|i) parity
+            transform(sequence(lit(0), size(col(vecCol)) - 1), i =>
+              when(
+                substring(md5(concat(lit(p.toString), lit("|"), i.cast("string")).cast("binary")), 1, 1)
+                  .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
+                lit(1.0)
+              ).otherwise(lit(-1.0))
+            ),
+            (x, s) => x.cast("double") * s
+          ),
+          lit(0.0),
+          (acc, v) => acc + v
+        )
+        when(signedSum >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(planes: _*)
+    }
+    vectors.select(col(idCol), proj.as("bucket"))
+  }
+}
