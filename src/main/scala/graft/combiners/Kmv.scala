@@ -64,8 +64,9 @@ class KmvAggregator(kRaw: Int, seed: Long = 0L, keyOf: String => String = identi
     val n = buf.hashes.length
     if (n < k) n.toDouble
     else {
-      // k-th minimum normalized to (0,1) over the unsigned 64-bit space
-      val kth = (buf.hashes(k - 1) ^ Long.MinValue).toDouble - Long.MinValue.toDouble
+      // stored values are sign-flipped (signed s = unsigned u - 2^63), so
+      // u = s - Long.MinValue; normalize the k-th minimum to (0,1)
+      val kth = buf.hashes(k - 1).toDouble - Long.MinValue.toDouble
       val r = kth / 1.8446744073709552e19 // 2^64
       if (r <= 0.0) n.toDouble else (k - 1).toDouble / r
     }

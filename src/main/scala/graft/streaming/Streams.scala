@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming tier — beyond the reference, which is
+  * batch-only by design ("Not a full watermark/late data engine",
+  * reference: src/helpers/timestamped.rs:18-20). Every batch windowed
+  * combine in graft has a streaming sibling here: same `window()` /
+  * `session_window()` grouping, plus watermarks for state eviction and
+  * `mapGroupsWithState` for custom per-key state — the pieces a 100 TB
+  * continuous ingest pipeline needs that the reference's
+  * timestamp-as-metadata model cannot express.
+  */
+object Streams {
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowSize: String,
+      watermark: String,
+      keys: Seq[String]
+  ): DataFrame = {
+    val groups = window(col(tsCol), windowSize) +: keys.map(col)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +: keys.map(col)) :+ col("n"): _*)
+  }
+
+  /** Session windows per key with a gap, watermark-bounded. */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      gap: String,
+      watermark: String,
+      keys: Seq[String]
+  ): DataFrame = {
+    val groups = session_window(col(tsCol), gap) +: keys.map(col)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("session_window.start").as("session_start") +: keys.map(col)) :+ col("n"): _*)
+  }
+
+  /** Custom per-key running state via mapGroupsWithState — the
+    * streaming analog of the reference's CombineFn accumulators with
+    * explicit state lifetime.
+    */
+  def runningCountPerKey[K: Encoder](ds: Dataset[K])(implicit
+      pair: Encoder[(K, Long)]
+  ): Dataset[(K, Long)] = {
+    implicit val stateEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    ds.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (k: K, it: Iterator[K], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          (k, c)
+      }
+  }
+}

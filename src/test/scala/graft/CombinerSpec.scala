@@ -1,0 +1,80 @@
+package graft
+
+import graft.combiners._
+
+/** Sketch aggregators (reference: src/combiners/): determinism and
+  * accuracy contracts, including partitioning-invariance — the
+  * reference's seq == par guarantee (src/runner.rs:11-14).
+  */
+class CombinerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KMV is exact below k and within ~10% above") {
+    val agg = new KmvAggregator(256)
+    // exact: 100 distinct < k
+    val small = spark.createDataset((1 to 100).map(_.toString))
+      .select(agg.toColumn.name("est")).as[Double].head()
+    assert(small == 100.0)
+    // estimate: 20k distinct with k=256 -> rse ~ 1/sqrt(k-2) ~ 6%
+    val big = spark.createDataset((1 to 20000).map(i => s"val-$i"))
+      .select(new KmvAggregator(256).toColumn.name("est")).as[Double].head()
+    assert(math.abs(big - 20000) / 20000.0 < 0.2, s"KMV estimate $big")
+  }
+
+  test("KMV is invariant under repartitioning (content-based hashing)") {
+    val data = (1 to 5000).map(i => s"item-$i")
+    val a = spark.createDataset(data).repartition(1)
+      .select(new KmvAggregator(128).toColumn.name("est")).as[Double].head()
+    val b = spark.createDataset(data).repartition(13)
+      .select(new KmvAggregator(128).toColumn.name("est")).as[Double].head()
+    assert(a == b)
+  }
+
+  test("t-digest quantiles of uniform data are close; NaN/Inf skipped") {
+    val xs = (1 to 10000).map(_.toDouble) ++ Seq(Double.NaN, Double.PositiveInfinity)
+    val buf = spark.createDataset(xs)
+      .select(new TDigestAggregator(100).toColumn.name("d")).as[TDigestBuffer].head()
+    val q50 = TDigest.quantile(buf, 0.5)
+    val q95 = TDigest.quantile(buf, 0.95)
+    assert(math.abs(q50 - 5000) < 150, s"median $q50")
+    assert(math.abs(q95 - 9500) < 150, s"q95 $q95")
+  }
+
+  test("reservoir sample is deterministic and partitioning-invariant") {
+    val data = (1 to 2000).map(i => s"row-$i")
+    def sample(parts: Int): Seq[String] =
+      spark.createDataset(data).repartition(parts)
+        .select(new ReservoirAggregator(50, seed = 42).toColumn.name("s"))
+        .as[Array[String]].head().toSeq
+    val a = sample(1)
+    val b = sample(17)
+    assert(a.size == 50)
+    assert(a == b)
+    // different seed -> (almost surely) different sample
+    val c = spark.createDataset(data)
+      .select(new ReservoirAggregator(50, seed = 7).toColumn.name("s"))
+      .as[Array[String]].head().toSeq
+    assert(a != c)
+  }
+
+  test("TopK keeps the k best, sorted; bottomK the k smallest") {
+    val top = spark.createDataset(Seq(5, 1, 9, 7, 3))
+      .select(new TopKAggregator[Int](3).toColumn.name("t")).head()
+    assert(top.toSeq == Seq(9, 7, 5))
+    val bottom = spark.createDataset(Seq(5, 1, 9, 7, 3))
+      .select(new TopKAggregator[Int](2, bottomK = true).toColumn.name("t")).head()
+    assert(bottom.toSeq == Seq(1, 3))
+  }
+
+  test("Latest picks the max-timestamp value") {
+    val latest = spark.createDataset(Seq((10L, "old"), (30L, "new"), (20L, "mid")))
+      .select(new LatestAggregator().toColumn.name("l")).head()
+    assert(latest == "new")
+  }
+
+  test("Hashing is stable and avalanched") {
+    assert(Hashing.hashString("abc") == Hashing.hashString("abc"))
+    assert(Hashing.hashString("abc") != Hashing.hashString("abd"))
+    assert(Hashing.hashString("abc", 1) != Hashing.hashString("abc", 2))
+  }
+}

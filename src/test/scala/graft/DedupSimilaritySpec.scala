@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Training-pipeline tier: dedup + similarity semantics on crafted data. */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),  // near-dup of 0
+    (3L, "completely different words about spark engines here", "en"),
+    (4L, "lone", "en")                                          // single token: no shingles
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactGroups collapses identical texts to one keeper") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_dupes") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    assert(groups.length == 4) // 5 docs, one pair collapsed
+  }
+
+  test("minhash LSH surfaces exact and near dups as candidate pairs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), s"near dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
+  test("simhash: identical docs identical, near-dups close in hamming") {
+    val fps = Dedup.simhash(docs, "doc_id", "text", 16).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fps(0L) == fps(1L))
+    val hammingNear = Integer.bitCount(fps(0L) ^ fps(2L))
+    val hammingFar = Integer.bitCount(fps(0L) ^ fps(3L))
+    assert(hammingNear <= hammingFar, s"near=$hammingNear far=$hammingFar")
+  }
+
+  test("jaccardPairs computes word-set jaccard above threshold") {
+    // doc0 vs doc2: |intersect|=7 of |union|=9 distinct words -> 0.7778
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 70)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bruteForceTopK ranks by cosine with self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 3L, 2L))
+  }
+
+  test("ivfTopK only searches the query's cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.95f, 0.05f), 1) // closer, but in another cell
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", "label", 5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("lshBuckets: identical vectors share a bucket, deterministic across runs") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f))
+    ).toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b2 = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b1 == b2)
+    assert(b1(0L) == b1(1L))
+    assert(b1(0L) != b1(2L)) // antipodal vector flips every plane sign
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.IOOps
+
+class IOOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft-io-$name").resolve("out").toString
+
+  private val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "gamma", 0.0))
+    .toDF("id", "name", "score")
+
+  test("jsonl roundtrip preserves rows and schema") {
+    val p = tmpDir("jsonl")
+    IOOps.writeJsonl(df, p)
+    val back = IOOps.readJsonl(spark, p, df.schema)
+    // json sources surface all fields as nullable; compare name+type
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      df.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("csv roundtrip with header and explicit schema") {
+    val p = tmpDir("csv")
+    IOOps.writeCsv(df, p, header = true)
+    val back = IOOps.readCsv(spark, p, df.schema, header = true)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      df.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("parquet roundtrip and checkpoint cut") {
+    val p = tmpDir("parquet")
+    IOOps.writeParquet(df, p)
+    assert(IOOps.readParquet(spark, p).count() == 3)
+
+    val cp = tmpDir("checkpoint")
+    val restored = IOOps.checkpoint(df, cp)
+    assert(restored.count() == 3)
+  }
+
+  test("glob reads multiple files (native path globbing)") {
+    val base = Files.createTempDirectory("graft-io-glob")
+    IOOps.writeJsonl(df.limit(1), base.resolve("a").toString)
+    IOOps.writeJsonl(df.limit(2), base.resolve("b").toString)
+    val all = IOOps.readJsonl(spark, base.toString + "/*", df.schema)
+    assert(all.count() == 3)
+  }
+
+  test("compressed write/read by extension (gzip codec)") {
+    val p = tmpDir("gz")
+    df.write.option("compression", "gzip").json(p)
+    val back = IOOps.readJsonl(spark, p, df.schema)
+    assert(back.count() == 3)
+  }
+}

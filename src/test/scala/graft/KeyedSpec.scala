@@ -1,0 +1,110 @@
+package graft
+
+import KeyedPCollection._
+
+/** Keyed surface (reference: src/helpers/keyed.rs, values.rs, basic.rs,
+  * count.rs, collect_values.rs, joins.rs, co_gbk.rs).
+  */
+class KeyedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def kv(xs: (String, Int)*): PCollection[(String, Int)] =
+    PCollection.fromSeq(spark, xs)
+
+  private val sample = Seq("a" -> 1, "a" -> 2, "b" -> 3, "b" -> 4, "c" -> 5)
+
+  test("keys / values / kvSwap / mapValues / filterValues") {
+    val pc = kv(sample: _*)
+    assert(pc.keys.collectSorted() == Seq("a", "a", "b", "b", "c"))
+    assert(pc.values.collectSorted() == Seq(1, 2, 3, 4, 5))
+    assert(pc.kvSwap.collectSorted() == sample.map(_.swap).sorted)
+    assert(pc.mapValues(_ * 10).collectSorted() == sample.map { case (k, v) => (k, v * 10) }.sorted)
+    assert(pc.filterValues(_ % 2 == 0).collectSorted() == Seq("a" -> 2, "b" -> 4))
+  }
+
+  test("keyBy / withConstantKey") {
+    val pc = PCollection.fromSeq(spark, Seq(10, 21, 32))
+    assert(pc.keyBy(_ % 10).collectSorted() == Seq(0 -> 10, 1 -> 21, 2 -> 32))
+    assert(pc.withConstantKey("k").collect().forall(_._1 == "k"))
+  }
+
+  test("groupByKey collects per-key value lists") {
+    val grouped = kv(sample: _*).groupByKey.collect().map { case (k, vs) => (k, vs.sorted) }.sortBy(_._1)
+    assert(grouped == Seq("a" -> Seq(1, 2), "b" -> Seq(3, 4), "c" -> Seq(5)))
+  }
+
+  test("groupIntoBatches bounds per-key batch size") {
+    val batches = kv(("a" -> 1) +: sample: _*).groupIntoBatches(2).collect()
+    assert(batches.forall(_._2.size <= 2))
+    assert(batches.flatMap(_._2).sorted == Seq(1, 1, 2, 3, 4, 5))
+  }
+
+  test("combineValues runs a user CombineFn as partial aggregation") {
+    val sumFn = new CombineFn[Int, Long, Long] {
+      def create(): Long = 0L
+      def addInput(acc: Long, v: Int): Long = acc + v
+      def mergeAccumulators(a: Long, b: Long): Long = a + b
+      def extractOutput(acc: Long): Long = acc
+    }
+    val out = kv(sample: _*).combineValues(sumFn).collectSorted()
+    assert(out == Seq("a" -> 3L, "b" -> 7L, "c" -> 5L))
+  }
+
+  test("sum/min/max/average/count per key match scala reference") {
+    val pc = kv(sample: _*)
+    assert(pc.sumPerKey.collectSorted() == Seq("a" -> 3, "b" -> 7, "c" -> 5))
+    assert(pc.minPerKey.collectSorted() == Seq("a" -> 1, "b" -> 3, "c" -> 5))
+    assert(pc.maxPerKey.collectSorted() == Seq("a" -> 2, "b" -> 4, "c" -> 5))
+    assert(pc.countPerKey.collectSorted() == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val avg = pc.averagePerKey.collect().toMap
+    assert(avg("a") == 1.5 && avg("b") == 3.5 && avg("c") == 5.0)
+  }
+
+  test("toSetPerKey dedups, toDict materializes") {
+    val pc = kv("a" -> 1, "a" -> 1, "b" -> 2)
+    assert(pc.toSetPerKey.collect().map { case (k, vs) => (k, vs.sorted) }.sortBy(_._1) ==
+      Seq("a" -> Seq(1), "b" -> Seq(2)))
+    assert(kv("a" -> 1, "b" -> 2).toDict == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("distinctPerKey / distinctCountPerKey") {
+    val pc = kv("a" -> 1, "a" -> 1, "a" -> 2, "b" -> 9)
+    assert(pc.distinctPerKey.collectSorted() == Seq("a" -> 1, "a" -> 2, "b" -> 9))
+    assert(pc.distinctCountPerKey.collectSorted() == Seq("a" -> 2L, "b" -> 1L))
+  }
+
+  test("joins produce per-key cross products with Option misses") {
+    val l = kv("a" -> 1, "a" -> 2, "b" -> 3)
+    val r = PCollection.fromSeq(spark, Seq("a" -> "x", "c" -> "y"))
+
+    assert(l.joinInner(r).collectSorted() == Seq("a" -> (1, "x"), "a" -> (2, "x")))
+
+    val left = l.joinLeft(r).collect().sortBy(t => (t._1, t._2._1))
+    assert(left == Seq("a" -> (1, Some("x")), "a" -> (2, Some("x")), "b" -> (3, None)))
+
+    val right = l.joinRight(r).collect().sortBy(t => (t._1, t._2._1.getOrElse(-1)))
+    assert(right == Seq("a" -> (Some(1), "x"), "a" -> (Some(2), "x"), "c" -> (None, "y")))
+
+    val full = l.joinFull(r).collect().sortBy(t => (t._1, t._2._1.getOrElse(-1)))
+    assert(full.size == 4)
+    assert(full.contains("b" -> (Some(3), None)) && full.contains("c" -> (None, Some("y"))))
+  }
+
+  test("duplicate keys emit the full V x W cross product (reference join semantics)") {
+    val l = kv("k" -> 1, "k" -> 2)
+    val r = PCollection.fromSeq(spark, Seq("k" -> "x", "k" -> "y"))
+    assert(l.joinInner(r).collect().size == 4)
+  }
+
+  test("coGroupByKey is a full-outer N-list grouping") {
+    val l = kv("a" -> 1, "a" -> 2, "b" -> 3)
+    val r = PCollection.fromSeq(spark, Seq("a" -> "x", "c" -> "y"))
+    val cg = l.coGroupByKey(r).collect()
+      .map { case (k, (ls, rs)) => (k, (ls.sorted, rs.sorted)) }.sortBy(_._1)
+    assert(cg == Seq(
+      "a" -> (Seq(1, 2), Seq("x")),
+      "b" -> (Seq(3), Seq()),
+      "c" -> (Seq(), Seq("y"))
+    ))
+  }
+}

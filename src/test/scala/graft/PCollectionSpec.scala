@@ -1,0 +1,82 @@
+package graft
+
+/** Element-wise surface (reference: src/helpers/common.rs, stdlib.rs,
+  * batches.rs, try_process.rs, dead_letter.rs, wait_on.rs).
+  */
+class PCollectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pc[T: org.apache.spark.sql.Encoder](xs: T*): PCollection[T] =
+    PCollection.fromSeq(spark, xs)
+
+  test("map / filter / flatMap / filterMap compose like the reference word-count") {
+    val words = pc("the quick fox", "the lazy dog")
+      .flatMap(_.split(" "))
+      .map(_.toUpperCase)
+      .filter(_.length > 3)
+      .collectSorted()
+    assert(words == Seq("LAZY", "QUICK"))
+  }
+
+  test("filterMap drops Nones and unwraps Somes") {
+    val out = pc("1", "x", "3").filterMap(s => s.toIntOption).collectSorted()
+    assert(out == Seq(1, 3))
+  }
+
+  test("take limits, first takes one") {
+    assert(pc(1, 2, 3, 4, 5).take(3).collect().size == 3)
+    assert(pc(1, 2, 3).first().collect().size == 1)
+  }
+
+  test("flatten/union keeps duplicates (bag semantics)") {
+    val a = pc(1, 2)
+    val b = pc(2, 3)
+    assert(a.union(b).collectSorted() == Seq(1, 2, 2, 3))
+  }
+
+  test("distinct and distinctBy") {
+    assert(pc(1, 2, 2, 3).distinct().collectSorted() == Seq(1, 2, 3))
+    val byParity = pc(1, 2, 3, 4).distinctBy(_ % 2).collect()
+    assert(byParity.size == 2)
+    assert(byParity.map(_ % 2).toSet == Set(0, 1))
+  }
+
+  test("mapBatches sees whole chunks; batchElements groups; batchBySize bounds bytes") {
+    val doubled = pc(1, 2, 3, 4, 5).reshuffle(1).mapBatches(2)(chunk => chunk.map(_ * 2)).collectSorted()
+    assert(doubled == Seq(2, 4, 6, 8, 10))
+
+    val batches = pc(1, 2, 3, 4, 5).reshuffle(1).batchElements(2).collect()
+    assert(batches.map(_.size).sorted == Seq(1, 2, 2))
+
+    // byte budget 10, each element "sized" 4 -> batches of 2 (except oversize alone)
+    val sized = pc(1, 2, 3, 4, 5).reshuffle(1).batchBySize(10)(_ => 4L).collect()
+    assert(sized.flatten.sorted == Seq(1, 2, 3, 4, 5))
+    assert(sized.forall(_.size <= 2))
+  }
+
+  test("tryMap yields ok/err pairs; mapCatching dead-letters failures") {
+    val tried = pc("1", "oops", "3").tryMap(_.toInt).collect()
+    assert(tried.count(_._1.isDefined) == 2)
+    assert(tried.count(_._2.isDefined) == 1)
+
+    val (ok, dlq) = pc("1", "oops", "3").mapCatching(_.toInt)
+    assert(ok.collectSorted() == Seq(1, 3))
+    val dead = dlq.collect()
+    assert(dead.map(_._1) == Seq("oops"))
+  }
+
+  test("waitOn forces the signal then passes data through unchanged") {
+    val data = pc(1, 2, 3)
+    val signal = pc("a", "b")
+    assert(data.waitOn(signal).collectSorted() == Seq(1, 2, 3))
+  }
+
+  test("reshuffle preserves content") {
+    assert(pc(1 to 100: _*).reshuffle(7).collectSorted() == (1 to 100))
+  }
+
+  test("tee returns two handles over the same cached data") {
+    val (l, r) = pc(1, 2, 3).tee()
+    assert(l.collectSorted() == r.collectSorted())
+  }
+}

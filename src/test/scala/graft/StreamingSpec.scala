@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a stream into tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.windowedCounts(input.toDF().toDF("ts", "k"), "ts", "1 hour", "2 hours", Seq("k"))
+    val query = out.writeStream.format("memory").queryName("wc_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "a"),
+        (ts("2024-01-01 00:20:00"), "a"),
+        (ts("2024-01-01 01:10:00"), "a"),
+        (ts("2024-01-01 00:30:00"), "b")
+      )
+      query.processAllAvailable()
+      val rows = spark.table("wc_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "a", 2L),
+        ("2024-01-01 01:00:00.0", "a", 1L),
+        ("2024-01-01 00:00:00.0", "b", 1L)
+      ))
+    } finally query.stop()
+  }
+
+  test("runningCountPerKey keeps state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Streams.runningCountPerKey(input.toDS())
+    val query = out.toDF("k", "n").writeStream
+      .format("memory").queryName("rc_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData("x", "x", "y")
+      query.processAllAvailable()
+      input.addData("x")
+      query.processAllAvailable()
+      val last = spark.table("rc_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }
+      assert(last == Map("x" -> 3L, "y" -> 1L))
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Windowing}
+import graft.functions.TextFunctions
+
+class WindowingTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, ts("2024-01-01 00:05:00"), "u1"),
+    (2L, ts("2024-01-01 00:45:00"), "u1"),
+    (3L, ts("2024-01-01 01:05:00"), "u1"), // 20 min after prev -> same session, next hour window
+    (4L, ts("2024-01-01 03:00:00"), "u1"), // ~2h gap -> new session
+    (5L, ts("2024-01-01 00:10:00"), "u2")
+  ).toDF("id", "ts", "user")
+
+  test("tumblingAgg groups into 1-hour windows per key") {
+    val out = Windowing.tumblingAgg(events, "ts", "1 hour", Seq("user"), Seq(count(lit(1)).as("n")))
+      .collect().map(r => (r.getAs[String]("window_start"), r.getAs[String]("user"), r.getAs[Long]("n"))).toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "u1", 2L),
+      ("2024-01-01 01:00:00", "u1", 1L),
+      ("2024-01-01 03:00:00", "u1", 1L),
+      ("2024-01-01 00:00:00", "u2", 1L)
+    ))
+  }
+
+  test("sessionAgg merges events within the gap, splits across it") {
+    val out = Windowing.sessionAgg(events, "ts", "45 minutes", Seq("user"), Seq(count(lit(1)).as("n")))
+      .collect().map(r => (r.getAs[String]("user"), r.getAs[String]("session_start"), r.getAs[Long]("n"))).toSet
+    assert(out == Set(
+      ("u1", "2024-01-01 00:05:00", 3L), // 00:05, 00:45, 01:05 chain within 45min gaps
+      ("u1", "2024-01-01 03:00:00", 1L),
+      ("u2", "2024-01-01 00:10:00", 1L)
+    ))
+  }
+
+  test("sliding windows assign each event to size/slide windows") {
+    val one = Seq((1L, ts("2024-01-01 05:30:00"))).toDF("id", "ts")
+    val starts = one.groupBy(Windowing.slide($"ts", "2 hours", "1 hour")).count()
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss")).as[String].collect().toSet
+    assert(starts == Set("2024-01-01 04:00:00", "2024-01-01 05:00:00"))
+  }
+
+  test("text functions: tokens, counts, ratios, fingerprints") {
+    val df = Seq((1L, "the cat and the hat")).toDF("id", "text")
+    val row = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.typeTokenRatio($"text").as("ttr"),
+      TextFunctions.stopwordRatio($"text", Seq("the", "and")).as("sr"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.langGuess($"text", Seq("the", "and"), 0.3).as("lg")
+    ).head()
+    assert(row.getAs[Int]("n") == 5)
+    assert(row.getAs[Double]("ttr") == 0.8) // 4 distinct / 5
+    assert(row.getAs[Double]("sr") == 0.6)  // the, and, the
+    assert(row.getAs[String]("fp").length == 32)
+    assert(row.getAs[String]("lg") == "en")
+  }
+
+  test("bpeish tokens split words, numbers and symbols") {
+    val toks = Seq((1L, "hello, world 42!")).toDF("id", "text")
+      .select(TextFunctions.bpeishTokens($"text").as("t")).as[Seq[String]].head()
+    assert(toks == Seq("hello", ",", "world", "42", "!"))
+  }
+
+  test("shingleFingerprint is stable and handles single-token docs") {
+    val df = Seq((1L, "only"), (2L, "two words here")).toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.shingleFingerprint($"text").as("fp")).collect()
+    assert(fps.forall(_.getString(1).length == 32))
+  }
+
+  test("multimodal decodeMeta runs batched over binary payloads") {
+    val df = Seq((1L, "abcdef"), (2L, "x" * 1000)).toDF("id", "payload")
+      .select($"id", $"payload".cast("binary").as("payload"))
+    val metas = Multimodal.decodeMeta(df, "id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_bytes")).toMap
+    assert(metas == Map(1L -> 6, 2L -> 1000))
+  }
+
+  test("multimodal sampleFrames explodes stride-sampled frame indices") {
+    val df = Seq((1L, "x" * 10)).toDF("id", "payload") // 10 bytes -> nFrames = 10 % 16 = 10
+    val frames = Multimodal.sampleFrames(df, "id", "payload", stride = 3)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames == Seq(0, 3, 6, 9))
+  }
+}
