@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.expressions.FloatDotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native SQL
+  * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * programmatically via [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.dotFunction)
+  }
+}
+
+object GraftFunctions {
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      FloatDotProduct(children(0), children(1))
+  )
+
+  /** Register on an already-built session (tests, spark-shell). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => FloatDotProduct(exprs(0), exprs(1)),
+      "built-in"
+    )
+}

@@ -188,6 +188,12 @@ final class PCollection[T](val ds: Dataset[T]) extends Serializable {
     )
   }
 
+  /** Reusable sub-pipeline packaging (reference: CompositeTransform::
+    * expand, src/extensions.rs:147) — a plain function application,
+    * mirroring Dataset.transform.
+    */
+  def applyTransform[O](f: PCollection[T] => PCollection[O]): PCollection[O] = f(this)
+
   // ---- ordering barrier (reference: wait_on.rs) ----
 
   /** Beam `Wait.on`: do not start downstream work until `signal` fully

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.combiners._
+
+/** Global combines + sketch surface on the typed facade (reference:
+  * src/helpers/basic.rs, combine_global.rs, distinct.rs, statistical.rs,
+  * sampling.rs). All are single Aggregators — Catalyst plans partial
+  * aggregation map-side and a 1-row final merge; constant memory per
+  * partition regardless of input size.
+  */
+object Sketches {
+
+  implicit final class GlobalOps[T](private val self: PCollection[T]) {
+
+    /** reference: combine_globally, src/helpers/combine_global.rs:50 */
+    def combineGlobally[A, O](fn: CombineFn[T, A, O])(implicit
+        be: Encoder[A],
+        oe: Encoder[O]
+    ): PCollection[O] =
+      new PCollection(self.ds.select(CombineFn.toColumn(fn)))
+
+    /** reference: count_globally, src/helpers/count.rs:38 */
+    def countGlobally(implicit e: Encoder[Long]): PCollection[Long] =
+      new PCollection(self.spark.createDataset(Seq(self.ds.count()))(e))
+
+    def sumGlobally(implicit num: Numeric[T], e: Encoder[T]): PCollection[T] =
+      reduceGlobally(num.plus)
+
+    def minGlobally(implicit ord: Ordering[T], e: Encoder[T]): PCollection[T] =
+      reduceGlobally((a, b) => if (ord.lteq(a, b)) a else b)
+
+    def maxGlobally(implicit ord: Ordering[T], e: Encoder[T]): PCollection[T] =
+      reduceGlobally((a, b) => if (ord.gteq(a, b)) a else b)
+
+    def averageGlobally(implicit num: Numeric[T], e: Encoder[Double]): PCollection[Double] = {
+      val fn = new CombineFn[T, (Double, Long), Double] {
+        def create(): (Double, Long) = (0.0, 0L)
+        def addInput(acc: (Double, Long), v: T): (Double, Long) = (acc._1 + num.toDouble(v), acc._2 + 1)
+        def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) = (a._1 + b._1, a._2 + b._2)
+        def extractOutput(acc: (Double, Long)): Double = if (acc._2 == 0) Double.NaN else acc._1 / acc._2
+      }
+      implicit val be: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      combineGlobally(fn)
+    }
+
+    def meanGlobally(implicit num: Numeric[T], e: Encoder[Double]): PCollection[Double] = averageGlobally
+
+    private def reduceGlobally(f: (T, T) => T)(implicit e: Encoder[T]): PCollection[T] =
+      new PCollection(self.spark.createDataset(Seq(self.ds.reduce(f)))(e))
+  }
+
+  implicit final class StringSketchOps(private val self: PCollection[String]) {
+
+    /** KMV distinct estimate (reference: approx_distinct_count,
+      * src/helpers/distinct.rs:90) — exact below k.
+      */
+    def approxDistinctCountKmv(k: Int, seed: Long = 0L)(implicit e: Encoder[Double]): PCollection[Double] =
+      new PCollection(self.ds.select(new KmvAggregator(k, seed).toColumn))
+
+    /** Deterministic mergeable fixed-size sample (reference:
+      * sample_reservoir, src/helpers/sampling.rs:43) — a pure function
+      * of (input multiset, seed).
+      */
+    def sampleReservoir(k: Int, seed: Long)(implicit e: Encoder[Array[String]]): PCollection[Array[String]] =
+      new PCollection(self.ds.select(new ReservoirAggregator(k, seed).toColumn))
+  }
+
+  implicit final class DoubleSketchOps(private val self: PCollection[Double]) {
+
+    /** t-digest quantiles (reference: approx_quantiles_globally,
+      * src/helpers/statistical.rs:86).
+      */
+    def approxQuantiles(qs: Seq[Double], compression: Double = 100.0)(implicit
+        e: Encoder[Seq[Double]]
+    ): PCollection[Seq[Double]] = {
+      implicit val bufEnc: Encoder[TDigestBuffer] = Encoders.product[TDigestBuffer]
+      new PCollection(
+        self.ds.select(new TDigestAggregator(compression).toColumn)
+          .map(buf => qs.map(q => TDigest.quantile(buf, q)))
+      )
+    }
+
+    /** reference: approx_median_globally, statistical.rs:54 */
+    def approxMedian(compression: Double = 100.0)(implicit e: Encoder[Seq[Double]], de: Encoder[Double]): PCollection[Double] = {
+      implicit val bufEnc: Encoder[TDigestBuffer] = Encoders.product[TDigestBuffer]
+      new PCollection(
+        self.ds.select(new TDigestAggregator(compression).toColumn).map(TDigest.median)
+      )
+    }
+  }
+}

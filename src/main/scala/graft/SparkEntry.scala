@@ -681,10 +681,143 @@ object SparkEntry {
   )
 
   // =====================================================================
+  // Facade surface tier: enhanced filters, regex ops, side inputs,
+  // multi-output partition, validation modes, sketches, display
+  // (SURVEY §2.3/§2.9/§2.10/§2.11/§2.12 + §2.4 sketch ops)
+  // =====================================================================
+
+  private val surfaceTier: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_range" -> ((s, dir) =>
+      // [10, 20) — reference filter_range semantics (exclusive max)
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 10 && col("l_quantity") < 20)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+    "regex_extract_kv" -> ((s, dir) => {
+      import s.implicits._
+      import Filters._
+      val props = new PCollection(t(s, dir, "events").select("props").as[String])
+      props.regexExtractKv("\"(k)\": ([0-9]+)").ds.toDF("key", "value")
+    }),
+    "regex_find" -> ((s, dir) => {
+      import s.implicits._
+      import Filters._
+      val texts = new PCollection(t(s, dir, "documents").select("text").as[String])
+      texts.regexFind("\\bb[a-z]+").ds.toDF("hit")
+    }),
+    "side_input_filter" -> ((s, dir) => {
+      import s.implicits._
+      import SideInputs._
+      val orders = new PCollection(t(s, dir, "orders").select("o_orderkey", "o_orderpriority").as[(Long, String)])
+      orders
+        .filterWithSide(Seq("1-URGENT", "2-HIGH"))((o, allow) => allow.contains(o._2))
+        .ds.toDF("o_orderkey", "o_orderpriority")
+    }),
+    "partition_split" -> ((s, dir) => {
+      import s.implicits._
+      import Partitioned._
+      val orders = new PCollection(t(s, dir, "orders").select("o_orderkey").as[Long])
+      val parts = orders.partitionBy(3)(o => (o % 3).toInt)
+      parts.zipWithIndex.map { case (p, i) => (i.toLong, p.count()) }.toDF("part", "n")
+    }),
+    "validate_partition" -> ((s, dir) => {
+      import s.implicits._
+      import Validation._
+      val ev = new PCollection(t(s, dir, "events").select("event_type", "value").as[(String, Double)])
+      val check = (e: (String, Double)) =>
+        Validators.notEmpty("event_type")(e._1) ++ Validators.inRange("value", 0.0, 400.0)(e._2)
+      val (ok, bad) = ev.validatePartition(check)
+      Seq((ok.count(), bad.count())).toDF("ok", "err")
+    }),
+    "window_offset" -> ((s, dir) =>
+      // tumbling window with a 30-minute offset (reference:
+      // Window::tumble(ts, size, offset), src/window.rs:85-96)
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+        .drop("window")),
+    "latest_global" -> ((s, dir) =>
+      events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+        .select("event_id", "event_type")),
+    "distinct_count_global" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("n_parts"))),
+    "to_display_string" -> ((s, dir) => {
+      import s.implicits._
+      val pc = new PCollection(t(s, dir, "orders").select("o_orderkey", "o_orderstatus").as[(Long, String)])
+      pc.toDisplayString.ds.toDF("disp")
+    }),
+    "group_into_batches" -> ((s, dir) => {
+      import s.implicits._
+      import KeyedPCollection._
+      val orders = new PCollection(t(s, dir, "orders").select("o_custkey", "o_orderkey").as[(Long, Long)])
+      orders.groupIntoBatches(10).ds.map(_._1).toDF("o_custkey")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_batches"))
+    }),
+    "kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      import Sketches._
+      val parts = new PCollection(t(s, dir, "lineitem").select(col("l_partkey").cast("string")).as[String])
+      parts.approxDistinctCountKmv(256).ds.toDF("kmv_est")
+    }),
+    "tdigest_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      import Sketches._
+      val prices = new PCollection(t(s, dir, "lineitem").select("l_extendedprice").as[Double])
+      prices.approxQuantiles(Seq(0.25, 0.5, 0.75)).ds
+        .map(qs => (qs(0), qs(1), qs(2))).toDF("q25", "q50", "q75")
+    }),
+    "reservoir_sample" -> ((s, dir) => {
+      import s.implicits._
+      import Sketches._
+      val ids = new PCollection(t(s, dir, "events").select(col("event_id").cast("string")).as[String])
+      ids.sampleReservoir(100, 42).ds.flatMap(_.toSeq).toDF("event_id")
+    })
+  )
+
+  private val surfaceTierOracle: Map[String, String] = Map(
+    "filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 10 AND l_quantity < 20""",
+    "regex_extract_kv" ->
+      """SELECT regexp_extract(props, '"(k)": ([0-9]+)', 1) AS key,
+                regexp_extract(props, '"(k)": ([0-9]+)', 2) AS value
+         FROM events WHERE regexp_matches(props, '"(k)": [0-9]+')""",
+    "regex_find" ->
+      """SELECT regexp_extract(text, '(\b[b][a-z]+)', 1) AS hit FROM documents
+         WHERE regexp_matches(text, '\b[b][a-z]+')""",
+    "side_input_filter" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    "partition_split" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS part, count(*) AS n
+         FROM orders GROUP BY 1""",
+    "validate_partition" ->
+      """SELECT
+         CAST(count(CASE WHEN event_type <> '' AND value >= 0 AND value <= 400 THEN 1 END) AS BIGINT) AS ok,
+         CAST(count(CASE WHEN NOT (event_type <> '' AND value >= 0 AND value <= 400) THEN 1 END) AS BIGINT) AS err
+         FROM events""",
+    "window_offset" ->
+      """SELECT strftime(date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
+                         '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+         FROM events GROUP BY 1""",
+    "latest_global" ->
+      "SELECT event_id, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
+    "distinct_count_global" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    "to_display_string" ->
+      "SELECT '(' || CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ')' AS disp FROM orders",
+    "group_into_batches" ->
+      """SELECT o_custkey, CAST(ceil(count(*) / 10.0) AS BIGINT) AS n_batches
+         FROM orders GROUP BY o_custkey"""
+  )
+
+  // =====================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    elementWise ++ grouping ++ joins ++ windowing ++ regexAndErrors ++ pipelineTier
+    elementWise ++ grouping ++ joins ++ windowing ++ regexAndErrors ++ pipelineTier ++ surfaceTier
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for sketch-based ops
@@ -693,7 +826,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     elementWiseOracle ++ groupingOracle ++ joinsOracle ++ windowingOracle ++
-      regexAndErrorsOracle ++ pipelineTierOracle
+      regexAndErrorsOracle ++ pipelineTierOracle ++ surfaceTierOracle
 
   /** Headline queries for Bench — one per major operator family, heavy
     * enough to measure (scan+agg, joins, windows, LSH dedup, ANN).

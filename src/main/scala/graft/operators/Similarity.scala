@@ -26,14 +26,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Index-ordered dot product of two float-array columns in double
-    * precision. `aggregate` folds left-to-right, so the result is
+    * precision — a native codegen'd Catalyst expression
+    * ([[graft.expressions.FloatDotProduct]]); Spark's `zip_with` +
+    * `aggregate` HOFs are CodegenFallback and ~10x slower on the
+    * brute-force scan. Left-to-right accumulation keeps the result
     * bit-stable across partitionings.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.FloatDotProduct(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)
+      )
     )
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -50,12 +54,16 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // norms are projected below the join, so each side's norm is
+    // computed once per row — not once per (query, candidate) pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), l2Norm(col(vecCol)).as("c_norm"))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -72,12 +80,18 @@ object Similarity {
       cellCol: String,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(cellCol).as("cell"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(cellCol).as("cell"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol).as("cell"),
+      l2Norm(col(vecCol)).as("c_norm"))
     val scored = c
       .join(broadcast(q), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
