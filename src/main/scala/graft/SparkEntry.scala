@@ -585,6 +585,22 @@ object SparkEntry {
       val tmp = s"/root/repo/target/verify-io/checkpoint"
       IOOps.checkpoint(t(s, dir, "customer").select("c_custkey", "c_nationkey"), tmp)
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    }),
+    "io_avro_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/avro"
+      val src = t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.AvroIO.write(src, tmp)
+      graft.sources.AvroIO.read(s, tmp + "/part-*", src.schema)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+    }),
+    "io_xml_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/xml"
+      val src = t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+      graft.sources.XmlIO.write(src, tmp)
+      graft.sources.XmlIO.read(s, tmp, src.schema)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), centsSum(col("s_acctbal")).as("total"))
     })
   )
 
@@ -677,7 +693,15 @@ object SparkEntry {
          CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total_acctbal
          FROM customer GROUP BY c_mktsegment""",
     "io_checkpoint" ->
-      "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey"
+      "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey",
+    "io_avro_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
+         FROM orders GROUP BY o_orderpriority""",
+    "io_xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+         CAST(sum(CAST(round(s_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
+         FROM supplier GROUP BY s_nationkey"""
   )
 
   // =====================================================================

@@ -49,6 +49,25 @@ class IOOpsSpec extends SparkTestBase {
     assert(all.count() == 3)
   }
 
+  test("avro roundtrip via avro-mapred container files") {
+    import graft.sources.AvroIO
+    val p = tmpDir("avro")
+    AvroIO.write(df, p)
+    val back = AvroIO.read(spark, p + "/part-*", df.schema)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      df.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("xml roundtrip with typed schema and escaping") {
+    import graft.sources.XmlIO
+    val xdf = Seq((1L, "a<b&c", 1.5), (2L, "plain", -2.0)).toDF("id", "name", "score")
+    val p = tmpDir("xml")
+    XmlIO.write(xdf, p)
+    val back = XmlIO.read(spark, p, xdf.schema)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      xdf.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
   test("compressed write/read by extension (gzip codec)") {
     val p = tmpDir("gz")
     df.write.option("compression", "gzip").json(p)
