@@ -55,6 +55,22 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
         .flatMapGroups((k, it) => it.map(_._2).grouped(size).map(b => (k, b.toSeq)))
     )
 
+  /** Batched value transform, arity-preserving (reference:
+    * map_values_batches, src/helpers/batches.rs:231 — asserts
+    * out.len == in.len like the reference).
+    */
+  def mapValuesBatches[O](size: Int)(f: Seq[V] => Seq[O])(implicit
+      e: Encoder[(K, O)]
+  ): PCollection[(K, O)] =
+    new PCollection(ds.mapPartitions { it =>
+      it.grouped(size).flatMap { chunk =>
+        val out = f(chunk.map(_._2))
+        require(out.size == chunk.size,
+          s"mapValuesBatches: arity mismatch (${chunk.size} in, ${out.size} out)")
+        chunk.map(_._1).zip(out)
+      }
+    })
+
   // ---- combining (reference: src/helpers/combine.rs:66-143) ----
 
   /** Combine-per-key with a user CombineFn. Catalyst runs the partial /
@@ -194,6 +210,35 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
       left.cogroup(right)((k, ls, rs) =>
         Iterator.single((k, (ls.map(_._2).toSeq, rs.map(_._2).toSeq)))
       )
+    )
+  }
+
+  /** 3-way co-group via the reference's own tagged-union strategy
+    * (co_gbk.rs:8-15: tag each input, Flatten, GroupByKey, partition by
+    * tag) — ONE shuffle for all three inputs instead of chained 2-way
+    * cogroups, which is the shape that scales to the reference's
+    * 10-way macro.
+    */
+  def coGroupByKey3[W, X](b: PCollection[(K, W)], c: PCollection[(K, X)])(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[W], Option[X]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[W], Seq[X]))]
+  ): PCollection[(K, (Seq[V], Seq[W], Seq[X]))] = {
+    type Tagged = (Int, Option[V], Option[W], Option[X])
+    val ta = ds.map { case (k, v) => (k, (0, Some(v), None, None): Tagged) }
+    val tb = b.ds.map { case (k, w) => (k, (1, None, Some(w), None): Tagged) }
+    val tc = c.ds.map { case (k, x) => (k, (2, None, None, Some(x)): Tagged) }
+    new PCollection(
+      ta.union(tb).union(tc)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (
+            items.collect { case (0, Some(v), _, _) => v },
+            items.collect { case (1, _, Some(w), _) => w },
+            items.collect { case (2, _, _, Some(x)) => x }
+          ))
+        }
     )
   }
 }

@@ -143,6 +143,12 @@ final class PCollection[T](val ds: Dataset[T]) extends Serializable {
     (cached, cached)
   }
 
+  /** reference: tee_n, src/helpers/tee.rs:85 */
+  def teeN(n: Int): Seq[PCollection[T]] = {
+    val cached = new PCollection(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    Seq.fill(n)(cached)
+  }
+
   def cache(): PCollection[T] = new PCollection(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
   def withName(name: String): PCollection[T] = new PCollection(ds.alias(name))
