@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers. AQE's skew-join splitting (enabled in
+  * Sessions) covers joins; for heavily-skewed aggregations the classic
+  * fix is salting: spread each hot key over `n` salt buckets, partially
+  * aggregate per (key, salt), then aggregate the per-salt partials —
+  * two small shuffles instead of one shuffle with a straggler task.
+  *
+  * The salt is derived from a content hash, not a RNG, so results are
+  * deterministic under retries (same stance as the sketches).
+  */
+object Skew {
+
+  /** Add a deterministic salt column in [0, n) derived from the whole
+    * row content.
+    */
+  def withSalt(df: DataFrame, n: Int, saltCol: String = "_salt"): DataFrame =
+    df.withColumn(saltCol, pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(n)))
+
+  /** Skew-safe sum: groupBy(key, salt) partial sums, then groupBy(key)
+    * final sums. Numerically identical for integral-cents / long sums
+    * (addition of exact values is associative).
+    */
+  def saltedSum(df: DataFrame, keyCol: String, valueExpr: Column, n: Int, as: String): DataFrame =
+    withSalt(df, n)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(valueExpr).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("_partial").as(as))
+
+  /** Skew-safe count per key via the same two-stage shape. */
+  def saltedCount(df: DataFrame, keyCol: String, n: Int, as: String): DataFrame =
+    withSalt(df, n)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("_partial").as(as))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape checks: the scale-critical properties the
+  * operators rely on must actually appear in the executed plan —
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * small dims, map-side partial aggregation, and whole-stage codegen
+  * around the native dot-product expression.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force execution so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections are pushed into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") >= 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("small-dim join plans as a broadcast hash join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").count()
+    val plan = executedPlanString(joined)
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$plan")
+  }
+
+  test("aggregation runs partial map-side before the exchange") {
+    val agg = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = executedPlanString(agg)
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+    assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"), plan)
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = emb.select(graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    val plan = executedPlanString(df)
+    assert(plan.contains("graft_dot"), s"expression missing from plan:\n$plan")
+    // the `*(n)` prefix on an operator marks its whole-stage-codegen span
+    assert(plan.contains("*(1) Project [graft_dot"), s"no codegen span around graft_dot:\n$plan")
+  }
+
+  test("LSH candidate join shuffles on the bucket key, not a cross join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)
+    val plan = executedPlanString(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH degenerated to a cross join:\n$plan")
+  }
+}

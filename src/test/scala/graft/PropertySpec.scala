@@ -1,0 +1,83 @@
+package graft
+
+import graft.combiners._
+
+/** Property-style tests (deterministic generated cases) for the
+  * combiner laws the reference's contract demands (reference:
+  * is_associative_commutative, src/collection.rs:343-359) and
+  * partitioning-invariance — the seq == par oracle
+  * (src/runner.rs:11-14): results must be a pure function of the input
+  * multiset, independent of how Spark splits it.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randomStrings(n: Int): List[String] =
+    List.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+
+  test("KMV merge is associative+commutative and order-independent") {
+    for (trial <- 1 to 8) {
+      val xs = randomStrings(20 + trial * 15)
+      val parts = 1 + rnd.nextInt(7)
+      val agg = new KmvAggregator(16)
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val lBuf = l.foldLeft(agg.zero)(agg.reduce)
+      val rBuf = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(direct) == agg.finish(agg.merge(lBuf, rBuf)))
+      assert(agg.finish(agg.merge(lBuf, rBuf)) == agg.finish(agg.merge(rBuf, lBuf)))
+
+      val once = spark.createDataset(xs).repartition(1)
+        .select(new KmvAggregator(16).toColumn.name("e")).as[Double].head()
+      val many = spark.createDataset(xs).repartition(parts)
+        .select(new KmvAggregator(16).toColumn.name("e")).as[Double].head()
+      assert(once == many, s"trial $trial: $once != $many over $parts partitions")
+    }
+  }
+
+  test("Reservoir sample is a pure function of the input multiset") {
+    for (trial <- 1 to 5) {
+      val xs = randomStrings(40 + trial * 20)
+      val parts = 2 + rnd.nextInt(6)
+      def run(p: Int): Seq[String] =
+        spark.createDataset(xs).repartition(p)
+          .select(new ReservoirAggregator(8, 7L).toColumn.name("s"))
+          .as[Array[String]].head().toSeq
+      assert(run(1) == run(parts), s"trial $trial not partition-invariant")
+    }
+  }
+
+  test("TopK merge equals global sort-take") {
+    for (_ <- 1 to 10) {
+      val xs = List.fill(50)(rnd.nextInt(2001) - 1000)
+      val agg = new TopKAggregator[Int](5)
+      val viaAgg = xs.foldLeft(agg.zero)(agg.reduce).toSeq
+      assert(viaAgg == xs.sorted(Ordering[Int].reverse).take(5))
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val viaMerge = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(viaMerge.toSeq == viaAgg)
+    }
+  }
+
+  test("t-digest preserves total weight; quantiles bounded by extrema") {
+    for (_ <- 1 to 5) {
+      val xs = List.fill(200)(rnd.nextDouble() * 2e6 - 1e6)
+      val agg = new TDigestAggregator(50)
+      val done = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(math.abs(done.weights.sum - xs.size) < 1e-9)
+      assert(TDigest.quantile(done, 0.0) >= xs.min - 1e-9)
+      assert(TDigest.quantile(done, 1.0) <= xs.max + 1e-9)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq.fill(2000)(("hot", rnd.nextInt(100).toLong)) ++ Seq.tabulate(100)(i => (s"k$i", i.toLong))
+    val data = df.toDF("k", "v")
+    val direct = data.groupBy("k").agg(sum("v").as("s")).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = graft.operators.Skew.saltedSum(data, "k", col("v"), 8, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(direct == salted)
+  }
+}
