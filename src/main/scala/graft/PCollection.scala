@@ -170,6 +170,17 @@ final class PCollection[T](val ds: Dataset[T]) extends Serializable {
       }
     })
 
+  /** reference: try_flat_map, src/helpers/try_process.rs:99 */
+  def tryFlatMap[O](f: T => IterableOnce[O])(implicit
+      e: Encoder[(Option[O], Option[String])]
+  ): PCollection[(Option[O], Option[String])] =
+    new PCollection(ds.flatMap { t =>
+      Try(f(t).iterator.toSeq).toEither match {
+        case Right(os) => os.map(o => (Some(o), None: Option[String]))
+        case Left(err) => Seq((None: Option[O], Some(Option(err.getMessage).getOrElse(err.getClass.getName))))
+      }
+    })
+
   /** Dead-letter pattern (reference: map_catching,
     * src/helpers/dead_letter.rs:142): one cached pass, two filtered
     * projections — Catalyst shares the scan.
@@ -199,6 +210,36 @@ final class PCollection[T](val ds: Dataset[T]) extends Serializable {
     * mirroring Dataset.transform.
     */
   def applyTransform[O](f: PCollection[T] => PCollection[O]): PCollection[O] = f(this)
+
+  /** Dead-letter flatMap (reference: flat_map_catching,
+    * src/helpers/dead_letter.rs:191).
+    */
+  def flatMapCatching[O](f: T => IterableOnce[O])(implicit
+      okEnc: Encoder[O],
+      dlqEnc: Encoder[(T, String)],
+      pairEnc: Encoder[(Seq[O], Option[(T, String)])]
+  ): (PCollection[O], PCollection[(T, String)]) = {
+    val tagged = ds
+      .map { t =>
+        Try(f(t).iterator.toSeq).toEither match {
+          case Right(os) => (os, None: Option[(T, String)])
+          case Left(e) =>
+            (Seq.empty[O], Some((t, Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (
+      new PCollection(tagged.flatMap(_._1)),
+      new PCollection(tagged.flatMap(_._2.iterator))
+    )
+  }
+
+  /** Raw per-partition escape hatch (reference: DynOp custom operator,
+    * src/node.rs:49-106 / apply_transform) — the universal fallback
+    * when no declarative form exists. Prefer column expressions.
+    */
+  def mapPartitions[O: Encoder](f: Iterator[T] => Iterator[O]): PCollection[O] =
+    new PCollection(ds.mapPartitions(f))
 
   // ---- ordering barrier (reference: wait_on.rs) ----
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import graft.combiners._
 
 /** Global combines + sketch surface on the typed facade (reference:
@@ -64,6 +65,48 @@ object Sketches {
       */
     def sampleReservoir(k: Int, seed: Long)(implicit e: Encoder[Array[String]]): PCollection[Array[String]] =
       new PCollection(self.ds.select(new ReservoirAggregator(k, seed).toColumn))
+  }
+
+  implicit final class KeyedSketchOps[K](private val self: PCollection[(K, String)]) {
+
+    /** Per-key deterministic reservoir (reference: sample_per_key,
+      * src/helpers/sampling.rs:164) — same content-hash priorities, so
+      * the per-key samples are partition- and retry-invariant.
+      */
+    def samplePerKey(k: Int, seed: Long)(implicit
+        ke: Encoder[K],
+        e: Encoder[(K, Array[String])]
+    ): PCollection[(K, Array[String])] = {
+      val agg = new Aggregator[(K, String), ReservoirBuffer, Array[String]] {
+        private val inner = new ReservoirAggregator(k, seed)
+        override def zero: ReservoirBuffer = inner.zero
+        override def reduce(b: ReservoirBuffer, a: (K, String)): ReservoirBuffer = inner.reduce(b, a._2)
+        override def merge(a: ReservoirBuffer, b: ReservoirBuffer): ReservoirBuffer = inner.merge(a, b)
+        override def finish(r: ReservoirBuffer): Array[String] = inner.finish(r)
+        override def bufferEncoder: Encoder[ReservoirBuffer] = inner.bufferEncoder
+        override def outputEncoder: Encoder[Array[String]] = inner.outputEncoder
+      }
+      new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
+    }
+
+    /** Per-key KMV distinct estimate (reference:
+      * approx_distinct_count_per_key, src/helpers/distinct.rs:290).
+      */
+    def approxDistinctCountKmvPerKey(kmvK: Int, seed: Long = 0L)(implicit
+        ke: Encoder[K],
+        e: Encoder[(K, Double)]
+    ): PCollection[(K, Double)] = {
+      val agg = new Aggregator[(K, String), KmvBuffer, Double] {
+        private val inner = new KmvAggregator(kmvK, seed)
+        override def zero: KmvBuffer = inner.zero
+        override def reduce(b: KmvBuffer, a: (K, String)): KmvBuffer = inner.reduce(b, a._2)
+        override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = inner.merge(a, b)
+        override def finish(r: KmvBuffer): Double = inner.finish(r)
+        override def bufferEncoder: Encoder[KmvBuffer] = inner.bufferEncoder
+        override def outputEncoder: Encoder[Double] = inner.outputEncoder
+      }
+      new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
+    }
   }
 
   implicit final class DoubleSketchOps(private val self: PCollection[Double]) {

@@ -86,6 +86,9 @@ object Dedup {
     val bands = sigs
       .select(col(idCol), expr(s"stack($nBands, ${stackArgs.mkString(", ")}) AS (band, bsig)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the self-join: otherwise both join sides race to
+    // build the cache and the signature subtree computes twice
+    bands.count(): Unit
     val a = bands.select(col(idCol).as("a_id"), col("band"), col("bsig"))
     val b = bands.select(col(idCol).as("b_id"), col("band"), col("bsig"))
     a.join(b, Seq("band", "bsig"))

@@ -30,6 +30,24 @@ object Windowing {
       .drop("window")
   }
 
+  // one-call windowed combines (reference: src/helpers/windowed_combine.rs
+  // sum/count/min/max/average_per_window and _per_key_and_window)
+
+  def countPerWindow(df: DataFrame, ts: String, size: String, keys: Seq[String] = Nil): DataFrame =
+    tumblingAgg(df, ts, size, keys, Seq(count(lit(1)).as("n")))
+
+  def sumPerWindow(df: DataFrame, ts: String, size: String, valueCol: String, keys: Seq[String] = Nil): DataFrame =
+    tumblingAgg(df, ts, size, keys, Seq(sum(valueCol).as("sum")))
+
+  def minPerWindow(df: DataFrame, ts: String, size: String, valueCol: String, keys: Seq[String] = Nil): DataFrame =
+    tumblingAgg(df, ts, size, keys, Seq(min(valueCol).as("min")))
+
+  def maxPerWindow(df: DataFrame, ts: String, size: String, valueCol: String, keys: Seq[String] = Nil): DataFrame =
+    tumblingAgg(df, ts, size, keys, Seq(max(valueCol).as("max")))
+
+  def averagePerWindow(df: DataFrame, ts: String, size: String, valueCol: String, keys: Seq[String] = Nil): DataFrame =
+    tumblingAgg(df, ts, size, keys, Seq(avg(valueCol).as("avg")))
+
   /** Session windows with a max `gap` of inactivity, per key. */
   def sessionAgg(df: DataFrame, ts: String, gap: String, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
     val groupCols = session_window(col(ts), gap) +: keys.map(col)

@@ -119,6 +119,35 @@ class SurfaceSpec extends SparkTestBase {
     assert(math.abs(qs.head - 500) < 60)
   }
 
+  test("tryFlatMap and flatMapCatching route errors; mapPartitions passes through") {
+    val p = pc("1,2", "bad", "3")
+    val tried = p.tryFlatMap(_.split(",").map(_.trim.toInt)).collect()
+    assert(tried.count(_._1.isDefined) == 3) // 1, 2, 3
+    assert(tried.count(_._2.isDefined) == 1)
+
+    val (ok, dlq) = p.flatMapCatching(_.split(",").map(_.toInt))
+    assert(ok.collectSorted() == Seq(1, 2, 3))
+    assert(dlq.collect().map(_._1) == Seq("bad"))
+
+    assert(pc(1, 2, 3).mapPartitions(it => it.map(_ * 2)).collectSorted() == Seq(2, 4, 6))
+  }
+
+  test("per-key reservoir and KMV are deterministic") {
+    val kv = PCollection.fromSeq(spark,
+      (1 to 200).map(i => (s"k${i % 3}", s"v$i")))
+    val s1 = kv.samplePerKey(5, 42).collect().map { case (k, vs) => (k, vs.toSeq) }.toMap
+    val s2 = PCollection.fromSeq(spark, (1 to 200).map(i => (s"k${i % 3}", s"v$i")))
+      .ds.repartition(7).transform(d => d)
+    val s2pc = new PCollection(s2)
+    val s2map = s2pc.samplePerKey(5, 42).collect().map { case (k, vs) => (k, vs.toSeq) }.toMap
+    assert(s1 == s2map)
+    assert(s1.values.forall(_.size == 5))
+
+    val kmv = kv.approxDistinctCountKmvPerKey(128).collect().toMap
+    // ~67 distinct per key, below k=128 -> exact
+    assert(kmv.values.toSet subsetOf Set(66.0, 67.0))
+  }
+
   test("applyTransform packages a reusable sub-pipeline") {
     def dedupeUpper(in: PCollection[String]): PCollection[String] =
       in.map(_.toUpperCase).distinct()

@@ -39,6 +39,22 @@ class WindowingTextSpec extends SparkTestBase {
     ))
   }
 
+  test("one-call windowed combines (sum/count/min/max/avg per window)") {
+    val df = Seq((ts("2024-01-01 00:10:00"), 10.0), (ts("2024-01-01 00:20:00"), 30.0),
+      (ts("2024-01-01 01:10:00"), 5.0)).toDF("ts", "v")
+    def byWindow(out: org.apache.spark.sql.DataFrame, c: String): Map[String, Double] =
+      out.collect().map(r => r.getAs[String]("window_start") -> r.getAs[Double](c)).toMap
+    assert(byWindow(Windowing.sumPerWindow(df, "ts", "1 hour", "v"), "sum") ==
+      Map("2024-01-01 00:00:00" -> 40.0, "2024-01-01 01:00:00" -> 5.0))
+    assert(byWindow(Windowing.averagePerWindow(df, "ts", "1 hour", "v"), "avg") ==
+      Map("2024-01-01 00:00:00" -> 20.0, "2024-01-01 01:00:00" -> 5.0))
+    assert(byWindow(Windowing.minPerWindow(df, "ts", "1 hour", "v"), "min") ==
+      Map("2024-01-01 00:00:00" -> 10.0, "2024-01-01 01:00:00" -> 5.0))
+    val counts = Windowing.countPerWindow(df, "ts", "1 hour")
+      .collect().map(r => r.getAs[String]("window_start") -> r.getAs[Long]("n")).toMap
+    assert(counts == Map("2024-01-01 00:00:00" -> 2L, "2024-01-01 01:00:00" -> 1L))
+  }
+
   test("sliding windows assign each event to size/slide windows") {
     val one = Seq((1L, ts("2024-01-01 05:30:00"))).toDF("id", "ts")
     val starts = one.groupBy(Windowing.slide($"ts", "2 hours", "1 hour")).count()
