@@ -859,7 +859,8 @@ object SparkEntry {
     "q1_agg", "map_project", "filter_where", "flat_map_tokens",
     "sum_per_key", "distinct_count_per_key", "top_k_per_key", "latest_per_key",
     "join_inner", "join_broadcast", "cogroup_counts",
-    "window_tumbling", "window_session", "analytic_running",
-    "text_quality", "dedup_exact", "dedup_minhash_lsh", "similarity_topk"
+    "window_tumbling", "window_session", "window_sliding", "analytic_running",
+    "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "similarity_topk", "similarity_ivf"
   )
 }

@@ -58,6 +58,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [graft_dot"), s"no codegen span around graft_dot:\n$plan")
   }
 
+  test("graft_dot resolves by name in SQL after GraftFunctions.register") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d"
+    ).head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("LSH candidate join shuffles on the bucket key, not a cross join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)
