@@ -33,6 +33,29 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionCounts groups a stream into gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    // session-window streaming aggregation only supports Append: sessions
+    // emit once the watermark passes their end
+    val out = Streams.sessionCounts(input.toDF().toDF("ts", "k"), "ts", "30 minutes", "1 hour", Seq("k"))
+    val query = out.writeStream.format("memory").queryName("sc_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "u"),
+        (ts("2024-01-01 00:10:00"), "u"),  // same session
+        (ts("2024-01-01 02:00:00"), "u")   // > 30 min gap -> new session
+      )
+      query.processAllAvailable()
+      // advance the watermark far past both sessions so they finalize
+      input.addData((ts("2024-01-01 09:00:00"), "u"))
+      query.processAllAvailable()
+      val rows = spark.table("sc_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(rows == Set(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 02:00:00.0", 1L)))
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
