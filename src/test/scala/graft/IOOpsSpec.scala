@@ -68,6 +68,20 @@ class IOOpsSpec extends SparkTestBase {
       xdf.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("custom DataSource V2 source splits deterministically") {
+    def read(slices: Int) =
+      spark.read.format("graft.sources.RangeSource")
+        .option("rows", "1000").option("slices", slices.toString).load()
+    val df8 = read(8)
+    assert(df8.rdd.getNumPartitions == 8)
+    assert(df8.count() == 1000)
+    // splitting contract: any slicing yields the same multiset
+    // (bit_xor: order-independent and overflow-free over random longs)
+    val x8 = df8.selectExpr("bit_xor(value)").head().getLong(0)
+    val x3 = read(3).selectExpr("bit_xor(value)").head().getLong(0)
+    assert(x8 == x3)
+  }
+
   test("compressed write/read by extension (gzip codec)") {
     val p = tmpDir("gz")
     df.write.option("compression", "gzip").json(p)
