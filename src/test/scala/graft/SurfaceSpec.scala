@@ -148,6 +148,19 @@ class SurfaceSpec extends SparkTestBase {
     assert(kmv.values.toSet subsetOf Set(66.0, 67.0))
   }
 
+  test("observe metrics are collected during execution") {
+    val collector = Metrics.install(spark)
+    val df = Metrics.observeCount(
+      spark.range(100).toDF("id").filter($"id" % 2 === 0), "surface_even_rows")
+    df.collect(): Unit
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (!collector.snapshot.contains("surface_even_rows") && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(collector.snapshot("surface_even_rows")("rows") == 50L)
+    assert(collector.toJson.contains("\"surface_even_rows\""))
+  }
+
   test("applyTransform packages a reusable sub-pipeline") {
     def dedupeUpper(in: PCollection[String]): PCollection[String] =
       in.map(_.toUpperCase).distinct()
