@@ -339,6 +339,15 @@ object SparkEntry {
         .ds.map { case (k, (cs, ss)) => (k, cs.size.toLong, ss.size.toLong) }
         .toDF("nationkey", "n_cust", "n_supp")
     }),
+    "cogroup_n" -> ((s, dir) =>
+      // 4-way cogroup via the tagged-union single-shuffle strategy
+      // (reference cogroup_by_key! supports 2..10 inputs)
+      graft.operators.CoGroup.coGroupN(Seq(
+        (t(s, dir, "customer"), "c_nationkey", "c_custkey", "custkeys"),
+        (t(s, dir, "supplier"), "s_nationkey", "s_suppkey", "suppkeys"),
+        (t(s, dir, "nation"), "n_nationkey", "n_name", "nations"),
+        (t(s, dir, "region"), "r_regionkey", "r_name", "regions")
+      ))),
     "flatten_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("src"))
       val sup = t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("src"))
@@ -381,6 +390,18 @@ object SparkEntry {
          FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
          FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) su
          ON c.k = su.k""",
+    "cogroup_n" ->
+      """WITH u AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS key, 0 AS tag, CAST(c_custkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT CAST(s_nationkey AS BIGINT), 1, CAST(s_suppkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT CAST(n_nationkey AS BIGINT), 2, n_name FROM nation
+           UNION ALL SELECT CAST(r_regionkey AS BIGINT), 3, r_name FROM region)
+         SELECT key,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=0)), ','), '') AS custkeys,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=1)), ','), '') AS suppkeys,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=2)), ','), '') AS nations,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=3)), ','), '') AS regions
+         FROM u GROUP BY key""",
     "flatten_union" ->
       """SELECT c_custkey AS id, 'customer' AS src FROM customer
          UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier""",
