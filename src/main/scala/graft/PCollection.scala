@@ -19,7 +19,13 @@ import scala.util.Try
   * except the explicit `collect*` terminals, exactly like the
   * reference's deferred-execution contract (src/lib.rs:452-458).
   */
-final class PCollection[T](val ds: Dataset[T]) extends Serializable {
+final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
+
+  /** The underlying Dataset, built on first use — so ordering barriers
+    * like [[waitOn]] can defer their signal action until a downstream
+    * stage actually composes on this collection.
+    */
+  lazy val ds: Dataset[T] = dsThunk
 
   def spark: SparkSession = ds.sparkSession
 
@@ -245,12 +251,15 @@ final class PCollection[T](val ds: Dataset[T]) extends Serializable {
 
   /** Beam `Wait.on`: do not start downstream work until `signal` fully
     * drains. Spark realization: force-evaluate the signal (a cheap
-    * count action), then return this collection unchanged.
+    * count action) lazily — the count runs when a downstream stage
+    * first composes on the returned collection, not at wiring time, so
+    * building the pipeline graph stays side-effect free.
     */
-  def waitOn[S](signal: PCollection[S]): PCollection[T] = {
-    signal.ds.count(): Unit
-    this
-  }
+  def waitOn[S](signal: PCollection[S]): PCollection[T] =
+    new PCollection({
+      signal.ds.count(): Unit
+      ds
+    })
 
   // ---- terminals (reference: src/helpers/common.rs:220,251, collect_sorted.rs) ----
 

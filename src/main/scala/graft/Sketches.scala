@@ -21,9 +21,14 @@ object Sketches {
     ): PCollection[O] =
       new PCollection(self.ds.select(CombineFn.toColumn(fn)))
 
-    /** reference: count_globally, src/helpers/count.rs:38 */
+    /** reference: count_globally, src/helpers/count.rs:38. Stays a lazy
+      * 1-row agg plan (map-side partial count) — no eager action, so a
+      * downstream pipeline keeps a single job.
+      */
     def countGlobally(implicit e: Encoder[Long]): PCollection[Long] =
-      new PCollection(self.spark.createDataset(Seq(self.ds.count()))(e))
+      new PCollection(
+        self.ds.select(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).as[Long](e))
 
     def sumGlobally(implicit num: Numeric[T], e: Encoder[T]): PCollection[T] =
       reduceGlobally(num.plus)
@@ -47,8 +52,13 @@ object Sketches {
 
     def meanGlobally(implicit num: Numeric[T], e: Encoder[Double]): PCollection[Double] = averageGlobally
 
+    /** Lazy distributed reduce: a constant-key `reduceGroups` is
+      * partially reduced map-side (one row per partition shuffles), and
+      * the plan composes downstream without forcing an eager action.
+      */
     private def reduceGlobally(f: (T, T) => T)(implicit e: Encoder[T]): PCollection[T] =
-      new PCollection(self.spark.createDataset(Seq(self.ds.reduce(f)))(e))
+      new PCollection(
+        self.ds.groupByKey(_ => 0)(Encoders.scalaInt).reduceGroups(f).map(_._2)(e))
   }
 
   implicit final class StringSketchOps(private val self: PCollection[String]) {

@@ -175,14 +175,33 @@ object SparkEntry {
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(countDistinct(col("l_suppkey")).as("n_supp"))),
     "approx_count_distinct" -> ((s, dir) =>
       // HLL++, same algorithm & error model as the reference
-      // (reference: src/combiners/distinct.rs:274-389); sketch internals
-      // differ from DuckDB's → rows-only check, exactness covered by
-      // distinct_count_per_key.
-      t(s, dir, "lineitem").agg(approx_count_distinct(col("l_partkey"), 0.016).as("approx_parts"))),
+      // (reference: src/combiners/distinct.rs:274-389). Sketch internals
+      // differ from DuckDB's, so the driver-gradable contract is the
+      // ESTIMATOR GUARANTEE: the estimate lands within the configured
+      // error band of the exact count (asserted in-query -> oracle is a
+      // constant).
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.016).as("est"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(
+          (abs(col("est").cast("double") / col("exact").cast("double") - 1.0) < 0.05)
+            .cast("bigint").as("within_5pct"))),
     "approx_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-          .as("quartiles"))),
+      // Greenwald-Khanna percentile_approx vs exact percentile — the
+      // gradable contract is the error bound, not the sketch internals.
+      t(s, dir, "lineitem")
+        .agg(
+          percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+            .as("approx"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("exact"))
+        .select(
+          (abs(element_at(col("approx"), 1) / element_at(col("exact"), 1) - 1.0) < 0.01)
+            .cast("bigint").as("q25_ok"),
+          (abs(element_at(col("approx"), 2) / element_at(col("exact"), 2) - 1.0) < 0.01)
+            .cast("bigint").as("q50_ok"),
+          (abs(element_at(col("approx"), 3) / element_at(col("exact"), 3) - 1.0) < 0.01)
+            .cast("bigint").as("q75_ok"))),
     "top_k_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
@@ -260,6 +279,11 @@ object SparkEntry {
       "SELECT lang, min(doc_id) AS doc_id FROM documents GROUP BY lang",
     "distinct_count_per_key" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag",
+    "approx_count_distinct" ->
+      "SELECT CAST(1 AS BIGINT) AS within_5pct",
+    "approx_quantiles" ->
+      """SELECT CAST(1 AS BIGINT) AS q25_ok, CAST(1 AS BIGINT) AS q50_ok,
+         CAST(1 AS BIGINT) AS q75_ok""",
     "top_k_per_key" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -572,6 +596,11 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
         t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text", "lang", thresholdPct = 40)),
+    "dedup_near_verified" -> ((s, dir) =>
+      // full corpus, no block cap: LSH candidates -> Jaccard verify,
+      // O(candidates) instead of all-pairs-per-block
+      Dedup.nearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -605,6 +634,30 @@ object SparkEntry {
     "io_checkpoint" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/checkpoint"
       IOOps.checkpoint(t(s, dir, "customer").select("c_custkey", "c_nationkey"), tmp)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    }),
+    "io_checkpoint_recover" -> ((s, dir) => {
+      // Full recovery drill (reference: checkpoint.rs recover flow):
+      // three checkpoints saved under retention 2 -> the oldest is
+      // swept; the newest is then corrupted (checksum tampered) ->
+      // recoverLatest must reject it and fall back to the newest VALID
+      // snapshot, which holds the full customer relation.
+      import graft.sources.{CheckpointConfig, CheckpointManager, Checkpoints}
+      val base = "/root/repo/target/verify-io/checkpoint_mgr"
+      val mgr = new CheckpointManager(CheckpointConfig(directory = base, maxCheckpoints = Some(2)))
+      val pid = "custagg"
+      mgr.clear(pid)
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      mgr.save(cust.where(col("c_custkey") <= 100), pid, timestamp = 1000L)
+      mgr.save(cust, pid, timestamp = 2000L)
+      val d3 = mgr.save(cust.where(col("c_custkey") <= 10), pid, timestamp = 3000L)
+      // simulate on-disk corruption of the newest checkpoint's metadata
+      val metaPath = d3.resolve(Checkpoints.MetaFile)
+      val tampered = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+        .replaceAll("checksum=.*", "checksum=deadbeef")
+      java.nio.file.Files.write(metaPath, tampered.getBytes("UTF-8"))
+      mgr.recoverLatest(s, pid)
+        .getOrElse(sys.error("no valid checkpoint recovered"))
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
     }),
     "io_avro_roundtrip" -> ((s, dir) => {
@@ -673,6 +726,24 @@ object SparkEntry {
                       / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE len(list_intersect(a.toks, b.toks)) * 100 >= len(list_distinct(list_concat(a.toks, b.toks))) * 40""",
+    "dedup_near_verified" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
+         FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+         WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -714,6 +785,8 @@ object SparkEntry {
          CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total_acctbal
          FROM customer GROUP BY c_mktsegment""",
     "io_checkpoint" ->
+      "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey",
+    "io_checkpoint_recover" ->
       "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey",
     "io_avro_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
@@ -803,21 +876,46 @@ object SparkEntry {
     "kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       import Sketches._
+      // KMV estimate vs exact distinct count: assert the (k-1)/r_k
+      // estimator lands within 15% (k=256 -> ~6% stddev), so the sketch
+      // is driver-gradable against a constant oracle.
       val parts = new PCollection(t(s, dir, "lineitem").select(col("l_partkey").cast("string")).as[String])
-      parts.approxDistinctCountKmv(256).ds.toDF("kmv_est")
+      val est = parts.approxDistinctCountKmv(256).ds.toDF("est")
+      val exact = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).cast("double").as("exact"))
+      est.crossJoin(exact)
+        .select((abs(col("est") / col("exact") - 1.0) < 0.15).cast("bigint").as("within_15pct"))
     }),
     "tdigest_quantiles" -> ((s, dir) => {
       import s.implicits._
       import Sketches._
+      // t-digest quartiles vs exact percentiles: assert <5% relative
+      // error at compression 100 (interior quantiles are the digest's
+      // high-accuracy region).
       val prices = new PCollection(t(s, dir, "lineitem").select("l_extendedprice").as[Double])
-      prices.approxQuantiles(Seq(0.25, 0.5, 0.75)).ds
+      val approx = prices.approxQuantiles(Seq(0.25, 0.5, 0.75)).ds
         .map(qs => (qs(0), qs(1), qs(2))).toDF("q25", "q50", "q75")
+      val exact = t(s, dir, "lineitem")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ex"))
+      approx.crossJoin(exact)
+        .select(
+          (abs(col("q25") / element_at(col("ex"), 1) - 1.0) < 0.05).cast("bigint").as("q25_ok"),
+          (abs(col("q50") / element_at(col("ex"), 2) - 1.0) < 0.05).cast("bigint").as("q50_ok"),
+          (abs(col("q75") / element_at(col("ex"), 3) - 1.0) < 0.05).cast("bigint").as("q75_ok"))
     }),
     "reservoir_sample" -> ((s, dir) => {
       import s.implicits._
       import Sketches._
+      // Deterministic reservoir contract, driver-gradable: the sample
+      // has exactly k distinct elements and every one is drawn from the
+      // input (semi-join would drop any fabricated id).
       val ids = new PCollection(t(s, dir, "events").select(col("event_id").cast("string")).as[String])
-      ids.sampleReservoir(100, 42).ds.flatMap(_.toSeq).toDF("event_id")
+      val sample = ids.sampleReservoir(100, 42).ds.flatMap(_.toSeq).toDF("event_id")
+      val evIds = t(s, dir, "events").select(col("event_id").cast("string").as("event_id"))
+      sample.join(evIds, Seq("event_id"), "left_semi")
+        .agg(
+          (count(lit(1)) === 100).cast("bigint").as("size_ok"),
+          (countDistinct(col("event_id")) === 100).cast("bigint").as("distinct_ok"))
     })
   )
 
@@ -855,7 +953,14 @@ object SparkEntry {
       "SELECT '(' || CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ')' AS disp FROM orders",
     "group_into_batches" ->
       """SELECT o_custkey, CAST(ceil(count(*) / 10.0) AS BIGINT) AS n_batches
-         FROM orders GROUP BY o_custkey"""
+         FROM orders GROUP BY o_custkey""",
+    "kmv_distinct" ->
+      "SELECT CAST(1 AS BIGINT) AS within_15pct",
+    "tdigest_quantiles" ->
+      """SELECT CAST(1 AS BIGINT) AS q25_ok, CAST(1 AS BIGINT) AS q50_ok,
+         CAST(1 AS BIGINT) AS q75_ok""",
+    "reservoir_sample" ->
+      "SELECT CAST(1 AS BIGINT) AS size_ok, CAST(1 AS BIGINT) AS distinct_ok"
   )
 
   // =====================================================================
@@ -865,9 +970,11 @@ object SparkEntry {
     elementWise ++ grouping ++ joins ++ windowing ++ regexAndErrors ++ pipelineTier ++ surfaceTier
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for sketch-based ops
-    * (approx_count_distinct, approx_quantiles) whose estimator internals
-    * legitimately differ from DuckDB's → driver records rows-only check.
+    * the same parquet tables. Sketch-based ops (KMV, HLL++, t-digest,
+    * reservoir) whose estimator internals legitimately differ from
+    * DuckDB's are graded via in-query ASSERTIONS (the query emits 0/1
+    * error-bound flags; the oracle is the constant all-ones row), so
+    * every query is hash-gradable.
     */
   def oracleSql: Map[String, String] =
     elementWiseOracle ++ groupingOracle ++ joinsOracle ++ windowingOracle ++
@@ -882,6 +989,6 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "similarity_topk", "similarity_ivf"
+    "dedup_near_verified", "similarity_topk", "similarity_ivf"
   )
 }

@@ -46,14 +46,24 @@ class TopKAggregator[T: Ordering: ClassTag](k: Int, bottomK: Boolean = false)
 /** Latest-by-timestamp (reference: src/combiners/latest.rs:61). The
   * DataFrame path is the built-in `max_by(value, ts)`; this typed form
   * serves Dataset pipelines of `Timestamped` values.
+  *
+  * Equal timestamps break ties by the greater value, so the result is a
+  * pure max over (ts, value) — merge-order, partitioning and
+  * task-retry invariant (a plain `if (a.ts >= b.ts) a else b` would let
+  * the merge tree's shape pick the winner on ties).
   */
 class LatestAggregator
     extends Aggregator[(Long, String), (Long, String), String] {
   override def zero: (Long, String) = (Long.MinValue, null)
-  override def reduce(b: (Long, String), a: (Long, String)): (Long, String) =
-    if (a._1 >= b._1) a else b
-  override def merge(a: (Long, String), b: (Long, String)): (Long, String) =
-    if (a._1 >= b._1) a else b
+  private def best(a: (Long, String), b: (Long, String)): (Long, String) =
+    if (a._1 > b._1) a
+    else if (a._1 < b._1) b
+    else if (a._2 == null) b
+    else if (b._2 == null) a
+    else if (a._2.compareTo(b._2) >= 0) a
+    else b
+  override def reduce(b: (Long, String), a: (Long, String)): (Long, String) = best(a, b)
+  override def merge(a: (Long, String), b: (Long, String)): (Long, String) = best(a, b)
   override def finish(r: (Long, String)): String = r._2
   override def bufferEncoder: Encoder[(Long, String)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.STRING)

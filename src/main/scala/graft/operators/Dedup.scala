@@ -155,5 +155,59 @@ object Dedup {
       )
   }
 
+  /** Jaccard verification restricted to an explicit candidate pair
+    * list (a_id, b_id): token arrays are joined ONTO the pair list (two
+    * hash joins keyed by doc id), so the verify cost is O(candidates),
+    * never all-pairs within a block. This is the reference's prefilter
+    * stance — cut the candidate space before any cross product
+    * (reference: src/helpers/joins.rs:163-186).
+    */
+  def jaccardOnPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPct: Int
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("tid"),
+      array_sort(array_distinct(split(col(textCol), " "))).as("toks"))
+    pairs
+      .join(toks.select(col("tid").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(toks.select(col("tid").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
+        size(array_union(col("a_toks"), col("b_toks"))).as("n_union")
+      )
+      .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6).as("jaccard")
+      )
+  }
+
+  /** End-to-end near-duplicate detection at scale: MinHash+LSH candidate
+    * generation ([[lshCandidatePairs]], per-bucket pairs — no O(n^2))
+    * followed by exact n-gram Jaccard verification over just those
+    * candidates ([[jaccardOnPairs]]). Output: (a_id, b_id, jaccard) for
+    * verified pairs at or above the threshold. The whole plan's cost is
+    * linear in corpus size plus candidates — the only quadratic term is
+    * within an LSH bucket, which banding keeps tiny.
+    */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      thresholdPct: Int = 40
+  ): DataFrame =
+    jaccardOnPairs(
+      lshCandidatePairs(docs, idCol, textCol, numHashes, rowsPerBand),
+      docs, idCol, textCol, thresholdPct)
+
   private def spark(df: DataFrame) = df.sparkSession
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor operators over an embedding column
@@ -9,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    The candidate side streams through a broadcast of the (small)
-  *    query side, so the plan is a broadcast nested-loop with a per-query
-  *    top-k window — no O(n^2) shuffle. At 100 TB the candidate scan is
-  *    embarrassingly parallel and the window is bounded per query.
+  *    query side, and the per-query top-k is a bounded O(k) aggregate
+  *    ([[graft.expressions.BoundedTopK]]) with map-side partial
+  *    aggregation — no O(n^2) shuffle, and no partition ever holds a
+  *    query's full candidate set. At 100 TB the candidate scan is
+  *    embarrassingly parallel and the shuffle carries k rows per
+  *    (query, map task).
   *  - [[ivfTopK]]: IVF-style cell-restricted search — candidates are
   *    pre-partitioned into coarse cells (here the `label` column stands
   *    in for a k-means cell id); each query only scans its own cell.
@@ -44,6 +46,37 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Bounded per-group top-k aggregate column
+    * ([[graft.expressions.BoundedTopK]]): O(k) state per group with
+    * map-side partial aggregation — each map task ships at most k
+    * entries per group, and no partition ever holds a group's full
+    * candidate set. Ties broken by lower id, so the result is
+    * merge-order and partitioning invariant.
+    */
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.BoundedTopK(
+        org.apache.spark.sql.graftbridge.Bridge.expression(score),
+        org.apache.spark.sql.graftbridge.Bridge.expression(id),
+        k
+      ).toAggregateExpression()
+    )
+
+  /** (query_id, rank, neighbor_id) from a scored (query_id, neighbor_id,
+    * sim) relation via the bounded aggregate — the scale-safe top-k
+    * shape (replaces a row_number window that would shuffle and fully
+    * sort every candidate per query).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(topKAgg(col("sim"), col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nb.neighbor_id").as("neighbor_id"))
+
   /** Exact cosine top-k neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id).
     */
@@ -64,11 +97,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: search only candidates in the query's coarse cell. */
@@ -92,11 +121,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN via signed random hyperplanes derived from md5 of

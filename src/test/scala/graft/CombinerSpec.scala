@@ -77,4 +77,48 @@ class CombinerSpec extends SparkTestBase {
     assert(Hashing.hashString("abc") != Hashing.hashString("abd"))
     assert(Hashing.hashString("abc", 1) != Hashing.hashString("abc", 2))
   }
+
+  test("Latest tie-break: equal timestamps resolve by max value under any merge order") {
+    val agg = new LatestAggregator
+    val items = Seq((5L, "b"), (5L, "a"), (3L, "z"), (5L, "c"))
+    for (perm <- items.permutations) {
+      val red = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(red) == "c", s"reduce order $perm")
+      for (cut <- 1 until perm.size) {
+        val (l, r) = perm.splitAt(cut)
+        val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(m) == "c", s"merge split $cut of $perm")
+      }
+    }
+  }
+
+  test("TopKState (bounded top-k expression state) is insert/merge-order invariant") {
+    import graft.expressions.TopKState
+    val items = Seq((0.9, 7L), (0.9, 3L), (0.5, 1L), (0.7, 2L), (0.9, 5L), (0.1, 9L))
+    def run(seq: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val st = new TopKState(3)
+      seq.foreach { case (s, i) => st.insert(s, i) }
+      (0 until st.n).map(i => (st.scores(i), st.ids(i)))
+    }
+    val expected = Seq((0.9, 3L), (0.9, 5L), (0.9, 7L)) // score desc, id asc on ties
+    for (perm <- items.permutations.take(100)) {
+      assert(run(perm) == expected, s"order $perm")
+      // split-merge equivalence
+      val (l, r) = perm.splitAt(perm.size / 2)
+      val a = new TopKState(3); l.foreach { case (s, i) => a.insert(s, i) }
+      val b = new TopKState(3); r.foreach { case (s, i) => b.insert(s, i) }
+      a.mergeIn(b)
+      assert((0 until a.n).map(i => (a.scores(i), a.ids(i))) == expected)
+    }
+  }
+
+  test("t-digest amortized buffer: reduce path matches quantiles of a fresh compress") {
+    val agg = new TDigestAggregator(100)
+    val xs = scala.util.Random.shuffle((1 to 5000).map(_.toDouble).toList)
+    val buf = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    assert(buf.used == buf.means.length, "finish must return exact-sized arrays")
+    assert(math.abs(TDigest.quantile(buf, 0.5) - 2500) < 100)
+    val total = buf.weights.take(buf.used).sum
+    assert(math.abs(total - 5000.0) < 1e-6, s"weight lost: $total")
+  }
 }

@@ -73,4 +73,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH degenerated to a cross join:\n$plan")
   }
+
+  test("similarity top-k is a bounded partial aggregation, not a window sort") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+    val plan = executedPlanString(topk)
+    // the O(k) aggregate must appear, partially aggregated map-side
+    // (ObjectHashAggregate partial_graft_top_k before the exchange)
+    assert(plan.contains("graft_top_k"), s"bounded top-k aggregate missing:\n$plan")
+    assert(plan.contains("partial_graft_top_k"), s"no map-side partial top-k:\n$plan")
+    // and the full-sort window shape must NOT: a Window or a global Sort
+    // over the scored set would shuffle every candidate per query
+    assert(!plan.contains("Window"), s"top-k still a window:\n$plan")
+    assert(!plan.contains("row_number"), s"top-k still row_number:\n$plan")
+  }
+
+  test("nearDuplicates verifies LSH candidates only - no all-pairs block join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nd = graft.operators.Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
+    val plan = executedPlanString(nd)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup verify degenerated to a cross join:\n$plan")
+    // verified pairs must be a subset of the candidate pairs
+    val cands = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cands), "verified pairs not drawn from LSH candidates")
+    assert(verified.nonEmpty, "expected at least one verified near-duplicate pair")
+  }
 }
