@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.FloatDotProduct
+import graft.expressions.{FloatDotProduct, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -15,6 +15,7 @@ import graft.expressions.FloatDotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectFunction(GraftFunctions.sortedIntersectSizeFunction)
   }
 }
 
@@ -26,11 +27,24 @@ object GraftFunctions {
       FloatDotProduct(children(0), children(1))
   )
 
+  val sortedIntersectSizeFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("graft_sorted_intersect_size"),
+    new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      SortedIntersectSize(children(0), children(1))
+  )
+
   /** Register on an already-built session (tests, spark-shell). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => FloatDotProduct(exprs(0), exprs(1)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)),
+      "built-in"
+    )
+  }
 }

@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Intersection size of two sorted-distinct token arrays via the
+    * native merge-scan expression ([[graft.expressions.SortedIntersectSize]]):
+    * O(n+m) per pair with no result-array allocation, vs
+    * `size(array_intersect(...))` which materializes the intersection
+    * just to count it. With sorted distinct inputs the union size is
+    * then `size(a) + size(b) - n_inter` — no `array_union` either.
+    */
+  private def sortedIntersectSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SortedIntersectSize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)
+      )
+    )
+
   /** Exact dedup groups: content fingerprint -> surviving (min) id and
     * duplicate count. `groupBy` over a hash key is a plain hash
     * aggregate with map-side partial combine — the 100 TB-safe shape.
@@ -144,9 +159,11 @@ object Dedup {
       .select(
         col("a_id"),
         col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
-        size(array_union(col("a_toks"), col("b_toks"))).as("n_union")
+        sortedIntersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
+        (size(col("a_toks")) + size(col("b_toks"))).as("n_sum")
       )
+      .withColumn("n_union", col("n_sum") - col("n_inter"))
+      .drop("n_sum")
       .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
       .select(
         col("a_id"),
@@ -178,9 +195,11 @@ object Dedup {
       .select(
         col("a_id"),
         col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
-        size(array_union(col("a_toks"), col("b_toks"))).as("n_union")
+        sortedIntersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
+        (size(col("a_toks")) + size(col("b_toks"))).as("n_sum")
       )
+      .withColumn("n_union", col("n_sum") - col("n_inter"))
+      .drop("n_sum")
       .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
       .select(
         col("a_id"),

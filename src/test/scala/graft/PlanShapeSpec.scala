@@ -89,6 +89,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("row_number"), s"top-k still row_number:\n$plan")
   }
 
+  test("graft_sorted_intersect_size matches size(array_intersect) on sorted-distinct arrays") {
+    GraftFunctions.register(spark)
+    // randomized cross-check against the built-in, plus codegen presence
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(expr("array_sort(array_distinct(split(text, ' ')))").as("a"),
+              expr("array_sort(array_distinct(split(reverse(text), ' ')))").as("b"))
+    val mismatch = df.select(
+      expr("graft_sorted_intersect_size(a, b)").as("fast"),
+      expr("size(array_intersect(a, b))").as("ref")
+    ).where(col("fast") =!= col("ref")).count()
+    assert(mismatch == 0, s"$mismatch rows disagree with array_intersect")
+    // codegen probe on HOF-free inputs (array_sort's lambda comparator is
+    // CodegenFallback and would break the span regardless of this expr)
+    val cg = spark.range(100).select(
+      expr("array(concat('a', cast(id as string)), 'b', 'c')").as("a"),
+      expr("array('b', 'c', 'd')").as("b"))
+    val plan = executedPlanString(
+      cg.select(expr("graft_sorted_intersect_size(a, b)").as("n")))
+    assert(plan.contains("*(1) Project [graft_sorted_intersect_size"),
+      s"no codegen span around graft_sorted_intersect_size:\n$plan")
+  }
+
   test("nearDuplicates verifies LSH candidates only - no all-pairs block join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nd = graft.operators.Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
