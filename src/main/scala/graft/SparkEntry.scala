@@ -668,6 +668,14 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
     }),
+    "io_msgpack_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/verify-io/msgpack"
+      val src = t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.MsgpackIO.write(src, tmp)
+      graft.sources.MsgpackIO.read(s, tmp, src.schema)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), centsSum(col("p_retailprice")).as("total"))
+    }),
     "io_xml_roundtrip" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/xml"
       val src = t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
@@ -792,6 +800,10 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
          FROM orders GROUP BY o_orderpriority""",
+    "io_msgpack_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+         CAST(sum(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
+         FROM part GROUP BY p_brand""",
     "io_xml_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
          CAST(sum(CAST(round(s_acctbal*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
