@@ -601,6 +601,12 @@ object SparkEntry {
       // O(candidates) instead of all-pairs-per-block
       Dedup.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_embedding" -> ((s, dir) =>
+      // embedding-cosine near-dup: hyperplane-LSH buckets -> exact
+      // cosine verify within buckets (candidates-then-verify, no
+      // all-pairs)
+      Similarity.cosineNearDuplicates(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 4, thresholdPct = 30)),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -752,6 +758,22 @@ object SparkEntry {
                       / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
          FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
          WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding AS ev,
+           sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         bits AS (
+           SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(generate_series(1, len(ev)),
+                 i -> CAST(ev[i] AS DOUBLE) * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i-1 AS VARCHAR)),1,1) IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)
+               )) >= 0 THEN '1' ELSE '0' END AS bit
+           FROM v CROSS JOIN range(0, 4) r(p)),
+         bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id),
+         t AS (SELECT v.vec_id, v.ev, v.nrm, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm), 6) AS cosine
+         FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30""",
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -156,4 +156,40 @@ object Similarity {
     }
     vectors.select(col(idCol), proj.as("bucket"))
   }
+
+  /** Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
+    * bucketing ([[lshBuckets]]) restricts the candidate space to
+    * same-bucket pairs (2^nPlanes buckets, hash-partitioned by the
+    * bucket key — never an all-pairs cross join), then each candidate
+    * pair is verified exactly with the codegen'd cosine. Output:
+    * (a_id, b_id, cosine) for pairs at or above the threshold. Same
+    * candidates-then-verify composition as
+    * [[graft.operators.Dedup.nearDuplicates]] on text.
+    */
+  def cosineNearDuplicates(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      thresholdPct: Int
+  ): DataFrame = {
+    val withNorm = vectors.select(
+      col(idCol).as("vid"), col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm"))
+    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes)
+      .withColumnRenamed(idCol, "vid")
+    // persist+materialize before the self-join so the (interpreted HOF)
+    // bucket projection computes once, not once per join side
+    val t = withNorm.join(buckets, "vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count(): Unit
+    val a = t.select(col("vid").as("a_id"), col("bucket"), col("vec").as("a_vec"), col("nrm").as("a_norm"))
+    val b = t.select(col("vid").as("b_id"), col("bucket"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
+    a.join(b, "bucket")
+      .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
+      .where(col("cos") * 100 >= thresholdPct)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
 }

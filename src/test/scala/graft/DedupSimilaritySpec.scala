@@ -85,4 +85,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(b1(0L) == b1(1L))
     assert(b1(0L) != b1(2L)) // antipodal vector flips every plane sign
   }
+
+  test("cosineNearDuplicates finds same-bucket high-cosine pairs only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.01f, 2.01f, 3.01f)), // near-parallel to 0 -> cos ~ 1
+      (2L, Array(-1.0f, -2.0f, -3.0f)), // antipodal: different bucket
+      (3L, Array(5.0f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", nPlanes = 4, thresholdPct = 95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.99), s"near-dup pair missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"antipodal vector paired: ${pairs.toSeq}")
+    // verified pairs are drawn from same-bucket candidates
+    val buckets = Similarity.lshBuckets(vecs, "vec_id", "embedding", 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.forall(p => buckets(p._1) == buckets(p._2)))
+  }
 }
