@@ -241,6 +241,39 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
         }
     )
   }
+
+  /** 4-way typed co-group, same tagged-union single-shuffle strategy as
+    * [[coGroupByKey3]] (arbitrary-N DataFrame form:
+    * [[graft.operators.CoGroup.coGroupN]]).
+    */
+  def coGroupByKey4[W, X, Y](
+      b: PCollection[(K, W)],
+      c: PCollection[(K, X)],
+      d: PCollection[(K, Y)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[W], Option[X], Option[Y]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[W], Seq[X], Seq[Y]))]
+  ): PCollection[(K, (Seq[V], Seq[W], Seq[X], Seq[Y]))] = {
+    type Tagged = (Int, Option[V], Option[W], Option[X], Option[Y])
+    val ta = ds.map { case (k, v) => (k, (0, Some(v), None, None, None): Tagged) }
+    val tb = b.ds.map { case (k, w) => (k, (1, None, Some(w), None, None): Tagged) }
+    val tc = c.ds.map { case (k, x) => (k, (2, None, None, Some(x), None): Tagged) }
+    val td = d.ds.map { case (k, y) => (k, (3, None, None, None, Some(y)): Tagged) }
+    new PCollection(
+      ta.union(tb).union(tc).union(td)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (
+            items.collect { case (0, Some(v), _, _, _) => v },
+            items.collect { case (1, _, Some(w), _, _) => w },
+            items.collect { case (2, _, _, Some(x), _) => x },
+            items.collect { case (3, _, _, _, Some(y)) => y }
+          ))
+        }
+    )
+  }
 }
 
 object KeyedPCollection {

@@ -47,6 +47,26 @@ object Streams {
       .select((col("session_window.start").as("session_start") +: keys.map(col)) :+ col("n"): _*)
   }
 
+  /** Streaming exact dedup — the continuous-ingest sibling of
+    * [[graft.operators.Dedup.exactGroups]]: rows with an already-seen
+    * content fingerprint (md5, partition/retry-stable) are dropped.
+    * `dropDuplicatesWithinWatermark` bounds the fingerprint state to
+    * the watermark horizon, so state stays O(arrival rate x horizon)
+    * instead of growing with the full corpus — the only shape that
+    * survives an unbounded stream.
+    */
+  def dedupExact(
+      events: DataFrame,
+      tsCol: String,
+      contentCol: String,
+      watermark: String
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("fp", md5(col(contentCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Custom per-key running state via mapGroupsWithState — the
     * streaming analog of the reference's CombineFn accumulators with
     * explicit state lifetime.

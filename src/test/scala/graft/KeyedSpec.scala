@@ -107,4 +107,19 @@ class KeyedSpec extends SparkTestBase {
       "c" -> (Seq(), Seq("y"))
     ))
   }
+
+  test("coGroupByKey4 is a full-outer 4-list grouping in one shuffle") {
+    val a = kv("k1" -> 1, "k2" -> 2)
+    val b = PCollection.fromSeq(spark, Seq("k1" -> "w"))
+    val c = PCollection.fromSeq(spark, Seq("k2" -> 2.5, "k3" -> 3.5))
+    val d = PCollection.fromSeq(spark, Seq("k1" -> true, "k1" -> false))
+    val cg = a.coGroupByKey4(b, c, d).collect()
+      .map { case (k, (vs, ws, xs, ys)) => (k, (vs.sorted, ws.sorted, xs.sorted, ys.sorted)) }
+      .sortBy(_._1)
+    assert(cg == Seq(
+      "k1" -> (Seq(1), Seq("w"), Seq(), Seq(false, true)),
+      "k2" -> (Seq(2), Seq(), Seq(2.5), Seq()),
+      "k3" -> (Seq(), Seq(), Seq(3.5), Seq())
+    ))
+  }
 }

@@ -33,6 +33,25 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupExact drops duplicate content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.dedupExact(input.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val query = out.writeStream.format("memory").queryName("dd_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "alpha doc"),
+        (ts("2024-01-01 00:05:00"), "beta doc"),
+        (ts("2024-01-01 00:10:00"), "alpha doc") // dup within watermark
+      )
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:20:00"), "alpha doc")) // still within horizon
+      query.processAllAvailable()
+      val texts = spark.table("dd_out").collect().map(_.getString(1)).toSeq
+      assert(texts.sorted == Seq("alpha doc", "beta doc"), s"got $texts")
+    } finally query.stop()
+  }
+
   test("sessionCounts groups a stream into gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
