@@ -69,6 +69,14 @@ object Sketches {
     def approxDistinctCountKmv(k: Int, seed: Long = 0L)(implicit e: Encoder[Double]): PCollection[Double] =
       new PCollection(self.ds.select(new KmvAggregator(k, seed).toColumn))
 
+    /** HLL++ distinct estimate with the reference's error-to-precision
+      * mapping (reference: approx_count_distinct,
+      * src/combiners/distinct.rs:274-389) — deterministic zero-seeded
+      * hashing, so seq/par runs agree.
+      */
+    def approxDistinctCountHll(error: Double = 0.016)(implicit e: Encoder[Long]): PCollection[Long] =
+      new PCollection(self.ds.select(HllAggregator.withError(error).toColumn))
+
     /** Deterministic mergeable fixed-size sample (reference:
       * sample_reservoir, src/helpers/sampling.rs:43) — a pure function
       * of (input multiset, seed).

@@ -173,20 +173,24 @@ object SparkEntry {
       t(s, dir, "documents").groupBy("lang").agg(min("doc_id").as("doc_id"))),
     "distinct_count_per_key" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(countDistinct(col("l_suppkey")).as("n_supp"))),
-    "approx_count_distinct" -> ((s, dir) =>
-      // HLL++, same algorithm & error model as the reference
-      // (reference: src/combiners/distinct.rs:274-389). Sketch internals
-      // differ from DuckDB's, so the driver-gradable contract is the
-      // ESTIMATOR GUARANTEE: the estimate lands within the configured
-      // error band of the exact count (asserted in-query -> oracle is a
-      // constant).
-      t(s, dir, "lineitem")
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.016).as("est"),
-          countDistinct(col("l_partkey")).as("exact"))
+    "approx_count_distinct" -> ((s, dir) => {
+      // Own HLL++ estimator mirroring the reference's combiner surface
+      // (reference: src/combiners/distinct.rs:274-389): error->precision
+      // mapping, zero-seeded deterministic hashing, register-max merge.
+      // Sketch internals differ from DuckDB's, so the driver-gradable
+      // contract is the ESTIMATOR GUARANTEE: the estimate lands within
+      // the configured error band of the exact count (asserted in-query
+      // -> oracle is a constant).
+      import s.implicits._
+      import Sketches._
+      val parts = new PCollection(t(s, dir, "lineitem").select(col("l_partkey").cast("string")).as[String])
+      val est = parts.approxDistinctCountHll(0.016).ds.toDF("est")
+      val exact = t(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).cast("double").as("exact"))
+      est.crossJoin(exact)
         .select(
-          (abs(col("est").cast("double") / col("exact").cast("double") - 1.0) < 0.05)
-            .cast("bigint").as("within_5pct"))),
+          (abs(col("est").cast("double") / col("exact") - 1.0) < 0.05)
+            .cast("bigint").as("within_5pct"))
+    }),
     "approx_quantiles" -> ((s, dir) =>
       // Greenwald-Khanna percentile_approx vs exact percentile — the
       // gradable contract is the error bound, not the sketch internals.

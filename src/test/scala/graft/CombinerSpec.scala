@@ -78,6 +78,44 @@ class CombinerSpec extends SparkTestBase {
     assert(Hashing.hashString("abc", 1) != Hashing.hashString("abc", 2))
   }
 
+  test("HLL++ estimate is within the published error band and is partitioning-invariant") {
+    // 50k distinct at p=12 -> rse ~1.6%; allow 5 sigma
+    val data = (1 to 50000).map(i => s"item-$i")
+    def run(parts: Int): Long =
+      spark.createDataset(data).repartition(parts)
+        .select(new HllAggregator(12).toColumn.name("est")).as[Long].head()
+    val a = run(1)
+    val b = run(17)
+    assert(a == b, s"estimate depends on partitioning: $a vs $b")
+    assert(math.abs(a - 50000.0) / 50000.0 < 0.08, s"HLL estimate $a")
+  }
+
+  test("HLL++ small range uses linear counting (near-exact); withError maps to precision") {
+    val small = spark.createDataset((1 to 200).map(_.toString))
+      .select(new HllAggregator(12).toColumn.name("est")).as[Long].head()
+    assert(math.abs(small - 200L) <= 12, s"small-range estimate $small") // linear counting ~ +-sqrt(m)/alpha noise
+    // 1.04/sqrt(2^p) <= 0.016 -> p = 13 by the reference's ceil formula;
+    // 26% -> p=4 floor; tiny error clamps at 18
+    assert(HllAggregator.withError(0.26).toColumn != null)
+    intercept[IllegalArgumentException] { HllAggregator.withError(0.0) }
+    intercept[IllegalArgumentException] { HllAggregator.withError(1.5) }
+  }
+
+  test("HLL++ merge is register-wise max: idempotent and order-free") {
+    val agg = new HllAggregator(10)
+    val xs = (1 to 3000).map(i => s"x-$i")
+    val ys = (2000 to 5000).map(i => s"x-$i") // overlaps xs
+    val bx = xs.foldLeft(agg.zero)(agg.reduce)
+    val by = ys.foldLeft(agg.zero)(agg.reduce)
+    def clone(b: HllBuffer) = HllBuffer(b.precision, b.registers.clone())
+    val m1 = HllAggregator.estimate(agg.merge(clone(bx), clone(by)))
+    val m2 = HllAggregator.estimate(agg.merge(clone(by), clone(bx)))
+    val mSelf = HllAggregator.estimate(agg.merge(clone(bx), clone(bx)))
+    assert(m1 == m2)
+    assert(mSelf == HllAggregator.estimate(clone(bx)), "merge with self must not change the estimate")
+    assert(math.abs(m1 - 5000.0) / 5000.0 < 0.15, s"union estimate $m1")
+  }
+
   test("Latest tie-break: equal timestamps resolve by max value under any merge order") {
     val agg = new LatestAggregator
     val items = Seq((5L, "b"), (5L, "a"), (3L, "z"), (5L, "c"))
