@@ -137,6 +137,22 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
   def reshuffle(): PCollection[T] =
     new PCollection(ds.repartition(ds.sparkSession.sessionState.conf.numShufflePartitions))
 
+  /** Durable checkpoint barrier through a
+    * [[graft.sources.CheckpointManager]]: saves this collection as a
+    * recoverable parquet snapshot (metadata checksum + retention
+    * applied) and returns a collection reading FROM the snapshot, so
+    * downstream stages run off materialized data — and after a crash a
+    * new driver resumes from `mgr.recoverLatest` instead of recomputing
+    * the upstream lineage (the reference runner's auto_recover flow,
+    * reference: src/checkpoint.rs usage in README "Checkpointing").
+    */
+  def checkpointWith(mgr: graft.sources.CheckpointManager, pipelineId: String)(implicit
+      e: Encoder[T]
+  ): PCollection[T] = {
+    val dir = mgr.save(ds.toDF(), pipelineId)
+    new PCollection(ds.sparkSession.read.parquet(dir.toString).as[T])
+  }
+
   // ---- diagnostics / structure (reference: tee.rs, named.rs, log_elements.rs) ----
 
   /** Fan-out is free in Spark (reuse the handle); cache to avoid

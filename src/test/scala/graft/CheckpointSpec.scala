@@ -122,6 +122,20 @@ class CheckpointSpec extends SparkTestBase {
     assert(m.findLatest("b").nonEmpty)
   }
 
+  test("PCollection.checkpointWith resumes from the snapshot after a 'crash'") {
+    val dir = freshDir()
+    val m1 = mgr(dir)
+    val pc = PCollection.fromSeq(spark, (1 to 100).map(i => (i.toLong, s"v$i")))
+    val resumed = pc.checkpointWith(m1, "pipe")
+    assert(resumed.count() == 100)
+    // simulate a crashed driver: a brand-new manager over the same dir
+    // recovers the snapshot without the original lineage
+    val m2 = mgr(dir)
+    val recovered = m2.recoverLatest(spark, "pipe").get
+    assert(recovered.count() == 100)
+    assert(recovered.columns.toSet == Set("_1", "_2"))
+  }
+
   test("checksum and pipeline id are stable functions") {
     assert(Checkpoints.checksumOf("p", 1L, 2L, 3) == Checkpoints.checksumOf("p", 1L, 2L, 3))
     assert(Checkpoints.checksumOf("p", 1L, 2L, 3) != Checkpoints.checksumOf("p", 1L, 2L, 4))
