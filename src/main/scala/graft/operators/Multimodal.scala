@@ -58,4 +58,63 @@ object Multimodal {
       explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx")
     )
   }
+
+  /** Feature extraction over binary payloads: each blob becomes a
+    * fixed-`dim` float vector (here a STUB: an L1-normalized folded
+    * byte histogram — deterministic, so identical payloads map to
+    * identical vectors; swap the body for a real model/encoder without
+    * touching the plan). Batched per partition like [[decodeMeta]];
+    * output (id, features array<float>) feeds straight into the
+    * [[Similarity]] ANN/near-dup operators — the binary -> embedding ->
+    * dedup composition a training-data pipeline runs at 100 TB.
+    */
+  def extractFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      dim: Int = 64,
+      batchSize: Int = 256
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real encoder would load model weights once per batch here
+          batch.iterator.map { case (id, bytes) =>
+            val hist = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) % dim) += 1.0f
+              i += 1
+            }
+            val total = math.max(bytes.length, 1).toFloat
+            var j = 0
+            while (j < dim) { hist(j) /= total; j += 1 }
+            (id, hist)
+          }
+        }
+      }
+      .toDF("id", "features")
+  }
+
+  /** Resize stub: computes the target dimensions of an aspect-preserving
+    * fit into `maxW` x `maxH` from the decoded (fake) dimensions — the
+    * metadata side of a resize pipeline; a real implementation would
+    * also emit the resized payload from the same per-batch loop.
+    */
+  def resizeMeta(df: DataFrame, idCol: String, payloadCol: String, maxW: Int, maxH: Int): DataFrame = {
+    val n = octet_length(col(payloadCol).cast("binary"))
+    val w = greatest(n % 640, lit(1)).cast("double")
+    val h = greatest(n % 480, lit(1)).cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    df.select(
+      col(idCol).cast("long").as("id"),
+      w.cast("int").as("src_width"),
+      h.cast("int").as("src_height"),
+      floor(w * scale).cast("int").as("out_width"),
+      floor(h * scale).cast("int").as("out_height")
+    )
+  }
 }

@@ -104,4 +104,34 @@ class WindowingTextSpec extends SparkTestBase {
       .select("frame_idx").as[Int].collect().toSeq
     assert(frames == Seq(0, 3, 6, 9))
   }
+
+  test("multimodal extractFeatures yields fixed-dim normalized vectors that feed Similarity") {
+    val df = Seq((1L, "same payload"), (2L, "same payload"), (3L, "wholly different bytes here"))
+      .toDF("id", "payload")
+      .select($"id", $"payload".cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(df, "id", "payload", dim = 16)
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length == 16))
+    assert(math.abs(rows(1L).sum - 1.0f) < 1e-5, "histogram must be L1-normalized")
+    assert(rows(1L) == rows(2L), "identical payloads must map to identical features")
+    assert(rows(1L) != rows(3L))
+    // composition: binary -> features -> embedding near-dup finds the identical pair
+    val pairs = graft.operators.Similarity
+      .cosineNearDuplicates(feats, "id", "features", nPlanes = 4, thresholdPct = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"identical payloads not detected: ${pairs.toSeq}")
+  }
+
+  test("multimodal resizeMeta computes aspect-preserving fit and never upscales") {
+    val df = Seq((1L, "x" * 1000), (2L, "x" * 10)).toDF("id", "payload")
+    // id 1: src 360x40 (1000%640 x 1000%480); id 2: src 10x10
+    val out = Multimodal.resizeMeta(df, "id", "payload", maxW = 100, maxH = 100)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val (w1, h1, ow1, oh1) = out(1L)
+    assert((w1, h1) == (360, 40))
+    assert(ow1 <= 100 && oh1 <= 100, s"exceeds bounds: $ow1 x $oh1")
+    assert(math.abs(ow1.toDouble / oh1 - w1.toDouble / h1) < 0.3, "aspect not preserved")
+    val (_, _, ow2, oh2) = out(2L)
+    assert((ow2, oh2) == (10, 10), "small images must not be upscaled")
+  }
 }
