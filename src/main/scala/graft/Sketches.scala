@@ -107,6 +107,26 @@ object Sketches {
       new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
     }
 
+    /** Per-key HLL++ distinct estimate — the per-key sibling of
+      * [[StringSketchOps.approxDistinctCountHll]] (reference pattern:
+      * approx_distinct_count_per_key, src/helpers/distinct.rs:290).
+      */
+    def approxDistinctCountHllPerKey(error: Double = 0.016)(implicit
+        ke: Encoder[K],
+        e: Encoder[(K, Long)]
+    ): PCollection[(K, Long)] = {
+      val agg = new Aggregator[(K, String), HllBuffer, Long] {
+        private val inner = HllAggregator.withError(error)
+        override def zero: HllBuffer = inner.zero
+        override def reduce(b: HllBuffer, a: (K, String)): HllBuffer = inner.reduce(b, a._2)
+        override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = inner.merge(a, b)
+        override def finish(r: HllBuffer): Long = inner.finish(r)
+        override def bufferEncoder: Encoder[HllBuffer] = inner.bufferEncoder
+        override def outputEncoder: Encoder[Long] = inner.outputEncoder
+      }
+      new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
+    }
+
     /** Per-key KMV distinct estimate (reference:
       * approx_distinct_count_per_key, src/helpers/distinct.rs:290).
       */

@@ -146,6 +146,11 @@ class SurfaceSpec extends SparkTestBase {
     val kmv = kv.approxDistinctCountKmvPerKey(128).collect().toMap
     // ~67 distinct per key, below k=128 -> exact
     assert(kmv.values.toSet subsetOf Set(66.0, 67.0))
+
+    val hll = kv.approxDistinctCountHllPerKey(0.016).collect().toMap
+    // ~67 distinct per key at p>=12 -> linear counting, near-exact
+    assert(hll.keySet == Set("k0", "k1", "k2"))
+    assert(hll.values.forall(v => math.abs(v - 67L) <= 3), s"per-key HLL $hll")
   }
 
   test("observe metrics are collected during execution") {
