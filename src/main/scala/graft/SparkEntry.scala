@@ -911,6 +911,18 @@ object SparkEntry {
       orders.groupIntoBatches(10).ds.map(_._1).toDF("o_custkey")
         .groupBy("o_custkey").agg(count(lit(1)).as("n_batches"))
     }),
+    "skew_salted_agg" -> ((s, dir) => {
+      // Skew-safe two-stage aggregation over a genuinely hot key
+      // (l_returnflag has 3 values): salt -> partial agg -> final agg.
+      // Integer-cents arithmetic keeps the salted result bit-identical
+      // to the direct GROUP BY the oracle runs.
+      val li = t(s, dir, "lineitem")
+      val sums = graft.operators.Skew
+        .saltedSum(li, "l_returnflag", cents(col("l_extendedprice")), n = 16, as = "cents_total")
+      val counts = graft.operators.Skew.saltedCount(li, "l_returnflag", n = 16, as = "n")
+      sums.join(counts, "l_returnflag")
+        .select(col("l_returnflag"), (col("cents_total") / 100.0).as("total"), col("n"))
+    }),
     "kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       import Sketches._
@@ -992,6 +1004,11 @@ object SparkEntry {
     "group_into_batches" ->
       """SELECT o_custkey, CAST(ceil(count(*) / 10.0) AS BIGINT) AS n_batches
          FROM orders GROUP BY o_custkey""",
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "kmv_distinct" ->
       "SELECT CAST(1 AS BIGINT) AS within_15pct",
     "tdigest_quantiles" ->
