@@ -175,6 +175,33 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
 
   def withName(name: String): PCollection[T] = new PCollection(ds.alias(name))
 
+  /** Structured plan explanation (reference: `plan.explain()`,
+    * tests/explain.rs — steps with barrier flags plus summary counts).
+    * Spark realization: walk the physical plan; a "barrier" is a
+    * shuffle Exchange (the cost unit the reference counts), and
+    * `suggestedPartitions` is the session's shuffle parallelism (the
+    * reference's partition-suggestion pass is AQE + this setting).
+    * The full formatted plan is included for eyeballing.
+    */
+  def explain(): PCollection.Explanation = {
+    // AQE wraps the real tree in AdaptiveSparkPlanExec whose inner plan
+    // is a field, not a child — unwrap it or collect() sees one node
+    val plan = ds.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val steps = plan.collect { case node =>
+      PCollection.ExplainStep(node.nodeName, node.nodeName.contains("Exchange"))
+    }
+    PCollection.Explanation(
+      steps = steps,
+      barriers = steps.count(_.isBarrier),
+      totalOps = steps.size,
+      suggestedPartitions = ds.sparkSession.sessionState.conf.numShufflePartitions,
+      formatted = plan.toString
+    )
+  }
+
   def logElements(prefix: String = ""): PCollection[T] = {
     implicit val te: Encoder[T] = ds.encoder
     map { t => System.err.println(s"$prefix$t"); t }
@@ -291,6 +318,20 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
 }
 
 object PCollection {
+
+  /** One physical-plan node (reference: ExplainStep, tests/explain.rs). */
+  final case class ExplainStep(name: String, isBarrier: Boolean)
+
+  /** Structured explanation summary (reference: Explanation with
+    * cost_estimate.{barriers,total_ops} and suggested_partitions).
+    */
+  final case class Explanation(
+      steps: Seq[ExplainStep],
+      barriers: Int,
+      totalOps: Int,
+      suggestedPartitions: Int,
+      formatted: String
+  )
 
   def fromSeq[T: Encoder](spark: SparkSession, data: Seq[T]): PCollection[T] =
     new PCollection(spark.createDataset(data))

@@ -71,6 +71,20 @@ class PCollectionSpec extends SparkTestBase {
     assert(data.waitOn(signal).collectSorted() == Seq(1, 2, 3))
   }
 
+  test("explain reports steps, counts shuffle barriers, suggests partitions") {
+    val pc = PCollection.fromSeq(spark, (1 to 100).map(i => (i % 5, i)))
+    // map-only chain: no shuffle barrier
+    val narrow = pc.map { case (k, v) => (k, v * 2) }.explain()
+    assert(narrow.barriers == 0, s"narrow plan has barriers:\n${narrow.formatted}")
+    assert(narrow.totalOps > 0 && narrow.steps.nonEmpty)
+    assert(narrow.suggestedPartitions > 0)
+    // grouped chain: at least one Exchange
+    import KeyedPCollection._
+    val grouped = pc.groupByKey.explain()
+    assert(grouped.barriers >= 1, s"groupBy plan shows no barrier:\n${grouped.formatted}")
+    assert(grouped.steps.exists(_.isBarrier))
+  }
+
   test("reshuffle preserves content") {
     assert(pc(1 to 100: _*).reshuffle(7).collectSorted() == (1 to 100))
   }
