@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatDotProduct, SortedIntersectSize}
+import graft.expressions.{FloatDotProduct, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
     ext.injectFunction(GraftFunctions.sortedIntersectSizeFunction)
+    ext.injectFunction(GraftFunctions.minhashFunction)
+    ext.injectFunction(GraftFunctions.simhashFunction)
   }
 }
 
@@ -34,6 +36,23 @@ object GraftFunctions {
       SortedIntersectSize(children(0), children(1))
   )
 
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+
+  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      MinHashSignatures(children(0), litInt(children(1)))
+  )
+
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      SimHashFingerprint(children(0), litInt(children(1)))
+  )
+
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -44,6 +63,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignatures(exprs(0), litInt(exprs(1))),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashFingerprint(exprs(0), litInt(exprs(1))),
       "built-in"
     )
   }

@@ -42,38 +42,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Word 2-shingles from a pre-split token-array column (1-based
-    * positions; empty for single-token docs — `sequence` would flip to
-    * descending on a start>stop range, so guard explicitly). Takes the
-    * token column, not the raw text, so the split isn't re-inlined into
-    * every lambda element.
-    */
-  private def shinglesOf(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
-        )
-      )
-    )
-
   /** MinHash signatures, wide form: one row per doc, one column
     * `sig<i>` per salted hash function — the min md5 over the doc's
-    * shingles with salt `i`. All `numHashes` mins are computed in a
-    * SINGLE aggregation pass over the exploded shingles (no row
-    * blowup, one shuffle) — the shape that survives a 100 TB corpus:
-    * shingle explosion is a narrow flatMap, and the groupBy(doc) is
-    * map-side partially aggregated with constant per-doc state.
+    * word 2-shingles with salt `i`. The whole signature is ONE native
+    * per-row expression ([[graft.expressions.MinHashSignatures]]): no
+    * shingle explode, no shuffle, no aggregation buffers — a narrow
+    * projection whose cost is linear in corpus bytes, the shape that
+    * survives a 100 TB corpus. Docs with fewer than two tokens have no
+    * shingles and are dropped (same as the explode+groupBy form).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol), split(col(textCol), " ").as("tk"))
-      .select(col(idCol), explode(shinglesOf(col("tk"))).as("sh"))
-    val sigCols = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"sig$i")
-    }
-    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.MinHashSignatures(
+        org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+        numHashes))
+    docs
+      .select(col(idCol), sig.as("sigs"))
+      .where(size(col("sigs")) > 0)
+      .select(col(idCol) +: (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
   }
 
   /** LSH banding over minhash signatures: `rowsPerBand` signature
@@ -114,26 +100,21 @@ object Dedup {
 
   /** SimHash fingerprint (16-bit, one bit per leading hex digit of the
     * token md5): bit_j = sign of sum over tokens of (2*highbit_j - 1).
-    * Constant-size per-doc state; the aggregation is a narrow
-    * groupBy(id, j) then groupBy(id) — both map-side combinable.
+    * One native per-row expression
+    * ([[graft.expressions.SimHashFingerprint]]) — a narrow projection
+    * with nibble math on raw digest bytes: no token explode, no
+    * shuffle, no per-doc aggregation state. Null-text docs are dropped
+    * (same as exploding an empty token relation).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val hexHighSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    // one row per token with its md5; all `bits` signed sums aggregate in
-    // a single groupBy pass (map-side combined, constant per-doc state)
-    val toks = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .select(col(idCol), md5(col("tok").cast("binary")).as("h"))
-    val sumCols = (0 until bits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isInCollection(hexHighSet), lit(1)).otherwise(lit(-1)))
-        .as(s"s$j")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(sumCols.head, sumCols.tail: _*)
-    val fp = (0 until bits)
-      .map(j => when(col(s"s$j") >= 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-    sums.select(col(idCol), fp.cast("int").as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    docs
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.SimHashFingerprint(
+            org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+            bits)).as("simhash"))
 
   /** n-gram (word-set) Jaccard similarity over candidate pairs blocked
     * by `blockCol` (e.g. language) — the exact-verification stage that
