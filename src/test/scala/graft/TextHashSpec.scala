@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Pins the native per-row minhash/simhash expressions to the
+  * compositional SQL forms they replaced (explode + md5 aggregates) —
+  * the DuckDB oracles compute exactly those forms, so any divergence
+  * here is a correctness-gate failure waiting to happen.
+  */
+class TextHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "pack my box with five dozen liquor jugs"),
+    (2L, "a a a repeated repeated tokens tokens tokens"),
+    (3L, "unicode tøkens påss thrôugh ütf8 cleanly"),
+    (4L, "two words"),
+    (5L, "lone"),           // no shingles: dropped by minhash, kept by simhash
+    (6L, ""),               // split("") = [""]: one empty token
+    (7L, "x " * 200 + "y")  // long doc
+  ).toDF("doc_id", "text")
+
+  /** The pre-expression minhash plan: shingle HOF -> explode -> 8-way
+    * min(md5) aggregate. Kept here as the semantic reference.
+    */
+  private def minhashComposed(numHashes: Int) = {
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+    val sh = docs.select(col("doc_id"), explode(shingles).as("sh"))
+    val sigCols = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"sig$i")
+    }
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** The pre-expression simhash plan: token explode -> 16 signed sums. */
+  private def simhashComposed(bits: Int) = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val t = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+    val sums = (0 until bits).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(hexHigh), lit(1)).otherwise(lit(-1))).as(s"s$j")
+    }
+    val agg = t.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits).map(j => when(col(s"s$j") >= 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    agg.select(col("doc_id"), fp.cast("int").as("simhash"))
+  }
+
+  test("native minhash matches the explode+groupBy reference, including dropped docs") {
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val composed = minhashComposed(8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(native == composed)
+    assert(!native.contains(5L), "single-token doc must have no signature")
+  }
+
+  test("native simhash matches the explode+sum reference for all docs") {
+    val native = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val composed = simhashComposed(16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == composed)
+    assert(native.contains(6L), "empty text is one empty token, not a dropped doc")
+  }
+
+  test("graft_minhash / graft_simhash resolve by SQL name") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("texthash_docs")
+    val row = spark.sql(
+      """SELECT graft_minhash(split(text, ' '), 8) AS sigs,
+         graft_simhash(split(text, ' '), 16) AS fp
+         FROM texthash_docs WHERE doc_id = 0""").head()
+    assert(row.getSeq[String](0).length == 8)
+    assert(row.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    assert(row.getInt(1) >= 0 && row.getInt(1) < (1 << 16))
+  }
+}
