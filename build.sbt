@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked run inherit stdout/stderr directly: the bench/verify
+// JSON line must reach the caller unprefixed (sbt's logger would wrap
+// it as "[info] {...}", which breaks line-oriented JSON parsing).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
