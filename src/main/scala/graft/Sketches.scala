@@ -147,6 +147,52 @@ object Sketches {
     }
   }
 
+  implicit final class DoubleKeyedSketchOps[K](private val self: PCollection[(K, Double)]) {
+
+    /** Per-key t-digest quantile set (reference:
+      * approx_quantiles_per_key, src/helpers/statistical.rs:157) —
+      * O(compression) state per key with map-side partial aggregation,
+      * so shuffle payload per (key, map task) is a few KB regardless of
+      * group size.
+      */
+    def approxQuantilesPerKey(qs: Seq[Double], compression: Double = 100.0)(implicit
+        ke: Encoder[K],
+        e: Encoder[(K, Seq[Double])]
+    ): PCollection[(K, Seq[Double])] = {
+      val agg = new Aggregator[(K, Double), TDigestBuffer, Seq[Double]] {
+        private val inner = new TDigestAggregator(compression)
+        override def zero: TDigestBuffer = inner.zero
+        override def reduce(b: TDigestBuffer, a: (K, Double)): TDigestBuffer = inner.reduce(b, a._2)
+        override def merge(a: TDigestBuffer, b: TDigestBuffer): TDigestBuffer = inner.merge(a, b)
+        override def finish(r: TDigestBuffer): Seq[Double] = {
+          val d = inner.finish(r)
+          qs.map(q => TDigest.quantile(d, q))
+        }
+        override def bufferEncoder: Encoder[TDigestBuffer] = Encoders.product[TDigestBuffer]
+        override def outputEncoder: Encoder[Seq[Double]] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      }
+      new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
+    }
+
+    /** reference: approx_median_per_key, src/helpers/statistical.rs:127 */
+    def approxMedianPerKey(compression: Double = 100.0)(implicit
+        ke: Encoder[K],
+        e: Encoder[(K, Double)]
+    ): PCollection[(K, Double)] = {
+      val agg = new Aggregator[(K, Double), TDigestBuffer, Double] {
+        private val inner = new TDigestAggregator(compression)
+        override def zero: TDigestBuffer = inner.zero
+        override def reduce(b: TDigestBuffer, a: (K, Double)): TDigestBuffer = inner.reduce(b, a._2)
+        override def merge(a: TDigestBuffer, b: TDigestBuffer): TDigestBuffer = inner.merge(a, b)
+        override def finish(r: TDigestBuffer): Double = TDigest.median(inner.finish(r))
+        override def bufferEncoder: Encoder[TDigestBuffer] = Encoders.product[TDigestBuffer]
+        override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+      new PCollection(self.ds.groupByKey(_._1).agg(agg.toColumn))
+    }
+  }
+
   implicit final class DoubleSketchOps(private val self: PCollection[Double]) {
 
     /** t-digest quantiles (reference: approx_quantiles_globally,

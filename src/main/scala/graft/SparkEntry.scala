@@ -670,6 +670,41 @@ object SparkEntry {
         .getOrElse(sys.error("no valid checkpoint recovered"))
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
     }),
+    "io_partitioned_prune" -> ((s, dir) => {
+      // Partition-pruned scan: write orders hive-partitioned by
+      // priority, read back with a partition filter — the scan plans
+      // only the two matching directories (PartitionFilters, pinned by
+      // PlanShapeSpec), not the whole dataset.
+      val base = "/root/repo/target/verify-io/partitioned_orders"
+      IOOps.writePartitioned(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        base, "o_orderpriority")
+      s.read.parquet(base)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+    }),
+    "join_bucketed" -> ((s, dir) => {
+      // Shuffle-free co-located join: both sides hash-bucketed by the
+      // join key into the same bucket count, so the join needs no
+      // Exchange on either side (pinned by PlanShapeSpec). The write is
+      // the amortized cost a 100 TB pipeline pays once for a fact table
+      // it joins repeatedly.
+      val base = "/root/repo/target/verify-io/bucketed"
+      IOOps.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_orders_bkt", s"$base/orders", "o_orderkey", 8)
+      IOOps.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_lineitem_bkt", s"$base/lineitem", "l_orderkey", 8)
+      val o = IOOps.readTable(s, "graft_orders_bkt")
+      val li = IOOps.readTable(s, "graft_lineitem_bkt")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
     "io_avro_roundtrip" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/avro"
       val src = t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -826,6 +861,17 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
          FROM orders GROUP BY o_orderpriority""",
+    "io_partitioned_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority""",
+    "join_bucketed" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT)/100.0 AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "io_msgpack_roundtrip" ->
       """SELECT p_brand, count(*) AS n,
          CAST(sum(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total
@@ -953,6 +999,27 @@ object SparkEntry {
           (abs(col("q50") / element_at(col("ex"), 2) - 1.0) < 0.05).cast("bigint").as("q50_ok"),
           (abs(col("q75") / element_at(col("ex"), 3) - 1.0) < 0.05).cast("bigint").as("q75_ok"))
     }),
+    "tdigest_per_key" -> ((s, dir) => {
+      import s.implicits._
+      import Sketches._
+      // Per-key t-digest quartiles (reference: approx_quantiles_per_key,
+      // src/helpers/statistical.rs:157) vs exact per-key percentiles,
+      // same <5% relative-error assertion as the global form.
+      val kv = new PCollection(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")).as[(String, Double)])
+      val approx = kv.approxQuantilesPerKey(Seq(0.25, 0.5, 0.75)).ds
+        .map { case (k, qs) => (k, qs(0), qs(1), qs(2)) }
+        .toDF("l_returnflag", "q25", "q50", "q75")
+      val exact = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ex"))
+      approx.join(exact, "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          (abs(col("q25") / element_at(col("ex"), 1) - 1.0) < 0.05).cast("bigint").as("q25_ok"),
+          (abs(col("q50") / element_at(col("ex"), 2) - 1.0) < 0.05).cast("bigint").as("q50_ok"),
+          (abs(col("q75") / element_at(col("ex"), 3) - 1.0) < 0.05).cast("bigint").as("q75_ok"))
+    }),
     "reservoir_sample" -> ((s, dir) => {
       import s.implicits._
       import Sketches._
@@ -1014,6 +1081,9 @@ object SparkEntry {
     "tdigest_quantiles" ->
       """SELECT CAST(1 AS BIGINT) AS q25_ok, CAST(1 AS BIGINT) AS q50_ok,
          CAST(1 AS BIGINT) AS q75_ok""",
+    "tdigest_per_key" ->
+      """SELECT l_returnflag, CAST(1 AS BIGINT) AS q25_ok, CAST(1 AS BIGINT) AS q50_ok,
+         CAST(1 AS BIGINT) AS q75_ok FROM lineitem GROUP BY l_returnflag""",
     "reservoir_sample" ->
       "SELECT CAST(1 AS BIGINT) AS size_ok, CAST(1 AS BIGINT) AS distinct_ok"
   )

@@ -38,6 +38,42 @@ object IOOps {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned parquet write. Reads with a filter on the
+    * partition column prune whole directories at planning time
+    * (`PartitionFilters` in the scan) — at 100 TB this is the difference
+    * between scanning one date/priority slice and scanning everything.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed external parquet table (hash-bucketed by `bucketCol` into
+    * `numBuckets` files per partition, sorted within buckets). Two
+    * tables bucketed by their join key with the same bucket count join
+    * WITHOUT a shuffle — the pre-partitioning replaces the Exchange on
+    * both sides, which is the co-located-join story a repeated 100 TB
+    * fact-fact join needs. Bucketing metadata lives in the session
+    * catalog, so reads must go through `spark.table(table)`.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
   /** Checkpoint: materialize to durable storage and re-read, cutting
     * lineage (reference: src/checkpoint.rs — its progress-tracking
     * checkpoints map to durable parquet + re-read; Structured Streaming

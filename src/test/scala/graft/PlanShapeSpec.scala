@@ -111,6 +111,60 @@ class PlanShapeSpec extends SparkTestBase {
       s"no codegen span around graft_sorted_intersect_size:\n$plan")
   }
 
+  test("bucketed co-located join runs with no shuffle exchange") {
+    val base = "/root/repo/target/test-io/bucketed"
+    graft.sources.IOOps.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_orderpriority"),
+      "graft_test_orders_bkt", s"$base/orders", "o_orderkey", 4)
+    graft.sources.IOOps.writeBucketed(
+      spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity"),
+      "graft_test_lineitem_bkt", s"$base/lineitem", "l_orderkey", 4)
+    // disable broadcast so the no-Exchange shape comes from bucketing,
+    // not from a broadcast of the small test table
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.table("graft_test_orders_bkt")
+      val li = spark.table("graft_test_lineitem_bkt")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("o_orderpriority", "l_quantity")
+      val plan = executedPlanString(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-class join reading bucketed layout:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"bucket pruning metadata missing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partition-column filter prunes directories at the scan") {
+    val base = "/root/repo/target/test-io/partitioned"
+    graft.sources.IOOps.writePartitioned(
+      spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_orderpriority"),
+      base, "o_orderpriority")
+    val df = spark.read.parquet(base).where(col("o_orderpriority") === "1-URGENT")
+    val plan = executedPlanString(df)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"no partition filter at the scan:\n$plan")
+    // the filter is satisfied entirely by directory pruning — nothing
+    // left to push as a row-level parquet filter
+    assert(plan.contains("PushedFilters: []"),
+      s"partition predicate leaked into row-level filtering:\n$plan")
+  }
+
+  test("per-key t-digest aggregates partially map-side") {
+    import spark.implicits._
+    import Sketches._
+    val kv = new PCollection(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice")).as[(String, Double)])
+    val df = kv.approxQuantilesPerKey(Seq(0.5)).ds.toDF("k", "qs")
+    val plan = executedPlanString(df)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"typed aggregator shape missing:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
   test("nearDuplicates verifies LSH candidates only - no all-pairs block join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nd = graft.operators.Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
