@@ -619,6 +619,26 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", 5)
     }),
+    "similarity_recall" -> ((s, dir) => {
+      // Trained-quantizer IVF quality gate: coarse centroids fit on a
+      // bounded sample (seeded k-means++, deterministic), corpus
+      // assigned to cells distributively, queries probing their 4 of 8
+      // nearest cells. Asserts recall@10 vs the exact brute-force
+      // answer clears 0.65 (measured 0.76-0.78 across sf0.001-sf0.1;
+      // a random half-corpus scan would sit near 0.5).
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 25)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      val approx = Similarity.ivfTrainedTopK(
+        q, emb, "vec_id", "embedding", k = 10, nCells = 8, nprobe = 4)
+      val e = exact.select("query_id", "neighbor_id")
+      val a = approx.select("query_id", "neighbor_id")
+      e.intersect(a).agg(count(lit(1)).as("hits"))
+        .crossJoin(e.agg(count(lit(1)).as("total")))
+        .select(
+          (col("hits") >= col("total") * 0.65).cast("bigint").as("recall_ok"),
+          (col("total") === lit(250)).cast("bigint").as("exact_complete"))
+    }),
     "embedding_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("norm"))),
@@ -835,6 +855,8 @@ object SparkEntry {
          SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id FROM (
            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
            FROM s) WHERE rk <= 5""",
+    "similarity_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS exact_complete",
     "embedding_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),

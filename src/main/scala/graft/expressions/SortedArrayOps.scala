@@ -53,17 +53,25 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: several instances of this expression can share one
+      // generated function
+      val na = ctx.freshName("gisNa")
+      val nb = ctx.freshName("gisNb")
+      val i = ctx.freshName("gisI")
+      val j = ctx.freshName("gisJ")
+      val n = ctx.freshName("gisN")
+      val c = ctx.freshName("gisC")
       s"""
-         |int na = $a.numElements();
-         |int nb = $b.numElements();
-         |int i = 0, j = 0, n = 0;
-         |while (i < na && j < nb) {
-         |  int c = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-         |  if (c == 0) { n++; i++; j++; }
-         |  else if (c < 0) { i++; }
-         |  else { j++; }
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; }
+         |  else { $j++; }
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

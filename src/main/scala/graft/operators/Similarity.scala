@@ -124,6 +124,149 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Deterministic seeded k-means (k-means++ init + Lloyd) over a
+    * bounded sample, for IVF coarse-quantizer training. The sample is
+    * id-ordered (partition-invariant) and the fit runs driver-side —
+    * the standard IVF stance (FAISS trains its coarse quantizer on a
+    * sample too): centroid quality needs only a representative sample,
+    * never the full corpus, so the collect is bounded by `sampleN`
+    * regardless of input scale. Assignment of the full corpus stays
+    * distributed ([[assignCell]]).
+    */
+  def trainCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleN: Int = 10000,
+      iters: Int = 5,
+      seed: Long = 42L
+  ): Array[Array[Float]] = {
+    val sample: Array[Array[Double]] = vectors
+      .orderBy(col(idCol))
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "trainCentroids: empty input")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // k-means++ seeding
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(rnd.nextInt(sample.length)))
+    while (cents.length < math.min(k, sample.length)) {
+      val dists = sample.map(p => cents.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total <= 0) cents += sample(rnd.nextInt(sample.length))
+      else {
+        var target = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && target > dists(i)) { target -= dists(i); i += 1 }
+        cents += sample(i)
+      }
+    }
+    // Lloyd iterations (driver-side over the bounded sample)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = d2(p, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }
+          cents(c) = m
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents.map(_.map(_.toFloat)).toArray
+  }
+
+  /** Nearest-centroid cell id for a vector column: argmax over
+    * `x . c - |c|^2/2` (equivalent to argmin L2), evaluated with the
+    * codegen'd dot product against broadcast centroid literals — the
+    * full-corpus assignment is a narrow, shuffle-free projection. Ties
+    * break to the lowest cell id.
+    */
+  def assignCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = centroids.map { c =>
+      val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
+      dot(vec, typedLit(c)) - lit(halfNorm2)
+    }
+    val best = greatest(scores: _*)
+    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, i), els) =>
+      when(s === best, lit(i)).otherwise(els)
+    }
+  }
+
+  /** The `nprobe` nearest centroid cell ids for a query vector —
+    * multi-probe IVF visits the query's closest cells, not just one,
+    * trading a bounded extra scan for recall. Cell order ties break by
+    * id via the (score desc, id asc) struct sort.
+    */
+  def probeCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
+      struct((lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"), lit(i).as("cell"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nprobe).getField("cell")
+  }
+
+  /** IVF ANN with a trained coarse quantizer: centroids fit on a
+    * bounded sample ([[trainCentroids]]), every vector assigned to its
+    * nearest cell distributively, queries probing their `nprobe`
+    * closest cells. The cell join prunes each query's scan to
+    * nprobe/nCells of the corpus; top-k stays the bounded O(k)
+    * aggregate. Candidates live in exactly one cell, so multi-probe
+    * never produces duplicate (query, candidate) pairs.
+    */
+  def ivfTrainedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nprobe: Int,
+      sampleN: Int = 10000,
+      iters: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    val cents = trainCentroids(candidates, idCol, vecCol, nCells, sampleN, iters, seed)
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"), assignCell(col(vecCol), cents).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      explode(probeCells(col(vecCol), cents, nprobe)).as("cell"))
+    val scored = c
+      .join(broadcast(q), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed ANN via signed random hyperplanes derived from md5 of
     * the dimension index (deterministic, data-independent planes).
     * Vectors are bucketed by the sign-bit string of `nPlanes`

@@ -86,6 +86,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(b1(0L) != b1(2L)) // antipodal vector flips every plane sign
   }
 
+  test("trained IVF: deterministic centroids, total cell cover, top-nprobe probes") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same seed + sample -> identical centroids (partition-invariant fit)
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val c2 = Similarity.trainCentroids(emb.repartition(7), "vec_id", "embedding", k = 8)
+    assert(c1.length == 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "centroids depend on partitioning")
+    // every vector lands in a valid cell
+    val cells = emb.select(Similarity.assignCell(col("embedding"), c1).as("cell"))
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.keySet.forall(c => c >= 0 && c < 8), s"invalid cell ids: ${cells.keySet}")
+    assert(cells.values.sum == emb.count())
+    // probeCells returns nprobe distinct cells, the first being the own cell
+    val probes = emb.limit(10).select(
+      Similarity.assignCell(col("embedding"), c1).as("own"),
+      Similarity.probeCells(col("embedding"), c1, 3).as("probes")
+    ).collect()
+    probes.foreach { r =>
+      val ps = r.getSeq[Int](1)
+      assert(ps.length == 3 && ps.distinct.length == 3, s"probes not distinct: $ps")
+      assert(ps.head == r.getInt(0), s"first probe ${ps.head} is not the own cell ${r.getInt(0)}")
+    }
+  }
+
   test("cosineNearDuplicates finds same-bucket high-cosine pairs only") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
