@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatDotProduct, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.sortedIntersectSizeFunction)
     ext.injectFunction(GraftFunctions.minhashFunction)
     ext.injectFunction(GraftFunctions.simhashFunction)
+    ext.injectFunction(GraftFunctions.hyperplaneBucketFunction)
   }
 }
 
@@ -36,21 +37,35 @@ object GraftFunctions {
       SortedIntersectSize(children(0), children(1))
   )
 
-  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-    e.eval().asInstanceOf[Number].intValue
+  private def litInt(fn: String, arg: String)(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other =>
+        throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
 
   val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
     FunctionIdentifier("graft_minhash"),
     new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      MinHashSignatures(children(0), litInt(children(1)))
+      MinHashSignatures(children(0), litInt("graft_minhash", "numHashes")(children(1)))
   )
 
   val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
     FunctionIdentifier("graft_simhash"),
     new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      SimHashFingerprint(children(0), litInt(children(1)))
+      SimHashFingerprint(children(0), litInt("graft_simhash", "bits")(children(1)))
+  )
+
+  val hyperplaneBucketFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("graft_hyperplane_bucket"),
+    new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      HyperplaneBuckets(children(0), litInt("graft_hyperplane_bucket", "numPlanes")(children(1)))
   )
 
   /** Register on an already-built session (tests, spark-shell). */
@@ -67,12 +82,17 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
-      exprs => MinHashSignatures(exprs(0), litInt(exprs(1))),
+      exprs => MinHashSignatures(exprs(0), litInt("graft_minhash", "numHashes")(exprs(1))),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
-      exprs => SimHashFingerprint(exprs(0), litInt(exprs(1))),
+      exprs => SimHashFingerprint(exprs(0), litInt("graft_simhash", "bits")(exprs(1))),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_bucket",
+      exprs => HyperplaneBuckets(exprs(0), litInt("graft_hyperplane_bucket", "numPlanes")(exprs(1))),
       "built-in"
     )
   }

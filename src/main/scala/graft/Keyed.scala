@@ -274,6 +274,214 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
         }
     )
   }
+  /** 5-way typed co-group (reference: cogroup_by_key! Tagged5,
+    * src/helpers/co_gbk.rs:60-402) — same tagged-union single-shuffle
+    * strategy as [[coGroupByKey3]]. Each tagged row has Some only in
+    * its own slot, so per-slot extraction is a flatMap.
+    */
+  def coGroupByKey5[V2, V3, V4, V5](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6)))
+        }
+    )
+  }
+
+  /** 6-way typed co-group (reference Tagged6). */
+  def coGroupByKey6[V2, V3, V4, V5, V6](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)],
+      f: PCollection[(K, V6)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None, None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v), None): Tagged) }
+    val t6 = f.ds.map { case (k, v) => (k, (5, None, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5).union(t6)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6), items.flatMap(_._7)))
+        }
+    )
+  }
+
+  /** 7-way typed co-group (reference Tagged7). */
+  def coGroupByKey7[V2, V3, V4, V5, V6, V7](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)],
+      f: PCollection[(K, V6)],
+      g: PCollection[(K, V7)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None, None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None, None, None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v), None, None): Tagged) }
+    val t6 = f.ds.map { case (k, v) => (k, (5, None, None, None, None, None, Some(v), None): Tagged) }
+    val t7 = g.ds.map { case (k, v) => (k, (6, None, None, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5).union(t6).union(t7)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6), items.flatMap(_._7),
+            items.flatMap(_._8)))
+        }
+    )
+  }
+
+  /** 8-way typed co-group (reference Tagged8). */
+  def coGroupByKey8[V2, V3, V4, V5, V6, V7, V8](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)],
+      f: PCollection[(K, V6)],
+      g: PCollection[(K, V7)],
+      h: PCollection[(K, V8)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None, None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None, None, None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None, None, None, None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v), None, None, None): Tagged) }
+    val t6 = f.ds.map { case (k, v) => (k, (5, None, None, None, None, None, Some(v), None, None): Tagged) }
+    val t7 = g.ds.map { case (k, v) => (k, (6, None, None, None, None, None, None, Some(v), None): Tagged) }
+    val t8 = h.ds.map { case (k, v) => (k, (7, None, None, None, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5).union(t6).union(t7).union(t8)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6), items.flatMap(_._7),
+            items.flatMap(_._8), items.flatMap(_._9)))
+        }
+    )
+  }
+
+  /** 9-way typed co-group (reference Tagged9). */
+  def coGroupByKey9[V2, V3, V4, V5, V6, V7, V8, V9](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)],
+      f: PCollection[(K, V6)],
+      g: PCollection[(K, V7)],
+      h: PCollection[(K, V8)],
+      i: PCollection[(K, V9)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8], Option[V9]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8], Seq[V9]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8], Seq[V9]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8], Option[V9])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None, None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None, None, None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None, None, None, None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None, None, None, None, None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v), None, None, None, None): Tagged) }
+    val t6 = f.ds.map { case (k, v) => (k, (5, None, None, None, None, None, Some(v), None, None, None): Tagged) }
+    val t7 = g.ds.map { case (k, v) => (k, (6, None, None, None, None, None, None, Some(v), None, None): Tagged) }
+    val t8 = h.ds.map { case (k, v) => (k, (7, None, None, None, None, None, None, None, Some(v), None): Tagged) }
+    val t9 = i.ds.map { case (k, v) => (k, (8, None, None, None, None, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5).union(t6).union(t7).union(t8).union(t9)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6), items.flatMap(_._7),
+            items.flatMap(_._8), items.flatMap(_._9), items.flatMap(_._10)))
+        }
+    )
+  }
+
+  /** 10-way typed co-group — the reference macro's maximum arity
+    * (cogroup_by_key! Tagged10, src/helpers/co_gbk.rs:402).
+    */
+  def coGroupByKey10[V2, V3, V4, V5, V6, V7, V8, V9, V10](
+      b: PCollection[(K, V2)],
+      c: PCollection[(K, V3)],
+      d: PCollection[(K, V4)],
+      e: PCollection[(K, V5)],
+      f: PCollection[(K, V6)],
+      g: PCollection[(K, V7)],
+      h: PCollection[(K, V8)],
+      i: PCollection[(K, V9)],
+      j: PCollection[(K, V10)]
+  )(implicit
+      ke: Encoder[K],
+      tagEnc: Encoder[(K, (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8], Option[V9], Option[V10]))],
+      outEnc: Encoder[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8], Seq[V9], Seq[V10]))]
+  ): PCollection[(K, (Seq[V], Seq[V2], Seq[V3], Seq[V4], Seq[V5], Seq[V6], Seq[V7], Seq[V8], Seq[V9], Seq[V10]))] = {
+    type Tagged = (Int, Option[V], Option[V2], Option[V3], Option[V4], Option[V5], Option[V6], Option[V7], Option[V8], Option[V9], Option[V10])
+    val t1 = ds.map { case (k, v) => (k, (0, Some(v), None, None, None, None, None, None, None, None, None): Tagged) }
+    val t2 = b.ds.map { case (k, v) => (k, (1, None, Some(v), None, None, None, None, None, None, None, None): Tagged) }
+    val t3 = c.ds.map { case (k, v) => (k, (2, None, None, Some(v), None, None, None, None, None, None, None): Tagged) }
+    val t4 = d.ds.map { case (k, v) => (k, (3, None, None, None, Some(v), None, None, None, None, None, None): Tagged) }
+    val t5 = e.ds.map { case (k, v) => (k, (4, None, None, None, None, Some(v), None, None, None, None, None): Tagged) }
+    val t6 = f.ds.map { case (k, v) => (k, (5, None, None, None, None, None, Some(v), None, None, None, None): Tagged) }
+    val t7 = g.ds.map { case (k, v) => (k, (6, None, None, None, None, None, None, Some(v), None, None, None): Tagged) }
+    val t8 = h.ds.map { case (k, v) => (k, (7, None, None, None, None, None, None, None, Some(v), None, None): Tagged) }
+    val t9 = i.ds.map { case (k, v) => (k, (8, None, None, None, None, None, None, None, None, Some(v), None): Tagged) }
+    val t10 = j.ds.map { case (k, v) => (k, (9, None, None, None, None, None, None, None, None, None, Some(v)): Tagged) }
+    new PCollection(
+      t1.union(t2).union(t3).union(t4).union(t5).union(t6).union(t7).union(t8).union(t9).union(t10)
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val items = it.map(_._2).toSeq
+          (k, (items.flatMap(_._2), items.flatMap(_._3), items.flatMap(_._4),
+            items.flatMap(_._5), items.flatMap(_._6), items.flatMap(_._7),
+            items.flatMap(_._8), items.flatMap(_._9), items.flatMap(_._10),
+            items.flatMap(_._11)))
+        }
+    )
+  }
 }
 
 object KeyedPCollection {

@@ -122,12 +122,11 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
     * with dropDuplicates on a derived column so Catalyst plans a
     * hash-aggregate (map-side partial dedup) instead of a full GBK.
     */
-  def distinctBy[K: Encoder](f: T => K)(implicit e: Encoder[(K, T)]): PCollection[T] = {
-    implicit val te: Encoder[T] = ds.encoder
-    new PCollection(
+  def distinctBy[K: Encoder](f: T => K)(implicit e: Encoder[(K, T)]): PCollection[T] =
+    new PCollection({
+      implicit val te: Encoder[T] = ds.encoder
       ds.map(t => (f(t), t)).dropDuplicates("_1").map(_._2)
-    )
-  }
+    })
 
   // ---- shuffle control (reference: src/helpers/reshuffle.rs) ----
 
@@ -202,10 +201,11 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
     )
   }
 
-  def logElements(prefix: String = ""): PCollection[T] = {
-    implicit val te: Encoder[T] = ds.encoder
-    map { t => System.err.println(s"$prefix$t"); t }
-  }
+  def logElements(prefix: String = ""): PCollection[T] =
+    new PCollection({
+      implicit val te: Encoder[T] = ds.encoder
+      ds.map { t => System.err.println(s"$prefix$t"); t }
+    })
 
   // ---- error handling (reference: try_process.rs, dead_letter.rs) ----
 
@@ -239,7 +239,7 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       dlqEnc: Encoder[(T, String)],
       pairEnc: Encoder[(Option[O], Option[(T, String)])]
   ): (PCollection[O], PCollection[(T, String)]) = {
-    val tagged = ds
+    lazy val tagged = ds
       .map { t =>
         Try(f(t)).toEither match {
           case Right(o) => (Some(o), None: Option[(T, String)])
@@ -268,7 +268,7 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       dlqEnc: Encoder[(T, String)],
       pairEnc: Encoder[(Seq[O], Option[(T, String)])]
   ): (PCollection[O], PCollection[(T, String)]) = {
-    val tagged = ds
+    lazy val tagged = ds
       .map { t =>
         Try(f(t).iterator.toSeq).toEither match {
           case Right(os) => (os, None: Option[(T, String)])
@@ -292,11 +292,14 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
 
   // ---- ordering barrier (reference: wait_on.rs) ----
 
-  /** Beam `Wait.on`: do not start downstream work until `signal` fully
-    * drains. Spark realization: force-evaluate the signal (a cheap
-    * count action) lazily — the count runs when a downstream stage
-    * first composes on the returned collection, not at wiring time, so
-    * building the pipeline graph stays side-effect free.
+  /** Beam `Wait.on` (reference: src/helpers/wait_on.rs:165): do not
+    * start downstream work until `signal` fully drains. Spark
+    * realization: force-evaluate the signal (a cheap count action)
+    * inside this collection's lazy thunk — the count runs when the
+    * first downstream ACTION forces the plan, not at wiring time, so
+    * building the pipeline graph stays side-effect free and the
+    * write-then-read-after ordering pattern holds (PCollectionSpec
+    * "waitOn defers the signal" pins both properties).
     */
   def waitOn[S](signal: PCollection[S]): PCollection[T] =
     new PCollection({

@@ -376,6 +376,27 @@ object SparkEntry {
         (t(s, dir, "nation"), "n_nationkey", "n_name", "nations"),
         (t(s, dir, "region"), "r_regionkey", "r_name", "regions")
       ))),
+    "cogroup_6way" -> ((s, dir) => {
+      // typed 6-way cogroup (reference cogroup_by_key! Tagged6):
+      // tagged union, ONE shuffle for all six inputs. Value lists
+      // rendered as sorted comma-joined strings (determinism rule).
+      import s.implicits._
+      import KeyedPCollection._
+      def kv(df: org.apache.spark.sql.DataFrame, k: Column, v: Column) =
+        new PCollection(df.select(k.cast("int"), v.cast("string")).as[(Int, String)])
+      val cust = kv(t(s, dir, "customer"), col("c_nationkey"), col("c_custkey"))
+      val supp = kv(t(s, dir, "supplier"), col("s_nationkey"), col("s_suppkey"))
+      val nat = kv(t(s, dir, "nation"), col("n_nationkey"), col("n_name"))
+      val reg = kv(t(s, dir, "region"), col("r_regionkey"), col("r_name"))
+      val ord = kv(t(s, dir, "orders"), col("o_custkey") % 25, col("o_orderkey"))
+      val prt = kv(t(s, dir, "part"), col("p_partkey") % 25, col("p_brand"))
+      cust.coGroupByKey6(supp, nat, reg, ord, prt)
+        .ds.map { case (k, (s1, s2, s3, s4, s5, s6)) =>
+          (k, s1.sorted.mkString(","), s2.sorted.mkString(","), s3.sorted.mkString(","),
+            s4.sorted.mkString(","), s5.sorted.mkString(","), s6.sorted.mkString(","))
+        }
+        .toDF("key", "custkeys", "suppkeys", "nations", "regions", "orderkeys", "brands")
+    }),
     "flatten_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("src"))
       val sup = t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("src"))
@@ -429,6 +450,22 @@ object SparkEntry {
            COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=1)), ','), '') AS suppkeys,
            COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=2)), ','), '') AS nations,
            COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=3)), ','), '') AS regions
+         FROM u GROUP BY key""",
+    "cogroup_6way" ->
+      """WITH u AS (
+           SELECT CAST(c_nationkey AS INTEGER) AS key, 0 AS tag, CAST(c_custkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT CAST(s_nationkey AS INTEGER), 1, CAST(s_suppkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT CAST(n_nationkey AS INTEGER), 2, n_name FROM nation
+           UNION ALL SELECT CAST(r_regionkey AS INTEGER), 3, r_name FROM region
+           UNION ALL SELECT CAST(o_custkey % 25 AS INTEGER), 4, CAST(o_orderkey AS VARCHAR) FROM orders
+           UNION ALL SELECT CAST(p_partkey % 25 AS INTEGER), 5, p_brand FROM part)
+         SELECT key,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=0)), ','), '') AS custkeys,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=1)), ','), '') AS suppkeys,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=2)), ','), '') AS nations,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=3)), ','), '') AS regions,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=4)), ','), '') AS orderkeys,
+           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=5)), ','), '') AS brands
          FROM u GROUP BY key""",
     "flatten_union" ->
       """SELECT c_custkey AS id, 'customer' AS src FROM customer
@@ -597,9 +634,16 @@ object SparkEntry {
       Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
-    "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(
-        t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text", "lang", thresholdPct = 40)),
+    "dedup_jaccard" -> ((s, dir) => {
+      // full corpus, no input cap: LSH candidates -> same-language
+      // filter -> exact Jaccard verify. Blocking (lang) is a filter on
+      // candidates, never a join key for an all-pairs block join —
+      // the quadratic jaccardPairs form stays off the scale surface.
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardOnPairs(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2),
+        docs, "doc_id", "text", thresholdPct = 40, blockCol = Some("lang"))
+    }),
     "dedup_near_verified" -> ((s, dir) =>
       // full corpus, no block cap: LSH candidates -> Jaccard verify,
       // O(candidates) instead of all-pairs-per-block
@@ -792,13 +836,24 @@ object SparkEntry {
          s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j)
          SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS simhash FROM s GROUP BY doc_id""",
     "dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks
-                    FROM documents WHERE doc_id < 300)
-         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
-         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.toks, b.toks)) * 100 >= len(list_distinct(list_concat(a.toks, b.toks))) * 40""",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
+         FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+         WHERE ta.lang = tb.lang
+           AND len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
     "dedup_near_verified" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,

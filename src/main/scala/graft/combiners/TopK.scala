@@ -25,12 +25,36 @@ class TopKAggregator[T: Ordering: ClassTag](k: Int, bottomK: Boolean = false)
 
   override def zero: Array[T] = Array.empty[T]
 
+  /** Insertion point for v in a descending-sorted buffer (first index
+    * whose element is strictly worse), by binary search — O(log k)
+    * compares + one O(k) shift per accepted element instead of a full
+    * O(k log k) re-sort.
+    */
+  private def insertionPoint(buf: Array[T], v: T, len: Int): Int = {
+    var lo = 0
+    var hi = len
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.gteq(buf(mid), v)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   override def reduce(buf: Array[T], v: T): Array[T] = {
-    if (buf.length < k) (buf :+ v).sorted(ord.reverse)
-    else if (ord.gt(v, buf(k - 1))) {
-      val out = buf.clone()
-      out(k - 1) = v
-      out.sorted(ord.reverse)
+    if (buf.length < k) {
+      val pos = insertionPoint(buf, v, buf.length)
+      val out = new Array[T](buf.length + 1)
+      System.arraycopy(buf, 0, out, 0, pos)
+      out(pos) = v
+      System.arraycopy(buf, pos, out, pos + 1, buf.length - pos)
+      out
+    } else if (ord.gt(v, buf(k - 1))) {
+      val pos = insertionPoint(buf, v, k - 1)
+      val out = new Array[T](k)
+      System.arraycopy(buf, 0, out, 0, pos)
+      out(pos) = v
+      System.arraycopy(buf, pos, out, pos + 1, k - 1 - pos)
+      out
     } else buf
   }
 

@@ -94,24 +94,30 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     val n = input.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val mins = new Array[Array[Byte]](numHashes)
-    var prev = input.getUTF8String(0).getBytes
+    // a null token yields null shingles (concat-with-null semantics in
+    // the composed form), which min() ignores — skip them here too
+    var prev = if (input.isNullAt(0)) null else input.getUTF8String(0).getBytes
     var k = 1
     while (k < n) {
-      val cur = input.getUTF8String(k).getBytes
-      var i = 0
-      while (i < numHashes) {
-        val d = TextHash.md5()
-        d.update(salts(i))
-        d.update(prev)
-        d.update(' '.toByte)
-        d.update(cur)
-        val dig = d.digest()
-        if (mins(i) == null || TextHash.unsignedLess(dig, mins(i))) mins(i) = dig
-        i += 1
+      val cur = if (input.isNullAt(k)) null else input.getUTF8String(k).getBytes
+      if (prev != null && cur != null) {
+        var i = 0
+        while (i < numHashes) {
+          val d = TextHash.md5()
+          d.update(salts(i))
+          d.update(prev)
+          d.update(' '.toByte)
+          d.update(cur)
+          val dig = d.digest()
+          if (mins(i) == null || TextHash.unsignedLess(dig, mins(i))) mins(i) = dig
+          i += 1
+        }
       }
       prev = cur
       k += 1
     }
+    // all shingles null -> no signature; treat like a <2-token doc
+    if (mins(0) == null) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](numHashes)
     var i = 0
     while (i < numHashes) { out(i) = TextHash.hex(mins(i)); i += 1 }
@@ -160,14 +166,20 @@ case class SimHashFingerprint(child: Expression, bits: Int)
     val n = input.numElements()
     var k = 0
     while (k < n) {
-      val d = TextHash.md5()
-      d.update(input.getUTF8String(k).getBytes)
-      val dig = d.digest()
-      var j = 0
-      while (j < bits) {
-        val nib = if ((j & 1) == 0) (dig(j >> 1) >> 4) & 0xF else dig(j >> 1) & 0xF
-        counts(j) += (if (nib >= 8) 1 else -1)
-        j += 1
+      if (input.isNullAt(k)) {
+        // composed form: md5(null) -> null nibble test -> otherwise(-1)
+        var j = 0
+        while (j < bits) { counts(j) -= 1; j += 1 }
+      } else {
+        val d = TextHash.md5()
+        d.update(input.getUTF8String(k).getBytes)
+        val dig = d.digest()
+        var j = 0
+        while (j < bits) {
+          val nib = if ((j & 1) == 0) (dig(j >> 1) >> 4) & 0xF else dig(j >> 1) & 0xF
+          counts(j) += (if (nib >= 8) 1 else -1)
+          j += 1
+        }
       }
       k += 1
     }

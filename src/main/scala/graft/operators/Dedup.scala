@@ -116,10 +116,13 @@ object Dedup {
             org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
             bits)).as("simhash"))
 
-  /** n-gram (word-set) Jaccard similarity over candidate pairs blocked
-    * by `blockCol` (e.g. language) — the exact-verification stage that
-    * follows LSH candidate generation at scale. Integer cross-multiplied
-    * threshold test keeps the filter float-free.
+  /** n-gram (word-set) Jaccard over ALL pairs within a `blockCol` block
+    * (e.g. language). SMALL-BLOCK EXACT VERIFY ONLY: the per-block join
+    * is quadratic in block size, so this form is for bounded blocks
+    * (e.g. a re-check of one cluster) — at corpus scale use
+    * [[nearDuplicates]] / [[jaccardOnPairs]], which verify only LSH
+    * candidates. Integer cross-multiplied threshold test keeps the
+    * filter float-free.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -158,21 +161,32 @@ object Dedup {
     * hash joins keyed by doc id), so the verify cost is O(candidates),
     * never all-pairs within a block. This is the reference's prefilter
     * stance — cut the candidate space before any cross product
-    * (reference: src/helpers/joins.rs:163-186).
+    * (reference: src/helpers/joins.rs:163-186). With `blockCol` set,
+    * only same-block candidates (e.g. same language) survive the
+    * verify — blocking as a filter on candidates, never a join key for
+    * a cross product.
     */
   def jaccardOnPairs(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      thresholdPct: Int
+      thresholdPct: Int,
+      blockCol: Option[String] = None
   ): DataFrame = {
     val toks = docs.select(
-      col(idCol).as("tid"),
-      array_sort(array_distinct(split(col(textCol), " "))).as("toks"))
-    pairs
-      .join(toks.select(col("tid").as("a_id"), col("toks").as("a_toks")), "a_id")
-      .join(toks.select(col("tid").as("b_id"), col("toks").as("b_toks")), "b_id")
+      Seq(
+        col(idCol).as("tid"),
+        array_sort(array_distinct(split(col(textCol), " "))).as("toks")
+      ) ++ blockCol.map(c => col(c).as("blk")): _*)
+    val aSide = toks.select(
+      Seq(col("tid").as("a_id"), col("toks").as("a_toks")) ++
+        blockCol.map(_ => col("blk").as("a_blk")): _*)
+    val bSide = toks.select(
+      Seq(col("tid").as("b_id"), col("toks").as("b_toks")) ++
+        blockCol.map(_ => col("blk").as("b_blk")): _*)
+    val joined = pairs.join(aSide, "a_id").join(bSide, "b_id")
+    blockCol.fold(joined)(_ => joined.where(col("a_blk") === col("b_blk")))
       .select(
         col("a_id"),
         col("b_id"),

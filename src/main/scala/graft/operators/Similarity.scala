@@ -143,6 +143,7 @@ object Similarity {
       seed: Long = 42L
   ): Array[Array[Float]] = {
     val sample: Array[Array[Double]] = vectors
+      .where(col(vecCol).isNotNull)
       .orderBy(col(idCol))
       .limit(sampleN)
       .select(col(vecCol))
@@ -150,6 +151,8 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "trainCentroids: empty input")
     val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"trainCentroids: ragged sample — every $vecCol must have dimension $dim")
     val rnd = new scala.util.Random(seed)
 
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -207,14 +210,15 @@ object Similarity {
     * break to the lowest cell id.
     */
   def assignCell(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scores = centroids.map { c =>
+    // same (negscore, cell) struct-sort shape as probeCells: each of
+    // the k dot products is referenced exactly once (the previous
+    // greatest + when-chain evaluated every score twice unless codegen
+    // CSE caught it)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
       val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
-      dot(vec, typedLit(c)) - lit(halfNorm2)
+      struct((lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"), lit(i).as("cell"))
     }
-    val best = greatest(scores: _*)
-    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, i), els) =>
-      when(s === best, lit(i)).otherwise(els)
-    }
+    array_sort(array(scored: _*)).getItem(0).getField("cell")
   }
 
   /** The `nprobe` nearest centroid cell ids for a query vector —
@@ -272,31 +276,18 @@ object Similarity {
     * Vectors are bucketed by the sign-bit string of `nPlanes`
     * projections; same-bucket pairs are the candidates. Scale path
     * alternative to [[ivfTopK]] when no pre-clustering exists.
+    *
+    * The projection is the native codegen'd
+    * [[graft.expressions.HyperplaneBuckets]] — the ±1 plane matrix is
+    * derived once per executor instead of md5-per-(plane,dim) per row,
+    * and the sign bits match the previous composed zip_with/aggregate
+    * form (and the DuckDB oracle) bit for bit.
     */
   def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
-    // plane p weight for dim i = +1 / -1 from a stable hash bit
-    val proj: Column = {
-      val planes = (0 until nPlanes).map { p =>
-        val signedSum = aggregate(
-          zip_with(
-            col(vecCol),
-            // deterministic pseudo-plane: sign from md5(p|i) parity
-            transform(sequence(lit(0), size(col(vecCol)) - 1), i =>
-              when(
-                substring(md5(concat(lit(p.toString), lit("|"), i.cast("string")).cast("binary")), 1, 1)
-                  .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
-                lit(1.0)
-              ).otherwise(lit(-1.0))
-            ),
-            (x, s) => x.cast("double") * s
-          ),
-          lit(0.0),
-          (acc, v) => acc + v
-        )
-        when(signedSum >= 0, lit("1")).otherwise(lit("0"))
-      }
-      concat(planes: _*)
-    }
+    val proj = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.HyperplaneBuckets(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+        nPlanes))
     vectors.select(col(idCol), proj.as("bucket"))
   }
 
@@ -320,8 +311,8 @@ object Similarity {
       col(idCol).as("vid"), col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm"))
     val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes)
       .withColumnRenamed(idCol, "vid")
-    // persist+materialize before the self-join so the (interpreted HOF)
-    // bucket projection computes once, not once per join side
+    // persist+materialize before the self-join so the scan+projection
+    // computes once, not once per join side
     val t = withNorm.join(buckets, "vid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count(): Unit

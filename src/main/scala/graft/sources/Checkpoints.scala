@@ -117,11 +117,14 @@ final class CheckpointManager(val config: CheckpointConfig) {
   ): Path = {
     require(config.enabled, "checkpointing is disabled")
     val dir = dirFor(pipelineId, timestamp)
-    df.write.mode("overwrite").parquet(dir.toString)
+    // observe folds the row count into the write job itself — one scan
+    // per checkpoint, no second read-back pass over the snapshot
+    val obs = org.apache.spark.sql.Observation(s"ckpt_${pipelineId}_$timestamp")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dir.toString)
     val files = listDataFiles(dir)
-    // count from the written snapshot's parquet footers — cheap, and it
-    // records what is actually on disk rather than what we meant to write
-    val rowCount = df.sparkSession.read.parquet(dir.toString).count()
+    val rowCount = obs.get("rows").asInstanceOf[Long]
     val meta = CheckpointMeta(
       pipelineId, timestamp, rowCount, files.size,
       Checkpoints.checksumOf(pipelineId, timestamp, rowCount, files.size))

@@ -62,7 +62,11 @@ object IOOps {
       numBuckets: Int
   ): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // backtick-quote the identifier so an odd (or crafted) table name
+    // can't break out of the statement; literal backticks are escaped
+    // by doubling per SQL identifier rules
+    val quoted = "`" + table.replace("`", "``") + "`"
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

@@ -122,4 +122,56 @@ class KeyedSpec extends SparkTestBase {
       "k3" -> (Seq(), Seq(), Seq(3.5), Seq())
     ))
   }
+
+  // numbered slices for the high-arity cogroups: input n holds
+  // ("k<i>", "v<n>") for every i in 1..n, so key k1 collects one value
+  // from every input and key k<n> only from inputs >= n
+  private def slice(n: Int): PCollection[(String, String)] =
+    PCollection.fromSeq(spark, (1 to n).map(i => s"k$i" -> s"v$n"))
+
+  test("coGroupByKey5 through coGroupByKey10 are full-outer groupings in one shuffle") {
+    val in = (1 to 10).map(slice)
+
+    val cg5 = in(0).coGroupByKey5(in(1), in(2), in(3), in(4)).collect()
+      .map { case (k, (a, b, c, d, e)) => k -> Seq(a, b, c, d, e).map(_.sorted) }.toMap
+    assert(cg5("k1") == (1 to 5).map(n => Seq(s"v$n")))
+    assert(cg5("k5") == Seq(Seq(), Seq(), Seq(), Seq(), Seq("v5")))
+    assert(cg5.size == 5)
+
+    val cg6 = in(0).coGroupByKey6(in(1), in(2), in(3), in(4), in(5)).collect()
+      .map { case (k, (a, b, c, d, e, f)) => k -> Seq(a, b, c, d, e, f).map(_.sorted) }.toMap
+    assert(cg6("k1") == (1 to 6).map(n => Seq(s"v$n")))
+    assert(cg6("k6") == Seq(Seq(), Seq(), Seq(), Seq(), Seq(), Seq("v6")))
+
+    val cg7 = in(0).coGroupByKey7(in(1), in(2), in(3), in(4), in(5), in(6)).collect()
+      .map { case (k, t) => k -> t.productIterator.map(_.asInstanceOf[Seq[String]].sorted).toSeq }.toMap
+    assert(cg7("k1") == (1 to 7).map(n => Seq(s"v$n")))
+    assert(cg7("k7").flatten == Seq("v7"))
+
+    val cg8 = in(0).coGroupByKey8(in(1), in(2), in(3), in(4), in(5), in(6), in(7)).collect()
+      .map { case (k, t) => k -> t.productIterator.map(_.asInstanceOf[Seq[String]].sorted).toSeq }.toMap
+    assert(cg8("k1") == (1 to 8).map(n => Seq(s"v$n")))
+    assert(cg8("k8").flatten == Seq("v8"))
+
+    val cg9 = in(0).coGroupByKey9(in(1), in(2), in(3), in(4), in(5), in(6), in(7), in(8)).collect()
+      .map { case (k, t) => k -> t.productIterator.map(_.asInstanceOf[Seq[String]].sorted).toSeq }.toMap
+    assert(cg9("k1") == (1 to 9).map(n => Seq(s"v$n")))
+    assert(cg9("k9").flatten == Seq("v9"))
+
+    val cg10 = in(0).coGroupByKey10(in(1), in(2), in(3), in(4), in(5), in(6), in(7), in(8), in(9)).collect()
+      .map { case (k, t) => k -> t.productIterator.map(_.asInstanceOf[Seq[String]].sorted).toSeq }.toMap
+    assert(cg10("k1") == (1 to 10).map(n => Seq(s"v$n")))
+    assert(cg10("k10").flatten == Seq("v10"))
+    assert(cg10.size == 10)
+  }
+
+  test("coGroupByKey10 duplicates survive per-slot (bag semantics)") {
+    val dup = PCollection.fromSeq(spark, Seq("k" -> "d", "k" -> "d"))
+    val empty = PCollection.fromSeq(spark, Seq.empty[(String, String)])
+    val cg = dup.coGroupByKey10(empty, empty, empty, empty, empty, empty, empty, empty, dup)
+      .collect().map { case (k, t) => k -> t.productIterator.map(_.asInstanceOf[Seq[String]]).toSeq }.toMap
+    assert(cg("k").head == Seq("d", "d"))
+    assert(cg("k").last == Seq("d", "d"))
+    assert(cg("k").slice(1, 9).forall(_.isEmpty))
+  }
 }

@@ -71,6 +71,21 @@ class PCollectionSpec extends SparkTestBase {
     assert(data.waitOn(signal).collectSorted() == Seq(1, 2, 3))
   }
 
+  test("waitOn defers the signal until the downstream action, then completes it first") {
+    WaitOnProbe.reset()
+    val signal = pc(10, 20, 30).map { v => WaitOnProbe.touched.incrementAndGet(); v }
+    val gated = pc(1, 2, 3).waitOn(signal)
+    // composing further transforms is still wiring, not execution
+    val downstream = gated.map(v => (v, WaitOnProbe.touched.get()))
+    assert(WaitOnProbe.touched.get() == 0L,
+      "signal ran at graph-build time; waitOn must defer to the downstream action")
+    // the action forces the signal to fully drain BEFORE any element flows
+    val out = downstream.collect().sortBy(_._1)
+    assert(out.map(_._1) == Seq(1, 2, 3))
+    assert(out.forall(_._2 == 3L),
+      s"downstream elements saw a partially-drained signal: $out")
+  }
+
   test("explain reports steps, counts shuffle barriers, suggests partitions") {
     val pc = PCollection.fromSeq(spark, (1 to 100).map(i => (i % 5, i)))
     // map-only chain: no shuffle barrier
@@ -93,4 +108,13 @@ class PCollectionSpec extends SparkTestBase {
     val (l, r) = pc(1, 2, 3).tee()
     assert(l.collectSorted() == r.collectSorted())
   }
+}
+
+/** Shared JVM-wide side-effect counter for the waitOn ordering test
+  * (local-mode executors share this JVM, so the static is visible to
+  * tasks and the driver alike).
+  */
+object WaitOnProbe {
+  val touched = new java.util.concurrent.atomic.AtomicLong(0)
+  def reset(): Unit = touched.set(0)
 }

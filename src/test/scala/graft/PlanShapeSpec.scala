@@ -66,6 +66,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(r == 11.0)
   }
 
+  test("hyperplane bucket projection is native codegen, not interpreted HOFs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val buckets = graft.operators.Similarity.lshBuckets(emb, "vec_id", "embedding", 8)
+    val plan = executedPlanString(buckets)
+    assert(plan.contains("graft_hyperplane_bucket"), s"native expression missing:\n$plan")
+    assert(plan.contains("*(1) Project [") && plan.contains("graft_hyperplane_bucket(embedding"),
+      s"no codegen span around graft_hyperplane_bucket:\n$plan")
+    // the composed form's interpreted HOFs must be gone from the scan path
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+      s"interpreted HOFs still in the bucket projection:\n$plan")
+  }
+
   test("LSH candidate join shuffles on the bucket key, not a cross join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)

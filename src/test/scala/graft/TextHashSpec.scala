@@ -70,6 +70,29 @@ class TextHashSpec extends SparkTestBase {
     assert(native.contains(6L), "empty text is one empty token, not a dropped doc")
   }
 
+  test("null tokens don't crash: minhash skips null shingles, simhash counts -1 per bit") {
+    GraftFunctions.register(spark)
+    val withNulls = Seq(
+      (0L, Array[String]("alpha", "beta", "gamma")),
+      (1L, Array[String]("alpha", null, "gamma")),  // both shingles involve the null
+      (2L, Array[String](null, null)),              // all shingles null
+      (3L, Array[String]("solo", null, "duo", "trio")) // one valid shingle remains
+    ).toDF("doc_id", "toks")
+    withNulls.createOrReplaceTempView("nulltok_docs")
+    val rows = spark.sql(
+      """SELECT doc_id, graft_minhash(toks, 8) AS sigs, graft_simhash(toks, 16) AS fp
+         FROM nulltok_docs""").collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getSeq[String](1).length == 8)
+    assert(rows(1L).getSeq[String](1).isEmpty, "no valid shingle -> empty signature")
+    assert(rows(2L).getSeq[String](1).isEmpty)
+    assert(rows(3L).getSeq[String](1).length == 8)
+    // simhash: null tokens behave as the composed otherwise(-1) branch
+    val allNullFp = spark.sql(
+      "SELECT graft_simhash(array(cast(null as string), cast(null as string)), 16) AS fp").head().getInt(0)
+    assert(allNullFp == 0, "all-null tokens -> every bit count negative -> fp 0")
+    assert(rows.values.forall(r => r.getInt(2) >= 0 && r.getInt(2) < (1 << 16)))
+  }
+
   test("graft_minhash / graft_simhash resolve by SQL name") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("texthash_docs")
