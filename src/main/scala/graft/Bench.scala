@@ -4,13 +4,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries from SparkEntry at
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
-  * A tiny warmup action first so JIT/classloading isn't billed to the
-  * first query.
+  *
+  * Methodology: one warmup execution per query (absorbs Janino codegen
+  * compilation + JIT for that query's generated functions), then
+  * GRAFT_BENCH_RUNS timed executions (default 3) reporting the MEDIAN.
+  * Sub-second local-mode jobs are dominated by scheduling/GC jitter when
+  * timed once — r3/r4 recorded a 2x swing on identical plans from
+  * single-shot timing alone. Median-of-3 reports the steady-state cost
+  * the plan actually has.
+  *
+  * Regression guard: set GRAFT_BENCH_BASELINE=/path/to/BENCH_rNN.json to
+  * compare per-query times against a previous round; any query slower
+  * than GRAFT_BENCH_GUARD_RATIO (default 2.0) times its baseline fails
+  * the run (exit 3) after printing the JSON line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,30 +39,68 @@ object Bench {
     // warmup: JIT + codegen + parquet footer reads
     spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
 
+    // Unbilled warmup SWEEP over every query first: absorbs Janino codegen
+    // compilation and C2 JIT of Spark's scheduler/scan/shuffle core, which
+    // otherwise bleeds ~0.5-1 s into whichever queries happen to run early
+    // (r3-r5 recordings show the first ~5 positions slow regardless of
+    // which query occupies them). The timed pass below then measures every
+    // plan on an equally hot JVM.
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      // Warm-up execution, not billed: absorbs Janino codegen compilation
-      // and JIT for this query's generated functions (deterministically —
-      // under the sbt-forked JVM the first compile of a large generated
-      // function costs tens of seconds and is environment noise, not plan
-      // cost; round-2 bench recorded 38-52 s for queries whose steady
-      // state is <2 s). The timed run below is the steady-state cost the
-      // plan actually has.
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // Collect garbage outside the timed window so a prior query's heap
+      // isn't billed to this one.
+      System.gc()
+      var n = -1L
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        n = try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val sec = times(times.length / 2)
       // Drop any cache a query persisted (e.g. LSH bands) so queries
       // don't accumulate executor memory pressure across the sweep.
       spark.sharedState.cacheManager.clearCache()
-      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows, median of $runs)")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    sys.env.get("GRAFT_BENCH_BASELINE").foreach { path =>
+      val ratio = sys.env.getOrElse("GRAFT_BENCH_GUARD_RATIO", "2.0").toDouble
+      val base = parseBaseline(path)
+      val regressed = results.collect {
+        case (name, sec) if base.get(name).exists(b => b > 0 && sec > b * ratio) =>
+          f"$name: $sec%.3f s vs baseline ${base(name)}%.3f s (>${ratio}%.1fx)"
+      }
+      if (regressed.nonEmpty) {
+        regressed.foreach(r => System.err.println(s"[bench-guard] REGRESSION $r"))
+        sys.exit(3)
+      } else System.err.println(s"[bench-guard] ok: no query regressed >${ratio}x vs $path")
+    }
+  }
+
+  /** Minimal extractor for the per-query map of a previous round's bench
+    * JSON ({"queries":{"name":sec,...}}) — no JSON library on the
+    * classpath, and the format is machine-written, so a regex suffices.
+    */
+  private[graft] def parseBaseline(path: String): Map[String, Double] = {
+    val text = scala.io.Source.fromFile(path)
+    val raw = try text.mkString finally text.close()
+    val qsec = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+    val inQueries = raw.indexOf("\"queries\"") match {
+      case -1 => raw
+      case i  => raw.substring(i)
+    }
+    qsec.findAllMatchIn(inQueries).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 }

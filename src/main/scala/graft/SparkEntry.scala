@@ -649,6 +649,22 @@ object SparkEntry {
       // O(candidates) instead of all-pairs-per-block
       Dedup.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_clusters" -> ((s, dir) =>
+      // verified near-dup pairs -> connected components (min-label
+      // propagation): (doc_id, cluster_id = min member id). The full
+      // pipeline a training corpus needs: detect -> group.
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+    "dedup_survivors" -> ((s, dir) => {
+      // keep one doc per duplicate cluster (min id) + all unpaired docs
+      val docs = t(s, dir, "documents")
+      Dedup.dedupedCorpus(
+        docs, "doc_id",
+        Dedup.nearDuplicates(docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
+        .select("doc_id")
+    }),
     "dedup_embedding" -> ((s, dir) =>
       // embedding-cosine near-dup: hyperplane-LSH buckets -> exact
       // cosine verify within buckets (candidates-then-verify, no
@@ -872,6 +888,51 @@ object SparkEntry {
                       / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
          FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
          WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+                   WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
+         SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s""",
+    "dedup_survivors" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+                   WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)""",
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding AS ev,
            sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm

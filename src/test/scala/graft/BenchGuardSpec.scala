@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench regression-guard plumbing: the baseline parser must recover the
+  * per-query seconds map from a previous round's BENCH JSON (both the raw
+  * one-line form Bench prints and the driver's wrapped {"parsed":{...}}
+  * recording).
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def write(content: String): String = {
+    val f = Files.createTempFile("bench", ".json")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("parseBaseline reads the queries map from a raw bench line") {
+    val p = write(
+      """{"metric":"total","value":10.144,"unit":"sec","queries":{"q1_agg":0.472,"sum_per_key":0.853},"sf":"/root/testdata/sf0.1"}""")
+    val m = Bench.parseBaseline(p)
+    assert(m("q1_agg") == 0.472)
+    assert(m("sum_per_key") == 0.853)
+  }
+
+  test("parseBaseline reads a driver-wrapped recording with a queries block") {
+    val p = write(
+      """{
+        |  "n": 4, "rc": 0,
+        |  "parsed": {
+        |    "metric": "total", "value": 12.616,
+        |    "queries": { "q1_agg": 1.318, "join_broadcast": 1.524 }
+        |  }
+        |}""".stripMargin)
+    val m = Bench.parseBaseline(p)
+    assert(m("q1_agg") == 1.318)
+    assert(m("join_broadcast") == 1.524)
+  }
+
+  test("parseBaseline tolerates a file with no queries block") {
+    val p = write("""{"metric":"total","value":1.0}""")
+    val m = Bench.parseBaseline(p)
+    // "value" matches the generic pattern — harmless: guard only compares
+    // names that exist in both the baseline and the current sweep.
+    assert(!m.contains("q1_agg"))
+  }
+}

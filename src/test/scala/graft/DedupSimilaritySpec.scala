@@ -127,4 +127,33 @@ class DedupSimilaritySpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pairs.forall(p => buckets(p._1) == buckets(p._2)))
   }
+
+  test("duplicateClusters finds connected components with min-id labels") {
+    // components: {1,2,3,4} via a chain (diameter 3, forces >1 iteration),
+    // {10,11}, and 20-21 unconnected to 1..4
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L)
+    ).toDF("a_id", "b_id")
+    val labels = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long path beyond one hop") {
+    // path 9-8-7-...-0: min label must walk the whole diameter
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 10 && labels.values.forall(_ == 0L))
+  }
+
+  test("dedupedCorpus keeps one doc per cluster plus unpaired docs") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
+    val kept = Dedup.dedupedCorpus(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0,1,2 form one near-dup cluster -> keep 0; 3 and 4 unpaired
+    assert(kept == Set(0L, 3L, 4L))
+  }
 }
