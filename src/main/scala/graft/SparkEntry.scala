@@ -618,6 +618,17 @@ object SparkEntry {
         TextFunctions.typeTokenRatio(txt).as("ttr")
       )
     }),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition + symbol-soup quality signals: narrow
+      // per-row projections, no shuffle
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.bigramRepetitionRatio(col("text")).as("bigram_rep"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"))),
+    "text_entropy" -> ((s, dir) =>
+      // word-distribution Shannon entropy: explode + two-level hash agg
+      // (map-side combinable), the distributed shape for per-doc counts
+      TextFunctions.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
     "text_lang_stopwords" -> ((s, dir) => {
       val stops = Seq("the", "a", "of", "and", "to")
       t(s, dir, "documents").select(
@@ -821,6 +832,22 @@ object SparkEntry {
          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
          FROM documents""",
+    "text_repetition" ->
+      """SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+           round(1.0 - CAST(len(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+         CASE WHEN len(text) = 0 THEN 0.0 ELSE
+           round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                 / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+         FROM documents""",
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+         SELECT doc_id, round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 6) AS entropy
+         FROM wc GROUP BY doc_id""",
     "text_lang_stopwords" ->
       """SELECT doc_id, lang,
          round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)

@@ -52,6 +52,50 @@ object TextFunctions {
   def langGuess(text: Column, stopwords: Seq[String], threshold: Double): Column =
     when(stopwordRatio(text, stopwords) > threshold, lit("en")).otherwise(lit("other"))
 
+  /** Duplicate word-bigram fraction: 1 - distinct/total 2-grams — the
+    * Gopher-style repetition rule (boilerplate, keyword stuffing and
+    * decoding loops repeat n-grams far above natural text). Docs with
+    * fewer than two tokens have no bigrams and score 0.
+    */
+  def bigramRepetitionRatio(text: Column): Column = {
+    val t = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    when(size(t) < 2, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+  }
+
+  /** Fraction of characters that are ASCII letters or spaces — a cheap
+    * symbol-soup / binary-junk detector (low alpha ratio -> likely not
+    * prose). Empty strings score 0.
+    */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+        / length(text).cast("double"), 6))
+
+  /** Per-document Shannon entropy (bits) of the word distribution:
+    * log2(n) - sum(c*log2(c))/n over word counts. Low entropy = heavy
+    * repetition; high entropy ~ natural prose. This is the one text
+    * signal that needs per-document token COUNTS, so it is an
+    * explode + two-level hash aggregate over (doc, word) — map-side
+    * combinable, state O(distinct words per doc), the distributed shape
+    * that survives a 100 TB corpus (a per-row higher-order-function
+    * scan would be interpreted, quadratic in distinct words, and
+    * codegen-hostile).
+    */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(idCol, "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(
+        round(
+          log2(sum("c")) - sum(col("c").cast("double") * log2(col("c"))) / sum("c"),
+          6).as("entropy"))
+
   /** Stable content fingerprint (md5 hex) for exact dedup. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -67,6 +67,42 @@ object Streams {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Streaming NEAR-dup dedup — the continuous-ingest sibling of
+    * [[graft.operators.Dedup.nearDuplicates]]'s detection side: each
+    * doc's full MinHash signature (the same native per-row
+    * [[graft.expressions.MinHashSignatures]] expression the batch path
+    * uses — a narrow projection, deterministic across retries) becomes
+    * the dedup key, so a doc whose signature matches an already-seen
+    * doc inside the watermark horizon is dropped. Signature equality is
+    * the streaming-tractable near-dup test: it catches exact dups and
+    * heavy near-dups (all `numHashes` min-shingles equal) with O(rate x
+    * horizon) state; banded LSH (ANY band match) needs a second
+    * stateful hop over band buckets plus a per-doc verify join, which
+    * is the batch path's job — run it over checkpointed micro-batch
+    * output when recall below signature-equality matters. Docs with no
+    * 2-shingle (fewer than two tokens) fall back to the exact content
+    * fingerprint rather than colliding on an empty signature.
+    */
+  def dedupNearSignature(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String,
+      numHashes: Int = 8
+  ): DataFrame = {
+    val sigs = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.MinHashSignatures(
+        org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+        numHashes))
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("graft_sig",
+        when(size(sigs) === 0, md5(col(textCol).cast("binary")))
+          .otherwise(concat_ws("|", sigs)))
+      .dropDuplicatesWithinWatermark("graft_sig")
+      .drop("graft_sig")
+  }
+
   /** Custom per-key running state via mapGroupsWithState — the
     * streaming analog of the reference's CombineFn accumulators with
     * explicit state lifetime.

@@ -52,6 +52,28 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupNearSignature drops signature-equal docs, keeps distinct and short ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.dedupNearSignature(input.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val query = out.writeStream.format("memory").queryName("ndd_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:05:00"), "the quick brown fox jumps over the lazy dog"), // exact dup
+        (ts("2024-01-01 00:10:00"), "completely different words about spark engines here"),
+        (ts("2024-01-01 00:15:00"), "tiny"),  // no shingles -> content-fp fallback
+        (ts("2024-01-01 00:20:00"), "tiny"),  // dup of the short doc
+        (ts("2024-01-01 00:25:00"), "small")  // distinct short doc must survive
+      )
+      query.processAllAvailable()
+      val texts = spark.table("ndd_out").collect().map(_.getString(1)).toSeq.sorted
+      assert(texts == Seq(
+        "completely different words about spark engines here",
+        "small", "the quick brown fox jumps over the lazy dog", "tiny"), s"got $texts")
+    } finally query.stop()
+  }
+
   test("sessionCounts groups a stream into gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

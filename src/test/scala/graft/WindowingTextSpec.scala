@@ -78,6 +78,29 @@ class WindowingTextSpec extends SparkTestBase {
     assert(row.getAs[String]("lg") == "en")
   }
 
+  test("repetition, alpha-ratio and entropy quality signals") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // one distinct bigram of 3 -> rep 2/3; entropy 0
+      (2L, "all words are unique here"),  // no repeated bigram; entropy log2(5)
+      (3L, "x"),                          // single token: rep 0
+      (4L, "$$$ %% ##")                   // symbol soup: low alpha ratio
+    ).toDF("doc_id", "text")
+    val rep = docs.select(col("doc_id"),
+        TextFunctions.bigramRepetitionRatio(col("text")).as("r"),
+        TextFunctions.alphaRatio(col("text")).as("a"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(rep(1L)._1 - 2.0 / 3.0) < 1e-6)
+    assert(rep(2L)._1 == 0.0 && rep(3L)._1 == 0.0)
+    assert(rep(1L)._2 == 1.0, "letters+spaces only -> alpha ratio 1")
+    assert(rep(4L)._2 < 0.3, s"symbol soup scored ${rep(4L)._2}")
+    val ent = TextFunctions.wordEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ent(1L) == 0.0, "all-same-word doc has zero entropy")
+    assert(math.abs(ent(2L) - math.log(5) / math.log(2)) < 1e-5)
+    assert(ent(3L) == 0.0)
+  }
+
   test("bpeish tokens split words, numbers and symbols") {
     val toks = Seq((1L, "hello, world 42!")).toDF("id", "text")
       .select(TextFunctions.bpeishTokens($"text").as("t")).as[Seq[String]].head()
