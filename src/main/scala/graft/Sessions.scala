@@ -28,6 +28,12 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Split-size floor: the 4 MB default collapses a sub-4 MB file to a
+      // single input split, serializing CPU-dense projections (minhash,
+      // simhash, hyperplane buckets) onto one core. 64 KB keeps small
+      // row-heavy files parallel; at cluster scale big files are governed
+      // by maxPartitionBytes, so this only affects the small-file edge.
+      .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       // testdata events.parquet uses TIMESTAMP(NANOS); Spark has no nanos

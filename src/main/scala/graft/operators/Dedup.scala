@@ -57,18 +57,27 @@ object Dedup {
         org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
         numHashes))
     docs
+      // "has at least one 2-shingle" as a CHEAP input-side predicate
+      // (>= 2 tokens), not `size(sigs) > 0`: Catalyst would push the
+      // latter below the projection by alias substitution and evaluate
+      // the full numHashes-x-shingles hash expression twice per row
+      // (once in the Filter, once in the Project)
+      .where(col(textCol).isNotNull && size(split(col(textCol), " ")) >= 2)
       .select(col(idCol), sig.as("sigs"))
-      .where(size(col("sigs")) > 0)
       .select(col(idCol) +: (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
   }
 
   /** LSH banding over minhash signatures: `rowsPerBand` signature
     * columns are hashed together per band; docs sharing any
     * (band, bandSig) bucket are candidate near-duplicates. The bands
-    * relation is persisted before the self-join so the signature
-    * computation runs once, and the join key (band, bsig) hash-
-    * partitions candidates into buckets — the textbook LSH scale path
-    * (per-bucket pairs instead of an O(n^2) cross join).
+    * relation is repartitioned on the join keys (band, bsig) BEFORE the
+    * self-join: both join sides then canonicalize to the same shuffle
+    * exchange, so Spark's ReuseExchange computes the signature subtree
+    * ONCE (shuffle-file-backed — no cache memory, no materialization
+    * job, survives executor loss at scale) and the join itself needs no
+    * further shuffle because its keys match the partitioning. Per-bucket
+    * pairs instead of an O(n^2) cross join — the textbook LSH scale
+    * path.
     */
   def lshCandidatePairs(
       docs: DataFrame,
@@ -86,10 +95,7 @@ object Dedup {
     }
     val bands = sigs
       .select(col(idCol), expr(s"stack($nBands, ${stackArgs.mkString(", ")}) AS (band, bsig)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the self-join: otherwise both join sides race to
-    // build the cache and the signature subtree computes twice
-    bands.count(): Unit
+      .repartition(col("band"), col("bsig"))
     val a = bands.select(col(idCol).as("a_id"), col("band"), col("bsig"))
     val b = bands.select(col(idCol).as("b_id"), col("band"), col("bsig"))
     a.join(b, Seq("band", "bsig"))

@@ -84,6 +84,15 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlanString(pairs)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH degenerated to a cross join:\n$plan")
+    // the self-join's two sides must share ONE shuffle exchange over the
+    // (band, bsig) repartitioning, so the signature subtree computes once
+    // (shuffle-file-backed, no cache) — ReusedExchange, and exactly one
+    // band-stack Generate in the FINAL plan (the AQE string also prints
+    // the pre-reuse Initial Plan; slice it off before counting)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), s"band exchange not reused across self-join sides:\n$plan")
+    assert("Generate stack".r.findAllIn(finalPlan).size == 1,
+      s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
   test("similarity top-k is a bounded partial aggregation, not a window sort") {

@@ -80,4 +80,29 @@ class PropertySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(direct == salted)
   }
+
+  test("duplicateClusters equals a local union-find on random graphs") {
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 25
+      val m = n + rnd.nextInt(2 * n)
+      val pairs = List.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // local ground truth: union-find with min-root union
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.operators.Dedup.duplicateClusters(pairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial (n=$n m=${pairs.size})")
+    }
+  }
 }
