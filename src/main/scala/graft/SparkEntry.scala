@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Dedup, Multimodal, Similarity, Windowing}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -629,6 +629,17 @@ object SparkEntry {
       // word-distribution Shannon entropy: explode + two-level hash agg
       // (map-side combinable), the distributed shape for per-doc counts
       TextFunctions.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
+    "curation_quality" -> ((s, dir) =>
+      // quality gate with per-rule reject reasons: one narrow pass
+      Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)),
+    "curation_token_budget" -> ((s, dir) =>
+      // deterministic token-budget subsample per language stratum
+      Curation.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text", "lang", 2000L)),
+    "curation_mix" -> ((s, dir) =>
+      // rebalance corpus to target language proportions (downsample-only)
+      Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
     "text_lang_stopwords" -> ((s, dir) => {
       val stops = Seq("the", "a", "of", "and", "to")
       t(s, dir, "documents").select(
@@ -848,6 +859,43 @@ object SparkEntry {
          wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
          SELECT doc_id, round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 6) AS entropy
          FROM wc GROUP BY doc_id""",
+    "curation_quality" ->
+      """WITH sig AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+           FROM documents)
+         SELECT doc_id, n_tokens, bigram_rep, alpha_ratio,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN bigram_rep > 0.2 THEN 'repetitive'
+                WHEN alpha_ratio < 0.8 THEN 'symbol_soup' END AS reject_reason,
+           CAST(CASE WHEN n_tokens >= 10 AND bigram_rep <= 0.2 AND alpha_ratio >= 0.8
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM sig""",
+    "curation_token_budget" ->
+      """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                  CAST(sum(CAST(len(string_split(text, ' ')) AS INTEGER))
+                    OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+           FROM documents)
+         WHERE cum_tokens <= 2000""",
+    "curation_mix" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
+         c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         s AS (SELECT min(cnt / wt) AS scale FROM c JOIN w USING (lang)),
+         k AS (SELECT lang, CAST(floor(wt * scale) AS BIGINT) AS keep_n
+               FROM c JOIN w USING (lang) CROSS JOIN s),
+         r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep_n""",
     "text_lang_stopwords" ->
       """SELECT doc_id, lang,
          round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators: the selection layer a training-data
+  * pipeline runs after dedup ([[Dedup]]) and scoring
+  * ([[graft.functions.TextFunctions]]) — quality gating with per-rule
+  * reject reasons, token-budget subsampling, and domain-mix
+  * rebalancing. All plans are distributed-by-construction: per-row
+  * projections, hash aggregates, windows partitioned by stratum, and
+  * broadcast joins for the (tiny) per-domain quota relations; nothing
+  * collects to the driver.
+  *
+  * Selection is everywhere deterministic via content-hash (md5)
+  * priorities — the reference's rank_from_value stance
+  * (reference: src/combiners/sampling.rs:69-188) — so a retried or
+  * repartitioned run selects the same corpus.
+  */
+object Curation {
+
+  /** Quality gate with reasons: evaluates the cheap per-row text
+    * signals and emits keep=1/0 plus the FIRST failing rule name
+    * (length -> repetition -> symbol-soup, mirroring how production
+    * quality stacks report the dominant defect). A narrow projection —
+    * at 100 TB this is a single pass over corpus bytes, and the
+    * `keep` column composes with partition-pruned writes for the
+    * kept/rejected split.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 5,
+      maxBigramRep: Double = 0.2,
+      minAlphaRatio: Double = 0.8
+  ): DataFrame = {
+    val txt = col(textCol)
+    val out = docs.select(
+      col(idCol),
+      TextFunctions.tokenCount(txt).as("n_tokens"),
+      TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
+      TextFunctions.alphaRatio(txt).as("alpha_ratio"))
+    out.select(
+      col(idCol), col("n_tokens"), col("bigram_rep"), col("alpha_ratio"),
+      when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("bigram_rep") > maxBigramRep, lit("repetitive"))
+        .when(col("alpha_ratio") < minAlphaRatio, lit("symbol_soup"))
+        .as("reject_reason"))
+      .withColumn("keep", col("reject_reason").isNull.cast("bigint"))
+  }
+
+  /** Deterministic token-budget subsample per stratum: within each
+    * stratum (language, source, ...), order docs by content-hash
+    * priority and keep them while the running token count stays within
+    * `budgetTokens`. The window is partitioned by stratum, so each
+    * stratum sorts independently — the right shape when strata are
+    * plentiful (the curation norm); a single giant stratum serializes
+    * its own sort by construction, because a sequential budget IS a
+    * sequential scan semantically.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    val byPriority = Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs
+      .select(col(idCol), col(strataCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(byPriority))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** Rebalance the corpus to target domain proportions by downsampling
+    * over-represented domains (never upsampling): the binding domain is
+    * the one with the smallest count/weight ratio; every domain keeps
+    * floor(weight * scale) docs chosen by content-hash priority.
+    * Domains absent from `targetWeights` are dropped. The per-domain
+    * count/quota relations are rows-per-domain tiny, so they broadcast;
+    * the corpus itself is touched by exactly one window (partitioned by
+    * domain) and one broadcast semi-join — no full shuffle of the
+    * documents.
+    */
+  def rebalanceMix(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetWeights: Map[String, Double]
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = targetWeights.toSeq.toDF(domainCol, "w")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), domainCol)
+    val scale = counts.agg(min(col("cnt") / col("w")).as("scale"))
+    val quotas = counts.crossJoin(broadcast(scale))
+      .select(col(domainCol), floor(col("w") * col("scale")).as("keep_n"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(domainCol)
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+    ranked
+      .join(broadcast(quotas), domainCol)
+      .where(col("rn") <= col("keep_n"))
+      .select(col(idCol), col(domainCol))
+  }
+}

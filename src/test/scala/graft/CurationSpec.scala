@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Curation
+
+/** Corpus-curation tier: quality gating, token budgets, mix rebalance. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today", "en"),   // 10 tokens, clean
+    (2L, "spam spam spam spam spam spam spam spam spam spam", "en"),   // repetitive
+    (3L, "too short", "en"),                                           // below min tokens
+    (4L, "$$ %% ## !! ?? ++ == ~~ ^^ || {} [] () << >> :: ;;", "en"),  // symbol soup
+    (5L, "ein ganz normaler deutscher satz mit genau zehn kurzen woertern", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("qualityFilter reports the first failing rule and keeps clean docs") {
+    val out = Curation.qualityFilter(docs, "doc_id", "text", minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(5), r.getString(4))).toMap
+    assert(out(1L) == (1L, null))
+    assert(out(2L) == (0L, "repetitive"))
+    assert(out(3L) == (0L, "too_short"))
+    assert(out(4L) == (0L, "symbol_soup"))
+    assert(out(5L) == (1L, null))
+  }
+
+  test("tokenBudgetSample keeps docs while the per-stratum running total fits") {
+    // 3 docs of 4 tokens each in one stratum, budget 8 -> exactly 2 kept,
+    // and WHICH two is fixed by md5 priority, not input order
+    val d = Seq(
+      (1L, "a b c d", "en"), (2L, "e f g h", "en"), (3L, "i j k l", "en"),
+      (4L, "m n o p", "de")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Curation.tokenBudgetSample(d, "doc_id", "text", "lang", 8L).collect()
+    val byLang = kept.groupBy(_.getString(1))
+    assert(byLang("en").length == 2)
+    assert(byLang("de").length == 1)
+    assert(kept.forall(_.getLong(3) <= 8L), "cumulative tokens exceed budget")
+    // determinism: same selection when input order is reversed
+    val keptRev = Curation.tokenBudgetSample(
+      d.orderBy($"doc_id".desc), "doc_id", "text", "lang", 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptRev == kept.map(_.getLong(0)).toSet)
+  }
+
+  test("rebalanceMix downsamples to target proportions without upsampling") {
+    val d = (1L to 80L).map(i => (i, "t", if (i <= 60) "en" else "de")).toDF("doc_id", "text", "lang")
+    // target 50/50 but only 20 de docs -> de binds: keep 20 de + 20 en
+    val out = Curation.rebalanceMix(d, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 20, "de" -> 20), s"got $byLang")
+    // dropped domains: weights not mentioning a lang exclude it
+    val onlyEn = Curation.rebalanceMix(d, "doc_id", "lang", Map("en" -> 1.0))
+      .collect().map(_.getString(1)).toSet
+    assert(onlyEn == Set("en"))
+  }
+}
