@@ -640,6 +640,18 @@ object SparkEntry {
       // rebalance corpus to target language proportions (downsample-only)
       Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
+    "pipeline_curated" -> ((s, dir) => {
+      // capstone composition: LSH near-dup detection -> connected-
+      // component clustering -> min-id survivor selection -> quality
+      // gate. The full curation pipeline as ONE lazy plan chain.
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.dedupedCorpus(docs, "doc_id",
+        Dedup.nearDuplicates(docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
+      Curation.qualityFilter(survivors, "doc_id", "text",
+        minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+        .where(col("keep") === 1)
+        .select("doc_id")
+    }),
     "text_lang_stopwords" -> ((s, dir) => {
       val stops = Seq("the", "a", "of", "and", "to")
       t(s, dir, "documents").select(
@@ -896,6 +908,38 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep_n""",
+    "pipeline_curated" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+                   WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
+           AND len(string_split(text, ' ')) >= 10
+           AND (CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+                  round(1.0 - CAST(len(list_distinct(list_transform(
+                          generate_series(1, len(string_split(text, ' ')) - 1),
+                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END) <= 0.2
+           AND (CASE WHEN len(text) = 0 THEN 0.0 ELSE
+                  round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / CAST(len(text) AS DOUBLE), 6) END) >= 0.8""",
     "text_lang_stopwords" ->
       """SELECT doc_id, lang,
          round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
