@@ -683,6 +683,11 @@ object SparkEntry {
       // O(candidates) instead of all-pairs-per-block
       Dedup.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_near_collapsed" -> ((s, dir) =>
+      // exact-collapse before LSH: kills the k^2 candidate blow-up of
+      // exact-dup groups at its source (see ScaleSmoke growth curve)
+      Dedup.nearDuplicatesCollapsed(
+        t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
     "dedup_clusters" -> ((s, dir) =>
       // verified near-dup pairs -> connected components (min-label
       // propagation): (doc_id, cluster_id = min member id). The full
@@ -1002,6 +1007,25 @@ object SparkEntry {
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
+         FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+         WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
+    "dedup_near_collapsed" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM canon),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
+                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM canon)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                       / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard

@@ -229,6 +229,32 @@ object Dedup {
       lshCandidatePairs(docs, idCol, textCol, numHashes, rowsPerBand),
       docs, idCol, textCol, thresholdPct)
 
+  /** Exact-collapse then near-dup: collapse exact duplicates to their
+    * min-id representative FIRST (one cheap content-hash aggregate),
+    * then run LSH + Jaccard verify over representatives only. Web-scale
+    * crawls are commonly 30-50% exact duplicates, and LSH candidate
+    * pairs grow with the SQUARE of bucket sizes (see ScaleSmoke) — so
+    * collapsing before banding shrinks the quadratic term at its
+    * source: an exact-dup group of k docs contributes k^2 candidate
+    * pairs uncollapsed but only its representative collapsed. Output is
+    * verified (a_id, b_id, jaccard) over representatives; compose with
+    * [[exactGroups]] to map members back to their representative.
+    */
+  def nearDuplicatesCollapsed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      thresholdPct: Int = 40
+  ): DataFrame = {
+    val reps = docs
+      .groupBy(col(textCol))
+      .agg(min(idCol).as(idCol))
+      .select(col(idCol), col(textCol))
+    nearDuplicates(reps, idCol, textCol, numHashes, rowsPerBand, thresholdPct)
+  }
+
   /** Connected components over an undirected duplicate-pair list
     * (a_id, b_id) -> (id, cluster_id) where cluster_id is the minimum
     * member id of the component. This completes the dedup story: pair

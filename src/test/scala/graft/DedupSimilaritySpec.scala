@@ -128,6 +128,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.forall(p => buckets(p._1) == buckets(p._2)))
   }
 
+  test("nearDuplicatesCollapsed runs LSH over exact-dup representatives only") {
+    // docs 0 and 1 are exact dups -> one representative (0); near pair
+    // (0,2) survives, and no pair involves the collapsed member 1
+    val pairs = Dedup.nearDuplicatesCollapsed(docs, "doc_id", "text", 8, 2, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L)), s"got $pairs")
+    // the uncollapsed form reports the exact pair too
+    val full = Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((0L, 1L)) && full.contains((0L, 2L)))
+  }
+
   test("duplicateClusters finds connected components with min-id labels") {
     // components: {1,2,3,4} via a chain (diameter 3, forces >1 iteration),
     // {10,11}, and 20-21 unconnected to 1..4
