@@ -291,11 +291,17 @@ object Dedup {
       .select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
+    // delta iteration: only vertices whose label changed last round can
+    // improve a neighbor this round, so the (large) edge relation joins
+    // against the (shrinking) delta instead of the full label set —
+    // after the first couple of rounds most of the graph is stable and
+    // the per-round edge join collapses to the frontier
+    var delta = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(delta.withColumnRenamed("id", "src"), "src")
         .groupBy("dst")
         .agg(min("cluster_id").as("nbr_min"))
         .withColumnRenamed("dst", "id")
@@ -308,7 +314,8 @@ object Dedup {
           col("old_label"))
       // pointer jumping: follow the label one more hop (labels are node
       // ids, so the lookup side is the same relation) — turns O(diameter)
-      // convergence into O(log diameter)
+      // convergence into O(log diameter). This is a join on the VERTEX
+      // relation, cheap next to the edge join above.
       val mapping = propagated.select(col("id").as("mid"), col("cluster_id").as("mlabel"))
       val next = propagated
         .join(mapping, propagated("cluster_id") === mapping("mid"), "left")
@@ -317,7 +324,10 @@ object Dedup {
           coalesce(col("mlabel"), propagated("cluster_id")).as("cluster_id"),
           col("old_label"))
         .localCheckpoint(true)
-      converged = next.where(col("cluster_id") =!= col("old_label")).isEmpty
+      // any change — via propagation or via the jump — re-enters the
+      // frontier, so its neighbors see the improved label next round
+      delta = next.where(col("cluster_id") =!= col("old_label")).select("id", "cluster_id")
+      converged = delta.isEmpty
       labels = next.select("id", "cluster_id")
       i += 1
     }
