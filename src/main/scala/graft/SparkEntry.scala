@@ -640,6 +640,13 @@ object SparkEntry {
       // rebalance corpus to target language proportions (downsample-only)
       Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
+    "curation_decontaminate" -> ((s, dir) => {
+      // leakage guard: corpus docs sharing any word 3-gram with the
+      // (simulated) benchmark set doc_id < 25; benchmark grams broadcast
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 25), "text", n = 3, minHits = 1)
+    }),
     "pipeline_curated" -> ((s, dir) => {
       // capstone composition: LSH near-dup detection -> connected-
       // component clustering -> min-id survivor selection -> quality
@@ -913,6 +920,17 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep_n""",
+    "curation_decontaminate" ->
+      """WITH bench AS (
+           SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-2),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 25)),
+         dg AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM dg JOIN bench USING (g) GROUP BY doc_id HAVING count(*) >= 1""",
     "pipeline_curated" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,

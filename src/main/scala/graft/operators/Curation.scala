@@ -78,6 +78,48 @@ object Curation {
       .where(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Benchmark decontamination: find corpus docs sharing at least
+    * `minHits` distinct word n-grams with a benchmark (eval) set — the
+    * standard leakage guard a training pipeline runs before shipping a
+    * corpus. Shapes chosen for the real size asymmetry: the benchmark
+    * n-gram set is tiny next to the corpus, so it is deduplicated and
+    * BROADCAST; the corpus side is one explode + distinct + broadcast
+    * hash join + count — linear in corpus n-grams, no corpus shuffle
+    * beyond the per-doc distinct. Returns (idCol, n_hits) for flagged
+    * docs; anti-join it against the corpus to clean.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 3,
+      minHits: Int = 1
+  ): DataFrame = {
+    def grams(textColName: String) = {
+      val parts = (0 until n).map(j => s"element_at(tk, i+$j)").mkString(", ")
+      // guard short docs: sequence(1, k) with k < 1 would count DOWN
+      expr(
+        s"""CASE WHEN size(tk) >= $n
+           |THEN transform(sequence(1, size(tk)-${n - 1}), i -> concat_ws(' ', $parts))
+           |ELSE array() END""".stripMargin)
+    }
+    val benchGrams = benchmark
+      .select(split(col(benchTextCol), " ").as("tk"))
+      .select(explode(grams(benchTextCol)).as("g"))
+      .distinct()
+    val docGrams = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .select(col(idCol), explode(grams(textCol)).as("g"))
+      .distinct()
+    docGrams
+      .join(broadcast(benchGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Rebalance the corpus to target domain proportions by downsampling
     * over-represented domains (never upsampling): the binding domain is
     * the one with the smallest count/weight ratio; every domain keeps

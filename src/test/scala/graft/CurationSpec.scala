@@ -43,6 +43,24 @@ class CurationSpec extends SparkTestBase {
     assert(keptRev == kept.map(_.getLong(0)).toSet)
   }
 
+  test("decontaminate flags docs sharing n-grams with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over fences"),  // shares "the quick brown"+
+      (2L, "completely unrelated text about engines"),
+      (3L, "short one"),                              // too short for 3-grams
+      (4L, "quick brown fox appears here too")        // shares "quick brown fox"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox sentence")).toDF("bid", "btext")
+    val out = Curation.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 3, minHits = 1)
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 4L), s"got $flagged")
+    assert(flagged(1L) == 2L, "doc 1 shares 'the quick brown' and 'quick brown fox'")
+    // the benchmark gram set must be broadcast, never shuffled against the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
   test("rebalanceMix downsamples to target proportions without upsampling") {
     val d = (1L to 80L).map(i => (i, "t", if (i <= 60) "en" else "de")).toDF("doc_id", "text", "lang")
     // target 50/50 but only 20 de docs -> de binds: keep 20 de + 20 en
