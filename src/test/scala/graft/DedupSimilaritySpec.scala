@@ -153,6 +153,12 @@ class DedupSimilaritySpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters and dedupedCorpus handle an empty pair list") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.duplicateClusters(empty).collect().isEmpty)
+    assert(Dedup.dedupedCorpus(docs, "doc_id", empty).count() == docs.count())
+  }
+
   test("duplicateClusters converges on a long path beyond one hop") {
     // path 9-8-7-...-0: min label must walk the whole diameter
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")

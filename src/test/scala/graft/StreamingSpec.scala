@@ -74,6 +74,27 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("quality gate runs unchanged on a stream (batch/stream unification)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // Curation.qualityFilter is a stateless narrow projection, so the
+    // exact same operator runs on a streaming DataFrame
+    val out = graft.operators.Curation.qualityFilter(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 5, maxBigramRep = 0.5, minAlphaRatio = 0.5)
+    val query = out.writeStream.format("memory").queryName("qg_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "a perfectly ordinary clean sentence here"),
+        (2L, "no"))
+      query.processAllAvailable()
+      val rows = spark.table("qg_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(5), r.getString(4))).toMap
+      assert(rows(1L) == (1L, null))
+      assert(rows(2L) == (0L, "too_short"))
+    } finally query.stop()
+  }
+
   test("sessionCounts groups a stream into gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
