@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -640,6 +640,18 @@ object SparkEntry {
       // rebalance corpus to target language proportions (downsample-only)
       Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
+    "asof_join" -> ((s, dir) => {
+      // point-in-time join: each event gets the latest high-value marker
+      // (value > 300) of its type at-or-before its timestamp; ties
+      // broken by (ts, event_id, side) — raw nanos ts compares
+      // identically in both engines and is dropped from the output
+      val ev = t(s, dir, "events").select("event_id", "event_type", "ts", "value")
+      val markers = ev.where(col("value") > 300)
+      AsOf.asofJoin(ev, markers,
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valueCols = Seq("event_id", "value"))
+        .drop("ts")
+    }),
     "curation_decontaminate" -> ((s, dir) => {
       // leakage guard: corpus docs sharing any word 3-gram with the
       // (simulated) benchmark set doc_id < 25; benchmark grams broadcast
@@ -920,6 +932,16 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep_n""",
+    "asof_join" ->
+      """WITH m AS (SELECT event_type, ts, event_id, value FROM events WHERE value > 300)
+         SELECT e.event_id, e.event_type, e.value,
+           (SELECT m.event_id FROM m WHERE m.event_type = e.event_type
+              AND (m.ts < e.ts OR (m.ts = e.ts AND m.event_id <= e.event_id))
+            ORDER BY m.ts DESC, m.event_id DESC LIMIT 1) AS asof_event_id,
+           (SELECT m.value FROM m WHERE m.event_type = e.event_type
+              AND (m.ts < e.ts OR (m.ts = e.ts AND m.event_id <= e.event_id))
+            ORDER BY m.ts DESC, m.event_id DESC LIMIT 1) AS asof_value
+         FROM events e""",
     "curation_decontaminate" ->
       """WITH bench AS (
            SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-2),
