@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Encoder
+import scala.language.implicitConversions
 
 /** Enhanced predicate helpers (reference: src/helpers/filter.rs — all
   * thin wrappers over `filter`, kept for surface parity). On the

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import scala.language.implicitConversions
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 

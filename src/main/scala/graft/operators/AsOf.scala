@@ -41,7 +41,7 @@ object AsOf {
       idCol: String,
       valueCols: Seq[String]
   ): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     val tagged =
       left.select(
         leftCols.map(col) :+ lit(1).as("graft_side") :++

@@ -218,7 +218,7 @@ object Similarity {
       val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
       struct((lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"), lit(i).as("cell"))
     }
-    array_sort(array(scored: _*)).getItem(0).getField("cell")
+    array_sort(array(scored.toSeq: _*)).getItem(0).getField("cell")
   }
 
   /** The `nprobe` nearest centroid cell ids for a query vector —
@@ -231,7 +231,7 @@ object Similarity {
       val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
       struct((lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"), lit(i).as("cell"))
     }
-    slice(array_sort(array(scored: _*)), 1, nprobe).getField("cell")
+    slice(array_sort(array(scored.toSeq: _*)), 1, nprobe).getField("cell")
   }
 
   /** IVF ANN with a trained coarse quantizer: centroids fit on a
