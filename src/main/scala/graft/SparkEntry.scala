@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -640,6 +640,20 @@ object SparkEntry {
       // rebalance corpus to target language proportions (downsample-only)
       Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
+    "range_join" -> ((s, dir) => {
+      // point-in-interval WITHOUT an inequality join: urgent orders
+      // become 7-day intervals exploded onto a weekly grid; lineitem
+      // ship dates equality-join on the bucket, then the exact residual
+      // filter — how many shipments fall in each order's first week
+      val iv = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate").as("iv_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("iv_end"))
+      val pts = t(s, dir, "lineitem").select(col("l_shipdate"))
+      RangeJoin.pointInInterval(pts, "l_shipdate", iv, "iv_start", "iv_end", bucketDays = 7)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ships"))
+    }),
     "asof_join" -> ((s, dir) => {
       // point-in-time join: each event gets the latest high-value marker
       // (value > 300) of its type at-or-before its timestamp; ties
@@ -932,6 +946,12 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep_n""",
+    "range_join" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e
+                     FROM orders WHERE o_orderpriority = '1-URGENT')
+         SELECT iv.o_orderkey, count(*) AS n_ships
+         FROM lineitem l JOIN iv ON l.l_shipdate >= iv.s AND l.l_shipdate < iv.e
+         GROUP BY iv.o_orderkey""",
     "asof_join" ->
       """WITH m AS (SELECT event_type, ts, event_id, value FROM events WHERE value > 300)
          SELECT e.event_id, e.event_type, e.value,
