@@ -673,6 +673,11 @@ object SparkEntry {
       Curation.decontaminate(docs, "doc_id", "text",
         docs.where(col("doc_id") < 25), "text", n = 3, minHits = 1)
     }),
+    "curation_mix_tokens" -> ((s, dir) =>
+      // token-weighted rebalance: quotas are token budgets, the unit
+      // training mixes actually target
+      Curation.rebalanceMixByTokens(t(s, dir, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
     "pipeline_curated" -> ((s, dir) => {
       // capstone composition: LSH near-dup detection -> connected-
       // component clustering -> min-id survivor selection -> quality
@@ -973,6 +978,21 @@ object SparkEntry {
            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM dg JOIN bench USING (g) GROUP BY doc_id HAVING count(*) >= 1""",
+    "curation_mix_tokens" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
+         counted AS (SELECT doc_id, lang,
+                            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                     FROM documents),
+         totals AS (SELECT lang, sum(n_tokens) AS tok FROM counted GROUP BY lang),
+         s AS (SELECT min(tok / wt) AS scale FROM totals JOIN w USING (lang)),
+         b AS (SELECT lang, CAST(floor(wt * scale) AS BIGINT) AS budget_tokens
+               FROM totals JOIN w USING (lang) CROSS JOIN s),
+         r AS (SELECT doc_id, lang, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+               FROM counted)
+         SELECT r.doc_id, r.lang, r.n_tokens
+         FROM r JOIN b USING (lang) WHERE cum_tokens <= budget_tokens""",
     "pipeline_curated" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,

@@ -120,6 +120,43 @@ object Curation {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Token-weighted mix rebalance: like [[rebalanceMix]] but quotas are
+    * TOKEN budgets, not document counts — training mixes target token
+    * share, and domains with different document lengths would otherwise
+    * skew. The binding domain is the one with the smallest
+    * total-tokens/weight ratio; every domain keeps docs in content-hash
+    * priority order while its running token count stays within
+    * floor(weight * scale). Same distributed shape as the doc-count
+    * form: tiny per-domain budget relation broadcast, one window over
+    * the corpus.
+    */
+  def rebalanceMixByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      targetWeights: Map[String, Double]
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = targetWeights.toSeq.toDF(domainCol, "w")
+    val counted = docs.select(
+      col(idCol), col(domainCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val totals = counted.groupBy(domainCol).agg(sum("n_tokens").as("tok"))
+      .join(broadcast(w), domainCol)
+    val scale = totals.agg(min(col("tok") / col("w")).as("scale"))
+    val budgets = totals.crossJoin(broadcast(scale))
+      .select(col(domainCol), floor(col("w") * col("scale")).as("budget_tokens"))
+    val withCum = counted.withColumn("cum_tokens",
+      sum("n_tokens").over(Window.partitionBy(domainCol)
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+    withCum
+      .join(broadcast(budgets), domainCol)
+      .where(col("cum_tokens") <= col("budget_tokens"))
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+  }
+
   /** Rebalance the corpus to target domain proportions by downsampling
     * over-represented domains (never upsampling): the binding domain is
     * the one with the smallest count/weight ratio; every domain keeps

@@ -43,6 +43,21 @@ class CurationSpec extends SparkTestBase {
     assert(keptRev == kept.map(_.getLong(0)).toSet)
   }
 
+  test("rebalanceMixByTokens budgets tokens, not documents") {
+    // en: 6 docs x 10 tokens = 60; de: 4 docs x 5 tokens = 20
+    // 50/50 target -> de binds: 20-token budget each -> all 4 de docs,
+    // exactly 2 en docs
+    val d = ((1L to 6L).map(i => (i, Seq.fill(10)("w").mkString(" "), "en")) ++
+      (7L to 10L).map(i => (i, Seq.fill(5)("w").mkString(" "), "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.rebalanceMixByTokens(d, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "de" -> 0.5)).collect()
+    val tokensByLang = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(2)).sum).toMap
+    assert(tokensByLang == Map("en" -> 20, "de" -> 20), s"got $tokensByLang")
+    assert(out.count(_.getString(1) == "en") == 2)
+    assert(out.count(_.getString(1) == "de") == 4)
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over fences"),  // shares "the quick brown"+
