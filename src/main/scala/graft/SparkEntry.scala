@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, Multimodal, RangeJoin, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -673,6 +673,12 @@ object SparkEntry {
       Curation.decontaminate(docs, "doc_id", "text",
         docs.where(col("doc_id") < 25), "text", n = 3, minHits = 1)
     }),
+    "cms_heavy_hitters" -> ((s, dir) =>
+      // Count-Min heavy hitters: exact top-20 tokens with the sketch
+      // estimate's within-bound flag asserted in-query (the sketch
+      // grid is a sparse hash aggregate; oracle = exact top-20 from
+      // DuckDB with constant all-ones flags, the kmv/tdigest pattern)
+      HeavyHitters.heavyHittersVerified(t(s, dir, "documents"), "text", k = 20)),
     "curation_mix_tokens" -> ((s, dir) =>
       // token-weighted rebalance: quotas are token budgets, the unit
       // training mixes actually target
@@ -978,6 +984,10 @@ object SparkEntry {
            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM dg JOIN bench USING (g) GROUP BY doc_id HAVING count(*) >= 1""",
+    "cms_heavy_hitters" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS ok
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""",
     "curation_mix_tokens" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          counted AS (SELECT doc_id, lang,
