@@ -673,6 +673,9 @@ object SparkEntry {
       Curation.decontaminate(docs, "doc_id", "text",
         docs.where(col("doc_id") < 25), "text", n = 3, minHits = 1)
     }),
+    "text_chunks" -> ((s, dir) =>
+      // context-length chunking: 16-token pieces, remainder kept
+      TextFunctions.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 16)),
     "cms_heavy_hitters" -> ((s, dir) =>
       // Count-Min heavy hitters: exact top-20 tokens with the sketch
       // estimate's within-bound flag asserted in-query (the sketch
@@ -984,6 +987,15 @@ object SparkEntry {
            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM dg JOIN bench USING (g) GROUP BY doc_id HAVING count(*) >= 1""",
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         c AS (SELECT doc_id, tk,
+                      unnest(generate_series(0, CAST(ceil(len(tk) / 16.0) AS BIGINT) - 1)) AS chunk_id
+               FROM t)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(tk[chunk_id*16+1 : least((chunk_id+1)*16, len(tk))]) AS INTEGER) AS n_tokens,
+                array_to_string(tk[chunk_id*16+1 : least((chunk_id+1)*16, len(tk))], ' ') AS chunk_text
+         FROM c""",
     "cms_heavy_hitters" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS ok
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -96,6 +96,28 @@ object TextFunctions {
           log2(sum("c")) - sum(col("c").cast("double") * log2(col("c"))) / sum("c"),
           6).as("entropy"))
 
+  /** Context-length chunking: split each document into consecutive
+    * `chunkTokens`-token pieces — the step before tokenization in a
+    * training pipeline. One narrow explode per doc (ceil(n/chunk) rows),
+    * no shuffle: output carries (id, chunk_id, n_tokens, chunk_text)
+    * with chunk_id dense from 0 so (id, chunk_id) is a stable global
+    * key for downstream shuffles/writes. The final chunk keeps the
+    * remainder (no padding, no drop).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val c = chunkTokens
+    val out = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), ceil(size(col("tk")) / lit(c.toDouble)).cast("long") - 1)))
+    val piece = slice(col("tk"), (col("chunk_id") * c + 1).cast("int"), lit(c))
+    out.select(
+      col(idCol), col("chunk_id"),
+      size(piece).as("n_tokens"),
+      concat_ws(" ", piece).as("chunk_text"))
+  }
+
   /** Stable content fingerprint (md5 hex) for exact dedup. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -101,6 +101,22 @@ class WindowingTextSpec extends SparkTestBase {
     assert(ent(3L) == 0.0)
   }
 
+  test("chunkTokens splits into fixed-token pieces with a kept remainder") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, chunk 4 -> 4+4+2
+      (2L, "only three words")                        // under one chunk
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.chunkTokens(docs, "doc_id", "text", 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4, "w1 w2 w3 w4"),
+      (1L, 1L, 4, "w5 w6 w7 w8"),
+      (1L, 2L, 2, "w9 w10"),
+      (2L, 0L, 3, "only three words")))
+  }
+
   test("bpeish tokens split words, numbers and symbols") {
     val toks = Seq((1L, "hello, world 42!")).toDF("id", "text")
       .select(TextFunctions.bpeishTokens($"text").as("t")).as[Seq[String]].head()
