@@ -666,6 +666,10 @@ object SparkEntry {
         valueCols = Seq("event_id", "value"))
         .drop("ts")
     }),
+    "curation_redact_pii" -> ((s, dir) =>
+      // PII scrub: emails/IPv4 -> placeholders + removal counts, one
+      // codegen'd pass (RE2-safe patterns so both engines agree)
+      Curation.redactPii(t(s, dir, "documents"), "doc_id", "text")),
     "curation_decontaminate" -> ((s, dir) => {
       // leakage guard: corpus docs sharing any word 3-gram with the
       // (simulated) benchmark set doc_id < 25; benchmark grams broadcast
@@ -976,6 +980,14 @@ object SparkEntry {
               AND (m.ts < e.ts OR (m.ts = e.ts AND m.event_id <= e.event_id))
             ORDER BY m.ts DESC, m.event_id DESC LIMIT 1) AS asof_value
          FROM events e""",
+    "curation_redact_pii" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips
+         FROM documents""",
     "curation_decontaminate" ->
       """WITH bench AS (
            SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-2),

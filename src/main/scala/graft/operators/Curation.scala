@@ -78,6 +78,26 @@ object Curation {
       .where(col("cum_tokens") <= budgetTokens)
   }
 
+  /** PII redaction: replace email addresses and IPv4 literals with
+    * placeholder tokens and count what was removed — the scrub step a
+    * corpus runs before training. Pure per-row regexp projections (one
+    * pass, codegen'd, no shuffle). Patterns deliberately avoid
+    * lookaround so the same expression runs identically under Java
+    * regex (Spark) and RE2 (DuckDB oracle / many scrubbing stacks).
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), ipv4, "<IP>")
+        .as("clean_text"),
+      size(call_function("regexp_extract_all", col(textCol), lit(email), lit(0)))
+        .as("n_emails"),
+      size(call_function("regexp_extract_all", col(textCol), lit(ipv4), lit(0)))
+        .as("n_ips"))
+  }
+
   /** Benchmark decontamination: find corpus docs sharing at least
     * `minHits` distinct word n-grams with a benchmark (eval) set — the
     * standard leakage guard a training pipeline runs before shipping a

@@ -58,6 +58,19 @@ class CurationSpec extends SparkTestBase {
     assert(out.count(_.getString(1) == "de") == 4)
   }
 
+  test("redactPii replaces emails and IPv4 literals and counts removals") {
+    val d = Seq(
+      (1L, "contact bob@example.com or alice@test.org at 10.0.0.1"),
+      (2L, "nothing sensitive here"),
+      (3L, "server 192.168.1.100 responded")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ("contact <EMAIL> or <EMAIL> at <IP>", 2, 1))
+    assert(out(2L) == ("nothing sensitive here", 0, 0))
+    assert(out(3L) == ("server <IP> responded", 0, 1))
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over fences"),  // shares "the quick brown"+
