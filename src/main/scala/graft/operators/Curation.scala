@@ -163,10 +163,9 @@ object Curation {
     val counted = docs.select(
       col(idCol), col(domainCol),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-    val totals = counted.groupBy(domainCol).agg(sum("n_tokens").as("tok"))
+    val budgets = counted.groupBy(domainCol).agg(sum("n_tokens").as("tok"))
       .join(broadcast(w), domainCol)
-    val scale = totals.agg(min(col("tok") / col("w")).as("scale"))
-    val budgets = totals.crossJoin(broadcast(scale))
+      .withColumn("scale", min(col("tok") / col("w")).over(Window.partitionBy()))
       .select(col(domainCol), floor(col("w") * col("scale")).as("budget_tokens"))
     val withCum = counted.withColumn("cum_tokens",
       sum("n_tokens").over(Window.partitionBy(domainCol)
@@ -196,10 +195,11 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = targetWeights.toSeq.toDF(domainCol, "w")
-    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("cnt"))
+    // scale = min(cnt/w) attached via a global window over the tiny
+    // per-domain counts relation (rows = |domains|) — no cross join
+    val quotas = docs.groupBy(domainCol).agg(count(lit(1)).as("cnt"))
       .join(broadcast(w), domainCol)
-    val scale = counts.agg(min(col("cnt") / col("w")).as("scale"))
-    val quotas = counts.crossJoin(broadcast(scale))
+      .withColumn("scale", min(col("cnt") / col("w")).over(Window.partitionBy()))
       .select(col(domainCol), floor(col("w") * col("scale")).as("keep_n"))
     val ranked = docs.withColumn("rn", row_number().over(
       Window.partitionBy(domainCol)

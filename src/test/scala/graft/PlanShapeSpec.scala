@@ -199,4 +199,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(verified.subsetOf(cands), "verified pairs not drawn from LSH candidates")
     assert(verified.nonEmpty, "expected at least one verified near-duplicate pair")
   }
+
+  test("as-of join is a window over one union, never an inequality join") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("id", "key", "ts")
+    val right = Seq((3L, "k", 5L, "v")).toDF("id", "key", "ts", "tag")
+    val out = graft.operators.AsOf.asofJoin(left, right, "key", "ts", "id", Seq("tag"))
+    val plan = executedPlanString(out)
+    assert(plan.contains("Window"), s"carry-forward window missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"as-of used a join operator instead of the union+window shape:\n$plan")
+  }
+
+  test("rebalanceMix broadcasts the quota relation, windows the corpus once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Curation.rebalanceMix(docs, "doc_id", "lang",
+      Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+    val plan = executedPlanString(out)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"quota relation not broadcast:\n$plan")
+    assert("Window".r.findAllIn(plan.split("== Initial Plan ==")(0)).size >= 1,
+      s"per-domain ranking window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rebalance degenerated:\n$plan")
+  }
 }
