@@ -23,6 +23,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // GRAFT_BENCH_ONLY=name1,name2 restricts the run to a subset — for
+    // iterating on one query's plan without paying the full sweep
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchSet = SparkEntry.benchQueries.filter(q => only.forall(_.contains(q)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,25 +52,29 @@ object Bench {
     // (r3-r5 recordings show the first ~5 positions slow regardless of
     // which query occupies them). The timed pass below then measures every
     // plan on an equally hot JVM.
-    SparkEntry.benchQueries.foreach { name =>
+    benchSet.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()
     }
 
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = benchSet.map { name =>
       val fn = SparkEntry.queries(name)
       // Collect garbage outside the timed window so a prior query's heap
       // isn't billed to this one.
       System.gc()
       var n = -1L
-      val times = (1 to runs).map { _ =>
+      // A failed run contributes no time: its (near-zero) exception-path
+      // wall time would otherwise drag the median down and mask the
+      // failure. All runs failed -> report -1 s, which any baseline
+      // comparison and the JSON consumer can see.
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        n = try fn(spark, sfDir).count() catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        val ok = try { n = fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      val sec = times(times.length / 2)
+      val sec = if (times.isEmpty) -1.0 else times(times.length / 2)
       // Drop any cache a query persisted (e.g. LSH bands) so queries
       // don't accumulate executor memory pressure across the sweep.
       spark.sharedState.cacheManager.clearCache()

@@ -1032,13 +1032,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
          pairs AS (SELECT c.a_id, c.b_id
                    FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
@@ -1075,13 +1080,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2)
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""",
+         FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id""",
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          b AS (SELECT doc_id, j,
@@ -1094,13 +1104,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -1113,13 +1128,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -1132,13 +1152,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM canon)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -1150,13 +1175,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
          pairs AS (SELECT c.a_id, c.b_id
                    FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
@@ -1172,13 +1202,18 @@ object SparkEntry {
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
                 FROM toks),
-         sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS sig
-                  FROM sh CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 2 AS band,
-                          md5(min(CASE WHEN i % 2 = 0 THEN sig END) || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bsig
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
          pairs AS (SELECT c.a_id, c.b_id
                    FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id

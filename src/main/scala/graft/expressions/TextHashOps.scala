@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared md5 plumbing for the per-row text-hash expressions.
@@ -21,56 +21,30 @@ private[expressions] object TextHash {
 
   /** A reset, thread-confined MD5 instance. */
   def md5(): MessageDigest = { val d = digests.get(); d.reset(); d }
-
-  private val hexDigits = "0123456789abcdef".getBytes
-
-  /** Lowercase hex of a digest, as UTF8String. Hex encoding is
-    * order-preserving, so comparisons can run on the raw digest bytes
-    * and only the winners need encoding.
-    */
-  def hex(bytes: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xF)
-      out(2 * i + 1) = hexDigits(bytes(i) & 0xF)
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
-
-  /** Unsigned lexicographic compare of equal-length byte arrays —
-    * identical ordering to comparing their lowercase-hex strings.
-    */
-  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xFF
-      val y = b(i) & 0xFF
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
 }
 
 /** MinHash signature of a token array, computed in one pass per row.
   *
-  * Semantics match the SQL form the DuckDB oracle uses: signature i is
-  * `min(md5('<i>|' || shingle))` (lowercase hex, lexicographic min)
-  * over the doc's word 2-shingles. Duplicate shingles cannot change a
-  * min, so no distinct pass is needed. Rows with fewer than two tokens
-  * have no shingles and yield an EMPTY array — callers filter
-  * `size(...) > 0` to reproduce the explode+groupBy behavior of
-  * dropping such docs.
+  * Semantics match the SQL form the DuckDB oracle uses: ONE md5 per
+  * word 2-shingle, split into two unsigned 32-bit halves `h1`/`h2`
+  * (hex digits 1-8 and 9-16), from which signature i is
+  * `min((h1 + i*h2) mod 2^32)` over the doc's shingles — the classic
+  * Kirsch-Mitzenmacher double-hashing family: k independent-enough
+  * hash functions for the price of one strong digest. Duplicate
+  * shingles cannot change a min, so no distinct pass is needed. Rows
+  * with fewer than two tokens have no shingles and yield an EMPTY
+  * array — callers filter `size(...) > 0` to reproduce the
+  * explode+groupBy behavior of dropping such docs.
   *
   * Exists because the compositional plan (HOF shingle transform →
-  * explode → 8-way min/md5 hash aggregate) allocates an exploded row
+  * explode → k-way min/md5 hash aggregate) allocates an exploded row
   * per shingle and a per-doc aggregation buffer — at corpus scale that
   * is GC pressure and a shuffle for what is per-row arithmetic. Here
   * the whole signature is a narrow projection: no explode, no shuffle,
-  * and min tracking on raw 16-byte digests (hex encoding is
-  * order-preserving, applied only to the winners).
+  * one digest per shingle (the earlier salted form paid k digests per
+  * shingle — at 100 TB the hash pass IS the corpus scan, so k-fold
+  * fewer digests is a k-fold cheaper scan), and numeric signatures so
+  * downstream band keys shuffle as longs, not 32-char hex strings.
   *
   * Reference behavior: minhash over shingles with k salted hash
   * functions (reference: src/combiners/distinct.rs zero-seeded hashing
@@ -84,16 +58,14 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash expects array<string>, got $t")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
-
-  @transient private lazy val salts: Array[Array[Byte]] =
-    Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
 
   def compute(input: ArrayData): ArrayData = {
     val n = input.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val mins = new Array[Array[Byte]](numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
     // a null token yields null shingles (concat-with-null semantics in
     // the composed form), which min() ignores — skip them here too
     var prev = if (input.isNullAt(0)) null else input.getUTF8String(0).getBytes
@@ -101,15 +73,22 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     while (k < n) {
       val cur = if (input.isNullAt(k)) null else input.getUTF8String(k).getBytes
       if (prev != null && cur != null) {
+        val d = TextHash.md5()
+        d.update(prev)
+        d.update(' '.toByte)
+        d.update(cur)
+        val dig = d.digest()
+        // unsigned 32-bit halves of the first 8 digest bytes, exactly
+        // the oracle's CAST('0x' || substr(md5(sh), 1|9, 8) AS BIGINT)
+        val h1 = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) | ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+        val h2 = ((dig(4) & 0xFFL) << 24) | ((dig(5) & 0xFFL) << 16) | ((dig(6) & 0xFFL) << 8) | (dig(7) & 0xFFL)
+        any = true
         var i = 0
+        var v = h1
         while (i < numHashes) {
-          val d = TextHash.md5()
-          d.update(salts(i))
-          d.update(prev)
-          d.update(' '.toByte)
-          d.update(cur)
-          val dig = d.digest()
-          if (mins(i) == null || TextHash.unsignedLess(dig, mins(i))) mins(i) = dig
+          val m = v & 0xFFFFFFFFL
+          if (m < mins(i)) mins(i) = m
+          v += h2
           i += 1
         }
       }
@@ -117,10 +96,10 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
       k += 1
     }
     // all shingles null -> no signature; treat like a <2-token doc
-    if (mins(0) == null) return new GenericArrayData(Array.empty[Any])
+    if (!any) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](numHashes)
     var i = 0
-    while (i < numHashes) { out(i) = TextHash.hex(mins(i)); i += 1 }
+    while (i < numHashes) { out(i) = mins(i); i += 1 }
     new GenericArrayData(out)
   }
 

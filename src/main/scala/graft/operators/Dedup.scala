@@ -42,9 +42,11 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** MinHash signatures, wide form: one row per doc, one column
-    * `sig<i>` per salted hash function — the min md5 over the doc's
-    * word 2-shingles with salt `i`. The whole signature is ONE native
+  /** MinHash signatures, wide form: one row per doc, one long column
+    * `sig<i>` per hash function — the min over the doc's word
+    * 2-shingles of the i-th double-hashing value derived from one md5
+    * per shingle (see [[graft.expressions.MinHashSignatures]]).
+    * The whole signature is ONE native
     * per-row expression ([[graft.expressions.MinHashSignatures]]): no
     * shingle explode, no shuffle, no aggregation buffers — a narrow
     * projection whose cost is linear in corpus bytes, the shape that
@@ -67,17 +69,25 @@ object Dedup {
       .select(col(idCol) +: (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
   }
 
-  /** LSH banding over minhash signatures: `rowsPerBand` signature
-    * columns are hashed together per band; docs sharing any
-    * (band, bandSig) bucket are candidate near-duplicates. The bands
-    * relation is repartitioned on the join keys (band, bsig) BEFORE the
-    * self-join: both join sides then canonicalize to the same shuffle
-    * exchange, so Spark's ReuseExchange computes the signature subtree
-    * ONCE (shuffle-file-backed — no cache memory, no materialization
-    * job, survives executor loss at scale) and the join itself needs no
-    * further shuffle because its keys match the partitioning. Per-bucket
-    * pairs instead of an O(n^2) cross join — the textbook LSH scale
-    * path.
+  /** LSH banding over minhash signatures: the `rowsPerBand` signature
+    * values of each band, kept as RAW LONGS, form the bucket key; docs
+    * sharing any (band, sig...) bucket are candidate near-duplicates.
+    * Numeric keys keep the shuffle rows narrow (a handful of longs per
+    * row, no hex strings) and need no per-band re-hash. The bands
+    * relation is repartitioned on the bucket key BEFORE the self-join:
+    * both join sides then canonicalize to the same shuffle exchange, so
+    * Spark's ReuseExchange computes the signature subtree ONCE
+    * (shuffle-file-backed — no cache memory, no materialization job,
+    * survives executor loss at scale) and the join itself needs no
+    * further shuffle because its keys match the partitioning. The join
+    * is hinted shuffle-hash: with both sides pre-partitioned on the
+    * bucket key a hash join probes the reused shuffle files directly,
+    * where the default sort-merge would fully sort both sides and the
+    * AQE broadcast conversion would add a build barrier — per-partition
+    * build memory is bounded by the bucket rows in that partition,
+    * which shuffle-partition sizing already governs at scale.
+    * Per-bucket pairs instead of an O(n^2) cross join — the textbook
+    * LSH scale path.
     */
   def lshCandidatePairs(
       docs: DataFrame,
@@ -88,17 +98,19 @@ object Dedup {
   ): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
-    // stack the band signatures into (id, band, bsig) rows
+    // stack the band signature tuples into (id, band, s0..s{rowsPerBand-1}) rows
+    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
     val stackArgs = (0 until nBands).flatMap { b =>
-      val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
-      Seq(b.toString, s"md5(cast(concat(${parts.mkString(",")}) as binary))")
+      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
     }
+    val keyCols = "band" +: sigCols
     val bands = sigs
-      .select(col(idCol), expr(s"stack($nBands, ${stackArgs.mkString(", ")}) AS (band, bsig)"))
-      .repartition(col("band"), col("bsig"))
-    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bsig"))
-    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bsig"))
-    a.join(b, Seq("band", "bsig"))
+      .select(col(idCol), expr(
+        s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
+      .repartition(keyCols.map(col): _*)
+    val a = bands.select(col(idCol).as("a_id") +: keyCols.map(col): _*)
+    val b = bands.select(col(idCol).as("b_id") +: keyCols.map(col): _*)
+    a.join(b.hint("shuffle_hash"), keyCols)
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()

@@ -307,18 +307,25 @@ object Similarity {
       nPlanes: Int,
       thresholdPct: Int
   ): DataFrame = {
-    val withNorm = vectors.select(
-      col(idCol).as("vid"), col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm"))
-    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes)
-      .withColumnRenamed(idCol, "vid")
-    // persist+materialize before the self-join so the scan+projection
-    // computes once, not once per join side
-    val t = withNorm.join(buckets, "vid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t.count(): Unit
+    val proj = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.HyperplaneBuckets(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+        nPlanes))
+    // one narrow projection (id, vec, norm, bucket), repartitioned on
+    // the bucket key BEFORE the self-join: both sides canonicalize to
+    // the same shuffle exchange, so ReuseExchange computes the
+    // projection once, shuffle-file-backed — no cache memory, no
+    // blocking count job, survives executor loss (same plan stance as
+    // [[graft.operators.Dedup.lshCandidatePairs]]). The join is hinted
+    // shuffle-hash: it probes the reused shuffle files directly instead
+    // of sorting both sides or paying an AQE broadcast-build barrier.
+    val t = vectors.select(
+      col(idCol).as("vid"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"), proj.as("bucket"))
+      .repartition(col("bucket"))
     val a = t.select(col("vid").as("a_id"), col("bucket"), col("vec").as("a_vec"), col("nrm").as("a_norm"))
     val b = t.select(col("vid").as("b_id"), col("bucket"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
-    a.join(b, "bucket")
+    a.join(b.hint("shuffle_hash"), "bucket")
       .where(col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),

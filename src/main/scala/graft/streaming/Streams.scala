@@ -98,7 +98,7 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .withColumn("graft_sig",
         when(size(sigs) === 0, md5(col(textCol).cast("binary")))
-          .otherwise(concat_ws("|", sigs)))
+          .otherwise(concat_ws("|", sigs.cast("array<string>"))))
       .dropDuplicatesWithinWatermark("graft_sig")
       .drop("graft_sig")
   }

@@ -95,6 +95,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
+  test("embedding near-dup self-join reuses one bucket exchange, cache-free") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nd = graft.operators.Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 4, 30)
+    val plan = executedPlanString(nd)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the (id, vec, norm, bucket) projection must compute once, backed
+    // by shuffle files — not an in-memory cache (no memory cost, no
+    // blocking materialization job) and not once per join side
+    assert(finalPlan.contains("ReusedExchange"),
+      s"bucket exchange not reused across self-join sides:\n$plan")
+    assert(!plan.contains("InMemoryRelation"),
+      s"embedding near-dup still caches:\n$plan")
+    assert("graft_hyperplane_bucket".r.findAllIn(finalPlan).size == 1,
+      s"bucket projection computed more than once in the final plan:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup degenerated to a cross join:\n$plan")
+  }
+
   test("similarity top-k is a bounded partial aggregation, not a window sort") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val topk = graft.operators.Similarity.bruteForceTopK(

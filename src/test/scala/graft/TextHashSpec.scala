@@ -22,8 +22,10 @@ class TextHashSpec extends SparkTestBase {
     (7L, "x " * 200 + "y")  // long doc
   ).toDF("doc_id", "text")
 
-  /** The pre-expression minhash plan: shingle HOF -> explode -> 8-way
-    * min(md5) aggregate. Kept here as the semantic reference.
+  /** The pre-expression minhash plan: shingle HOF -> explode -> one md5
+    * per shingle split into unsigned 32-bit halves -> 8-way
+    * min(double-hash) aggregate. Kept here as the semantic reference —
+    * it is exactly the SQL shape the DuckDB oracles compute.
     */
   private def minhashComposed(numHashes: Int) = {
     val toks = split(col("text"), " ")
@@ -31,9 +33,14 @@ class TextHashSpec extends SparkTestBase {
       array_distinct(transform(
         sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+    val h = md5(col("sh").cast("binary"))
     val sh = docs.select(col("doc_id"), explode(shingles).as("sh"))
+      .select(
+        col("doc_id"),
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"sig$i")
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"sig$i")
     }
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
@@ -54,9 +61,9 @@ class TextHashSpec extends SparkTestBase {
 
   test("native minhash matches the explode+groupBy reference, including dropped docs") {
     val native = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     val composed = minhashComposed(8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(native == composed)
     assert(!native.contains(5L), "single-token doc must have no signature")
   }
@@ -82,10 +89,10 @@ class TextHashSpec extends SparkTestBase {
     val rows = spark.sql(
       """SELECT doc_id, graft_minhash(toks, 8) AS sigs, graft_simhash(toks, 16) AS fp
          FROM nulltok_docs""").collect().map(r => r.getLong(0) -> r).toMap
-    assert(rows(0L).getSeq[String](1).length == 8)
-    assert(rows(1L).getSeq[String](1).isEmpty, "no valid shingle -> empty signature")
-    assert(rows(2L).getSeq[String](1).isEmpty)
-    assert(rows(3L).getSeq[String](1).length == 8)
+    assert(rows(0L).getSeq[Long](1).length == 8)
+    assert(rows(1L).getSeq[Long](1).isEmpty, "no valid shingle -> empty signature")
+    assert(rows(2L).getSeq[Long](1).isEmpty)
+    assert(rows(3L).getSeq[Long](1).length == 8)
     // simhash: null tokens behave as the composed otherwise(-1) branch
     val allNullFp = spark.sql(
       "SELECT graft_simhash(array(cast(null as string), cast(null as string)), 16) AS fp").head().getInt(0)
@@ -100,8 +107,8 @@ class TextHashSpec extends SparkTestBase {
       """SELECT graft_minhash(split(text, ' '), 8) AS sigs,
          graft_simhash(split(text, ' '), 16) AS fp
          FROM texthash_docs WHERE doc_id = 0""").head()
-    assert(row.getSeq[String](0).length == 8)
-    assert(row.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    assert(row.getSeq[Long](0).length == 8)
+    assert(row.getSeq[Long](0).forall(v => v >= 0L && v < (1L << 32)))
     assert(row.getInt(1) >= 0 && row.getInt(1) < (1 << 16))
   }
 }
