@@ -144,13 +144,20 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
     * new driver resumes from `mgr.recoverLatest` instead of recomputing
     * the upstream lineage (the reference runner's auto_recover flow,
     * reference: src/checkpoint.rs usage in README "Checkpointing").
+    *
+    * The save runs inside the returned collection's lazy thunk — the
+    * same deferred contract as [[waitOn]]: WIRING a pipeline that
+    * contains a checkpoint barrier runs no job; the snapshot is written
+    * when (and only when) a downstream stage first composes on the
+    * result.
     */
   def checkpointWith(mgr: graft.sources.CheckpointManager, pipelineId: String)(implicit
       e: Encoder[T]
-  ): PCollection[T] = {
-    val dir = mgr.save(ds.toDF(), pipelineId)
-    new PCollection(ds.sparkSession.read.parquet(dir.toString).as[T])
-  }
+  ): PCollection[T] =
+    new PCollection({
+      val dir = mgr.save(ds.toDF(), pipelineId)
+      ds.sparkSession.read.parquet(dir.toString).as[T]
+    })
 
   // ---- diagnostics / structure (reference: tee.rs, named.rs, log_elements.rs) ----
 

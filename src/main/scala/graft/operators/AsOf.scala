@@ -42,24 +42,28 @@ object AsOf {
       valueCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the right side's value columns travel as ONE struct, so the
+    // carry-forward picks every asof_* value from the SAME right row —
+    // carrying each column independently would mix rows whenever a
+    // right row holds NULL in one value column (last(ignoreNulls) would
+    // skip it for that column only, diverging from latest-row-or-NULL)
+    val valueStruct = struct(valueCols.map(col): _*).as("graft_v")
+    val nullStruct = lit(null)
+      .cast(org.apache.spark.sql.types.StructType(valueCols.map(right.schema(_))))
+      .as("graft_v")
     val tagged =
-      left.select(
-        leftCols.map(col) :+ lit(1).as("graft_side") :++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"graft_v_$c")): _*)
+      left.select(leftCols.map(col) :+ lit(1).as("graft_side") :+ nullStruct: _*)
         .unionByName(
           right.select(
-            Seq(col(keyCol), col(tsCol), col(idCol)).map(c => c) :+ lit(0).as("graft_side") :++
-              valueCols.map(c => col(c).as(s"graft_v_$c")): _*),
+            Seq(col(keyCol), col(tsCol), col(idCol)) :+ lit(0).as("graft_side") :+ valueStruct: _*),
           allowMissingColumns = true)
     val carry = Window
       .partitionBy(keyCol)
       .orderBy(col(tsCol), col(idCol), col("graft_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(s"graft_v_$c", ignoreNulls = true).over(carry))
-    }
-    carried
+    tagged
+      .withColumn("graft_asof", last("graft_v", ignoreNulls = true).over(carry))
       .where(col("graft_side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("graft_asof")(c).as(s"asof_$c")): _*)
   }
 }

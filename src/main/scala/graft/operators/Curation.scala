@@ -117,7 +117,8 @@ object Curation {
       n: Int = 3,
       minHits: Int = 1
   ): DataFrame = {
-    def grams(textColName: String) = {
+    // bound to the projected `tk` token column both sides prepare
+    def grams = {
       val parts = (0 until n).map(j => s"element_at(tk, i+$j)").mkString(", ")
       // guard short docs: sequence(1, k) with k < 1 would count DOWN
       expr(
@@ -127,11 +128,11 @@ object Curation {
     }
     val benchGrams = benchmark
       .select(split(col(benchTextCol), " ").as("tk"))
-      .select(explode(grams(benchTextCol)).as("g"))
+      .select(explode(grams).as("g"))
       .distinct()
     val docGrams = docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
-      .select(col(idCol), explode(grams(textCol)).as("g"))
+      .select(col(idCol), explode(grams).as("g"))
       .distinct()
     docGrams
       .join(broadcast(benchGrams), "g")

@@ -74,20 +74,22 @@ object Dedup {
     * sharing any (band, sig...) bucket are candidate near-duplicates.
     * Numeric keys keep the shuffle rows narrow (a handful of longs per
     * row, no hex strings) and need no per-band re-hash. The bands
-    * relation is repartitioned on the bucket key BEFORE the self-join:
-    * both join sides then canonicalize to the same shuffle exchange, so
-    * Spark's ReuseExchange computes the signature subtree ONCE
+    * self-join's two ENSURE_REQUIREMENTS exchanges (hash partitioning
+    * on the bucket key) canonicalize identically, so Spark's
+    * ReuseExchange computes the signature subtree ONCE
     * (shuffle-file-backed — no cache memory, no materialization job,
-    * survives executor loss at scale) and the join itself needs no
-    * further shuffle because its keys match the partitioning. The join
-    * is hinted shuffle-hash: with both sides pre-partitioned on the
-    * bucket key a hash join probes the reused shuffle files directly,
-    * where the default sort-merge would fully sort both sides and the
-    * AQE broadcast conversion would add a build barrier — per-partition
-    * build memory is bounded by the bucket rows in that partition,
-    * which shuffle-partition sizing already governs at scale.
-    * Per-bucket pairs instead of an O(n^2) cross join — the textbook
-    * LSH scale path.
+    * survives executor loss at scale). Deliberately NOT an explicit
+    * `repartition`: REPARTITION_BY_COL pins user-specified
+    * partitioning, which forbids AQE from splitting skewed bucket
+    * partitions — and LSH buckets over a duplicate-heavy crawl are
+    * exactly where skew lives. The join is hinted shuffle-hash: a hash
+    * join probes the reused shuffle files directly, where the default
+    * sort-merge would fully sort both sides and the AQE broadcast
+    * conversion would add a build barrier — per-partition build memory
+    * is bounded by the bucket rows in that partition, which
+    * shuffle-partition sizing already governs at scale. Per-bucket
+    * pairs instead of an O(n^2) cross join — the textbook LSH scale
+    * path.
     */
   def lshCandidatePairs(
       docs: DataFrame,
@@ -107,7 +109,6 @@ object Dedup {
     val bands = sigs
       .select(col(idCol), expr(
         s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
-      .repartition(keyCols.map(col): _*)
     val a = bands.select(col(idCol).as("a_id") +: keyCols.map(col): _*)
     val b = bands.select(col(idCol).as("b_id") +: keyCols.map(col): _*)
     a.join(b.hint("shuffle_hash"), keyCols)
@@ -286,12 +287,21 @@ object Dedup {
     * a plain one-hop propagation walks them one edge per round. This is
     * the classic MapReduce CC stance (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"). Each iteration is
-    * localCheckpoint'ed: the loop would otherwise stack joins into one
-    * unboundedly deep lineage, which kills both the optimizer and
-    * recovery at scale. The per-iteration convergence check is a small
-    * distributed emptiness probe, not a collect. Throws if maxIter is
-    * reached before the fixpoint — a silently under-merged clustering
-    * is worse than a loud failure.
+    * checkpointed to RELIABLE storage (the SparkContext checkpoint
+    * dir): the loop would otherwise stack joins into one unboundedly
+    * deep lineage, which kills both the optimizer and recovery at
+    * scale — and a localCheckpoint would truncate that lineage into
+    * executor-resident blocks, so losing one executor after iteration
+    * k would make every later iteration unrecoverable. Checkpoint
+    * files live in the checkpoint-dir filesystem, readable by any
+    * executor, so an executor loss is a retry, not a rerun. On a
+    * cluster, set `sparkContext.setCheckpointDir` to a durable shared
+    * path (HDFS/object store) before calling; absent that, a
+    * driver-local temp dir is used, which only suits single-node runs.
+    * The per-iteration convergence check is a small distributed
+    * emptiness probe, not a collect. Throws if maxIter is reached
+    * before the fixpoint — a silently under-merged clustering is worse
+    * than a loud failure.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -299,10 +309,9 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges
+    var labels = reliableCheckpoint(edges
       .select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("cluster_id")))
     // delta iteration: only vertices whose label changed last round can
     // improve a neighbor this round, so the (large) edge relation joins
     // against the (shrinking) delta instead of the full label set —
@@ -329,13 +338,12 @@ object Dedup {
       // convergence into O(log diameter). This is a join on the VERTEX
       // relation, cheap next to the edge join above.
       val mapping = propagated.select(col("id").as("mid"), col("cluster_id").as("mlabel"))
-      val next = propagated
+      val next = reliableCheckpoint(propagated
         .join(mapping, propagated("cluster_id") === mapping("mid"), "left")
         .select(
           propagated("id"),
           coalesce(col("mlabel"), propagated("cluster_id")).as("cluster_id"),
-          col("old_label"))
-        .localCheckpoint(true)
+          col("old_label")))
       // any change — via propagation or via the jump — re-enters the
       // frontier, so its neighbors see the improved label next round
       delta = next.where(col("cluster_id") =!= col("old_label")).select("id", "cluster_id")
@@ -359,11 +367,28 @@ object Dedup {
     * discard side is at most the number of duplicated docs, typically a
     * small fraction of the corpus.
     */
-  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val losers = duplicateClusters(pairs, maxIter)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Checkpoint to reliable storage, materializing eagerly. Ensures a
+    * checkpoint dir exists: callers on a cluster should have set a
+    * durable shared path via `sparkContext.setCheckpointDir`; the
+    * fallback is a driver-local temp dir, which only suits single-node
+    * runs (and is what localCheckpoint's executor-memory truncation is
+    * NOT: files any executor can re-read after a peer is lost).
+    */
+  private def reliableCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-ckpt-${sc.applicationId}").getAbsolutePath)
+    df.checkpoint()
   }
 
   private def spark(df: DataFrame) = df.sparkSession

@@ -311,18 +311,19 @@ object Similarity {
       graft.expressions.HyperplaneBuckets(
         org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
         nPlanes))
-    // one narrow projection (id, vec, norm, bucket), repartitioned on
-    // the bucket key BEFORE the self-join: both sides canonicalize to
-    // the same shuffle exchange, so ReuseExchange computes the
-    // projection once, shuffle-file-backed — no cache memory, no
-    // blocking count job, survives executor loss (same plan stance as
-    // [[graft.operators.Dedup.lshCandidatePairs]]). The join is hinted
-    // shuffle-hash: it probes the reused shuffle files directly instead
-    // of sorting both sides or paying an AQE broadcast-build barrier.
+    // one narrow projection (id, vec, norm, bucket); the self-join's
+    // two ENSURE_REQUIREMENTS exchanges on the bucket key canonicalize
+    // identically, so ReuseExchange computes the projection once,
+    // shuffle-file-backed — no cache memory, no blocking count job,
+    // survives executor loss, and AQE stays free to split skewed bucket
+    // partitions (an explicit repartition would pin them). Same plan
+    // stance as [[graft.operators.Dedup.lshCandidatePairs]]. The join
+    // is hinted shuffle-hash: it probes the reused shuffle files
+    // directly instead of sorting both sides or paying an AQE
+    // broadcast-build barrier.
     val t = vectors.select(
       col(idCol).as("vid"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("nrm"), proj.as("bucket"))
-      .repartition(col("bucket"))
     val a = t.select(col("vid").as("a_id"), col("bucket"), col("vec").as("a_vec"), col("nrm").as("a_norm"))
     val b = t.select(col("vid").as("b_id"), col("bucket"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
     a.join(b.hint("shuffle_hash"), "bucket")

@@ -31,6 +31,21 @@ class AsOfSpec extends SparkTestBase {
     assert(out(14L) == "m1", "equal-ts marker with larger id is not yet visible")
   }
 
+  test("asofJoin takes every value column from the SAME latest right row, nulls included") {
+    // the latest marker has tag=NULL, aux set: latest-row-or-NULL
+    // semantics require asof_tag to be NULL, not the tag of an OLDER
+    // row (which per-column ignoreNulls carry would smuggle in)
+    val markers = Seq(
+      (1L, "a", 100L, Option("old"), Option.empty[String]),
+      (2L, "a", 150L, Option.empty[String], Option("fresh"))
+    ).toDF("id", "key", "ts", "tag", "aux")
+    val probes = Seq((10L, "a", 200L)).toDF("id", "key", "ts")
+    val row = AsOf.asofJoin(probes, markers, "key", "ts", "id", Seq("tag", "aux"))
+      .collect().head
+    assert(row.getString(3) == null, s"asof_tag mixed in from an older right row: $row")
+    assert(row.getString(4) == "fresh")
+  }
+
   test("asofJoin carries multiple value columns and keeps left row count") {
     val out = AsOf.asofJoin(left, right, "key", "ts", "id", Seq("tag", "id"))
     assert(out.count() == left.count())

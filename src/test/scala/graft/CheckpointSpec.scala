@@ -136,6 +136,23 @@ class CheckpointSpec extends SparkTestBase {
     assert(recovered.columns.toSet == Set("_1", "_2"))
   }
 
+  test("checkpointWith defers the snapshot write to the first downstream action") {
+    // same deferred contract as waitOn: wiring a pipeline with a
+    // checkpoint barrier must not run a write job — only the first
+    // action on the returned collection does
+    val dir = freshDir()
+    val m = mgr(dir)
+    val pc = PCollection.fromSeq(spark, (1 to 10).map(i => (i.toLong, s"v$i")))
+    val resumed = pc.checkpointWith(m, "lazy-pipe")
+    // composing further transforms is still wiring, not execution
+    val downstream = resumed.map(_._1)
+    assert(m.findLatest("lazy-pipe").isEmpty,
+      "checkpoint snapshot written at wiring time; save must run inside the lazy thunk")
+    assert(downstream.collect().toSet == (1L to 10L).toSet)
+    assert(m.findLatest("lazy-pipe").nonEmpty,
+      "first downstream action must have materialized the snapshot")
+  }
+
   test("checksum and pipeline id are stable functions") {
     assert(Checkpoints.checksumOf("p", 1L, 2L, 3) == Checkpoints.checksumOf("p", 1L, 2L, 3))
     assert(Checkpoints.checksumOf("p", 1L, 2L, 3) != Checkpoints.checksumOf("p", 1L, 2L, 4))

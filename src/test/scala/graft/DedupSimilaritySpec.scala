@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
@@ -151,6 +153,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(labels == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters checkpoints each iteration to reliable storage") {
+    // localCheckpoint truncates lineage into executor-resident blocks:
+    // on a cluster, losing one executor mid-loop makes later iterations
+    // unrecoverable. Reliable checkpointing writes each iteration's
+    // labels to the checkpoint-dir FILESYSTEM, where any executor can
+    // re-read them after a peer is lost — so recovery is a task retry,
+    // not a pipeline rerun. Locally we assert the durable half of that
+    // contract: a preset checkpoint dir receives rdd-* part files
+    // during the loop.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-spec")
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val labels = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 10 && labels.values.forall(_ == 0L))
+      val files = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-")).toList
+      assert(files.nonEmpty, s"no reliable checkpoint files written under $dir")
+    } finally {
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
+    }
   }
 
   test("duplicateClusters and dedupedCorpus handle an empty pair list") {
