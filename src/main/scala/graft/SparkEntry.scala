@@ -367,15 +367,42 @@ object SparkEntry {
         .ds.map { case (k, (cs, ss)) => (k, cs.size.toLong, ss.size.toLong) }
         .toDF("nationkey", "n_cust", "n_supp")
     }),
-    "cogroup_n" -> ((s, dir) =>
+    "cogroup_n" -> ((s, dir) => {
       // 4-way cogroup via the tagged-union single-shuffle strategy
-      // (reference cogroup_by_key! supports 2..10 inputs)
-      graft.operators.CoGroup.coGroupN(Seq(
+      // (reference cogroup_by_key! supports 2..10 inputs). The operator
+      // keeps native types (numeric key lists sort numerically); the
+      // query renders arrays as comma-joined strings for the oracle
+      // compare (determinism rule)
+      val cg = graft.operators.CoGroup.coGroupN(Seq(
         (t(s, dir, "customer"), "c_nationkey", "c_custkey", "custkeys"),
         (t(s, dir, "supplier"), "s_nationkey", "s_suppkey", "suppkeys"),
         (t(s, dir, "nation"), "n_nationkey", "n_name", "nations"),
         (t(s, dir, "region"), "r_regionkey", "r_name", "regions")
-      ))),
+      ))
+      cg.select(
+        col("key"),
+        concat_ws(",", col("custkeys").cast("array<string>")).as("custkeys"),
+        concat_ws(",", col("suppkeys").cast("array<string>")).as("suppkeys"),
+        concat_ws(",", col("nations").cast("array<string>")).as("nations"),
+        concat_ws(",", col("regions").cast("array<string>")).as("regions"))
+    }),
+    "cogroup_n_typed" -> ((s, dir) => {
+      // native-type pin for coGroupN: STRING keys with NUMERIC value
+      // lists (the shape the pre-round-6 long/string casts silently
+      // degraded) — documents co-grouped by language with doc ids and
+      // token counts
+      val docs = t(s, dir, "documents")
+      val cg = graft.operators.CoGroup.coGroupN(Seq(
+        (docs, "lang", "doc_id", "docids"),
+        (docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "lang", "n_tokens", "tokcounts")
+      ))
+      cg.select(
+        col("key"),
+        concat_ws(",", col("docids").cast("array<string>")).as("docids"),
+        concat_ws(",", col("tokcounts").cast("array<string>")).as("tokcounts"))
+    }),
     "cogroup_6way" -> ((s, dir) => {
       // typed 6-way cogroup (reference cogroup_by_key! Tagged6):
       // tagged union, ONE shuffle for all six inputs. Value lists
@@ -441,15 +468,23 @@ object SparkEntry {
          ON c.k = su.k""",
     "cogroup_n" ->
       """WITH u AS (
-           SELECT CAST(c_nationkey AS BIGINT) AS key, 0 AS tag, CAST(c_custkey AS VARCHAR) AS value FROM customer
-           UNION ALL SELECT CAST(s_nationkey AS BIGINT), 1, CAST(s_suppkey AS VARCHAR) FROM supplier
-           UNION ALL SELECT CAST(n_nationkey AS BIGINT), 2, n_name FROM nation
-           UNION ALL SELECT CAST(r_regionkey AS BIGINT), 3, r_name FROM region)
+           SELECT c_nationkey AS key, 0 AS tag, CAST(c_custkey AS BIGINT) AS vnum, CAST(NULL AS VARCHAR) AS vstr FROM customer
+           UNION ALL SELECT s_nationkey, 1, CAST(s_suppkey AS BIGINT), NULL FROM supplier
+           UNION ALL SELECT n_nationkey, 2, NULL, n_name FROM nation
+           UNION ALL SELECT r_regionkey, 3, NULL, r_name FROM region)
          SELECT key,
-           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=0)), ','), '') AS custkeys,
-           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=1)), ','), '') AS suppkeys,
-           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=2)), ','), '') AS nations,
-           COALESCE(array_to_string(list_sort(list(value) FILTER (WHERE tag=3)), ','), '') AS regions
+           COALESCE(array_to_string(list_sort(list(vnum) FILTER (WHERE tag=0)), ','), '') AS custkeys,
+           COALESCE(array_to_string(list_sort(list(vnum) FILTER (WHERE tag=1)), ','), '') AS suppkeys,
+           COALESCE(array_to_string(list_sort(list(vstr) FILTER (WHERE tag=2)), ','), '') AS nations,
+           COALESCE(array_to_string(list_sort(list(vstr) FILTER (WHERE tag=3)), ','), '') AS regions
+         FROM u GROUP BY key""",
+    "cogroup_n_typed" ->
+      """WITH u AS (
+           SELECT lang AS key, 0 AS tag, doc_id AS v FROM documents
+           UNION ALL SELECT lang, 1, CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents)
+         SELECT key,
+           COALESCE(array_to_string(list_sort(list(v) FILTER (WHERE tag=0)), ','), '') AS docids,
+           COALESCE(array_to_string(list_sort(list(v) FILTER (WHERE tag=1)), ','), '') AS tokcounts
          FROM u GROUP BY key""",
     "cogroup_6way" ->
       """WITH u AS (
@@ -793,9 +828,29 @@ object SparkEntry {
       t(s, dir, "embeddings").select(
         col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("norm"))),
     "multimodal_meta" -> ((s, dir) =>
+      // text payloads carry no image magic -> stub decode path
       Multimodal.decodeMeta(
         t(s, dir, "documents").select(col("doc_id").as("id"), col("text").cast("binary").as("payload")),
         "id", "payload")),
+    "multimodal_image_meta" -> ((s, dir) => {
+      // REAL image decode: render a deterministic PNG per doc (size
+      // derived from doc_id) in the executors, then decodeMeta parses
+      // true width/height back out of the PNG headers via javax.imageio
+      // — the oracle predicts the dimensions from the same arithmetic
+      val spark = s
+      import spark.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (1 + id % 64).toInt
+          val h = (1 + id % 48).toInt
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos): Unit
+          (id, bos.toByteArray)
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(imgs, "id", "payload")
+        .select("id", "width", "height", "n_frames", "codec")
+    }),
     "io_jsonl_roundtrip" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/jsonl"
       val src = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
@@ -1272,9 +1327,17 @@ object SparkEntry {
          FROM embeddings""",
     "multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
-         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
-         CAST(octet_length(encode(text)) % 16 AS INTEGER) AS fake_frames
+         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+         CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+         'stub' AS codec
+         FROM documents""",
+    "multimodal_image_meta" ->
+      """SELECT doc_id AS id,
+         CAST(1 + doc_id % 64 AS INTEGER) AS width,
+         CAST(1 + doc_id % 48 AS INTEGER) AS height,
+         1 AS n_frames,
+         'png' AS codec
          FROM documents""",
     "io_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

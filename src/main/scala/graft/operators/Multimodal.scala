@@ -7,30 +7,67 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns plus typed metadata, with decode /
   * feature-extract implemented per-partition in batches.
   *
-  * The decode step is a STUB (no image/audio codecs in this
-  * environment): [[fakeDecode]] derives deterministic metadata from the
-  * byte payload. What IS real — and tested — is the Spark-side shape:
-  * binary column in/out, typed `mapPartitions` batching (the Scala
-  * analog of `mapInPandas` batch processing), schema declaration, and
-  * narrow no-shuffle execution, which is the part that has to survive
-  * 100 TB of media blobs (one partition = one batch of blobs; no
-  * driver-side collection anywhere).
+  * The decode step is REAL for PNG and JPEG payloads: magic-byte
+  * sniffing plus a `javax.imageio` HEADER read (plain JDK, no native
+  * codecs) yields true width/height without decoding pixel data — the
+  * cheap metadata pass a media-curation pipeline runs corpus-wide.
+  * Every other payload falls back to [[fakeDecode]]'s deterministic
+  * stub (video/audio codecs are unavailable in this environment).
+  * Equally real — and tested — is the Spark-side shape: binary column
+  * in/out, typed `mapPartitions` batching (the Scala analog of
+  * `mapInPandas` batch processing), schema declaration, and narrow
+  * no-shuffle execution, which is the part that has to survive 100 TB
+  * of media blobs (one partition = one batch of blobs; no driver-side
+  * collection anywhere).
   */
 object Multimodal {
 
-  /** Decoded-media metadata record. */
-  case class MediaMeta(id: Long, n_bytes: Int, fake_width: Int, fake_height: Int, fake_frames: Int)
+  /** Decoded-media metadata record. `codec` is `png`/`jpeg` for real
+    * header decodes, `stub` for the fallback.
+    */
+  case class MediaMeta(id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int, codec: String)
 
-  /** STUB decode: real codecs are unavailable, so derive metadata
-    * deterministically from payload size. Replace the body with a real
-    * decoder (e.g. TwelveMonkeys/JavaCV) without touching the plan.
+  /** STUB decode for payload types with no available codec: derive
+    * metadata deterministically from payload size. Replace with a real
+    * decoder (e.g. JavaCV for video) without touching the plan.
     */
   def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    MediaMeta(id, n, n % 640, n % 480, n % 16)
+    MediaMeta(id, n, n % 640, n % 480, n % 16, "stub")
   }
 
-  /** Per-partition batched "decode" over (id, binary payload) rows.
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte
+
+  /** Decode one payload's metadata: a real `javax.imageio` header read
+    * for PNG/JPEG (width/height parsed from the image header — pixel
+    * data is never decoded, so cost is O(header) not O(image)), stub
+    * fallback for everything else or on parse failure.
+    */
+  def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
+    if (isPng(payload) || isJpeg(payload)) {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            return MediaMeta(
+              id, payload.length, r.getWidth(0), r.getHeight(0), 1,
+              if (isPng(payload)) "png" else "jpeg")
+          } finally r.dispose()
+        }
+      } catch { case _: java.io.IOException => () } finally in.close()
+    }
+    fakeDecode(id, payload)
+  }
+
+  /** Per-partition batched decode over (id, binary payload) rows.
     * Batching amortizes per-record codec setup exactly like
     * `mapInPandas` batches arrow record-batches.
     */
@@ -41,8 +78,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // real decoders would initialize once per batch here
-          batch.iterator.map { case (id, bytes) => fakeDecode(id, bytes) }
+          // per-batch decoder setup would go here (ImageIO readers are
+          // created per payload since formats can vary within a batch)
+          batch.iterator.map { case (id, bytes) => decodeOne(id, bytes) }
         }
       }
       .toDF()

@@ -137,6 +137,26 @@ class WindowingTextSpec extends SparkTestBase {
     assert(metas == Map(1L -> 6, 2L -> 1000))
   }
 
+  test("multimodal decodeMeta parses real PNG/JPEG headers, stubs everything else") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos): Unit
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes(7, 5, "png")),
+      (2L, imageBytes(9, 3, "jpg")),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val metas = Multimodal.decodeMeta(df, "id", "payload").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("codec")))).toMap
+    assert(metas(1L) == ((7, 5, "png")))
+    assert(metas(2L) == ((9, 3, "jpeg")))
+    assert(metas(3L)._3 == "stub")
+  }
+
   test("multimodal sampleFrames explodes stride-sampled frame indices") {
     val df = Seq((1L, "x" * 10)).toDF("id", "payload") // 10 bytes -> nFrames = 10 % 16 = 10
     val frames = Multimodal.sampleFrames(df, "id", "payload", stride = 3)
