@@ -179,7 +179,21 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
 
   def cache(): PCollection[T] = new PCollection(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
-  def withName(name: String): PCollection[T] = new PCollection(ds.alias(name))
+  /** Attach a display name, qualified by any active
+    * [[PCollection.namedScope]] path: `withName("Sum")` inside
+    * `namedScope("WordCount") { ... }` names the node `WordCount/Sum`
+    * (reference: with_name + Pipeline::qualify_with_scope,
+    * src/pipeline.rs:355-380). Realized as a Dataset alias, so the
+    * path shows up as a `SubqueryAlias` in the logical plan and in
+    * [[explain]] output.
+    */
+  def withName(name: String): PCollection[T] = {
+    // qualify EAGERLY: naming is a wiring-time concept — resolving it
+    // inside the lazy thunk would read the scope stack after the
+    // enclosing namedScope already popped
+    val qualified = PCollection.qualifyWithScope(name)
+    new PCollection(ds.alias(qualified))
+  }
 
   /** Structured plan explanation (reference: `plan.explain()`,
     * tests/explain.rs — steps with barrier flags plus summary counts).
@@ -342,6 +356,26 @@ object PCollection {
       suggestedPartitions: Int,
       formatted: String
   )
+
+  /** Hierarchical naming scope (reference: Pipeline::named_scope,
+    * src/pipeline.rs:330-351): every [[PCollection.withName]] inside
+    * `f` is prefixed with the scope path, scopes nest
+    * (`A/B/Name`), and the scope pops even if `f` throws — the same
+    * guard-on-unwind contract as the reference's Drop guard. The stack
+    * is a DynamicVariable, so concurrent pipeline-building threads each
+    * see their own scope path.
+    */
+  def namedScope[R](name: String)(f: => R): R = {
+    val stack = scopeStack.value
+    scopeStack.withValue(stack :+ name)(f)
+  }
+
+  private[graft] def qualifyWithScope(name: String): String = {
+    val stack = scopeStack.value
+    if (stack.isEmpty) name else (stack :+ name).mkString("/")
+  }
+
+  private val scopeStack = new scala.util.DynamicVariable[Vector[String]](Vector.empty)
 
   def fromSeq[T: Encoder](spark: SparkSession, data: Seq[T]): PCollection[T] =
     new PCollection(spark.createDataset(data))

@@ -86,6 +86,27 @@ class PCollectionSpec extends SparkTestBase {
       s"downstream elements saw a partially-drained signal: $out")
   }
 
+  test("namedScope qualifies withName hierarchically and pops on exit") {
+    // reference: Pipeline::named_scope + with_name -> "WordCount/Sum"
+    val named = PCollection.namedScope("WordCount") {
+      PCollection.namedScope("Inner") {
+        pc(1, 2, 3).withName("Sum")
+      }
+    }
+    assert(named.ds.queryExecution.analyzed.toString.contains("WordCount/Inner/Sum"),
+      s"scope path missing from plan:\n${named.ds.queryExecution.analyzed}")
+    // the scope pops even when the body throws (reference Drop-guard
+    // contract), so later names are unqualified
+    intercept[RuntimeException] {
+      PCollection.namedScope("Stale") { throw new RuntimeException("boom") }
+    }
+    assert(PCollection.qualifyWithScope("Plain") == "Plain", "scope stack leaked")
+    // naming resolves at wiring time, not at first action: the alias
+    // must carry the scope active when withName was CALLED
+    val wired = PCollection.namedScope("Outer") { pc(1).withName("Inside") }
+    assert(wired.ds.queryExecution.analyzed.toString.contains("Outer/Inside"))
+  }
+
   test("explain reports steps, counts shuffle barriers, suggests partitions") {
     val pc = PCollection.fromSeq(spark, (1 to 100).map(i => (i % 5, i)))
     // map-only chain: no shuffle barrier
