@@ -36,6 +36,10 @@ object Sessions {
       .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // reliable checkpoints (duplicateClusters writes one per CC
+      // iteration) are reclaimed when their RDD is GC'd, instead of
+      // accumulating for the session's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // testdata events.parquet uses TIMESTAMP(NANOS); Spark has no nanos
       // type — read as long and convert explicitly where needed
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -207,18 +207,31 @@ object SparkEntry {
           (abs(element_at(col("approx"), 3) / element_at(col("exact"), 3) - 1.0) < 0.01)
             .cast("bigint").as("q75_ok"))),
     "top_k_per_key" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // bounded O(k) top-k aggregate (native BoundedTopK, ties to lower
+      // id = the (price desc, key asc) contract) instead of a
+      // row_number window: the window shuffles EVERY row into
+      // |keys| partitions and fully sorts them — parallelism collapses
+      // to the key count and the sort is O(n log n) per key; the
+      // aggregate keeps <= k rows per (key, map task) with map-side
+      // partial combine, the shape that survives 100 TB
       t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+        .groupBy("o_orderpriority")
+        .agg(Similarity.topKAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(
+          col("o_orderpriority"), col("e.neighbor_id").as("o_orderkey"),
+          col("e.score").as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
     }),
     "bottom_k_per_key" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      // same bounded aggregate with negated score: equal prices tie to
+      // the lower order key, matching (price asc, key asc)
       t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+        .groupBy("o_orderpriority")
+        .agg(Similarity.topKAgg(col("o_totalprice") * -1, col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(
+          col("o_orderpriority"), col("e.neighbor_id").as("o_orderkey"),
+          (col("e.score") * -1).as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
     }),
     "top_k_global" -> ((s, dir) =>
       t(s, dir, "orders")

@@ -68,6 +68,42 @@ class TextHashSpec extends SparkTestBase {
     assert(!native.contains(5L), "single-token doc must have no signature")
   }
 
+  test("native minhash matches the composed form on randomized corpora") {
+    // property check: arbitrary token arrays (unicode, repeats, empties,
+    // single tokens) — the native expression and the explode+groupBy
+    // reference must agree doc-for-doc, value-for-value
+    val gen = new scala.util.Random(20260813L)
+    val alphabets = Array("abcdefg", "xyz", "äöüß", "日本語テスト", "0123456789")
+    def randToken(): String = {
+      val a = alphabets(gen.nextInt(alphabets.length))
+      (0 until 1 + gen.nextInt(6)).map(_ => a(gen.nextInt(a.length))).mkString
+    }
+    val randomDocs = (0 until 300).map { i =>
+      (i.toLong, (0 until gen.nextInt(30)).map(_ => randToken()).mkString(" "))
+    }
+    val df = randomDocs.toDF("doc_id", "text")
+    val native = Dedup.minhashSignatures(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+    val h = md5(col("sh").cast("binary"))
+    val composed = df.select(col("doc_id"), explode(shingles).as("sh"))
+      .select(
+        col("doc_id"),
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("sig0"),
+        (1 until 8).map(i =>
+          min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"sig$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(native == composed)
+  }
+
   test("native simhash matches the explode+sum reference for all docs") {
     val native = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
