@@ -169,6 +169,8 @@ object ScaleSmoke {
       }.sorted.apply(1)
     }
     val reuseSec = medianOf3(Dedup.lshCandidatePairs(docsN, "doc_id", "text", 8, 2).count())
+    val skewSafeSec = medianOf3(
+      Dedup.lshCandidatePairsSkewSafe(docsN, "doc_id", "text", 8, 2, nGroups = 8).count())
     val persistSec = medianOf3 {
       val sigs = Dedup.minhashSignatures(docsN, "doc_id", "text", 8)
       val stackArgs = (0 until 4).flatMap(b => b.toString +: (0 until 2).map(r => s"sig${b * 2 + r}"))
@@ -183,7 +185,7 @@ object ScaleSmoke {
       bands.unpersist()
       n
     }
-    println(f"[scale] candidate plan A/B at x$replicas: reuse(one-scan, co-partitioned) $reuseSec%.2f s vs persist(cache + AQE broadcast) $persistSec%.2f s — see scaladoc for why the persist edge does not transfer to cluster scale")
+    println(f"[scale] candidate plan A/B at x$replicas: reuse(one-scan, co-partitioned) $reuseSec%.2f s vs skew-safe(triangle blocks, G=8) $skewSafeSec%.2f s vs persist(cache + AQE broadcast) $persistSec%.2f s — see scaladoc for why the persist edge does not transfer to cluster scale")
 
     failures.foreach(f => System.err.println(s"[scale] FAIL $f"))
     spark.stop()

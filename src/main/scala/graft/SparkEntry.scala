@@ -765,6 +765,12 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2)),
+    "dedup_lsh_skewsafe" -> ((s, dir) =>
+      // triangle-distributed pair generation: same candidate set as
+      // dedup_minhash_lsh (same oracle), but each bucket's quadratic
+      // pair output spreads over G(G+1)/2 tasks instead of one
+      Dedup.lshCandidatePairsSkewSafe(
+        t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, nGroups = 4)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "dedup_jaccard" -> ((s, dir) => {
@@ -1144,6 +1150,25 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id""",
+    "dedup_lsh_skewsafe" ->
+      // triangle distribution must not change WHAT is computed — the
+      // oracle is the same banded candidate set as dedup_minhash_lsh
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh

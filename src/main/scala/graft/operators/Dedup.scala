@@ -89,7 +89,10 @@ object Dedup {
     * is bounded by the bucket rows in that partition, which
     * shuffle-partition sizing already governs at scale. Per-bucket
     * pairs instead of an O(n^2) cross join — the textbook LSH scale
-    * path.
+    * path. When a corpus carries extreme duplication (mega-buckets
+    * whose quadratic pair OUTPUT would serialize in one task — a skew
+    * AQE cannot see, since it triggers on input bytes), use
+    * [[lshCandidatePairsSkewSafe]].
     */
   def lshCandidatePairs(
       docs: DataFrame,
@@ -113,6 +116,64 @@ object Dedup {
     val b = bands.select(col(idCol).as("b_id") +: keyCols.map(col): _*)
     a.join(b.hint("shuffle_hash"), keyCols)
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Skew-safe LSH candidate pairs: same candidate set as
+    * [[lshCandidatePairs]], but each bucket's quadratic pair output is
+    * spread over `nGroups*(nGroups+1)/2` tasks instead of one.
+    *
+    * Why it exists: a co-partitioned self-join puts ALL rows of a
+    * bucket in one partition, so a mega-bucket of k near-identical
+    * docs emits its k^2/2 pairs from a single task — and AQE's skew
+    * split cannot help, because it triggers on input partition BYTES
+    * while this skew lives in the join OUTPUT (ScaleSmoke measures the
+    * effect). The classic remedy is triangle distribution: give every
+    * row a deterministic group g = hash(id) mod G, replicate each row
+    * to the G unordered block pairs {g, b}, join on
+    * (bucket, blockLo, blockHi), and keep a pair only in the ONE block
+    * that equals its own group pair — so each pair is emitted exactly
+    * once and a bucket's output fans out over G(G+1)/2 tasks for a Gx
+    * replication of its input rows. Input replication is linear in G;
+    * output (the quadratic term) splits as 1/G^2 per task.
+    *
+    * Use when duplication is expected to be extreme (boilerplate
+    * floods, un-collapsed mirrors); [[nearDuplicatesCollapsed]] removes
+    * exact-dup mass first and is the better default.
+    */
+  def lshCandidatePairsSkewSafe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      nGroups: Int = 8
+  ): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
+    val stackArgs = (0 until nBands).flatMap { b =>
+      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+    }
+    val keyCols = "band" +: sigCols
+    val bands = sigs
+      .select(col(idCol), expr(
+        s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
+      .withColumn("g", pmod(hash(col(idCol)), lit(nGroups)))
+      // row with group g participates in every unordered block {g, b}:
+      // (min(g,b), max(g,b)) for all b — G blocks per row
+      .withColumn("blk", explode(expr(
+        s"transform(sequence(0, ${nGroups - 1}), b -> struct(least(g, b) AS lo, greatest(g, b) AS hi))")))
+    val joinKeys = keyCols ++ Seq("blk")
+    val a = bands.select((col(idCol).as("a_id") +: col("g").as("a_g") +: joinKeys.map(col)): _*)
+    val b = bands.select((col(idCol).as("b_id") +: col("g").as("b_g") +: joinKeys.map(col)): _*)
+    a.join(b.hint("shuffle_hash"), joinKeys)
+      .where(col("a_id") < col("b_id"))
+      // keep the pair only in the ONE block equal to its own group
+      // pair — every other co-occurrence is a duplicate
+      .where(col("blk.lo") === least(col("a_g"), col("b_g")) &&
+             col("blk.hi") === greatest(col("a_g"), col("b_g")))
       .select("a_id", "b_id")
       .distinct()
   }

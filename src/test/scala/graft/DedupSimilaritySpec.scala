@@ -155,6 +155,20 @@ class DedupSimilaritySpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("skew-safe LSH emits exactly the plain candidate set, each pair once") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plain = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val safe = Dedup.lshCandidatePairsSkewSafe(d, "doc_id", "text", 8, 2, nGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.length == plain.toSet.size && safe.length == safe.toSet.size,
+      "duplicate pairs emitted")
+    assert(safe.toSet == plain.toSet,
+      s"skew-safe candidates diverge: missing=${(plain.toSet -- safe).take(5)} extra=${(safe.toSet -- plain).take(5)}")
+    assert(plain.nonEmpty)
+  }
+
   test("duplicateClusters checkpoints each iteration to reliable storage") {
     // localCheckpoint truncates lineage into executor-resident blocks:
     // on a cluster, losing one executor mid-loop makes later iterations
