@@ -18,13 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** The `depth` (j, cell) coordinates of one token — the shared hash
+    * family for building and probing grids (also the streaming tier's,
+    * [[graft.streaming.Streams.windowedCmsGrid]], so a stream-built
+    * grid probes identically).
+    */
+  private[graft] def cellCoords(tok: org.apache.spark.sql.Column, depth: Int, width: Int) =
+    explode(array((0 until depth).map(j =>
+      struct(lit(j).as("j"), pmod(hash(tok, lit(j)), lit(width)).as("cell"))): _*))
+
   /** CMS grid cells for every token occurrence: (j, cell) -> n. */
   private def grid(toks: DataFrame, depth: Int, width: Int): DataFrame =
     toks
-      .select(explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), pmod(hash(col("tok"), lit(j)), lit(width)).as("cell"))): _*)).as("jc"))
+      .select(cellCoords(col("tok"), depth, width).as("jc"))
       .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
+
+  /** CMS point estimates for `queryToks` (a `tok` column) against a
+    * sparse grid relation carrying (j, cell, n) plus any partition
+    * columns (e.g. the `window_start` of a stream-maintained grid,
+    * [[graft.streaming.Streams.windowedCmsGrid]]): per extra-column
+    * group and token, the estimate is the min over the token's `depth`
+    * cells. The query tokens broadcast (they are the small side); the
+    * grid never moves. A sparse grid stores no zero cells, so a token
+    * matching fewer than `depth` cells has a zero cell somewhere — its
+    * estimate is 0, not the min of the cells that happened to collide;
+    * tokens matching no cell at all are simply absent (= estimate 0).
+    */
+  def estimateFromGrid(grid: DataFrame, queryToks: DataFrame, depth: Int, width: Int): DataFrame = {
+    val extraCols = grid.columns.toSeq.filterNot(Set("j", "cell", "n"))
+    val cells = queryToks
+      .select(col("tok"), cellCoords(col("tok"), depth, width).as("jc"))
+      .select(col("tok"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+    grid
+      .join(broadcast(cells), Seq("j", "cell"))
+      .groupBy((extraCols :+ "tok").map(col): _*)
+      .agg(min("n").as("n_min"), count(lit(1)).as("n_cells"))
+      .select((extraCols :+ "tok").map(col) :+
+        when(col("n_cells") < depth, lit(0L)).otherwise(col("n_min")).as("n_est"): _*)
+  }
 
   /** Top-k exact heavy hitters with their CMS estimate and a 0/1
     * within-bound flag: `ok` = estimate is at least the exact count

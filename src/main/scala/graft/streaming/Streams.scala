@@ -47,6 +47,35 @@ object Streams {
       .select((col("session_window.start").as("session_start") +: keys.map(col)) :+ col("n"): _*)
   }
 
+  /** Continuously-maintained windowed Count-Min sketch — the streaming
+    * sibling of [[graft.operators.HeavyHitters]]: per event-time
+    * window, the sparse (j, cell) -> n grid aggregates under a
+    * watermark, so live state is bounded by depth x width CELLS per
+    * open window REGARDLESS of key cardinality — the fixed-memory
+    * shape that survives an unbounded-cardinality stream where exact
+    * per-key windowed counts would grow state with |keys|. The grid
+    * uses the same hash family as the batch tier, so a sink-persisted
+    * grid is probed with [[graft.operators.HeavyHitters
+    * .estimateFromGrid]] unchanged, and grids merge by union +
+    * re-aggregation (CMS is a sum sketch).
+    */
+  def windowedCmsGrid(
+      events: DataFrame,
+      tsCol: String,
+      tokCol: String,
+      windowSize: String,
+      watermark: String,
+      depth: Int = 4,
+      width: Int = 2048
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        graft.operators.HeavyHitters.cellCoords(col(tokCol), depth, width).as("jc"))
+      .groupBy(window(col(tsCol), windowSize), col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("j"), col("cell"), col("n"))
+
   /** Streaming exact dedup — the continuous-ingest sibling of
     * [[graft.operators.Dedup.exactGroups]]: rows with an already-seen
     * content fingerprint (md5, partition/retry-stable) are dropped.

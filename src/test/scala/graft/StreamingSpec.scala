@@ -33,6 +33,38 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("windowedCmsGrid maintains a probeable sketch per window with bounded cells") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val depth = 4; val width = 64
+    val out = Streams.windowedCmsGrid(
+      input.toDF().toDF("ts", "tok"), "ts", "tok", "1 hour", "2 hours", depth, width)
+    val query = out.writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "alpha"), (ts("2024-01-01 00:10:00"), "alpha"),
+        (ts("2024-01-01 00:15:00"), "alpha"), (ts("2024-01-01 00:20:00"), "beta"),
+        (ts("2024-01-01 01:05:00"), "alpha"))
+      query.processAllAvailable()
+      val grid = spark.table("cms_out")
+      // state bound: at most depth*width cells per window, sparse in practice
+      val perWindow = grid.groupBy("window_start").count().collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(perWindow.values.forall(_ <= depth.toLong * width))
+      // the stream-built grid probes with the batch estimator: CMS never
+      // underestimates, and at this tiny load it is exact per window
+      val queries = Seq("alpha", "beta", "never-seen").toDF("tok")
+      val est = graft.operators.HeavyHitters.estimateFromGrid(grid, queries, depth, width)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(est(("2024-01-01 00:00:00.0", "alpha")) >= 3L)
+      assert(est(("2024-01-01 00:00:00.0", "beta")) >= 1L)
+      assert(est(("2024-01-01 01:00:00.0", "alpha")) >= 1L)
+      assert(est.getOrElse(("2024-01-01 01:00:00.0", "beta"), 0L) <= 1L,
+        "a token absent from a window must report only collision mass")
+    } finally query.stop()
+  }
+
   test("dedupExact drops duplicate content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
