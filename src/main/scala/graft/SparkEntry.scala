@@ -688,6 +688,10 @@ object SparkEntry {
       // rebalance corpus to target language proportions (downsample-only)
       Curation.rebalanceMix(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))),
+    "curation_pack" -> ((s, dir) =>
+      // GPT-style sequence packing: contiguous per-stratum token
+      // stream cut every 512 tokens; docs straddle context boundaries
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512)),
     "range_join" -> ((s, dir) => {
       // point-in-interval WITHOUT an inequality join: urgent orders
       // become 7-day intervals exploded onto a weekly grid; lineitem
@@ -815,6 +819,16 @@ object SparkEntry {
       // all-pairs)
       Similarity.cosineNearDuplicates(
         t(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 4, thresholdPct = 30)),
+    "dedup_embedding_survivors" -> ((s, dir) => {
+      // semantic-dedup capstone on the embedding side: hyperplane-LSH
+      // cosine pairs -> connected components -> min-id survivors, the
+      // same detect -> cluster -> select chain as the text capstone
+      val emb = t(s, dir, "embeddings")
+      Dedup.dedupedCorpus(emb, "vec_id",
+        Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", nPlanes = 4, thresholdPct = 30)
+          .select("a_id", "b_id"))
+        .select("vec_id")
+    }),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -1028,6 +1042,17 @@ object SparkEntry {
                     OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
            FROM documents)
          WHERE cum_tokens <= 2000""",
+    "curation_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_token,
+                (cum - n_tokens) // 512 AS bin_id,
+                (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_bins
+         FROM (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                  CAST(sum(CAST(len(string_split(text, ' ')) AS INTEGER))
+                    OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+           FROM documents)""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -1334,6 +1359,29 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm), 6) AS cosine
          FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30""",
+    "dedup_embedding_survivors" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding AS ev,
+           sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         bits AS (
+           SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(generate_series(1, len(ev)),
+                 i -> CAST(ev[i] AS DOUBLE) * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i-1 AS VARCHAR)),1,1) IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)
+               )) >= 0 THEN '1' ELSE '0' END AS bit
+           FROM v CROSS JOIN range(0, 4) r(p)),
+         bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id),
+         t AS (SELECT v.vec_id, v.ev, v.nrm, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)""",
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

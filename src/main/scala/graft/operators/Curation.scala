@@ -78,6 +78,44 @@ object Curation {
       .where(col("cum_tokens") <= budgetTokens)
   }
 
+  /** GPT-style sequence packing: lay the corpus out as ONE contiguous
+    * token stream per stratum (deterministic content-hash order) and
+    * cut it every `contextTokens` — the standard way training data
+    * becomes fixed-length rows, with documents straddling context
+    * boundaries rather than padding them. Emits, per document, its
+    * stream position and the context windows it lands in:
+    * (id, stratum, n_tokens, start_token, bin_id, n_bins); a doc
+    * spans bins bin_id .. bin_id + n_bins - 1, and its offset within
+    * the first bin is start_token mod contextTokens. Downstream, an
+    * `explode(sequence(bin_id, bin_id+n_bins-1))` + groupBy(bin)
+    * materializes per-window example manifests.
+    *
+    * One cumulative-sum window partitioned by stratum — no shuffle
+    * beyond it, O(1) state per row, and the same caveat as
+    * [[tokenBudgetSample]]: a single giant stratum serializes its own
+    * prefix sum, because a sequential layout IS sequential
+    * semantically; strata (language, source) are the parallelism unit.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      contextTokens: Int
+  ): DataFrame = {
+    val byPriority = Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs
+      .select(col(idCol), col(strataCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_token", sum("n_tokens").over(byPriority) - col("n_tokens"))
+      // integer division (DIV), not floor(double/): exact at any
+      // corpus size, where double division degrades past 2^53 tokens
+      .withColumn("bin_id", expr(s"start_token DIV $contextTokens"))
+      .withColumn("n_bins",
+        expr(s"(start_token + n_tokens - 1) DIV $contextTokens") - col("bin_id") + 1)
+  }
+
   /** PII redaction: replace email addresses and IPv4 literals with
     * placeholder tokens and count what was removed — the scrub step a
     * corpus runs before training. Pure per-row regexp projections (one

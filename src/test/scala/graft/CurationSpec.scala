@@ -89,6 +89,36 @@ class CurationSpec extends SparkTestBase {
       s"benchmark side not broadcast:\n$plan")
   }
 
+  test("packSequences lays out a gapless per-stratum token stream cut at the context size") {
+    val docs = Seq(
+      (1L, "en", "a " * 299 + "end"),   // 300 tokens
+      (2L, "en", "b " * 99 + "end"),    // 100 tokens
+      (3L, "en", "c " * 499 + "end"),   // 500 tokens
+      (4L, "zh", "d " * 49 + "end")     // 50 tokens, separate stratum
+    ).toDF("doc_id", "lang", "text")
+    val packed = graft.operators.Curation.packSequences(docs, "doc_id", "text", "lang", 256)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // the stream is gapless: per stratum, sorted starts are the prefix
+    // sums of the preceding docs (no padding, no overlap)
+    val en = packed.collect { case (id, (l, n, start, _, _)) if l == "en" => (start, n, id) }.toSeq.sorted
+    assert(en.head._1 == 0L)
+    en.sliding(2).foreach {
+      case Seq((s1, n1, _), (s2, _, _)) => assert(s2 == s1 + n1, "gap or overlap in the packed stream")
+      case _ => ()
+    }
+    // bins: a doc spans exactly the context windows its token range covers
+    packed.values.foreach { case (_, n, start, bin, nBins) =>
+      assert(bin == start / 256)
+      assert(nBins == (start + n - 1) / 256 - bin + 1)
+    }
+    // straddling happens (total 900 en tokens over 256-token contexts)
+    assert(packed.values.exists(v => v._5 > 1), "expected at least one straddling doc")
+    // strata pack independently: zh starts at its own zero
+    assert(packed(4L)._3 == 0L && packed(4L)._4 == 0L)
+  }
+
   test("rebalanceMix downsamples to target proportions without upsampling") {
     val d = (1L to 80L).map(i => (i, "t", if (i <= 60) "en" else "de")).toDF("doc_id", "text", "lang")
     // target 50/50 but only 20 de docs -> de binds: keep 20 de + 20 en
