@@ -267,6 +267,12 @@ object Dedup {
         blockCol.map(_ => col("blk").as("b_blk")): _*)
     val joined = pairs.join(aSide, "a_id").join(bSide, "b_id")
     blockCol.fold(joined)(_ => joined.where(col("a_blk") === col("b_blk")))
+      // length prefilter (similarity-join literature): J(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so a size-incompatible pair cannot
+      // reach the threshold — pruned on two array headers BEFORE the
+      // O(n+m) merge scan ever runs. Provably result-neutral.
+      .where(least(size(col("a_toks")), size(col("b_toks"))) * 100 >=
+             greatest(size(col("a_toks")), size(col("b_toks"))) * thresholdPct)
       .select(
         col("a_id"),
         col("b_id"),
