@@ -24,8 +24,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // GRAFT_BENCH_ONLY=name1,name2 restricts the run to a subset — for
-    // iterating on one query's plan without paying the full sweep
+    // iterating on one query's plan without paying the full sweep.
+    // Unknown names fail loudly: a typo silently matching nothing would
+    // emit an empty sweep that a baseline comparison misreads.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.benchQueries.toSet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names not in benchQueries: ${unknown.mkString(", ")}")
+    }
     val benchSet = SparkEntry.benchQueries.filter(q => only.forall(_.contains(q)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

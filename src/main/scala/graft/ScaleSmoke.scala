@@ -110,9 +110,11 @@ object ScaleSmoke {
     val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val nBase = base.count()
     // a tiny "benchmark eval set": distinctive slices of base docs, so
-    // decontamination has real n-gram hits to find at every scale
+    // decontamination has real n-gram hits to find at every scale —
+    // ordered before the limit so the 1x and Nx chains (which each
+    // re-execute this lazy plan) decontaminate against the SAME rows
     val benchmark = base.where(col("doc_id") % 97 === 0)
-      .select(col("text")).limit(50)
+      .orderBy(col("doc_id")).limit(50).select(col("text"))
 
     def corpusOf(n: Int): DataFrame = {
       val corpus = (0 until n).map { r =>

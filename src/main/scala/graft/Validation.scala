@@ -80,17 +80,25 @@ object Validation {
   final class ErrorCollector private (
       acc: Option[CollectionAccumulator[RecordError]]
   ) extends Serializable {
-    // driver-local mode only; @transient so a collector accidentally
-    // closed over without an accumulator fails loudly (NPE) on executor
-    // adds instead of silently dropping errors
     @transient private lazy val local =
       if (acc.isEmpty) new java.util.concurrent.ConcurrentLinkedQueue[RecordError]() else null
+
+    // true only on the ORIGINAL driver-side instance: @transient vals
+    // deserialize to their zero value, so a driver-local collector that
+    // gets closure-shipped to an executor sees false here and addError
+    // fails loudly — a lazily re-initialized queue on the executor
+    // would otherwise swallow every error (tasks discard their copy)
+    @transient private val driverInstance: Boolean = true
 
     def addError(recordId: Option[String], errs: Seq[ValidationError]): Unit = {
       val re = RecordError(recordId, errs)
       acc match {
         case Some(a) => a.add(re)
-        case None    => local.add(re): Unit
+        case None =>
+          require(driverInstance,
+            "driver-local ErrorCollector used inside a distributed pipeline — " +
+              "its executor-side adds cannot reach the driver; use ErrorCollector.distributed(spark)")
+          local.add(re): Unit
       }
     }
 
@@ -189,6 +197,8 @@ object Validation {
     def all[T](vs: (T => Errors)*): T => Errors = t => vs.toList.flatMap(_(t))
   }
 
+  private val validationMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   implicit final class ValidationOps[T](private val self: PCollection[T]) {
 
     /** Keep only valid records (reference: validate_skip_invalid). */
@@ -218,18 +228,24 @@ object Validation {
       * [[ErrorCollector.distributed]] so executor-side adds merge into
       * the driver via the accumulator channel as tasks complete. The
       * stream is also `observe`d: every action on the result reports
-      * `graft_validation.total_rows` / `invalid_rows` metrics to query
+      * `<metricName>.total_rows` / `invalid_rows` metrics to query
       * listeners, so monitoring sees per-run validation rates without
-      * any extra job or a trip through the collector.
+      * any extra job or a trip through the collector. Observation names
+      * must be unique within one query, so each call defaults to a
+      * fresh `graft_validation_<n>` — pass `metricName` explicitly when
+      * monitoring needs a stable name (and keep it unique per plan).
       *
       * @param idOf record identity for the error report (None = indexed)
       */
     def validateLogAndContinue(
         v: T => Errors,
         collector: ErrorCollector,
-        idOf: T => Option[String] = (_: T) => None
+        idOf: T => Option[String] = (_: T) => None,
+        metricName: String = null
     )(implicit tEnc: Encoder[T], pairEnc: Encoder[(T, Int)]): PCollection[T] =
       new PCollection({
+        val name = Option(metricName).getOrElse(
+          s"graft_validation_${validationMetricSeq.incrementAndGet()}")
         val scored = self.ds.mapPartitions(_.map { t =>
           val errs = v(t)
           if (errs.nonEmpty) collector.addError(idOf(t), errs.map(ValidationError(_)))
@@ -237,7 +253,7 @@ object Validation {
         })(pairEnc)
         scored
           .observe(
-            "graft_validation",
+            name,
             count(lit(1)).as("total_rows"),
             sum(when(col("_2") > 0, 1L).otherwise(0L)).as("invalid_rows"))
           .filter(col("_2") === 0)

@@ -47,10 +47,17 @@ object HeavyHitters {
     */
   def estimateFromGrid(grid: DataFrame, queryToks: DataFrame, depth: Int, width: Int): DataFrame = {
     val extraCols = grid.columns.toSeq.filterNot(Set("j", "cell", "n"))
+    // distinct query tokens and a max-compacted grid: duplicate query
+    // rows or progressive update-mode sink rows (several n values for
+    // one (group, j, cell), where the LARGEST is the latest since
+    // window counts only grow) would otherwise inflate the matched-cell
+    // count past `depth` and defeat the zero-cell guard below
+    val g = grid.groupBy((extraCols ++ Seq("j", "cell")).map(col): _*).agg(max("n").as("n"))
     val cells = queryToks
       .select(col("tok"), cellCoords(col("tok"), depth, width).as("jc"))
       .select(col("tok"), col("jc.j").as("j"), col("jc.cell").as("cell"))
-    grid
+      .distinct()
+    g
       .join(broadcast(cells), Seq("j", "cell"))
       .groupBy((extraCols :+ "tok").map(col): _*)
       .agg(min("n").as("n_min"), count(lit(1)).as("n_cells"))

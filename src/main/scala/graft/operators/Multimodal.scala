@@ -62,7 +62,13 @@ object Multimodal {
               if (isPng(payload)) "png" else "jpeg")
           } finally r.dispose()
         }
-      } catch { case _: java.io.IOException => () } finally in.close()
+      } catch {
+        // a magic-bytes match with a malformed header makes ImageIO
+        // throw unchecked exceptions too (IllegalArgument, index/array
+        // errors on fuzzed input) — any parse failure means "not
+        // decodable", which is the stub's job, never a task failure
+        case scala.util.control.NonFatal(_) => ()
+      } finally in.close()
     }
     fakeDecode(id, payload)
   }

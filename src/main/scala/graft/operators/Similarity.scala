@@ -283,13 +283,18 @@ object Similarity {
     * and the sign bits match the previous composed zip_with/aggregate
     * form (and the DuckDB oracle) bit for bit.
     */
-  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
-    val proj = org.apache.spark.sql.graftbridge.Bridge.column(
+  /** The native hyperplane bucket projection — ONE construction shared
+    * by [[lshBuckets]] and [[cosineNearDuplicates]], so the candidate
+    * buckets cannot silently diverge between the two surfaces.
+    */
+  private def bucketColumn(vecCol: String, nPlanes: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expressions.HyperplaneBuckets(
         org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
         nPlanes))
-    vectors.select(col(idCol), proj.as("bucket"))
-  }
+
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+    vectors.select(col(idCol), bucketColumn(vecCol, nPlanes).as("bucket"))
 
   /** Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
     * bucketing ([[lshBuckets]]) restricts the candidate space to
@@ -307,10 +312,6 @@ object Similarity {
       nPlanes: Int,
       thresholdPct: Int
   ): DataFrame = {
-    val proj = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.expressions.HyperplaneBuckets(
-        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
-        nPlanes))
     // one narrow projection (id, vec, norm, bucket); the self-join's
     // two ENSURE_REQUIREMENTS exchanges on the bucket key canonicalize
     // identically, so ReuseExchange computes the projection once,
@@ -323,7 +324,7 @@ object Similarity {
     // broadcast-build barrier.
     val t = vectors.select(
       col(idCol).as("vid"), col(vecCol).as("vec"),
-      l2Norm(col(vecCol)).as("nrm"), proj.as("bucket"))
+      l2Norm(col(vecCol)).as("nrm"), bucketColumn(vecCol, nPlanes).as("bucket"))
     val a = t.select(col("vid").as("a_id"), col("bucket"), col("vec").as("a_vec"), col("nrm").as("a_norm"))
     val b = t.select(col("vid").as("b_id"), col("bucket"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
     a.join(b.hint("shuffle_hash"), "bucket")

@@ -54,7 +54,9 @@ class StreamingSpec extends SparkTestBase {
       assert(perWindow.values.forall(_ <= depth.toLong * width))
       // the stream-built grid probes with the batch estimator: CMS never
       // underestimates, and at this tiny load it is exact per window
-      val queries = Seq("alpha", "beta", "never-seen").toDF("tok")
+      // "alpha" appears twice: duplicate query tokens must not inflate
+      // the matched-cell count past depth and defeat the zero guard
+      val queries = Seq("alpha", "alpha", "beta", "never-seen").toDF("tok")
       val est = graft.operators.HeavyHitters.estimateFromGrid(grid, queries, depth, width)
         .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
       assert(est(("2024-01-01 00:00:00.0", "alpha")) >= 3L)

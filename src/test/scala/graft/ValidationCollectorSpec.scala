@@ -39,15 +39,37 @@ class ValidationCollectorSpec extends SparkTestBase {
     try {
       val collector = ErrorCollector.distributed(spark)
       pc(1, -5, 10, -3, 7)
-        .validateLogAndContinue(Validators.inRange("n", 0, 100)(_), collector)
+        .validateLogAndContinue(Validators.inRange("n", 0, 100)(_), collector,
+          metricName = "vcspec_validation")
         .collect(): Unit
       // listener delivery is async; poll briefly
       val deadline = System.currentTimeMillis() + 10000
-      while (!mc.snapshot.contains("graft_validation") && System.currentTimeMillis() < deadline)
+      while (!mc.snapshot.contains("vcspec_validation") && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      val m = mc.snapshot("graft_validation")
+      val m = mc.snapshot("vcspec_validation")
       assert(m("total_rows") == 5L && m("invalid_rows") == 2L)
     } finally spark.listenerManager.unregister(mc)
+  }
+
+  test("two validation stages compose (auto-unique observation names)") {
+    val collector = ErrorCollector.distributed(spark)
+    val out = pc(1, -5, 10, 250, 7)
+      .validateLogAndContinue(Validators.inRange("n", 0, 300)(_), collector)
+      .validateLogAndContinue(Validators.inRange("n", 0, 100)(_), collector)
+      .collect()
+    assert(out.toSet == Set(1, 10, 7))
+    assert(collector.errorCount == 2) // -5 at stage 1, 250 at stage 2
+  }
+
+  test("a driver-local collector inside a distributed pipeline fails loudly") {
+    // the executor-side copy of a local collector cannot reach the
+    // driver — adds must throw, never silently vanish
+    val collector = ErrorCollector()
+    val ex = intercept[org.apache.spark.SparkException] {
+      pc(1, -5, 7).validateLogAndContinue(Validators.inRange("n", 0, 100)(_), collector).collect()
+    }
+    assert(ex.getMessage.contains("ErrorCollector") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ErrorCollector")))
   }
 
   test("JSON export carries record_id and per-field errors with codes") {
