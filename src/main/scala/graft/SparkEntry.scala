@@ -1085,7 +1085,9 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-         CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips
+         CAST(len(regexp_extract_all(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips
          FROM documents""",
     "curation_decontaminate" ->
       """WITH bench AS (
@@ -1173,7 +1175,8 @@ object SparkEntry {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "dedup_exact" ->
-      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text)",
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+         FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""",
     "dedup_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,

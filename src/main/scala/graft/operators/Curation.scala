@@ -46,7 +46,11 @@ object Curation {
       TextFunctions.alphaRatio(txt).as("alpha_ratio"))
     out.select(
       col(idCol), col("n_tokens"), col("bigram_rep"), col("alpha_ratio"),
-      when(col("n_tokens") < minTokens, lit("too_short"))
+      // null text first: every signal is NULL for it, so the later
+      // when() predicates all evaluate to null (not true) and a null
+      // document would otherwise sail through the gate with keep=1
+      when(col("n_tokens").isNull, lit("null_text"))
+        .when(col("n_tokens") < minTokens, lit("too_short"))
         .when(col("bigram_rep") > maxBigramRep, lit("repetitive"))
         .when(col("alpha_ratio") < minAlphaRatio, lit("symbol_soup"))
         .as("reject_reason"))
@@ -73,6 +77,9 @@ object Curation {
       .partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     docs
+      // a null-text doc has NULL token count: it must not be selected
+      // into a budget while charging nothing against it
+      .where(col(textCol).isNotNull)
       .select(col(idCol), col(strataCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(byPriority))
       .where(col("cum_tokens") <= budgetTokens)
@@ -126,13 +133,17 @@ object Curation {
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    // counts mirror the SEQUENTIAL replacement: IPs are counted in the
+    // email-redacted text, so an IPv4 inside an email's domain (eaten
+    // by the <EMAIL> placeholder) is not double-reported — the audit
+    // totals reconcile with the placeholders actually inserted
+    val emailRedacted = regexp_replace(col(textCol), email, "<EMAIL>")
     docs.select(
       col(idCol),
-      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), ipv4, "<IP>")
-        .as("clean_text"),
+      regexp_replace(emailRedacted, ipv4, "<IP>").as("clean_text"),
       size(call_function("regexp_extract_all", col(textCol), lit(email), lit(0)))
         .as("n_emails"),
-      size(call_function("regexp_extract_all", col(textCol), lit(ipv4), lit(0)))
+      size(call_function("regexp_extract_all", emailRedacted, lit(ipv4), lit(0)))
         .as("n_ips"))
   }
 
@@ -199,16 +210,31 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = targetWeights.toSeq.toDF(domainCol, "w")
-    val counted = docs.select(
-      col(idCol), col(domainCol),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-    val budgets = counted.groupBy(domainCol).agg(sum("n_tokens").as("tok"))
+    // ONE corpus tokenize pass: the cumulative priority sum and the
+    // per-domain total ride the same domain-partitioned window shuffle,
+    // and the per-domain totals relation is the LAST row of each
+    // domain's priority order — the row whose cumulative sum equals the
+    // domain total. Selecting it makes the quota branch reference BOTH
+    // window columns, so its copy of the subtree prunes identically to
+    // the main branch's and the two canonicalize to ONE exchange
+    // (ReuseExchange: the corpus is scanned, tokenized and shuffled
+    // once, shuffle-file-backed) — a plain groupBy-totals branch would
+    // prune doc_id, diverge, and silently re-scan the corpus. Null-text
+    // docs are excluded up front: their NULL token count would stall
+    // the cumulative sum and duplicate the last-row selection.
+    val withCum = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(domainCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.partitionBy(domainCol)
+          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .withColumn("dom_tokens", sum("n_tokens").over(Window.partitionBy(domainCol)))
+    val budgets = withCum
+      .where(col("cum_tokens") === col("dom_tokens"))
+      .select(col(domainCol), col("dom_tokens"))
       .join(broadcast(w), domainCol)
-      .withColumn("scale", min(col("tok") / col("w")).over(Window.partitionBy()))
+      .withColumn("scale", min(col("dom_tokens") / col("w")).over(Window.partitionBy()))
       .select(col(domainCol), floor(col("w") * col("scale")).as("budget_tokens"))
-    val withCum = counted.withColumn("cum_tokens",
-      sum("n_tokens").over(Window.partitionBy(domainCol)
-        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
     withCum
       .join(broadcast(budgets), domainCol)
       .where(col("cum_tokens") <= col("budget_tokens"))
@@ -234,15 +260,25 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = targetWeights.toSeq.toDF(domainCol, "w")
-    // scale = min(cnt/w) attached via a global window over the tiny
-    // per-domain counts relation (rows = |domains|) — no cross join
-    val quotas = docs.groupBy(domainCol).agg(count(lit(1)).as("cnt"))
+    // one corpus pass, same trick as rebalanceMixByTokens: rank and
+    // per-domain count share the domain-partitioned window shuffle,
+    // and the counts relation is each domain's LAST ranked row
+    // (rn == dom_cnt) — referencing both windows keeps the quota
+    // branch's subtree copy canonically identical to the main
+    // branch's, so ReuseExchange scans the corpus once. scale =
+    // min(cnt/w) attaches via a global window over the |domains|-row
+    // relation — no cross join
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(domainCol)
+          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .withColumn("dom_cnt", count(lit(1)).over(Window.partitionBy(domainCol)))
+    val quotas = ranked
+      .where(col("rn") === col("dom_cnt"))
+      .select(col(domainCol), col("dom_cnt"))
       .join(broadcast(w), domainCol)
-      .withColumn("scale", min(col("cnt") / col("w")).over(Window.partitionBy()))
+      .withColumn("scale", min(col("dom_cnt") / col("w")).over(Window.partitionBy()))
       .select(col(domainCol), floor(col("w") * col("scale")).as("keep_n"))
-    val ranked = docs.withColumn("rn", row_number().over(
-      Window.partitionBy(domainCol)
-        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
     ranked
       .join(broadcast(quotas), domainCol)
       .where(col("rn") <= col("keep_n"))

@@ -38,6 +38,10 @@ object Dedup {
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      // null text has no content to fingerprint: md5(null) is NULL and
+      // groupBy would declare every null-text doc an exact duplicate of
+      // every other — unknown contents are not duplicates, drop them
+      .where(col(textCol).isNotNull)
       .select(md5(col(textCol).cast("binary")).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
@@ -101,6 +105,9 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2
   ): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing signatures would be silently dropped from the banding")
     val nBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
     // stack the band signature tuples into (id, band, s0..s{rowsPerBand-1}) rows
@@ -150,6 +157,10 @@ object Dedup {
       rowsPerBand: Int = 2,
       nGroups: Int = 8
   ): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing signatures would be silently dropped from the banding")
+    require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
     val nBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
     val sigCols = (0 until rowsPerBand).map(r => s"s$r")

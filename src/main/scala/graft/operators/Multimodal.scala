@@ -48,6 +48,9 @@ object Multimodal {
     * fallback for everything else or on parse failure.
     */
   def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
+    // a missing blob is routine in a media corpus: stub metadata for an
+    // empty payload, never a task-killing NPE
+    if (payload == null) return fakeDecode(id, Array.emptyByteArray)
     if (isPng(payload) || isJpeg(payload)) {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -97,10 +100,14 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, stride: Int): DataFrame = {
     val nFrames = (octet_length(col(payloadCol).cast("binary")) % 16).cast("int")
-    df.select(
-      col(idCol).cast("long").as("id"),
-      explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx")
-    )
+    df
+      // zero-frame payloads emit NO rows — clamping -1 up to 0 would
+      // fabricate a phantom frame 0 that disagrees with decodeMeta
+      .where(nFrames > 0)
+      .select(
+        col(idCol).cast("long").as("id"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx")
+      )
   }
 
   /** Feature extraction over binary payloads: each blob becomes a
@@ -126,7 +133,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // a real encoder would load model weights once per batch here
-          batch.iterator.map { case (id, bytes) =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
             val hist = new Array[Float](dim)
             var i = 0
             while (i < bytes.length) {

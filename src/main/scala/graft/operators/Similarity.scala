@@ -65,10 +65,15 @@ object Similarity {
   /** (query_id, rank, neighbor_id) from a scored (query_id, neighbor_id,
     * sim) relation via the bounded aggregate — the scale-safe top-k
     * shape (replaces a row_number window that would shuffle and fully
-    * sort every candidate per query).
+    * sort every candidate per query). Ids must be numeric (the bounded
+    * aggregate ranks long ids); NaN similarities — a zero-norm query or
+    * candidate vector makes cosine 0/0 — are excluded BEFORE the
+    * aggregate: NaN compares false both ways, so a NaN entry would
+    * squat in the top-k and make the ranking insertion-order dependent.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
+      .where(!isnan(col("sim")))
       .groupBy("query_id")
       .agg(topKAgg(col("sim"), col("neighbor_id").cast("long"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))

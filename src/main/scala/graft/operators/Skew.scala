@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   * aggregate per (key, salt), then aggregate the per-salt partials —
   * two small shuffles instead of one shuffle with a straggler task.
   *
-  * The salt is derived from a content hash, not a RNG, so results are
-  * deterministic under retries (same stance as the sketches).
+  * The salt is derived from the row's position (partition id + offset
+  * via monotonically_increasing_id), not from row CONTENT: a hot key's
+  * rows are typically identical (key-only projections, exploded
+  * tokens), and a content hash would send all of them to ONE salt
+  * bucket — reconstructing the exact straggler salting exists to
+  * break, while paying a second shuffle for nothing. Position salting
+  * spreads identical rows evenly; the aggregated RESULT is
+  * salt-assignment-invariant (sum/count decompositions are associative
+  * over any row partition), so retries and repartitioning still yield
+  * identical outputs.
   */
 object Skew {
 
-  /** Add a deterministic salt column in [0, n) derived from the whole
-    * row content.
-    */
+  /** Add a salt column in [0, n) derived from the row's position. */
   def withSalt(df: DataFrame, n: Int, saltCol: String = "_salt"): DataFrame =
-    df.withColumn(saltCol, pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(n)))
+    df.withColumn(saltCol, pmod(hash(monotonically_increasing_id()), lit(n)))
 
   /** Skew-safe sum: groupBy(key, salt) partial sums, then groupBy(key)
     * final sums. Numerically identical for integral-cents / long sums

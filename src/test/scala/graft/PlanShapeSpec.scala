@@ -237,9 +237,17 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlanString(out)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"quota relation not broadcast:\n$plan")
-    assert("Window".r.findAllIn(plan.split("== Initial Plan ==")(0)).size >= 1,
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Window".r.findAllIn(finalPlan).size >= 1,
       s"per-domain ranking window missing:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"rebalance degenerated:\n$plan")
+    // the quota branch must derive from the SAME windowed subtree as
+    // the corpus branch (last-row-per-domain selection): one corpus
+    // scan, reused exchange — a diverged copy would re-scan the corpus
+    assert("FileScan".r.findAllIn(finalPlan).size == 1,
+      s"rebalance scans the corpus more than once:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"quota branch does not reuse the window exchange:\n$finalPlan")
   }
 }
