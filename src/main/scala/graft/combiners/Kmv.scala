@@ -22,7 +22,7 @@ case class KmvBuffer(k: Int, hashes: Array[Long])
   * this is a custom `Aggregator` — mergeable, so Catalyst runs it as
   * partial aggregation map-side with a constant-size shuffle payload.
   */
-class KmvAggregator(kRaw: Int, seed: Long = 0L, keyOf: String => String = identity)
+class KmvAggregator(kRaw: Int, seed: Long = 0L)
     extends Aggregator[String, KmvBuffer, Double] {
   private val k = math.max(kRaw, 4)
 
@@ -55,7 +55,7 @@ class KmvAggregator(kRaw: Int, seed: Long = 0L, keyOf: String => String = identi
   }
 
   override def reduce(buf: KmvBuffer, v: String): KmvBuffer =
-    insert(buf, Hashing.hashString(keyOf(v), seed))
+    insert(buf, Hashing.hashString(v, seed))
 
   override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
     b.hashes.foldLeft(a)((acc, h) => insert(acc, h ^ Long.MinValue))

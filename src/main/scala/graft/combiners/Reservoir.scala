@@ -24,6 +24,7 @@ case class ReservoirBuffer(k: Int, priorities: Array[Long], values: Array[String
   */
 class ReservoirAggregator(k: Int, seed: Long)
     extends Aggregator[String, ReservoirBuffer, Array[String]] {
+  require(k > 0, s"ReservoirAggregator requires k > 0, got $k")
 
   override def zero: ReservoirBuffer =
     ReservoirBuffer(k, Array.empty[Long], Array.empty[String])

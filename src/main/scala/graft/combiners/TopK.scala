@@ -18,6 +18,7 @@ import scala.reflect.ClassTag
   */
 class TopKAggregator[T: Ordering: ClassTag](k: Int, bottomK: Boolean = false)
     extends Aggregator[T, Array[T], Array[T]] {
+  require(k > 0, s"TopKAggregator requires k > 0, got $k")
 
   private val ord0 = implicitly[Ordering[T]]
   // internal order: "better" elements are GREATER; we keep the k best

@@ -24,6 +24,11 @@ final class TopKState(val k: Int) {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def insert(score: Double, id: Long): Unit = {
+    // NaN compares false both ways, so an admitted NaN would squat at
+    // the tail and reject every later element while itself depending on
+    // arrival order — exclude it outright (a NaN score is not a
+    // ranking)
+    if (score.isNaN) return
     if (n == k && !better(score, id, scores(k - 1), ids(k - 1))) return
     var pos = 0
     while (pos < n && !better(score, id, scores(pos), ids(pos))) pos += 1

@@ -19,10 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics are bit-identical to the interpreted form the DuckDB
   * oracle uses (`list_sum(list_transform(...))`): per-index
   * float->double multiply, left-to-right double adds — deterministic
-  * under any partitioning.
+  * under any partitioning. Dirty inputs NULL-poison instead of
+  * silently degrading (the composed `zip_with` form's stance): a
+  * length mismatch (corrupt embedding) or a null element yields NULL,
+  * never a truncated or nulls-as-zero partial product. The per-element
+  * null checks are emitted only when the array type admits nulls, so
+  * the clean-embedding hot loop is unchanged.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -36,10 +48,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val checkNulls = anyElementNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -53,13 +68,24 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("gdN")
       val acc = ctx.freshName("gdAcc")
       val i = ctx.freshName("gdI")
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

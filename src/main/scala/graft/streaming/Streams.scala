@@ -110,7 +110,10 @@ object Streams {
     * is the batch path's job — run it over checkpointed micro-batch
     * output when recall below signature-equality matters. Docs with no
     * 2-shingle (fewer than two tokens) fall back to the exact content
-    * fingerprint rather than colliding on an empty signature.
+    * fingerprint rather than colliding on an empty signature, and
+    * null-text docs BYPASS dedup entirely (the batch siblings filter
+    * them out of the dedup relations for the same reason: unknown
+    * contents are not duplicates of each other).
     */
   def dedupNearSignature(
       docs: DataFrame,
@@ -123,13 +126,21 @@ object Streams {
       graft.expressions.MinHashSignatures(
         org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
         numHashes))
-    docs
-      .withWatermark(tsCol, watermark)
+    val withWm = docs.withWatermark(tsCol, watermark)
+    val deduped = withWm
+      .where(col(textCol).isNotNull)
       .withColumn("graft_sig",
-        when(size(sigs) === 0, md5(col(textCol).cast("binary")))
+        // branch on the CHEAP token count, not size(sigs): size(sigs)
+        // in the condition would evaluate the full numHashes-x-shingles
+        // hash pass a second time per row (no subexpression elimination
+        // across conditional branches) — same stance as the batch
+        // path's input-side predicate, Dedup.minhashSignatures. split
+        // never yields null tokens, so >= 2 tokens <=> sigs non-empty.
+        when(size(split(col(textCol), " ")) < 2, md5(col(textCol).cast("binary")))
           .otherwise(concat_ws("|", sigs.cast("array<string>"))))
       .dropDuplicatesWithinWatermark("graft_sig")
       .drop("graft_sig")
+    deduped.unionByName(withWm.where(col(textCol).isNull))
   }
 
   /** Custom per-key running state via mapGroupsWithState — the

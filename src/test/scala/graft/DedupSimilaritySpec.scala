@@ -155,6 +155,19 @@ class DedupSimilaritySpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("bounded top-k excludes NaN scores regardless of arrival order") {
+    // a NaN compares false both ways: admitted, it would squat in the
+    // buffer and reject later elements depending on arrival order
+    val scored = Seq(
+      (1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.9), (1L, 13L, Double.NaN)
+    ).toDF("query_id", "neighbor_id", "sim")
+    val top = scored.groupBy("query_id")
+      .agg(Similarity.topKAgg(col("sim"), col("neighbor_id"), 2).as("top"))
+      .select(explode(col("top")).as("e")).select("e.neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(12L, 10L), s"NaN leaked into the top-k: $top")
+  }
+
   test("skew-safe LSH emits exactly the plain candidate set, each pair once") {
     val sf = "/root/testdata/sf0.001"
     val d = spark.read.parquet(s"$sf/documents.parquet")

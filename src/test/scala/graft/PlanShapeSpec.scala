@@ -66,6 +66,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(r == 11.0)
   }
 
+  test("graft_dot null-poisons dirty inputs instead of degrading silently") {
+    GraftFunctions.register(spark)
+    // length mismatch (corrupt embedding) -> NULL, not a truncated product
+    assert(spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d"
+    ).head().isNullAt(0))
+    // a null element -> NULL, not nulls-as-zero (matches zip_with form)
+    assert(spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d"
+    ).head().isNullAt(0))
+  }
+
   test("hyperplane bucket projection is native codegen, not interpreted HOFs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val buckets = graft.operators.Similarity.lshBuckets(emb, "vec_id", "embedding", 8)

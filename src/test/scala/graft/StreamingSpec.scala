@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 
@@ -83,6 +84,26 @@ class StreamingSpec extends SparkTestBase {
       query.processAllAvailable()
       val texts = spark.table("dd_out").collect().map(_.getString(1)).toSeq
       assert(texts.sorted == Seq("alpha doc", "beta doc"), s"got $texts")
+    } finally query.stop()
+  }
+
+  test("dedupNearSignature passes null-text docs through without deduping them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+      .select($"ts", when($"text" === "NULL", lit(null: String)).otherwise($"text").as("text"))
+    val out = Streams.dedupNearSignature(df, "ts", "text", "1 hour")
+    val query = out.writeStream.format("memory").queryName("ddnull_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "NULL"),
+        (ts("2024-01-01 00:05:00"), "NULL"),
+        (ts("2024-01-01 00:10:00"), "real doc here"))
+      query.processAllAvailable()
+      // two distinct null-text events: unknown contents are NOT
+      // duplicates — both must survive
+      assert(spark.table("ddnull_out").count() == 3)
     } finally query.stop()
   }
 
