@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
+  /** Single-space tokens — the DELIBERATE contract shared with every
+    * DuckDB oracle (`string_split(text, ' ')`), which is what makes the
+    * cross-engine hash compare exact. Consequences a caller must know:
+    * consecutive spaces yield empty tokens, "" tokenizes to [""], and
+    * tabs/newlines do not split. Corpora here are single-spaced by
+    * construction; for free-form whitespace use [[bpeishTokens]], whose
+    * regex extraction never emits empties.
+    */
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish word/punct tokenization: words, numbers, or single

@@ -49,8 +49,12 @@ object AvroIO {
     val schemaJson = avroSchema(sparkSchema).toString
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
-    val fs = org.apache.hadoop.fs.FileSystem.get(job.getConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+    // resolve the filesystem by the TARGET path's scheme — the default
+    // FS would throw "Wrong FS" for any s3a://-style path on a cluster
+    // whose default is hdfs://
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(outPath.toUri, job.getConfiguration)
+    fs.delete(outPath, true): Unit
 
     df.rdd
       .mapPartitions { it =>

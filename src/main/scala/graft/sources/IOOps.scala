@@ -62,10 +62,12 @@ object IOOps {
       numBuckets: Int
   ): Unit = {
     val spark = df.sparkSession
-    // backtick-quote the identifier so an odd (or crafted) table name
-    // can't break out of the statement; literal backticks are escaped
-    // by doubling per SQL identifier rules
-    val quoted = "`" + table.replace("`", "``") + "`"
+    // backtick-quote each name PART so an odd (or crafted) table name
+    // can't break out of the statement (literal backticks doubled per
+    // SQL identifier rules) — quoting the whole name as one identifier
+    // would make DROP and saveAsTable address different tables for any
+    // database-qualified name like "sales.daily"
+    val quoted = table.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
     spark.sql(s"DROP TABLE IF EXISTS $quoted")
     df.write
       .mode(SaveMode.Overwrite)

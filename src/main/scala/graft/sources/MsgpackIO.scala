@@ -118,14 +118,29 @@ object MsgpackIO {
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val out = new Path(path)
-    val fs = FileSystem.get(out.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
+    val driverConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(out.toUri, driverConf)
     fs.delete(out, true): Unit
     fs.mkdirs(out): Unit
+    // ship the DRIVER's Hadoop configuration to the executors
+    // (Configuration is Writable, not Serializable): a bare `new
+    // Configuration()` on the executor would drop every spark.hadoop.*
+    // setting — object-store credentials, endpoint overrides, the
+    // default FS — so writes would fail auth or scatter part files
+    // over executor-local disks while the driver prepared a different
+    // filesystem
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val dos = new DataOutputStream(baos)
+      driverConf.write(dos)
+      dos.close()
+      baos.toByteArray
+    }
     df.rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        // executor-side filesystem handle; local/default FS from the
-        // executor's Hadoop config
-        val pfs = FileSystem.get(new Path(path).toUri, new Configuration())
+        val conf = new Configuration()
+        conf.readFields(new DataInputStream(new java.io.ByteArrayInputStream(confBytes)))
+        val pfs = FileSystem.get(new Path(path).toUri, conf)
         val part = new Path(path, f"part-$idx%05d.msgpack")
         val o = new DataOutputStream(new BufferedOutputStream(pfs.create(part, true)))
         var n = 0L
@@ -148,11 +163,27 @@ object MsgpackIO {
     val fields = schema.fields
     val rows = spark.sparkContext
       .binaryFiles(s"$path/part-*")
-      .flatMap { case (_, stream) =>
-        val in = new DataInputStream(new BufferedInputStream(stream.open(): InputStream))
+      .flatMap { case (name, stream) =>
+        // clean end-of-file is ONLY an EOF at a record boundary (the
+        // first header byte); an EOFException mid-record means a torn
+        // part file (killed writer, partial upload) and must fail
+        // loudly — mapping it to end-of-stream would silently drop rows
+        val pb = new java.io.PushbackInputStream(
+          new BufferedInputStream(stream.open(): InputStream), 1)
+        val in = new DataInputStream(pb)
         Iterator.continually {
-          try Some(MsgpackCodec.readValue(in))
-          catch { case _: EOFException => in.close(); None }
+          val first = pb.read()
+          if (first == -1) { in.close(); None }
+          else {
+            pb.unread(first)
+            try Some(MsgpackCodec.readValue(in))
+            catch {
+              case e: EOFException =>
+                in.close()
+                throw new java.io.IOException(
+                  s"MsgpackIO: truncated stream in $name — EOF inside a record", e)
+            }
+          }
         }.takeWhile(_.isDefined).map { rec =>
           val vals = rec.get.asInstanceOf[IndexedSeq[Any]]
           Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>

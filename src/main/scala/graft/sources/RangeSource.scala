@@ -52,6 +52,7 @@ private class RangeTable(rows: Long, slices: Int) extends Table with SupportsRea
 }
 
 private class RangeScan(rows: Long, slices: Int) extends Scan with Batch {
+  require(slices > 0, s"graft range source: the 'slices' option must be > 0, got $slices")
   override def readSchema(): StructType = RangeSource.schema
   override def toBatch: Batch = this
 

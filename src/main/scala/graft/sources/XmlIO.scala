@@ -12,8 +12,15 @@ import org.apache.spark.sql.types._
   */
 object XmlIO {
 
+  /** XML-escape plus newline/carriage-return character references: the
+    * one-record-per-LINE layout is the splittability contract, so a
+    * literal newline inside a value would tear the record across two
+    * text lines and fail (or corrupt) the read. The XML parser
+    * unescapes &#10;/&#13; back to the original characters.
+    */
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\r", "&#13;").replace("\n", "&#10;")
 
   def write(df: DataFrame, path: String, rowTag: String = "record"): Unit = {
     val schema = df.schema
@@ -22,7 +29,10 @@ object XmlIO {
     df.rdd
       .map { row =>
         val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-          if (row.isNullAt(i)) s"<${f.name}/>"
+          // null fields are OMITTED (reader: absent element -> null);
+          // a self-closing element cannot be told apart from an empty
+          // STRING, which must roundtrip as "" and not become null
+          if (row.isNullAt(i)) ""
           else s"<${f.name}>${escape(row.get(i).toString)}</${f.name}>"
         }
         s"<$tag>${fields.mkString}</$tag>"
@@ -37,7 +47,9 @@ object XmlIO {
       val elem = scala.xml.XML.loadString(line)
       val vs = fields.map { f =>
         val node = (elem \ f.name)
-        if (node.isEmpty || (node.text.isEmpty && node.head.child.isEmpty && f.dataType != StringType)) null
+        // absent element = null (the writer omits null fields); a
+        // present-but-empty element is an empty string for StringType
+        if (node.isEmpty) null
         else {
           val txt = node.text
           f.dataType match {

@@ -37,8 +37,19 @@ object CloudReaders {
       decode: String => T
   ): CloudResult[Seq[T]] =
     storage.getObject(bucket, key).flatMap { data =>
-      try {
-        val in = decompressStream(data, key)
+      // only stream CONSTRUCTION is a "decompression setup" failure;
+      // an error later in the loop (e.g. a truncated gzip body throwing
+      // from readLine) must be reported as a read failure at its line,
+      // not misattributed to setup after N lines were already parsed
+      val setup =
+        try Right(decompressStream(data, key))
+        catch {
+          case e: Exception =>
+            Left(CloudIOError(
+              ErrorKind.InternalError,
+              s"Failed to setup decompression for $key: ${e.getMessage}"))
+        }
+      setup.flatMap { in =>
         val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
         try {
           val out = Seq.newBuilder[T]
@@ -59,12 +70,12 @@ object CloudReaders {
             line = reader.readLine()
           }
           failed.toLeft(out.result())
+        } catch {
+          case e: Exception =>
+            Left(CloudIOError(
+              ErrorKind.InternalError,
+              s"Failed reading $bucket/$key (corrupt or truncated stream): ${e.getMessage}"))
         } finally reader.close()
-      } catch {
-        case e: Exception =>
-          Left(CloudIOError(
-            ErrorKind.InternalError,
-            s"Failed to setup decompression for $key: ${e.getMessage}"))
       }
     }
 

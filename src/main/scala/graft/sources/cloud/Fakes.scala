@@ -145,6 +145,10 @@ final class FakeQueueIO extends QueueIO {
 final class FakePubSubIO extends PubSubIO {
   private val topics = mutable.Map.empty[String, mutable.ArrayBuffer[PubSubMessage]]
   private val subscriptions = mutable.Map.empty[String, mutable.ArrayDeque[PubSubMessage]]
+  // subscription key -> EXACT topic: fan-out must not match by key
+  // prefix, which would leak "news" messages to a "news/sports"
+  // subscriber (nested topic names are legal)
+  private val subscriptionTopic = mutable.Map.empty[String, String]
   private val counter = new AtomicLong(0)
 
   override def publish(topic: String, data: Array[Byte], attributes: Map[String, String]): CloudResult[String] =
@@ -152,9 +156,9 @@ final class FakePubSubIO extends PubSubIO {
       val id = s"msg-${counter.incrementAndGet()}"
       val msg = PubSubMessage(id, data.clone(), attributes, Some(0L))
       topics.getOrElseUpdate(topic, mutable.ArrayBuffer.empty).append(msg)
-      // fan out to this topic's subscriptions
-      subscriptions.keysIterator
-        .filter(_.startsWith(s"$topic/"))
+      // fan out to exactly this topic's subscriptions
+      subscriptionTopic.iterator
+        .collect { case (key, t) if t == topic => key }
         .foreach(subscriptions(_).append(msg))
       Right(id)
     }
@@ -164,7 +168,9 @@ final class FakePubSubIO extends PubSubIO {
 
   override def subscribe(topic: String, subscriptionName: String): CloudResult[Unit] =
     synchronized {
-      subscriptions.update(s"$topic/$subscriptionName", mutable.ArrayDeque.empty)
+      val key = s"$topic/$subscriptionName"
+      subscriptions.update(key, mutable.ArrayDeque.empty)
+      subscriptionTopic.update(key, topic)
       Right(())
     }
 

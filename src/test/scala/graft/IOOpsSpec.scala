@@ -68,6 +68,24 @@ class IOOpsSpec extends SparkTestBase {
       xdf.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("xml roundtrip preserves newlines, nulls, and empty strings") {
+    import graft.sources.XmlIO
+    // newline in a value would tear the one-record-per-line layout
+    // without &#10; escaping; null and "" must stay distinct
+    val xdf = Seq(
+      (1L, Option("line1\nline2")),
+      (2L, Option.empty[String]),
+      (3L, Option(""))
+    ).toDF("id", "name")
+    val p = tmpDir("xml-edge")
+    XmlIO.write(xdf, p)
+    val back = XmlIO.read(spark, p, xdf.schema)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back(1L).contains("line1\nline2"))
+    assert(back(2L).isEmpty, "null must stay null, not become empty string")
+    assert(back(3L).contains(""), "empty string must stay empty, not become null")
+  }
+
   test("custom DataSource V2 source splits deterministically") {
     def read(slices: Int) =
       spark.read.format("graft.sources.RangeSource")

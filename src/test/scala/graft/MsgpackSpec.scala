@@ -48,6 +48,31 @@ class MsgpackSpec extends SparkTestBase {
     assert(bytesOf("ab").toSeq == Seq(0xa2.toByte, 'a'.toByte, 'b'.toByte))
   }
 
+  test("a torn part file fails the read loudly instead of dropping rows") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val rows = (1 to 50).map(i => Row(i.toLong, s"value-$i"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-msgpack-torn-").toString + "/t"
+    MsgpackIO.write(df, dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
+    // truncate mid-record: a killed writer / partial upload shape
+    val ch = java.nio.channels.FileChannel.open(
+      part.toPath, java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(part.length() - 3) finally ch.close()
+    // drop the local-FS CRC sidecar so the msgpack-level truncation
+    // detection (not Hadoop's checksum) is what the read exercises —
+    // object stores have no such sidecar
+    new java.io.File(part.getParentFile, s".${part.getName}.crc").delete(): Unit
+    val ex = intercept[org.apache.spark.SparkException] {
+      MsgpackIO.read(spark, dir, schema).count()
+    }
+    assert(ex.getMessage.contains("truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated")),
+      s"expected a loud truncation error, got: ${ex.getMessage}")
+  }
+
   test("distributed write/read roundtrip preserves rows, nulls and types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
