@@ -13,6 +13,17 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object EventTime {
 
+  /** Deterministic "later" pick: greater ts wins; equal ts falls back
+    * to the larger rendered value — associative and commutative, so
+    * merge order cannot change the winner.
+    */
+  private[graft] def laterOf[T](a: Timestamped[T], b: Timestamped[T]): Timestamped[T] =
+    if (a.ts > b.ts) a
+    else if (b.ts > a.ts) b
+    else if (String.valueOf(a.value) >= String.valueOf(b.value)) a
+    else b
+
+
   /** reference: src/window.rs:146-151 */
   case class Timestamped[T](value: T, ts: Long)
 
@@ -66,13 +77,24 @@ object EventTime {
     }
 
     /** Latest value by timestamp (reference: latest_globally,
-      * src/helpers/latest.rs:50): ties broken toward the later input,
-      * made deterministic here by (ts, encoder-order) max.
+      * src/helpers/latest.rs:50). Ties break on the rendered value —
+      * an associative, commutative pick, so the result is identical
+      * under any partitioning or merge order. Lazy (the fold runs at
+      * the first downstream action, like every other operator) and
+      * empty-safe (an empty input yields an empty collection, not an
+      * UnsupportedOperationException from Dataset.reduce).
       */
-    def latestGlobally(implicit e: Encoder[Timestamped[T]]): PCollection[Timestamped[T]] = {
-      val latest = self.ds.reduce((a, b) => if (a.ts >= b.ts) a else b)
-      new PCollection(self.spark.createDataset(Seq(latest)))
-    }
+    def latestGlobally(implicit e: Encoder[Timestamped[T]]): PCollection[Timestamped[T]] =
+      new PCollection({
+        val latest = self.ds.rdd
+          .map(Option(_))
+          .fold(None) {
+            case (Some(a), Some(b)) => Some(EventTime.laterOf(a, b))
+            case (a, None)          => a
+            case (None, b)          => b
+          }
+        self.spark.createDataset(latest.toSeq)
+      })
   }
 
   /** Per-key latest (reference: latest_per_key, latest.rs:100). */
@@ -83,8 +105,11 @@ object EventTime {
     ): PCollection[(K, Timestamped[T])] =
       new PCollection(
         self.ds.groupByKey(_._1)
+          // ties break on the rendered value, not arrival order: a
+          // plain ts comparison is not associative for equal
+          // timestamps, so the winner would vary with partitioning
           .reduceGroups((a: (K, Timestamped[T]), b: (K, Timestamped[T])) =>
-            if (a._2.ts >= b._2.ts) a else b)
+            if (EventTime.laterOf(a._2, b._2) eq a._2) a else b)
           .map(_._2)
       )
   }

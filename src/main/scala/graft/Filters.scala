@@ -43,29 +43,34 @@ final class FilterOps[T](private val self: PCollection[T]) extends AnyVal {
 /** Regex surface on string collections (reference: src/helpers/regex.rs).
   * The DataFrame analogs (`rlike`, `regexp_extract`, `regexp_replace`,
   * `split`) are preferred in column pipelines; these typed versions
-  * compile each pattern once per partition via a transient lazy val.
+  * compile each pattern once per closure (Pattern is Serializable and
+  * re-compiles once per task on deserialization, never per element).
   */
 final class RegexOps(private val self: PCollection[String]) extends AnyVal {
 
   /** Keep strings containing a match (regex.rs:88). */
   def regexMatches(pattern: String): PCollection[String] = {
-    val p = pattern
-    self.filter(s => p.r.findFirstIn(s).isDefined)
+    val re = pattern.r
+    self.filter(s => re.findFirstIn(s).isDefined)
   }
 
   /** Extract capture group; non-matches dropped (regex.rs:127). */
   def regexExtract(pattern: String, group: Int)(implicit e: Encoder[String]): PCollection[String] = {
-    val p = pattern
+    val re = pattern.r
     self.filterMap { s =>
-      p.r.findFirstMatchIn(s).flatMap(m => Option(m.group(group)))
+      // a group index beyond the pattern's group count is a non-match
+      // (dropped), not an executor-killing IndexOutOfBounds
+      re.findFirstMatchIn(s)
+        .filter(_.groupCount >= group)
+        .flatMap(m => Option(m.group(group)))
     }
   }
 
   /** Two capture groups -> (key, value); non-matches dropped (regex.rs:171). */
   def regexExtractKv(pattern: String)(implicit e: Encoder[(String, String)]): PCollection[(String, String)] = {
-    val p = pattern
+    val re = pattern.r
     self.filterMap { s =>
-      p.r.findFirstMatchIn(s).collect {
+      re.findFirstMatchIn(s).collect {
         case m if m.groupCount >= 2 => (m.group(1), m.group(2))
       }
     }
@@ -73,21 +78,21 @@ final class RegexOps(private val self: PCollection[String]) extends AnyVal {
 
   /** First match substring; non-matches dropped (regex.rs:221). */
   def regexFind(pattern: String)(implicit e: Encoder[String]): PCollection[String] = {
-    val p = pattern
-    self.filterMap(s => p.r.findFirstIn(s))
+    val re = pattern.r
+    self.filterMap(s => re.findFirstIn(s))
   }
 
   /** Replace all matches (regex.rs:261). */
   def regexReplaceAll(pattern: String, replacement: String)(implicit e: Encoder[String]): PCollection[String] = {
-    val p = pattern
+    val re = pattern.r
     val r = replacement
-    self.map(s => p.r.replaceAllIn(s, r))
+    self.map(s => re.replaceAllIn(s, r))
   }
 
   /** Split by pattern (regex.rs:302). */
   def regexSplit(pattern: String)(implicit e: Encoder[Seq[String]]): PCollection[Seq[String]] = {
-    val p = pattern
-    self.map(s => s.split(p).toSeq)
+    val re = java.util.regex.Pattern.compile(pattern)
+    self.map(s => re.split(s, -1).toSeq)
   }
 }
 

@@ -98,9 +98,6 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
 
   // ---- convenience per-key reductions (reference: src/helpers/basic.rs) ----
 
-  private def aggValues[O](fn: (Dataset[(K, V)]) => Dataset[(K, O)]): PCollection[(K, O)] =
-    new PCollection(fn(ds))
-
   def sumPerKey(implicit num: Numeric[V], ke: Encoder[K], e: Encoder[(K, V)]): PCollection[(K, V)] =
     new PCollection(ds.groupByKey(_._1).reduceGroups((a: (K, V), b: (K, V)) => (a._1, num.plus(a._2, b._2))).map(_._2))
 
@@ -166,36 +163,43 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
   // broadcast-hash vs sort-merge, and InjectRuntimeFilter provides the
   // Bloom semi-join pruning (enabled in Sessions).
 
+  // join conditions resolve through per-side ALIASES, not ds("_1") ===
+  // other.ds("_1"): when both sides share lineage (a self-join, or a
+  // join against a projection of the same collection) the raw column
+  // references carry the same dataset id and Spark's ambiguous-self-
+  // join check rejects the query
+  private def joinWithAliased[W, O: Encoder](
+      other: PCollection[(K, W)], joinType: String)(
+      f: ((K, V), (K, W)) => O): PCollection[O] =
+    new PCollection({
+      import org.apache.spark.sql.functions.col
+      val joined = ds.alias("graft_l").joinWith(
+        other.ds.alias("graft_r"), col("graft_l._1") === col("graft_r._1"), joinType)
+      joined.map { case (l, r) => f(l, r) }
+    })
+
   def joinInner[W](other: PCollection[(K, W)])(implicit
       e: Encoder[(K, (V, W))]
-  ): PCollection[(K, (V, W))] = {
-    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "inner")
-    new PCollection(joined.map { case (l, r) => (l._1, (l._2, r._2)) })
-  }
+  ): PCollection[(K, (V, W))] =
+    joinWithAliased(other, "inner")((l, r) => (l._1, (l._2, r._2)))
 
   def joinLeft[W](other: PCollection[(K, W)])(implicit
       e: Encoder[(K, (V, Option[W]))]
-  ): PCollection[(K, (V, Option[W]))] = {
-    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "left_outer")
-    new PCollection(joined.map { case (l, r) => (l._1, (l._2, Option(r).map(_._2))) })
-  }
+  ): PCollection[(K, (V, Option[W]))] =
+    joinWithAliased(other, "left_outer")((l, r) => (l._1, (l._2, Option(r).map(_._2))))
 
   def joinRight[W](other: PCollection[(K, W)])(implicit
       e: Encoder[(K, (Option[V], W))]
-  ): PCollection[(K, (Option[V], W))] = {
-    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "right_outer")
-    new PCollection(joined.map { case (l, r) => (r._1, (Option(l).map(_._2), r._2)) })
-  }
+  ): PCollection[(K, (Option[V], W))] =
+    joinWithAliased(other, "right_outer")((l, r) => (r._1, (Option(l).map(_._2), r._2)))
 
   def joinFull[W](other: PCollection[(K, W)])(implicit
       e: Encoder[(K, (Option[V], Option[W]))]
-  ): PCollection[(K, (Option[V], Option[W]))] = {
-    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "full_outer")
-    new PCollection(joined.map { case (l, r) =>
+  ): PCollection[(K, (Option[V], Option[W]))] =
+    joinWithAliased(other, "full_outer") { (l, r) =>
       val k = if (l != null) l._1 else r._1
       (k, (Option(l).map(_._2), Option(r).map(_._2)))
-    })
-  }
+    }
 
   /** 2-way co-group (reference: cogroup_by_key!, src/helpers/co_gbk.rs).
     * Full-outer grouping: every key present on either side appears once,

@@ -211,7 +211,14 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       case p => p
     }
     val steps = plan.collect { case node =>
-      PCollection.ExplainStep(node.nodeName, node.nodeName.contains("Exchange"))
+      val name = node.nodeName
+      // only SHUFFLE exchanges are barriers in the reference's cost
+      // model: a BroadcastExchange moves the small side without
+      // repartitioning, and a ReusedExchange is a read of an
+      // already-counted shuffle, not a second one
+      val isShuffle = name.contains("Exchange") &&
+        !name.contains("Broadcast") && !name.contains("Reused")
+      PCollection.ExplainStep(name, isShuffle)
     }
     PCollection.Explanation(
       steps = steps,

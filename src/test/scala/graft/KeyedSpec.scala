@@ -90,6 +90,17 @@ class KeyedSpec extends SparkTestBase {
     assert(full.contains("b" -> (Some(3), None)) && full.contains("c" -> (None, Some("y"))))
   }
 
+  test("self-joins and same-lineage joins resolve (aliased join condition)") {
+    // raw ds("_1") === other.ds("_1") conditions trip Spark's
+    // ambiguous-self-join detection when both sides share lineage
+    val kv = PCollection.fromSeq(spark, Seq((1, "a"), (2, "b"), (3, "c")))
+    val selfJoined = kv.joinInner(kv).collect().toSet
+    assert(selfJoined == Set((1, ("a", "a")), (2, ("b", "b")), (3, ("c", "c"))))
+    val derived = kv.filterValues(_ != "b")
+    assert(kv.joinLeft(derived).collect().toSet == Set(
+      (1, ("a", Some("a"))), (2, ("b", None)), (3, ("c", Some("c")))))
+  }
+
   test("duplicate keys emit the full V x W cross product (reference join semantics)") {
     val l = kv("k" -> 1, "k" -> 2)
     val r = PCollection.fromSeq(spark, Seq("k" -> "x", "k" -> "y"))

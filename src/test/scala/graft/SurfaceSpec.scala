@@ -99,6 +99,17 @@ class SurfaceSpec extends SparkTestBase {
     assert(keyed.latestPerKey.collect().map { case (k, t) => (k, t.value) }.toMap ==
       Map("k1" -> "late", "k2" -> "only"))
 
+    // empty input -> empty result, not an UnsupportedOperationException
+    // from Dataset.reduce; and equal timestamps break deterministically
+    assert(PCollection.fromSeq(spark, Seq.empty[(String, Long)])
+      .attachTimestamps(_._2).latestGlobally.collect().isEmpty)
+    val tied = PCollection.fromSeq(spark, Seq(("x", 7L), ("y", 7L), ("w", 7L)))
+      .attachTimestamps(_._2)
+    (1 to 3).foreach { _ =>
+      assert(tied.latestGlobally.collect().head.value._1 == "y",
+        "equal-ts winner must be deterministic (max rendered value)")
+    }
+
     assert(TimeWindow.tumble(125, 60, 10) == TimeWindow(70, 130)) // [70,130) contains 125
   }
 
