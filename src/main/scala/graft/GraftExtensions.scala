@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
 
@@ -13,87 +13,79 @@ import graft.expressions.{FloatDotProduct, HyperplaneBuckets, MinHashSignatures,
   * programmatically via [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.dotFunction)
-    ext.injectFunction(GraftFunctions.sortedIntersectSizeFunction)
-    ext.injectFunction(GraftFunctions.minhashFunction)
-    ext.injectFunction(GraftFunctions.simhashFunction)
-    ext.injectFunction(GraftFunctions.hyperplaneBucketFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      FloatDotProduct(children(0), children(1))
-  )
 
-  val sortedIntersectSizeFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
-    FunctionIdentifier("graft_sorted_intersect_size"),
-    new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      SortedIntersectSize(children(0), children(1))
-  )
+  private type Builder = Seq[Expression] => Expression
+  private type FunctionDesc = (FunctionIdentifier, ExpressionInfo, Builder)
 
-  private def litInt(fn: String, arg: String)(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+  /** Arity-checked builder: a wrong argument count reports the function
+    * name and expected arity instead of an opaque IndexOutOfBounds from
+    * `children(1)` during analysis.
+    */
+  private def checked(name: String, arity: Int)(build: Builder): Builder = { children =>
+    if (children.length != arity)
+      throw new IllegalArgumentException(
+        s"$name requires $arity arguments, got ${children.length}")
+    build(children)
+  }
+
+  private def litInt(fn: String, arg: String)(e: Expression): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got ${e.sql}")
     e.eval() match {
-      case n: Number => n.intValue
+      // integral types only, within Int range — intValue on a Double or
+      // oversized Long would silently truncate the sketch width
+      case n: java.lang.Integer => n.intValue
+      case n: java.lang.Short   => n.intValue
+      case n: java.lang.Byte    => n.intValue
+      case n: java.lang.Long if n.longValue == n.intValue.toLong => n.intValue
       case other =>
-        throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $other")
+        throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal in Int range, got $other")
     }
   }
 
-  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
-    FunctionIdentifier("graft_minhash"),
-    new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      MinHashSignatures(children(0), litInt("graft_minhash", "numHashes")(children(1)))
+  private def desc(name: String, clazz: Class[_], arity: Int)(build: Builder): FunctionDesc = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    checked(name, arity)(build)
   )
 
-  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
-    FunctionIdentifier("graft_simhash"),
-    new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      SimHashFingerprint(children(0), litInt("graft_simhash", "bits")(children(1)))
-  )
+  val dotFunction: FunctionDesc =
+    desc("graft_dot", classOf[FloatDotProduct], 2)(c => FloatDotProduct(c(0), c(1)))
 
-  val hyperplaneBucketFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
-    FunctionIdentifier("graft_hyperplane_bucket"),
-    new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      HyperplaneBuckets(children(0), litInt("graft_hyperplane_bucket", "numPlanes")(children(1)))
-  )
+  val sortedIntersectSizeFunction: FunctionDesc =
+    desc("graft_sorted_intersect_size", classOf[SortedIntersectSize], 2)(c =>
+      SortedIntersectSize(c(0), c(1)))
+
+  val minhashFunction: FunctionDesc =
+    desc("graft_minhash", classOf[MinHashSignatures], 2)(c =>
+      MinHashSignatures(c(0), litInt("graft_minhash", "numHashes")(c(1))))
+
+  val simhashFunction: FunctionDesc =
+    desc("graft_simhash", classOf[SimHashFingerprint], 2)(c =>
+      SimHashFingerprint(c(0), litInt("graft_simhash", "bits")(c(1))))
+
+  val hyperplaneBucketFunction: FunctionDesc =
+    desc("graft_hyperplane_bucket", classOf[HyperplaneBuckets], 2)(c =>
+      HyperplaneBuckets(c(0), litInt("graft_hyperplane_bucket", "numPlanes")(c(1))))
+
+  /** Every graft function description — the single source both
+    * registration paths share, so the SQL-extension and programmatic
+    * routes cannot diverge.
+    */
+  val all: Seq[FunctionDesc] = Seq(
+    dotFunction, sortedIntersectSizeFunction, minhashFunction,
+    simhashFunction, hyperplaneBucketFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => FloatDotProduct(exprs(0), exprs(1)),
-      "built-in"
-    )
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs(0), exprs(1)),
-      "built-in"
-    )
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSignatures(exprs(0), litInt("graft_minhash", "numHashes")(exprs(1))),
-      "built-in"
-    )
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => SimHashFingerprint(exprs(0), litInt("graft_simhash", "bits")(exprs(1))),
-      "built-in"
-    )
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_bucket",
-      exprs => HyperplaneBuckets(exprs(0), litInt("graft_hyperplane_bucket", "numPlanes")(exprs(1))),
-      "built-in"
-    )
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

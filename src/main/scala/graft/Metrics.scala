@@ -22,8 +22,10 @@ object Metrics {
     df.observe(name, count(lit(1)).as("rows"))
 
   /** Attach arbitrary observed aggregates. */
-  def observe(df: DataFrame, name: String, aggs: (String, org.apache.spark.sql.Column)*): DataFrame =
+  def observe(df: DataFrame, name: String, aggs: (String, org.apache.spark.sql.Column)*): DataFrame = {
+    require(aggs.nonEmpty, "Metrics.observe needs at least one aggregate")
     df.observe(name, aggs.map { case (n, c) => c.as(n) }.head, aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Collects observed metrics from every completed action on the
     * session it is registered with.
@@ -40,19 +42,49 @@ object Metrics {
 
     def snapshot: Map[String, Map[String, Any]] = metrics.asScala.toMap
 
+    /** Wait until a named observation arrives (listener delivery is
+      * ASYNC — `df.collect(); snapshot` races the listener bus, so
+      * read through this instead of hand-rolled sleep loops). Returns
+      * the metric's fields, or None on timeout.
+      */
+    def await(name: String, timeoutMs: Long = 10000): Option[Map[String, Any]] = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!metrics.containsKey(name) && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      Option(metrics.get(name))
+    }
+
     /** JSON export (reference: MetricsCollector::export_json). */
     def toJson: String =
       snapshot.map { case (name, kvs) =>
-        val fields = kvs.map { case (k, v) => s""""$k": ${render(v)}""" }.mkString(", ")
-        s""""$name": {$fields}"""
+        val fields = kvs.map { case (k, v) => s"${quote(k)}: ${render(v)}" }.mkString(", ")
+        s"${quote(name)}: {$fields}"
       }.mkString("{", ", ", "}")
 
+    private def quote(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '"'          => b.append("\\\"")
+        case '\\'         => b.append("\\\\")
+        case '\n'         => b.append("\\n")
+        case '\r'         => b.append("\\r")
+        case '\t'         => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c            => b.append(c)
+      }
+      b.append('"').toString
+    }
+
     private def render(v: Any): String = v match {
-      case null                          => "null"
-      case n: Long                       => n.toString
-      case n: Int                        => n.toString
-      case n: Double                     => n.toString
-      case other                         => "\"" + other.toString.replace("\"", "\\\"") + "\""
+      case null       => "null"
+      case n: Long    => n.toString
+      case n: Int     => n.toString
+      case n: Short   => n.toString
+      case n: Byte    => n.toString
+      case n: Double  => n.toString
+      case n: Float   => n.toString
+      case b: Boolean => b.toString
+      case other      => quote(other.toString)
     }
   }
 

@@ -35,6 +35,10 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failed query must not leave a PREVIOUS run's output in
+          // place — the compare would grade stale parquet as a pass
+          val stale = new java.io.File(s"$outDir/$name")
+          if (stale.exists()) org.apache.commons.io.FileUtils.deleteQuietly(stale): Unit
         }
       }
     }

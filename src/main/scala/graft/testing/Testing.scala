@@ -32,7 +32,12 @@ object Assertions {
     * order within a group is not significant.
     */
   def assertGroupedKvEqual[K, V](actual: PCollection[(K, Seq[V])], expected: Map[K, Seq[V]]): Unit = {
-    val got = actual.collect().map { case (k, vs) => (k, vs.groupBy(identity).view.mapValues(_.size).toMap) }.toMap
+    val rows = actual.collect()
+    // duplicate keys are themselves a grouping bug: .toMap would keep
+    // only the last row and could false-pass the comparison
+    val dupKeys = rows.groupBy(_._1).collect { case (k, g) if g.size > 1 => k }
+    require(dupKeys.isEmpty, s"grouped collection emits duplicate keys: $dupKeys")
+    val got = rows.map { case (k, vs) => (k, vs.groupBy(identity).view.mapValues(_.size).toMap) }.toMap
     val want = expected.map { case (k, vs) => (k, vs.groupBy(identity).view.mapValues(_.size).toMap) }
     require(got == want, s"grouped collections differ:\n  got      $got\n  expected $want")
   }
@@ -93,7 +98,12 @@ object Builders {
   def skewedKvs(n: Int, keys: Int, hotFraction: Double): Seq[(Int, Long)] = {
     val hotCount = (n * hotFraction).toInt
     val hot = (0 until hotCount).map(i => (0, i.toLong))
-    val cold = (hotCount until n).map(i => (1 + (i % math.max(keys - 1, 1)), i.toLong))
+    // keys == 1 degenerates to everything on the single key 0 — cold
+    // rows must stay inside [0, keys)
+    val cold = (hotCount until n).map { i =>
+      val k = if (keys <= 1) 0 else 1 + (i % (keys - 1))
+      (k, i.toLong)
+    }
     hot ++ cold
   }
 
@@ -146,15 +156,24 @@ object Debug {
   def inspect[T](pc: PCollection[T], label: String = "")(implicit e: Encoder[T]): PCollection[T] =
     new PCollection(pc.ds.map { t => System.err.println(s"[inspect]$label $t"); t })
 
-  /** reference: debug_count — prints the count without consuming. */
-  def count[T](pc: PCollection[T], label: String = ""): PCollection[T] = {
-    System.err.println(s"[count]$label ${pc.ds.count()}")
-    pc
-  }
+  /** reference: debug_count — prints the count without consuming. The
+    * counting job runs when the returned collection first evaluates
+    * (the lazy-pipeline contract), not at tap-insertion time.
+    */
+  def count[T](pc: PCollection[T], label: String = ""): PCollection[T] =
+    new PCollection({
+      val ds = pc.ds
+      System.err.println(s"[count]$label ${ds.count()}")
+      ds
+    })
 
-  /** reference: debug_sample — prints up to n sample elements. */
-  def sample[T](pc: PCollection[T], n: Int = 5, label: String = ""): PCollection[T] = {
-    System.err.println(s"[sample]$label ${pc.ds.head(n).mkString(", ")}")
-    pc
-  }
+  /** reference: debug_sample — prints up to n sample elements, lazily
+    * like [[count]].
+    */
+  def sample[T](pc: PCollection[T], n: Int = 5, label: String = ""): PCollection[T] =
+    new PCollection({
+      val ds = pc.ds
+      System.err.println(s"[sample]$label ${ds.head(n).mkString(", ")}")
+      ds
+    })
 }

@@ -169,11 +169,8 @@ class SurfaceSpec extends SparkTestBase {
     val df = Metrics.observeCount(
       spark.range(100).toDF("id").filter($"id" % 2 === 0), "surface_even_rows")
     df.collect(): Unit
-    // listener delivery is async; poll briefly
-    val deadline = System.currentTimeMillis() + 10000
-    while (!collector.snapshot.contains("surface_even_rows") && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    assert(collector.snapshot("surface_even_rows")("rows") == 50L)
+    val m = collector.await("surface_even_rows")
+    assert(m.exists(_("rows") == 50L), s"metric missing or wrong: $m")
     assert(collector.toJson.contains("\"surface_even_rows\""))
   }
 

@@ -42,11 +42,7 @@ class ValidationCollectorSpec extends SparkTestBase {
         .validateLogAndContinue(Validators.inRange("n", 0, 100)(_), collector,
           metricName = "vcspec_validation")
         .collect(): Unit
-      // listener delivery is async; poll briefly
-      val deadline = System.currentTimeMillis() + 10000
-      while (!mc.snapshot.contains("vcspec_validation") && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      val m = mc.snapshot("vcspec_validation")
+      val m = mc.await("vcspec_validation").getOrElse(fail("observation never arrived"))
       assert(m("total_rows") == 5L && m("invalid_rows") == 2L)
     } finally spark.listenerManager.unregister(mc)
   }
