@@ -78,6 +78,25 @@ class PlanShapeSpec extends SparkTestBase {
     ).head().isNullAt(0))
   }
 
+  test("graft SQL functions reject wrong arity and non-integral literals loudly") {
+    GraftFunctions.register(spark)
+    // wrong arity names the function and expected count, not an opaque
+    // IndexOutOfBounds from children(1)
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(arityErr.getMessage.contains("graft_dot") && arityErr.getMessage.contains("2"),
+      s"unhelpful arity error: ${arityErr.getMessage}")
+    // a fractional literal must not silently truncate the sketch width
+    val litErr = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a','b'), 2.5)").collect()
+    }
+    assert(litErr.getMessage.contains("integer literal"),
+      s"fractional numHashes not rejected: ${litErr.getMessage}")
+    // the spark.sql.extensions entry point shares the same builders
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("hyperplane bucket projection is native codegen, not interpreted HOFs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val buckets = graft.operators.Similarity.lshBuckets(emb, "vec_id", "embedding", 8)
