@@ -15,7 +15,13 @@ object EventTime {
 
   /** Deterministic "later" pick: greater ts wins; equal ts falls back
     * to the larger rendered value — associative and commutative, so
-    * merge order cannot change the winner.
+    * merge order cannot change the winner PROVIDED `T` renders to a
+    * value-based string. Case classes, primitives, strings, and
+    * collections with value toString qualify; a type whose toString is
+    * identity-based (e.g. `Array` renders `TypeName@identityHash`)
+    * makes the equal-ts tie-break depend on JVM identity hashes, so
+    * the winner would vary run-to-run. Wrap such payloads in a case
+    * class (or convert Array to Seq) before attaching timestamps.
     */
   private[graft] def laterOf[T](a: Timestamped[T], b: Timestamped[T]): Timestamped[T] =
     if (a.ts > b.ts) a

@@ -13,9 +13,13 @@ object Explain {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.get()
     val df = SparkEntry.queries(name)(spark, sfDir)
-    // collect() (not count()) — count() builds a separate QueryExecution,
-    // leaving THIS plan unexecuted and its AQE stages unresolved
-    val n = df.collect().length
+    // Execute THIS QueryExecution's RDD directly: df.count() (and a
+    // noop-format write) each build a SEPARATE QueryExecution, leaving
+    // this plan unexecuted and its AQE stages unresolved, while
+    // df.collect() would materialize the full result on the driver —
+    // fatal for a diagnostic run against a big query. RDD count moves
+    // only per-partition longs.
+    val n = df.queryExecution.toRdd.count()
     println(s"=== $name ($n rows at $sfDir) — final plan ===")
     println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
     spark.stop()

@@ -58,10 +58,12 @@ final class RegexOps(private val self: PCollection[String]) extends AnyVal {
   def regexExtract(pattern: String, group: Int)(implicit e: Encoder[String]): PCollection[String] = {
     val re = pattern.r
     self.filterMap { s =>
-      // a group index beyond the pattern's group count is a non-match
-      // (dropped), not an executor-killing IndexOutOfBounds
+      // a group index outside [0, groupCount] is a non-match (dropped),
+      // not an executor-killing IndexOutOfBounds — negative indices
+      // would throw on EVERY matching row, the exact failure the upper
+      // bound already prevents
       re.findFirstMatchIn(s)
-        .filter(_.groupCount >= group)
+        .filter(m => group >= 0 && m.groupCount >= group)
         .flatMap(m => Option(m.group(group)))
     }
   }

@@ -72,10 +72,15 @@ object Validation {
     *    the driver as each task completes — the accumulator channel is
     *    Spark's native realization of "collect errors while the
     *    pipeline runs"; no shuffle, no job, no driver round-trip.
-    *    Standard accumulator caveat applies: a retried task re-adds its
-    *    errors, so counts are at-least-once under failure — use
-    *    `validatePartition`'s dead-letter stream when an exactly-once
-    *    audit trail matters.
+    *    Standard accumulator caveats apply: a retried task re-adds its
+    *    errors, so counts are at-least-once under failure; and because
+    *    the validated collection is lazy and cache-free, EVERY action on
+    *    it re-runs validation and re-adds every record's errors (e.g.
+    *    `count()` then `collect()` doubles `errorCount`) — run a single
+    *    terminal action, `cache()` the collection first, or
+    *    snapshot-and-`clear()` between actions when exact counts
+    *    matter. Use `validatePartition`'s dead-letter stream when an
+    *    exactly-once audit trail matters.
     */
   final class ErrorCollector private (
       acc: Option[CollectionAccumulator[RecordError]]

@@ -22,7 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Add a salt column in [0, n) derived from the row's position. */
+  /** Add a salt column in [0, n) derived from the row's position.
+    *
+    * The salt column itself is NOT stable across task retries or
+    * repartitioning — `monotonically_increasing_id` is position-based,
+    * so a retried task can assign different salts to the same rows.
+    * Consume it only through salt-invariant aggregates (any associative
+    * decomposition over row partitions, e.g. [[saltedSum]] /
+    * [[saltedCount]]): those results are identical under every salt
+    * assignment. Do not join on, persist, or key business logic by the
+    * raw salt.
+    */
   def withSalt(df: DataFrame, n: Int, saltCol: String = "_salt"): DataFrame =
     df.withColumn(saltCol, pmod(hash(monotonically_increasing_id()), lit(n)))
 

@@ -74,7 +74,10 @@ object Streams {
         graft.operators.HeavyHitters.cellCoords(col(tokCol), depth, width).as("jc"))
       .groupBy(window(col(tsCol), windowSize), col("jc.j").as("j"), col("jc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("j"), col("cell"), col("n"))
+      // carry BOTH window bounds: a sink consumer joining grids of mixed
+      // window sizes can't distinguish them from the start alone
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("j"), col("cell"), col("n"))
 
   /** Streaming exact dedup — the continuous-ingest sibling of
     * [[graft.operators.Dedup.exactGroups]]: rows with an already-seen

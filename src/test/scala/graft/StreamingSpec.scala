@@ -49,6 +49,13 @@ class StreamingSpec extends SparkTestBase {
         (ts("2024-01-01 01:05:00"), "alpha"))
       query.processAllAvailable()
       val grid = spark.table("cms_out")
+      // the grid carries BOTH window bounds so grids of mixed window
+      // sizes stay distinguishable at a shared sink
+      val bounds = grid.select("window_start", "window_end").distinct().collect()
+        .map(r => r.getTimestamp(0).toString -> r.getTimestamp(1).toString).toMap
+      assert(bounds == Map(
+        "2024-01-01 00:00:00.0" -> "2024-01-01 01:00:00.0",
+        "2024-01-01 01:00:00.0" -> "2024-01-01 02:00:00.0"))
       // state bound: at most depth*width cells per window, sparse in practice
       val perWindow = grid.groupBy("window_start").count().collect()
         .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
@@ -59,7 +66,9 @@ class StreamingSpec extends SparkTestBase {
       // the matched-cell count past depth and defeat the zero guard
       val queries = Seq("alpha", "alpha", "beta", "never-seen").toDF("tok")
       val est = graft.operators.HeavyHitters.estimateFromGrid(grid, queries, depth, width)
-        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("tok")) ->
+          r.getAs[Long]("n_est")).toMap
       assert(est(("2024-01-01 00:00:00.0", "alpha")) >= 3L)
       assert(est(("2024-01-01 00:00:00.0", "beta")) >= 1L)
       assert(est(("2024-01-01 01:00:00.0", "alpha")) >= 1L)
