@@ -7,25 +7,32 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns plus typed metadata, with decode /
   * feature-extract implemented per-partition in batches.
   *
-  * The decode step is REAL for PNG and JPEG payloads: magic-byte
-  * sniffing plus a `javax.imageio` HEADER read (plain JDK, no native
-  * codecs) yields true width/height without decoding pixel data — the
-  * cheap metadata pass a media-curation pipeline runs corpus-wide.
-  * Every other payload falls back to [[fakeDecode]]'s deterministic
-  * stub (video/audio codecs are unavailable in this environment).
-  * Equally real — and tested — is the Spark-side shape: binary column
-  * in/out, typed `mapPartitions` batching (the Scala analog of
-  * `mapInPandas` batch processing), schema declaration, and narrow
-  * no-shuffle execution, which is the part that has to survive 100 TB
-  * of media blobs (one partition = one batch of blobs; no driver-side
-  * collection anywhere).
+  * The decode step is REAL for PNG, JPEG, and GIF payloads (magic-byte
+  * sniffing plus a `javax.imageio` HEADER read — plain JDK, no native
+  * codecs — yields true width/height and, for GIF, the frame count
+  * without decoding pixel data) and for WAV audio (the RIFF fmt/data
+  * chunks are a plain little-endian byte parse: sample rate, channels,
+  * and the exact PCM frame count). This is the cheap metadata pass a
+  * media-curation pipeline runs corpus-wide. Genuinely codec-bound
+  * formats (video containers, compressed audio) fall back to
+  * [[fakeDecode]]'s deterministic stub — those codecs are unavailable
+  * in this environment. Equally real — and tested — is the Spark-side
+  * shape: binary column in/out, typed `mapPartitions` batching (the
+  * Scala analog of `mapInPandas` batch processing), schema
+  * declaration, and narrow no-shuffle execution, which is the part
+  * that has to survive 100 TB of media blobs (one partition = one
+  * batch of blobs; no driver-side collection anywhere).
   */
 object Multimodal {
 
-  /** Decoded-media metadata record. `codec` is `png`/`jpeg` for real
-    * header decodes, `stub` for the fallback.
+  /** Decoded-media metadata record. `codec` is `png`/`jpeg`/`gif`/`wav`
+    * for real header decodes, `stub` for the fallback. Image payloads
+    * carry width/height (+ n_frames for animated GIF); audio payloads
+    * carry sample_rate/n_channels and the PCM frame count in n_frames;
+    * fields foreign to a payload's modality are 0.
     */
-  case class MediaMeta(id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int, codec: String)
+  case class MediaMeta(id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, n_channels: Int, codec: String)
 
   /** STUB decode for payload types with no available codec: derive
     * metadata deterministically from payload size. Replace with a real
@@ -33,7 +40,7 @@ object Multimodal {
     */
   def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    MediaMeta(id, n, n % 640, n % 480, n % 16, "stub")
+    MediaMeta(id, n, n % 640, n % 480, n % 16, 0, 0, "stub")
   }
 
   private def isPng(b: Array[Byte]): Boolean =
@@ -42,16 +49,66 @@ object Multimodal {
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte
 
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** RIFF/WAVE header parse — plain byte arithmetic, no codec: walk the
+    * word-aligned chunk list for `fmt ` (channels at +2, sample rate at
+    * +4, block align at +12) and `data` (payload byte count). The PCM
+    * frame count is dataSize / blockAlign — sample-exact duration, the
+    * number an audio-curation pass keys on. None on any structural
+    * violation (the stub's job, never a task failure).
+    */
+  private def parseWav(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    var off = 12
+    var sampleRate = 0L
+    var channels = 0
+    var blockAlign = 0
+    var dataSize = -1L
+    while (off + 8 <= b.length) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val sz = u32le(b, off + 4)
+      if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+        channels = u16le(b, off + 10)
+        sampleRate = u32le(b, off + 12)
+        blockAlign = u16le(b, off + 20)
+      } else if (cid == "data" && dataSize < 0) {
+        // a truncated blob declares more data than it carries: count
+        // only the frames actually present
+        dataSize = math.min(sz, (b.length - off - 8).toLong)
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      off += 8 + sz.toInt + (sz.toInt & 1)
+      if (sz < 0 || sz > Int.MaxValue - 16) return None
+    }
+    if (channels > 0 && blockAlign > 0 && sampleRate > 0 && sampleRate <= Int.MaxValue && dataSize >= 0)
+      Some(MediaMeta(id, b.length, 0, 0, (dataSize / blockAlign).toInt,
+        sampleRate.toInt, channels, "wav"))
+    else None
+  }
+
   /** Decode one payload's metadata: a real `javax.imageio` header read
-    * for PNG/JPEG (width/height parsed from the image header — pixel
-    * data is never decoded, so cost is O(header) not O(image)), stub
-    * fallback for everything else or on parse failure.
+    * for PNG/JPEG/GIF (width/height — and the GIF frame count — parsed
+    * from headers; pixel data is never decoded, so cost is O(header)
+    * not O(image)), a plain RIFF byte parse for WAV, stub fallback for
+    * everything else or on parse failure.
     */
   def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
     // a missing blob is routine in a media corpus: stub metadata for an
     // empty payload, never a task-killing NPE
     if (payload == null) return fakeDecode(id, Array.emptyByteArray)
-    if (isPng(payload) || isJpeg(payload)) {
+    if (isPng(payload) || isJpeg(payload) || isGif(payload)) {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -60,9 +117,13 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(in)
+            // GIF: the JDK reader counts animation frames from block
+            // headers (allowSearch walks the stream, still no pixel
+            // decode); PNG/JPEG are single-frame by format
+            val frames = if (isGif(payload)) r.getNumImages(true) else 1
             return MediaMeta(
-              id, payload.length, r.getWidth(0), r.getHeight(0), 1,
-              if (isPng(payload)) "png" else "jpeg")
+              id, payload.length, r.getWidth(0), r.getHeight(0), frames, 0, 0,
+              if (isPng(payload)) "png" else if (isGif(payload)) "gif" else "jpeg")
           } finally r.dispose()
         }
       } catch {
@@ -73,7 +134,33 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => ()
       } finally in.close()
     }
+    if (isWav(payload)) {
+      try {
+        parseWav(id, payload) match {
+          case Some(m) => return m
+          case None    => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     fakeDecode(id, payload)
+  }
+
+  /** Minimal 16-bit PCM WAV byte image (silent samples) — a
+    * deterministic fixture generator for the RIFF parse path, used by
+    * specs and the verify-oracle query so every decoded field is
+    * predictable arithmetic.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
   }
 
   /** Per-partition batched decode over (id, binary payload) rows.
