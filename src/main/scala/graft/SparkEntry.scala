@@ -884,6 +884,40 @@ object SparkEntry {
       Multimodal.decodeMeta(imgs, "id", "payload")
         .select("id", "width", "height", "n_frames", "codec")
     }),
+    "multimodal_wav_meta" -> ((s, dir) => {
+      // REAL audio decode: build a deterministic PCM WAV per doc (rate/
+      // channels/frames derived from doc_id) in the executors, then
+      // decodeMeta recovers every field from the RIFF header byte parse
+      // — the oracle predicts all eight columns from the same arithmetic
+      val spark = s
+      import spark.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val rate = (8000 + (id % 5) * 8000).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (100 + id % 400).toInt
+          (id, Multimodal.wavBytes(rate, channels, frames))
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(wavs, "id", "payload")
+    }),
+    "multimodal_gif_meta" -> ((s, dir) => {
+      // REAL GIF decode: encode a deterministic single-frame GIF per doc
+      // in the executors, then decodeMeta reads width/height and the
+      // frame count back out of the GIF block headers via javax.imageio
+      val spark = s
+      import spark.implicits._
+      val gifs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (1 + id % 32).toInt
+          val h = (1 + id % 24).toInt
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "gif", bos): Unit
+          (id, bos.toByteArray)
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(gifs, "id", "payload")
+        .select("id", "width", "height", "n_frames", "codec")
+    }),
     "io_jsonl_roundtrip" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/jsonl"
       val src = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
@@ -1419,7 +1453,26 @@ object SparkEntry {
          CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
          CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
          CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+         CAST(0 AS INTEGER) AS sample_rate,
+         CAST(0 AS INTEGER) AS n_channels,
          'stub' AS codec
+         FROM documents""",
+    "multimodal_wav_meta" ->
+      """SELECT doc_id AS id,
+         CAST(44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS INTEGER) AS n_bytes,
+         CAST(0 AS INTEGER) AS width,
+         CAST(0 AS INTEGER) AS height,
+         CAST(100 + doc_id % 400 AS INTEGER) AS n_frames,
+         CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         'wav' AS codec
+         FROM documents""",
+    "multimodal_gif_meta" ->
+      """SELECT doc_id AS id,
+         CAST(1 + doc_id % 32 AS INTEGER) AS width,
+         CAST(1 + doc_id % 24 AS INTEGER) AS height,
+         1 AS n_frames,
+         'gif' AS codec
          FROM documents""",
     "multimodal_image_meta" ->
       """SELECT doc_id AS id,

@@ -88,9 +88,14 @@ object Multimodal {
         // only the frames actually present
         dataSize = math.min(sz, (b.length - off - 8).toLong)
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      off += 8 + sz.toInt + (sz.toInt & 1)
-      if (sz < 0 || sz > Int.MaxValue - 16) return None
+      // chunks are word-aligned: odd sizes carry one pad byte. Step in
+      // Long BEFORE touching off: a u32 size near 2^32 would otherwise
+      // corrupt the Int offset. A chunk extending past the buffer is by
+      // definition the last one (truncated or lying header) — stop
+      // walking rather than reject, so a truncated-tail WAV still
+      // yields the metadata parsed so far.
+      val next = off.toLong + 8L + sz + (sz & 1L)
+      if (next + 8 > b.length) off = b.length else off = next.toInt
     }
     if (channels > 0 && blockAlign > 0 && sampleRate > 0 && sampleRate <= Int.MaxValue && dataSize >= 0)
       Some(MediaMeta(id, b.length, 0, 0, (dataSize / blockAlign).toInt,
@@ -151,8 +156,14 @@ object Multimodal {
     * predictable arithmetic.
     */
   def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"invalid WAV fixture params: rate=$sampleRate ch=$channels frames=$nFrames")
     val blockAlign = channels * 2
-    val dataSize = nFrames * blockAlign
+    // size the buffer in Long: a fixture generator must fail loudly on
+    // an overflowing request, never emit a corrupt RIFF image
+    val dataSizeL = nFrames.toLong * blockAlign
+    require(44L + dataSizeL <= Int.MaxValue, s"WAV fixture too large: $dataSizeL data bytes")
+    val dataSize = dataSizeL.toInt
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
     bb.put("WAVE".getBytes("US-ASCII"))

@@ -157,6 +157,80 @@ class WindowingTextSpec extends SparkTestBase {
     assert(metas(3L)._3 == "stub")
   }
 
+  test("multimodal decodeOne recovers exact WAV metadata from the RIFF byte parse") {
+    val meta = Multimodal.decodeOne(7L, Multimodal.wavBytes(16000, 2, 1234))
+    assert(meta == Multimodal.MediaMeta(7L, 44 + 1234 * 4, 0, 0, 1234, 16000, 2, "wav"))
+  }
+
+  test("multimodal WAV parse counts only frames actually present in a truncated blob") {
+    // stereo 16-bit: blockAlign 4; keep the header + 100 data bytes of a
+    // 1000-frame file -> 25 whole frames survive
+    val full = Multimodal.wavBytes(8000, 2, 1000)
+    val truncated = full.take(44 + 100)
+    val meta = Multimodal.decodeOne(1L, truncated)
+    assert(meta.codec == "wav")
+    assert(meta.n_frames == 25, s"expected 25 truncated frames, got ${meta.n_frames}")
+    assert((meta.sample_rate, meta.n_channels) == ((8000, 2)))
+  }
+
+  test("multimodal WAV parse walks word-aligned chunks: odd-size chunk carries a pad byte") {
+    val base = Multimodal.wavBytes(44100, 1, 10)
+    // splice a 3-byte chunk (odd size -> one pad byte) between the WAVE
+    // tag and fmt; the walk must land on the fmt chunk boundary exactly
+    val junk = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("junk".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)): Unit
+    val spliced = base.take(12) ++ junk.array() ++ base.drop(12)
+    val meta = Multimodal.decodeOne(2L, spliced)
+    assert(meta.codec == "wav")
+    assert((meta.sample_rate, meta.n_channels, meta.n_frames) == ((44100, 1, 10)))
+    assert(meta.n_bytes == base.length + 12)
+  }
+
+  test("multimodal WAV parse stubs junk-RIFF and survives a lying u32 chunk size") {
+    // RIFF/WAVE magic but no fmt/data chunks -> structural violation -> stub
+    val junkRiff = Multimodal.wavBytes(8000, 1, 10).take(12) ++ Array.fill[Byte](40)(0x5a)
+    assert(Multimodal.decodeOne(3L, junkRiff).codec == "stub")
+    // a chunk declaring size 0xFFFFFFFF must neither crash nor corrupt
+    // the offset walk (Int truncation) -- no fmt/data parsed -> stub
+    val lying = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lying.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("bigc".getBytes("US-ASCII")).putInt(0xFFFFFFFF): Unit
+    assert(Multimodal.decodeOne(4L, lying.array()).codec == "stub")
+  }
+
+  test("multimodal wavBytes fixture fails loudly instead of overflowing") {
+    intercept[IllegalArgumentException] {
+      Multimodal.wavBytes(8000, 2, Int.MaxValue): Unit
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavBytes(0, 1, 10): Unit
+    }
+  }
+
+  test("multimodal decodeOne reads GIF dimensions and animation frame count from headers") {
+    def gifFrames(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until frames).foreach { _ =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val single = Multimodal.decodeOne(1L, gifFrames(13, 9, 1))
+    assert((single.width, single.height, single.n_frames, single.codec) == ((13, 9, 1, "gif")))
+    val animated = Multimodal.decodeOne(2L, gifFrames(8, 6, 3))
+    assert((animated.width, animated.height, animated.n_frames, animated.codec) == ((8, 6, 3, "gif")))
+  }
+
   test("multimodal sampleFrames explodes stride-sampled frame indices") {
     val df = Seq((1L, "x" * 10)).toDF("id", "payload") // 10 bytes -> nFrames = 10 % 16 = 10
     val frames = Multimodal.sampleFrames(df, "id", "payload", stride = 3)
