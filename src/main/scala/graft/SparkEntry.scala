@@ -692,6 +692,12 @@ object SparkEntry {
       // GPT-style sequence packing: contiguous per-stratum token
       // stream cut every 512 tokens; docs straddle context boundaries
       Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512)),
+    "curation_manifest" -> ((s, dir) =>
+      // per-(bin, doc) loader manifest: which token slice of which doc
+      // fills which offsets of each 512-token training example
+      Curation.packManifest(
+        Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512),
+        contextTokens = 512)),
     "range_join" -> ((s, dir) => {
       // point-in-interval WITHOUT an inequality join: urgent orders
       // become 7-day intervals exploded onto a weekly grid; lineitem
@@ -792,6 +798,13 @@ object SparkEntry {
       // O(candidates) instead of all-pairs-per-block
       Dedup.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_near_skewsafe" -> ((s, dir) =>
+      // the same end-to-end verify COMPOSED with the triangle-distributed
+      // candidate generator: the skew posture is a parameter, and the
+      // verified pair set is identical (same oracle as dedup_near_verified)
+      Dedup.nearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40,
+        pairGenerator = Dedup.lshCandidatePairsSkewSafe(_, _, _, _, _, nGroups = 4))),
     "dedup_near_collapsed" -> ((s, dir) =>
       // exact-collapse before LSH: kills the k^2 candidate blow-up of
       // exact-dup groups at its source (see ScaleSmoke growth curve)
@@ -834,6 +847,28 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
     }),
     "similarity_ivf" -> ((s, dir) => {
+      // Trained-quantizer multi-probe IVF on the query/bench surface:
+      // coarse cells from seeded k-means, each query probing its 2 of 8
+      // nearest cells. The cell assignment is estimator-internal (not
+      // SQL-expressible), so like the sketch ops this is graded via
+      // in-query structural assertions — exactly k distinct non-self
+      // neighbors with contiguous ranks per query — while
+      // similarity_recall value-grades the same trained path against
+      // the exact brute-force answer.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTrainedTopK(
+          emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5, nCells = 8, nprobe = 2)
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
+          (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+    }),
+    "similarity_cell_topk" -> ((s, dir) => {
+      // Single-cell IVF with a pre-existing coarse partition (label):
+      // cell-restricted exact search, value-level oracle (the DuckDB
+      // side reproduces the same label-blocked cosine top-k)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", 5)
     }),
@@ -1087,6 +1122,26 @@ object SparkEntry {
                   CAST(sum(CAST(len(string_split(text, ' ')) AS INTEGER))
                     OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
            FROM documents)""",
+    "curation_manifest" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(cum - n_tokens AS BIGINT) AS start_token,
+                  (cum - n_tokens) // 512 AS bin_id,
+                  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_bins
+           FROM (
+             SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                    CAST(sum(CAST(len(string_split(text, ' ')) AS INTEGER))
+                      OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+             FROM documents)),
+         b AS (SELECT doc_id, lang, n_tokens, start_token,
+                      unnest(generate_series(bin_id, bin_id + n_bins - 1)) AS bin
+               FROM p)
+         SELECT doc_id, lang, n_tokens, CAST(bin AS BIGINT) AS bin_id,
+                CAST(greatest(start_token - bin * 512, 0) AS BIGINT) AS offset_in_bin,
+                CAST(least(start_token + n_tokens, (bin + 1) * 512)
+                     - greatest(start_token, bin * 512) AS BIGINT) AS len_in_bin
+         FROM b""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -1431,6 +1486,11 @@ object SparkEntry {
            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
            FROM s) WHERE rk <= 5""",
     "similarity_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
+         CAST(0 AS BIGINT) AS self_hits
+         FROM embeddings WHERE vec_id < 20""",
+    "similarity_cell_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
          s AS (SELECT query_id, neighbor_id,
@@ -1738,10 +1798,25 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     elementWiseOracle ++ groupingOracle ++ joinsOracle ++ windowingOracle ++
-      regexAndErrorsOracle ++ pipelineTierOracle ++ surfaceTierOracle
+      regexAndErrorsOracle ++ pipelineTierOracle ++ surfaceTierOracle +
+      // the triangle-composed end-to-end chain must produce the IDENTICAL
+      // verified pair set as the default generator — same oracle by
+      // construction, not a copy that could drift
+      ("dedup_near_skewsafe" -> pipelineTierOracle("dedup_near_verified"))
+
+  /** The most-composed end-to-end chains — the plans where a silent
+    * regression would hurt a real pipeline most. Kept as a named set so
+    * BenchGuardSpec can assert the bench surface never drops them.
+    */
+  def capstoneQueries: Seq[String] = Seq(
+    "pipeline_curated", "dedup_near_collapsed", "dedup_clusters",
+    "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack"
+  )
 
   /** Headline queries for Bench — one per major operator family, heavy
-    * enough to measure (scan+agg, joins, windows, LSH dedup, ANN).
+    * enough to measure (scan+agg, joins, windows, LSH dedup, ANN), plus
+    * every capstone chain so the exit-3 regression guard covers the
+    * most-composed plans, not just their building blocks.
     */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "map_project", "filter_where", "flat_map_tokens",
@@ -1750,5 +1825,5 @@ object SparkEntry {
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_near_verified", "similarity_topk", "similarity_ivf"
-  )
+  ) ++ capstoneQueries
 }

@@ -123,6 +123,34 @@ object Curation {
         expr(s"(start_token + n_tokens - 1) DIV $contextTokens") - col("bin_id") + 1)
   }
 
+  /** Per-context-window example manifest from [[packSequences]] output:
+    * one row per (bin, document) telling the loader exactly which token
+    * slice of which document fills which offsets of which training
+    * example — the materialization the doc comment on packSequences
+    * used to leave to the reader. For each doc spanning bins
+    * `bin_id .. bin_id + n_bins - 1`:
+    * `offset_in_bin` = where the doc's slice starts inside that bin,
+    * `len_in_bin` = how many of its tokens land there (token slices
+    * partition the doc: sum(len_in_bin) over a doc's rows = n_tokens).
+    *
+    * Shape: one `explode(sequence(...))` per doc — row growth is
+    * bounded by ceil(n_tokens/contextTokens)+1 per doc, i.e. linear in
+    * corpus tokens — followed by pure per-row arithmetic. No window, no
+    * join, no aggregation: composes onto packSequences' single
+    * stratum-partitioned prefix-sum shuffle unchanged.
+    */
+  def packManifest(packed: DataFrame, contextTokens: Int): DataFrame = {
+    val c = lit(contextTokens.toLong)
+    val binStart = col("bin_id") * c
+    val docEnd = col("start_token") + col("n_tokens")
+    packed
+      .withColumn("bin_id", explode(sequence(col("bin_id"), col("bin_id") + col("n_bins") - 1)))
+      .withColumn("offset_in_bin", greatest(col("start_token") - binStart, lit(0L)))
+      .withColumn("len_in_bin",
+        least(docEnd, binStart + c) - greatest(col("start_token"), binStart))
+      .drop("start_token", "n_bins")
+  }
+
   /** PII redaction: replace email addresses and IPv4 literals with
     * placeholder tokens and count what was removed — the scrub step a
     * corpus runs before training. Pure per-row regexp projections (one

@@ -300,13 +300,28 @@ object Dedup {
       )
   }
 
+  /** Candidate-pair generator signature shared by [[lshCandidatePairs]]
+    * and [[lshCandidatePairsSkewSafe]]: (docs, idCol, textCol,
+    * numHashes, rowsPerBand) -> (a_id, b_id). The end-to-end operators
+    * take one of these, so the skew posture is a composition choice,
+    * not a separate pipeline.
+    */
+  type PairGenerator = (DataFrame, String, String, Int, Int) => DataFrame
+
   /** End-to-end near-duplicate detection at scale: MinHash+LSH candidate
-    * generation ([[lshCandidatePairs]], per-bucket pairs — no O(n^2))
-    * followed by exact n-gram Jaccard verification over just those
-    * candidates ([[jaccardOnPairs]]). Output: (a_id, b_id, jaccard) for
-    * verified pairs at or above the threshold. The whole plan's cost is
-    * linear in corpus size plus candidates — the only quadratic term is
-    * within an LSH bucket, which banding keeps tiny.
+    * generation (per-bucket pairs — no O(n^2)) followed by exact n-gram
+    * Jaccard verification over just those candidates
+    * ([[jaccardOnPairs]]). Output: (a_id, b_id, jaccard) for verified
+    * pairs at or above the threshold. The whole plan's cost is linear in
+    * corpus size plus candidates — the only quadratic term is within an
+    * LSH bucket, which banding keeps tiny.
+    *
+    * `pairGenerator` selects the candidate stage: the default
+    * [[lshCandidatePairs]] for typical corpora, or
+    * `lshCandidatePairsSkewSafe(_, _, _, _, _, nGroups)` when
+    * mega-buckets are expected (both emit the identical candidate set,
+    * so the verified result is the same either way — see the ScaleSmoke
+    * A/B crossover).
     */
   def nearDuplicates(
       docs: DataFrame,
@@ -314,10 +329,11 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      thresholdPct: Int = 40
+      thresholdPct: Int = 40,
+      pairGenerator: PairGenerator = lshCandidatePairs(_, _, _, _, _)
   ): DataFrame =
     jaccardOnPairs(
-      lshCandidatePairs(docs, idCol, textCol, numHashes, rowsPerBand),
+      pairGenerator(docs, idCol, textCol, numHashes, rowsPerBand),
       docs, idCol, textCol, thresholdPct)
 
   /** Exact-collapse then near-dup: collapse exact duplicates to their
@@ -337,13 +353,14 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      thresholdPct: Int = 40
+      thresholdPct: Int = 40,
+      pairGenerator: PairGenerator = lshCandidatePairs(_, _, _, _, _)
   ): DataFrame = {
     val reps = docs
       .groupBy(col(textCol))
       .agg(min(idCol).as(idCol))
       .select(col(idCol), col(textCol))
-    nearDuplicates(reps, idCol, textCol, numHashes, rowsPerBand, thresholdPct)
+    nearDuplicates(reps, idCol, textCol, numHashes, rowsPerBand, thresholdPct, pairGenerator)
   }
 
   /** Connected components over an undirected duplicate-pair list

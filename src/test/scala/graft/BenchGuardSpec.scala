@@ -45,4 +45,26 @@ class BenchGuardSpec extends AnyFunSuite {
     // names that exist in both the baseline and the current sweep.
     assert(!m.contains("q1_agg"))
   }
+
+  test("bench surface covers every capstone chain") {
+    // guard-the-guard: the exit-3 regression guard only sees queries in
+    // benchQueries, so the most-composed pipelines must never silently
+    // drop off the bench surface
+    val missing = SparkEntry.capstoneQueries.toSet -- SparkEntry.benchQueries.toSet
+    assert(missing.isEmpty, s"capstone chains missing from benchQueries: $missing")
+  }
+
+  test("every bench query is runnable and oracle-graded") {
+    val noQuery = SparkEntry.benchQueries.filterNot(SparkEntry.queries.keySet.contains)
+    assert(noQuery.isEmpty, s"benchQueries without a queries entry: $noQuery")
+    val noOracle = SparkEntry.benchQueries.filterNot(SparkEntry.oracleSql.keySet.contains)
+    assert(noOracle.isEmpty, s"benchQueries without an oracle: $noOracle")
+  }
+
+  test("queries and oracleSql cover exactly the same keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries with no oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles with no query: ${o -- q}")
+  }
 }

@@ -119,6 +119,45 @@ class CurationSpec extends SparkTestBase {
     assert(packed(4L)._3 == 0L && packed(4L)._4 == 0L)
   }
 
+  test("packManifest slices straddling docs exactly across context windows") {
+    val docs = Seq(
+      (1L, "en", "a " * 299 + "end"),   // 300 tokens
+      (2L, "en", "b " * 99 + "end"),    // 100 tokens
+      (3L, "en", "c " * 499 + "end"),   // 500 tokens
+      (4L, "zh", "d " * 49 + "end")     // 50 tokens, separate stratum
+    ).toDF("doc_id", "lang", "text")
+    val packed = Curation.packSequences(docs, "doc_id", "text", "lang", 256)
+    val manifest = Curation.packManifest(packed, 256).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("offset_in_bin"), r.getAs[Long]("len_in_bin"), r.getAs[String]("lang")))
+    val starts = packed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(2))).toMap // id -> (start, n)
+    // slices partition each doc: lengths sum to n_tokens, one row per bin
+    starts.foreach { case (id, (_, n)) =>
+      val slices = manifest.filter(_._1 == id)
+      assert(slices.map(_._4).sum == n, s"doc $id slices don't cover it: $slices")
+      assert(slices.map(_._2).distinct.length == slices.length, s"doc $id repeated a bin")
+    }
+    // a straddling doc's slices are contiguous across the boundary:
+    // first slice runs to the end of its bin, later slices start at 0
+    val straddlers = manifest.groupBy(_._1).filter(_._2.length > 1)
+    assert(straddlers.nonEmpty, "expected at least one straddling doc")
+    straddlers.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.init.foreach { case (_, _, off, len, _) => assert(off + len == 256,
+        s"doc $id: non-final slice must fill its bin to the boundary") }
+      sorted.tail.foreach { case (_, _, off, _, _) => assert(off == 0L,
+        s"doc $id: continuation slice must start at bin offset 0") }
+      assert(sorted.head._3 == starts(id)._1 % 256, s"doc $id: first slice offset wrong")
+    }
+    // bins fill completely except each stratum's last: en has 900 tokens
+    // over 256-token bins -> 256/256/256/132; zh has 50 -> one 50 bin
+    val binFill = manifest.groupBy(m => (m._5, m._2)).view.mapValues(_.map(_._4).sum).toMap
+    assert(binFill == Map(
+      ("en", 0L) -> 256L, ("en", 1L) -> 256L, ("en", 2L) -> 256L, ("en", 3L) -> 132L,
+      ("zh", 0L) -> 50L), s"got $binFill")
+  }
+
   test("rebalanceMix downsamples to target proportions without upsampling") {
     val d = (1L to 80L).map(i => (i, "t", if (i <= 60) "en" else "de")).toDF("doc_id", "text", "lang")
     // target 50/50 but only 20 de docs -> de binds: keep 20 de + 20 en

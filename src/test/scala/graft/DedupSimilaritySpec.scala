@@ -182,6 +182,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("nearDuplicates composes with the skew-safe pair generator unchanged") {
+    // the skew posture is a parameter of the end-to-end chain, and it
+    // must not change WHAT is computed — only how the quadratic pair
+    // output is distributed across tasks
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val viaPlain = Dedup.nearDuplicates(d, "doc_id", "text", 8, 2, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaTriangle = Dedup.nearDuplicates(d, "doc_id", "text", 8, 2, 40,
+        pairGenerator = Dedup.lshCandidatePairsSkewSafe(_, _, _, _, _, nGroups = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPlain.nonEmpty)
+    assert(viaTriangle == viaPlain,
+      s"triangle-composed verify diverges: missing=${(viaPlain -- viaTriangle).take(3)} " +
+        s"extra=${(viaTriangle -- viaPlain).take(3)}")
+    // the collapsed capstone accepts the generator too
+    val collapsed = Dedup.nearDuplicatesCollapsed(d, "doc_id", "text", 8, 2, 40,
+        pairGenerator = Dedup.lshCandidatePairsSkewSafe(_, _, _, _, _, nGroups = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed.nonEmpty)
+  }
+
   test("duplicateClusters checkpoints each iteration to reliable storage") {
     // localCheckpoint truncates lineage into executor-resident blocks:
     // on a cluster, losing one executor mid-loop makes later iterations
