@@ -68,8 +68,23 @@ object Streams {
       depth: Int = 4,
       width: Int = 2048
   ): DataFrame =
+    windowedCmsGridWatermarked(
+      events.withWatermark(tsCol, watermark), tsCol, tokCol, windowSize, depth, width)
+
+  /** [[windowedCmsGrid]] for composition AFTER an upstream stateful
+    * operator (e.g. [[dedupNearSignature]]): a multi-stateful-operator
+    * query forbids redefining the watermark, so this variant aggregates
+    * under the watermark the caller already set upstream.
+    */
+  def windowedCmsGridWatermarked(
+      events: DataFrame,
+      tsCol: String,
+      tokCol: String,
+      windowSize: String,
+      depth: Int = 4,
+      width: Int = 2048
+  ): DataFrame =
     events
-      .withWatermark(tsCol, watermark)
       .select(col(tsCol),
         graft.operators.HeavyHitters.cellCoords(col(tokCol), depth, width).as("jc"))
       .groupBy(window(col(tsCol), windowSize), col("jc.j").as("j"), col("jc.cell").as("cell"))

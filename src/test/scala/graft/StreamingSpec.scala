@@ -182,6 +182,78 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming curation capstone survives a checkpointed stop/restart without dup or loss") {
+    // The full continuous-curation chain — quality gate (stateless) ->
+    // signature near-dup dedup (watermark state) -> windowed CMS grid
+    // (aggregation state) — written to an exactly-once FILE sink with a
+    // checkpoint, stopped mid-stream, and restarted. Both stateful
+    // operators' state must come back from the checkpoint: a duplicate
+    // sent AFTER the restart of a doc seen BEFORE it must still drop
+    // (dedup state recovered), and pre-restart docs must still count in
+    // the finalized grid (aggregation state recovered). The per-window
+    // invariant sum(n | j) == deduped-doc-count for EVERY hash row j
+    // catches both duplication (too much mass) and loss (too little)
+    // exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-capstone")
+    val outPath = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val depth = 4; val width = 64
+
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    // quality gate with a struct carry: the gate's projection keeps only
+    // (idCol, signals), so the carried struct IS the id — the same
+    // single-struct-carry idiom as the as-of join
+    val gated = graft.operators.Curation.qualityFilter(
+        docs.select(org.apache.spark.sql.functions.struct($"ts", $"doc_id", $"text").as("carry"), $"text"),
+        "carry", "text", minTokens = 3, maxBigramRep = 0.9, minAlphaRatio = 0.5)
+      .where($"keep" === 1)
+      .select("carry.*")
+    val deduped = Streams.dedupNearSignature(gated, "ts", "text", "1 hour")
+    // the watermarked variant: dedupNearSignature already set the
+    // watermark, and a multi-stateful-operator query forbids resetting it
+    val grid = Streams.windowedCmsGridWatermarked(deduped, "ts", "text", "1 hour", depth, width)
+
+    def start() = grid.writeStream.format("parquet")
+      .option("path", outPath).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), 1L, "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:10:00"), 2L, "the quick brown fox jumps over the lazy dog"), // dup pre-restart
+        (ts("2024-01-01 00:15:00"), 3L, "completely different words about spark engines here"),
+        (ts("2024-01-01 00:20:00"), 4L, "no")) // fails the quality gate
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(
+        // dup ACROSS the restart: drops only if dedup state was recovered
+        (ts("2024-01-01 00:25:00"), 5L, "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:30:00"), 6L, "another entirely novel document with plenty of tokens"),
+        // watermark advancer: pushes the event-time watermark past the
+        // first window's end so its grid finalizes to the sink
+        (ts("2024-01-01 03:00:00"), 7L, "late watermark advancing document with many words"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val result = spark.read.parquet(outPath)
+      .where($"window_start" === ts("2024-01-01 00:00:00"))
+    // no duplicate grid cells from sink replay
+    assert(result.groupBy("j", "cell").count().where($"count" > 1).isEmpty,
+      "duplicate (j, cell) rows — the sink replayed a batch")
+    // every hash row's total mass == the 3 deduped quality docs:
+    // docs 1, 3 (pre-restart) and 6 (post-restart); 2 and 5 deduped, 4 gated
+    val perJ = result.groupBy("j").agg(org.apache.spark.sql.functions.sum("n").as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perJ.keySet == (0 until depth).toSet, s"missing hash rows: $perJ")
+    assert(perJ.values.forall(_ == 3L),
+      s"expected 3 deduped docs of mass per hash row, got $perJ")
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
