@@ -935,6 +935,35 @@ object SparkEntry {
         }.toDF("id", "payload")
       Multimodal.decodeMeta(wavs, "id", "payload")
     }),
+    "multimodal_flac_meta" -> ((s, dir) => {
+      // REAL lossless-audio decode: deterministic FLAC STREAMINFO per
+      // doc; every recovered field is oracle-predictable arithmetic
+      val spark = s
+      import spark.implicits._
+      val flacs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val channels = (1 + id % 2).toInt
+          val samples = (1000 + id % 500).toInt
+          (id, Multimodal.flacBytes(rate, channels, samples))
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(flacs, "id", "payload")
+    }),
+    "multimodal_mp4_meta" -> ((s, dir) => {
+      // REAL video-container decode: deterministic ISO-BMFF box tree per
+      // doc; the box walk recovers tkhd dimensions + stts frame count
+      val spark = s
+      import spark.implicits._
+      val mp4s = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (16 + id % 64).toInt
+          val h = (16 + id % 48).toInt
+          val frames = (24 + id % 100).toInt
+          (id, Multimodal.mp4Bytes(w, h, frames))
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(mp4s, "id", "payload")
+        .select("id", "width", "height", "n_frames", "codec")
+    }),
     "multimodal_gif_meta" -> ((s, dir) => {
       // REAL GIF decode: encode a deterministic single-frame GIF per doc
       // in the executors, then decodeMeta reads width/height and the
@@ -1526,6 +1555,23 @@ object SparkEntry {
          CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
          CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
          'wav' AS codec
+         FROM documents""",
+    "multimodal_flac_meta" ->
+      """SELECT doc_id AS id,
+         CAST(42 AS INTEGER) AS n_bytes,
+         CAST(0 AS INTEGER) AS width,
+         CAST(0 AS INTEGER) AS height,
+         CAST(1000 + doc_id % 500 AS INTEGER) AS n_frames,
+         CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         'flac' AS codec
+         FROM documents""",
+    "multimodal_mp4_meta" ->
+      """SELECT doc_id AS id,
+         CAST(16 + doc_id % 64 AS INTEGER) AS width,
+         CAST(16 + doc_id % 48 AS INTEGER) AS height,
+         CAST(24 + doc_id % 100 AS INTEGER) AS n_frames,
+         'mp4' AS codec
          FROM documents""",
     "multimodal_gif_meta" ->
       """SELECT doc_id AS id,

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * The decode step is REAL for PNG, JPEG, and GIF payloads (magic-byte
   * sniffing plus a `javax.imageio` HEADER read — plain JDK, no native
   * codecs — yields true width/height and, for GIF, the frame count
-  * without decoding pixel data) and for WAV audio (the RIFF fmt/data
+  * without decoding pixel data), for WAV audio (the RIFF fmt/data
   * chunks are a plain little-endian byte parse: sample rate, channels,
-  * and the exact PCM frame count). This is the cheap metadata pass a
-  * media-curation pipeline runs corpus-wide. Genuinely codec-bound
-  * formats (video containers, compressed audio) fall back to
-  * [[fakeDecode]]'s deterministic stub — those codecs are unavailable
-  * in this environment. Equally real — and tested — is the Spark-side
+  * and the exact PCM frame count), for FLAC (STREAMINFO: sample rate,
+  * channels, exact total samples), and for MP4/MOV video containers
+  * (ISO-BMFF box walk: tkhd display dimensions + exact stts frame
+  * count, never touching mdat). This is the cheap metadata pass a
+  * media-curation pipeline runs corpus-wide. Only payloads with no
+  * parseable plain-byte header (raw codec bitstreams, unknown formats)
+  * fall back to [[fakeDecode]]'s deterministic stub — actual sample/
+  * pixel DECODE needs codecs unavailable in this environment.
+  * Equally real — and tested — is the Spark-side
   * shape: binary column in/out, typed `mapPartitions` batching (the
   * Scala analog of `mapInPandas` batch processing), schema
   * declaration, and narrow no-shuffle execution, which is the part
@@ -103,11 +107,87 @@ object Multimodal {
     else None
   }
 
+  private def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** FLAC STREAMINFO parse — no codec, just the fixed-layout first
+    * metadata block (the spec requires STREAMINFO first): sample rate
+    * (20 bits), channels (3 bits, stored n-1), and the 36-bit total
+    * PCM sample count — sample-exact duration for a lossless-audio
+    * corpus, same fields the WAV path recovers.
+    */
+  private def parseFlac(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    // 4 magic + 4 block header; STREAMINFO must be type 0 and 34 bytes
+    val hdrType = b(4) & 0x7f
+    val hdrLen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (hdrType != 0 || hdrLen != 34) return None
+    // the 64-bit field at bytes 18-25: sampleRate(20) channels-1(3)
+    // bps-1(5) totalSamples(36)
+    val sr = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) | ((b(20) & 0xff) >> 4)
+    val channels = ((b(20) >> 1) & 0x7) + 1
+    val totalSamples = ((b(21) & 0x0fL) << 32) | ((b(22) & 0xffL) << 24) |
+      ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 8) | (b(25) & 0xffL)
+    if (sr > 0 && totalSamples <= Int.MaxValue)
+      Some(MediaMeta(id, b.length, 0, 0, totalSamples.toInt, sr, channels, "flac"))
+    else None
+  }
+
+  /** ISO-BMFF (MP4/MOV) box walk — the video-container metadata pass a
+    * media pipeline runs corpus-wide WITHOUT any codec: recursively
+    * walk the box tree (descending only into the known container boxes
+    * on the moov path), read the track's display width/height from
+    * `tkhd` (16.16 fixed point) and the exact frame count as the sum
+    * of `stts` (time-to-sample) entry counts. Pixel data (`mdat`) is
+    * never touched, so cost is O(moov), not O(video).
+    */
+  private def parseMp4(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var width = 0
+    var height = 0
+    var frames = 0L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32be(b, off.toInt)
+        val name = new String(b, off.toInt + 4, 4, "US-ASCII")
+        // size 0 (to-end) and 1 (64-bit largesize) end the fixture-scale
+        // walk; a size that overruns its parent is a structural violation
+        if (size < 8 || off + size > end) return
+        if (containers(name)) walk(off + 8, off + size, depth + 1)
+        else if (name == "tkhd" && size >= 92 && (b(off.toInt + 8) & 0xff) == 0) {
+          // version-0 layout: width/height are the last two 16.16 fields
+          width = (u32be(b, (off + size - 8).toInt) >> 16).toInt
+          height = (u32be(b, (off + size - 4).toInt) >> 16).toInt
+        } else if (name == "stts" && size >= 16) {
+          val n = u32be(b, off.toInt + 12)
+          var i = 0L
+          while (i < n && off + 16 + i * 8 + 8 <= end) {
+            frames += u32be(b, (off + 16 + i * 8).toInt)
+            i += 1
+          }
+        }
+        off += size
+      }
+    }
+    walk(0, b.length.toLong, 0)
+    if (width > 0 && height > 0 && frames > 0 && frames <= Int.MaxValue)
+      Some(MediaMeta(id, b.length, width, height, frames.toInt, 0, 0, "mp4"))
+    else None
+  }
+
   /** Decode one payload's metadata: a real `javax.imageio` header read
     * for PNG/JPEG/GIF (width/height — and the GIF frame count — parsed
     * from headers; pixel data is never decoded, so cost is O(header)
-    * not O(image)), a plain RIFF byte parse for WAV, stub fallback for
-    * everything else or on parse failure.
+    * not O(image)), a plain RIFF byte parse for WAV, a STREAMINFO
+    * parse for FLAC, an ISO-BMFF box walk for MP4/MOV, stub fallback
+    * for everything else or on parse failure.
     */
   def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
     // a missing blob is routine in a media corpus: stub metadata for an
@@ -147,7 +227,81 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+    if (isFlac(payload)) {
+      try {
+        parseFlac(id, payload) match {
+          case Some(m) => return m
+          case None    => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (isMp4(payload)) {
+      try {
+        parseMp4(id, payload) match {
+          case Some(m) => return m
+          case None    => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     fakeDecode(id, payload)
+  }
+
+  /** Minimal FLAC byte image (magic + STREAMINFO, no audio frames) — a
+    * deterministic fixture generator for the STREAMINFO parse path,
+    * used by specs and the verify-oracle query so every decoded field
+    * is predictable arithmetic.
+    */
+  def flacBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) && channels >= 1 && channels <= 8 && nSamples >= 0,
+      s"invalid FLAC fixture params: rate=$sampleRate ch=$channels samples=$nSamples")
+    val out = new Array[Byte](42)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(7) = 34          // STREAMINFO length (24-bit BE)
+    // min/max block size, min/max frame size: zeros are fine for the parse
+    out(18) = ((sampleRate >> 12) & 0xff).toByte
+    out(19) = ((sampleRate >> 4) & 0xff).toByte
+    // byte 20: sample-rate low nibble | channels-1 (3 bits) | bps-1 high
+    // bit (0); byte 21: bps-1 low 4 bits (0) | total-samples bits 35-32
+    // (0 — fixtures stay under 2^32); bytes 22-25: total-samples bits 31-0
+    out(20) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+    out(22) = ((nSamples >> 24) & 0xff).toByte
+    out(23) = ((nSamples >> 16) & 0xff).toByte
+    out(24) = ((nSamples >> 8) & 0xff).toByte
+    out(25) = (nSamples & 0xff).toByte
+    out
+  }
+
+  /** Minimal ISO-BMFF byte image (ftyp + moov/trak/{tkhd, mdia/minf/
+    * stbl/stts}, no mdat) — a deterministic fixture generator for the
+    * box-walk parse path: `width` x `height` display size and `nFrames`
+    * split across two stts entries (so the parse must SUM entries, not
+    * read the first).
+    */
+  def mp4Bytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && width <= 0x7fff && height > 0 && height <= 0x7fff && nFrames >= 1,
+      s"invalid MP4 fixture params: w=$width h=$height frames=$nFrames")
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom   isom".getBytes("US-ASCII"))
+    // tkhd version 0: 84 bytes of fields before width/height
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84 + 8)
+      bb.position(84)
+      bb.putInt(width << 16).putInt(height << 16)
+      box("tkhd", bb.array())
+    }
+    // two entries: (nFrames-1 frames, delta 1) + (1 frame, delta 1)
+    val stts = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(0).putInt(2).putInt(nFrames - 1).putInt(1).putInt(1).putInt(1)
+      box("stts", bb.array())
+    }
+    val moov = box("moov", box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts)))))
+    ftyp ++ moov
   }
 
   /** Minimal 16-bit PCM WAV byte image (silent samples) — a

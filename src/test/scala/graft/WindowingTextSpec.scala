@@ -231,6 +231,32 @@ class WindowingTextSpec extends SparkTestBase {
     assert((animated.width, animated.height, animated.n_frames, animated.codec) == ((8, 6, 3, "gif")))
   }
 
+  test("multimodal decodeOne recovers exact FLAC metadata from STREAMINFO") {
+    val meta = Multimodal.decodeOne(1L, Multimodal.flacBytes(44100, 2, 441000))
+    assert(meta == Multimodal.MediaMeta(1L, 42, 0, 0, 441000, 44100, 2, "flac"))
+    // magic without a valid STREAMINFO block -> structural violation -> stub
+    val broken = Multimodal.flacBytes(44100, 2, 441000)
+    broken(4) = 0x04 // wrong block type
+    assert(Multimodal.decodeOne(2L, broken).codec == "stub")
+    intercept[IllegalArgumentException] {
+      Multimodal.flacBytes(1 << 20, 2, 10): Unit // sample rate exceeds 20 bits
+    }
+  }
+
+  test("multimodal decodeOne walks ISO-BMFF boxes for MP4 dimensions and frame count") {
+    val meta = Multimodal.decodeOne(3L, Multimodal.mp4Bytes(640, 360, 240))
+    assert((meta.width, meta.height, meta.n_frames, meta.codec) == ((640, 360, 240, "mp4")))
+    assert((meta.sample_rate, meta.n_channels) == ((0, 0)))
+    // the fixture splits frames across TWO stts entries: a parse reading
+    // only the first entry would report 239
+    val one = Multimodal.decodeOne(4L, Multimodal.mp4Bytes(2, 2, 1))
+    assert(one.n_frames == 1)
+    // ftyp magic with a box overrunning its parent -> stub, no crash
+    val lying = Multimodal.mp4Bytes(640, 360, 240)
+    lying(0) = 0x7f // inflate the ftyp size field far past the buffer
+    assert(Multimodal.decodeOne(5L, lying).codec == "stub")
+  }
+
   test("multimodal sampleFrames explodes stride-sampled frame indices") {
     val df = Seq((1L, "x" * 10)).toDF("id", "payload") // 10 bytes -> nFrames = 10 % 16 = 10
     val frames = Multimodal.sampleFrames(df, "id", "payload", stride = 3)
