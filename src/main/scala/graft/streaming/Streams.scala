@@ -58,6 +58,13 @@ object Streams {
     * grid is probed with [[graft.operators.HeavyHitters
     * .estimateFromGrid]] unchanged, and grids merge by union +
     * re-aggregation (CMS is a sum sketch).
+    *
+    * COMPATIBILITY NOTE: the output gained a `window_end` column (now
+    * window_start, window_end, j, cell, n) so grids of mixed window
+    * sizes stay distinguishable at a shared sink. A pre-existing sink
+    * consumer reading positionally or with a fixed 4-column schema must
+    * be updated; in-repo consumers (estimateFromGrid extraCols) already
+    * are.
     */
   def windowedCmsGrid(
       events: DataFrame,
