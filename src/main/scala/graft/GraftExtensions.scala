@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{BigramRepetitionRatio, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -74,13 +74,17 @@ object GraftFunctions {
     desc("graft_hyperplane_bucket", classOf[HyperplaneBuckets], 2)(c =>
       HyperplaneBuckets(c(0), litInt("graft_hyperplane_bucket", "numPlanes")(c(1))))
 
+  val bigramRepFunction: FunctionDesc =
+    desc("graft_bigram_rep", classOf[BigramRepetitionRatio], 1)(c =>
+      BigramRepetitionRatio(c(0)))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
     */
   val all: Seq[FunctionDesc] = Seq(
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
-    simhashFunction, hyperplaneBucketFunction)
+    simhashFunction, hyperplaneBucketFunction, bigramRepFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

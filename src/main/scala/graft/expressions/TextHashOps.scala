@@ -115,6 +115,72 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Duplicate word-bigram fraction of a token array — `round(1 -
+  * distinct_bigrams / total_bigrams, 6)`, 0.0 for fewer than two
+  * tokens — the Gopher-style repetition quality signal, in ONE pass
+  * per row with a single hash set.
+  *
+  * Exists because the compositional form (`transform(sequence(...))`
+  * building a bigram string array, then `array_distinct` over it) is
+  * CodegenFallback: any filter referencing it — and the quality gate's
+  * `keep` predicate is exactly that, once Catalyst pushes it through a
+  * join into the scan — drops the whole Filter out of whole-stage
+  * codegen and evaluates per-row interpreted lambdas. Measured on the
+  * sf0.1 curation capstone that made the pushed quality predicate
+  * ~30x slower than the projection form (the predicate dominates the
+  * chain: ~1 ms/doc interpreted vs ~30 us/doc here). Semantics match
+  * the composed form exactly, including `concat_ws` null-skipping and
+  * Spark's HALF_UP `round`.
+  */
+case class BigramRepetitionRatio(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_rep expects array<string>, got $t")
+  }
+  override def dataType: DataType = DataTypes.DoubleType
+  override def prettyName: String = "graft_bigram_rep"
+
+  def compute(input: ArrayData): Double = {
+    val n = input.numElements()
+    if (n < 2) return 0.0
+    // concat_ws(" ", a, b) SKIPS null arguments: a bigram with a null
+    // side degenerates to the other token alone (or "" for two nulls)
+    val seen = new java.util.HashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    val empty = UTF8String.EMPTY_UTF8
+    var k = 1
+    var prev = if (input.isNullAt(0)) null else input.getUTF8String(0)
+    while (k < n) {
+      val cur = if (input.isNullAt(k)) null else input.getUTF8String(k)
+      val gram =
+        if (prev != null && cur != null) UTF8String.concat(prev, space, cur)
+        else if (prev != null) prev
+        else if (cur != null) cur
+        else empty
+      seen.add(gram): Unit
+      prev = cur
+      k += 1
+    }
+    val total = (n - 1).toDouble
+    java.math.BigDecimal.valueOf(1.0 - seen.size / total)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramRep", this, classOf[BigramRepetitionRatio].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash fingerprint of a token array, computed in one pass per row.
   *
   * Bit j of the fingerprint is set iff, summing +1/-1 per token

@@ -63,15 +63,18 @@ object TextFunctions {
     * Gopher-style repetition rule (boilerplate, keyword stuffing and
     * decoding loops repeat n-grams far above natural text). Docs with
     * fewer than two tokens have no bigrams and score 0.
+    *
+    * A native one-pass expression
+    * ([[graft.expressions.BigramRepetitionRatio]]): the composed
+    * transform/array_distinct form is CodegenFallback, and the quality
+    * gate's `keep` predicate inlines this signal — pushed through a
+    * join into a scan filter, the fallback dropped the filter out of
+    * whole-stage codegen at ~1 ms/doc interpreted.
     */
-  def bigramRepetitionRatio(text: Column): Column = {
-    val t = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-    when(size(t) < 2, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
-  }
+  def bigramRepetitionRatio(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.BigramRepetitionRatio(
+        org.apache.spark.sql.graftbridge.Bridge.expression(tokens(text))))
 
   /** Fraction of characters that are ASCII letters or spaces — a cheap
     * symbol-soup / binary-junk detector (low alpha ratio -> likely not

@@ -136,6 +136,40 @@ class TextHashSpec extends SparkTestBase {
     assert(rows.values.forall(r => r.getInt(2) >= 0 && r.getInt(2) < (1 << 16)))
   }
 
+  test("native bigram repetition matches the composed transform/array_distinct form") {
+    // the semantic reference: the HOF plan the native expression
+    // replaced — exactly the SQL shape the DuckDB oracles compute
+    def composed(text: org.apache.spark.sql.Column) = {
+      val t = split(text, " ")
+      val grams = transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+      when(size(t) < 2, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+    }
+    val both = docs.select(
+      $"doc_id",
+      graft.functions.TextFunctions.bigramRepetitionRatio($"text").as("native"),
+      composed($"text").as("composed")
+    ).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    both.foreach { case (id, n, c) =>
+      assert(n == c, s"doc $id: native $n != composed $c")
+    }
+    // repeated doc scores high, single-token doc scores 0
+    val byId = both.map(t => t._1 -> t._2).toMap
+    assert(byId(7L) == 0.99, s"201 tokens, 2 distinct of 200 bigrams -> 0.99: ${byId(7L)}")
+    assert(byId(5L) == 0.0)
+    // null-token bigrams follow concat_ws null-skipping, like the HOF form
+    GraftFunctions.register(spark)
+    val nullGram = spark.sql(
+      """SELECT graft_bigram_rep(array('a', cast(null as string), 'a', cast(null as string))) AS r"""
+    ).head().getDouble(0)
+    // grams: [a] [a] [a] (nulls skipped in concat_ws) -> 1 - 1/3
+    assert(math.abs(nullGram - 0.666667) < 1e-9, s"got $nullGram")
+    assert(spark.sql("SELECT graft_bigram_rep(array(cast(null as string), cast(null as string)))")
+      .head().getDouble(0) == 0.0)
+  }
+
   test("graft_minhash / graft_simhash resolve by SQL name") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("texthash_docs")
