@@ -132,6 +132,13 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
   * the composed form exactly, including `concat_ws` null-skipping and
   * Spark's HALF_UP `round`.
   */
+object BigramRepetitionRatio {
+  // hoisted per-JVM: the expression exists to take per-row cost out of
+  // the corpus-wide quality predicate, so it must not allocate the
+  // constant separator per row itself
+  private val Space: UTF8String = UTF8String.fromString(" ")
+}
+
 case class BigramRepetitionRatio(child: Expression)
     extends UnaryExpression {
 
@@ -149,7 +156,7 @@ case class BigramRepetitionRatio(child: Expression)
     // concat_ws(" ", a, b) SKIPS null arguments: a bigram with a null
     // side degenerates to the other token alone (or "" for two nulls)
     val seen = new java.util.HashSet[UTF8String]()
-    val space = UTF8String.fromString(" ")
+    val space = BigramRepetitionRatio.Space
     val empty = UTF8String.EMPTY_UTF8
     var k = 1
     var prev = if (input.isNullAt(0)) null else input.getUTF8String(0)

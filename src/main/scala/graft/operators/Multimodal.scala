@@ -147,10 +147,46 @@ object Multimodal {
     * never touched, so cost is O(moov), not O(video).
     */
   private def parseMp4(id: Long, b: Array[Byte]): Option[MediaMeta] = {
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    // metadata is collected PER TRACK and the first track carrying
+    // display dimensions wins: a real A/V file has an audio trak whose
+    // tkhd is 0x0 and whose stts counts audio frames — last-wins
+    // aggregation across traks would zero the dimensions or inflate the
+    // frame count with audio samples
+    val containers = Set("mdia", "minf", "stbl")
     var width = 0
     var height = 0
     var frames = 0L
+    def walkTrak(start: Long, end: Long, depth: Int): (Int, Int, Long) = {
+      var w = 0; var h = 0; var f = 0L
+      def go(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 8) return
+        var off = start
+        while (off + 8 <= end) {
+          val size = u32be(b, off.toInt)
+          val name = new String(b, off.toInt + 4, 4, "US-ASCII")
+          if (size < 8 || off + size > end) return
+          if (containers(name)) go(off + 8, off + size, depth + 1)
+          else if (name == "tkhd" && size >= 92 && (b(off.toInt + 8) & 0xff) == 0) {
+            // version-0 layout: width/height are the last two 16.16 fields
+            w = (u32be(b, (off + size - 8).toInt) >> 16).toInt
+            h = (u32be(b, (off + size - 4).toInt) >> 16).toInt
+          } else if (name == "stts" && size >= 16) {
+            // entries are bounded by the stts box's OWN end — a lying
+            // entry_count must not read sibling boxes' bytes as counts
+            val sttsEnd = off + size
+            val n = u32be(b, off.toInt + 12)
+            var i = 0L
+            while (i < n && off + 16 + i * 8 + 8 <= sttsEnd) {
+              f += u32be(b, (off + 16 + i * 8).toInt)
+              i += 1
+            }
+          }
+          off += size
+        }
+      }
+      go(start, end, depth)
+      (w, h, f)
+    }
     def walk(start: Long, end: Long, depth: Int): Unit = {
       if (depth > 8) return
       var off = start
@@ -160,18 +196,12 @@ object Multimodal {
         // size 0 (to-end) and 1 (64-bit largesize) end the fixture-scale
         // walk; a size that overruns its parent is a structural violation
         if (size < 8 || off + size > end) return
-        if (containers(name)) walk(off + 8, off + size, depth + 1)
-        else if (name == "tkhd" && size >= 92 && (b(off.toInt + 8) & 0xff) == 0) {
-          // version-0 layout: width/height are the last two 16.16 fields
-          width = (u32be(b, (off + size - 8).toInt) >> 16).toInt
-          height = (u32be(b, (off + size - 4).toInt) >> 16).toInt
-        } else if (name == "stts" && size >= 16) {
-          val n = u32be(b, off.toInt + 12)
-          var i = 0L
-          while (i < n && off + 16 + i * 8 + 8 <= end) {
-            frames += u32be(b, (off + 16 + i * 8).toInt)
-            i += 1
-          }
+        if (name == "moov") walk(off + 8, off + size, depth + 1)
+        else if (name == "trak" && width == 0) {
+          val (w, h, f) = walkTrak(off + 8, off + size, depth + 1)
+          // the video track is the one with display dimensions; audio
+          // traks (0x0 tkhd) are skipped rather than clobbering it
+          if (w > 0 && h > 0 && f > 0) { width = w; height = h; frames = f }
         }
         off += size
       }
@@ -219,25 +249,14 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => ()
       } finally in.close()
     }
-    if (isWav(payload)) {
+    // one dispatch row per byte-parse format: sniff, then parse with
+    // any structural violation (None or a thrown parse error) falling
+    // through to the next format and ultimately the stub
+    val byteParsers: Seq[(Array[Byte] => Boolean, (Long, Array[Byte]) => Option[MediaMeta])] =
+      Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4))
+    for ((sniff, parse) <- byteParsers if sniff(payload)) {
       try {
-        parseWav(id, payload) match {
-          case Some(m) => return m
-          case None    => ()
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-    if (isFlac(payload)) {
-      try {
-        parseFlac(id, payload) match {
-          case Some(m) => return m
-          case None    => ()
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-    if (isMp4(payload)) {
-      try {
-        parseMp4(id, payload) match {
+        parse(id, payload) match {
           case Some(m) => return m
           case None    => ()
         }
@@ -310,9 +329,14 @@ object Multimodal {
     * predictable arithmetic.
     */
   def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
-    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+    // bounds cover every field the bytes encode: channels/blockAlign
+    // are u16, byte rate is u32 — a wrapping putShort/putInt would
+    // silently encode different values than requested
+    require(sampleRate > 0 && channels > 0 && channels <= 0x7fff && nFrames >= 0,
       s"invalid WAV fixture params: rate=$sampleRate ch=$channels frames=$nFrames")
     val blockAlign = channels * 2
+    require(sampleRate.toLong * blockAlign <= Int.MaxValue,
+      s"WAV fixture byte rate overflows: rate=$sampleRate ch=$channels")
     // size the buffer in Long: a fixture generator must fail loudly on
     // an overflowing request, never emit a corrupt RIFF image
     val dataSizeL = nFrames.toLong * blockAlign

@@ -257,6 +257,47 @@ class WindowingTextSpec extends SparkTestBase {
     assert(Multimodal.decodeOne(5L, lying).codec == "stub")
   }
 
+  test("multimodal MP4 parse picks the video track of an A/V file, ignoring audio traks") {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def tkhd(w: Int, h: Int) = {
+      val bb = java.nio.ByteBuffer.allocate(84 + 8)
+      bb.position(84); bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", bb.array())
+    }
+    def stts(entries: (Int, Int)*) = {
+      val bb = java.nio.ByteBuffer.allocate(8 + entries.length * 8)
+      bb.putInt(0).putInt(entries.length)
+      entries.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+      box("stts", bb.array())
+    }
+    def trak(t: Array[Byte], s: Array[Byte]) =
+      box("trak", t ++ box("mdia", box("minf", box("stbl", s))))
+    val ftyp = box("ftyp", "isom   isom".getBytes("US-ASCII"))
+    // audio trak FIRST (0x0 tkhd, 430 audio frames), then the video trak:
+    // last-wins aggregation would zero the dims or inflate the count
+    val av = ftyp ++ box("moov",
+      trak(tkhd(0, 0), stts(430 -> 1)) ++ trak(tkhd(320, 240), stts(23 -> 1, 1 -> 1)))
+    val meta = Multimodal.decodeOne(6L, av)
+    assert((meta.width, meta.height, meta.n_frames, meta.codec) == ((320, 240, 24, "mp4")),
+      s"got $meta")
+    // a lying stts entry_count must not read sibling boxes as counts:
+    // entry_count says 99 but the box carries one entry, and a sibling
+    // box follows inside the same stbl
+    val lyingStts = {
+      val one = stts(7 -> 1)
+      val bb = java.nio.ByteBuffer.wrap(one)
+      bb.putInt(12, 99) // entry_count field
+      box("trak", tkhd(64, 48) ++ box("mdia", box("minf", box("stbl",
+        one ++ box("free", new Array[Byte](64))))))
+    }
+    val lied = Multimodal.decodeOne(7L, ftyp ++ box("moov", lyingStts))
+    assert(lied.n_frames == 7, s"lying entry_count read past the stts box: $lied")
+  }
+
   test("multimodal sampleFrames explodes stride-sampled frame indices") {
     val df = Seq((1L, "x" * 10)).toDF("id", "payload") // 10 bytes -> nFrames = 10 % 16 = 10
     val frames = Multimodal.sampleFrames(df, "id", "payload", stride = 3)
