@@ -399,9 +399,15 @@ object Dedup {
     * than a loud failure.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // both edge directions via ONE explode, not union-of-two-branches:
+    // a union would expand the (expensive — LSH + verify join) pairs
+    // subtree into two copies and execute it twice during the persist
+    // materialization; the explode scans it once
     val edges = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = reliableCheckpoint(edges
