@@ -698,6 +698,12 @@ object SparkEntry {
       Curation.packManifest(
         Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512),
         contextTokens = 512)),
+    "curation_split" -> ((s, dir) =>
+      // deterministic hash-bucket train/val/test assignment — same row,
+      // same split, on any engine/partitioning/retry
+      Curation.splitByHash(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
     "range_join" -> ((s, dir) => {
       // point-in-interval WITHOUT an inequality join: urgent orders
       // become 7-day intervals exploded onto a weekly grid; lineitem
@@ -1171,6 +1177,16 @@ object SparkEntry {
                 CAST(least(start_token + n_tokens, (bin + 1) * 512)
                      - greatest(start_token, bin * 512) AS BIGINT) AS len_in_bin
          FROM b""",
+    "curation_split" ->
+      // same md5-bucket arithmetic, same INTEGER thresholds
+      // (round(cumfrac * 2^32)) — float-free comparisons on both engines
+      """SELECT doc_id,
+         CASE WHEN b < 3435973837 THEN 'train'
+              WHEN b < 3865470566 THEN 'val'
+              ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+               FROM documents)""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

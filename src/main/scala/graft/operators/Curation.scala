@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,39 @@ object Curation {
       .withColumn("len_in_bin",
         least(docEnd, binStart + c) - greatest(col("start_token"), binStart))
       .drop("start_token", "n_bins")
+  }
+
+  /** Deterministic corpus split (train/val/test/...) by content-hash
+    * bucket: each row's md5-derived unsigned 32-bit bucket is compared
+    * against INTEGER thresholds precomputed from the cumulative
+    * fractions — float-free comparisons, so the same row lands in the
+    * same split on any engine, any partitioning, any retry (the
+    * property a reproducible training run needs; a rand()-based split
+    * has none of it). A narrow projection: no shuffle, no state —
+    * appends a `split` column to the input row.
+    */
+  def splitByHash(docs: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splitByHash needs positive fractions, got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    docs.withColumn("split", splitColumn(col(idCol), splits))
+  }
+
+  /** The split-label column [[splitByHash]] appends — exposed so a
+    * query can project it without carrying the whole input row.
+    */
+  def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
+    val bucket = conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    // integer thresholds: cumulative fraction x 2^32, last pinned to
+    // 2^32 so float rounding can never leave a bucket unlabeled
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(f => math.round(f * 4294967296.0)) :+ 4294967296L
+    val named = splits.map(_._1).zip(thresholds)
+    named.init.foldRight(lit(named.last._1): Column) { case ((name, t), rest) =>
+      when(bucket < t, name).otherwise(rest)
+    }
   }
 
   /** PII redaction: replace email addresses and IPv4 literals with

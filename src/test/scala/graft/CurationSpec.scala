@@ -158,6 +158,31 @@ class CurationSpec extends SparkTestBase {
       ("zh", 0L) -> 50L), s"got $binFill")
   }
 
+  test("splitByHash assigns deterministic, roughly-proportional split labels") {
+    val d = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.splitByHash(d, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every row labeled with a declared split
+    assert(out.size == 2000)
+    assert(out.values.toSet == Set("train", "val", "test"))
+    // proportions approximately honored (hash buckets, not exact quotas)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, s"train share off: $counts")
+    assert(math.abs(counts("val") - 200) < 60, s"val share off: $counts")
+    // determinism: a re-run and a repartitioned run assign identically
+    val again = Curation.splitByHash(d.repartition(7), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == out)
+    // loud failures on bad fractions
+    intercept[IllegalArgumentException] {
+      Curation.splitByHash(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)): Unit
+    }
+    intercept[IllegalArgumentException] {
+      Curation.splitByHash(d, "doc_id", Seq("a" -> 1.5, "b" -> -0.5)): Unit
+    }
+  }
+
   test("rebalanceMix downsamples to target proportions without upsampling") {
     val d = (1L to 80L).map(i => (i, "t", if (i <= 60) "en" else "de")).toDF("doc_id", "text", "lang")
     // target 50/50 but only 20 de docs -> de binds: keep 20 de + 20 en

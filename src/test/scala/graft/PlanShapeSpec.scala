@@ -109,6 +109,30 @@ class PlanShapeSpec extends SparkTestBase {
       s"interpreted HOFs still in the bucket projection:\n$plan")
   }
 
+  test("quality-gate predicate stays in whole-stage codegen when pushed into the scan") {
+    // the keep predicate inlines the full signal when-chain; with the
+    // HOF-composed bigram signal the pushed Filter fell out of
+    // whole-stage codegen (CodegenFallback transform lambdas) and ran
+    // interpreted at ~1 ms/doc — this pins the native-expression fix
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gated = graft.operators.Curation.qualityFilter(docs, "doc_id", "text",
+      minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .where(col("keep") === 1)
+      .select("doc_id")
+    val plan = executedPlanString(gated)
+    assert(plan.contains("graft_bigram_rep"), s"native bigram expression missing:\n$plan")
+    // every Filter mentioning the quality signals must carry the `*(n)`
+    // codegen-span prefix; a bare "Filter" line means interpreted eval
+    val filterLines = plan.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(filterLines.nonEmpty, s"no Filter in the gated plan:\n$plan")
+    filterLines.foreach { line =>
+      assert(line.contains("*("),
+        s"quality Filter outside whole-stage codegen (interpreted):\n$line\n\n$plan")
+    }
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOFs back in the quality predicate:\n$plan")
+  }
+
   test("LSH candidate join shuffles on the bucket key, not a cross join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)

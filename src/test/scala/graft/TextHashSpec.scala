@@ -170,6 +170,37 @@ class TextHashSpec extends SparkTestBase {
       .head().getDouble(0) == 0.0)
   }
 
+  test("native bigram repetition matches the composed form on randomized corpora") {
+    // property check: arbitrary token arrays (unicode, repeats, empty
+    // strings, single tokens) — native and HOF forms must agree exactly,
+    // including the HALF_UP rounding on every ratio
+    val gen = new scala.util.Random(20260813L)
+    val alphabets = Array("ab", "xyz", "äöü", "語テ", "01")
+    def randToken(): String = {
+      val a = alphabets(gen.nextInt(alphabets.length))
+      (0 until 1 + gen.nextInt(3)).map(_ => a(gen.nextInt(a.length))).mkString
+    }
+    val randomDocs = (0 until 500).map { i =>
+      (i.toLong, (0 until gen.nextInt(25)).map(_ => randToken()).mkString(" "))
+    }
+    val df = randomDocs.toDF("doc_id", "text")
+    val t = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val composedCol = when(size(t) < 2, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+    val rows = df.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.bigramRepetitionRatio(col("text")).as("native"),
+      composedCol.as("composed")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"doc ${r.getLong(0)}: native ${r.getDouble(1)} != composed ${r.getDouble(2)}")
+    }
+  }
+
   test("graft_minhash / graft_simhash resolve by SQL name") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("texthash_docs")
