@@ -804,6 +804,16 @@ object SparkEntry {
       // O(candidates) instead of all-pairs-per-block
       Dedup.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: near-dups of a 10% increment against the
+      // other 90% corpus plus within the increment — corpus x corpus
+      // candidates are never generated
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDuplicates(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)
+    }),
     "dedup_near_skewsafe" -> ((s, dir) =>
       // the same end-to-end verify COMPOSED with the triangle-distributed
       // candidate generator: the skew posture is a parameter, and the
@@ -1395,6 +1405,33 @@ object SparkEntry {
                    FROM sigs GROUP BY doc_id, i // 2),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
+         FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+         WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
+    "dedup_incremental" ->
+      // same banding as dedup_near_verified; candidates restricted to
+      // increment x corpus (any order) plus increment x increment (a<b)
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
+                  WHERE a.doc_id % 10 = 0
+                    AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)),
          dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)

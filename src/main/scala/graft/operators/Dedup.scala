@@ -336,6 +336,67 @@ object Dedup {
       pairGenerator(docs, idCol, textCol, numHashes, rowsPerBand),
       docs, idCol, textCol, thresholdPct)
 
+  /** Incremental near-duplicate detection: find near-dups OF A NEW
+    * INCREMENT against an existing corpus plus within the increment
+    * itself — the daily-crawl ingest shape. The candidate space is
+    * (increment x corpus) ∪ (increment x increment): the corpus's own
+    * self-pairs — the dominant quadratic term when the corpus dwarfs
+    * the increment — are never generated, which is what makes repeated
+    * ingestion affordable at scale (re-running full-corpus
+    * [[nearDuplicates]] per increment re-pays the whole corpus's
+    * candidate mass every day).
+    *
+    * Output: (a_id, b_id, jaccard) verified pairs where a_id is an
+    * increment doc and b_id is the matched corpus-or-earlier-increment
+    * doc (for increment-internal pairs, a_id < b_id). Anti-join the
+    * increment against `select(a_id)` for the accept list. Ids must be
+    * unique across both relations.
+    *
+    * Plan shape: band signatures for each side (narrow native
+    * projections), one hash join per candidate branch on the band key,
+    * Jaccard verify over candidates only ([[jaccardOnPairs]] against
+    * the unioned token relation) — candidates-then-verify throughout.
+    */
+  def incrementalNearDuplicates(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      thresholdPct: Int = 40
+  ): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing signatures would be silently dropped from the banding")
+    val nBands = numHashes / rowsPerBand
+    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
+    val stackArgs = (0 until nBands).flatMap { b =>
+      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+    }
+    val keyCols = "band" +: sigCols
+    def bandsOf(docs: DataFrame): DataFrame =
+      minhashSignatures(docs, idCol, textCol, numHashes)
+        .select(col(idCol), expr(
+          s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
+    val bi = bandsOf(increment)
+    val bc = bandsOf(corpus)
+    val a = bi.select(col(idCol).as("a_id") +: keyCols.map(col): _*)
+    // cross-relation candidates: any shared band bucket
+    val vsCorpus = a.join(
+        bc.select(col(idCol).as("b_id") +: keyCols.map(col): _*).hint("shuffle_hash"), keyCols)
+      .select("a_id", "b_id")
+    // within-increment candidates: the usual a < b self-join
+    val vsSelf = a.join(
+        bi.select(col(idCol).as("b_id") +: keyCols.map(col): _*).hint("shuffle_hash"), keyCols)
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val candidates = vsCorpus.unionByName(vsSelf).distinct()
+    val allDocs = increment.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    jaccardOnPairs(candidates, allDocs, idCol, textCol, thresholdPct)
+  }
+
   /** Exact-collapse then near-dup: collapse exact duplicates to their
     * min-id representative FIRST (one cheap content-hash aggregate),
     * then run LSH + Jaccard verify over representatives only. Web-scale

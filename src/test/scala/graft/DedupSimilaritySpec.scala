@@ -182,6 +182,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("incremental near-dup finds exactly the full-corpus pairs touching the increment") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val inc = d.where(col("doc_id") % 10 === 0)
+    val corp = d.where(col("doc_id") % 10 =!= 0)
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val incremental = Dedup.incrementalNearDuplicates(inc, corp, "doc_id", "text", 8, 2, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a_id is always an increment doc; corpus x corpus pairs never appear
+    assert(incremental.forall { case (a, _) => incIds.contains(a) },
+      s"non-increment a_id emitted: ${incremental.filterNot(p => incIds.contains(p._1)).take(3)}")
+    // reference: full-corpus near-dups, restricted to pairs touching the
+    // increment, re-oriented so the increment doc is a_id
+    val full = Dedup.nearDuplicates(d, "doc_id", "text", 8, 2, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.flatMap { case (x, y) =>
+      (incIds.contains(x), incIds.contains(y)) match {
+        case (true, _)      => Some((x, y)) // inc-inc keeps x<y; inc-corpus keeps orientation
+        case (false, true)  => Some((y, x))
+        case (false, false) => None
+      }
+    }
+    assert(incremental == expected,
+      s"missing=${(expected -- incremental).take(3)} extra=${(incremental -- expected).take(3)}")
+    assert(incremental.nonEmpty)
+  }
+
   test("nearDuplicates composes with the skew-safe pair generator unchanged") {
     // the skew posture is a parameter of the end-to-end chain, and it
     // must not change WHAT is computed — only how the quadratic pair
