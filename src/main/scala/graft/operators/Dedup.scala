@@ -375,23 +375,30 @@ object Dedup {
       b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
     }
     val keyCols = "band" +: sigCols
+    // explicit id-notnull on BOTH band relations: the self-join's
+    // a < b predicate infers isnotnull(id) into its two sides but the
+    // cross-relation join doesn't — without making the filter explicit
+    // everywhere, the increment's three subtree copies canonicalize
+    // differently and ReuseExchange recomputes the signatures
     def bandsOf(docs: DataFrame): DataFrame =
-      minhashSignatures(docs, idCol, textCol, numHashes)
+      minhashSignatures(docs.where(col(idCol).isNotNull), idCol, textCol, numHashes)
         .select(col(idCol), expr(
           s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
     val bi = bandsOf(increment)
     val bc = bandsOf(corpus)
+    // ONE join, not one per candidate branch: the build side is the
+    // tagged union corpus ∪ increment, and the membership-dependent
+    // pair rule (corpus matches in any order; increment matches only as
+    // a < b) is a residual filter on the tag — two joins would shuffle
+    // the increment's band relation twice more and union their outputs
     val a = bi.select(col(idCol).as("a_id") +: keyCols.map(col): _*)
-    // cross-relation candidates: any shared band bucket
-    val vsCorpus = a.join(
-        bc.select(col(idCol).as("b_id") +: keyCols.map(col): _*).hint("shuffle_hash"), keyCols)
+    val b = bc.select((col(idCol).as("b_id") +: keyCols.map(col)) :+ lit(false).as("b_inc"): _*)
+      .unionByName(
+        bi.select((col(idCol).as("b_id") +: keyCols.map(col)) :+ lit(true).as("b_inc"): _*))
+    val candidates = a.join(b.hint("shuffle_hash"), keyCols)
+      .where(!col("b_inc") || col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    // within-increment candidates: the usual a < b self-join
-    val vsSelf = a.join(
-        bi.select(col(idCol).as("b_id") +: keyCols.map(col): _*).hint("shuffle_hash"), keyCols)
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    val candidates = vsCorpus.unionByName(vsSelf).distinct()
+      .distinct()
     val allDocs = increment.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
     jaccardOnPairs(candidates, allDocs, idCol, textCol, thresholdPct)

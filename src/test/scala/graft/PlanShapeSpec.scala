@@ -150,6 +150,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
+  test("incremental near-dup computes each side's band signatures exactly once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nd = graft.operators.Dedup.incrementalNearDuplicates(
+      docs.where(col("doc_id") % 10 === 0), docs.where(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", 8, 2, 40)
+    val plan = executedPlanString(nd)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // ONE candidate join over a tagged union build side: the corpus's
+    // band signatures compute once, the increment's once per join side
+    // (probe + union member — the small side by design), and exactly
+    // two exchanges feed the join. Three stacks total; a regression to
+    // per-branch joins shows up as extra stacks/exchanges here.
+    assert("Generate stack".r.findAllIn(finalPlan).size == 3,
+      s"expected 3 band stacks (corpus once, increment twice):\n$finalPlan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup degenerated to a cross join:\n$plan")
+  }
+
   test("embedding near-dup self-join reuses one bucket exchange, cache-free") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val nd = graft.operators.Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 4, 30)
