@@ -1923,6 +1923,6 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_near_verified", "similarity_topk", "similarity_ivf"
+    "dedup_near_verified", "dedup_incremental", "similarity_topk", "similarity_ivf"
   ) ++ capstoneQueries
 }
