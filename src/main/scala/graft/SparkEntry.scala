@@ -1188,14 +1188,16 @@ object SparkEntry {
                      - greatest(start_token, bin * 512) AS BIGINT) AS len_in_bin
          FROM b""",
     "curation_split" ->
-      // same md5-bucket arithmetic, same INTEGER thresholds
-      // (round(cumfrac * 2^32)) — float-free comparisons on both engines
+      // same domain-separated ("split:"-prefixed) md5-bucket arithmetic,
+      // same INTEGER thresholds (round(cumfrac * 2^32)) — float-free
+      // comparisons on both engines; null ids get a null split
       """SELECT doc_id,
-         CASE WHEN b < 3435973837 THEN 'train'
+         CASE WHEN doc_id IS NULL THEN NULL
+              WHEN b < 3435973837 THEN 'train'
               WHEN b < 3865470566 THEN 'val'
               ELSE 'test' END AS split
          FROM (SELECT doc_id,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
                FROM documents)""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),

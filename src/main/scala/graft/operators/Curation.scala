@@ -172,16 +172,27 @@ object Curation {
     * query can project it without carrying the whole input row.
     */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
-    val bucket = conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+    // domain-separated hash ("split:" prefix): every keep/order decision
+    // in this file (tokenBudgetSample, packSequences, rebalanceMix*)
+    // sorts by the BARE md5(id), so bucketing the bare hash would make
+    // the split a function of keep-priority — budget-sampling a corpus
+    // and then splitting it would label the entire kept low-md5 prefix
+    // 'train' and leave val/test empty
+    val bucket = conv(
+      substring(md5(concat(lit("split:"), id.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long")
     // integer thresholds: cumulative fraction x 2^32, last pinned to
     // 2^32 so float rounding can never leave a bucket unlabeled
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val thresholds = cum.init.map(f => math.round(f * 4294967296.0)) :+ 4294967296L
     val named = splits.map(_._1).zip(thresholds)
-    named.init.foldRight(lit(named.last._1): Column) { case ((name, t), rest) =>
+    val labeled = named.init.foldRight(lit(named.last._1): Column) { case ((name, t), rest) =>
       when(bucket < t, name).otherwise(rest)
     }
+    // a null id has no bucket: label it null rather than letting the
+    // when-chain's null conditions cascade into the LAST split's
+    // otherwise (which would silently dump all id-less docs into test)
+    when(id.isNull, lit(null).cast("string")).otherwise(labeled)
   }
 
   /** PII redaction: replace email addresses and IPv4 literals with

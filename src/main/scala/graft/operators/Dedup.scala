@@ -73,6 +73,41 @@ object Dedup {
       .select(col(idCol) +: (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
   }
 
+  /** The banding bucket-key column names: `band` plus the band's
+    * `rowsPerBand` raw signature values.
+    */
+  private def bandKeyCols(rowsPerBand: Int): Seq[String] =
+    "band" +: (0 until rowsPerBand).map(r => s"s$r")
+
+  /** Shared banding layout for every LSH pair generator: one
+    * (id, band, s0..s{rowsPerBand-1}) row per band per doc. The
+    * id-notnull filter is explicit (not left to join-predicate
+    * inference) so every consumer's subtree canonicalizes identically
+    * and ReuseExchange can share the signature computation across
+    * branches. Centralized because the skew-safe/default generators'
+    * same-candidate-set contract depends on their banding never
+    * diverging.
+    */
+  private def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing signatures would be silently dropped from the banding")
+    val nBands = numHashes / rowsPerBand
+    // stack the band signature tuples into (id, band, s0..s{rowsPerBand-1}) rows
+    val stackArgs = (0 until nBands).flatMap { b =>
+      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+    }
+    minhashSignatures(docs.where(col(idCol).isNotNull), idCol, textCol, numHashes)
+      .select(col(idCol), expr(
+        s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${bandKeyCols(rowsPerBand).mkString(", ")})"))
+  }
+
   /** LSH banding over minhash signatures: the `rowsPerBand` signature
     * values of each band, kept as RAW LONGS, form the bucket key; docs
     * sharing any (band, sig...) bucket are candidate near-duplicates.
@@ -105,20 +140,8 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2
   ): DataFrame = {
-    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
-        "trailing signatures would be silently dropped from the banding")
-    val nBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
-    // stack the band signature tuples into (id, band, s0..s{rowsPerBand-1}) rows
-    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
-    val stackArgs = (0 until nBands).flatMap { b =>
-      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
-    }
-    val keyCols = "band" +: sigCols
-    val bands = sigs
-      .select(col(idCol), expr(
-        s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
+    val keyCols = bandKeyCols(rowsPerBand)
+    val bands = bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
     val a = bands.select(col(idCol).as("a_id") +: keyCols.map(col): _*)
     val b = bands.select(col(idCol).as("b_id") +: keyCols.map(col): _*)
     a.join(b.hint("shuffle_hash"), keyCols)
@@ -157,20 +180,9 @@ object Dedup {
       rowsPerBand: Int = 2,
       nGroups: Int = 8
   ): DataFrame = {
-    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
-        "trailing signatures would be silently dropped from the banding")
     require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
-    val nBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
-    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
-    val stackArgs = (0 until nBands).flatMap { b =>
-      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
-    }
-    val keyCols = "band" +: sigCols
-    val bands = sigs
-      .select(col(idCol), expr(
-        s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
+    val keyCols = bandKeyCols(rowsPerBand)
+    val bands = bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
       .withColumn("g", pmod(hash(col(idCol)), lit(nGroups)))
       // row with group g participates in every unordered block {g, b}:
       // (min(g,b), max(g,b)) for all b — G blocks per row
@@ -366,26 +378,15 @@ object Dedup {
       rowsPerBand: Int = 2,
       thresholdPct: Int = 40
   ): DataFrame = {
-    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
-        "trailing signatures would be silently dropped from the banding")
-    val nBands = numHashes / rowsPerBand
-    val sigCols = (0 until rowsPerBand).map(r => s"s$r")
-    val stackArgs = (0 until nBands).flatMap { b =>
-      b.toString +: (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
-    }
-    val keyCols = "band" +: sigCols
-    // explicit id-notnull on BOTH band relations: the self-join's
-    // a < b predicate infers isnotnull(id) into its two sides but the
-    // cross-relation join doesn't — without making the filter explicit
-    // everywhere, the increment's three subtree copies canonicalize
-    // differently and ReuseExchange recomputes the signatures
-    def bandsOf(docs: DataFrame): DataFrame =
-      minhashSignatures(docs.where(col(idCol).isNotNull), idCol, textCol, numHashes)
-        .select(col(idCol), expr(
-          s"stack($nBands, ${stackArgs.mkString(", ")}) AS (${keyCols.mkString(", ")})"))
-    val bi = bandsOf(increment)
-    val bc = bandsOf(corpus)
+    val keyCols = bandKeyCols(rowsPerBand)
+    // [[bandedSignatures]] makes the id-notnull filter explicit on BOTH
+    // band relations: the self-join's a < b predicate infers
+    // isnotnull(id) into its two sides but the cross-relation join
+    // doesn't — without the filter everywhere, the increment's subtree
+    // copies canonicalize differently and ReuseExchange recomputes the
+    // signatures
+    val bi = bandedSignatures(increment, idCol, textCol, numHashes, rowsPerBand)
+    val bc = bandedSignatures(corpus, idCol, textCol, numHashes, rowsPerBand)
     // ONE join, not one per candidate branch: the build side is the
     // tagged union corpus ∪ increment, and the membership-dependent
     // pair rule (corpus matches in any order; increment matches only as
@@ -395,7 +396,11 @@ object Dedup {
     val b = bc.select((col(idCol).as("b_id") +: keyCols.map(col)) :+ lit(false).as("b_inc"): _*)
       .unionByName(
         bi.select((col(idCol).as("b_id") +: keyCols.map(col)) :+ lit(true).as("b_inc"): _*))
-    val candidates = a.join(b.hint("shuffle_hash"), keyCols)
+    // hint the INCREMENT side: the hash-join build relation must be the
+    // small relation in the corpus-dwarfs-increment regime this
+    // operator exists for — building over corpus ∪ increment would put
+    // per-task memory proportional to the corpus, not the increment
+    val candidates = a.hint("shuffle_hash").join(b, keyCols)
       .where(!col("b_inc") || col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()

@@ -212,6 +212,14 @@ object Multimodal {
     else None
   }
 
+  // one dispatch row per byte-parse format: sniff, then parse with
+  // any structural violation (None or a thrown parse error) falling
+  // through to the next format and ultimately the stub; hoisted to the
+  // object so the per-row decode path doesn't rebuild the dispatch
+  // table (and its eta-expanded closures) per payload
+  private val byteParsers: Seq[(Array[Byte] => Boolean, (Long, Array[Byte]) => Option[MediaMeta])] =
+    Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4))
+
   /** Decode one payload's metadata: a real `javax.imageio` header read
     * for PNG/JPEG/GIF (width/height — and the GIF frame count — parsed
     * from headers; pixel data is never decoded, so cost is O(header)
@@ -249,11 +257,6 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => ()
       } finally in.close()
     }
-    // one dispatch row per byte-parse format: sniff, then parse with
-    // any structural violation (None or a thrown parse error) falling
-    // through to the next format and ultimately the stub
-    val byteParsers: Seq[(Array[Byte] => Boolean, (Long, Array[Byte]) => Option[MediaMeta])] =
-      Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4))
     for ((sniff, parse) <- byteParsers if sniff(payload)) {
       try {
         parse(id, payload) match {

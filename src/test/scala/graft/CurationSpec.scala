@@ -181,6 +181,28 @@ class CurationSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Curation.splitByHash(d, "doc_id", Seq("a" -> 1.5, "b" -> -0.5)): Unit
     }
+    // a null id gets a NULL split, not a silent ride on the last label
+    val withNull = Seq(Some(7L), None).map(id => (id, "text"))
+      .toDF("doc_id", "text")
+    val nullOut = Curation.splitByHash(withNull, "doc_id", splits)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(2)).toMap
+    assert(nullOut(-1L) == null, s"null id must not be labeled, got $nullOut")
+    assert(nullOut(7L) != null)
+  }
+
+  test("splitByHash is decorrelated from content-hash keep-priority sampling") {
+    // tokenBudgetSample keeps each stratum's LOW-bare-md5 prefix; the
+    // split bucket must not be a function of that same order, or a
+    // sampled corpus collapses to all-train
+    val d = (1L to 2000L).map(i => (i, "alpha beta gamma delta", "en")).toDF("doc_id", "text", "lang")
+    // 4 tokens per doc, budget 4000 -> exactly half the stratum kept
+    val kept = Curation.tokenBudgetSample(d, "doc_id", "text", "lang", 4000L)
+    val counts = Curation.splitByHash(kept, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"),
+      s"sampled corpus lost splits (bucket correlated with keep-priority): $counts")
+    assert(math.abs(counts("val") - 100) < 50 && math.abs(counts("test") - 100) < 50,
+      s"val/test shares skewed after sampling: $counts")
   }
 
   test("rebalanceMix downsamples to target proportions without upsampling") {
