@@ -704,6 +704,15 @@ object SparkEntry {
       Curation.splitByHash(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    "curation_cap" -> ((s, dir) =>
+      // domain capping: at most 10 docs per source, content-hash priority
+      Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", maxPerGroup = 10)
+        .select("doc_id", "source")),
+    "dedup_spans" -> ((s, dir) =>
+      // exact repeated-passage detection: verbatim 8-token windows
+      // appearing in >= 2 distinct docs, one row per occurrence
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8, minDocs = 2)),
     "range_join" -> ((s, dir) => {
       // point-in-interval WITHOUT an inequality join: urgent orders
       // become 7-day intervals exploded onto a weekly grid; lineitem
@@ -1199,6 +1208,29 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
                FROM documents)""",
+    "curation_cap" ->
+      // same domain-separated ("cap:"-prefixed) md5 priority and id
+      // tiebreak as the Spark window
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS cap_rn
+           FROM documents WHERE doc_id IS NOT NULL)
+         WHERE cap_rn <= 10""",
+    "dedup_spans" ->
+      // same overlapping-window construction: 1-based start, 8-token
+      // slice, md5 span fingerprint — exact on both engines
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                      AND len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+         occ AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+                        md5(array_to_string(w[i:i+7], ' ')) AS span_hash
+                 FROM g),
+         r AS (SELECT span_hash FROM occ GROUP BY span_hash
+               HAVING count(DISTINCT doc_id) >= 2)
+         SELECT occ.doc_id, occ.start_pos, occ.span_hash
+         FROM occ JOIN r USING (span_hash)""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -1925,6 +1957,7 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_near_verified", "dedup_incremental", "similarity_topk", "similarity_ivf"
+    "dedup_near_verified", "dedup_incremental", "dedup_spans",
+    "similarity_topk", "similarity_ivf"
   ) ++ capstoneQueries
 }

@@ -195,6 +195,31 @@ object Curation {
     when(id.isNull, lit(null).cast("string")).otherwise(labeled)
   }
 
+  /** Deterministic per-group document cap: keep at most `maxPerGroup`
+    * docs per group (source domain, site, feed, ...), chosen by
+    * content-hash priority — the domain-capping step that stops one
+    * mega-site from dominating a crawl-derived corpus. Same-row-wins on
+    * any engine/partitioning/retry, like [[splitByHash]]; the hash is
+    * domain-separated ("cap:" prefix) so capping composes with
+    * sampling/splitting without correlating with their orders. Null-id
+    * docs are dropped (no deterministic tiebreak exists among them).
+    *
+    * One window per group — groups (domains) are the parallelism unit,
+    * with the same single-giant-stratum caveat as [[tokenBudgetSample]];
+    * a cap is a per-group sequential selection semantically.
+    */
+  def capPerGroup(docs: DataFrame, idCol: String, groupCol: String, maxPerGroup: Long): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    val byPriority = Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(lit("cap:"), col(idCol).cast("string")).cast("binary")), col(idCol))
+    docs
+      .where(col(idCol).isNotNull)
+      .withColumn("cap_rn", row_number().over(byPriority))
+      .where(col("cap_rn") <= maxPerGroup)
+      .drop("cap_rn")
+  }
+
   /** PII redaction: replace email addresses and IPv4 literals with
     * placeholder tokens and count what was removed — the scrub step a
     * corpus runs before training. Pure per-row regexp projections (one

@@ -201,6 +201,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact repeated-span detection: every overlapping `spanTokens`-token
+    * window that appears VERBATIM in at least `minDocs` distinct
+    * documents, reported as one (id, start_pos, span_hash) row per
+    * occurrence (start_pos is 1-based in token units). The
+    * exact-substring complement to MinHash: near-dup banding finds
+    * documents that are mostly the same, while this finds repeated
+    * boilerplate/quoted PASSAGES inside otherwise-different documents —
+    * the remove-repeated-spans step of web-corpus curation.
+    *
+    * Plan shape: the explode (token-count× row growth — the price of
+    * exact overlapping windows; this is where a corpus-scale pipeline
+    * budgets its biggest intermediate) hashes every window to md5 IN
+    * THE SAME PROJECTION, so no shuffle ever carries span text — rows
+    * are fixed-width regardless of `spanTokens`. The frequency side
+    * dedups (span_hash, id) map-side BEFORE its exchange (partial
+    * HashAggregate), so it shuffles near-distinct pairs, not raw
+    * occurrences; the occurrence side shuffles once on span_hash and
+    * streams through a shuffled-hash join whose build table is the
+    * aggregated (repeated-hashes-only) side. The explode is computed
+    * once per side — deliberately NOT collapsed into one exchange via
+    * repartition(span_hash), which would pin partitioning and disable
+    * AQE skew splitting exactly where mega-boilerplate spans skew the
+    * bucket relation. Span equality is md5 equality — collisions are
+    * negligible at 128 bits and the stance matches every other
+    * fingerprint in this file.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val occurrences = docs
+      // ">= spanTokens tokens" as a CHEAP input-side predicate, for the
+      // same alias-pushdown reason as minhashSignatures: it also keeps
+      // sequence() from counting DOWN when a doc is shorter than a span
+      .where(col(idCol).isNotNull && col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= spanTokens)
+      // materialize the token array BEFORE the generator: referencing
+      // split($textCol) inside the lambda would re-split the full text
+      // once per WINDOW (O(tokens^2) per doc) — a Project under
+      // Generate is not collapsed into the generator, so this splits
+      // once per doc and the lambda slices the materialized array
+      .select(col(idCol), split(col(textCol), " ").as("span_toks"))
+      .select(col(idCol), expr(
+        s"""explode(transform(
+              sequence(1, size(span_toks) - ${spanTokens - 1}),
+              i -> struct(
+                CAST(i AS BIGINT) AS start_pos,
+                md5(CAST(concat_ws(' ', slice(span_toks, i, $spanTokens)) AS BINARY)) AS span_hash)
+            )) AS occ"""))
+      .select(col(idCol), col("occ.start_pos").as("start_pos"), col("occ.span_hash").as("span_hash"))
+    val repeated = occurrences
+      .groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("span_hash")
+    occurrences.join(repeated.hint("shuffle_hash"), "span_hash")
+      .select(col(idCol), col("start_pos"), col("span_hash"))
+  }
+
   /** SimHash fingerprint (16-bit, one bit per leading hex digit of the
     * token md5): bit_j = sign of sum over tokens of (2*highbit_j - 1).
     * One native per-row expression

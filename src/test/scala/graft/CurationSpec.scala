@@ -190,6 +190,28 @@ class CurationSpec extends SparkTestBase {
     assert(nullOut(7L) != null)
   }
 
+  test("capPerGroup keeps a deterministic hash-priority subset per group") {
+    val d = (1L to 100L).map(i => (i, s"doc $i", s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val out = Curation.capPerGroup(d, "doc_id", "source", maxPerGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    // cap honored per group, full schema preserved
+    assert(out.length == 20)
+    assert(out.groupBy(_._2).forall(_._2.length == 5), s"got ${out.groupBy(_._2)}")
+    // partitioning-independent: same survivors from a repartitioned input
+    val again = Curation.capPerGroup(d.repartition(7), "doc_id", "source", maxPerGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(again.sorted.sameElements(out.sorted))
+    // null ids dropped (no deterministic tiebreak), null groups capped as a group
+    val withNull = Seq((Some(1L), "g"), (None, "g"), (Some(2L), null.asInstanceOf[String]))
+      .map { case (id, g) => (id, "text", g) }.toDF("doc_id", "text", "source")
+    val survivors = Curation.capPerGroup(withNull, "doc_id", "source", maxPerGroup = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L), s"got $survivors")
+    intercept[IllegalArgumentException] {
+      Curation.capPerGroup(d, "doc_id", "source", maxPerGroup = 0): Unit
+    }
+  }
+
   test("splitByHash is decorrelated from content-hash keep-priority sampling") {
     // tokenBudgetSample keeps each stratum's LOW-bare-md5 prefix; the
     // split bucket must not be a function of that same order, or a

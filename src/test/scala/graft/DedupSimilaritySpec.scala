@@ -32,6 +32,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
   }
 
+  test("repeatedSpans reports every occurrence of cross-doc verbatim windows") {
+    val d = Seq(
+      (1L, "a b c d e tail one"),       // shares "a b c d e" with 2 and 3
+      (2L, "head a b c d e"),
+      (3L, "a b c d e"),
+      (4L, "a b c d x y z"),            // no full 5-token window repeats
+      (5L, "short doc"),                // below spanTokens: dropped
+      (6L, null.asInstanceOf[String])   // null text: dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // one hash, three occurrences, at the right 1-based positions
+    assert(out.map(_._3).toSet.size == 1, s"expected one repeated span, got $out")
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 2L), (3L, 1L)), s"got $out")
+    // minDocs counts DISTINCT docs: a span repeated twice inside ONE doc
+    // does not qualify
+    val selfRep = Seq((7L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(selfRep, "doc_id", "text", spanTokens = 5, minDocs = 2).isEmpty)
+    // loud failures on bad parameters
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(d, "doc_id", "text", spanTokens = 0): Unit
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(d, "doc_id", "text", minDocs = 1): Unit
+    }
+  }
+
   test("simhash: identical docs identical, near-dups close in hamming") {
     val fps = Dedup.simhash(docs, "doc_id", "text", 16).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
