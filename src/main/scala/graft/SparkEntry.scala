@@ -713,6 +713,11 @@ object SparkEntry {
       // appearing in >= 2 distinct docs, one row per occurrence
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         spanTokens = 8, minDocs = 2)),
+    "dedup_spans_cut" -> ((s, dir) =>
+      // detect-then-cut: the same spans removed from the corpus text,
+      // with a removed-token audit count per doc
+      Dedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8, minDocs = 2)),
     "range_join" -> ((s, dir) => {
       // point-in-interval WITHOUT an inequality join: urgent orders
       // become 7-day intervals exploded onto a weekly grid; lineitem
@@ -1231,6 +1236,38 @@ object SparkEntry {
                HAVING count(DISTINCT doc_id) >= 2)
          SELECT occ.doc_id, occ.start_pos, occ.span_hash
          FROM occ JOIN r USING (span_hash)""",
+    "dedup_spans_cut" ->
+      // same span construction as dedup_spans, then token positions
+      // covered by any occurrence are dropped and the survivors
+      // re-joined in order; all-cut docs come back as ''
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                      AND len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+         occ AS (SELECT doc_id, i AS start_pos,
+                        md5(array_to_string(w[i:i+7], ' ')) AS span_hash
+                 FROM g),
+         r AS (SELECT span_hash FROM occ GROUP BY span_hash
+               HAVING count(DISTINCT doc_id) >= 2),
+         starts AS (SELECT doc_id, list(DISTINCT start_pos) AS ss
+                    FROM occ JOIN r USING (span_hash) GROUP BY doc_id),
+         alltok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM alltok),
+         kept AS (SELECT p.doc_id, p.i, p.w[p.i] AS tok
+                  FROM pos p LEFT JOIN starts s USING (doc_id)
+                  WHERE s.ss IS NULL
+                     OR len(list_filter(s.ss, x -> p.i >= x AND p.i <= x + 7)) = 0),
+         recon AS (SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+                          count(*) AS n_kept
+                   FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE coalesce(recon.clean_text, '') END AS clean_text,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE CAST(len(string_split(d.text, ' ')) - coalesce(recon.n_kept, 0) AS INTEGER) END AS n_cut
+         FROM documents d LEFT JOIN recon ON d.doc_id = recon.doc_id
+         WHERE d.doc_id IS NOT NULL""",
     "curation_mix" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

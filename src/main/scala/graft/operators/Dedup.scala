@@ -265,6 +265,46 @@ object Dedup {
       .select(col(idCol), col("start_pos"), col("span_hash"))
   }
 
+  /** Cut repeated spans OUT of the corpus: drop every token covered by
+    * any [[repeatedSpans]] occurrence and re-join the survivors —
+    * detect-then-cut as one lazy plan. Output is (id, clean_text,
+    * n_cut) where n_cut counts removed tokens; a doc whose text is
+    * entirely repeated spans comes back as the empty string (still a
+    * row — the caller decides whether to drop empties), and a null
+    * text stays null. The per-doc span list arrives via one
+    * collect_set aggregate (bounded by spans-per-doc, not corpus
+    * size) and the cut itself is a per-row higher-order filter —
+    * no second shuffle beyond [[repeatedSpans]]'s own.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val spanStarts = repeatedSpans(docs, idCol, textCol, spanTokens, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("start_pos")).as("span_starts"))
+    docs
+      .where(col(idCol).isNotNull)
+      .join(spanStarts, Seq(idCol), "left")
+      // kept in its own projection: it is used twice below and
+      // CollapseProject's cheap-expression guard keeps a non-trivial
+      // lambda from being inlined (and so evaluated) twice
+      .select(col(idCol), col(textCol), expr(
+        s"""filter(split($textCol, ' '),
+              (t, i) -> NOT coalesce(
+                exists(span_starts, s -> i + 1 >= s AND i + 1 <= s + ${spanTokens - 1}),
+                false))""").as("span_kept"))
+      .select(
+        col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("span_kept"))).as("clean_text"),
+        when(col(textCol).isNull, lit(null).cast("int"))
+          .otherwise(size(split(col(textCol), " ")) - size(col("span_kept"))).as("n_cut"))
+  }
+
   /** SimHash fingerprint (16-bit, one bit per leading hex digit of the
     * token md5): bit_j = sign of sum over tokens of (2*highbit_j - 1).
     * One native per-row expression

@@ -59,6 +59,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("cutRepeatedSpans removes covered tokens and counts the cut") {
+    val d = Seq(
+      (1L, "a b c d e tail one"),
+      (2L, "head a b c d e"),
+      (3L, "a b c d e"),                 // entirely one repeated span -> ''
+      (4L, "nothing shared here at all"),
+      (5L, null.asInstanceOf[String])    // null text stays null
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(d, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(out(1L) == ("tail one", 5), s"got $out")
+    assert(out(2L) == ("head", 5), s"got $out")
+    assert(out(3L) == ("", 5), s"got $out")
+    assert(out(4L) == ("nothing shared here at all", 0), s"got $out")
+    assert(out(5L) == (null, -1), s"got $out")
+  }
+
   test("simhash: identical docs identical, near-dups close in hamming") {
     val fps = Dedup.simhash(docs, "doc_id", "text", 16).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
