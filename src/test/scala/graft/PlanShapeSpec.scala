@@ -150,6 +150,31 @@ class PlanShapeSpec extends SparkTestBase {
       s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
+  test("repeated-span detection shuffles hashes, dedups map-side, builds on the small side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", 8, 2)
+    val plan = executedPlanString(spans)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the occurrence relation streams through a shuffled-hash join whose
+    // build table is the aggregated repeated-hashes side (BuildRight)
+    assert(finalPlan.contains("ShuffledHashJoin") && finalPlan.contains("BuildRight"),
+      s"expected ShuffledHashJoin BuildRight:\n$finalPlan")
+    // the frequency side dedups (span_hash, doc) BEFORE its exchange:
+    // partial HashAggregate below, exchange above
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 3,
+      s"no map-side partial dedup on the frequency side:\n$finalPlan")
+    // no shuffle row ever carries span text: every exchange key set is
+    // the fixed-width hash (+id), and the generator projects the md5
+    // inside the explode
+    assert(!finalPlan.contains("CartesianProduct") && !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"span detection degenerated to a cross join:\n$finalPlan")
+    // the token array is materialized under the generator, not re-split
+    // per window: the lambda must slice a column reference, so the
+    // explode's input projection carries the split
+    assert(finalPlan.contains("split(text") && finalPlan.contains("span_toks"),
+      s"token array not materialized before the generator:\n$finalPlan")
+  }
+
   test("incremental near-dup computes each side's band signatures exactly once") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nd = graft.operators.Dedup.incrementalNearDuplicates(
