@@ -275,6 +275,15 @@ object Dedup {
     * collect_set aggregate (bounded by spans-per-doc, not corpus
     * size) and the cut itself is a per-row higher-order filter —
     * no second shuffle beyond [[repeatedSpans]]'s own.
+    *
+    * Per-row cost is O(tokens × spans-per-doc): each token probes the
+    * (sorted) start list. That degrades toward O(tokens²) only for a
+    * doc that is nearly ALL distinct repeated spans — the pathological
+    * template-page case; if such docs dominate a corpus, cut at the
+    * doc level (they fail [[graft.operators.Curation.qualityFilter]]
+    * anyway) before paying per-token surgery. A native merge-scan
+    * expression (the [[sortedIntersectSize]] pattern) is the upgrade
+    * path if that bound ever binds.
     */
   def cutRepeatedSpans(
       docs: DataFrame,
@@ -285,15 +294,18 @@ object Dedup {
   ): DataFrame = {
     val spanStarts = repeatedSpans(docs, idCol, textCol, spanTokens, minDocs)
       .groupBy(col(idCol))
-      .agg(collect_set(col("start_pos")).as("span_starts"))
+      .agg(sort_array(collect_set(col("start_pos"))).as("span_starts"))
     docs
       .where(col(idCol).isNotNull)
       .join(spanStarts, Seq(idCol), "left")
-      // kept in its own projection: it is used twice below and
-      // CollapseProject's cheap-expression guard keeps a non-trivial
-      // lambda from being inlined (and so evaluated) twice
-      .select(col(idCol), col(textCol), expr(
-        s"""filter(split($textCol, ' '),
+      // each non-trivial value lands in its own projection: the token
+      // array is split ONCE and the filter lambda evaluated ONCE —
+      // CollapseProject's cheap-expression guard keeps the multiply-
+      // referenced aliases from being inlined (and so re-evaluated)
+      .select(col(idCol), col(textCol), col("span_starts"),
+        split(col(textCol), " ").as("cut_toks"))
+      .select(col(idCol), col(textCol), col("cut_toks"), expr(
+        s"""filter(cut_toks,
               (t, i) -> NOT coalesce(
                 exists(span_starts, s -> i + 1 >= s AND i + 1 <= s + ${spanTokens - 1}),
                 false))""").as("span_kept"))
@@ -302,7 +314,7 @@ object Dedup {
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ", col("span_kept"))).as("clean_text"),
         when(col(textCol).isNull, lit(null).cast("int"))
-          .otherwise(size(split(col(textCol), " ")) - size(col("span_kept"))).as("n_cut"))
+          .otherwise(size(col("cut_toks")) - size(col("span_kept"))).as("n_cut"))
   }
 
   /** SimHash fingerprint (16-bit, one bit per leading hex digit of the
