@@ -189,6 +189,21 @@ object ScaleSmoke {
     }
     println(f"[scale] candidate plan A/B at x$replicas: reuse(one-scan, co-partitioned) $reuseSec%.2f s vs skew-safe(triangle blocks, G=8) $skewSafeSec%.2f s vs persist(cache + AQE broadcast) $persistSec%.2f s — see scaladoc for why the persist edge does not transfer to cluster scale")
 
+    // exact span dedup growth: output rows are OCCURRENCES of repeated
+    // windows — bounded by corpus windows (linear in corpus size), not
+    // by within-cluster pairs (quadratic in duplication). Under this
+    // all-dup replication the pair-based chain grows ~N^2 while span
+    // occurrences grow toward N x total-windows: the contrast is the
+    // operator's scale story and is printed for the record.
+    val (span1, spanSec1) = time(Dedup.repeatedSpans(corpusOf(1), "doc_id", "text", 8, 2).count())
+    val (spanN, spanSecN) = time(Dedup.repeatedSpans(docsN, "doc_id", "text", 8, 2).count())
+    val windowsN = docsN
+      .select(sum(greatest(size(split(col("text"), " ")) - 7, lit(0))))
+      .head().getLong(0)
+    println(f"[scale] repeated spans: $span1%d occ @1x ($spanSec1%.2f s) -> $spanN%d occ @x$replicas ($spanSecN%.2f s), at/under the $windowsN%d-window linear ceiling; candidate pairs grew $candGrowth%.1fx (quadratic in duplication) past it")
+    if (spanN > windowsN)
+      failures += s"span occurrences $spanN exceed the corpus window count $windowsN — duplicate emission"
+
     failures.foreach(f => System.err.println(s"[scale] FAIL $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(4)
