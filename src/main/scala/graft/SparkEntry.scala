@@ -848,6 +848,15 @@ object SparkEntry {
         Dedup.nearDuplicates(
           t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
         .select(col("id").as("doc_id"), col("cluster_id"))),
+    "dedup_clusters_distributed" -> ((s, dir) =>
+      // the same clustering with the small-graph driver short-circuit
+      // disabled: benches and oracle-checks the distributed
+      // delta-iteration path that a 100 TB duplicate graph would take
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40),
+        maxDriverEdges = 0L)
+        .select(col("id").as("doc_id"), col("cluster_id"))),
     "dedup_survivors" -> ((s, dir) => {
       // keep one doc per duplicate cluster (min id) + all unpaired docs
       val docs = t(s, dir, "documents")
@@ -1972,7 +1981,10 @@ object SparkEntry {
       // the triangle-composed end-to-end chain must produce the IDENTICAL
       // verified pair set as the default generator — same oracle by
       // construction, not a copy that could drift
-      ("dedup_near_skewsafe" -> pipelineTierOracle("dedup_near_verified"))
+      ("dedup_near_skewsafe" -> pipelineTierOracle("dedup_near_verified")) +
+      // same clustering semantics, distributed loop forced (driver
+      // union-find gate off) — one oracle by construction
+      ("dedup_clusters_distributed" -> pipelineTierOracle("dedup_clusters"))
 
   /** The most-composed end-to-end chains — the plans where a silent
     * regression would hurt a real pipeline most. Kept as a named set so
@@ -1995,6 +2007,9 @@ object SparkEntry {
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_near_verified", "dedup_incremental", "dedup_spans",
-    "similarity_topk", "similarity_ivf"
+    "similarity_topk", "similarity_ivf",
+    // the forced-distributed clustering variant keeps the delta-iteration
+    // loop's cost measured even where the capstone takes the driver path
+    "dedup_clusters_distributed"
   ) ++ capstoneQueries
 }

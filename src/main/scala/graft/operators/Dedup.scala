@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -586,36 +586,105 @@ object Dedup {
     * emptiness probe, not a collect. Throws if maxIter is reached
     * before the fixpoint — a silently under-merged clustering is worse
     * than a loud failure.
+    *
+    * Small-graph short-circuit: when the deduplicated edge list fits
+    * `maxDriverEdges` rows — the same order of size this loop would
+    * happily ship through the driver for a single broadcast build — the
+    * component labels are computed in ONE pass by a driver-side
+    * union-find over one collect of the (already cached) edge relation,
+    * instead of O(log d) distributed rounds each paying job, shuffle,
+    * and checkpoint overhead. This is not a scale compromise: the input
+    * here is the VERIFIED duplicate-pair graph, post exact-collapse and
+    * Jaccard verification, which is orders of magnitude smaller than the
+    * corpus; a graph that exceeds the bound takes the distributed
+    * delta-iteration path unchanged. Set `maxDriverEdges = 0` to force
+    * the distributed path (the bench records both). Tie-break note: the
+    * driver path compares ids with String.compareTo (UTF-16 code units),
+    * the distributed path with UTF8 binary ordering — identical for the
+    * ASCII ids this engine generates and for any id scheme without
+    * supplementary-plane characters.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      maxDriverEdges: Long = 500000L): DataFrame = {
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     // both edge directions via ONE explode, not union-of-two-branches:
     // a union would expand the (expensive — LSH + verify join) pairs
     // subtree into two copies and execute it twice during the persist
-    // materialization; the explode scans it once
+    // materialization; the explode scans it once. The one-time
+    // repartition on src pins the cached layout to the partitioning
+    // every iteration's frontier join requires (HashPartitioning(src)):
+    // without it the distinct()'s (src,dst) partitioning forces a full
+    // edge re-shuffle EVERY iteration — the dominant relation shuffled
+    // O(log d) times instead of once.
     val edges = pairs
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select("e.src", "e.dst")
       .distinct()
+      .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the loop's vertex-relation layout from the data, not the
+    // session shuffle width: every iteration scans and re-checkpoints the
+    // label relation, and a 10^4-row relation spread over 32 partitions
+    // is ~200 pure-overhead tasks per round. The edge count (known after
+    // the cache materializes) upper-bounds the vertex count, so
+    // vertex-side stages get ceil(|E| / 250k) partitions — one partition
+    // locally, thousands on a 10^10-edge cluster run.
+    val edgeRows = edges.count()
+    if (edgeRows <= maxDriverEdges) {
+      val out = driverUnionFind(pairs.sparkSession, edges)
+      edges.unpersist()
+      return out
+    }
+    val loopPart = math.max(1L, math.min(nPart.toLong, edgeRows / 250000L + 1L)).toInt
+    // The initial labels fuse the FIRST propagation round into the init
+    // checkpoint for free: the init already pays a groupBy over the edge
+    // relation to enumerate vertices, and adding min(dst) to that same
+    // aggregate yields label_0(v) = min(v, min N(v)) — one full
+    // hash-to-min round — at zero extra shuffle cost. It also seeds the
+    // first loop round's (identity-pruned) jump mapping with real
+    // pointers instead of an empty relation.
     var labels = reliableCheckpoint(edges
-      .select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")))
+      .groupBy(col("src")).agg(min(col("dst")).as("nbr0"))
+      .select(col("src").as("id"), least(col("src"), col("nbr0")).as("cluster_id"))
+      .repartition(loopPart, col("id")))
+    val nVertices = labels.count()
     // delta iteration: only vertices whose label changed last round can
     // improve a neighbor this round, so the (large) edge relation joins
     // against the (shrinking) delta instead of the full label set —
     // after the first couple of rounds most of the graph is stable and
     // the per-round edge join collapses to the frontier
     var delta = labels
+    // Size-gated broadcasts make the small regime shuffle-free. The
+    // frontier count is free (it doubles as the convergence probe); once
+    // it is small, (a) the edge join becomes a map-side probe of the
+    // cached pre-partitioned edge relation, and (b) the per-vertex min
+    // aggregate — bounded by the frontier's neighborhood, O(frontier)
+    // for a post-collapse duplicate graph's bounded degree — broadcasts
+    // into the label patch, so the full label relation is never
+    // re-shuffled. On a 1000-executor run the first round or two shuffle
+    // (frontier = all vertices), then the frontier collapses and every
+    // later round is a broadcast pipeline over the checkpoint scan.
+    val broadcastRows = sys.env.get("GRAFT_CC_BCAST").map(_.toLong).getOrElse(500000L)
+    // the pointer-jump mapping is the whole (identity-pruned) label
+    // relation; it only broadcasts when the vertex set itself is small
+    val mappingSmall = nVertices <= broadcastRows
+    var frontierSmall = nVertices <= broadcastRows
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(delta.withColumnRenamed("id", "src"), "src")
+      val deltaSide =
+        if (frontierSmall) broadcast(delta.withColumnRenamed("id", "src"))
+        else delta.withColumnRenamed("id", "src")
+      val nbrMin0 = edges
+        .join(deltaSide, "src")
         .groupBy("dst")
         .agg(min("cluster_id").as("nbr_min"))
         .withColumnRenamed("dst", "id")
+      val nbrMin = if (frontierSmall) broadcast(nbrMin0) else nbrMin0
       val propagated = labels
         .withColumnRenamed("cluster_id", "old_label")
         .join(nbrMin, Seq("id"), "left")
@@ -623,21 +692,45 @@ object Dedup {
           col("id"),
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("cluster_id"),
           col("old_label"))
-      // pointer jumping: follow the label one more hop (labels are node
-      // ids, so the lookup side is the same relation) — turns O(diameter)
-      // convergence into O(log diameter). This is a join on the VERTEX
-      // relation, cheap next to the edge join above.
-      val mapping = propagated.select(col("id").as("mid"), col("cluster_id").as("mlabel"))
+      // Pointer jumping: follow the label one more hop — turns
+      // O(diameter) convergence into O(log diameter). The mapping side
+      // is the PREVIOUS round's checkpointed labels (a flat file scan),
+      // not the freshly-computed `propagated`: a self-join on
+      // `propagated` would execute the whole propagation subtree twice
+      // per round (its two shuffle boundaries differ by a projection and
+      // never canonicalize into a ReusedExchange). The stale mapping is
+      // one propagation step behind, which costs at most one extra
+      // round (distance per round shrinks 2^i-1 vs 2^i) and keeps
+      // every invariant: labels are component-member ids, monotonically
+      // non-increasing, and the fixpoint of propagation alone is the
+      // per-component min. least() guards the jump against a stale
+      // entry ever RAISING a label; identity pointers are pruned — they
+      // cannot improve anything, and round one's mapping becomes empty.
+      val mapping0 = labels
+        .select(col("id").as("mid"), col("cluster_id").as("mlabel"))
+        .where(col("mid") =!= col("mlabel"))
+      val mapping = if (mappingSmall) broadcast(mapping0) else mapping0
+      val tc = System.nanoTime()
       val next = reliableCheckpoint(propagated
         .join(mapping, propagated("cluster_id") === mapping("mid"), "left")
         .select(
           propagated("id"),
-          coalesce(col("mlabel"), propagated("cluster_id")).as("cluster_id"),
+          least(propagated("cluster_id"),
+            coalesce(col("mlabel"), propagated("cluster_id"))).as("cluster_id"),
           col("old_label")))
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] iter $i: checkpoint ${(System.nanoTime() - tc) / 1e9}%.3f s")
       // any change — via propagation or via the jump — re-enters the
       // frontier, so its neighbors see the improved label next round
       delta = next.where(col("cluster_id") =!= col("old_label")).select("id", "cluster_id")
-      converged = delta.isEmpty
+      val t0 = System.nanoTime()
+      // one cheap scan of the just-checkpointed relation serves both as
+      // the convergence probe and the broadcast gate for the next round
+      val frontierRows = delta.count()
+      converged = frontierRows == 0
+      frontierSmall = frontierRows <= broadcastRows
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] iter $i: frontier $frontierRows, count ${(System.nanoTime() - t0) / 1e9}%.3f s")
       labels = next.select("id", "cluster_id")
       i += 1
     }
@@ -657,8 +750,13 @@ object Dedup {
     * discard side is at most the number of duplicated docs, typically a
     * small fraction of the corpus.
     */
-  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val losers = duplicateClusters(pairs, maxIter)
+  def dedupedCorpus(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      maxDriverEdges: Long = 500000L): DataFrame = {
+    val losers = duplicateClusters(pairs, maxIter, maxDriverEdges)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -671,6 +769,58 @@ object Dedup {
     * runs (and is what localCheckpoint's executor-memory truncation is
     * NOT: files any executor can re-read after a peer is lost).
     */
+  /** One-collect union-find for duplicate graphs small enough to ship
+    * through the driver (see [[duplicateClusters]]'s small-graph gate —
+    * the bound is the same order of size a broadcast build would ship
+    * there anyway). Path-compressed, arbitrary union order, then one
+    * O(n) pass picks the minimum member id per root so the output
+    * matches the distributed path's (id, cluster_id = min member) exactly.
+    */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema("src").dataType
+    // the cached edge relation holds both directions; one suffices
+    val undirected = edges.where(col("src") < col("dst")).collect()
+    val idx = mutable.HashMap.empty[Any, Int]
+    val ids = mutable.ArrayBuffer.empty[Any]
+    def intern(v: Any): Int =
+      idx.getOrElseUpdate(v, { ids += v; ids.length - 1 })
+    val es = undirected.map(r => (intern(r.get(0)), intern(r.get(1))))
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    // id types seen here are the JVM externals of Spark's atomic
+    // orderable types (String, Long, Int, ...) — all Comparable, with
+    // the String caveat documented on duplicateClusters
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      val v = ids(i)
+      if (minOf(r) == null || lt(v, minOf(r))) minOf(r) = v
+      i += 1
+    }
+    val out = new java.util.ArrayList[Row](n)
+    var j = 0
+    while (j < n) { out.add(Row(ids(j), minOf(find(j)))); j += 1 }
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
+  }
+
   private def reliableCheckpoint(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
@@ -678,6 +828,10 @@ object Dedup {
         new java.io.File(
           System.getProperty("java.io.tmpdir"),
           s"graft-ckpt-${sc.applicationId}").getAbsolutePath)
+    // Spark 4's eager Dataset.checkpoint materializes via a single
+    // rdd.doCheckpoint() write job (no separate count), so no
+    // persist-before-checkpoint dance is needed — one job computes the
+    // plan and writes the files.
     df.checkpoint()
   }
 

@@ -288,8 +288,10 @@ class DedupSimilaritySpec extends SparkTestBase {
     val prev = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(dir.toString)
     try {
+      // maxDriverEdges = 0 forces the distributed loop — the small-graph
+      // driver short-circuit writes no checkpoints (nothing to recover)
       val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-      val labels = Dedup.duplicateClusters(pairs).collect()
+      val labels = Dedup.duplicateClusters(pairs, maxDriverEdges = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(labels.size == 10 && labels.values.forall(_ == 0L))
       val files = java.nio.file.Files.walk(dir).iterator().asScala
@@ -308,11 +310,22 @@ class DedupSimilaritySpec extends SparkTestBase {
   }
 
   test("duplicateClusters converges on a long path beyond one hop") {
-    // path 9-8-7-...-0: min label must walk the whole diameter
+    // path 9-8-7-...-0: min label must walk the whole diameter.
+    // Run BOTH code paths: the driver union-find (default gate, this
+    // graph is tiny) and the forced distributed delta iteration must
+    // produce identical labelings.
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 10 && labels.values.forall(_ == 0L))
+    for (gate <- Seq(500000L, 0L)) {
+      val labels = Dedup.duplicateClusters(pairs, maxDriverEdges = gate).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 10 && labels.values.forall(_ == 0L), s"gate=$gate")
+    }
+    // multi-component + string ids through the driver path: per-component
+    // minimum is picked independently, ordering is the column ordering
+    val sp = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("a_id", "b_id")
+    val sl = Dedup.duplicateClusters(sp).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sl == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("dedupedCorpus keeps one doc per cluster plus unpaired docs") {
