@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BigramRepetitionRatio, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -78,13 +78,18 @@ object GraftFunctions {
     desc("graft_bigram_rep", classOf[BigramRepetitionRatio], 1)(c =>
       BigramRepetitionRatio(c(0)))
 
+  val cutSpansFunction: FunctionDesc =
+    desc("graft_cut_spans", classOf[CutSpannedTokens], 3)(c =>
+      CutSpannedTokens(c(0), c(1), litInt("graft_cut_spans", "spanTokens")(c(2))))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
     */
   val all: Seq[FunctionDesc] = Seq(
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
-    simhashFunction, hyperplaneBucketFunction, bigramRepFunction)
+    simhashFunction, hyperplaneBucketFunction, bigramRepFunction,
+    cutSpansFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

@@ -195,14 +195,33 @@ object ScaleSmoke {
     // all-dup replication the pair-based chain grows ~N^2 while span
     // occurrences grow toward N x total-windows: the contrast is the
     // operator's scale story and is printed for the record.
-    val (span1, spanSec1) = time(Dedup.repeatedSpans(corpusOf(1), "doc_id", "text", 8, 2).count())
-    val (spanN, spanSecN) = time(Dedup.repeatedSpans(docsN, "doc_id", "text", 8, 2).count())
+    // ONE span-width literal drives both the repeatedSpans calls and the
+    // window-count ceiling: diverging literals would silently make the
+    // duplicate-emission gate measure the wrong bound
+    val spanTokens = 8
+    val (span1, spanSec1) = time(Dedup.repeatedSpans(corpusOf(1), "doc_id", "text", spanTokens, 2).count())
+    val (spanN, spanSecN) = time(Dedup.repeatedSpans(docsN, "doc_id", "text", spanTokens, 2).count())
     val windowsN = docsN
-      .select(sum(greatest(size(split(col("text"), " ")) - 7, lit(0))))
+      .select(sum(greatest(size(split(col("text"), " ")) - (spanTokens - 1), lit(0))))
       .head().getLong(0)
     println(f"[scale] repeated spans: $span1%d occ @1x ($spanSec1%.2f s) -> $spanN%d occ @x$replicas ($spanSecN%.2f s), at/under the $windowsN%d-window linear ceiling; candidate pairs grew $candGrowth%.1fx (quadratic in duplication) past it")
     if (spanN > windowsN)
       failures += s"span occurrences $spanN exceed the corpus window count $windowsN — duplicate emission"
+
+    // span CUT: with the native merge scan the per-row cost is
+    // O(tokens + spans), so cut wall-time must track corpus size
+    // ~linearly even though replication makes EVERY window a repeated
+    // span (the all-distinct-spans worst case that degraded the old
+    // exists() probe toward O(tokens^2) per doc)
+    val (cut1, cutSec1) = time(
+      Dedup.cutRepeatedSpans(corpusOf(1), "doc_id", "text", spanTokens, 2)
+        .agg(sum("n_cut")).head().getLong(0))
+    val (cutN, cutSecN) = time(
+      Dedup.cutRepeatedSpans(docsN, "doc_id", "text", spanTokens, 2)
+        .agg(sum("n_cut")).head().getLong(0))
+    println(f"[scale] span cut: $cut1%d tokens cut @1x ($cutSec1%.2f s) -> $cutN%d @x$replicas ($cutSecN%.2f s); time grew ${cutSecN / cutSec1}%.1fx for ${replicas}x docs (merge scan — linear per row)")
+    if (cutSecN > cutSec1 * replicas * 3)
+      failures += f"span-cut time grew ${cutSecN / cutSec1}%.1fx at ${replicas}x — per-row bound no longer linear"
 
     failures.foreach(f => System.err.println(s"[scale] FAIL $f"))
     spark.stop()

@@ -916,8 +916,10 @@ object SparkEntry {
       // bounded sample (seeded k-means++, deterministic), corpus
       // assigned to cells distributively, queries probing their 4 of 8
       // nearest cells. Asserts recall@10 vs the exact brute-force
-      // answer clears 0.65 (measured 0.76-0.78 across sf0.001-sf0.1;
-      // a random half-corpus scan would sit near 0.5).
+      // answer clears Similarity.RecallFloor (measured 0.76-0.78
+      // across sf0.001-sf0.1; a random half-corpus scan would sit
+      // near 0.5). The floor is a named constant pinned by
+      // BenchGuardSpec so it cannot drift downward silently.
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 25)
       val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
@@ -928,7 +930,7 @@ object SparkEntry {
       e.intersect(a).agg(count(lit(1)).as("hits"))
         .crossJoin(e.agg(count(lit(1)).as("total")))
         .select(
-          (col("hits") >= col("total") * 0.65).cast("bigint").as("recall_ok"),
+          (col("hits") >= col("total") * Similarity.RecallFloor).cast("bigint").as("recall_ok"),
           (col("total") === lit(250)).cast("bigint").as("exact_complete"))
     }),
     "embedding_norm" -> ((s, dir) =>
@@ -2006,7 +2008,8 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_near_verified", "dedup_incremental", "dedup_spans",
+    "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
+    "dedup_spans", "dedup_spans_cut",
     "similarity_topk", "similarity_ivf",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path

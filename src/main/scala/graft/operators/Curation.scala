@@ -144,6 +144,13 @@ object Curation {
     val binStart = col("bin_id") * c
     val docEnd = col("start_token") + col("n_tokens")
     packed
+      // defensive: sequence(lo, lo + n - 1) with n = 0 defaults to step
+      // -1 and emits a bogus descending 2-element sequence instead of
+      // the empty list the oracle's generate_series returns. n_bins = 0
+      // is unreachable from packSequences (tokenCount >= 1 for non-null
+      // text; null text nulls the sequence and the explode drops the
+      // row), but a hand-built input must not diverge silently.
+      .where(col("n_bins") >= 1)
       .withColumn("bin_id", explode(sequence(col("bin_id"), col("bin_id") + col("n_bins") - 1)))
       .withColumn("offset_in_bin", greatest(col("start_token") - binStart, lit(0L)))
       .withColumn("len_in_bin",

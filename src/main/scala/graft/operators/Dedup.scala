@@ -214,18 +214,23 @@ object Dedup {
     * exact overlapping windows; this is where a corpus-scale pipeline
     * budgets its biggest intermediate) hashes every window to md5 IN
     * THE SAME PROJECTION, so no shuffle ever carries span text — rows
-    * are fixed-width regardless of `spanTokens`. The frequency side
-    * dedups (span_hash, id) map-side BEFORE its exchange (partial
-    * HashAggregate), so it shuffles near-distinct pairs, not raw
-    * occurrences; the occurrence side shuffles once on span_hash and
-    * streams through a shuffled-hash join whose build table is the
-    * aggregated (repeated-hashes-only) side. The explode is computed
-    * once per side — deliberately NOT collapsed into one exchange via
-    * repartition(span_hash), which would pin partitioning and disable
-    * AQE skew splitting exactly where mega-boilerplate spans skew the
-    * bucket relation. Span equality is md5 equality — collisions are
-    * negligible at 128 bits and the stance matches every other
-    * fingerprint in this file.
+    * are fixed-width regardless of `spanTokens`. The distinct-doc
+    * frequency per span is a WINDOW pair over ONE exchange on
+    * span_hash — `dense_rank` ordered by id, then its per-span max —
+    * rather than an aggregate-and-rejoin: the aggregate form's partial
+    * HashAggregate sits below its exchange, so the two subtrees never
+    * canonicalize and the generator (tokenize + one md5 per window over
+    * the whole corpus — the dominant cost) executed TWICE. The window
+    * form runs the generator once and shuffles the occurrence relation
+    * once; both Window operators share the one exchange and sort (the
+    * second needs only the partitioning the first already provides).
+    * The trade is a per-partition sort of fixed-width rows and losing
+    * AQE's join-side skew split (windows cannot split a partition-key
+    * group) — a mega-boilerplate span now sorts/spills in one task's
+    * disk-backed buffer instead of fanning out, which is a straggler,
+    * not an OOM, and is dominated by not re-running the generator.
+    * Span equality is md5 equality — collisions are negligible at 128
+    * bits and the stance matches every other fingerprint in this file.
     */
   def repeatedSpans(
       docs: DataFrame,
@@ -256,12 +261,15 @@ object Dedup {
                 md5(CAST(concat_ws(' ', slice(span_toks, i, $spanTokens)) AS BINARY)) AS span_hash)
             )) AS occ"""))
       .select(col(idCol), col("occ.start_pos").as("start_pos"), col("occ.span_hash").as("span_hash"))
-    val repeated = occurrences
-      .groupBy("span_hash")
-      .agg(countDistinct(col(idCol)).as("n_docs"))
+    // distinct-doc count per span as max(dense_rank) over the one
+    // span_hash exchange: rank ties on equal ids, so the per-span max
+    // IS countDistinct(id) — without the aggregate's partial-agg
+    // subtree that would force a second run of the generator
+    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("span_hash")
+    occurrences
+      .withColumn("dr", dense_rank().over(bySpan.orderBy(col(idCol))))
+      .withColumn("n_docs", max("dr").over(bySpan))
       .where(col("n_docs") >= minDocs)
-      .select("span_hash")
-    occurrences.join(repeated.hint("shuffle_hash"), "span_hash")
       .select(col(idCol), col("start_pos"), col("span_hash"))
   }
 
@@ -271,19 +279,18 @@ object Dedup {
     * n_cut) where n_cut counts removed tokens; a doc whose text is
     * entirely repeated spans comes back as the empty string (still a
     * row — the caller decides whether to drop empties), and a null
-    * text stays null. The per-doc span list arrives via one
-    * collect_set aggregate (bounded by spans-per-doc, not corpus
-    * size) and the cut itself is a per-row higher-order filter —
-    * no second shuffle beyond [[repeatedSpans]]'s own.
-    *
-    * Per-row cost is O(tokens × spans-per-doc): each token probes the
-    * (sorted) start list. That degrades toward O(tokens²) only for a
-    * doc that is nearly ALL distinct repeated spans — the pathological
-    * template-page case; if such docs dominate a corpus, cut at the
-    * doc level (they fail [[graft.operators.Curation.qualityFilter]]
-    * anyway) before paying per-token surgery. A native merge-scan
-    * expression (the [[sortedIntersectSize]] pattern) is the upgrade
-    * path if that bound ever binds.
+    * text stays null. Null-id docs are dropped (they cannot join their
+    * span list, same stance as [[graft.operators.Curation.capPerGroup]]).
+    * The per-doc span list arrives via one collect_set aggregate
+    * (bounded by spans-per-doc, not corpus size) and the cut itself is
+    * one native merge-scan expression
+    * ([[graft.expressions.CutSpannedTokens]]) — no second shuffle
+    * beyond [[repeatedSpans]]'s own, O(tokens + spans) per row (the
+    * sort_array feeds the expression's sorted-starts contract), and
+    * the cut projection stays in whole-stage codegen where the
+    * previous `filter`/`exists` HOF probe was interpreted
+    * CodegenFallback at O(tokens × spans) — quadratic on the
+    * all-distinct-spans template-page worst case.
     */
   def cutRepeatedSpans(
       docs: DataFrame,
@@ -295,20 +302,25 @@ object Dedup {
     val spanStarts = repeatedSpans(docs, idCol, textCol, spanTokens, minDocs)
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("start_pos"))).as("span_starts"))
+    val cutExpr = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CutSpannedTokens(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("cut_toks")),
+        // docs outside every repeated span arrive with a NULL list from
+        // the left join; the expression is null-intolerant, so feed it
+        // the empty list ("cut nothing") instead
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          coalesce(col("span_starts"), expr("CAST(array() AS ARRAY<BIGINT>)"))),
+        spanTokens))
     docs
       .where(col(idCol).isNotNull)
       .join(spanStarts, Seq(idCol), "left")
       // each non-trivial value lands in its own projection: the token
-      // array is split ONCE and the filter lambda evaluated ONCE —
+      // array is split ONCE and the merge scan evaluated ONCE —
       // CollapseProject's cheap-expression guard keeps the multiply-
       // referenced aliases from being inlined (and so re-evaluated)
       .select(col(idCol), col(textCol), col("span_starts"),
         split(col(textCol), " ").as("cut_toks"))
-      .select(col(idCol), col(textCol), col("cut_toks"), expr(
-        s"""filter(cut_toks,
-              (t, i) -> NOT coalesce(
-                exists(span_starts, s -> i + 1 >= s AND i + 1 <= s + ${spanTokens - 1}),
-                false))""").as("span_kept"))
+      .select(col(idCol), col(textCol), col("cut_toks"), cutExpr.as("span_kept"))
       .select(
         col(idCol),
         when(col(textCol).isNull, lit(null).cast("string"))

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The recall@10 floor the trained-quantizer IVF gate
+    * (`similarity_recall`, nprobe=4 of 8 cells) must clear against the
+    * exact brute-force answer. Measured band: 0.76-0.78 across
+    * sf0.001-sf0.1, so 0.65 trips on a real quantizer regression while
+    * tolerating sampling noise; a random half-corpus scan sits near
+    * 0.5. A NAMED constant pinned by BenchGuardSpec so the floor
+    * cannot drift downward silently to absorb a weaker ANN.
+    */
+  val RecallFloor = 0.65
+
   /** Index-ordered dot product of two float-array columns in double
     * precision — a native codegen'd Catalyst expression
     * ([[graft.expressions.FloatDotProduct]]); Spark's `zip_with` +

@@ -61,6 +61,16 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(noOracle.isEmpty, s"benchQueries without an oracle: $noOracle")
   }
 
+  test("the IVF recall floor is pinned and cannot drift downward") {
+    // similarity_recall's gate reads this constant; a regression that
+    // weakened the trained quantizer could otherwise be absorbed by
+    // silently lowering the threshold inside the query. The measured
+    // recall band is 0.76-0.78 (nprobe=4 of 8 cells, sf0.001-sf0.1) —
+    // anyone changing the floor changes THIS assertion too, loudly.
+    assert(graft.operators.Similarity.RecallFloor == 0.65,
+      s"IVF recall floor moved from its pinned 0.65: ${graft.operators.Similarity.RecallFloor}")
+  }
+
   test("queries and oracleSql cover exactly the same keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

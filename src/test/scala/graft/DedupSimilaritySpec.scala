@@ -76,6 +76,53 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out(5L) == (null, -1), s"got $out")
   }
 
+  test("native span cut matches the HOF probe form, including the template-page worst case") {
+    // deterministic pseudo-random docs + start lists, plus the worst
+    // case the merge scan exists for: a "template page" whose EVERY
+    // window is a distinct repeated span (all-distinct-spans start
+    // list 1..n-w+1) — the exists() probe is O(tokens x spans) there,
+    // the merge scan O(tokens + spans); both must agree exactly
+    val spanW = 3
+    def mix(a: Long, b: Long): Long = { // splitmix-style, no RNG state
+      var z = a * 0x9E3779B97F4A7C15L + b
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & Long.MaxValue
+    }
+    val cases = (0 until 60).map { i =>
+      val n = (mix(i, 1) % 40 + 1).toInt
+      val toks = (0 until n).map(t => s"t${mix(i, t + 2) % 7}")
+      // sorted distinct subset of 1..n+2 (some starts past the end)
+      val starts = (1 to n + 2).filter(p => mix(i, p * 31) % 3 == 0).map(_.toLong)
+      (i.toLong, toks, starts)
+    } :+ {
+      val n = 300 // worst case: every position starts a span
+      (1000L, (0 until n).map(t => s"w$t").toSeq, (1L to (n - spanW + 1).toLong).toSeq)
+    } :+ (1001L, Seq("a", "b"), Seq.empty[Long]) // empty start list
+    val df = cases.toDF("id", "cut_toks", "span_starts")
+    val native = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CutSpannedTokens(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("cut_toks")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("span_starts").cast("array<bigint>")),
+        spanW))
+    val mismatches = df.select(
+      col("id"),
+      native.as("fast"),
+      expr(s"""filter(cut_toks,
+            (t, i) -> NOT coalesce(
+              exists(span_starts, s -> i + 1 >= s AND i + 1 <= s + ${spanW - 1}),
+              false))""").as("ref"))
+      .where(not(col("fast") <=> col("ref")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"native cut disagrees with the probe form on: ${mismatches.mkString(", ")}")
+    // arity/literal guards on the SQL registration
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cut_spans(array('a'), array(CAST(1 AS BIGINT)), 2.5)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("simhash: identical docs identical, near-dups close in hamming") {
     val fps = Dedup.simhash(docs, "doc_id", "text", 16).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -92,6 +139,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs((0L, 1L)) == 1.0)
     assert(pairs.contains((0L, 2L)) && math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-6)
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("trained IVF recall clears its pinned floors and grows with nprobe") {
+    // the second configuration the recall gate needs: similarity_recall
+    // value-grades nprobe=4 per round, but a quantizer regression could
+    // hide behind multi-probe over-fetch — so pin the single-cell
+    // (nprobe=1) floor AND probe monotonicity here. Measured at
+    // sf0.001: nprobe=1 0.336, nprobe=2 0.58, nprobe=4 0.76-0.78; the
+    // floors sit under the band with noise margin, and a random 1/8
+    // cell scan would sit near 0.125.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 25)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    val total = exact.count().toDouble
+    def recallAt(nprobe: Int): Double =
+      exact.intersect(
+        Similarity.ivfTrainedTopK(q, emb, "vec_id", "embedding", 10, 8, nprobe)
+          .select("query_id", "neighbor_id")
+      ).count() / total
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r1 >= 0.2, f"nprobe=1 recall $r1%.3f under the 0.2 floor — quantizer regressed")
+    assert(r4 >= Similarity.RecallFloor,
+      f"nprobe=4 recall $r4%.3f under the pinned ${Similarity.RecallFloor} floor")
+    assert(r4 > r1, f"recall not improving with probes: nprobe=1 $r1%.3f vs nprobe=4 $r4%.3f")
   }
 
   test("bruteForceTopK ranks by cosine with self excluded") {

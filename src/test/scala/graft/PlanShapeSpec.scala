@@ -150,29 +150,44 @@ class PlanShapeSpec extends SparkTestBase {
       s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
-  test("repeated-span detection shuffles hashes, dedups map-side, builds on the small side") {
+  test("repeated-span detection runs ONE generator and ONE exchange, windowed frequency") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", 8, 2)
     val plan = executedPlanString(spans)
     val finalPlan = plan.split("== Initial Plan ==")(0)
-    // the occurrence relation streams through a shuffled-hash join whose
-    // build table is the aggregated repeated-hashes side (BuildRight)
-    assert(finalPlan.contains("ShuffledHashJoin") && finalPlan.contains("BuildRight"),
-      s"expected ShuffledHashJoin BuildRight:\n$finalPlan")
-    // the frequency side dedups (span_hash, doc) BEFORE its exchange:
-    // partial HashAggregate below, exchange above
-    assert("HashAggregate".r.findAllIn(finalPlan).size >= 3,
-      s"no map-side partial dedup on the frequency side:\n$finalPlan")
-    // no shuffle row ever carries span text: every exchange key set is
-    // the fixed-width hash (+id), and the generator projects the md5
-    // inside the explode
-    assert(!finalPlan.contains("CartesianProduct") && !finalPlan.contains("BroadcastNestedLoopJoin"),
-      s"span detection degenerated to a cross join:\n$finalPlan")
+    // the corpus-wide tokenize+md5 generator — the dominant cost — must
+    // execute exactly once: the aggregate-and-rejoin form ran it twice
+    // (its partial-agg subtree never canonicalized with the probe side)
+    assert("Generate explode".r.findAllIn(finalPlan).size == 1,
+      s"span generator appears more than once in the final plan:\n$finalPlan")
+    // one shuffle of the fixed-width occurrence relation, shared by both
+    // Window operators (dense_rank + its per-span max)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      + "ShuffleQueryStage".r.findAllIn(finalPlan).size <= 2, // exchange + its AQE stage wrapper
+      s"more than one exchange in the span plan:\n$finalPlan")
+    assert("Window".r.findAllIn(finalPlan).size == 2,
+      s"expected the dense_rank + max window pair:\n$finalPlan")
+    // the frequency is computed in-place over the window — no join back
+    assert(!finalPlan.contains("Join"), s"span detection still rejoins:\n$finalPlan")
     // the token array is materialized under the generator, not re-split
     // per window: the lambda must slice a column reference, so the
     // explode's input projection carries the split
     assert(finalPlan.contains("split(text") && finalPlan.contains("span_toks"),
       s"token array not materialized before the generator:\n$finalPlan")
+  }
+
+  test("span cut projection is the native merge scan, not interpreted HOF probes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = graft.operators.Dedup.cutRepeatedSpans(docs, "doc_id", "text", 8, 2)
+    val plan = executedPlanString(cut)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("graft_cut_spans"),
+      s"native cut expression missing from the plan:\n$finalPlan")
+    // the O(tokens x spans) exists() probe must be gone from the cut
+    // projection (the detection generator's transform lambda remains —
+    // it builds the windows, not the per-token probe)
+    assert(!finalPlan.contains("exists("),
+      s"interpreted exists() probe still in the cut projection:\n$finalPlan")
   }
 
   test("incremental near-dup computes each side's band signatures exactly once") {
