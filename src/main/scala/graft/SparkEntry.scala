@@ -1005,6 +1005,22 @@ object SparkEntry {
       Multimodal.decodeMeta(mp4s, "id", "payload")
         .select("id", "width", "height", "n_frames", "codec")
     }),
+    "multimodal_mkv_meta" -> ((s, dir) => {
+      // REAL Matroska/WebM decode: deterministic EBML tree per doc; the
+      // walk recovers pixel dimensions + the Segment duration (ms) —
+      // the duration rides in n_frames (EBML has no header frame count)
+      val spark = s
+      import spark.implicits._
+      val mkvs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (16 + id % 80).toInt
+          val h = (16 + id % 60).toInt
+          val durMs = (1000 + id % 9000).toInt
+          (id, Multimodal.mkvBytes(w, h, durMs))
+        }.toDF("id", "payload")
+      Multimodal.decodeMeta(mkvs, "id", "payload")
+        .select("id", "width", "height", "n_frames", "codec")
+    }),
     "multimodal_gif_meta" -> ((s, dir) => {
       // REAL GIF decode: encode a deterministic single-frame GIF per doc
       // in the executors, then decodeMeta reads width/height and the
@@ -1707,6 +1723,13 @@ object SparkEntry {
          CAST(16 + doc_id % 48 AS INTEGER) AS height,
          CAST(24 + doc_id % 100 AS INTEGER) AS n_frames,
          'mp4' AS codec
+         FROM documents""",
+    "multimodal_mkv_meta" ->
+      """SELECT doc_id AS id,
+         CAST(16 + doc_id % 80 AS INTEGER) AS width,
+         CAST(16 + doc_id % 60 AS INTEGER) AS height,
+         CAST(1000 + doc_id % 9000 AS INTEGER) AS n_frames,
+         'mkv' AS codec
          FROM documents""",
     "multimodal_gif_meta" ->
       """SELECT doc_id AS id,

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * without decoding pixel data), for WAV audio (the RIFF fmt/data
   * chunks are a plain little-endian byte parse: sample rate, channels,
   * and the exact PCM frame count), for FLAC (STREAMINFO: sample rate,
-  * channels, exact total samples), and for MP4/MOV video containers
+  * channels, exact total samples), for MP4/MOV video containers
   * (ISO-BMFF box walk: tkhd display dimensions + exact stts frame
-  * count, never touching mdat). This is the cheap metadata pass a
+  * count, never touching mdat), and for Matroska/WebM (EBML walk:
+  * track pixel dimensions, audio rate/channels, Segment duration,
+  * never touching clusters). This is the cheap metadata pass a
   * media-curation pipeline runs corpus-wide. Only payloads with no
   * parseable plain-byte header (raw codec bitstreams, unknown formats)
   * fall back to [[fakeDecode]]'s deterministic stub — actual sample/
@@ -29,11 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata record. `codec` is `png`/`jpeg`/`gif`/`wav`
-    * for real header decodes, `stub` for the fallback. Image payloads
-    * carry width/height (+ n_frames for animated GIF); audio payloads
-    * carry sample_rate/n_channels and the PCM frame count in n_frames;
-    * fields foreign to a payload's modality are 0.
+  /** Decoded-media metadata record. `codec` is `png`/`jpeg`/`gif`/`wav`/
+    * `flac`/`mp4`/`mkv` for real header decodes, `stub` for the
+    * fallback. Image payloads carry width/height (+ n_frames for
+    * animated GIF); audio payloads carry sample_rate/n_channels and the
+    * PCM frame count in n_frames; `mkv` rows carry the container
+    * duration in MILLISECONDS in n_frames (EBML headers have a
+    * duration, not a frame count); fields foreign to a payload's
+    * modality are 0.
     */
   case class MediaMeta(id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
       sample_rate: Int, n_channels: Int, codec: String)
@@ -212,13 +217,123 @@ object Multimodal {
     else None
   }
 
+  private def isMkv(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte
+
+  /** Matroska/WebM (EBML) header parse — like the ISO-BMFF walk, plain
+    * byte arithmetic over the container tree, no codec: element IDs and
+    * sizes are EBML variable-width ints (the leading byte's high bits
+    * encode the width; IDs keep the marker bit per the spec's constant
+    * convention, sizes clear it, and the all-ones size means "unknown —
+    * runs to the parent's end", which streamed Segments routinely use).
+    * Recovers the video track's PixelWidth/PixelHeight, the audio
+    * track's SamplingFrequency/Channels, and the Segment duration
+    * (Info.Duration ticks x TimestampScale). EBML headers carry a
+    * duration, not a frame count, so for `mkv` rows `n_frames` is the
+    * container duration in MILLISECONDS — the field a media-curation
+    * pass keys on. Cluster/frame data is never touched: cost is
+    * O(headers), not O(video).
+    */
+  private def parseMkv(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    // width of the vint starting at off: leading-zero count of its
+    // first byte + 1 (a zero byte would mean width > 8 — violation)
+    def vintLen(off: Long): Int =
+      if (off >= b.length || b(off.toInt) == 0) -1
+      else Integer.numberOfLeadingZeros(b(off.toInt) & 0xff) - 23
+    def uintAt(off: Long, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b((off + i).toInt) & 0xffL); i += 1 }
+      v
+    }
+    // size value with the marker bit cleared; -1 = unknown size
+    def sizeAt(off: Long, len: Int): Long = {
+      val v = uintAt(off, len) & ((1L << (7 * len)) - 1)
+      if (v == (1L << (7 * len)) - 1) -1L else v
+    }
+    // EBML floats are big-endian IEEE 754, 4 or 8 bytes
+    def floatAt(ps: Long, pe: Long): Double = (pe - ps) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(ps, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(ps, 8))
+      case _ => 0.0
+    }
+    // iterate the child elements of [start, end): id vint + size vint +
+    // payload. A child overrunning its parent is by definition the last
+    // one (truncated or lying header) — stop walking, keep what parsed.
+    def walk(start: Long, end: Long, depth: Int)(f: (Long, Long, Long) => Unit): Unit = {
+      if (depth > 8) return
+      var off = start
+      var ok = true
+      while (ok && off + 2 <= end) {
+        val idLen = vintLen(off)
+        ok = idLen >= 1 && idLen <= 4 && off + idLen < end
+        if (ok) {
+          val eid = uintAt(off, idLen)
+          val szLen = vintLen(off + idLen)
+          ok = szLen >= 1 && szLen <= 8 && off + idLen + szLen <= end
+          if (ok) {
+            val sz = sizeAt(off + idLen, szLen)
+            val ps = off + idLen + szLen
+            val pe = if (sz < 0) end else ps + sz
+            ok = pe <= end
+            if (ok) { f(eid, ps, pe); off = pe }
+          }
+        }
+      }
+    }
+    var tsScaleNs = 1000000L // EBML default: one tick = 1 ms
+    var durationTicks = 0.0
+    var width = 0; var height = 0
+    var sampleRate = 0.0; var channels = 0L
+    walk(0, b.length.toLong, 0) { (eid, ps, pe) =>
+      if (eid == 0x18538067L) walk(ps, pe, 1) { (sid, sps, spe) => // Segment
+        if (sid == 0x1549A966L) walk(sps, spe, 2) { (iid, ips, ipe) => // Info
+          if (iid == 0x2AD7B1L && ipe - ips >= 1 && ipe - ips <= 8)
+            tsScaleNs = uintAt(ips, (ipe - ips).toInt)
+          else if (iid == 0x4489L) durationTicks = floatAt(ips, ipe)
+        }
+        else if (sid == 0x1654AE6BL) walk(sps, spe, 2) { (tid, tps, tpe) => // Tracks
+          if (tid == 0xAEL) { // TrackEntry
+            var w = 0; var h = 0; var sr = 0.0; var ch = 0L
+            walk(tps, tpe, 3) { (cid, cps, cpe) =>
+              if (cid == 0xE0L) walk(cps, cpe, 4) { (vid, vps, vpe) => // Video
+                if (vid == 0xB0L && vpe - vps >= 1 && vpe - vps <= 8)
+                  w = uintAt(vps, (vpe - vps).toInt).toInt
+                else if (vid == 0xBAL && vpe - vps >= 1 && vpe - vps <= 8)
+                  h = uintAt(vps, (vpe - vps).toInt).toInt
+              }
+              else if (cid == 0xE1L) walk(cps, cpe, 4) { (aid, aps, ape) => // Audio
+                if (aid == 0xB5L) sr = floatAt(aps, ape)
+                else if (aid == 0x9FL && ape - aps >= 1 && ape - aps <= 8)
+                  ch = uintAt(aps, (ape - aps).toInt)
+              }
+            }
+            // first video track with real dimensions wins; audio fields
+            // come from the first audio track — an A/V file reports both
+            if (width == 0 && w > 0 && h > 0) { width = w; height = h }
+            if (sampleRate == 0.0 && sr > 0 && ch > 0) { sampleRate = sr; channels = ch }
+          }
+        }
+      }
+    }
+    val durationMs = math.round(durationTicks * tsScaleNs / 1e6)
+    if (durationMs < 0 || durationMs > Int.MaxValue || channels > Int.MaxValue) None
+    else if (width > 0 && height > 0)
+      Some(MediaMeta(id, b.length, width, height, durationMs.toInt,
+        math.round(sampleRate).toInt, channels.toInt, "mkv"))
+    else if (sampleRate > 0 && channels > 0)
+      Some(MediaMeta(id, b.length, 0, 0, durationMs.toInt,
+        math.round(sampleRate).toInt, channels.toInt, "mkv"))
+    else None
+  }
+
   // one dispatch row per byte-parse format: sniff, then parse with
   // any structural violation (None or a thrown parse error) falling
   // through to the next format and ultimately the stub; hoisted to the
   // object so the per-row decode path doesn't rebuild the dispatch
   // table (and its eta-expanded closures) per payload
   private val byteParsers: Seq[(Array[Byte] => Boolean, (Long, Array[Byte]) => Option[MediaMeta])] =
-    Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4))
+    Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4), (isMkv, parseMkv))
 
   /** Decode one payload's metadata: a real `javax.imageio` header read
     * for PNG/JPEG/GIF (width/height — and the GIF frame count — parsed
@@ -324,6 +439,45 @@ object Multimodal {
     }
     val moov = box("moov", box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts)))))
     ftyp ++ moov
+  }
+
+  /** Minimal Matroska/WebM byte image (EBML header + Segment{Info{
+    * TimestampScale, Duration}, Tracks{TrackEntry{TrackType=video,
+    * Video{PixelWidth, PixelHeight}}}}, no clusters) — a deterministic
+    * fixture generator for the EBML walk: `width` x `height` pixel
+    * dimensions and a `durationMs`-millisecond duration (stored as
+    * Duration ticks under the default 1 ms TimestampScale, so the parse
+    * must combine BOTH fields).
+    */
+  def mkvBytes(width: Int, height: Int, durationMs: Int): Array[Byte] = {
+    require(width > 0 && width <= 0x7fff && height > 0 && height <= 0x7fff && durationMs >= 1,
+      s"invalid MKV fixture params: w=$width h=$height durationMs=$durationMs")
+    // minimal-width EBML size vint; fixture payloads stay under 2^14
+    def vintSize(n: Int): Array[Byte] =
+      if (n < 0x7f) Array((0x80 | n).toByte)
+      else { require(n < 0x3fff, s"fixture payload too large: $n")
+        Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte) }
+    // element IDs are stored verbatim, marker bit included
+    def idBytes(eid: Long): Array[Byte] = {
+      val len = (71 - java.lang.Long.numberOfLeadingZeros(eid)) / 8
+      Array.tabulate(len)(i => ((eid >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def elem(eid: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ vintSize(payload.length) ++ payload
+    def uintPayload(v: Long): Array[Byte] = {
+      val len = math.max(1, (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8)
+      Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    val ebmlHdr = elem(0x1A45DFA3L, Array.emptyByteArray)
+    val duration = {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.putDouble(durationMs.toDouble)
+      elem(0x4489L, bb.array())
+    }
+    val info = elem(0x1549A966L, elem(0x2AD7B1L, uintPayload(1000000L)) ++ duration)
+    val video = elem(0xE0L, elem(0xB0L, uintPayload(width)) ++ elem(0xBAL, uintPayload(height)))
+    val trackEntry = elem(0xAEL, elem(0x83L, uintPayload(1L)) ++ video)
+    ebmlHdr ++ elem(0x18538067L, info ++ elem(0x1654AE6BL, trackEntry))
   }
 
   /** Minimal 16-bit PCM WAV byte image (silent samples) — a

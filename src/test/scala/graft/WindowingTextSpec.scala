@@ -257,6 +257,57 @@ class WindowingTextSpec extends SparkTestBase {
     assert(Multimodal.decodeOne(5L, lying).codec == "stub")
   }
 
+  test("multimodal decodeOne walks EBML for MKV dimensions and duration") {
+    val meta = Multimodal.decodeOne(1L, Multimodal.mkvBytes(1920, 1080, 4250))
+    assert((meta.width, meta.height, meta.n_frames, meta.codec) == ((1920, 1080, 4250, "mkv")))
+    assert((meta.sample_rate, meta.n_channels) == ((0, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.mkvBytes(0, 10, 100): Unit
+    }
+    // truncated mid-Tracks: EBML magic but no complete video element ->
+    // structural fallthrough to the stub, never a task failure
+    val full = Multimodal.mkvBytes(640, 360, 1000)
+    assert(Multimodal.decodeOne(2L, full.take(20)).codec == "stub")
+    // garbage after the magic: walk finds no Segment -> stub
+    val junk = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte) ++ Array.fill[Byte](16)(0)
+    assert(Multimodal.decodeOne(3L, junk).codec == "stub")
+  }
+
+  test("multimodal MKV parse handles unknown-size Segments and audio-only WebM") {
+    // EBML helpers mirroring the fixture generator, for shapes it does
+    // not emit: an unknown-size Segment (streamed files end the Segment
+    // at EOF) and an audio-only (WebM voice) track
+    def idBytes(eid: Long): Array[Byte] = {
+      val len = (71 - java.lang.Long.numberOfLeadingZeros(eid)) / 8
+      Array.tabulate(len)(i => ((eid >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def elem(eid: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ Array((0x80 | payload.length).toByte) ++ payload
+    def uintP(v: Long): Array[Byte] = {
+      val len = math.max(1, (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8)
+      Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def f8(v: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8); bb.putDouble(v); bb.array()
+    }
+    val hdr = elem(0x1A45DFA3L, Array.emptyByteArray)
+    val info = elem(0x1549A966L, elem(0x2AD7B1L, uintP(1000000L)) ++ elem(0x4489L, f8(2500.0)))
+    val audio = elem(0xE1L, elem(0xB5L, f8(48000.0)) ++ elem(0x9FL, uintP(2L)))
+    val tracks = elem(0x1654AE6BL, elem(0xAEL, elem(0x83L, uintP(2L)) ++ audio))
+    val body = info ++ tracks
+    // unknown-size Segment: 0x01FFFFFFFFFFFFFF (8-byte all-ones vint)
+    val seg = idBytes(0x18538067L) ++
+      Array(0x01.toByte) ++ Array.fill[Byte](7)(0xFF.toByte) ++ body
+    val meta = Multimodal.decodeOne(7L, hdr ++ seg)
+    assert((meta.width, meta.height, meta.codec) == ((0, 0, "mkv")))
+    assert((meta.sample_rate, meta.n_channels, meta.n_frames) == ((48000, 2, 2500)))
+    // a non-default TimestampScale must rescale the duration: 1e7 ns
+    // per tick makes 2500 ticks = 25000 ms
+    val info2 = elem(0x1549A966L, elem(0x2AD7B1L, uintP(10000000L)) ++ elem(0x4489L, f8(2500.0)))
+    val seg2 = elem(0x18538067L, info2 ++ tracks)
+    assert(Multimodal.decodeOne(8L, hdr ++ seg2).n_frames == 25000)
+  }
+
   test("multimodal MP4 parse picks the video track of an A/V file, ignoring audio traks") {
     def box(name: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
