@@ -668,35 +668,25 @@ object Dedup {
     // improve a neighbor this round, so the (large) edge relation joins
     // against the (shrinking) delta instead of the full label set —
     // after the first couple of rounds most of the graph is stable and
-    // the per-round edge join collapses to the frontier
+    // the per-round edge join collapses to the frontier. The loop joins
+    // are deliberately plain SHUFFLE joins, not size-gated broadcasts:
+    // every shuffled relation here is frontier-sized (the cached edge
+    // relation keeps its src partitioning, so it never re-shuffles), a
+    // broadcast build is an extra driver round-trip JOB per use — three
+    // per iteration — and the measured full-sweep A/B at sf0.1 had the
+    // broadcast variant 2.7x SLOWER (12.6 s vs 4.7 s) purely from that
+    // per-round job overhead. The regime where broadcasts would shine
+    // (whole graph small) is exactly the regime the driver union-find
+    // short-circuit above already owns.
     var delta = labels
-    // Size-gated broadcasts make the small regime shuffle-free. The
-    // frontier count is free (it doubles as the convergence probe); once
-    // it is small, (a) the edge join becomes a map-side probe of the
-    // cached pre-partitioned edge relation, and (b) the per-vertex min
-    // aggregate — bounded by the frontier's neighborhood, O(frontier)
-    // for a post-collapse duplicate graph's bounded degree — broadcasts
-    // into the label patch, so the full label relation is never
-    // re-shuffled. On a 1000-executor run the first round or two shuffle
-    // (frontier = all vertices), then the frontier collapses and every
-    // later round is a broadcast pipeline over the checkpoint scan.
-    val broadcastRows = sys.env.get("GRAFT_CC_BCAST").map(_.toLong).getOrElse(500000L)
-    // the pointer-jump mapping is the whole (identity-pruned) label
-    // relation; it only broadcasts when the vertex set itself is small
-    val mappingSmall = nVertices <= broadcastRows
-    var frontierSmall = nVertices <= broadcastRows
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val deltaSide =
-        if (frontierSmall) broadcast(delta.withColumnRenamed("id", "src"))
-        else delta.withColumnRenamed("id", "src")
-      val nbrMin0 = edges
-        .join(deltaSide, "src")
+      val nbrMin = edges
+        .join(delta.withColumnRenamed("id", "src"), "src")
         .groupBy("dst")
         .agg(min("cluster_id").as("nbr_min"))
         .withColumnRenamed("dst", "id")
-      val nbrMin = if (frontierSmall) broadcast(nbrMin0) else nbrMin0
       val propagated = labels
         .withColumnRenamed("cluster_id", "old_label")
         .join(nbrMin, Seq("id"), "left")
@@ -718,10 +708,9 @@ object Dedup {
       // per-component min. least() guards the jump against a stale
       // entry ever RAISING a label; identity pointers are pruned — they
       // cannot improve anything, and round one's mapping becomes empty.
-      val mapping0 = labels
+      val mapping = labels
         .select(col("id").as("mid"), col("cluster_id").as("mlabel"))
         .where(col("mid") =!= col("mlabel"))
-      val mapping = if (mappingSmall) broadcast(mapping0) else mapping0
       val tc = System.nanoTime()
       val next = reliableCheckpoint(propagated
         .join(mapping, propagated("cluster_id") === mapping("mid"), "left")
@@ -736,11 +725,10 @@ object Dedup {
       // frontier, so its neighbors see the improved label next round
       delta = next.where(col("cluster_id") =!= col("old_label")).select("id", "cluster_id")
       val t0 = System.nanoTime()
-      // one cheap scan of the just-checkpointed relation serves both as
-      // the convergence probe and the broadcast gate for the next round
+      // one cheap scan of the just-checkpointed relation is the
+      // convergence probe — a distributed count, never a collect
       val frontierRows = delta.count()
       converged = frontierRows == 0
-      frontierSmall = frontierRows <= broadcastRows
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(f"[cc] iter $i: frontier $frontierRows, count ${(System.nanoTime() - t0) / 1e9}%.3f s")
       labels = next.select("id", "cluster_id")
