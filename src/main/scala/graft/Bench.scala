@@ -46,6 +46,10 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the sweep runs the CC loop queries 4x each (warmup + 3 timed):
+      // without this, their per-iteration reliable checkpoints pile up
+      // on disk for the whole JVM lifetime (Sessions.get sets it too)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
