@@ -33,9 +33,44 @@ import graft.operators.{Curation, Dedup}
   * costs, and mega-buckets are what [[graft.operators.Dedup
   * .nearDuplicatesCollapsed]] exists to collapse.
   *
-  * Usage: runMain graft.ScaleSmoke [sfDir] [replicas]
+  * Replication modes (third arg = duplication cluster cap C):
+  *   - C = 0 (default): ALL-DUP — every replica is a near-dup of its
+  *     base doc, so duplication density grows with N and candidate
+  *     pairs grow exactly N^2. The LSH worst case; right for stressing
+  *     bounded buckets at moderate N, but its verify-stage shuffle is
+  *     quadratic in N and outgrows any single box (measured: 100x
+  *     all-dup = ~570M text-carrying pairs, which out-spills local
+  *     disk). No real crawl behaves this way — duplication CLUSTER
+  *     SIZE stays roughly constant as a corpus grows.
+  *   - C > 0: BOUNDED — replicas are grouped into families of C;
+  *     within a family replicas stay near-dups (trailing marker
+  *     token), across families the text is rewritten (vowel-rotation
+  *     translate / word-order reversal — every shingle changes) so
+  *     families never collide in LSH. Duplication density is constant
+  *     in N, candidates grow ~N*C (linear in N), and survivors must
+  *     track CONTENT (the family count F = N/C), not corpus size —
+  *     the realistic 100 TB growth law, asserted both ways (growth
+  *     past 1.2*F = recall collapsed; below 0.5*F = families merged,
+  *     precision collapsed).
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [replicas] [clusterCap]
   */
 object ScaleSmoke {
+
+  /** 10 mutually-dissimilar text rewrites: identity, 4 vowel
+    * rotations, and the word-order reversal of each. A vowel rotation
+    * changes every token containing a vowel (so effectively every
+    * 8-token shingle); reversal reorders every window. Family members
+    * share a rewrite and differ only in a trailing marker token, so
+    * within-family Jaccard stays near 1 while cross-family shingle
+    * overlap is ~0.
+    */
+  private val vowelRots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+
+  private def familyText(text: org.apache.spark.sql.Column, f: Int): org.apache.spark.sql.Column = {
+    val rotated = translate(text, "aeiou", vowelRots(f % 5))
+    if (f < 5) rotated else array_join(reverse(split(rotated, " ")), " ")
+  }
 
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -100,6 +135,11 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val clusterCap = args.lift(2).map(_.toInt).getOrElse(0)
+    val families = if (clusterCap > 0) (replicas + clusterCap - 1) / clusterCap else 1
+    require(families <= vowelRots.size * 2,
+      s"bounded mode has ${vowelRots.size * 2} distinct family rewrites; " +
+        s"$replicas replicas at cap $clusterCap needs $families")
     val spark = Sessions.get()
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -118,10 +158,12 @@ object ScaleSmoke {
 
     def corpusOf(n: Int): DataFrame = {
       val corpus = (0 until n).map { r =>
+        val fam = if (clusterCap > 0) r / clusterCap else 0
+        val famText = if (fam == 0) col("text") else familyText(col("text"), fam)
         if (r == 0) base
         else base.select(
           (col("doc_id") + lit(r.toLong * stride)).as("doc_id"),
-          concat(col("text"), lit(s" replica$r")).as("text"),
+          concat(famText, lit(s" replica$r")).as("text"),
           col("lang"))
       }.reduce(_ unionByName _)
       val path = s"/tmp/graft_scale_${n}x"
@@ -129,7 +171,9 @@ object ScaleSmoke {
       spark.read.parquet(path)
     }
 
-    println(s"[scale] base corpus: $nBase docs; replicating x1 and x$replicas (id stride $stride)")
+    val modeDesc = if (clusterCap > 0) s"bounded duplication (cluster cap $clusterCap, $families families)"
+                   else "all-dup (every replica near-dups its base)"
+    println(s"[scale] base corpus: $nBase docs; replicating x1 and x$replicas, $modeDesc (id stride $stride)")
     val at1 = runChain(corpusOf(1), benchmark)
     val atN = runChain(corpusOf(replicas), benchmark)
 
@@ -144,20 +188,45 @@ object ScaleSmoke {
     def of(name: String) = rows.find(_._1 == name).get
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val candGrowth = of("lsh candidates")._4
-    // bucket-bounded candidate generation: ~linear in corpus size.
-    // Replicas are near-dups so buckets grow with N; the
-    // quadratic-within-cluster term makes growth EXACTLY N^2 under
-    // this synthetic all-dup replication (measured 900.02x at 30x), so
-    // the bound is N^2 plus epsilon — beyond that means unbounded
-    // buckets, the classic LSH failure
-    if (candGrowth > replicas.toDouble * replicas * 1.1)
-      failures += f"candidate growth $candGrowth%.1fx exceeds the N^2 bound at N=$replicas"
+    // bucket-bounded candidate generation. All-dup: duplication
+    // density grows with N, so the quadratic-within-cluster term makes
+    // growth EXACTLY N^2 (measured 900.02x at 30x) — the bound is N^2
+    // plus epsilon, beyond which buckets are unbounded (the classic
+    // LSH failure). Bounded: cluster size is pinned at C, so each
+    // doc's pair fan-out is ~C and growth is ~N*C — LINEAR in N, the
+    // realistic crawl growth law
+    // exact combinatorial ceiling, not the asymptotic one: a natural
+    // cluster of size s replicated k-fold has C(k*s,2) = k^2*C(s,2) +
+    // k(k-1)*s/2 pairs, so growth over the 1x pair count P carries a
+    // linear term k(k-1)*D/(2P) (D = corpus docs) that dominates when
+    // natural clusters are small. All-dup replicates every cluster
+    // N-fold (k=N, one family); bounded replicates C-fold within each
+    // of F families (k=C, summed F times)
+    val pairs1x = of("lsh candidates")._2.toDouble
+    val docs1x = of("quality gate")._2.toDouble
+    val candBound =
+      if (clusterCap > 0)
+        families * (clusterCap.toDouble * clusterCap +
+          clusterCap.toDouble * (clusterCap - 1) * docs1x / (2 * pairs1x)) * 1.3
+      else
+        (replicas.toDouble * replicas +
+          replicas.toDouble * (replicas - 1) * docs1x / (2 * pairs1x)) * 1.1
+    if (candGrowth > candBound)
+      failures += f"candidate growth $candGrowth%.1fx exceeds the ${if (clusterCap > 0) "F*C^2 cluster-capped" else "N^2"} ceiling ($candBound%.0fx) at N=$replicas"
     val survGrowth = of("cc + survivors")._4
-    if (survGrowth > 1.2)
-      failures += f"survivors grew $survGrowth%.2fx with replicas — near-dup recall collapsed"
+    // survivors must track CONTENT, not corpus: all-dup adds no new
+    // content (1 family), bounded adds F dissimilar rewrites
+    if (survGrowth > families * 1.2)
+      failures += f"survivors grew $survGrowth%.2fx vs $families content families — near-dup recall collapsed"
+    if (clusterCap > 0 && survGrowth < families * 0.5)
+      failures += f"survivors grew only $survGrowth%.2fx vs $families dissimilar families — cross-family merging (precision collapse)"
+    // all-dup adds no content, so the budget stage's output must stay
+    // flat; bounded adds F families of content, so the output may grow
+    // with content until the fixed token budget clips it — growth past
+    // F means the budget stopped bounding anything
     val tokGrowth = of("token budget")._4
-    if (tokGrowth > 1.2)
-      failures += f"token-budget output grew $tokGrowth%.2fx — budget no longer binding"
+    if (tokGrowth > families * 1.2)
+      failures += f"token-budget output grew $tokGrowth%.2fx past the $families-family content growth — budget no longer binding"
 
     // A/B: production cache-free ReusedExchange plan vs persist+count
     // (one unbilled warmup each, then median of 3 — single-shot local
@@ -204,7 +273,7 @@ object ScaleSmoke {
     val windowsN = docsN
       .select(sum(greatest(size(split(col("text"), " ")) - (spanTokens - 1), lit(0))))
       .head().getLong(0)
-    println(f"[scale] repeated spans: $span1%d occ @1x ($spanSec1%.2f s) -> $spanN%d occ @x$replicas ($spanSecN%.2f s), at/under the $windowsN%d-window linear ceiling; candidate pairs grew $candGrowth%.1fx (quadratic in duplication) past it")
+    println(f"[scale] repeated spans: $span1%d occ @1x ($spanSec1%.2f s) -> $spanN%d occ @x$replicas ($spanSecN%.2f s), at/under the $windowsN%d-window linear ceiling; candidate pairs grew $candGrowth%.1fx (${if (clusterCap > 0) "linear — cluster-capped" else "quadratic in duplication"}) alongside")
     if (spanN > windowsN)
       failures += s"span occurrences $spanN exceed the corpus window count $windowsN — duplicate emission"
 
