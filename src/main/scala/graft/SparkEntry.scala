@@ -893,7 +893,8 @@ object SparkEntry {
       // in-query structural assertions — exactly k distinct non-self
       // neighbors with contiguous ranks per query — while
       // similarity_recall value-grades the same trained path against
-      // the exact brute-force answer.
+      // the exact brute-force answer and similarity_ivf_fixed
+      // hash-grades the full IVF mechanism under fixed centroids.
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTrainedTopK(
           emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5, nCells = 8, nprobe = 2)
@@ -903,6 +904,25 @@ object SparkEntry {
           (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
           (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
           max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+    }),
+    "similarity_ivf_fixed" -> ((s, dir) => {
+      // The full IVF mechanism under a DETERMINISTIC quantizer: the
+      // coarse centroids are the first 8 embedding rows (id-ordered),
+      // so argmax cell assignment, 2-cell multi-probe, the cell-pruned
+      // join, and the bounded top-k are all value-checked against a
+      // DuckDB replica — closing the gap similarity_ivf's structural
+      // oracle leaves (there the centroids come from k-means, which
+      // SQL cannot reproduce; here only the TRAINING step is out of
+      // frame, and similarity_recall grades that). The 8-row collect
+      // is the bring-your-own-quantizer stance of
+      // Similarity.ivfWithCentroids — bounded and driver-side by
+      // design, like shipping a pre-fit FAISS coarse quantizer.
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.ivfWithCentroids(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5, cents, nprobe = 2)
     }),
     "similarity_cell_topk" -> ((s, dir) => {
       // Single-cell IVF with a pre-existing coarse partition (label):
@@ -1670,6 +1690,32 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
          CAST(0 AS BIGINT) AS self_hits
          FROM embeddings WHERE vec_id < 20""",
+    "similarity_ivf_fixed" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         cand AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         cscore AS (SELECT neighbor_id, cv, cell,
+                 list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 - list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / 2 AS score
+               FROM cand, cents),
+         casg AS (SELECT neighbor_id, cv, cell FROM (
+                 SELECT neighbor_id, cv, cell, row_number() OVER (PARTITION BY neighbor_id ORDER BY score DESC, cell) AS crk
+                 FROM cscore) WHERE crk = 1),
+         qscore AS (SELECT query_id, qv, cell,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 - list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / 2 AS score
+               FROM q, cents),
+         qprobe AS (SELECT query_id, qv, cell FROM (
+                 SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cell) AS qrk
+                 FROM qscore) WHERE qrk <= 2),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+               FROM qprobe JOIN casg USING (cell) WHERE neighbor_id <> query_id)
+         SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+           FROM s) WHERE rk <= 5""",
     "similarity_cell_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),

@@ -268,8 +268,27 @@ object Similarity {
       sampleN: Int = 10000,
       iters: Int = 5,
       seed: Long = 42L
+  ): DataFrame =
+    ivfWithCentroids(queries, candidates, idCol, vecCol, k,
+      trainCentroids(candidates, idCol, vecCol, nCells, sampleN, iters, seed), nprobe)
+
+  /** IVF ANN with caller-supplied coarse centroids — the
+    * bring-your-own-quantizer path ([[ivfTrainedTopK]] is this plus
+    * [[trainCentroids]]). Useful when the quantizer was fit offline or
+    * on an earlier corpus snapshot (the FAISS deployment norm), and it
+    * makes the whole IVF mechanism — argmax cell assignment,
+    * multi-probe, cell-pruned join, bounded top-k — deterministic
+    * given the centroids, so it can be value-checked end to end.
+    */
+  def ivfWithCentroids(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int
   ): DataFrame = {
-    val cents = trainCentroids(candidates, idCol, vecCol, nCells, sampleN, iters, seed)
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2Norm(col(vecCol)).as("c_norm"), assignCell(col(vecCol), cents).as("cell"))
