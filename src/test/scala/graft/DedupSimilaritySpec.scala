@@ -167,6 +167,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r4 > r1, f"recall not improving with probes: nprobe=1 $r1%.3f vs nprobe=4 $r4%.3f")
   }
 
+  test("ivfWithCentroids probing every cell equals brute force exactly") {
+    // the exhaustive-probe identity: with nprobe = #centroids the cell
+    // join visits every candidate, so IVF must reproduce the exact
+    // answer rank for rank — any divergence means the mechanism
+    // (assignment, probe, join, bounded top-k) drops or duplicates
+    // candidates; with nprobe=1 the scan must PRUNE (fewer scored
+    // pairs than the full cross product)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = emb.where(col("vec_id") < 6).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val full = Similarity.ivfWithCentroids(q, emb, "vec_id", "embedding", 5, cents, nprobe = 6)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+    assert(full.except(exact).isEmpty && exact.except(full).isEmpty,
+      "exhaustive-probe IVF diverged from brute force")
+    val pruned = Similarity.ivfWithCentroids(q, emb, "vec_id", "embedding", 5, cents, nprobe = 1)
+    val prunedPairs = pruned.count()
+    assert(prunedPairs > 0 && prunedPairs <= exact.count(),
+      s"nprobe=1 returned $prunedPairs ranked rows")
+  }
+
   test("bruteForceTopK ranks by cosine with self excluded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
