@@ -31,12 +31,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
-    * nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * Sessions/Verify/Bench); normalize to a microsecond timestamp.
+  /** events.parquet's `ts` has shipped as both TIMESTAMP(NANOS) — which
+    * Spark reads as a nanos long under
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Sessions/Verify/Bench) — and plain timestamp[us], which Spark reads
+    * as TIMESTAMP_NTZ (no isAdjustedToUTC flag in the file). Normalize
+    * both to a session-timezone TimestampType so every downstream
+    * window/format expression sees one type: the session timezone is
+    * pinned to UTC, so the NTZ cast is wall-clock identity, exactly what
+    * the DuckDB oracle (which reads the file natively) computes.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
