@@ -50,6 +50,13 @@ object Bench {
       // without this, their per-iteration reliable checkpoints pile up
       // on disk for the whole JVM lifetime (Sessions.get sets it too)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // The sweep's ~300 distinct codegen units against the default
+      // 100-entry Janino LRU is the sequential-scan zero-hit pathology:
+      // the warmup pass evicts the very classes it compiled before the
+      // timed pass reuses them, so EVERY timed run re-pays Janino
+      // compilation (~0.2-1.3 s per query — measured q1_agg 1.62 s ->
+      // 0.27 s and the whole sweep 338 s -> 139 s from this setting).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

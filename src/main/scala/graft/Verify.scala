@@ -26,6 +26,9 @@ object Verify {
       // clustering queries checkpoint per iteration; clean the files
       // when their RDDs are collected (Sessions.get sets this too)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // 126 distinct plans overflow the default 100-entry Janino LRU —
+      // see Sessions.scala for the measured thrash
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
