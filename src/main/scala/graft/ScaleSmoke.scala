@@ -49,27 +49,37 @@ import graft.operators.{Curation, Dedup}
   *     families never collide in LSH. Duplication density is constant
   *     in N, candidates grow ~N*C (linear in N), and survivors must
   *     track CONTENT (the family count F = N/C), not corpus size —
-  *     the realistic 100 TB growth law, asserted both ways (growth
-  *     past 1.2*F = recall collapsed; below 0.5*F = families merged,
-  *     precision collapsed).
+  *     the realistic 100 TB growth law. Recall is asserted from counts
+  *     (growth past 1.2*F = recall collapsed); precision is asserted
+  *     DIRECTLY on the verified relation (zero cross-family pairs) and
+  *     on per-family survivor balance, never from a count floor —
+  *     replication legitimately shrinks per-family components below
+  *     the 1x survivor count by handing LSH ~C^2 extra band-collision
+  *     chances per missed true pair.
   *
   * Usage: runMain graft.ScaleSmoke [sfDir] [replicas] [clusterCap]
   */
 object ScaleSmoke {
 
-  /** 10 mutually-dissimilar text rewrites: identity, 4 vowel
-    * rotations, and the word-order reversal of each. A vowel rotation
-    * changes every token containing a vowel (so effectively every
-    * 8-token shingle); reversal reorders every window. Family members
-    * share a rewrite and differ only in a trailing marker token, so
-    * within-family Jaccard stays near 1 while cross-family shingle
-    * overlap is ~0.
+  /** 10 mutually-dissimilar text rewrites: identity plus 9 distinct
+    * substitution ciphers (cyclic rotations of the 10 most frequent
+    * letters). Each cipher changes every token containing any of those
+    * letters — virtually every word — so cross-family TOKEN SETS are
+    * near-disjoint, which is the property that matters: the engine's
+    * Jaccard verifier is word-SET based, so an order-only rewrite
+    * (e.g. word reversal, an earlier design) preserves the token set
+    * and makes two "dissimilar" families genuine duplicates under the
+    * engine's own semantics — the families merge and the precision
+    * assertion misfires on a smoke artifact, not an engine bug.
+    * Family members share a rewrite and differ only in a trailing
+    * marker token, so within-family Jaccard stays near 1.
     */
-  private val vowelRots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+  private val famAlphabet = "etaoinsrhl"
 
   private def familyText(text: org.apache.spark.sql.Column, f: Int): org.apache.spark.sql.Column = {
-    val rotated = translate(text, "aeiou", vowelRots(f % 5))
-    if (f < 5) rotated else array_join(reverse(split(rotated, " ")), " ")
+    val r = f % famAlphabet.length
+    if (r == 0) text
+    else translate(text, famAlphabet, famAlphabet.drop(r) + famAlphabet.take(r))
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -78,8 +88,35 @@ object ScaleSmoke {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  private val BudgetTokens = 100000L
+
+  /** Direct-invariant diagnostics, measured on the chain's own
+    * relations rather than inferred from row growth:
+    * `crossFamilyVerified` — verified pairs whose endpoints lie in
+    * different content families (exact precision: must be 0; inferring
+    * precision from survivor counts misreads RECALL improvement —
+    * replication gives every LSH-missed true pair ~C^2 extra
+    * band-collision chances, so per-family components legitimately
+    * DROP below the 1x survivor count as N grows);
+    * `survivorsByFamily` — families carry isomorphic content (one
+    * deterministic rewrite of the same base corpus), so their survivor
+    * counts must be present and balanced;
+    * `budgetTokensByStratum` — tokenBudgetSample's contract is a
+    * per-stratum token ceiling, so the sharp assertion is on token
+    * sums, not output-row growth (rows track whatever the upstream
+    * stages admit until the budget binds).
+    */
+  private case class ChainDiag(
+      crossFamilyVerified: Long,
+      survivorsByFamily: Map[Long, Long],
+      budgetTokensByStratum: Map[String, Long])
+
   /** Stage name -> (rows, seconds) for the full curated chain. */
-  private def runChain(docs: DataFrame, benchmark: DataFrame): Seq[(String, Long, Double)] = {
+  private def runChain(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      famOf: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
+  ): (Seq[(String, Long, Double)], ChainDiag) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     def stage[T](name: String)(f: => (Long, T)): T = {
       val ((n, v), s) = time(f)
@@ -124,12 +161,24 @@ object ScaleSmoke {
         "doc_id")
       (b.count(), b)
     }
-    stage("token budget") {
-      val t = Curation.tokenBudgetSample(balanced, "doc_id", "text", "lang", budgetTokens = 100000L)
+    val budget = stage("token budget") {
+      val t = Curation.tokenBudgetSample(balanced, "doc_id", "text", "lang", budgetTokens = BudgetTokens)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (t.count(), t)
     }
+    val diag = ChainDiag(
+      crossFamilyVerified = famOf.map(f =>
+        verified.where(f(col("a_id")) =!= f(col("b_id"))).count()).getOrElse(0L),
+      survivorsByFamily = famOf.map(f =>
+        survivors.groupBy(f(col("doc_id")).as("fam")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty),
+      // cum_tokens is the running per-stratum prefix sum, so its max IS
+      // the stratum's admitted token total
+      budgetTokensByStratum = budget.groupBy("lang").agg(max("cum_tokens").as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    budget.unpersist()
     Seq(quality, candidates, verified, survivors, clean, balanced).foreach(_.unpersist())
-    out.toSeq
+    (out.toSeq, diag)
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,8 +186,8 @@ object ScaleSmoke {
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val clusterCap = args.lift(2).map(_.toInt).getOrElse(0)
     val families = if (clusterCap > 0) (replicas + clusterCap - 1) / clusterCap else 1
-    require(families <= vowelRots.size * 2,
-      s"bounded mode has ${vowelRots.size * 2} distinct family rewrites; " +
+    require(families <= famAlphabet.length,
+      s"bounded mode has ${famAlphabet.length} distinct family rewrites; " +
         s"$replicas replicas at cap $clusterCap needs $families")
     val spark = Sessions.get()
 
@@ -174,8 +223,14 @@ object ScaleSmoke {
     val modeDesc = if (clusterCap > 0) s"bounded duplication (cluster cap $clusterCap, $families families)"
                    else "all-dup (every replica near-dups its base)"
     println(s"[scale] base corpus: $nBase docs; replicating x1 and x$replicas, $modeDesc (id stride $stride)")
-    val at1 = runChain(corpusOf(1), benchmark)
-    val atN = runChain(corpusOf(replicas), benchmark)
+    // family of a doc id: replica index r = id/stride, family = r/C
+    // (floor of double division — exact for the < 2^53 ids here)
+    val famOf = if (clusterCap > 0)
+      Some((id: org.apache.spark.sql.Column) =>
+        floor(floor(id / lit(stride)) / lit(clusterCap)).cast("long"))
+    else None
+    val (at1, _) = runChain(corpusOf(1), benchmark)
+    val (atN, diagN) = runChain(corpusOf(replicas), benchmark, famOf)
 
     println(f"[scale] ${"stage"}%-16s ${"rows@1x"}%12s ${"rows@Nx"}%12s ${"growth"}%8s ${"s@1x"}%8s ${"s@Nx"}%8s")
     val rows = at1.zip(atN).map { case ((name, n1, s1), (_, nN, sN)) =>
@@ -215,18 +270,45 @@ object ScaleSmoke {
       failures += f"candidate growth $candGrowth%.1fx exceeds the ${if (clusterCap > 0) "F*C^2 cluster-capped" else "N^2"} ceiling ($candBound%.0fx) at N=$replicas"
     val survGrowth = of("cc + survivors")._4
     // survivors must track CONTENT, not corpus: all-dup adds no new
-    // content (1 family), bounded adds F dissimilar rewrites
+    // content (1 family), bounded adds F dissimilar rewrites. Only an
+    // UPPER bound is inferable from counts: replication legitimately
+    // SHRINKS per-family survivor counts below the 1x baseline, because
+    // every true pair LSH missed at 1x gets ~C^2 extra band-collision
+    // chances from the replicas — better recall, fewer components. A
+    // count-based lower floor misreads that as precision collapse, so
+    // precision is asserted DIRECTLY on the verified relation below.
     if (survGrowth > families * 1.2)
       failures += f"survivors grew $survGrowth%.2fx vs $families content families — near-dup recall collapsed"
-    if (clusterCap > 0 && survGrowth < families * 0.5)
-      failures += f"survivors grew only $survGrowth%.2fx vs $families dissimilar families — cross-family merging (precision collapse)"
-    // all-dup adds no content, so the budget stage's output must stay
-    // flat; bounded adds F families of content, so the output may grow
-    // with content until the fixed token budget clips it — growth past
-    // F means the budget stopped bounding anything
+    if (clusterCap > 0) {
+      // exact precision: a verified pair crossing families means the
+      // set-Jaccard gate passed two docs with near-disjoint token sets
+      if (diagN.crossFamilyVerified > 0)
+        failures += s"${diagN.crossFamilyVerified} verified pairs cross content families — precision collapse"
+      // families carry isomorphic content (deterministic rewrites of
+      // one base corpus), so each must retain survivors, in balance;
+      // the spread only reflects per-family LSH randomness
+      val sf = diagN.survivorsByFamily
+      if (sf.size != families)
+        failures += s"only ${sf.size} of $families families have survivors: ${sf.keys.toSeq.sorted.mkString(",")}"
+      else if (sf.values.min < 0.5 * sf.values.max)
+        failures += s"per-family survivors imbalanced (min ${sf.values.min}, max ${sf.values.max}) across isomorphic families"
+      else
+        println(s"[scale] per-family survivors: ${sf.toSeq.sorted.map(_._2).mkString(" ")} (cross-family verified pairs: ${diagN.crossFamilyVerified})")
+    }
+    // the budget operator's contract is a per-stratum TOKEN ceiling —
+    // assert it directly (row growth tracks upstream admission until
+    // the budget binds, and so is not a stable invariant of this stage)
+    diagN.budgetTokensByStratum.foreach { case (stratum, toks) =>
+      if (toks > BudgetTokens)
+        failures += s"token budget exceeded in stratum $stratum: $toks > $BudgetTokens"
+    }
+    println(s"[scale] budget tokens by stratum @Nx: ${diagN.budgetTokensByStratum.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" ")} (ceiling $BudgetTokens)")
+    // all-dup adds no content, so the budget stage's output rows must
+    // stay flat with N (in bounded mode content grows with F and the
+    // token contract above is the sharp check instead)
     val tokGrowth = of("token budget")._4
-    if (tokGrowth > families * 1.2)
-      failures += f"token-budget output grew $tokGrowth%.2fx past the $families-family content growth — budget no longer binding"
+    if (clusterCap == 0 && tokGrowth > 1.2)
+      failures += f"token-budget output grew $tokGrowth%.2fx with zero content growth — budget no longer binding"
 
     // A/B: production cache-free ReusedExchange plan vs persist+count
     // (one unbilled warmup each, then median of 3 — single-shot local
