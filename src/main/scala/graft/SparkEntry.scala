@@ -41,7 +41,7 @@ object SparkEntry {
     * pinned to UTC, so the NTZ cast is wall-clock identity, exactly what
     * the DuckDB oracle (which reads the file natively) computes.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

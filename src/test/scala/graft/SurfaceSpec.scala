@@ -179,4 +179,42 @@ class SurfaceSpec extends SparkTestBase {
       in.map(_.toUpperCase).distinct()
     assert(pc("a", "A", "b").applyTransform(dedupeUpper).collectSorted() == Seq("A", "B"))
   }
+
+  test("events loader normalizes every ts encoding the testdata has shipped") {
+    // the driver has regenerated events.parquet with different physical
+    // ts types across rounds (TIMESTAMP(NANOS)-as-long, timestamp[us] /
+    // NTZ); the loader must hand every downstream window expression ONE
+    // type — a UTC-session TimestampType at the same wall-clock instant
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val wallClock = "2024-03-01 12:34:56"
+    val micros = java.time.LocalDateTime.parse("2024-03-01T12:34:56")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+
+    def loadOne(dir: java.io.File, writer: org.apache.spark.sql.DataFrame => Unit): java.sql.Timestamp = {
+      writer(spark.range(1).toDF("event_id"))
+      val out = SparkEntry.events(spark, dir.getAbsolutePath)
+      assert(out.schema("ts").dataType == TimestampType, s"loader produced ${out.schema("ts").dataType}")
+      out.select($"ts").head().getTimestamp(0)
+    }
+
+    val longDir = java.nio.file.Files.createTempDirectory("graft_ev_long").toFile
+    val tsLong = loadOne(longDir, base => base
+      .withColumn("ts", lit(micros * 1000L)) // legacy nanos-as-long file
+      .write.mode("overwrite").parquet(new java.io.File(longDir, "events.parquet").getAbsolutePath))
+
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft_ev_ntz").toFile
+    val tsNtz = loadOne(ntzDir, base => base
+      .withColumn("ts", lit(wallClock).cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(new java.io.File(ntzDir, "events.parquet").getAbsolutePath))
+
+    val utcDir = java.nio.file.Files.createTempDirectory("graft_ev_utc").toFile
+    val tsUtc = loadOne(utcDir, base => base
+      .withColumn("ts", lit(wallClock).cast(TimestampType))
+      .write.mode("overwrite").parquet(new java.io.File(utcDir, "events.parquet").getAbsolutePath))
+
+    assert(tsLong == tsNtz && tsNtz == tsUtc,
+      s"ts encodings disagree after normalization: long=$tsLong ntz=$tsNtz utc=$tsUtc")
+    assert(tsUtc.toInstant.toEpochMilli == micros / 1000L)
+  }
 }
