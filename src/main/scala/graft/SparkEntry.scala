@@ -967,6 +967,64 @@ object SparkEntry {
           (col("hits") >= col("total") * Similarity.RecallFloor).cast("bigint").as("recall_ok"),
           (col("total") === lit(250)).cast("bigint").as("exact_complete"))
     }),
+    "similarity_pq_recall" -> ((s, dir) => {
+      // Product-quantization quality gate at M=16 subspaces x K=64
+      // centroids (16-byte codes — 16x compression of the 64-dim float
+      // vectors): compressed-domain brute force (every candidate
+      // scored, but via ADC table lookups over byte codes) against the
+      // exact answer. Two pinned gates — see Similarity.PQRecallFloor /
+      // PQErrorCeiling for the measured bands and why rank recall alone
+      // is the wrong instrument on near-isotropic embeddings.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 25)
+      val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding", 10, cb)
+        .select("query_id", "neighbor_id")
+      val err = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+          Similarity.pqCodes(col("embedding"), cb).as("codes"),
+          Similarity.l2Norm(col("embedding")).as("c_norm"))
+        .crossJoin(broadcast(q.select(
+          col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+          Similarity.pqLut(col("embedding"), cb).as("lut"),
+          Similarity.l2Norm(col("embedding")).as("q_norm"))))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(abs(
+          Similarity.pqAdcDot(col("lut"), col("codes"), 64) / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("err"))
+        .agg(avg("err").as("mae"))
+      exact.intersect(approx).agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+        .crossJoin(err)
+        .select(
+          (col("hits") >= col("total") * Similarity.PQRecallFloor).cast("bigint").as("recall_ok"),
+          (col("mae") <= Similarity.PQErrorCeiling).cast("bigint").as("error_ok"),
+          (col("total") === lit(250)).cast("bigint").as("exact_complete"))
+    }),
+    "similarity_ivfpq" -> ((s, dir) => {
+      // The composed billion-vector scale path: trained coarse cells
+      // prune each query's scan to 4/8 of the corpus, and surviving
+      // candidates are scored in the compressed domain (byte codes +
+      // per-query ADC table — the probe side never touches a float
+      // vector). Training is estimator-internal like similarity_ivf, so
+      // the oracle is structural (k-completeness, rank contiguity,
+      // distinctness, no self-hits) while similarity_pq_recall
+      // value-grades the PQ scoring and similarity_recall the coarse
+      // quantizer.
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      Similarity.ivfPqTopK(
+          emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5, coarse, nprobe = 4, cb)
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
+          (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+    }),
     "embedding_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("norm"))),
@@ -1743,6 +1801,14 @@ object SparkEntry {
            FROM s) WHERE rk <= 5""",
     "similarity_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS exact_complete",
+    "similarity_pq_recall" ->
+      """SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS error_ok,
+         CAST(1 AS BIGINT) AS exact_complete""",
+    "similarity_ivfpq" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
+         CAST(0 AS BIGINT) AS self_hits
+         FROM embeddings WHERE vec_id < 20""",
     "embedding_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -2093,7 +2159,7 @@ object SparkEntry {
     "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
-    "similarity_topk", "similarity_ivf",
+    "similarity_topk", "similarity_ivf", "similarity_ivfpq",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed"

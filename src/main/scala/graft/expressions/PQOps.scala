@@ -1,0 +1,225 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
+
+/** Product-quantization codes for an `array<float>` vector: the vector
+  * is split into `codebooks.length` contiguous subvectors and each is
+  * replaced by the index of its nearest (L2) centroid in that
+  * subspace's codebook — the FAISS-style compressed representation.
+  * `codebooks(m)(j)` is subspace m's centroid j; every codebook must
+  * hold at most 256 centroids so a code fits one byte (stored as the
+  * raw low byte, decoded with `& 0xFF`). Output is
+  * `array<tinyint>` of length M — for a 64-dim float vector and M=8
+  * that is 8 bytes in the candidate relation instead of 256, which is
+  * the entire point at 100 TB: the ANN probe side shuffles and scans
+  * codes, not vectors.
+  *
+  * Ties break to the lower centroid index. Dirty inputs NULL-poison
+  * (the [[FloatDotProduct]] stance): a vector whose length differs
+  * from M x subDim, or one carrying a null element, yields NULL rather
+  * than a silently truncated encoding.
+  */
+case class PQEncodeCodes(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+  require(codebooks.forall(_.length <= 256), "a PQ codebook holds at most 256 centroids")
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)), "ragged codebook centroids")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_pq_encode expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  def compute(vecRaw: Any): Any = {
+    val vec = vecRaw.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    if (vec.numElements() != m * subDim) return null
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val cent = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          if (vec.isNullAt(base + i)) return null
+          val diff = vec.getFloat(base + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(codes.map(b => b: Any))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PQEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |Object r = $ref.compute($v);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query asymmetric-distance lookup table: for query vector q,
+  * `lut[m * K + j] = dot(q_sub_m, codebooks(m)(j))` flattened over all
+  * M subspaces (K = the uniform codebook size). Computed ONCE per
+  * query row — a 256-dot projection on the tiny broadcast query side —
+  * so scoring a candidate against the query costs M array lookups
+  * ([[PQAdcDot]]) instead of a d-element dot product. This is the
+  * classic ADC split: the per-pair inner loop touches only codes and
+  * the table, never a float vector.
+  *
+  * NULL-poisons on a dimension mismatch or null element, like
+  * [[PQEncodeCodes]].
+  */
+case class PQQueryLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+  private val subDim = codebooks(0)(0).length
+  private val kCents = codebooks(0).length
+  require(codebooks.forall(_.length == kCents),
+    "PQ codebooks must be uniform-size for the flattened LUT layout")
+  require(codebooks.forall(_.forall(_.length == subDim)), "ragged codebook centroids")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_pq_lut expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  def compute(vecRaw: Any): Any = {
+    val vec = vecRaw.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    if (vec.numElements() != m * subDim) return null
+    val lut = new Array[Float](m * kCents)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = s * subDim
+      var j = 0
+      while (j < kCents) {
+        val cent = cb(j)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          if (vec.isNullAt(base + i)) return null
+          acc += vec.getFloat(base + i).toDouble * cent(i)
+          i += 1
+        }
+        lut(s * kCents + j) = acc.toFloat
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut.map(f => f: Any))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PQQueryLut].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |Object r = $ref.compute($v);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Approximate dot product of a query and a PQ-encoded candidate: sum
+  * over subspaces of `lut[m * nCentroids + code_m]` — M float lookups
+  * accumulated in double, the ADC hot loop. Generates a tight primitive
+  * loop inside whole-stage codegen; no reference object needed since
+  * both inputs are columns.
+  *
+  * NULL-poisons when the LUT length is not a multiple of the code
+  * length (mismatched codebooks) or a code indexes past the LUT.
+  */
+case class PQAdcDot(left: Expression, right: Expression, nCentroids: Int)
+    extends BinaryExpression {
+  require(nCentroids >= 1 && nCentroids <= 256, s"nCentroids must be in [1,256], got $nCentroids")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc expects (array<float> lut, array<tinyint> codes), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (lut.numElements() != m * nCentroids) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val j = codes.getByte(s) & 0xFF
+      if (j >= nCentroids) return null
+      acc += lut.getFloat(s * nCentroids + j).toDouble
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("pqM")
+      val acc = ctx.freshName("pqAcc")
+      val s = ctx.freshName("pqS")
+      val j = ctx.freshName("pqJ")
+      s"""
+         |int $m = $codes.numElements();
+         |if ($lut.numElements() != $m * $nCentroids) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    if ($codes.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |    int $j = $codes.getByte($s) & 0xFF;
+         |    if ($j >= $nCentroids) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $lut.getFloat($s * $nCentroids + $j);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -61,6 +61,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(noOracle.isEmpty, s"benchQueries without an oracle: $noOracle")
   }
 
+  test("the PQ quality gates are pinned and cannot drift") {
+    // similarity_pq_recall's gates read these constants; a regression
+    // in codebook training or ADC scoring could otherwise be absorbed
+    // by silently loosening them. Measured bands at M=16/K=64 across
+    // sf0.001-sf0.1: recall@10 0.29-0.42 (random scan ~0.5-2%), cosine
+    // MAE 0.036-0.041 (similarity spread 0.125).
+    assert(graft.operators.Similarity.PQRecallFloor == 0.15,
+      s"PQ recall floor moved from its pinned 0.15: ${graft.operators.Similarity.PQRecallFloor}")
+    assert(graft.operators.Similarity.PQErrorCeiling == 0.08,
+      s"PQ error ceiling moved from its pinned 0.08: ${graft.operators.Similarity.PQErrorCeiling}")
+  }
+
   test("the IVF recall floor is pinned and cannot drift downward") {
     // similarity_recall's gate reads this constant; a regression that
     // weakened the trained quantizer could otherwise be absorbed by

@@ -429,4 +429,73 @@ class DedupSimilaritySpec extends SparkTestBase {
     // 0,1,2 form one near-dup cluster -> keep 0; 3 and 4 unpaired
     assert(kept == Set(0L, 3L, 4L))
   }
+
+  test("PQ mechanism is exact under hand-built codebooks") {
+    import org.apache.spark.sql.functions.col
+    // 2 subspaces of 2 dims, 2 centroids each — every value checkable
+    // by hand. Subspace 0: centroids (0,0) and (10,10); subspace 1:
+    // centroids (1,0) and (0,1).
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(10f, 10f)),
+      Array(Array(1f, 0f), Array(0f, 1f)))
+    val vecs = Seq(
+      (0L, Seq(9f, 9f, 0.9f, 0.1f)),  // codes (1, 0)
+      (1L, Seq(1f, 1f, 0.2f, 0.8f)),  // codes (0, 1)
+      (2L, Seq(10f, 10f, 0f, 1f))     // ON centroids: codes (1, 1)
+    ).toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    val coded = vecs.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), cb).as("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(coded(0L) == Seq(1.toByte, 0.toByte), s"doc 0 codes ${coded(0L)}")
+    assert(coded(1L) == Seq(0.toByte, 1.toByte), s"doc 1 codes ${coded(1L)}")
+    assert(coded(2L) == Seq(1.toByte, 1.toByte), s"doc 2 codes ${coded(2L)}")
+
+    // LUT layout for query q = (1, 2, 3, 4): flattened [m*K + j] =
+    // dot(q_sub_m, cb[m][j]) -> [0*1+0*2=0... ] explicitly:
+    //   m=0: dot((1,2),(0,0))=0, dot((1,2),(10,10))=30
+    //   m=1: dot((3,4),(1,0))=3, dot((3,4),(0,1))=4
+    val q = Seq((9L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val lut = q.select(Similarity.pqLut(col("embedding"), cb).as("lut"))
+      .head().getSeq[Float](0)
+    assert(lut == Seq(0f, 30f, 3f, 4f), s"lut $lut")
+
+    // ADC = lut lookups summed: doc 0 codes (1,0) -> 30 + 3 = 33
+    val adc = vecs.crossJoin(q.select(Similarity.pqLut(col("embedding"), cb).as("lut")))
+      .select(col("vec_id"), Similarity.pqAdcDot(col("lut"), Similarity.pqCodes(col("embedding"), cb), 2).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(adc == Map(0L -> 33.0, 1L -> 4.0, 2L -> 34.0), s"adc $adc")
+
+    // identity: a vector sitting exactly ON its centroids reconstructs
+    // losslessly, so ADC equals the exact dot product (doc 2 vs q:
+    // 10*1 + 10*2 + 0*3 + 1*4 = 34 — matches adc above)
+
+    // null-poison: wrong dimensionality yields NULL codes, not a
+    // truncated encoding
+    val bad = Seq((3L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    assert(bad.select(Similarity.pqCodes(col("embedding"), cb)).head().isNullAt(0))
+  }
+
+  test("pqTopK ranks by ADC-approximated cosine with exact vectors recovering exact ranks") {
+    import org.apache.spark.sql.functions.col
+    // centroid-resident vectors: PQ reconstruction is lossless, so the
+    // compressed-domain top-k must EQUAL the brute-force ranking
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f)),
+      Array(Array(1f, 0f), Array(0f, 1f), Array(0f, 0f)))
+    val combos = for {
+      (a, i) <- cb(0).zipWithIndex; (b, j) <- cb(1).zipWithIndex
+      if !(a.forall(_ == 0f) && b.forall(_ == 0f))
+    } yield (i * 3L + j, (a ++ b).toSeq)
+    val vecs = combos.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = vecs.where(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(q, vecs, "vec_id", "embedding", 3, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == exact, s"pq $pq vs exact $exact")
+  }
 }
