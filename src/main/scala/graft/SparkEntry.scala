@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, Multimodal, RangeJoin, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, LangModel, Multimodal, RangeJoin, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -691,6 +691,19 @@ object SparkEntry {
       // word-distribution Shannon entropy: explode + two-level hash agg
       // (map-side combinable), the distributed shape for per-doc counts
       TextFunctions.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
+    "text_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality signal: a stupid-backoff bigram model
+      // trained on the even-id half of the corpus scores EVERY doc, so
+      // odd docs exercise the unseen-bigram backoff path under the
+      // oracle too. Every log term is log2-of-an-integer-count and the
+      // backoff constant is exactly -2, the text_entropy determinism
+      // recipe.
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 2 === 0)
+      LangModel.perplexityScore(docs, "doc_id", "text",
+        LangModel.bigramCounts(ref, "doc_id", "text"),
+        LangModel.unigramCounts(ref, "doc_id", "text"))
+    }),
     "curation_quality" -> ((s, dir) =>
       // quality gate with per-rule reject reasons: one narrow pass
       Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
@@ -1262,6 +1275,27 @@ object SparkEntry {
          wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
          SELECT doc_id, round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 6) AS entropy
          FROM wc GROUP BY doc_id""",
+    "text_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                       WHERE text IS NOT NULL),
+         bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+         ref AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+         bgc AS (SELECT w1, w2, count(*) AS c_bg FROM
+                   (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                    FROM ref WHERE len(t) >= 2) GROUP BY 1, 2),
+         ugc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_total FROM ugc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(CASE WHEN c_bg IS NOT NULL AND c1.c IS NOT NULL
+             THEN log2(c_bg) - log2(c1.c)
+             ELSE -2.0 + log2(coalesce(c2.c, 1)) - log2(n_total) END), 6) AS log2_ppl
+         FROM bg
+         LEFT JOIN bgc USING (w1, w2)
+         LEFT JOIN ugc c1 ON bg.w1 = c1.w
+         LEFT JOIN ugc c2 ON bg.w2 = c2.w
+         CROSS JOIN tot
+         GROUP BY doc_id""",
     "curation_quality" ->
       """WITH sig AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -2156,7 +2190,7 @@ object SparkEntry {
     "sum_per_key", "distinct_count_per_key", "top_k_per_key", "latest_per_key",
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
-    "text_quality", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "text_quality", "text_lm_perplexity", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
     "similarity_topk", "similarity_ivf", "similarity_ivfpq",

@@ -385,4 +385,50 @@ class WindowingTextSpec extends SparkTestBase {
     val (_, _, ow2, oh2) = out(2L)
     assert((ow2, oh2) == (10, 10), "small images must not be upscaled")
   }
+
+  test("stupid-backoff LM perplexity matches hand-computed scores") {
+    import graft.operators.LangModel
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lg2 = (x: Double) => math.log(x) / math.log(2)
+
+    // training corpus: unigrams a:3 b:1 c:1 (N=5); bigrams (a,b) (b,a) (a,c)
+    val ref = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val bg = LangModel.bigramCounts(ref, "doc_id", "text")
+    val ug = LangModel.unigramCounts(ref, "doc_id", "text")
+    assert(bg.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+    assert(ug.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+
+    // score: seen path, backoff path (unseen bigram, known w2), OOV
+    // floor (unknown w2 -> c floored at 1), and the no-bigram drop
+    val docs = Seq(
+      (0L, "a b a"),  // (a,b): -log2 3; (b,a): 0 -> ppl = log2(3)/2
+      (1L, "a c"),    // (a,c): -log2 3 -> ppl = log2 3
+      (2L, "z a"),    // unseen: -2 + log2 c(a) - log2 5
+      (3L, "c a"),    // unseen bigram with seen words: -2 + log2 3 - log2 5
+      (4L, "solo"),   // single token: no bigram evidence -> no row
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = LangModel.perplexityScore(docs, "doc_id", "text", bg, ug)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L), s"unexpected rows: ${out.keySet}")
+    assert(out(0L) == ((2L, r6(lg2(3) / 2))), s"doc 0 ${out(0L)}")
+    assert(out(1L) == ((1L, r6(lg2(3)))), s"doc 1 ${out(1L)}")
+    assert(out(2L) == ((1L, r6(2 - lg2(3) + lg2(5)))), s"doc 2 ${out(2L)}")
+    assert(out(3L) == ((1L, r6(2 - lg2(3) + lg2(5)))), s"doc 3 ${out(3L)}")
+
+    // fluent text scores lower than scrambled text under a real model —
+    // the signal the operator exists to provide
+    val corpus = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) :+
+      (50L -> "dog the over fox lazy quick jumps brown the")
+    val cdf = corpus.toDF("doc_id", "text")
+    val b2 = LangModel.bigramCounts(cdf, "doc_id", "text")
+    val u2 = LangModel.unigramCounts(cdf, "doc_id", "text")
+    val scores = LangModel.perplexityScore(cdf, "doc_id", "text", b2, u2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) < scores(50L),
+      s"fluent ${scores(0L)} must beat scrambled ${scores(50L)}")
+  }
 }
