@@ -363,4 +363,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(finalPlan.contains("ReusedExchange"),
       s"quota branch does not reuse the window exchange:\n$finalPlan")
   }
+
+  test("LM perplexity scoring broadcasts count tables and reuses the unigram exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val out = graft.operators.LangModel.perplexityScore(docs, "doc_id", "text",
+      graft.operators.LangModel.bigramCounts(ref, "doc_id", "text"),
+      graft.operators.LangModel.unigramCounts(ref, "doc_id", "text"))
+    val plan = executedPlanString(out)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // all three count-table joins hash-broadcast against the doc stream
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size == 3,
+      s"expected 3 broadcast count-table joins:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"), s"count join degenerated to SMJ:\n$finalPlan")
+    // the unigram aggregation's shuffle is computed ONCE and reused by
+    // the w2 join and the vocabulary total (2 ReusedExchange consumers)
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 2,
+      s"unigram exchange not shared across w1/w2/total consumers:\n$finalPlan")
+    // per-doc mean is map-side combinable
+    assert(finalPlan.contains("partial_avg"), s"no partial aggregation:\n$finalPlan")
+  }
+
+  test("PQ top-k shuffles bounded aggregates of byte codes, never vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = graft.operators.Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 16, 64)
+    val out = graft.operators.Similarity.pqTopK(
+      emb.where(col("vec_id") < 25), emb, "vec_id", "embedding", 10, cb)
+    val plan = executedPlanString(out)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // candidate side: codes projected straight off the scan; the ONLY
+    // hash exchange in the plan is the per-query top-k aggregate, and
+    // what it shuffles is the O(k) partial buffer — vectors never move
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly the top-k exchange:\n$finalPlan")
+    assert(finalPlan.contains("partial_graft_top_k"),
+      s"bounded top-k not partially aggregated map-side:\n$finalPlan")
+    // ADC scoring stays in whole-stage codegen (the expressions would
+    // otherwise silently fall back to interpreted eval)
+    val adcLine = finalPlan.linesIterator.find(_.contains("graft_pq_adc")).getOrElse("")
+    assert(adcLine.contains("*("), s"ADC projection outside codegen:\n$adcLine")
+    // the query side (lut + norm) rides a broadcast
+    assert(finalPlan.contains("BroadcastExchange"), s"query side not broadcast:\n$finalPlan")
+  }
 }
