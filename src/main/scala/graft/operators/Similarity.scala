@@ -532,19 +532,54 @@ object Similarity {
       coarseCents: Array[Array[Float]],
       nprobe: Int,
       codebooks: Array[Array[Array[Float]]]
-  ): DataFrame = {
-    val kCents = codebooks(0).length
-    val c = candidates.select(
+  ): DataFrame =
+    ivfPqTopKIndexed(queries, pqIndex(candidates, idCol, vecCol, coarseCents, codebooks),
+      idCol, vecCol, k, coarseCents, nprobe, codebooks)
+
+  /** The IVF-PQ INDEX relation: (id, cell, codes, c_norm) — what a
+    * deployment materializes ONCE at ingest (write it to parquet,
+    * partitioned or bucketed by cell) and serves every query from. The
+    * index build is where the per-candidate work lives (a nearest-cell
+    * argmax over the coarse centroids plus the subspace encodings);
+    * the query path ([[ivfPqTopKIndexed]]) never touches a candidate
+    * vector, so querying costs M ADC lookups per probed pair no matter
+    * how the corpus grows. [[ivfPqTopK]] composes build + query into
+    * one lazy plan for ad-hoc use; at scale, build once and reuse.
+    */
+  def pqIndex(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]
+  ): DataFrame =
+    candidates.select(
       col(idCol).as("neighbor_id"),
       assignCell(col(vecCol), coarseCents).as("cell"),
       pqCodes(col(vecCol), codebooks).as("codes"),
       l2Norm(col(vecCol)).as("c_norm"))
+
+  /** Query a prebuilt [[pqIndex]] relation: queries project their ADC
+    * table + probe cells, the cell join prunes, ADC scores, bounded
+    * top-k ranks — no candidate vector anywhere in the plan.
+    */
+  def ivfPqTopKIndexed(
+      queries: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarseCents: Array[Array[Float]],
+      nprobe: Int,
+      codebooks: Array[Array[Array[Float]]]
+  ): DataFrame = {
+    val kCents = codebooks(0).length
     val q = queries.select(
       col(idCol).as("query_id"),
       pqLut(col(vecCol), codebooks).as("lut"),
       l2Norm(col(vecCol)).as("q_norm"),
       explode(probeCells(col(vecCol), coarseCents, nprobe)).as("cell"))
-    val scored = c
+    val scored = index
       .join(broadcast(q), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(

@@ -478,6 +478,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(bad.select(Similarity.pqCodes(col("embedding"), cb)).head().isNullAt(0))
   }
 
+  test("a parquet-roundtripped pqIndex answers queries identically to the composed plan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val q = emb.where(col("vec_id") < 10)
+    val composed = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5, coarse, 2, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString + "/idx"
+    Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb).write.parquet(path)
+    val indexed = Similarity.ivfPqTopKIndexed(
+      q, spark.read.parquet(path), "vec_id", "embedding", 5, coarse, 2, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(indexed == composed, "materialized index diverged from the composed build+query plan")
+    assert(indexed.nonEmpty)
+  }
+
   test("pqTopK ranks by ADC-approximated cosine with exact vectors recovering exact ranks") {
     import org.apache.spark.sql.functions.col
     // centroid-resident vectors: PQ reconstruction is lossless, so the
