@@ -64,6 +64,10 @@ object AnnScaleSmoke {
 
     println(s"[ann-scale] base: $nBase vectors; comparing exact vs IVF-PQ at x1 and x$replicas (cells=$nCells, nprobe=$nprobe, k=$k)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the trained subspace codebooks of the last scale step — the
+    // compression assertion below derives M from them instead of
+    // hardcoding the config
+    var lastCodebooks: Array[Array[Array[Float]]] = null
 
     for (n <- Seq(1, replicas)) {
       val corpus = corpusOf(n)
@@ -83,6 +87,7 @@ object AnnScaleSmoke {
         (Similarity.trainCentroids(corpus, "vec_id", "embedding", nCells),
           Similarity.trainProductCodebooks(corpus, "vec_id", "embedding", numSub = 16, nCentroids = 64))
       }
+      lastCodebooks = cb
       val indexPath = s"/tmp/graft_ann_index_${n}x"
       val (_, buildSec) = time {
         Similarity.pqIndex(corpus, "vec_id", "embedding", coarse, cb)
@@ -129,9 +134,11 @@ object AnnScaleSmoke {
     }
 
     // compression: the scored candidate payload is M code bytes + one
-    // norm vs d floats — assert the structural widths
+    // norm vs d floats — assert the structural widths, with M DERIVED
+    // from the trained codebooks so a PQ config change can't leave the
+    // assertion (or the printed ratio) silently stale
     val dim = base.head().getSeq[Float](1).length
-    val codeBytes = 16 + 8 // 16 subspace codes + double norm
+    val codeBytes = lastCodebooks.length + 8 // M subspace codes + double norm
     val vecBytes = dim * 4 + 8
     println(f"[ann-scale] candidate payload: $codeBytes B (codes+norm) vs $vecBytes B (vector+norm) — ${vecBytes.toDouble / codeBytes}%.1fx narrower probe side")
     if (codeBytes * 4 > vecBytes)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -82,6 +82,10 @@ object GraftFunctions {
     desc("graft_cut_spans", classOf[CutSpannedTokens], 3)(c =>
       CutSpannedTokens(c(0), c(1), litInt("graft_cut_spans", "spanTokens")(c(2))))
 
+  val rollingSpanHashesFunction: FunctionDesc =
+    desc("graft_rolling_span_hashes", classOf[RollingTokenHashes], 2)(c =>
+      RollingTokenHashes(c(0), litInt("graft_rolling_span_hashes", "spanTokens")(c(1))))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
@@ -89,7 +93,7 @@ object GraftFunctions {
   val all: Seq[FunctionDesc] = Seq(
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
     simhashFunction, hyperplaneBucketFunction, bigramRepFunction,
-    cutSpansFunction)
+    cutSpansFunction, rollingSpanHashesFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

@@ -172,9 +172,14 @@ object ScaleSmoke {
       survivorsByFamily = famOf.map(f =>
         survivors.groupBy(f(col("doc_id")).as("fam")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty),
-      // cum_tokens is the running per-stratum prefix sum, so its max IS
-      // the stratum's admitted token total
-      budgetTokensByStratum = budget.groupBy("lang").agg(max("cum_tokens").as("toks"))
+      // recomputed INDEPENDENTLY of the operator's own columns: join the
+      // admitted ids back to the corpus and re-count tokens from text —
+      // asserting max(cum_tokens) would ride on the very prefix sum
+      // under test, keeping most window regressions vacuously green
+      budgetTokensByStratum = budget.select("doc_id")
+        .join(balanced, "doc_id")
+        .groupBy("lang")
+        .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("toks"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     budget.unpersist()
     Seq(quality, candidates, verified, survivors, clean, balanced).foreach(_.unpersist())

@@ -764,8 +764,11 @@ object SparkEntry {
         .select("doc_id", "source")),
     "dedup_spans" -> ((s, dir) =>
       // exact repeated-passage detection: verbatim 8-token windows
-      // appearing in >= 2 distinct docs, one row per occurrence
-      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      // appearing in >= 2 distinct docs, one row per occurrence, with
+      // the span text re-derived for survivors only (the candidate path
+      // is the O(tokens)-per-doc rolling fingerprint — no per-window
+      // string build or crypto hash anywhere)
+      Dedup.repeatedSpansWithText(t(s, dir, "documents"), "doc_id", "text",
         spanTokens = 8, minDocs = 2)),
     "dedup_spans_cut" -> ((s, dir) =>
       // detect-then-cut: the same spans removed from the corpus text,
@@ -1443,18 +1446,20 @@ object SparkEntry {
          WHERE cap_rn <= 10""",
     "dedup_spans" ->
       // same overlapping-window construction: 1-based start, 8-token
-      // slice, md5 span fingerprint — exact on both engines
+      // slice — and the oracle groups by the span TEXT itself, so
+      // Spark's rolling-fingerprint grouping is graded against true
+      // string equality (stronger than both sides agreeing on one hash)
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                     WHERE doc_id IS NOT NULL AND text IS NOT NULL
                       AND len(string_split(text, ' ')) >= 8),
          g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
          occ AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
-                        md5(array_to_string(w[i:i+7], ' ')) AS span_hash
+                        array_to_string(w[i:i+7], ' ') AS span_text
                  FROM g),
-         r AS (SELECT span_hash FROM occ GROUP BY span_hash
+         r AS (SELECT span_text FROM occ GROUP BY span_text
                HAVING count(DISTINCT doc_id) >= 2)
-         SELECT occ.doc_id, occ.start_pos, occ.span_hash
-         FROM occ JOIN r USING (span_hash)""",
+         SELECT occ.doc_id, occ.start_pos, occ.span_text
+         FROM occ JOIN r USING (span_text)""",
     "dedup_spans_cut" ->
       // same span construction as dedup_spans, then token positions
       // covered by any occurrence are dropped and the survivors

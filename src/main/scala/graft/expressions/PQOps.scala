@@ -80,6 +80,19 @@ case class PQEncodeCodes(child: Expression, codebooks: Array[Array[Array[Float]]
      """.stripMargin)
   }
 
+  // case-class equality on an Array field is reference equality, which
+  // would make two semantically identical encodes never canonicalize
+  // equal — defeating subexpression elimination and exchange reuse.
+  // Compare codebook CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: PQEncodeCodes => child == that.child &&
+      java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -150,6 +163,16 @@ case class PQQueryLut(child: Expression, codebooks: Array[Array[Array[Float]]])
        |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
      """.stripMargin)
   }
+
+  // content-based equality for the Array codebooks — see PQEncodeCodes
+  override def equals(other: Any): Boolean = other match {
+    case that: PQQueryLut => child == that.child &&
+      java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -203,34 +203,41 @@ object Dedup {
 
   /** Exact repeated-span detection: every overlapping `spanTokens`-token
     * window that appears VERBATIM in at least `minDocs` distinct
-    * documents, reported as one (id, start_pos, span_hash) row per
-    * occurrence (start_pos is 1-based in token units). The
-    * exact-substring complement to MinHash: near-dup banding finds
-    * documents that are mostly the same, while this finds repeated
-    * boilerplate/quoted PASSAGES inside otherwise-different documents —
-    * the remove-repeated-spans step of web-corpus curation.
+    * documents, reported as one (id, start_pos, span_key) row per
+    * occurrence (start_pos is 1-based in token units; span_key is the
+    * opaque 64-bit window fingerprint — occurrences of the same span
+    * share it). The exact-substring complement to MinHash: near-dup
+    * banding finds documents that are mostly the same, while this finds
+    * repeated boilerplate/quoted PASSAGES inside otherwise-different
+    * documents — the remove-repeated-spans step of web-corpus curation.
+    * [[repeatedSpansWithText]] re-derives the span TEXT for surviving
+    * occurrences when a content-stable output is wanted.
     *
-    * Plan shape: the explode (token-count× row growth — the price of
-    * exact overlapping windows; this is where a corpus-scale pipeline
-    * budgets its biggest intermediate) hashes every window to md5 IN
-    * THE SAME PROJECTION, so no shuffle ever carries span text — rows
-    * are fixed-width regardless of `spanTokens`. The distinct-doc
-    * frequency per span is a WINDOW pair over ONE exchange on
-    * span_hash — `dense_rank` ordered by id, then its per-span max —
-    * rather than an aggregate-and-rejoin: the aggregate form's partial
-    * HashAggregate sits below its exchange, so the two subtrees never
-    * canonicalize and the generator (tokenize + one md5 per window over
-    * the whole corpus — the dominant cost) executed TWICE. The window
-    * form runs the generator once and shuffles the occurrence relation
-    * once; both Window operators share the one exchange and sort (the
-    * second needs only the partitioning the first already provides).
-    * The trade is a per-partition sort of fixed-width rows and losing
-    * AQE's join-side skew split (windows cannot split a partition-key
-    * group) — a mega-boilerplate span now sorts/spills in one task's
-    * disk-backed buffer instead of fanning out, which is a straggler,
-    * not an OOM, and is dominated by not re-running the generator.
-    * Span equality is md5 equality — collisions are negligible at 128
-    * bits and the stance matches every other fingerprint in this file.
+    * Plan shape: window fingerprints come from ONE O(tokens)-per-doc
+    * pass ([[graft.expressions.RollingTokenHashes]] — each token hashed
+    * once, windows roll in O(1)), and the generator explodes the
+    * resulting (pos, key) pairs, so no shuffle ever carries span text
+    * and no window ever builds one: the previous form concatenated the
+    * span string and md5'd it PER WINDOW — a 128-bit crypto hash times
+    * token count that existed only to be oracle-reproducible, and was
+    * alone ~2x the whole query's DuckDB wall time. Rows into the
+    * exchange are fixed-width (id, long, long) regardless of
+    * `spanTokens`. The distinct-doc frequency per span is a WINDOW pair
+    * over ONE exchange on span_key — `dense_rank` ordered by id, then
+    * its per-span max — rather than an aggregate-and-rejoin: the
+    * aggregate form's partial HashAggregate sits below its exchange, so
+    * the two subtrees never canonicalize and the generator (the
+    * dominant cost) executed TWICE. The window form runs the generator
+    * once and shuffles the occurrence relation once; both Window
+    * operators share the one exchange and sort. The trade is a
+    * per-partition sort of fixed-width rows and losing AQE's join-side
+    * skew split (windows cannot split a partition-key group) — a
+    * mega-boilerplate span now sorts/spills in one task's disk-backed
+    * buffer instead of fanning out, which is a straggler, not an OOM.
+    * Span equality is 64-bit fingerprint equality over avalanched
+    * per-token hashes (~2^-64 per window pair) — a collision can only
+    * ADD a candidate occurrence, and the with-text surface re-derives
+    * real content downstream.
     */
   def repeatedSpans(
       docs: DataFrame,
@@ -241,36 +248,54 @@ object Dedup {
   ): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val keys = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.RollingTokenHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+        spanTokens))
     val occurrences = docs
-      // ">= spanTokens tokens" as a CHEAP input-side predicate, for the
-      // same alias-pushdown reason as minhashSignatures: it also keeps
-      // sequence() from counting DOWN when a doc is shorter than a span
-      .where(col(idCol).isNotNull && col(textCol).isNotNull &&
-        size(split(col(textCol), " ")) >= spanTokens)
-      // materialize the token array BEFORE the generator: referencing
-      // split($textCol) inside the lambda would re-split the full text
-      // once per WINDOW (O(tokens^2) per doc) — a Project under
-      // Generate is not collapsed into the generator, so this splits
-      // once per doc and the lambda slices the materialized array
-      .select(col(idCol), split(col(textCol), " ").as("span_toks"))
-      .select(col(idCol), expr(
-        s"""explode(transform(
-              sequence(1, size(span_toks) - ${spanTokens - 1}),
-              i -> struct(
-                CAST(i AS BIGINT) AS start_pos,
-                md5(CAST(concat_ws(' ', slice(span_toks, i, $spanTokens)) AS BINARY)) AS span_hash)
-            )) AS occ"""))
-      .select(col(idCol), col("occ.start_pos").as("start_pos"), col("occ.span_hash").as("span_hash"))
+      // null text yields a null key array (generator emits nothing);
+      // shorter-than-span docs yield an empty one — no count-based
+      // pre-filter needed
+      .where(col(idCol).isNotNull)
+      .select(col(idCol), posexplode(keys).as(Seq("pos0", "span_key")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("start_pos"), col("span_key"))
     // distinct-doc count per span as max(dense_rank) over the one
-    // span_hash exchange: rank ties on equal ids, so the per-span max
+    // span_key exchange: rank ties on equal ids, so the per-span max
     // IS countDistinct(id) — without the aggregate's partial-agg
     // subtree that would force a second run of the generator
-    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("span_hash")
+    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("span_key")
     occurrences
       .withColumn("dr", dense_rank().over(bySpan.orderBy(col(idCol))))
       .withColumn("n_docs", max("dr").over(bySpan))
       .where(col("n_docs") >= minDocs)
-      .select(col(idCol), col("start_pos"), col("span_hash"))
+      .select(col(idCol), col("start_pos"), col("span_key"))
+  }
+
+  /** [[repeatedSpans]] with the repeated span's TEXT re-derived, for
+    * surfaces that need content-stable output (audit samples, oracle
+    * grading) rather than the opaque 64-bit key. The re-derivation
+    * joins the SURVIVING occurrences — typically a small fraction of
+    * all windows — back to the corpus on id and slices the span out of
+    * a fresh tokenization, so the expensive candidate path stays
+    * hash-only and the per-row string work scales with matches, not
+    * windows. Output: (id, start_pos, span_text).
+    */
+  def repeatedSpansWithText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, spanTokens, minDocs)
+      .select(col(idCol), col("start_pos"))
+    val toks = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("rs_toks"))
+    spans.join(toks, Seq(idCol))
+      .select(col(idCol), col("start_pos"),
+        concat_ws(" ",
+          slice(col("rs_toks"), col("start_pos").cast("int"), lit(spanTokens))).as("span_text"))
   }
 
   /** Cut repeated spans OUT of the corpus: drop every token covered by
@@ -610,11 +635,12 @@ object Dedup {
     * Jaccard verification, which is orders of magnitude smaller than the
     * corpus; a graph that exceeds the bound takes the distributed
     * delta-iteration path unchanged. Set `maxDriverEdges = 0` to force
-    * the distributed path (the bench records both). Tie-break note: the
-    * driver path compares ids with String.compareTo (UTF-16 code units),
-    * the distributed path with UTF8 binary ordering — identical for the
-    * ASCII ids this engine generates and for any id scheme without
-    * supplementary-plane characters.
+    * the distributed path (the bench records both). Both regimes pick
+    * representatives under the SAME ordering: the driver path compares
+    * String ids by their UTF-8 bytes (UTF8String), exactly the binary
+    * ordering Spark's min() uses distributively, so the chosen
+    * cluster_id is regime-independent for every id scheme, including
+    * non-ASCII ones.
     */
   def duplicateClusters(
       pairs: DataFrame,
@@ -802,21 +828,33 @@ object Dedup {
       if (ra != rb) parent(rb) = ra
     }
     // id types seen here are the JVM externals of Spark's atomic
-    // orderable types (String, Long, Int, ...) — all Comparable, with
-    // the String caveat documented on duplicateClusters
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-    val minOf = new Array[Any](n)
+    // orderable types (String, Long, Int, ...). Strings are compared by
+    // their UTF-8 BYTES — the ordering Spark's distributed min() uses —
+    // not String.compareTo's UTF-16 code units, which diverge for
+    // supplementary-plane vs U+E000..U+FFFF characters; the two
+    // clustering regimes must pick identical representatives for any
+    // id scheme, so the keys are converted once up front
+    val ordKeys = new Array[AnyRef](n)
+    var p = 0
+    while (p < n) {
+      ordKeys(p) = (ids(p) match {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case v => v
+      }).asInstanceOf[AnyRef]
+      p += 1
+    }
+    def lt(a: Int, b: Int): Boolean =
+      ordKeys(a).asInstanceOf[Comparable[AnyRef]].compareTo(ordKeys(b)) < 0
+    val minIdx = Array.fill(n)(-1)
     var i = 0
     while (i < n) {
       val r = find(i)
-      val v = ids(i)
-      if (minOf(r) == null || lt(v, minOf(r))) minOf(r) = v
+      if (minIdx(r) == -1 || lt(i, minIdx(r))) minIdx(r) = i
       i += 1
     }
     val out = new java.util.ArrayList[Row](n)
     var j = 0
-    while (j < n) { out.add(Row(ids(j), minOf(find(j)))); j += 1 }
+    while (j < n) { out.add(Row(ids(j), ids(minIdx(find(j))))); j += 1 }
     spark.createDataFrame(out,
       StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
   }

@@ -32,6 +32,56 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
   }
 
+  test("driver and distributed clustering pick identical representatives for non-ASCII ids") {
+    // U+FFFD is one UTF-16 code unit (0xFFFD); U+1F600 is a surrogate
+    // pair whose lead unit 0xD83D sorts BELOW it — so String.compareTo
+    // (UTF-16 code units) and Spark's UTF8String (UTF-8 bytes / code
+    // points) order these two ids OPPOSITELY. The driver union-find gate
+    // must agree with the distributed min() on which one represents the
+    // cluster.
+    val bmp = "\uFFFD-doc"
+    val astral = new String(Character.toChars(0x1F600)) + "-doc"
+    val pairs = Seq((bmp, astral)).toDF("a_id", "b_id")
+    def labels(maxDriverEdges: Long) =
+      Dedup.duplicateClusters(pairs, maxDriverEdges = maxDriverEdges)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaDriver = labels(500000L)
+    val viaDistributed = labels(0L)
+    assert(viaDriver == viaDistributed,
+      s"regimes diverged: driver=$viaDriver distributed=$viaDistributed")
+    // and the agreed representative is the UTF-8-smaller id
+    assert(viaDriver == Set((bmp, bmp), (astral, bmp)), s"got $viaDriver")
+  }
+
+  test("rolling window fingerprints equal exactly when window content equals") {
+    import org.apache.spark.sql.functions.{col, split}
+    // "x y z" repeats at 1-based positions 1 and 5; every other window
+    // differs — keys must agree exactly on the repeat and nowhere else
+    val d = Seq((1L, "x y z w x y z")).toDF("id", "text")
+    val keys = d.select(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.RollingTokenHashes(
+          org.apache.spark.sql.graftbridge.Bridge.expression(split(col("text"), " ")), 3)))
+      .head().getSeq[Long](0)
+    assert(keys.length == 5)
+    assert(keys(0) == keys(4), s"identical windows got different keys: $keys")
+    assert(keys.distinct.length == 4, s"distinct windows collided: $keys")
+    // shorter than the span: empty, not null and not a partial window
+    val short = Seq((2L, "a b")).toDF("id", "text")
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.RollingTokenHashes(
+          org.apache.spark.sql.graftbridge.Bridge.expression(split(col("text"), " ")), 3)))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+    // SQL registration + arity/literal guards
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_rolling_span_hashes(split('x y z w x y z', ' '), 3)")
+      .head().getSeq[Long](0)
+    assert(viaSql == keys, "SQL route diverged from the programmatic expression")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_rolling_span_hashes(split('a b', ' '))").collect()
+    }
+  }
+
   test("repeatedSpans reports every occurrence of cross-doc verbatim windows") {
     val d = Seq(
       (1L, "a b c d e tail one"),       // shares "a b c d e" with 2 and 3
@@ -42,10 +92,15 @@ class DedupSimilaritySpec extends SparkTestBase {
       (6L, null.asInstanceOf[String])   // null text: dropped
     ).toDF("doc_id", "text")
     val out = Dedup.repeatedSpans(d, "doc_id", "text", spanTokens = 5, minDocs = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    // one hash, three occurrences, at the right 1-based positions
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one fingerprint, three occurrences, at the right 1-based positions
     assert(out.map(_._3).toSet.size == 1, s"expected one repeated span, got $out")
     assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 2L), (3L, 1L)), s"got $out")
+    // the with-text surface re-derives the actual repeated passage
+    val withText = Dedup.repeatedSpansWithText(d, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(withText.map(_._3).toSet == Set("a b c d e"), s"got $withText")
+    assert(withText.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 2L), (3L, 1L)), s"got $withText")
     // minDocs counts DISTINCT docs: a span repeated twice inside ONE doc
     // does not qualify
     val selfRep = Seq((7L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
@@ -493,6 +548,26 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(indexed == composed, "materialized index diverged from the composed build+query plan")
     assert(indexed.nonEmpty)
+  }
+
+  test("PQ expressions with equal codebook CONTENT compare equal") {
+    import org.apache.spark.sql.functions.col
+    // Array fields compare by reference under case-class equality, which
+    // would stop identical encodes/LUTs from canonicalizing — losing
+    // subexpression elimination and exchange reuse. Equality must be
+    // content-based.
+    val cb: Array[Array[Array[Float]]] = Array(Array(Array(1f, 0f), Array(0f, 1f)))
+    val cbCopy = cb.map(_.map(_.clone()))
+    val child = org.apache.spark.sql.graftbridge.Bridge.expression(col("embedding"))
+    val e1 = graft.expressions.PQEncodeCodes(child, cb)
+    val e2 = graft.expressions.PQEncodeCodes(child, cbCopy)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode, "PQEncodeCodes equality is reference-based")
+    val l1 = graft.expressions.PQQueryLut(child, cb)
+    val l2 = graft.expressions.PQQueryLut(child, cbCopy)
+    assert(l1 == l2 && l1.hashCode == l2.hashCode, "PQQueryLut equality is reference-based")
+    // and a different codebook must NOT compare equal
+    val other = cb.map(_.map(_.clone())); other(0)(0)(0) = 9f
+    assert(e1 != graft.expressions.PQEncodeCodes(child, other))
   }
 
   test("the split ann_index_build / ann_query_serve bench entries are structurally green") {

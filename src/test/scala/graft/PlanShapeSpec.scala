@@ -155,10 +155,10 @@ class PlanShapeSpec extends SparkTestBase {
     val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", 8, 2)
     val plan = executedPlanString(spans)
     val finalPlan = plan.split("== Initial Plan ==")(0)
-    // the corpus-wide tokenize+md5 generator — the dominant cost — must
+    // the corpus-wide fingerprint generator — the dominant cost — must
     // execute exactly once: the aggregate-and-rejoin form ran it twice
     // (its partial-agg subtree never canonicalized with the probe side)
-    assert("Generate explode".r.findAllIn(finalPlan).size == 1,
+    assert("Generate posexplode".r.findAllIn(finalPlan).size == 1,
       s"span generator appears more than once in the final plan:\n$finalPlan")
     // one shuffle of the fixed-width occurrence relation, shared by both
     // Window operators (dense_rank + its per-span max)
@@ -169,11 +169,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the dense_rank + max window pair:\n$finalPlan")
     // the frequency is computed in-place over the window — no join back
     assert(!finalPlan.contains("Join"), s"span detection still rejoins:\n$finalPlan")
-    // the token array is materialized under the generator, not re-split
-    // per window: the lambda must slice a column reference, so the
-    // explode's input projection carries the split
-    assert(finalPlan.contains("split(text") && finalPlan.contains("span_toks"),
-      s"token array not materialized before the generator:\n$finalPlan")
+    // candidates are fingerprinted by the O(tokens)-per-doc native
+    // rolling hash — the per-window concat+md5 form (a 128-bit crypto
+    // hash per token position, ~2x the query's whole oracle wall time)
+    // must never come back
+    assert(finalPlan.contains("graft_rolling_span_hashes"),
+      s"native rolling window fingerprint missing from the span plan:\n$finalPlan")
+    assert(!finalPlan.contains("md5"), s"per-window md5 crept back into the span plan:\n$finalPlan")
+  }
+
+  test("span text re-derivation joins back only survivors, keeping the candidate path hash-only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val spans = graft.operators.Dedup.repeatedSpansWithText(docs, "doc_id", "text", 8, 2)
+    val plan = executedPlanString(spans)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // exactly one generator (the candidate fingerprint pass) — the text
+    // side re-tokenizes per DOC, never per window, so no second explode
+    assert("Generate posexplode".r.findAllIn(finalPlan).size == 1,
+      s"with-text surface re-exploded the corpus:\n$finalPlan")
+    assert(!finalPlan.contains("md5"), s"md5 in the with-text span plan:\n$finalPlan")
+    // the string slice happens above the join — on surviving rows only
+    assert(finalPlan.contains("concat_ws"), s"span text not re-derived:\n$finalPlan")
   }
 
   test("span cut projection is the native merge scan, not interpreted HOF probes") {
