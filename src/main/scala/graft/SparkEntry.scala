@@ -735,6 +735,24 @@ object SparkEntry {
       // quality gate with per-rule reject reasons: one narrow pass
       Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
         minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)),
+    "curation_lm_gate" -> ((s, dir) => {
+      // the CCNet composition a training-data pipeline runs first:
+      // heuristic quality gate -> train the bigram LM on the KEEP split
+      // -> score EVERY doc -> gate on an absolute log2-perplexity
+      // ceiling (4.95 ~ perplexity 31; the corpus band is ~4.85-5.6, so
+      // the gate meaningfully rejects the high-perplexity tail at every
+      // SF). Hash-graded end to end: quality signals, count tables, and
+      // every log term are the same integer-count log2 recipe that
+      // makes text_lm_perplexity bit-identical in DuckDB.
+      val docs = t(s, dir, "documents")
+      val ref = docs.join(
+        Curation.qualityFilter(docs, "doc_id", "text",
+            minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+          .where(col("keep") === 1)
+          .select("doc_id"),
+        Seq("doc_id"))
+      Curation.lmGate(docs, "doc_id", "text", ref, maxLog2Ppl = 4.95)
+    }),
     "curation_token_budget" -> ((s, dir) =>
       // deterministic token-budget subsample per language stratum
       Curation.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text", "lang", 2000L)),
@@ -1365,6 +1383,43 @@ object SparkEntry {
          LEFT JOIN ugc c2 ON bg.w2 = c2.w
          CROSS JOIN tot
          GROUP BY doc_id""",
+    "curation_lm_gate" ->
+      // the quality keep-split (curation_quality's rounded signals),
+      // then text_lm_perplexity's bit-identical log2 recipe trained on
+      // it, then the absolute gate — one composed replica
+      """WITH sig AS (SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+           FROM documents WHERE text IS NOT NULL),
+         ref AS (SELECT string_split(text, ' ') AS t FROM sig
+                 WHERE n_tokens >= 10 AND bigram_rep <= 0.2 AND alpha_ratio >= 0.8),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                  WHERE text IS NOT NULL),
+         bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT w1, w2, count(*) AS c_bg FROM
+                   (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                    FROM ref WHERE len(t) >= 2) GROUP BY 1, 2),
+         ugc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_total FROM ugc),
+         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-avg(CASE WHEN c_bg IS NOT NULL AND c1.c IS NOT NULL
+               THEN log2(c_bg) - log2(c1.c)
+               ELSE -2.0 + log2(coalesce(c2.c, 1)) - log2(n_total) END), 6) AS log2_ppl
+           FROM bg
+           LEFT JOIN bgc USING (w1, w2)
+           LEFT JOIN ugc c1 ON bg.w1 = c1.w
+           LEFT JOIN ugc c2 ON bg.w2 = c2.w
+           CROSS JOIN tot
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, log2_ppl FROM scored WHERE log2_ppl <= 4.95""",
     "curation_quality" ->
       """WITH sig AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -2257,7 +2312,10 @@ object SparkEntry {
     */
   def capstoneQueries: Seq[String] = Seq(
     "pipeline_curated", "dedup_near_collapsed", "dedup_clusters",
-    "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack"
+    "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack",
+    // heuristic gate -> LM training on the keep split -> perplexity gate:
+    // the composed CCNet-style selection chain
+    "curation_lm_gate"
   )
 
   /** Headline queries for Bench — one per major operator family, heavy

@@ -57,6 +57,48 @@ object Curation {
       .withColumn("keep", col("reject_reason").isNull.cast("bigint"))
   }
 
+  /** CCNet-style language-model quality gate: train a stupid-backoff
+    * bigram LM on `refDocs` (typically the heuristic-quality KEEP split
+    * of the same corpus, or an external clean reference), score every
+    * doc's log2-perplexity against it, and keep docs at or under
+    * `maxLog2Ppl` (perplexity <= 2^maxLog2Ppl). This is the composition
+    * a real training-data pipeline runs after the cheap per-row
+    * signals: heuristics catch structural junk, the LM catches fluent-
+    * looking gibberish the heuristics pass. Output: the gated docs'
+    * (id, n_bigrams, log2_ppl) — join back on id for the full rows.
+    *
+    * Scale shape inherits [[LangModel.perplexityScore]]'s: two
+    * map-side-combinable count aggregations whose state grows with
+    * vocabulary (not corpus), then a scoring join Catalyst broadcasts
+    * when the tables are small. Docs with no bigram (null/one-token
+    * text) have no perplexity evidence and are NOT kept — the
+    * heuristic gate owns the too-short signal, and a gate that
+    * defaulted them to keep would wave through exactly the rows the
+    * model cannot vouch for.
+    */
+  def lmGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refDocs: DataFrame,
+      maxLog2Ppl: Double
+  ): DataFrame = {
+    // the reference split feeds BOTH count aggregations (bigram and
+    // unigram tables key differently, so no exchange can be shared) —
+    // materialize it once instead of running its lineage twice; when
+    // refDocs carries an expensive derivation (the keep split's
+    // repetition signal), the second run costs more than the cache
+    // (measured: 1.94 s -> 1.63 s at sf0.1). Same spill-safe level the
+    // pipeline stages use; at corpus scale the deployment shape is
+    // writing the keep split to storage and passing the read back in.
+    val ref = refDocs.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LangModel.perplexityScore(docs, idCol, textCol,
+        LangModel.bigramCounts(ref, idCol, textCol),
+        LangModel.unigramCounts(ref, idCol, textCol))
+      .where(col("log2_ppl") <= maxLog2Ppl)
+  }
+
   /** Deterministic token-budget subsample per stratum: within each
     * stratum (language, source, ...), order docs by content-hash
     * priority and keep them while the running token count stays within

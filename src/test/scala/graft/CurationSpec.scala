@@ -239,4 +239,32 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getString(1)).toSet
     assert(onlyEn == Set("en"))
   }
+
+  test("lmGate keeps reference-like docs and rejects high-perplexity ones") {
+    // reference corpus: repeated fluent phrasing -> its bigrams dominate
+    // the model; the gibberish doc's bigrams are all unseen, so its
+    // backoff-scored perplexity sits far above any in-domain doc
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (4L, "the dog sat on the rug"),          // in-domain recombination
+      (5L, "zx qv wq jj kx vb pz"),            // out-of-domain gibberish
+      (6L, "one"),                             // no bigram: no evidence -> not kept
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val scored = graft.operators.LangModel.perplexityScore(
+        corpus, "doc_id", "text",
+        graft.operators.LangModel.bigramCounts(ref, "doc_id", "text"),
+        graft.operators.LangModel.unigramCounts(ref, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // gate exactly between the in-domain band and the gibberish score
+    val cut = (scored.filterNot(_._1 == 5L).values.max + scored(5L)) / 2
+    val kept = Curation.lmGate(corpus, "doc_id", "text", ref, maxLog2Ppl = cut)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept (scores: $scored, cut $cut)")
+  }
 }
