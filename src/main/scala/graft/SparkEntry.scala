@@ -1086,6 +1086,58 @@ object SparkEntry {
           (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
           max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
     }),
+    "similarity_ivfpq_residual" -> ((s, dir) => {
+      // FAISS by_residual=true under the dot-product metric: codes
+      // quantize each vector's offset from its coarse centroid and the
+      // query adds dot(q, cent_cell) back per probed cell — same M-byte
+      // budget, tighter distribution for the codebooks to cover.
+      // Training is estimator-internal (like similarity_ivfpq), so the
+      // per-query flags are structural, but the ERROR flags are
+      // value-graded in-query: residual ADC cosine MAE must clear the
+      // pinned ceiling AND must not exceed the plain-PQ MAE at the same
+      // code budget (measured drop 2-3% across sf0.001-sf0.1 — bounded
+      // by the near-isotropic embeddings; see ResidualPQErrorCeiling).
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val cbRes = Similarity.trainResidualCodebooks(
+        emb, "vec_id", "embedding", coarse, numSub = 16, nCentroids = 64)
+      val cbPlain = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val q = emb.where(col("vec_id") < 20)
+      val flags = Similarity.ivfPqResidualTopK(
+          q, emb, "vec_id", "embedding", k = 5, coarse, nprobe = 4, cbRes)
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
+          (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+      // per-pair absolute cosine error of both coding schemes, one scan
+      val centArr = typedLit(coarse.map(_.toSeq).toSeq)
+      val qSide = broadcast(q.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        Similarity.pqLut(col("embedding"), cbRes).as("lut_r"),
+        Similarity.pqLut(col("embedding"), cbPlain).as("lut_p"),
+        Similarity.l2Norm(col("embedding")).as("q_norm")))
+      val errs = Similarity.pqResidualIndex(emb, "vec_id", "embedding", coarse, cbRes)
+        .join(Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cbPlain)
+            .select(col("neighbor_id"), col("codes").as("codes_p")),
+          Seq("neighbor_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec")),
+          Seq("neighbor_id"))
+        .crossJoin(qSide)
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(
+          abs((Similarity.dot(col("q_vec"), element_at(centArr, col("cell") + 1).cast("array<float>"))
+              + Similarity.pqAdcDot(col("lut_r"), col("codes"), 64))
+              / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("err_r"),
+          abs(Similarity.pqAdcDot(col("lut_p"), col("codes_p"), 64) / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("err_p"))
+        .agg(avg("err_r").as("mae_r"), avg("err_p").as("mae_p"))
+      flags.crossJoin(errs.select(
+        (col("mae_r") <= Similarity.ResidualPQErrorCeiling).cast("bigint").as("error_ok"),
+        (col("mae_r") <= col("mae_p")).cast("bigint").as("improved")))
+    }),
     "ann_index_build" -> ((s, dir) => {
       // The INGEST half of IVF-PQ benched on its own: quantizer training
       // (driver k-means over a bounded sample — coarse + 16 subspace
@@ -1968,6 +2020,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
          CAST(0 AS BIGINT) AS self_hits
+         FROM embeddings WHERE vec_id < 20""",
+    "similarity_ivfpq_residual" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
+         CAST(0 AS BIGINT) AS self_hits, CAST(1 AS BIGINT) AS error_ok,
+         CAST(1 AS BIGINT) AS improved
          FROM embeddings WHERE vec_id < 20""",
     "ann_index_build" ->
       """SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS cells_ok,

@@ -97,6 +97,114 @@ case class PQEncodeCodes(child: Expression, codebooks: Array[Array[Array[Float]]
     copy(child = newChild)
 }
 
+/** Residual PQ codes (FAISS `by_residual=true`): the vector's OFFSET
+  * from its coarse centroid is what gets product-quantized, not the
+  * vector itself — `codes = encode(v - coarseCents[cell])`. Residuals
+  * concentrate near zero once the coarse quantizer has absorbed the
+  * cell's mean, so the same code budget spends its centroids on a
+  * tighter distribution and the quantization error drops. The residual
+  * is never materialized as a column: this expression fuses the
+  * subtraction into the subspace argmin scan, so the index build stays
+  * one narrow projection.
+  *
+  * Under the dot-product metric the decomposition is additive —
+  * `dot(q, v) ~ dot(q, cent_cell) + adc(lut, codes)` with the SAME
+  * global-codebook LUT ([[PQQueryLut]] over the residual codebooks);
+  * the per-cell-LUT cost FAISS pays for L2 residuals never arises, so
+  * the query path stays M lookups plus one precomputed scalar.
+  *
+  * NULL-poisons like [[PQEncodeCodes]], plus when the cell is null or
+  * out of range of the coarse centroid table.
+  */
+case class PQEncodeResidualCodes(
+    left: Expression,
+    right: Expression,
+    coarseCents: Array[Array[Float]],
+    codebooks: Array[Array[Array[Float]]]
+) extends BinaryExpression {
+  require(coarseCents.nonEmpty, "empty coarse centroids")
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+  require(codebooks.forall(_.length <= 256), "a PQ codebook holds at most 256 centroids")
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)), "ragged codebook centroids")
+  require(coarseCents.forall(_.length == codebooks.length * subDim),
+    "coarse centroid dimension must equal numSub x subDim")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode_residual expects (array<float>, int cell), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode_residual"
+
+  def compute(vecRaw: Any, cellRaw: Any): Any = {
+    val vec = vecRaw.asInstanceOf[ArrayData]
+    val cell = cellRaw.asInstanceOf[Int]
+    val m = codebooks.length
+    if (vec.numElements() != m * subDim) return null
+    if (cell < 0 || cell >= coarseCents.length) return null
+    val cent = coarseCents(cell)
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          if (vec.isNullAt(base + i)) return null
+          val r = vec.getFloat(base + i).toDouble - cent(base + i)
+          val diff = r - c(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(codes.map(b => b: Any))
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = compute(v, c)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeRes", this, classOf[PQEncodeResidualCodes].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+       |Object r = $ref.compute($v, $c);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+     """.stripMargin)
+  }
+
+  // content-based equality for both Array model fields — see PQEncodeCodes
+  override def equals(other: Any): Boolean = other match {
+    case that: PQEncodeResidualCodes => left == that.left && right == that.right &&
+      java.util.Arrays.deepEquals(
+        coarseCents.asInstanceOf[Array[AnyRef]], that.coarseCents.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * left.hashCode + right.hashCode)
+      + java.util.Arrays.deepHashCode(coarseCents.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-query asymmetric-distance lookup table: for query vector q,
   * `lut[m * K + j] = dot(q_sub_m, codebooks(m)(j))` flattened over all
   * M subspaces (K = the uniform codebook size). Computed ONCE per

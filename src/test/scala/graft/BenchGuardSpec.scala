@@ -66,11 +66,14 @@ class BenchGuardSpec extends AnyFunSuite {
     // in codebook training or ADC scoring could otherwise be absorbed
     // by silently loosening them. Measured bands at M=16/K=64 across
     // sf0.001-sf0.1: recall@10 0.29-0.42 (random scan ~0.5-2%), cosine
-    // MAE 0.036-0.041 (similarity spread 0.125).
+    // MAE 0.036-0.041 plain / 0.035-0.040 residual (similarity spread
+    // 0.125). The plain ceiling tightened 0.08 -> 0.06 in round 10.
     assert(graft.operators.Similarity.PQRecallFloor == 0.15,
       s"PQ recall floor moved from its pinned 0.15: ${graft.operators.Similarity.PQRecallFloor}")
-    assert(graft.operators.Similarity.PQErrorCeiling == 0.08,
-      s"PQ error ceiling moved from its pinned 0.08: ${graft.operators.Similarity.PQErrorCeiling}")
+    assert(graft.operators.Similarity.PQErrorCeiling == 0.06,
+      s"PQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.PQErrorCeiling}")
+    assert(graft.operators.Similarity.ResidualPQErrorCeiling == 0.06,
+      s"residual PQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.ResidualPQErrorCeiling}")
   }
 
   test("the IVF recall floor is pinned and cannot drift downward") {

@@ -550,6 +550,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("residual IVF-PQ is exact when residuals sit on the codebooks") {
+    import org.apache.spark.sql.functions.col
+    // two coarse cells on distinct axes; residual codebooks that contain
+    // the exact offsets used to build the vectors -> reconstruction is
+    // lossless, so qdot + residual ADC must equal the exact dot product
+    // and the indexed top-k must equal brute force
+    val coarse: Array[Array[Float]] = Array(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f))
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(1f, 0f), Array(0f, 1f)),   // subspace over dims 0-1
+      Array(Array(0f, 0f), Array(2f, 0f), Array(0f, 2f)))   // subspace over dims 2-3
+    val combos = for {
+      (cent, ci) <- coarse.zipWithIndex
+      (r0, i) <- cb(0).zipWithIndex; (r1, j) <- cb(1).zipWithIndex
+    } yield ((ci * 9 + i * 3 + j).toLong,
+      Seq(cent(0) + r0(0), cent(1) + r0(1), cent(2) + r1(0), cent(3) + r1(1)))
+    val vecs = combos.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = vecs.where(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = 2 of 2 cells: the cell pruning admits everything, so any
+    // difference from brute force would be ADC/residual error — zero here
+    val res = Similarity.ivfPqResidualTopK(q, vecs, "vec_id", "embedding", 3, coarse, 2, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res == exact, s"residual $res vs exact $exact")
+    // dirty input: an out-of-range cell NULL-poisons the encode
+    val bad = vecs.select(org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.PQEncodeResidualCodes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("embedding")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(org.apache.spark.sql.functions.lit(7)),
+        coarse, cb)))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
   test("PQ expressions with equal codebook CONTENT compare equal") {
     import org.apache.spark.sql.functions.col
     // Array fields compare by reference under case-class equality, which

@@ -421,4 +421,26 @@ class PlanShapeSpec extends SparkTestBase {
     // the query side (lut + norm) rides a broadcast
     assert(finalPlan.contains("BroadcastExchange"), s"query side not broadcast:\n$finalPlan")
   }
+
+  test("residual IVF-PQ serve path keeps the additive decomposition out of the probe loop") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = graft.operators.Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = graft.operators.Similarity.trainResidualCodebooks(emb, "vec_id", "embedding", coarse, 16, 64)
+    val out = graft.operators.Similarity.ivfPqResidualTopK(
+      emb.where(col("vec_id") < 25), emb, "vec_id", "embedding", 10, coarse, 2, cb)
+    val plan = executedPlanString(out)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the residual subtraction is fused into the ingest-side encode —
+    // no residual vector column, no per-cell LUT recomputation
+    assert(finalPlan.contains("graft_pq_encode_residual"),
+      s"residual encode expression missing:\n$finalPlan")
+    assert("graft_pq_lut".r.findAllIn(finalPlan).size == 1,
+      s"per-query LUT must be computed once, not per cell:\n$finalPlan")
+    // probe side scores via ADC + the precomputed qdot scalar; the
+    // broadcast query relation is the only place vectors reach the join
+    assert(finalPlan.contains("graft_pq_adc"), s"ADC missing from the probe:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastExchange"), s"query side not broadcast:\n$finalPlan")
+    assert(finalPlan.contains("partial_graft_top_k"),
+      s"bounded top-k not partially aggregated map-side:\n$finalPlan")
+  }
 }
