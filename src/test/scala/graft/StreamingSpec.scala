@@ -254,6 +254,88 @@ class StreamingSpec extends SparkTestBase {
       s"expected 3 deduped docs of mass per hash row, got $perJ")
   }
 
+  test("DIFFERENTIAL: streamed windowedCmsGrid equals the batch aggregation on the same rows") {
+    // the batch/stream differential oracle: the SAME rows through the
+    // MemoryStream path (incrementally, across two micro-batches) and
+    // through the identical plan run as a plain batch query must
+    // produce the SAME grid, cell for cell — any divergence in hashing,
+    // windowing, or incremental merge shows up as a set difference
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      (ts("2024-01-01 00:05:00"), "alpha"), (ts("2024-01-01 00:10:00"), "alpha"),
+      (ts("2024-01-01 00:20:00"), "beta"), (ts("2024-01-01 00:40:00"), "gamma"),
+      (ts("2024-01-01 01:05:00"), "alpha"))
+    val batch2 = Seq(
+      (ts("2024-01-01 01:15:00"), "beta"), (ts("2024-01-01 01:20:00"), "alpha"),
+      (ts("2024-01-01 00:50:00"), "alpha")) // late-but-in-horizon row merges into window 0
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.windowedCmsGrid(
+      input.toDF().toDF("ts", "tok"), "ts", "tok", "1 hour", "2 hours", depth = 4, width = 64)
+    // Complete mode: the memory sink holds the final aggregation state,
+    // directly comparable to the one-shot batch result
+    val query = out.writeStream.format("memory").queryName("cms_diff")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getInt(2), r.getInt(3), r.getLong(4))
+      val streamed = spark.table("cms_diff").collect().map(key).toSet
+      val batched = Streams.windowedCmsGrid(
+          (batch1 ++ batch2).toDF("ts", "tok"), "ts", "tok", "1 hour", "2 hours", depth = 4, width = 64)
+        .collect().map(key).toSet
+      assert(streamed == batched,
+        s"stream/batch grids diverged:\nonly-stream=${streamed -- batched}\nonly-batch=${batched -- streamed}")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("DIFFERENTIAL: streamed dedupNearSignature keeps exactly one row per batch signature group") {
+    // same rows through the stream and through the batch signature
+    // computation: the stream's kept set must contain exactly one
+    // representative per distinct batch-side signature (plus every
+    // null-text row), and the kept rows' own signatures must be
+    // pairwise distinct — signature-dedup equivalence up to
+    // representative choice, which batch dropDuplicates leaves
+    // unspecified too
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog"),
+      (ts("2024-01-01 00:05:00"), "the quick brown fox jumps over the lazy dog"),
+      (ts("2024-01-01 00:10:00"), "completely different words about spark engines here"),
+      (ts("2024-01-01 00:15:00"), "tiny"),
+      (ts("2024-01-01 00:20:00"), "tiny"),
+      (ts("2024-01-01 00:25:00"), "another corpus entry with its own words"))
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.dedupNearSignature(input.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val query = out.writeStream.format("memory").queryName("ndd_diff")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      // batch-side signature of a text, via the same expression chain
+      def sigCol = {
+        val sigs = org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.MinHashSignatures(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              org.apache.spark.sql.functions.split($"text", " ")), 8))
+        when(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split($"text", " ")) < 2,
+            org.apache.spark.sql.functions.md5($"text".cast("binary")))
+          .otherwise(org.apache.spark.sql.functions.concat_ws("|", sigs.cast("array<string>")))
+      }
+      val batchSigs = rows.toDF("ts", "text").select(sigCol).collect().map(_.getString(0)).toSet
+      val keptSigs = spark.table("ndd_diff").select(sigCol).collect().map(_.getString(0)).toSeq
+      assert(keptSigs.distinct.size == keptSigs.size, s"stream kept two rows of one signature: $keptSigs")
+      assert(keptSigs.toSet == batchSigs,
+        s"kept signatures != batch-distinct signatures:\nkept=$keptSigs\nbatch=$batchSigs")
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
