@@ -194,10 +194,13 @@ object Similarity {
       s
     }
 
-    // k-means++ seeding
+    // k-means++ seeding with the min-distance cache updated
+    // incrementally per new centroid — O(k n) distance evaluations
+    // instead of the O(k^2 n) full recompute, same draws and therefore
+    // bit-identical centroids (min over centroids is order-free)
     val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(rnd.nextInt(sample.length)))
+    val dists = sample.map(p => d2(p, cents(0)))
     while (cents.length < math.min(k, sample.length)) {
-      val dists = sample.map(p => cents.map(c => d2(p, c)).min)
       val total = dists.sum
       if (total <= 0) cents += sample(rnd.nextInt(sample.length))
       else {
@@ -205,6 +208,13 @@ object Similarity {
         var i = 0
         while (i < sample.length - 1 && target > dists(i)) { target -= dists(i); i += 1 }
         cents += sample(i)
+      }
+      val latest = cents.last
+      var p = 0
+      while (p < sample.length) {
+        val d = d2(sample(p), latest)
+        if (d < dists(p)) dists(p) = d
+        p += 1
       }
     }
     // Lloyd iterations (driver-side over the bounded sample)
@@ -455,10 +465,24 @@ object Similarity {
       s"trainProductCodebooks: ragged sample — every $vecCol must have dimension $dim")
     require(dim % numSub == 0, s"dimension $dim not divisible into $numSub subspaces")
     val subDim = dim / numSub
-    Array.tabulate(numSub) { m =>
+    fitSubspaces(numSub) { m =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
       kmeansFit(sub, nCentroids, iters, seed + m).map(_.map(_.toFloat))
     }
+  }
+
+  /** Run the `numSub` independent per-subspace k-means fits
+    * concurrently on the driver — each fit is seeded by its own
+    * subspace index, so the result is bit-identical to the sequential
+    * loop while the wall time drops by ~min(numSub, cores). Driver-side
+    * parallelism over an already-bounded sample, not a substitute for
+    * distributed work (the full-corpus ENCODE is distributed).
+    */
+  private def fitSubspaces(numSub: Int)(fit: Int => Array[Array[Float]]): Array[Array[Array[Float]]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse((0 until numSub).toList)(m => Future(fit(m))), Duration.Inf).toArray
   }
 
   /** PQ byte codes for a vector column — `array<tinyint>` of length
@@ -620,7 +644,7 @@ object Similarity {
       val cent = coarseCents(best)
       Array.tabulate(dim)(i => v(i) - cent(i))
     }
-    Array.tabulate(numSub) { m =>
+    fitSubspaces(numSub) { m =>
       val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
       kmeansFit(sub, nCentroids, iters, seed + m).map(_.map(_.toFloat))
     }
