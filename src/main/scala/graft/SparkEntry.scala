@@ -1138,6 +1138,49 @@ object SparkEntry {
         (col("mae_r") <= Similarity.ResidualPQErrorCeiling).cast("bigint").as("error_ok"),
         (col("mae_r") <= col("mae_p")).cast("bigint").as("improved")))
     }),
+    "similarity_opq" -> ((s, dir) => {
+      // OPQ (Ge et al. 2013, eigenvalue-allocation variant): an
+      // orthogonal pre-rotation balances per-subspace variance before
+      // product quantization. Training is estimator-internal
+      // (eigendecomposition + k-means), so the per-query flags are
+      // structural; the ERROR flags are value-graded in-query: rotated
+      // ADC cosine MAE must clear the pinned ceiling and must not be
+      // materially worse than plain PQ (on this near-isotropic corpus
+      // OPQ is measurably a no-op — the documented expected result; the
+      // crafted-anisotropy win lives in DedupSimilaritySpec).
+      val emb = t(s, dir, "embeddings")
+      val (r, cbO) = Similarity.trainOpqRotation(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val cbPlain = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val q = emb.where(col("vec_id") < 20)
+      val flags = Similarity.opqTopK(q, emb, "vec_id", "embedding", k = 5, r, cbO)
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
+          (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+      val qSide = broadcast(q.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        Similarity.pqLut(Similarity.rotate(col("embedding"), r), cbO).as("lut_o"),
+        Similarity.pqLut(col("embedding"), cbPlain).as("lut_p"),
+        Similarity.l2Norm(col("embedding")).as("q_norm")))
+      val errs = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+          Similarity.pqCodes(Similarity.rotate(col("embedding"), r), cbO).as("codes_o"),
+          Similarity.pqCodes(col("embedding"), cbPlain).as("codes_p"),
+          Similarity.l2Norm(col("embedding")).as("c_norm"))
+        .crossJoin(qSide)
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(
+          abs(Similarity.pqAdcDot(col("lut_o"), col("codes_o"), 64) / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("err_o"),
+          abs(Similarity.pqAdcDot(col("lut_p"), col("codes_p"), 64) / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("err_p"))
+        .agg(avg("err_o").as("mae_o"), avg("err_p").as("mae_p"))
+      flags.crossJoin(errs.select(
+        (col("mae_o") <= Similarity.OpqErrorCeiling).cast("bigint").as("error_ok"),
+        (col("mae_o") <= col("mae_p") * Similarity.OpqWorseRatio).cast("bigint").as("not_worse")))
+    }),
     "ann_index_build" -> ((s, dir) => {
       // The INGEST half of IVF-PQ benched on its own: quantizer training
       // (driver k-means over a bounded sample — coarse + 16 subspace
@@ -2026,6 +2069,12 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
          CAST(0 AS BIGINT) AS self_hits, CAST(1 AS BIGINT) AS error_ok,
          CAST(1 AS BIGINT) AS improved
+         FROM embeddings WHERE vec_id < 20""",
+    "similarity_opq" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
+         CAST(0 AS BIGINT) AS self_hits, CAST(1 AS BIGINT) AS error_ok,
+         CAST(1 AS BIGINT) AS not_worse
          FROM embeddings WHERE vec_id < 20""",
     "ann_index_build" ->
       """SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS cells_ok,

@@ -97,6 +97,79 @@ case class PQEncodeCodes(child: Expression, codebooks: Array[Array[Array[Float]]
     copy(child = newChild)
 }
 
+/** Orthogonal rotation of a float vector: `y = R x` with `R` a dim x
+  * dim matrix (rows dotted against the input). The OPQ pre-transform
+  * ([[graft.operators.Similarity.trainOpqRotation]]): rotating before
+  * product quantization re-distributes variance across the subspaces so
+  * the per-subspace codebooks spend their centroids where the data
+  * actually varies, and because R is orthogonal every dot product and
+  * norm is preserved — ADC scores computed in the rotated space rank
+  * candidates for the ORIGINAL vectors. A narrow per-row projection;
+  * NULL-poisons on a dimension mismatch or null element like the other
+  * PQ expressions.
+  */
+case class RotateVector(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.length),
+    "rotation matrix must be square")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rotate expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_rotate"
+
+  def compute(vecRaw: Any): Any = {
+    val vec = vecRaw.asInstanceOf[ArrayData]
+    val d = matrix.length
+    if (vec.numElements() != d) return null
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (vec.isNullAt(i)) return null
+      x(i) = vec.getFloat(i).toDouble
+      i += 1
+    }
+    val y = new Array[Float](d)
+    i = 0
+    while (i < d) {
+      val row = matrix(i)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += row(j) * x(j); j += 1 }
+      y(i) = acc.toFloat
+      i += 1
+    }
+    new GenericArrayData(y.map(f => f: Any))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotate", this, classOf[RotateVector].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |Object r = $ref.compute($v);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+     """.stripMargin)
+  }
+
+  // content-based equality for the Array matrix — see PQEncodeCodes
+  override def equals(other: Any): Boolean = other match {
+    case that: RotateVector => child == that.child &&
+      java.util.Arrays.deepEquals(
+        matrix.asInstanceOf[Array[AnyRef]], that.matrix.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.deepHashCode(matrix.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Residual PQ codes (FAISS `by_residual=true`): the vector's OFFSET
   * from its coarse centroid is what gets product-quantized, not the
   * vector itself — `codes = encode(v - coarseCents[cell])`. Residuals

@@ -74,6 +74,10 @@ class BenchGuardSpec extends AnyFunSuite {
       s"PQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.PQErrorCeiling}")
     assert(graft.operators.Similarity.ResidualPQErrorCeiling == 0.06,
       s"residual PQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.ResidualPQErrorCeiling}")
+    assert(graft.operators.Similarity.OpqErrorCeiling == 0.06,
+      s"OPQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.OpqErrorCeiling}")
+    assert(graft.operators.Similarity.OpqWorseRatio == 1.15,
+      s"OPQ worse-ratio bound moved from its pinned 1.15: ${graft.operators.Similarity.OpqWorseRatio}")
   }
 
   test("the IVF recall floor is pinned and cannot drift downward") {

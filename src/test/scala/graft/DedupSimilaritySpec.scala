@@ -584,6 +584,64 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(bad.collect().forall(_.isNullAt(0)))
   }
 
+  test("OPQ rotation crushes quantization error on anisotropic data and preserves geometry") {
+    import org.apache.spark.sql.functions.col
+    // variance lives in dims 0 and 1 — BOTH in plain PQ's first
+    // subspace at M=2 — while dims 2,3 are near-constant: the first
+    // codebook must cover a 4x4 grid with K=4 centroids (big error)
+    // and the second idles. The eigenvalue-allocation rotation sends
+    // one high-variance direction to each subspace, making K=4
+    // per-subspace coding near-lossless.
+    val aniso = (0L until 256L).map { i =>
+      val s = (i % 4).toFloat * 10f
+      val tt = ((i / 4) % 4).toFloat * 10f
+      val e = ((i / 16) % 4).toFloat * 0.05f
+      val e2 = ((i / 64) % 4).toFloat * 0.05f
+      (i, Seq(s + 1f, tt + 1f, e, e2))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    def maeOf(rot: Option[Array[Array[Float]]], cb: Array[Array[Array[Float]]]): Double = {
+      val vec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        v => rot.map(Similarity.rotate(v, _)).getOrElse(v)
+      val c = aniso.select(col("vec_id").as("nid"), col("embedding").as("c_vec"),
+        Similarity.pqCodes(vec(col("embedding")), cb).as("codes"),
+        Similarity.l2Norm(col("embedding")).as("c_norm"))
+      val q = aniso.where(col("vec_id") < 16).select(
+        col("vec_id").as("qid"), col("embedding").as("q_vec"),
+        Similarity.pqLut(vec(col("embedding")), cb).as("lut"),
+        Similarity.l2Norm(col("embedding")).as("q_norm"))
+      c.crossJoin(org.apache.spark.sql.functions.broadcast(q)).where(col("nid") =!= col("qid"))
+        .select(abs(
+          Similarity.pqAdcDot(col("lut"), col("codes"), 4) / (col("q_norm") * col("c_norm"))
+            - Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    val cbPlain = Similarity.trainProductCodebooks(aniso, "vec_id", "embedding", 2, 4)
+    val (r, cbOpq) = Similarity.trainOpqRotation(aniso, "vec_id", "embedding", 2, 4)
+    val maePlain = maeOf(None, cbPlain)
+    val maeOpq = maeOf(Some(r), cbOpq)
+    assert(maePlain > 0.1, s"crafted case no longer stresses plain PQ: $maePlain")
+    assert(maeOpq < maePlain * 0.01,
+      s"OPQ rotation failed to concentrate variance: plain $maePlain vs opq $maeOpq")
+
+    // R is orthogonal: R R^T = I (so dot products and norms are
+    // preserved and ADC ranks transfer to the original vectors)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"R not orthogonal at ($i,$j): $dot")
+    }
+    // and the rotated column preserves norms bit-close
+    val norms = aniso.select(
+        Similarity.l2Norm(col("embedding")).as("n0"),
+        Similarity.l2Norm(Similarity.rotate(col("embedding"), r)).as("n1"))
+      .collect()
+    norms.foreach(rr => assert(math.abs(rr.getDouble(0) - rr.getDouble(1)) < 1e-3,
+      s"rotation changed a norm: ${rr.getDouble(0)} vs ${rr.getDouble(1)}"))
+  }
+
   test("PQ expressions with equal codebook CONTENT compare equal") {
     import org.apache.spark.sql.functions.col
     // Array fields compare by reference under case-class equality, which
