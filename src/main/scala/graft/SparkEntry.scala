@@ -735,6 +735,33 @@ object SparkEntry {
       // quality gate with per-rule reject reasons: one narrow pass
       Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
         minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)),
+    "text_bpe_tokens" -> ((s, dir) => {
+      // learned-subword tokenization: BPE merges trained on the even-id
+      // half of the corpus (Sennrich-style, driver-side over the
+      // bounded sample), applied to EVERY doc as a native per-row
+      // expression. Training is estimator-internal, so the oracle
+      // grades the properties derivable in-query, value-level:
+      //  - roundtrip_ok: the token stream concatenates back to the
+      //    exact word stream (each word + '</w>') — BPE segmentation is
+      //    lossless by construction, so any drift here is a real bug;
+      //  - bounds_ok: word count <= token count <= char count + word
+      //    count (one token per word minimum; character fallback
+      //    maximum — the open-vocabulary property).
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTokenizer.train(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", numMerges = 200)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          graft.operators.BpeTokenizer.encode(col("text"), merges).as("toks"))
+        .select(
+          col("doc_id"),
+          (concat_ws("", col("toks")) ===
+            concat_ws("", expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '</w>'))")))
+            .cast("bigint").as("roundtrip_ok"),
+          (size(col("toks")) >= size(expr("filter(split(text, ' '), w -> w != '')")) &&
+            size(col("toks")) <= length(col("text")) + size(expr("filter(split(text, ' '), w -> w != '')")))
+            .cast("bigint").as("bounds_ok"))
+    }),
     "curation_lm_gate" -> ((s, dir) => {
       // the CCNet composition a training-data pipeline runs first:
       // heuristic quality gate -> train the bigram LM on the KEEP split
@@ -1478,6 +1505,9 @@ object SparkEntry {
          LEFT JOIN ugc c2 ON bg.w2 = c2.w
          CROSS JOIN tot
          GROUP BY doc_id""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok, CAST(1 AS BIGINT) AS bounds_ok
+         FROM documents WHERE text IS NOT NULL""",
     "curation_lm_gate" ->
       // the quality keep-split (curation_quality's rounded signals),
       // then text_lm_perplexity's bit-identical log2 recipe trained on

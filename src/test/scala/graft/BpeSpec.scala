@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTokenizer
+
+/** Learned-subword (BPE) tokenizer: training procedure and native
+  * encoder, checked against a hand-computed merge sequence.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("train learns the hand-computed merge sequence on the classic corpus") {
+    // words: low x3, lower x2. Hand-run of Sennrich's procedure with
+    // the lexicographic-min tiebreak:
+    //   counts (l,o)=5 (o,w)=5 (w,</w>)=3 (w,e)=2 (e,r)=2 (r,</w>)=2
+    //   -> (l,o) by tiebreak, then (lo,w), (low,</w>), then the 2-count
+    //   tier resolves lexicographically: (e,r), (er,</w>), (low,er</w>)
+    val d = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(d, "doc_id", "text", numMerges = 10)
+    assert(merges.toSeq == Seq(
+      ("l", "o"), ("lo", "w"), ("low", "</w>"),
+      ("e", "r"), ("er", "</w>"), ("low", "er</w>")),
+      s"got ${merges.toSeq}")
+    // early stop: after every repeated pair is merged, no pair occurs
+    // twice — the trainer must not pad to numMerges with singletons
+    assert(merges.length == 6)
+  }
+
+  test("encode applies merges greedily by rank; unseen chars stay open-vocabulary") {
+    val d = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(d, "doc_id", "text", numMerges = 10)
+    val toks = Seq("low lower lowest").toDF("text")
+      .select(BpeTokenizer.encode(col("text"), merges))
+      .head().getSeq[String](0)
+    // "low" and "lower" collapse to single learned tokens; "lowest"
+    // reuses the "low" prefix merge and falls back to characters for
+    // the unseen suffix — no OOV, ever
+    assert(toks == Seq("low</w>", "lower</w>", "low", "e", "s", "t", "</w>"), s"got $toks")
+    // token counting for budget/packing surfaces
+    val n = Seq("low lower lowest").toDF("text")
+      .select(BpeTokenizer.tokenCount(col("text"), merges)).head().getInt(0)
+    assert(n == 7)
+    // null text: null out, not a crash or empty stream
+    val nullRow = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(BpeTokenizer.encode(col("text"), merges)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("training is deterministic and the encoder roundtrips the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val m1 = BpeTokenizer.train(ref, "doc_id", "text", numMerges = 100)
+    val m2 = BpeTokenizer.train(ref, "doc_id", "text", numMerges = 100)
+    assert(m1.toSeq == m2.toSeq, "same sample produced different merge lists")
+    assert(m1.length == 100, s"corpus should support 100 merges, got ${m1.length}")
+    // lossless segmentation: tokens concatenate back to the word stream
+    val bad = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("", BpeTokenizer.encode(col("text"), m1)).as("joined"),
+        concat_ws("", expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '</w>'))")).as("expected"))
+      .where(col("joined") =!= col("expected"))
+      .count()
+    assert(bad == 0, s"$bad docs failed the BPE roundtrip")
+    // and merges genuinely compress: learned-token count strictly below
+    // the character-fallback count on the corpus
+    val counts = docs.where(col("text").isNotNull)
+      .agg(
+        sum(size(BpeTokenizer.encode(col("text"), m1))).as("bpe"),
+        sum(size(BpeTokenizer.encode(col("text"), Array.empty[(String, String)]))).as("chars"))
+      .head()
+    assert(counts.getLong(0) < counts.getLong(1) / 2,
+      s"100 merges should at least halve the char-level stream: ${counts.toSeq}")
+  }
+
+  test("supplementary-plane characters stay whole symbols") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val toks = Seq(s"$emoji$emoji ok").toDF("text")
+      .select(BpeTokenizer.encode(col("text"), Array.empty[(String, String)]))
+      .head().getSeq[String](0)
+    assert(toks == Seq(emoji, emoji, "</w>", "o", "k", "</w>"), s"got $toks")
+  }
+}
