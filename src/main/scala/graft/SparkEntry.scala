@@ -905,6 +905,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, nGroups = 4)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      // banded simhash pairing at Hamming <= 2: the oracle computes a
+      // literal all-pairs Hamming scan over the same fingerprints, so a
+      // hash match proves the pigeonhole banding is exhaustive AND the
+      // popcount verification exact — not just that both sides agree on
+      // some candidate heuristic
+      Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 2)),
     "dedup_jaccard" -> ((s, dir) => {
       // full corpus, no input cap: LSH candidates -> same-language
       // filter -> exact Jaccard verify. Blocking (lang) is a filter on
@@ -1839,6 +1847,20 @@ object SparkEntry {
                FROM tk CROSS JOIN range(0, 16) r(j)),
          s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j)
          SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS simhash FROM s GROUP BY doc_id""",
+    "dedup_simhash_pairs" ->
+      // the same fingerprint construction as dedup_simhash, then a
+      // LITERAL all-pairs Hamming filter — grading the banded Spark
+      // plan's completeness against brute force
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         b AS (SELECT doc_id, j,
+                      CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+               FROM tk CROSS JOIN range(0, 16) r(j)),
+         s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j),
+         fp AS (SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS f FROM s GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 2""",
     "dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,
@@ -2465,7 +2487,8 @@ object SparkEntry {
     "sum_per_key", "distinct_count_per_key", "top_k_per_key", "latest_per_key",
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
-    "text_quality", "text_lm_perplexity", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "text_quality", "text_lm_perplexity", "text_bpe_tokens",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
     // the IVF-PQ tier benches as split build/serve entries: the composed

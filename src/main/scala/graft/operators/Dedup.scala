@@ -372,6 +372,61 @@ object Dedup {
             org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
             bits)).as("simhash"))
 
+  /** SimHash near-duplicate PAIRS — banded (pigeonhole) candidate
+    * generation plus exact Hamming verification, the fingerprint-side
+    * sibling of [[nearDuplicates]]: any two fingerprints within
+    * `maxHamming` differing bits must agree EXACTLY on at least one of
+    * `maxHamming + 1` disjoint bit bands (the differing bits cannot
+    * touch every band), so candidates are same-(band, band-bits) join
+    * matches — a hash-partitioned equality join over 2^bandWidth
+    * buckets, never an all-pairs scan — and each candidate is verified
+    * with the exact popcount of the XOR. The banding is EXHAUSTIVE by
+    * construction (no recall loss, unlike MinHash-LSH's probabilistic
+    * bands), which the DuckDB oracle checks against a literal all-pairs
+    * Hamming scan. Output: (a_id, b_id, hamming), one row per
+    * qualifying pair.
+    *
+    * Plan shape mirrors [[lshCandidatePairs]]: the fingerprint+band
+    * subtree computes once and both self-join sides reuse its exchange
+    * (shuffle-file-backed), the join is hinted shuffle-hash, and the
+    * final distinct dedups pairs that matched in several bands. Rows
+    * are (id, int, int, int) fixed width — the shuffle carries
+    * fingerprints, never text.
+    */
+  def simhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      maxHamming: Int = 2
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
+    val nBands = maxHamming + 1
+    val base = bits / nBands
+    val extra = bits % nBands
+    val widths = Array.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val fp = simhash(docs, idCol, textCol, bits)
+      .select(col(idCol).as("sid"), col("simhash").as("fp"))
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), shifts(b)).bitwiseAND(lit((1 << widths(b)) - 1)).as("bsig"))
+    }
+    val banded = fp
+      .select(col("sid"), col("fp"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("sid"), col("fp"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val a = banded.select(col("sid").as("a_id"), col("fp").as("a_fp"), col("band"), col("bsig"))
+    val b = banded.select(col("sid").as("b_id"), col("fp").as("b_fp"), col("band"), col("bsig"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "bsig"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** n-gram (word-set) Jaccard over ALL pairs within a `blockCol` block
     * (e.g. language). SMALL-BLOCK EXACT VERIFY ONLY: the per-block join
     * is quadratic in block size, so this form is for bounded blocks

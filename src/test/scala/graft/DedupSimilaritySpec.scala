@@ -187,6 +187,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hammingNear <= hammingFar, s"near=$hammingNear far=$hammingFar")
   }
 
+  test("simhash banded pairing equals the brute-force Hamming scan exactly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = Dedup.simhash(corpus, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def brute(maxH: Int) = (for {
+      (ida, fa) <- fp
+      (idb, fb) <- fp
+      if ida < idb
+      h = Integer.bitCount(fa ^ fb)
+      if h <= maxH
+    } yield (ida, idb, h)).toSet
+    // pigeonhole completeness + popcount exactness at the default radius
+    val banded2 = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded2 == brute(2),
+      s"banded != brute: only-banded=${banded2 -- brute(2)} only-brute=${brute(2) -- banded2}")
+    assert(banded2.nonEmpty)
+    // radius 0 degenerates to exact-fingerprint pairs (one band = whole
+    // fingerprint)
+    val banded0 = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", 16, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded0 == brute(0))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates(corpus, "doc_id", "text", bits = 16, maxHamming = 16): Unit
+    }
+  }
+
   test("jaccardPairs computes word-set jaccard above threshold") {
     // doc0 vs doc2: |intersect|=7 of |union|=9 distinct words -> 0.7778
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 70)

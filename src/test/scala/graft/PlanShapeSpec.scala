@@ -150,6 +150,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"band/signature subtree appears more than once in the final plan:\n$finalPlan")
   }
 
+  test("simhash pairing joins on band buckets with a reused exchange, never a cross join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.operators.Dedup.simhashNearDuplicates(docs, "doc_id", "text", 16, 2)
+    val plan = executedPlanString(pairs)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing degenerated to a cross join:\n$plan")
+    // one fingerprint+band subtree, reused across both self-join sides:
+    // the band-stack Generate must appear exactly once in the final
+    // plan, with the second side reading the reused exchange
+    assert(finalPlan.contains("ReusedExchange"),
+      s"band exchange not reused across self-join sides:\n$plan")
+    assert("Generate explode".r.findAllIn(finalPlan).size == 1,
+      s"fingerprint/band subtree computed more than once:\n$finalPlan")
+  }
+
   test("repeated-span detection runs ONE generator and ONE exchange, windowed frequency") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", 8, 2)
