@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, LangModel, Multimodal, RangeJoin, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, LangModel, Multimodal, QualityClassifier, RangeJoin, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -735,6 +735,34 @@ object SparkEntry {
       // quality gate with per-rule reject reasons: one narrow pass
       Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
         minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)),
+    "text_classifier" -> ((s, dir) => {
+      // fastText-style hashed-BoW logistic classifier, trained
+      // driver-side on the even-id half and served by one codegen'd
+      // expression. Graded on a task learnable BY CONSTRUCTION for the
+      // model class (see QualityClassifier.AccuracyFloor for why the
+      // corpus admits no semantic task): label = count('spark') >
+      // count('table') — exactly linear in the hashed counts, so the
+      // held-out flags test hashing parity, GD convergence, and the
+      // serve path, not corpus luck.
+      val docs = t(s, dir, "documents")
+      val labeled = docs.select(col("doc_id"), col("text"),
+        (expr("size(filter(split(text, ' '), t -> t = 'spark'))") >
+         expr("size(filter(split(text, ' '), t -> t = 'table'))")).cast("int").as("label"))
+      val model = QualityClassifier.train(
+        labeled.where(col("doc_id") % 2 === 0), "doc_id", "text", "label")
+      labeled.where(col("doc_id") % 2 === 1 && col("text").isNotNull)
+        .select(col("label"),
+          (QualityClassifier.score(col("text"), model) >= 0.5).cast("int").as("pred"))
+        .agg(
+          avg((col("label") === col("pred")).cast("double")).as("acc"),
+          greatest(avg(col("label").cast("double")),
+            lit(1.0) - avg(col("label").cast("double"))).as("base"),
+          count(lit(1)).as("n"))
+        .select(
+          (col("acc") >= QualityClassifier.AccuracyFloor).cast("bigint").as("accuracy_ok"),
+          (col("acc") > col("base")).cast("bigint").as("beats_majority"),
+          col("n").cast("bigint").as("n_holdout"))
+    }),
     "text_bpe_tokens" -> ((s, dir) => {
       // learned-subword tokenization: BPE merges trained on the even-id
       // half of the corpus (Sennrich-style, driver-side over the
@@ -1513,6 +1541,10 @@ object SparkEntry {
          LEFT JOIN ugc c2 ON bg.w2 = c2.w
          CROSS JOIN tot
          GROUP BY doc_id""",
+    "text_classifier" ->
+      """SELECT CAST(1 AS BIGINT) AS accuracy_ok, CAST(1 AS BIGINT) AS beats_majority,
+         CAST(count(*) AS BIGINT) AS n_holdout
+         FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL""",
     "text_bpe_tokens" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok, CAST(1 AS BIGINT) AS bounds_ok
          FROM documents WHERE text IS NOT NULL""",

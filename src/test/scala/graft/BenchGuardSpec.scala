@@ -78,6 +78,8 @@ class BenchGuardSpec extends AnyFunSuite {
       s"OPQ error ceiling moved from its pinned 0.06: ${graft.operators.Similarity.OpqErrorCeiling}")
     assert(graft.operators.Similarity.OpqWorseRatio == 1.15,
       s"OPQ worse-ratio bound moved from its pinned 1.15: ${graft.operators.Similarity.OpqWorseRatio}")
+    assert(graft.operators.QualityClassifier.AccuracyFloor == 0.9,
+      s"classifier accuracy floor moved from its pinned 0.9: ${graft.operators.QualityClassifier.AccuracyFloor}")
   }
 
   test("the IVF recall floor is pinned and cannot drift downward") {

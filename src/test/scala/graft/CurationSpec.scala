@@ -240,6 +240,42 @@ class CurationSpec extends SparkTestBase {
     assert(onlyEn == Set("en"))
   }
 
+  test("distilled quality classifier separates crafted spam from clean text on held-out docs") {
+    import graft.operators.QualityClassifier
+    // 40 clean docs (fluent token pool, 12 tokens) and 40 spam docs
+    // (repetitive 3-token spam pool, tripping the repetition rule) —
+    // the heuristic gate labels the even-id training half, the
+    // classifier must transfer to the UNSEEN odd half
+    val cleanPool = Seq("data", "spark", "table", "query", "join", "scan",
+      "merge", "window", "batch", "stream", "filter", "sort")
+    val d = (0L until 80L).map { i =>
+      val text =
+        if (i % 2 == 0) (0 until 12).map(j => cleanPool(((i + j * 7) % 12).toInt)).mkString(" ")
+        else "buy now " + Seq.fill(6)("spam").mkString(" ") + " click click"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // class = i % 2, train split = i % 4 < 2: both classes appear in
+    // both halves, so the held-out check is a real transfer test
+    val scores = QualityClassifier.distillQualityScore(
+      d, "doc_id", "text", trainSplit = org.apache.spark.sql.functions.col("doc_id") % 4 < 2,
+      minTokens = 5, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val holdout = (0L until 80L).filter(i => i % 4 >= 2)
+    val misclassified = holdout.count { i =>
+      val clean = i % 2 == 0
+      val p = scores(i)
+      if (clean) p < 0.5 else p >= 0.5
+    }
+    assert(misclassified == 0,
+      s"$misclassified of ${holdout.size} held-out docs misclassified: ${holdout.map(i => i -> scores(i))}")
+    // determinism: same input, same model, same scores
+    val again = QualityClassifier.distillQualityScore(
+      d, "doc_id", "text", trainSplit = org.apache.spark.sql.functions.col("doc_id") % 4 < 2,
+      minTokens = 5, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores, "training is not deterministic")
+  }
+
   test("lmGate keeps reference-like docs and rejects high-perplexity ones") {
     // reference corpus: repeated fluent phrasing -> its bigrams dominate
     // the model; the gibberish doc's bigrams are all unseen, so its
