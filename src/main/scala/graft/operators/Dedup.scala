@@ -392,6 +392,15 @@ object Dedup {
     * final distinct dedups pairs that matched in several bands. Rows
     * are (id, int, int, int) fixed width — the shuffle carries
     * fingerprints, never text.
+    *
+    * Scale note: the OUTPUT is inherently quadratic within groups of
+    * near-identical fingerprints (every member pairs with every other —
+    * a property of the pair relation itself, not the plan), so on a
+    * duplication-heavy corpus run it over [[exactGroups]]
+    * representatives first, exactly the [[nearDuplicatesCollapsed]]
+    * composition: exact dups collapse to one keeper before any
+    * quadratic pair list exists, and keeper pairs expand back
+    * per-cluster if needed.
     */
   def simhashNearDuplicates(
       docs: DataFrame,
