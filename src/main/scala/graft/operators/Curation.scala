@@ -107,13 +107,19 @@ object Curation {
     * plentiful (the curation norm); a single giant stratum serializes
     * its own sort by construction, because a sequential budget IS a
     * sequential scan semantically.
+    *
+    * `countOf` chooses the budget's denomination: the default is the
+    * cheap whitespace count; pass
+    * `BpeTokenizer.tokenCount(_, merges)` to budget in LEARNED model
+    * tokens — the unit context windows are actually measured in.
     */
   def tokenBudgetSample(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       strataCol: String,
-      budgetTokens: Long
+      budgetTokens: Long,
+      countOf: Column => Column = TextFunctions.tokenCount
   ): DataFrame = {
     val byPriority = Window
       .partitionBy(strataCol)
@@ -122,7 +128,7 @@ object Curation {
       // a null-text doc has NULL token count: it must not be selected
       // into a budget while charging nothing against it
       .where(col(textCol).isNotNull)
-      .select(col(idCol), col(strataCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .select(col(idCol), col(strataCol), countOf(col(textCol)).as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(byPriority))
       .where(col("cum_tokens") <= budgetTokens)
   }
@@ -144,19 +150,23 @@ object Curation {
     * [[tokenBudgetSample]]: a single giant stratum serializes its own
     * prefix sum, because a sequential layout IS sequential
     * semantically; strata (language, source) are the parallelism unit.
+    * `countOf` picks the token denomination, as in
+    * [[tokenBudgetSample]] — BPE-denominated packing lays the stream
+    * out in the same units the model's context window counts.
     */
   def packSequences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       strataCol: String,
-      contextTokens: Int
+      contextTokens: Int,
+      countOf: Column => Column = TextFunctions.tokenCount
   ): DataFrame = {
     val byPriority = Window
       .partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     docs
-      .select(col(idCol), col(strataCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .select(col(idCol), col(strataCol), countOf(col(textCol)).as("n_tokens"))
       .withColumn("start_token", sum("n_tokens").over(byPriority) - col("n_tokens"))
       // integer division (DIV), not floor(double/): exact at any
       // corpus size, where double division degrades past 2^53 tokens

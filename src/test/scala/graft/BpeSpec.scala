@@ -72,6 +72,33 @@ class BpeSpec extends SparkTestBase {
       s"100 merges should at least halve the char-level stream: ${counts.toSeq}")
   }
 
+  test("budget and packing compose with BPE-denominated token counts") {
+    import graft.operators.Curation
+    // 3 docs per stratum; with the learned merges each "low low ..."
+    // doc costs far fewer BPE tokens than characters, so a budget in
+    // BPE units admits docs a char-level budget would reject
+    val d = Seq(
+      (1L, "low low low low", "en"),
+      (2L, "low lower low lower", "en"),
+      (3L, "lower lower lower lower", "en")
+    ).toDF("doc_id", "text", "lang")
+    val merges = BpeTokenizer.train(d, "doc_id", "text", numMerges = 10)
+    val bpeCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      BpeTokenizer.tokenCount(_, merges)
+    // each doc = 4 words = 4 single learned tokens -> budget 8 admits 2
+    val kept = Curation.tokenBudgetSample(d, "doc_id", "text", "lang", 8L, bpeCount)
+      .collect()
+    assert(kept.length == 2, s"got ${kept.toSeq}")
+    assert(kept.forall(_.getInt(2) == 4), s"learned tokens per doc should be 4: ${kept.toSeq}")
+    // packing in the same denomination: gapless prefix sums of the
+    // BPE counts, cut at a 5-token context
+    val packed = Curation.packSequences(d, "doc_id", "text", "lang", 5, bpeCount)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(packed.values.map(_._1).sum == 12)
+    val starts = packed.values.map(_._2).toSeq.sorted
+    assert(starts == Seq(0L, 4L, 8L), s"stream not gapless in BPE units: $packed")
+  }
+
   test("supplementary-plane characters stay whole symbols") {
     val emoji = new String(Character.toChars(0x1F600))
     val toks = Seq(s"$emoji$emoji ok").toDF("text")

@@ -105,4 +105,45 @@ class PropertySpec extends SparkTestBase {
       assert(got == truth, s"trial $trial (n=$n m=${pairs.size})")
     }
   }
+
+  test("rolling window fingerprints equal a direct per-window recomputation") {
+    // the O(1) rolling update (subtract outgoing, multiply, add
+    // incoming) must produce the SAME key a from-scratch polynomial
+    // fold over each window produces — the update algebra is where a
+    // bug would silently merge or split span candidates. Reference
+    // recomputation mirrors the expression's constants exactly.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+    val B = 0x100000001b3L
+    def fmix64(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      x
+    }
+    def tokenHash(s: String): Long = {
+      val bytes = UTF8String.fromString(s).getBytes
+      var h = 0xcbf29ce484222325L
+      bytes.foreach(b => { h ^= (b & 0xffL); h *= B })
+      fmix64(h)
+    }
+    for (trial <- 1 to 10) {
+      val span = 1 + rnd.nextInt(6)
+      // small vocab so windows genuinely repeat; include multi-byte and
+      // empty-adjacent shapes via short tokens
+      val vocab = Vector("a", "bb", "c", "é", "dd", "e")
+      val toks = Vector.fill(span + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+      val expected = (0 to toks.length - span).map { i =>
+        toks.slice(i, i + span).foldLeft(0L)((k, t) => k * B + tokenHash(t))
+      }
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.RollingTokenHashes(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              org.apache.spark.sql.functions.split(col("text"), " ")), span)))
+        .head().getSeq[Long](0)
+      assert(got == expected, s"trial $trial span=$span toks=${toks.take(12)}...")
+    }
+  }
 }
