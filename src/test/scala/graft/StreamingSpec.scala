@@ -336,6 +336,38 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("DIFFERENTIAL: classifier and LM scoring project identically on streams and batches") {
+    // the model-scoring tier is stateless per-row projection, so it
+    // must compose with readStream unchanged and produce bit-identical
+    // scores to the batch path — the property that lets one trained
+    // model serve both the backfill and the live ingest
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), "good clean fluent text here"),
+      (ts("2024-01-01 00:05:00"), "spam spam spam buy now"),
+      (ts("2024-01-01 00:10:00"), "another ordinary document"))
+    val train = Seq((1L, "good clean fluent text here", 1), (2L, "spam spam spam buy now", 0))
+      .toDF("doc_id", "text", "label")
+    val model = graft.operators.QualityClassifier.train(train, "doc_id", "text", "label", numFeatures = 256)
+    val input = MemoryStream[(Timestamp, String)]
+    val out = input.toDF().toDF("ts", "text")
+      .select($"text", graft.operators.QualityClassifier.score($"text", model).as("p"))
+    val query = out.writeStream.format("memory").queryName("clf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("clf_stream").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batched = rows.toDF("ts", "text")
+        .select($"text", graft.operators.QualityClassifier.score($"text", model).as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed == batched, s"stream scores diverged: $streamed vs $batched")
+      assert(streamed("spam spam spam buy now") < 0.5)
+      assert(streamed("good clean fluent text here") > 0.5)
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
