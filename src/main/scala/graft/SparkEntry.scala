@@ -941,6 +941,20 @@ object SparkEntry {
       // some candidate heuristic
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    "dedup_simhash_collapsed" -> ((s, dir) => {
+      // the scale-right composition the operator scaladoc prescribes
+      // for dup-heavy corpora: exact-collapse to one keeper per
+      // distinct text FIRST (killing the quadratic within-group pair
+      // lists before they exist), then banded Hamming pairing over
+      // representatives only. Value-graded the same way as
+      // dedup_simhash_pairs: DuckDB replays the keeper selection and a
+      // literal all-pairs Hamming scan.
+      val docs = t(s, dir, "documents")
+      val keepers = docs.join(
+        Dedup.exactGroups(docs, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        Seq("doc_id"))
+      Dedup.simhashNearDuplicates(keepers, "doc_id", "text", bits = 16, maxHamming = 2)
+    }),
     "dedup_jaccard" -> ((s, dir) => {
       // full corpus, no input cap: LSH candidates -> same-language
       // filter -> exact Jaccard verify. Blocking (lang) is a filter on
@@ -1884,6 +1898,20 @@ object SparkEntry {
       // LITERAL all-pairs Hamming filter — grading the banded Spark
       // plan's completeness against brute force
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         b AS (SELECT doc_id, j,
+                      CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+               FROM tk CROSS JOIN range(0, 16) r(j)),
+         s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j),
+         fp AS (SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS f FROM s GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 2""",
+    "dedup_simhash_collapsed" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                       WHERE text IS NOT NULL GROUP BY md5(text)),
+         d AS (SELECT doc_id, text FROM documents JOIN keep USING (doc_id)),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
          b AS (SELECT doc_id, j,
                       CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
                FROM tk CROSS JOIN range(0, 16) r(j)),
