@@ -61,8 +61,14 @@ case class HashedBowScore(child: Expression, weights: Array[Float], bias: Double
     var acc = bias
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i))
-        acc += weights(BowHashing.tokenIndex(toks.getUTF8String(i), weights.length))
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        // skip empty tokens (split() emits them around doubled or
+        // trailing spaces) exactly as the trainer does — the "" feature
+        // must not exist on either side of the train/serve contract
+        if (t.numBytes() > 0)
+          acc += weights(BowHashing.tokenIndex(t, weights.length))
+      }
       i += 1
     }
     1.0 / (1.0 + math.exp(-acc))
