@@ -368,6 +368,41 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("DIFFERENTIAL: LM perplexity scores a stream against batch-trained count tables") {
+    // the CCNet deployment shape: count tables train OFFLINE on the
+    // reference corpus (batch), the live ingest scores against them as
+    // stream-static joins. Scores must equal the batch path on the
+    // same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val bigrams = graft.operators.LangModel.bigramCounts(ref, "doc_id", "text")
+    val unigrams = graft.operators.LangModel.unigramCounts(ref, "doc_id", "text")
+    val rows = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "zx qv wq jj kx"),
+      (12L, "the dog sat on the rug"))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.LangModel.perplexityScore(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bigrams, unigrams)
+    val query = out.writeStream.format("memory").queryName("lm_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("lm_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batched = graft.operators.LangModel.perplexityScore(
+          rows.toDF("doc_id", "text"), "doc_id", "text", bigrams, unigrams)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed == batched, s"stream LM scores diverged: $streamed vs $batched")
+      // gibberish scores strictly worse than in-domain text
+      assert(streamed(11L)._2 > streamed(10L)._2)
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
