@@ -116,6 +116,28 @@ object BpeTokenizer {
   private def ordLt(a: (String, String), b: (String, String)): Boolean =
     if (a._1 != b._1) a._1 < b._1 else a._2 < b._2
 
+  /** Persist a trained merge list as a tiny (rank, left, right) parquet
+    * relation — the artifact a deployment trains once and every
+    * batch/stream job loads, the same train-once/serve-everywhere shape
+    * as [[Similarity.pqIndex]]. Rank order IS merge priority, so the
+    * roundtrip must preserve it exactly ([[load]] re-sorts by rank).
+    */
+  def save(merges: Array[(String, String)], spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), rank) => (rank, l, r) }.toSeq
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.parquet(path)
+  }
+
+  /** Load a merge list persisted by [[save]], in rank order. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+
   /** BPE token stream for a text column (array<string>; `</w>`-suffixed
     * symbols mark word ends) — the native per-row
     * [[graft.expressions.BpeEncodeTokens]] application of a trained

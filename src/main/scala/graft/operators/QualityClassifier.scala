@@ -110,6 +110,29 @@ object QualityClassifier {
     Model(w.map(_.toFloat), b)
   }
 
+  /** Persist a trained model as a (idx, value) parquet relation —
+    * weights at their feature index, the bias at idx -1. Train once,
+    * load in every batch/stream job (the scorer is a stream-safe
+    * stateless projection).
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    (model.weights.zipWithIndex.map { case (w, i) => (i, w.toDouble) }.toSeq :+
+      (-1, model.bias))
+      .toDF("idx", "value")
+      .repartition(1)
+      .write.parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Int]("idx") -> r.getAs[Double]("value")).toMap
+    val numFeatures = rows.keys.max + 1
+    require(numFeatures >= 1 && rows.contains(-1), s"malformed model at $path")
+    Model(Array.tabulate(numFeatures)(i => rows(i).toFloat), rows(-1))
+  }
+
   /** Keep-probability column for a text column under a trained model —
     * `sigmoid(bias + sum weights[hash(token)])`, the whole serve path
     * in one codegen'd expression.

@@ -99,6 +99,36 @@ class BpeSpec extends SparkTestBase {
     assert(starts == Seq(0L, 4L, 8L), s"stream not gapless in BPE units: $packed")
   }
 
+  test("trained artifacts roundtrip through parquet: merges and classifier model") {
+    import org.apache.spark.sql.functions.col
+    // BPE merges: rank order IS priority — the roundtrip must encode
+    // identically, including multi-char learned symbols
+    val d = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(d, "doc_id", "text", numMerges = 10)
+    val mPath = java.nio.file.Files.createTempDirectory("graft_bpe").resolve("merges").toString
+    BpeTokenizer.save(merges, spark, mPath)
+    val reloaded = BpeTokenizer.load(spark, mPath)
+    assert(reloaded.toSeq == merges.toSeq)
+    val before = Seq("low lower lowest").toDF("text")
+      .select(BpeTokenizer.encode(col("text"), merges)).head().getSeq[String](0)
+    val after = Seq("low lower lowest").toDF("text")
+      .select(BpeTokenizer.encode(col("text"), reloaded)).head().getSeq[String](0)
+    assert(after == before)
+
+    // classifier model: scores after reload are bit-identical
+    import graft.operators.QualityClassifier
+    val train = Seq((1L, "good clean text", 1), (2L, "spam spam spam", 0)).toDF("doc_id", "text", "label")
+    val model = QualityClassifier.train(train, "doc_id", "text", "label", numFeatures = 64)
+    val cPath = java.nio.file.Files.createTempDirectory("graft_clf").resolve("model").toString
+    QualityClassifier.save(model, spark, cPath)
+    val back = QualityClassifier.load(spark, cPath)
+    assert(back.bias == model.bias && back.weights.sameElements(model.weights))
+    val texts = Seq("good clean text", "spam spam spam", "never seen words").toDF("text")
+    val s1 = texts.select(QualityClassifier.score(col("text"), model)).collect().map(_.getDouble(0)).toSeq
+    val s2 = texts.select(QualityClassifier.score(col("text"), back)).collect().map(_.getDouble(0)).toSeq
+    assert(s1 == s2)
+  }
+
   test("supplementary-plane characters stay whole symbols") {
     val emoji = new String(Character.toChars(0x1F600))
     val toks = Seq(s"$emoji$emoji ok").toDF("text")
