@@ -438,6 +438,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(finalPlan.contains("BroadcastExchange"), s"query side not broadcast:\n$finalPlan")
   }
 
+  test("BPE encode and classifier scoring stay inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.operators.BpeTokenizer.train(docs, "doc_id", "text", 50)
+    val bpePlan = executedPlanString(
+      docs.select(col("doc_id"), graft.operators.BpeTokenizer.encode(col("text"), merges)))
+      .split("== Initial Plan ==")(0)
+    val bpeLine = bpePlan.linesIterator.find(_.contains("graft_bpe_encode")).getOrElse("")
+    assert(bpeLine.contains("*("), s"BPE encode fell out of codegen:\n$bpeLine")
+
+    val model = graft.operators.QualityClassifier.Model(new Array[Float](64), 0.0)
+    val bowPlan = executedPlanString(
+      docs.select(col("doc_id"), graft.operators.QualityClassifier.score(col("text"), model)))
+      .split("== Initial Plan ==")(0)
+    val bowLine = bowPlan.linesIterator.find(_.contains("graft_bow_score")).getOrElse("")
+    assert(bowLine.contains("*("), s"classifier scoring fell out of codegen:\n$bowLine")
+  }
+
   test("residual IVF-PQ serve path keeps the additive decomposition out of the probe loop") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val coarse = graft.operators.Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
