@@ -1033,6 +1033,35 @@ object SparkEntry {
           .select("a_id", "b_id"))
         .select("vec_id")
     }),
+    "dedup_semantic_pairs" -> ((s, dir) => {
+      // SemDeDup candidate tier under a DETERMINISTIC quantizer: the
+      // coarse centroids are the first 8 embedding rows (the
+      // similarity_ivf_fixed stance), so cell assignment, the
+      // cell-blocked self-join, and the exact cosine verify are all
+      // value-checked against a DuckDB replica. Production wires
+      // Similarity.trainCentroids in for cents — only the k-means fit
+      // sits outside this frame (graded by similarity_recall).
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.semanticDuplicatePairs(emb, "vec_id", "embedding", cents, thresholdPct = 30)
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup survivors end to end: cell-blocked cosine pairs ->
+      // connected components -> keep the member FARTHEST from its cell
+      // centroid (lowest centroid cosine, ties to lower id) -> left-anti
+      // removal. The keep policy is what distinguishes this from
+      // dedup_embedding_survivors' min-id stance, and the oracle grades
+      // it value-level: the DuckDB side replays assignment, transitive
+      // closure, and the (cent_cos, id) argmin per cluster.
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.semDedupSurvivors(emb, "vec_id", "embedding", cents, thresholdPct = 30)
+        .select("vec_id")
+    }),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -2113,6 +2142,51 @@ object SparkEntry {
            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)""",
+    "dedup_semantic_pairs" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev,
+           sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         score AS (SELECT vec_id, ev, nrm, cell,
+             list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             - list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / 2 AS sc
+           FROM v, cents),
+         asg AS (SELECT vec_id, ev, nrm, cell FROM (
+             SELECT vec_id, ev, nrm, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell) AS rk
+             FROM score) WHERE rk = 1)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm), 6) AS cosine
+         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30""",
+    "dedup_semantic" ->
+      """WITH RECURSIVE cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev,
+           sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         score AS (SELECT vec_id, ev, nrm, cell,
+             list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             - list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / 2 AS sc,
+             list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             / (nrm * sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS ccos
+           FROM v, cents),
+         asg AS (SELECT vec_id, ev, nrm, cell, ccos FROM (
+             SELECT vec_id, ev, nrm, cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell) AS rk
+             FROM score) WHERE rk = 1),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         members AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         keep AS (SELECT id FROM (
+             SELECT m.id, row_number() OVER (PARTITION BY m.cluster_id ORDER BY a.ccos, m.id) AS krk
+             FROM members m JOIN asg a ON m.id = a.vec_id) WHERE krk = 1),
+         losers AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))
+         SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers)""",
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -2557,6 +2631,10 @@ object SparkEntry {
     "similarity_topk", "similarity_ivf", "ann_index_build", "ann_query_serve",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
-    "dedup_clusters_distributed"
+    "dedup_clusters_distributed",
+    // the SemDeDup chain (cell-blocked pairs -> CC -> farthest-from-
+    // centroid keep) — the embedding-side dedup a curation run actually
+    // deploys when a trained quantizer exists
+    "dedup_semantic"
   ) ++ capstoneQueries
 }

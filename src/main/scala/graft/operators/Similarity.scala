@@ -885,6 +885,112 @@ object Similarity {
       pqResidualIndex(candidates, idCol, vecCol, coarseCents, codebooks),
       idCol, vecCol, k, coarseCents, nprobe, codebooks)
 
+  // =====================================================================
+  // Semantic deduplication (SemDeDup)
+  // =====================================================================
+
+  /** Nearest-cell assignment WITH the vector's cosine to that centroid
+    * riding along: struct<cell:int, cent_cos:double>. The SemDeDup keep
+    * policy ranks duplicate-cluster members by centroid similarity, and
+    * deriving the cosine from the same struct-sort the argmax already
+    * pays (dot rides in the struct; the winning entry's dot divides by
+    * the two norms) keeps the assignment + policy input ONE projection
+    * — no second pass over the centroid array.
+    */
+  def assignCellWithCos(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
+      val cnorm = math.sqrt(2.0 * halfNorm2)
+      struct(
+        (lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"),
+        lit(i).as("cell"),
+        (dot(vec, typedLit(c)) / (l2Norm(vec) * lit(cnorm))).as("cent_cos"))
+    }
+    // the duplicate dot(vec, c) per centroid is shared by codegen CSE
+    // (both references are the same canonicalized subtree)
+    val best = array_sort(array(scored.toSeq: _*)).getItem(0)
+    struct(best.getField("cell").as("cell"), best.getField("cent_cos").as("cent_cos"))
+  }
+
+  /** SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): vectors are blocked by their nearest coarse
+    * centroid and only SAME-CELL pairs are scored — the paper's
+    * within-cluster pairwise search, here a cell-keyed self-join (never
+    * an all-pairs cross join; K cells cut candidate work to ~1/K of
+    * quadratic, the same blocking economics as the LSH tier). Each
+    * candidate pair is verified with the exact codegen'd cosine; output
+    * (a_id, b_id, cosine) at or above the threshold.
+    *
+    * Same ReusedExchange + shuffle_hash stance as
+    * [[cosineNearDuplicates]]: one narrow (id, vec, norm, cell)
+    * projection computed once, shuffle-file-backed, AQE free to split a
+    * skewed cell. Centroids are caller-supplied
+    * (bring-your-own-quantizer, like [[ivfWithCentroids]]) so the full
+    * mechanism is deterministic given the centroids — [[trainCentroids]]
+    * is the usual source.
+    */
+  def semanticDuplicatePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      thresholdPct: Int
+  ): DataFrame = {
+    val t = vectors.select(
+      col(idCol).as("vid"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"), assignCell(col(vecCol), cents).as("cell"))
+    val a = t.select(col("vid").as("a_id"), col("cell"), col("vec").as("a_vec"), col("nrm").as("a_norm"))
+    val b = t.select(col("vid").as("b_id"), col("cell"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
+    a.join(b.hint("shuffle_hash"), "cell")
+      .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
+      .where(col("cos") * 100 >= thresholdPct)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** SemDeDup survivor selection: [[semanticDuplicatePairs]] →
+    * connected components ([[graft.operators.Dedup.duplicateClusters]])
+    * → per duplicate cluster keep the member FARTHEST from its cell
+    * centroid (the paper's keep-low-centroid-similarity policy: the
+    * most prototypical copies are the most redundant with the cluster,
+    * so the outlier copy carries the most training signal), ties to the
+    * lower id. Output: the surviving rows of `vectors`, schema
+    * unchanged.
+    *
+    * Scale shape: the keep policy is one min-of-struct hash aggregate
+    * over (cluster_id) — the ordering key (cent_cos, id) rides the
+    * cluster relation, which is bounded by the number of DUPLICATED
+    * vectors, not the corpus — and removal is a broadcast-able
+    * left-anti join, exactly the [[graft.operators.Dedup.dedupedCorpus]]
+    * stance with a policy key swapped in for min-id.
+    */
+  def semDedupSurvivors(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      thresholdPct: Int
+  ): DataFrame = {
+    val pairs = semanticDuplicatePairs(vectors, idCol, vecCol, cents, thresholdPct)
+      .select("a_id", "b_id")
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+    val policy = vectors.select(
+      col(idCol).as("id"),
+      assignCellWithCos(col(vecCol), cents).getField("cent_cos").as("cent_cos"))
+    val members = clusters.join(policy, Seq("id"))
+    val keepers = members
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("cent_cos"), col("id"))).as("keep"))
+      .select(col("cluster_id"), col("keep.id").as("keep_id"))
+    val losers = members.join(keepers, Seq("cluster_id"))
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    vectors.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Query a prebuilt [[pqIndex]] relation: queries project their ADC
     * table + probe cells, the cell join prunes, ADC scores, bounded
     * top-k ranks — no candidate vector anywhere in the plan.

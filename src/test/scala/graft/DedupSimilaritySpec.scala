@@ -727,4 +727,45 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(pq == exact, s"pq $pq vs exact $exact")
   }
+
+  test("semDedup: cell blocking bounds candidates and the farthest-from-centroid member survives") {
+    import org.apache.spark.sql.functions.col
+    // two orthogonal cells; 0-2 are near-parallel in cell 0 with 2 the
+    // farthest from the centroid direction; 3-4 tie on centroid cosine
+    // in cell 1 so the id tiebreak decides
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    val vecs = Seq(
+      (0L, Seq(10f, 0f, 0f)),   // cent_cos = 1.0
+      (1L, Seq(10f, 0.5f, 0f)), // cent_cos ~ 0.9988
+      (2L, Seq(10f, 2f, 0f)),   // cent_cos ~ 0.9806 -> farthest, must survive
+      (3L, Seq(0f, 8f, 0f)),    // cell 1, cent_cos = 1.0
+      (4L, Seq(0f, 8.1f, 0f))   // cell 1, cent_cos = 1.0, loses id tiebreak
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    val pairs = Similarity.semanticDuplicatePairs(vecs, "vec_id", "embedding", cents, thresholdPct = 95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all within-cell near-parallel pairs, and ONLY within-cell pairs —
+    // cross-cell (0,3)-style pairs are orthogonal anyway, but the plan
+    // must not even consider them: the join key is the cell
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)), s"got $pairs")
+
+    val survivors = Similarity.semDedupSurvivors(vecs, "vec_id", "embedding", cents, thresholdPct = 95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // cluster {0,1,2}: keeper is 2 (lowest centroid cosine), NOT min id;
+    // cluster {3,4}: centroid cosine ties at 1.0, keeper is lower id 3
+    assert(survivors == Set(2L, 3L), s"got $survivors")
+  }
+
+  test("semDedup keeps every vector when nothing clears the threshold") {
+    import org.apache.spark.sql.functions.col
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val vecs = Seq(
+      (0L, Seq(5f, 1f)), (1L, Seq(1f, 5f)), (2L, Seq(5f, -1f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val survivors = Similarity.semDedupSurvivors(vecs, "vec_id", "embedding", cents, thresholdPct = 99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 1L, 2L), s"got $survivors")
+  }
 }
