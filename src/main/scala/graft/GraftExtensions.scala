@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, NgramFeatureBuckets, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -86,6 +86,10 @@ object GraftFunctions {
     desc("graft_rolling_span_hashes", classOf[RollingTokenHashes], 2)(c =>
       RollingTokenHashes(c(0), litInt("graft_rolling_span_hashes", "spanTokens")(c(1))))
 
+  val ngramBucketsFunction: FunctionDesc =
+    desc("graft_ngram_buckets", classOf[NgramFeatureBuckets], 2)(c =>
+      NgramFeatureBuckets(c(0), litInt("graft_ngram_buckets", "numBuckets")(c(1))))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
@@ -93,7 +97,7 @@ object GraftFunctions {
   val all: Seq[FunctionDesc] = Seq(
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
     simhashFunction, hyperplaneBucketFunction, bigramRepFunction,
-    cutSpansFunction, rollingSpanHashesFunction)
+    cutSpansFunction, rollingSpanHashesFunction, ngramBucketsFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

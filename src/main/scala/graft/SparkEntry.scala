@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, HeavyHitters, LangModel, Multimodal, QualityClassifier, RangeJoin, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, Dsir, HeavyHitters, LangModel, Multimodal, QualityClassifier, RangeJoin, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -77,6 +77,23 @@ object SparkEntry {
       Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
         .write.partitionBy("cell").parquet(path)
       BuiltAnnIndex(path, coarse, cb)
+    })
+
+  /** Per-corpus memoized DSIR term table for the serve-path entry
+    * (`curation_dsir_select`): fits the target + raw hashed-feature
+    * multinomials ONCE per sfDir (two bounded <= numBuckets-row
+    * collects). The fit cost is measured separately and honestly by
+    * `curation_dsir_fit`, which recounts on every invocation by design
+    * — the same billed-build / memoized-serve split as the ann_* pair.
+    */
+  private val dsirTermCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def dsirTerm(s: SparkSession, dir: String): Array[Double] =
+    dsirTermCache.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      Dsir.fitTerm(
+        Dsir.hashedFeatureCounts(docs.where(col("lang") === "en"), "doc_id", "text", 4096),
+        Dsir.hashedFeatureCounts(docs, "doc_id", "text", 4096),
+        numBuckets = 4096)
     })
 
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
@@ -807,6 +824,39 @@ object SparkEntry {
           .select("doc_id"),
         Seq("doc_id"))
       Curation.lmGate(docs, "doc_id", "text", ref, maxLog2Ppl = 4.95)
+    }),
+    "curation_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: hashed unigram+bigram multinomials on
+      // the target (lang='en', the reference-corpus stance) and the raw
+      // corpus; each doc's log2 weight is its per-position smoothed
+      // log-likelihood ratio. Hash-graded value-level — the feature
+      // hash is the md5 fold, every log term is log2 of an integer.
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      Dsir.importanceWeights(docs, "doc_id", "text",
+        Dsir.hashedFeatureCounts(target, "doc_id", "text", numBuckets = 4096),
+        Dsir.hashedFeatureCounts(docs, "doc_id", "text", numBuckets = 4096),
+        numBuckets = 4096)
+    }),
+    "curation_dsir_fit" -> ((s, dir) => {
+      // the DSIR fit, billed on its own: both corpora's hashed-feature
+      // count tables (the multinomials' sufficient statistics), tagged
+      // and unioned so the oracle value-checks every bucket count.
+      // <= 2 x numBuckets output rows regardless of corpus size.
+      val docs = t(s, dir, "documents")
+      Dsir.hashedFeatureCounts(docs.where(col("lang") === "en"), "doc_id", "text", 4096)
+        .select(lit("target").as("corpus"), col("b"), col("c"))
+        .unionAll(
+          Dsir.hashedFeatureCounts(docs, "doc_id", "text", 4096)
+            .select(lit("raw").as("corpus"), col("b"), col("c")))
+    }),
+    "curation_dsir_select" -> ((s, dir) => {
+      // the DSIR serve path: score every doc against the memoized term
+      // table (fit once per corpus — curation_dsir_fit bills the fit)
+      // and keep the 25 most target-like via the bounded O(k) top-k
+      // aggregate (ties to lower id) — no corpus sort anywhere
+      Dsir.selectTopKWith(t(s, dir, "documents"), "doc_id", "text",
+        dsirTerm(s, dir), k = 25)
     }),
     "curation_token_budget" -> ((s, dir) =>
       // deterministic token-budget subsample per language stratum
@@ -1647,6 +1697,58 @@ object SparkEntry {
            CAST(CASE WHEN n_tokens >= 10 AND bigram_rep <= 0.2 AND alpha_ratio >= 0.8
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM sig""",
+    "curation_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         feats AS (
+           SELECT doc_id, lang, t AS g FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0
+           UNION ALL
+           SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+           WHERE len(tk) >= 2),
+         fb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b FROM feats),
+         tgt AS (SELECT b, count(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY b),
+         raw AS (SELECT b, count(*) AS c_r FROM fb GROUP BY b),
+         tt AS (SELECT sum(c_t) AS t_total FROM tgt),
+         rt AS (SELECT sum(c_r) AS r_total FROM raw)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(log2(coalesce(c_t, 0) + 1) - log2(t_total + 4096)
+                   - log2(coalesce(c_r, 0) + 1) + log2(r_total + 4096)), 6) AS log2_w
+         FROM fb LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tt, rt
+         GROUP BY doc_id""",
+    "curation_dsir_fit" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         feats AS (
+           SELECT doc_id, lang, t AS g FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0
+           UNION ALL
+           SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+           WHERE len(tk) >= 2),
+         fb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b FROM feats)
+         SELECT 'target' AS corpus, b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY b
+         UNION ALL
+         SELECT 'raw' AS corpus, b, count(*) AS c FROM fb GROUP BY b""",
+    "curation_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         feats AS (
+           SELECT doc_id, lang, t AS g FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0
+           UNION ALL
+           SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+           WHERE len(tk) >= 2),
+         fb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b FROM feats),
+         tgt AS (SELECT b, count(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY b),
+         raw AS (SELECT b, count(*) AS c_r FROM fb GROUP BY b),
+         tt AS (SELECT sum(c_t) AS t_total FROM tgt),
+         rt AS (SELECT sum(c_r) AS r_total FROM raw),
+         w AS (
+           SELECT doc_id,
+             round(sum(log2(coalesce(c_t, 0) + 1) - log2(t_total + 4096)
+                     - log2(coalesce(c_r, 0) + 1) + log2(r_total + 4096)), 6) AS log2_w
+           FROM fb LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tt, rt
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rank, log2_w FROM (
+           SELECT doc_id, log2_w, row_number() OVER (ORDER BY log2_w DESC, doc_id) AS rk
+           FROM w) WHERE rk <= 25""",
     "curation_token_budget" ->
       """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
            SELECT doc_id, lang,
@@ -2635,6 +2737,10 @@ object SparkEntry {
     // the SemDeDup chain (cell-blocked pairs -> CC -> farthest-from-
     // centroid keep) — the embedding-side dedup a curation run actually
     // deploys when a trained quantizer exists
-    "dedup_semantic"
+    "dedup_semantic",
+    // the DSIR tier benches as split fit/serve entries like the ann_*
+    // pair: the fit's count aggregations billed alone, the serve path's
+    // score-and-select billed against the memoized model
+    "curation_dsir_fit", "curation_dsir_select"
   ) ++ capstoneQueries
 }

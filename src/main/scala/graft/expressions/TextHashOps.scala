@@ -255,3 +255,167 @@ case class SimHashFingerprint(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Hashed unigram+bigram feature buckets of a token array — the DSIR
+  * feature sketch ([[graft.operators.Dsir]]) in ONE pass per row:
+  * every non-empty token and every adjacent token pair (joined by a
+  * single space) maps to `unsigned32(md5[0..3]) % numBuckets`, exactly
+  * the oracle's `CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) %
+  * numBuckets`, so the native path and the SQL replica bucket
+  * identically byte for byte.
+  *
+  * Exists because the compositional form (filter + transform + concat
+  * building a gram STRING array, then md5 → 32-hex-char string →
+  * substring → conv base-16 parse per gram) materializes two strings
+  * and a radix parse per feature — on a corpus scan the feature hash
+  * IS the scan, and this expression does one thread-confined digest
+  * per feature with the bigram digested as (tok, ' ', tok) updates,
+  * no concat, no hex, no parse. Bigrams keep empty tokens (split()
+  * artifacts) exactly like the composed form: only UNIGRAM empties are
+  * dropped, so "a  b" still yields both degenerate bigrams.
+  */
+case class NgramFeatureBuckets(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram_buckets expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ngram_buckets"
+
+  private def bucketOf(d: MessageDigest): Int = {
+    val dig = d.digest()
+    val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+      ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+    (h % numBuckets).toInt
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * n)
+    // unigrams: non-empty tokens only (split() never emits nulls, but a
+    // caller-built array might — skip nulls like the filtered form)
+    var i = 0
+    while (i < n) {
+      if (!input.isNullAt(i)) {
+        val t = input.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val d = TextHash.md5()
+          d.update(t.getBytes)
+          out += bucketOf(d)
+        }
+      }
+      i += 1
+    }
+    // bigrams: every adjacent pair, empties included (concat semantics)
+    i = 1
+    while (i < n) {
+      if (!input.isNullAt(i - 1) && !input.isNullAt(i)) {
+        val d = TextHash.md5()
+        d.update(input.getUTF8String(i - 1).getBytes)
+        d.update(' '.toByte)
+        d.update(input.getUTF8String(i).getBytes)
+        out += bucketOf(d)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramBuckets", this, classOf[NgramFeatureBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document DSIR score over the hashed unigram+bigram features, in
+  * ONE pass per row: `struct(n_feats, score)` where score is the sum of
+  * the precomputed per-bucket log-ratio table at each feature's bucket
+  * ([[NgramFeatureBuckets]]'s md5-compatible bucketing, shared code).
+  * The term table ships with the plan (numBuckets doubles — bounded
+  * model state, the classifier-weights stance), so scoring a corpus is
+  * a narrow codegen'd projection: no explode, no join, no shuffle.
+  */
+case class NgramLogRatioScore(child: Expression, term: Array[Double])
+    extends UnaryExpression {
+  require(term.length >= 2, s"term table must have >= 2 buckets, got ${term.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram_score expects array<string>, got $t")
+  }
+  override def dataType: DataType = DataTypes.createStructType(Array(
+    DataTypes.createStructField("n_feats", LongType, false),
+    DataTypes.createStructField("score", DataTypes.DoubleType, false)))
+  override def prettyName: String = "graft_ngram_score"
+
+  private def bucketOf(d: MessageDigest): Int = {
+    val dig = d.digest()
+    val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+      ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+    (h % term.length).toInt
+  }
+
+  def compute(input: ArrayData): Any = {
+    val n = input.numElements()
+    var cnt = 0L
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!input.isNullAt(i)) {
+        val t = input.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val d = TextHash.md5()
+          d.update(t.getBytes)
+          acc += term(bucketOf(d)); cnt += 1
+        }
+      }
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      if (!input.isNullAt(i - 1) && !input.isNullAt(i)) {
+        val d = TextHash.md5()
+        d.update(input.getUTF8String(i - 1).getBytes)
+        d.update(' '.toByte)
+        d.update(input.getUTF8String(i).getBytes)
+        acc += term(bucketOf(d)); cnt += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(cnt, acc)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramScore", this, classOf[NgramLogRatioScore].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  // the term table is semantic state, not identity: equal CONTENT must
+  // canonicalize equal or subexpression elimination and exchange reuse
+  // silently stop seeing through this node (same stance as PQOps)
+  override def equals(other: Any): Boolean = other match {
+    case that: NgramLogRatioScore =>
+      child == that.child && java.util.Arrays.equals(term, that.term)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.hashCode(term)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
