@@ -476,4 +476,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(finalPlan.contains("partial_graft_top_k"),
       s"bounded top-k not partially aggregated map-side:\n$finalPlan")
   }
+
+  test("semantic dedup pairs reuse one cell exchange, never a cross join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Array(Array.fill(64)(0.1f), Array.fill(64)(-0.1f))
+    val pairs = graft.operators.Similarity.semanticDuplicatePairs(
+      emb, "vec_id", "embedding", cents, thresholdPct = 30)
+    val plan = executedPlanString(pairs)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the (id, vec, norm, cell) projection computes once, shuffle-file
+    // backed, shared by both self-join sides — the cosineNearDuplicates
+    // stance with the k-means cell standing in for the LSH bucket
+    assert(finalPlan.contains("ReusedExchange"),
+      s"cell exchange not reused across self-join sides:\n$plan")
+    assert(!plan.contains("InMemoryRelation"), s"semantic pairs cache:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pairs degenerated to a cross join:\n$plan")
+  }
+
+  test("DSIR scoring is one codegen'd projection; selection a bounded top-k, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val term = Array.tabulate(64)(_.toDouble / 64)
+    val scorePlan = executedPlanString(
+      graft.operators.Dsir.scoreWith(docs, "doc_id", "text", term))
+      .split("== Initial Plan ==")(0)
+    // the whole serve path (hash + term lookup + sum) is one native
+    // expression inside whole-stage codegen — no explode, no join, no
+    // exchange anywhere in the scoring scan
+    val scoreLine = scorePlan.linesIterator.find(_.contains("graft_ngram_score")).getOrElse("")
+    assert(scoreLine.contains("*("), s"DSIR scoring fell out of codegen:\n$scoreLine")
+    assert(!scorePlan.contains("Exchange"), s"DSIR scoring scan shuffles:\n$scorePlan")
+    assert(!scorePlan.contains("Generate"), s"DSIR scoring still explodes features:\n$scorePlan")
+
+    val selPlan = executedPlanString(
+      graft.operators.Dsir.selectTopKWith(docs, "doc_id", "text", term, 10))
+    assert(selPlan.contains("partial_graft_top_k"),
+      s"DSIR selection not a map-side-partial bounded top-k:\n$selPlan")
+    assert(!selPlan.contains("Window") && !selPlan.contains("row_number"),
+      s"DSIR selection sorts the corpus:\n$selPlan")
+  }
 }
