@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Curation, Dedup, Dsir, HeavyHitters, LangModel, Multimodal, QualityClassifier, RangeJoin, Similarity, Windowing}
+import graft.operators.{AsOf, Curation, Dedup, Dsir, HeavyHitters, LangModel, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, Windowing}
 import graft.functions.TextFunctions
 import graft.sources.IOOps
 
@@ -1112,6 +1112,23 @@ object SparkEntry {
       Similarity.semDedupSurvivors(emb, "vec_id", "embedding", cents, thresholdPct = 30)
         .select("vec_id")
     }),
+    "retrieval_bm25" -> ((s, dir) => {
+      // BM25 lexical scoring of three fixed keyword queries against the
+      // corpus. Value-graded: idf is a difference of log2-of-odd-integer
+      // terms and length normalization divides two integers once, so
+      // DuckDB reproduces every score bit-for-bit before the 6-place
+      // round (the text_lm_perplexity determinism recipe).
+      import s.implicits._
+      val q = Seq((0L, "spark"), (0L, "query"),
+                  (1L, "window"), (1L, "merge"), (1L, "sort"),
+                  (2L, "customer"), (2L, "line")).toDF("query_id", "term")
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text", q)
+    }),
+    "retrieval_search_topk" -> ((s, dir) =>
+      // the single-query serve path: top-10 docs by BM25 via the bounded
+      // O(k) aggregate — nothing sorts the corpus
+      Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "fast", "join"), k = 10)),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -2289,6 +2306,45 @@ object SparkEntry {
              FROM members m JOIN asg a ON m.id = a.vec_id) WHERE krk = 1),
          losers AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keep))
          SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers)""",
+    "retrieval_bm25" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'window'), (1, 'merge'), (1, 'sort'), (2, 'customer'), (2, 'line')),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
+         FROM contrib GROUP BY query_id, doc_id""",
+    "retrieval_search_topk" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
+         WHERE rk <= 10""",
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -2741,6 +2797,9 @@ object SparkEntry {
     // the DSIR tier benches as split fit/serve entries like the ann_*
     // pair: the fit's count aggregations billed alone, the serve path's
     // score-and-select billed against the memoized model
-    "curation_dsir_fit", "curation_dsir_select"
+    "curation_dsir_fit", "curation_dsir_select",
+    // the lexical-search tier: multi-query BM25 scoring plus the
+    // single-query serve path through the bounded top-k aggregate
+    "retrieval_bm25", "retrieval_search_topk"
   ) ++ capstoneQueries
 }

@@ -515,4 +515,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!selPlan.contains("Window") && !selPlan.contains("row_number"),
       s"DSIR selection sorts the corpus:\n$selPlan")
   }
+
+  test("BM25 broadcasts query terms and corpus stats; ranking is a bounded top-k") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = Seq((0L, "spark"), (0L, "query"), (1L, "merge")).toDF("query_id", "term")
+    val plan = executedPlanString(graft.operators.Retrieval.bm25(docs, "doc_id", "text", q))
+    // the query-term restriction and the 1-row stats row ship TO the
+    // corpus-side streams, never the reverse — the corpus relation only
+    // ever shuffles post-restriction (matching (doc, term) rows)
+    assert(plan.contains("BroadcastHashJoin"), s"query-term restriction not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats row not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cross product:\n$plan")
+
+    val topk = executedPlanString(
+      graft.operators.Retrieval.searchTopK(docs, "doc_id", "text", Seq("spark", "merge"), k = 10))
+    assert(topk.contains("partial_graft_top_k"),
+      s"BM25 ranking not a map-side-partial bounded top-k:\n$topk")
+    assert(!topk.contains("Window") && !topk.contains("row_number"),
+      s"BM25 ranking sorts the match set globally:\n$topk")
+  }
 }

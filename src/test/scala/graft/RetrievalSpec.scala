@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** BM25 lexical retrieval: scoring against a hand-computed reference
+  * implementation of the same formula, ranking semantics, and the
+  * rare-vs-stopword idf sign behavior on crafted corpora.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 5 docs; "rare" appears in 1, "common" in 4 (> N/2 -> negative idf)
+  private val docs = Seq(
+    (0L, "rare common alpha beta"),
+    (1L, "common alpha beta gamma delta epsilon zeta"),
+    (2L, "common alpha"),
+    (3L, "common beta gamma"),
+    (4L, "alpha beta gamma delta")
+  ).toDF("doc_id", "text")
+
+  /** The scoring model, in plain Scala: the spec's independent replica. */
+  private def refScore(
+      tf: Long, df: Long, dl: Long, n: Long, total: Long,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val idf = log2(2 * n - 2 * df + 1) - log2(2 * df + 1)
+    idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl * n / total.toDouble))
+  }
+
+  test("bm25 scores match the formula exactly on a crafted corpus") {
+    val q = Seq((0L, "rare"), (0L, "common")).toDF("query_id", "term")
+    val got = Retrieval.bm25(docs, "doc_id", "text", q)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // N=5, total_len=4+7+2+3+4=20; df(rare)=1, df(common)=4
+    val dls = Map(0L -> 4L, 1L -> 7L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    val expect = Map(
+      0L -> (refScore(1, 1, 4, 5, 20) + refScore(1, 4, 4, 5, 20)),
+      1L -> refScore(1, 4, 7, 5, 20),
+      2L -> refScore(1, 4, 2, 5, 20),
+      3L -> refScore(1, 4, 3, 5, 20))
+    assert(got.keySet == expect.keySet, s"matched docs: ${got.keySet}")
+    expect.foreach { case (id, e) =>
+      val rounded = BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == rounded, s"doc $id: got ${got(id)}, want $rounded")
+    }
+    assert(dls(0L) == 4L) // guard the hand-computed lengths against edits
+  }
+
+  test("stopword-like terms (df > N/2) contribute negative scores") {
+    val q = Seq((0L, "common")).toDF("query_id", "term")
+    val scores = Retrieval.bm25(docs, "doc_id", "text", q)
+      .collect().map(_.getDouble(2))
+    assert(scores.nonEmpty && scores.forall(_ < 0.0),
+      s"df=4 of N=5 must score negative: ${scores.toSeq}")
+  }
+
+  test("docs sharing no query term emit no row") {
+    val q = Seq((0L, "rare")).toDF("query_id", "term")
+    val ids = Retrieval.bm25(docs, "doc_id", "text", q)
+      .collect().map(_.getLong(1)).toSet
+    assert(ids == Set(0L), s"only doc 0 contains 'rare': $ids")
+  }
+
+  test("searchTopK ranks by score desc with ties to the lower id") {
+    val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("rare", "alpha"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to got.length).toSeq, "contiguous ranks")
+    val scores = got.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "desc scores")
+    got.zip(got.tail).foreach { case ((_, idA, sA), (_, idB, sB)) =>
+      if (sA == sB) assert(idA < idB, s"tie must go to lower id: $idA vs $idB")
+    }
+    // doc 0 holds the only 'rare' hit plus an 'alpha' hit -> rank 1
+    assert(got.head._2 == 0L, s"doc 0 must rank first: ${got.toSeq}")
+  }
+
+  test("unknown query terms score nothing rather than failing") {
+    val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
+    assert(got.collect().isEmpty)
+  }
+
+  test("empty-token artifacts neither score nor count toward length") {
+    val padded = Seq((0L, "  rare   alpha  "), (1L, "alpha beta")).toDF("doc_id", "text")
+    val q = Seq((0L, "rare")).toDF("query_id", "term")
+    val got = Retrieval.bm25(padded, "doc_id", "text", q)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // dl(0)=2, dl(1)=2, N=2, total=4, df(rare)=1, tf=1
+    val e = refScore(1, 1, 2, 2, 4)
+    val rounded = BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(0L -> rounded), s"got $got, want ${Map(0L -> rounded)}")
+  }
+}
