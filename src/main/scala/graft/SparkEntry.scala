@@ -96,6 +96,21 @@ object SparkEntry {
         numBuckets = 4096)
     })
 
+  /** Per-corpus memoized BM25 inverted index for the serve-path entry
+    * (`retrieval_query_serve`): postings + termdf + stats written ONCE
+    * per sfDir in the deployment shape [[Retrieval.buildIndex]]
+    * prescribes (postings term-sorted for row-group pruning). The build
+    * cost is billed honestly by `retrieval_index_build`, which
+    * re-derives the postings relation on every invocation.
+    */
+  private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtBm25Index(s: SparkSession, dir: String): String =
+    bm25IndexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      Retrieval.buildIndex(t(s, dir, "documents"), "doc_id", "text", path)
+      path
+    })
+
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -1128,6 +1143,20 @@ object SparkEntry {
       // the single-query serve path: top-10 docs by BM25 via the bounded
       // O(k) aggregate — nothing sorts the corpus
       Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_index_build" -> ((s, dir) =>
+      // the INGEST half of indexed retrieval, billed on its own: the
+      // full postings relation (term, doc_id, tf, dl) — one explode,
+      // one hash aggregate, doc length denormalized beside each posting
+      // so the serve path never joins a corpus-sized side. Fully
+      // value-graded: every posting row is DuckDB-reproducible.
+      Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text")),
+    "retrieval_query_serve" -> ((s, dir) =>
+      // the SERVE half: the same top-10 query answered from the
+      // prebuilt parquet index (built ONCE per corpus by
+      // builtBm25Index). Must return the IDENTICAL ranking as the
+      // direct-path retrieval_search_topk — one oracle by construction.
+      Retrieval.searchTopKIndexed(s, builtBm25Index(s, dir), "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2325,6 +2354,12 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
          FROM contrib GROUP BY query_id, doc_id""",
+    "retrieval_index_build" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                       FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, len(tk) AS dl, t AS term FROM toks, unnest(tk) AS u(t))
+         SELECT term, doc_id, count(*) AS tf, CAST(dl AS BIGINT) AS dl
+         FROM terms GROUP BY term, doc_id, dl""",
     "retrieval_search_topk" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
@@ -2755,7 +2790,10 @@ object SparkEntry {
       ("dedup_near_skewsafe" -> pipelineTierOracle("dedup_near_verified")) +
       // same clustering semantics, distributed loop forced (driver
       // union-find gate off) — one oracle by construction
-      ("dedup_clusters_distributed" -> pipelineTierOracle("dedup_clusters"))
+      ("dedup_clusters_distributed" -> pipelineTierOracle("dedup_clusters")) +
+      // the indexed serve path must answer the IDENTICAL query with the
+      // IDENTICAL ranking as the direct scan — one oracle by construction
+      ("retrieval_query_serve" -> pipelineTierOracle("retrieval_search_topk"))
 
   /** The most-composed end-to-end chains — the plans where a silent
     * regression would hurt a real pipeline most. Kept as a named set so
@@ -2798,8 +2836,11 @@ object SparkEntry {
     // pair: the fit's count aggregations billed alone, the serve path's
     // score-and-select billed against the memoized model
     "curation_dsir_fit", "curation_dsir_select",
-    // the lexical-search tier: multi-query BM25 scoring plus the
-    // single-query serve path through the bounded top-k aggregate
-    "retrieval_bm25", "retrieval_search_topk"
+    // the lexical-search tier benches as direct scoring plus the same
+    // split build/serve pair as ann_* and dsir_*: postings construction
+    // billed alone, the indexed single-scan query billed against the
+    // memoized parquet index
+    "retrieval_bm25", "retrieval_search_topk",
+    "retrieval_index_build", "retrieval_query_serve"
   ) ++ capstoneQueries
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword retrieval over a document corpus — the lexical search
@@ -70,6 +70,16 @@ object Retrieval {
       .select(col(idCol),
         size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("dl"))
 
+  /** One matched term's score contribution, from columns
+    * (tf, df, dl, n_docs, total_len) — the ONE arithmetic shape both
+    * the direct path and the indexed serve path share, so the two can
+    * never drift apart numerically.
+    */
+  private def contrib(k1: Double, b: Double): Column =
+    (log2(lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) - log2(lit(2L) * col("df") + 1L)) *
+      (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("total_len")))
+
   /** BM25 scores for every (query, matching document) pair.
     * `queries` is (query_id, term) — one row per query term, duplicate
     * terms allowed (they re-score like repeated terms in classic BM25).
@@ -90,19 +100,94 @@ object Retrieval {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("total_len"))
-    val perTerm = queries
+    queries
       .join(broadcast(df_), Seq("term"))
       .join(tf, Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col(idCol),
-        ((log2(lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) - log2(lit(2L) * col("df") + 1L))
-          * (col("tf") * (k1 + 1.0))
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("total_len"))))
-          .as("contrib"))
-    perTerm
+      .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("contrib")), 6).as("score"))
+  }
+
+  // ==================== prebuilt inverted index ====================
+
+  /** The postings relation: one row per distinct (document, term) with
+    * the term frequency AND the document length denormalized in — the
+    * search-engine stance (store the norm beside the posting) that lets
+    * the serve path score from ONE filter-pruned scan, never joining
+    * back to a corpus-sized side. One explode, one hash aggregate.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+
+  /** Write the three index tables under `path`: `postings` (term, id,
+    * tf, dl) repartitioned AND sorted by term so parquet row-group
+    * min/max statistics prune a term-restricted scan (bounded file
+    * count at any vocabulary size, unlike a per-term directory
+    * partition); `termdf` (term, df); `stats` (n_docs, total_len — ONE
+    * row, counted over ALL non-null-text docs, so zero-token docs
+    * count toward N exactly as in [[bm25]]).
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val index = invertedIndex(docs, idCol, textCol)
+    index
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    index.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/termdf")
+    docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a prebuilt index — the serve path. The ONLY
+    * corpus-sized relation in the plan is the postings scan, and the
+    * term restriction pushes into it (row-group pruning on the
+    * build-time term sort); df and stats broadcast. Output matches
+    * [[searchTopK]]: (rank, id, score).
+    */
+  def searchTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "searchTopKIndexed: empty query")
+    import spark.implicits._
+    val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .where(col("term").isin(terms.distinct: _*))
+    // restrict df to the query terms BEFORE broadcasting: the term-df
+    // table is vocabulary-sized, the restriction is |terms| rows
+    val dfs = spark.read.parquet(s"$indexPath/termdf")
+      .where(col("term").isin(terms.distinct: _*))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    q.join(broadcast(dfs), Seq("term"))
+      .join(postings, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as(idCol),
+        round(col("e.score"), 6).as("score"))
   }
 
   /** Top-k documents per query by BM25 — [[bm25]] ranked with the

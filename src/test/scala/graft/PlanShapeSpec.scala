@@ -535,4 +535,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!topk.contains("Window") && !topk.contains("row_number"),
       s"BM25 ranking sorts the match set globally:\n$topk")
   }
+
+  test("indexed BM25 serve is one term-pruned postings scan, no explode, no corpus join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("planshape-bm25-idx").toString
+    graft.operators.Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val plan = executedPlanString(
+      graft.operators.Retrieval.searchTopKIndexed(spark, dir, "doc_id", Seq("spark", "merge"), k = 10))
+    // the term restriction reaches the postings parquet scan (row-group
+    // pruning on the build-time term sort does the rest at scale)
+    val postingsScan = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("postings")).mkString("\n")
+    assert(postingsScan.contains("In(term") || postingsScan.contains("EqualTo(term"),
+      s"term restriction not pushed into the postings scan:\n$plan")
+    // serve time re-tokenizes nothing and joins no corpus-sized side:
+    // the only Generate is the posexplode of the k-row top-k array, and
+    // every join is a broadcast
+    assert(!plan.contains("split("), s"serve path re-tokenizes:\n$plan")
+    val generates = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.forall(_.contains("posexplode")),
+      s"unexpected corpus-side explode:\n${generates.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"serve path shuffles a join side:\n$plan")
+    assert(plan.contains("partial_graft_top_k"),
+      s"indexed ranking not a map-side-partial bounded top-k:\n$plan")
+  }
 }

@@ -74,6 +74,39 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.head._2 == 0L, s"doc 0 must rank first: ${got.toSeq}")
   }
 
+  test("invertedIndex carries tf and denormalized dl per distinct (doc, term)") {
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(idx(("common", 0L)) == (1L, 4L))
+    assert(idx(("alpha", 1L)) == (1L, 7L))
+    // one row per DISTINCT pair: doc 1 has 7 distinct terms
+    assert(idx.keys.count(_._2 == 1L) == 7)
+  }
+
+  test("indexed serve returns the identical ranking as the direct scan") {
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-idx").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text", Seq("rare", "alpha", "common"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.searchTopKIndexed(spark, dir, "doc_id", Seq("rare", "alpha", "common"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == direct, s"indexed $indexed != direct $direct")
+  }
+
+  test("zero-token docs count toward N in the index stats like the direct path") {
+    val padded = Seq((0L, "rare alpha"), (1L, "  "), (2L, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-zero").toString
+    Retrieval.buildIndex(padded, "doc_id", "text", dir)
+    val stats = spark.read.parquet(s"$dir/stats").collect()(0)
+    assert(stats.getLong(0) == 3L, s"N must include the zero-token doc: ${stats.getLong(0)}")
+    assert(stats.getLong(1) == 4L)
+    val direct = Retrieval.searchTopK(padded, "doc_id", "text", Seq("rare"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.searchTopKIndexed(spark, dir, "doc_id", Seq("rare"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == direct, s"indexed $indexed != direct $direct")
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
