@@ -950,6 +950,21 @@ object SparkEntry {
       Curation.decontaminate(docs, "doc_id", "text",
         docs.where(col("doc_id") < 25), "text", n = 3, minHits = 1)
     }),
+    "curation_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space leakage guard: corpus vectors within cosine 0.30
+      // of ANY benchmark vector (vec_id < 25) are dropped — catches the
+      // paraphrased leakage the n-gram decontaminate cannot. Bench side
+      // broadcasts; the corpus streams through one scan.
+      val emb = t(s, dir, "embeddings")
+      Curation.decontaminateByEmbedding(
+        emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
+        "vec_id", "embedding", thresholdPct = 30)
+        .select("vec_id")
+    }),
+    "text_keywords" -> ((s, dir) =>
+      // top-3 TF-IDF salient terms per document (log2-integer idf grid;
+      // ties to the lexicographically smaller term)
+      Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
     "text_chunks" -> ((s, dir) =>
       // context-length chunking: 16-token pieces, remainder kept
       TextFunctions.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 16)),
@@ -1950,6 +1965,27 @@ object SparkEntry {
            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM dg JOIN bench USING (g) GROUP BY doc_id HAVING count(*) >= 1""",
+    "curation_decontaminate_semantic" ->
+      """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 25),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 25)
+         SELECT vec_id FROM c WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE
+             list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(bv)), i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))) * 100 >= 30)""",
+    "text_keywords" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM toks),
+         scored AS (SELECT doc_id, term,
+             round((log2(2 * n_docs + 1) - log2(2 * df + 1)) * tf, 6) AS score
+           FROM tf JOIN df USING (term), n)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rank, term, score FROM (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+           FROM scored) WHERE rk <= 3""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          c AS (SELECT doc_id, tk,
@@ -2841,6 +2877,9 @@ object SparkEntry {
     // billed alone, the indexed single-scan query billed against the
     // memoized parquet index
     "retrieval_bm25", "retrieval_search_topk",
-    "retrieval_index_build", "retrieval_query_serve"
+    "retrieval_index_build", "retrieval_query_serve",
+    // per-doc TF-IDF keyword extraction (corpus-scan heavy) and the
+    // embedding-space leakage guard (broadcast bench, one corpus scan)
+    "text_keywords", "curation_decontaminate_semantic"
   ) ++ capstoneQueries
 }

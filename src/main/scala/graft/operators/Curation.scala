@@ -346,6 +346,34 @@ object Curation {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Embedding-space decontamination: drop every corpus row whose
+    * vector's cosine against ANY benchmark vector reaches
+    * `thresholdPct`/100 — the semantic cousin of [[decontaminate]],
+    * catching paraphrased benchmark leakage that shares no n-gram.
+    * Scale shape: benchmark sets are small (thousands of prompts), so
+    * the bench side BROADCASTS and the corpus streams through ONE scan;
+    * matched ids leave via left-anti. A zero-norm vector on either side
+    * has no defined cosine — the guard makes it NULL, NULL comparisons
+    * are false, so such rows match nothing and survive; put them
+    * through a validation gate first if that is not the intent.
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholdPct: Int
+  ): DataFrame = {
+    import graft.operators.Similarity.{dot, l2Norm}
+    val bench = benchmark.select(col(vecCol).as("bench_vec"))
+    // guard, don't divide: ANSI mode faults 0/0 before NaN semantics
+    // could even apply, and a single malformed row must not kill a
+    // corpus-wide purge
+    val norms = l2Norm(col(vecCol)) * l2Norm(col("bench_vec"))
+    val cos = when(norms > 0, dot(col(vecCol), col("bench_vec")) / norms)
+    corpus.join(broadcast(bench), cos * 100 >= thresholdPct, "left_anti")
+  }
+
   /** Token-weighted mix rebalance: like [[rebalanceMix]] but quotas are
     * TOKEN budgets, not document counts — training mixes target token
     * share, and domains with different document lengths would otherwise

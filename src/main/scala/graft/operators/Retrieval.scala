@@ -214,6 +214,41 @@ object Retrieval {
         col("e.neighbor_id").as(idCol),
         round(col("e.score"), 6).as("score"))
 
+  /** Top-k TF-IDF keywords per document — the per-doc salient-term
+    * extraction a corpus audit or data card wants. idf uses the same
+    * log2-of-odd-integers grid as [[bm25]] in its always-positive form
+    * `log2(2N + 1) - log2(2 df(t) + 1)` (df <= N, so every keyword
+    * scores > 0 and stopwords merely rank low). Ranking is a
+    * per-document row_number window — partitioned by the doc id, so
+    * each task sorts only its own documents' term lists (bounded by
+    * tokens-per-doc), never a global sort. Ties break on the term
+    * string ascending. Output: (id, rank, term, score).
+    */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df_, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        round((log2(lit(2L) * col("n_docs") + 1L) - log2(lit(2L) * col("df") + 1L)) * col("tf"), 6)
+          .as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Single-query sugar: score `terms` against the corpus, top-k.
     * Output: (rank, id, score).
     */

@@ -303,4 +303,18 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L), s"got $kept (scores: $scored, cut $cut)")
   }
+
+  test("decontaminateByEmbedding drops cosine-close rows, keeps orthogonal and NaN-norm ones") {
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // identical -> dropped
+      (1L, Array(0.0f, 1.0f)),   // orthogonal -> kept
+      (2L, Array(0.9f, 0.1f)),   // cosine ~0.99 -> dropped
+      (3L, Array(-1.0f, 0.0f)),  // opposite -> kept
+      (4L, Array(0.0f, 0.0f))    // zero norm: NaN cosine matches nothing -> kept
+    ).toDF("vec_id", "embedding")
+    val kept = Curation.decontaminateByEmbedding(corpus, bench, "vec_id", "embedding", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+  }
 }

@@ -107,6 +107,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(indexed == direct, s"indexed $indexed != direct $direct")
   }
 
+  test("tfidfKeywords surfaces rare terms above stopwords, ties to the smaller term") {
+    val kw = Retrieval.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val doc0 = kw.filter(_._1 == 0L).sortBy(_._2)
+    // doc 0 = "rare common alpha beta": df(rare)=1 < df(alpha)=4 = df(beta)=4
+    // < df(common)=4 — 'rare' has the highest idf, then the alpha/beta/
+    // common three-way tf*idf tie resolves lexicographically
+    assert(doc0.map(_._3).toSeq == Seq("rare", "alpha"), s"doc 0 keywords: ${doc0.toSeq}")
+    // every score is positive (idf form log2(2N+1)-log2(2df+1) > 0)
+    assert(kw.forall(_._4 > 0.0))
+    // ranks are contiguous from 1 within every doc
+    kw.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length).toSeq, s"ranks: ${g.toSeq}")
+    }
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
