@@ -1159,6 +1159,21 @@ object SparkEntry {
       // O(k) aggregate — nothing sorts the corpus
       Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_hybrid" -> ((s, dir) => {
+      // hybrid search: BM25 lexical top-20 fused with embedding cosine
+      // top-20 (query = vector 0) by reciprocal-rank fusion. Both
+      // branch rankings already have value-level replicas; the fused
+      // score is a fixed-order sum of 1/(60+rank) terms, so the whole
+      // composition hash-matches.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = Retrieval.searchTopK(docs, "doc_id", "text",
+        Seq("spark", "fast", "join"), k = 20).select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, sem, "doc_id", k = 10)
+    }),
     "retrieval_index_build" -> ((s, dir) =>
       // the INGEST half of indexed retrieval, billed on its own: the
       // full postings relation (term, doc_id, tf, dl) — one explode,
@@ -2390,6 +2405,40 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
          FROM contrib GROUP BY query_id, doc_id""",
+    "retrieval_hybrid" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id),
+         lex AS (SELECT doc_id, rk AS r_lex FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w) WHERE rk <= 20),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         sims AS (SELECT vec_id AS doc_id,
+             list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS sim
+           FROM embeddings, qv WHERE vec_id <> 0),
+         sem AS (SELECT doc_id, rk AS r_sem FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rk FROM sims) WHERE rk <= 20),
+         fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 6) AS score
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM fused) WHERE rk <= 10""",
     "retrieval_index_build" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL),
@@ -2880,6 +2929,8 @@ object SparkEntry {
     "retrieval_index_build", "retrieval_query_serve",
     // per-doc TF-IDF keyword extraction (corpus-scan heavy) and the
     // embedding-space leakage guard (broadcast bench, one corpus scan)
-    "text_keywords", "curation_decontaminate_semantic"
+    "text_keywords", "curation_decontaminate_semantic",
+    // the hybrid lexical+semantic fusion capstone of the retrieval tier
+    "retrieval_hybrid"
   ) ++ capstoneQueries
 }

@@ -249,6 +249,42 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
+    * combiner (Cormack/Clarke/Buettcher 2009): fused(d) =
+    * sum over rankings of 1 / (c + rank(d)), c = 60 by default, with a
+    * document absent from one ranking contributing 0 for it. Rank
+    * positions are small integers and c is an integer, so every term is
+    * 1/(integer) — the same IEEE division in any engine — and the
+    * two-term sum has a FIXED evaluation order (lexical + semantic),
+    * keeping the fused score bit-reproducible. Inputs are (id, rank)
+    * relations; both are rank-bounded (top-k lists), so the fuse is a
+    * join of two SMALL relations regardless of corpus size, and the
+    * final ranking is the bounded O(k) aggregate. Ties to the lower id.
+    * Output: (rank, id, score).
+    */
+  def rrfFuse(
+      lexical: DataFrame,
+      semantic: DataFrame,
+      idCol: String,
+      k: Int,
+      c: Int = 60
+  ): DataFrame = {
+    def reciprocal(r: Column): Column = lit(1.0) / (lit(c.toLong) + r)
+    val fused = lexical.select(col(idCol), col("rank").as("r_lex"))
+      .join(semantic.select(col(idCol), col("rank").as("r_sem")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(reciprocal(col("r_lex")), lit(0.0))
+          + coalesce(reciprocal(col("r_sem")), lit(0.0)), 6).as("score"))
+    fused
+      .groupBy()
+      .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as(idCol),
+        round(col("e.score"), 6).as("score"))
+  }
+
   /** Single-query sugar: score `terms` against the corpus, top-k.
     * Output: (rank, id, score).
     */

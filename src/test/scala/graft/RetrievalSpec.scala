@@ -123,6 +123,20 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("rrfFuse sums reciprocal ranks with fixed order, absent side contributes zero") {
+    val lex = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1), (12L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, sem, "doc_id", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11 appears in both lists (1/62 + 1/61), 10 and 12 in one each
+    val expect = Seq(
+      (1, 11L, r6(1.0 / 62 + 1.0 / 61)),
+      (2, 10L, r6(1.0 / 61)),
+      (3, 12L, r6(1.0 / 62)))
+    assert(got == expect, s"got $got, want $expect")
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
