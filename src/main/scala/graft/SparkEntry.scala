@@ -1159,6 +1159,19 @@ object SparkEntry {
       // O(k) aggregate — nothing sorts the corpus
       Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_phrase" -> ((s, dir) =>
+      // exact-phrase query: per-doc occurrence counts of consecutive
+      // tokens "sort merge" — one scan, codegen'd array HOFs
+      Retrieval.phraseHits(t(s, dir, "documents"), "doc_id", "text", "sort merge")),
+    "graph_pagerank" -> ((s, dir) =>
+      // PageRank over the LSH duplicate-pair graph, 5 fixed iterations:
+      // heavily-connected docs (template/boilerplate families) rank
+      // high — the connectivity-as-quality signal of a web curation
+      // run, on the same pair relation dedup_minhash_lsh value-grades
+      graft.operators.Centrality.pageRank(
+        Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2),
+        "a_id", "b_id", iterations = 5)),
     "retrieval_hybrid" -> ((s, dir) => {
       // hybrid search: BM25 lexical top-20 fused with embedding cosine
       // top-20 (query = vector 0) by reciprocal-rank fusion. Both
@@ -2405,6 +2418,57 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
          FROM contrib GROUP BY query_id, doc_id""",
+    "retrieval_phrase" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                       FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, n_hits FROM (
+           SELECT doc_id,
+             CAST(len(list_filter(list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1]), g -> g = 'sort merge')) AS BIGINT) AS n_hits
+           FROM toks) WHERE n_hits >= 1""",
+    "graph_pagerank" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n_nodes FROM deg),
+         r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM deg, nn),
+         r1 AS (SELECT e.dst AS id,
+                  (1 - CAST(0.85 AS DOUBLE)) / n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg) AS r
+                FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
+                GROUP BY e.dst, n_nodes),
+         r2 AS (SELECT e.dst AS id,
+                  (1 - CAST(0.85 AS DOUBLE)) / n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg) AS r
+                FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
+                GROUP BY e.dst, n_nodes),
+         r3 AS (SELECT e.dst AS id,
+                  (1 - CAST(0.85 AS DOUBLE)) / n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg) AS r
+                FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
+                GROUP BY e.dst, n_nodes),
+         r4 AS (SELECT e.dst AS id,
+                  (1 - CAST(0.85 AS DOUBLE)) / n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg) AS r
+                FROM edges e JOIN r3 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
+                GROUP BY e.dst, n_nodes),
+         r5 AS (SELECT e.dst AS id,
+                  (1 - CAST(0.85 AS DOUBLE)) / n_nodes + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg) AS r
+                FROM edges e JOIN r4 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
+                GROUP BY e.dst, n_nodes)
+         SELECT id, round(r, 6) AS rank FROM r5""",
     "retrieval_hybrid" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
@@ -2931,6 +2995,9 @@ object SparkEntry {
     // embedding-space leakage guard (broadcast bench, one corpus scan)
     "text_keywords", "curation_decontaminate_semantic",
     // the hybrid lexical+semantic fusion capstone of the retrieval tier
-    "retrieval_hybrid"
+    "retrieval_hybrid",
+    // phrase query (one-scan array HOFs) and the Pregel-style fixed-
+    // iteration PageRank over the duplicate-pair graph
+    "retrieval_phrase", "graph_pagerank"
   ) ++ capstoneQueries
 }

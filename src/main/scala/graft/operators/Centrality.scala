@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over pair relations — the corpus-quality signal a
+  * web-scale curation run derives from connectivity (CommonCrawl-style
+  * ranking uses link centrality to prioritize crawl and filter spam;
+  * over a duplicate-pair graph the same score surfaces boilerplate
+  * families: heavily-connected docs are template pages). The reference
+  * has no graph tier; this generalizes the delta-iteration machinery
+  * already proven in [[Dedup.duplicateClusters]] to weighted scores.
+  */
+object Centrality {
+
+  /** Fixed-iteration PageRank over an UNDIRECTED pair relation
+    * (`aCol`, `bCol`; pairs must be distinct with a != b, the
+    * [[Dedup.lshCandidatePairs]] contract). Nodes are the pair
+    * endpoints — an isolated doc has no edges and no rank. Every
+    * iteration is one Pregel-style step: contributions flow along both
+    * edge directions, each node's new rank is
+    * `(1 - d)/N + d * sum(in-contribs)`. Undirected means every node
+    * has out-degree >= 1, so there is no dangling-mass term.
+    *
+    * Scale shape: the out-degree is joined ONTO the edge relation once
+    * before the loop, so each iteration is ONE join (edges x ranks on
+    * src, both hash-partitioned on the same key) + one aggregation —
+    * the same per-round cost as the distributed CC loop, without its
+    * convergence test because the iteration count is fixed. Ranks
+    * round to 6 places at the output edge only; the in-loop values
+    * stay raw doubles so cross-engine replicas agree bit-for-bit
+    * modulo sub-rounding summation noise.
+    *
+    * Output: (id, rank), rank rounded to 6 places.
+    */
+  def pageRank(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degEdges = edges.join(deg, "src")
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("id"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = degEdges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg(sum("c").as("in"))
+        .crossJoin(broadcast(n))
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / col("n_nodes") + lit(damping) * col("in")).as("r"))
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("rank"))
+  }
+}

@@ -249,6 +249,33 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Exact token-phrase occurrence counts — the phrase-query leg of the
+    * search tier: how many times does `phrase` appear as CONSECUTIVE
+    * tokens in each document. One corpus scan, no join: the sliding
+    * n-gram window and the equality filter are codegen'd array HOFs
+    * (the [[Curation.decontaminate]] gram idiom, here with empty
+    * split() artifacts excluded to match the BM25 tokenization). Docs
+    * with zero hits emit no row. Output: (id, n_hits).
+    */
+  def phraseHits(
+      docs: DataFrame, idCol: String, textCol: String, phrase: String): DataFrame = {
+    val p = phrase.trim.split("\\s+").toSeq
+    require(p.nonEmpty && p.forall(_.nonEmpty), s"empty phrase: '$phrase'")
+    val n = p.length
+    val parts = (0 until n).map(j => s"element_at(tk, i+$j)").mkString(", ")
+    val grams = expr(
+      s"""CASE WHEN size(tk) >= $n
+         |THEN transform(sequence(1, size(tk)-${n - 1}), i -> concat_ws(' ', $parts))
+         |ELSE array() END""".stripMargin)
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("tk"))
+      .select(col(idCol),
+        size(filter(grams, g => g === lit(p.mkString(" ")))).cast("long").as("n_hits"))
+      .where(col("n_hits") >= 1)
+  }
+
   /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
     * combiner (Cormack/Clarke/Buettcher 2009): fused(d) =
     * sum over rankings of 1 / (c + rank(d)), c = 60 by default, with a

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Centrality
+
+/** Fixed-iteration PageRank against a pure-Scala replica of the same
+  * recursion on crafted graphs.
+  */
+class CentralitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The same recursion in plain Scala: undirected pairs, fixed
+    * iterations, round-6 at the end.
+    */
+  private def refPageRank(
+      pairs: Seq[(Long, Long)], iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = in.map { case (id, s) => id -> ((1.0 - d) / n + d * s) }
+    }
+    r.map { case (id, v) =>
+      id -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("pageRank matches the hand recursion on a path graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val got = Centrality.pageRank(pairs.toDF("a", "b"), "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(pairs, 5)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+    // structure: the middle of a path out-ranks the symmetric endpoints
+    assert(got(2L) > got(1L) && got(1L) == got(3L), s"got $got")
+  }
+
+  test("pageRank conserves total mass and favors the hub of a star") {
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (1L, 2L))
+    val got = Centrality.pageRank(pairs.toDF("a", "b"), "a", "b", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(pairs, 8)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass not conserved: ${got.values.sum}")
+    assert(got(10L) == got.values.max, s"hub must rank highest: $got")
+  }
+
+  test("isolated docs are not nodes; single-pair graph is uniform") {
+    val got = Centrality.pageRank(Seq((7L, 8L)).toDF("a", "b"), "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(7L, 8L))
+    assert(got(7L) == 0.5 && got(8L) == 0.5, s"two symmetric nodes split evenly: $got")
+  }
+}

@@ -137,6 +137,21 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == expect, s"got $got, want $expect")
   }
 
+  test("phraseHits counts consecutive-token occurrences, overlapping included") {
+    val corpus = Seq(
+      (0L, "a b a b a"),     // "a b" twice, "a b a" twice (overlap)
+      (1L, "a  b"),          // split artifacts: still one "a b"
+      (2L, "b a"),           // reversed: no "a b"
+      (3L, "a")              // too short for any bigram
+    ).toDF("doc_id", "text")
+    def hits(phrase: String) =
+      Retrieval.phraseHits(corpus, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("a b") == Map(0L -> 2L, 1L -> 1L))
+    assert(hits("a b a") == Map(0L -> 2L))
+    assert(hits("a") == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
