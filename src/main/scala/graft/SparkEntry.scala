@@ -1159,6 +1159,12 @@ object SparkEntry {
       // O(k) aggregate — nothing sorts the corpus
       Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "fast", "join"), k = 10)),
+    "fuzzy_name_pairs" -> ((s, dir) =>
+      // entity resolution: distinct part names within edit distance 1,
+      // deletion-neighborhood blocked + exact levenshtein verify. The
+      // oracle brute-forces the distinct-name cross product — identical
+      // output proves the blocking scheme loses nothing.
+      graft.operators.FuzzyJoin.nearNamePairs(t(s, dir, "part"), "p_name")),
     "retrieval_phrase" -> ((s, dir) =>
       // exact-phrase query: per-doc occurrence counts of consecutive
       // tokens "sort merge" — one scan, codegen'd array HOFs
@@ -2418,6 +2424,12 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
          FROM contrib GROUP BY query_id, doc_id""",
+    "fuzzy_name_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+         SELECT a.name AS a_name, b.name AS b_name,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM names a JOIN names b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 1""",
     "retrieval_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL)
@@ -2998,6 +3010,8 @@ object SparkEntry {
     "retrieval_hybrid",
     // phrase query (one-scan array HOFs) and the Pregel-style fixed-
     // iteration PageRank over the duplicate-pair graph
-    "retrieval_phrase", "graph_pagerank"
+    "retrieval_phrase", "graph_pagerank",
+    // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
+    "fuzzy_name_pairs"
   ) ++ capstoneQueries
 }

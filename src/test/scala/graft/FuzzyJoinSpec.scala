@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.FuzzyJoin
+
+/** Deletion-neighborhood fuzzy matching vs a brute-force replica. */
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("blocked pairs equal the brute-force distance-1 pairs, duplicates collapsed") {
+    val names = Seq("cat", "cats", "bat", "at", "dog", "cat", "a", "", "frog", "frogs")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val got = FuzzyJoin.nearNamePairs(df, "nm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val distinct = names.distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // the trap cases the naive prefix blocking misses are all present:
+    // position-0 substitution, leading deletion, empty-vs-one-char
+    assert(want.contains(("bat", "cat", 1)) && want.contains(("at", "cat", 1))
+      && want.contains(("", "a", 1)), s"fixture lost its trap cases: $want")
+  }
+
+  test("null names are ignored; no self or reversed pairs") {
+    val df = Seq(Some("abc"), None, Some("abd"), Some("abc")).zipWithIndex
+      .map { case (n, i) => (i.toLong, n.orNull) }.toDF("id", "nm")
+    val got = FuzzyJoin.nearNamePairs(df, "nm")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("abc", "abd")), s"got $got")
+  }
+}
