@@ -1159,6 +1159,22 @@ object SparkEntry {
       // O(k) aggregate — nothing sorts the corpus
       Retrieval.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "fast", "join"), k = 10)),
+    "stats_profile" -> ((s, dir) =>
+      // data-card column profile: rows / nulls / exact distinct per
+      // column, each from a single-column scan
+      graft.operators.Stats.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source"))),
+    "stats_histogram" -> ((s, dir) =>
+      // exact fixed-width histogram of order quantities: 10 bins of
+      // width 5 over [1, 51) — one map-side combinable aggregate
+      graft.operators.Stats.histogram(t(s, dir, "lineitem"), "l_quantity",
+        lo = 1, hi = 51, bins = 10)),
+    "stats_corr" -> ((s, dir) =>
+      // Pearson corr from exact integer sufficient statistics
+      // (quantity units x discount cents) — bit-reproducible, unlike
+      // engine-native streaming covariance
+      graft.operators.Stats.corrExact(t(s, dir, "lineitem"),
+        col("l_quantity").cast("long"), cents(col("l_discount")))),
     "fuzzy_name_pairs" -> ((s, dir) =>
       // entity resolution: distinct part names within edit distance 1,
       // deletion-neighborhood blocked + exact levenshtein verify. The
@@ -2424,6 +2440,39 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sum(c), 6) AS score
          FROM contrib GROUP BY query_id, doc_id""",
+    "stats_profile" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                count(DISTINCT doc_id) AS n_distinct FROM documents
+         UNION ALL
+         SELECT 'text', count(*),
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT text) FROM documents
+         UNION ALL
+         SELECT 'lang', count(*),
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT lang) FROM documents
+         UNION ALL
+         SELECT 'source', count(*),
+                CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT source) FROM documents""",
+    "stats_histogram" ->
+      """SELECT CAST(floor((l_quantity - CAST(1.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) AS INTEGER) AS bin,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity < 51
+         GROUP BY 1""",
+    "stats_corr" ->
+      """WITH s AS (SELECT count(*) AS n,
+                sum(CAST(l_quantity AS BIGINT)) AS sx,
+                sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sy,
+                sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                sum(CAST(round(l_discount * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) AS syy,
+                sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sxy
+              FROM lineitem)
+         SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+         FROM s""",
     "fuzzy_name_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
          SELECT a.name AS a_name, b.name AS b_name,
@@ -3012,6 +3061,9 @@ object SparkEntry {
     // iteration PageRank over the duplicate-pair graph
     "retrieval_phrase", "graph_pagerank",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
-    "fuzzy_name_pairs"
+    "fuzzy_name_pairs",
+    // the profiling tier: column data-card, exact histogram, and
+    // integer-sufficient-statistics correlation over the big table
+    "stats_profile", "stats_histogram", "stats_corr"
   ) ++ capstoneQueries
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column statistics and profiling — the data-card / quality-report
+  * tier a corpus publisher runs before shipping: per-column null and
+  * cardinality profiles, exact fixed-width histograms, and correlation
+  * computed from INTEGER sufficient statistics so the result is
+  * bit-reproducible across engines (streaming covariance updates à la
+  * Welford are engine-specific float paths; exact integer sums are
+  * not).
+  */
+object Stats {
+
+  /** One profile row per requested column: total rows, nulls, exact
+    * distinct count. Each column's aggregate is its own scan — under a
+    * columnar format that scan reads ONLY that column (the per-column
+    * cost a profiler should pay), and the per-column relations union
+    * into one result. Output: (column, n_rows, n_nulls, n_distinct).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact fixed-width histogram of a numeric column over [lo, hi):
+    * bin i covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/bins.
+    * Values outside the range are dropped (count them separately if
+    * they matter). The bin expression is the literal arithmetic
+    * `floor((x - lo) / w)` — one map-side combinable hash aggregate.
+    * Output: (bin, n), only non-empty bins.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad histogram range [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    df.where(col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi)
+      .select(floor((col(valueCol) - lo) / w).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Pearson correlation of two INTEGER-valued columns, from exact
+    * long-typed sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy — all
+    * exact as long as they stay under 2^53, which the caller guarantees
+    * by passing bounded integer domains such as cents or counts):
+    * r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²)),
+    * evaluated in double in that fixed order. One map-side combinable
+    * aggregate over one scan. Output: one row (n, corr).
+    */
+  def corrExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+    agg.select(col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        .as("corr"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Profiling tier: profile, histogram, and exact-sufficient-statistics
+  * correlation on crafted data.
+  */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile reports rows, nulls, and exact distincts per column") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .map { case (i, s) => (i, s.orNull) }.toDF("id", "v")
+    val got = Stats.profile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("id") == ((4L, 0L, 4L)))
+    assert(got("v") == ((4L, 1L, 2L))) // countDistinct ignores nulls
+  }
+
+  test("histogram bins fixed-width ranges, drops out-of-range, omits empty bins") {
+    val df = Seq(0.5, 1.0, 1.5, 4.9, 5.0, 9.9, 10.0, 11.0).toDF("x")
+    // [1, 10) in 3 bins of width 3: [1,4) [4,7) [7,10)
+    val got = Stats.histogram(df, "x", lo = 1, hi = 10, bins = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 2L, 1 -> 2L, 2 -> 1L), s"got $got")
+  }
+
+  test("corrExact matches hand-computed Pearson r on integer data") {
+    val rows = Seq((1L, 2L), (2L, 4L), (3L, 5L), (4L, 4L), (5L, 5L))
+    val df = rows.toDF("x", "y")
+    val got = Stats.corrExact(df, col("x"), col("y")).collect()(0)
+    val n = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._1).sum.toDouble, rows.map(_._2).sum.toDouble)
+    val sxx = rows.map(r => r._1 * r._1).sum.toDouble
+    val syy = rows.map(r => r._2 * r._2).sum.toDouble
+    val sxy = rows.map(r => r._1 * r._2).sum.toDouble
+    val want = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val rounded = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 5L && got.getDouble(1) == rounded,
+      s"got ${got.getDouble(1)}, want $rounded")
+    // perfectly correlated data hits exactly 1
+    val perfect = Stats.corrExact(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y"),
+      col("x"), col("y")).collect()(0).getDouble(1)
+    assert(perfect == 1.0, s"got $perfect")
+  }
+}
