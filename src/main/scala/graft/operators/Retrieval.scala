@@ -251,28 +251,25 @@ object Retrieval {
 
   /** Exact token-phrase occurrence counts — the phrase-query leg of the
     * search tier: how many times does `phrase` appear as CONSECUTIVE
-    * tokens in each document. One corpus scan, no join: the sliding
-    * n-gram window and the equality filter are codegen'd array HOFs
-    * (the [[Curation.decontaminate]] gram idiom, here with empty
-    * split() artifacts excluded to match the BM25 tokenization). Docs
-    * with zero hits emit no row. Output: (id, n_hits).
+    * tokens in each document (overlaps count). One corpus scan, no
+    * join: the sliding window is a native codegen'd Expression
+    * ([[graft.expressions.TokenPhraseCount]]) — the composed
+    * transform+filter gram form ran its lambdas interpreted and
+    * measured ~8x slower at sf0.1. Empty split() artifacts are
+    * excluded to match the BM25 tokenization. Docs with zero hits emit
+    * no row. Output: (id, n_hits).
     */
   def phraseHits(
       docs: DataFrame, idCol: String, textCol: String, phrase: String): DataFrame = {
     val p = phrase.trim.split("\\s+").toSeq
     require(p.nonEmpty && p.forall(_.nonEmpty), s"empty phrase: '$phrase'")
-    val n = p.length
-    val parts = (0 until n).map(j => s"element_at(tk, i+$j)").mkString(", ")
-    val grams = expr(
-      s"""CASE WHEN size(tk) >= $n
-         |THEN transform(sequence(1, size(tk)-${n - 1}), i -> concat_ws(' ', $parts))
-         |ELSE array() END""".stripMargin)
+    val hits = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.TokenPhraseCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+        p))
     docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("tk"))
-      .select(col(idCol),
-        size(filter(grams, g => g === lit(p.mkString(" ")))).cast("long").as("n_hits"))
+      .select(col(idCol), hits.as("n_hits"))
       .where(col("n_hits") >= 1)
   }
 

@@ -560,4 +560,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("partial_graft_top_k"),
       s"indexed ranking not a map-side-partial bounded top-k:\n$plan")
   }
+
+  test("phrase counting is one codegen'd scan, no interpreted gram lambdas") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = executedPlanString(
+      graft.operators.Retrieval.phraseHits(docs, "doc_id", "text", "sort merge"))
+      .split("== Initial Plan ==")(0)
+    val line = plan.linesIterator.find(_.contains("graft_phrase_count")).getOrElse("")
+    assert(line.contains("*("), s"phrase count fell out of whole-stage codegen:\n$plan")
+    assert(!plan.contains("lambdafunction"), s"interpreted HOF lambda in the scan:\n$plan")
+    assert(!plan.contains("Exchange"), s"phrase scan shuffles:\n$plan")
+  }
+
+  test("fuzzy matching joins on deletion keys, never a cartesian product") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val plan = executedPlanString(graft.operators.FuzzyJoin.nearNamePairs(part, "p_name"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching degenerated to all-pairs:\n$plan")
+    // the key equality drives a hash join (broadcast or shuffled both fine)
+    assert(plan.contains("HashJoin"), s"no hash join on the deletion keys:\n$plan")
+  }
+
+  test("histogram and corrExact aggregate partially map-side over a pruned scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hist = executedPlanString(
+      graft.operators.Stats.histogram(li, "l_quantity", lo = 1, hi = 51, bins = 10))
+    assert(hist.contains("partial_count"), s"histogram not map-side partial:\n$hist")
+    assert(hist.contains("ReadSchema: struct<l_quantity:double>"),
+      s"histogram scan reads more than its one column:\n$hist")
+    val corr = executedPlanString(graft.operators.Stats.corrExact(li,
+      org.apache.spark.sql.functions.col("l_quantity").cast("long"),
+      org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col("l_discount") * 100, 0).cast("long")))
+    assert(corr.contains("partial_sum"), s"corr sufficient statistics not map-side partial:\n$corr")
+    assert(!corr.contains("Exchange hashpartitioning"),
+      s"global 6-number aggregate should use a single-partition exchange, not a hash shuffle:\n$corr")
+  }
 }
