@@ -23,13 +23,20 @@ object Centrality {
     * has out-degree >= 1, so there is no dangling-mass term.
     *
     * Scale shape: the out-degree is joined ONTO the edge relation once
-    * before the loop, so each iteration is ONE join (edges x ranks on
-    * src, both hash-partitioned on the same key) + one aggregation —
-    * the same per-round cost as the distributed CC loop, without its
-    * convergence test because the iteration count is fixed. Ranks
-    * round to 6 places at the output edge only; the in-loop values
-    * stay raw doubles so cross-engine replicas agree bit-for-bit
-    * modulo sub-rounding summation noise.
+    * before the loop, and that relation is repartitioned on `src` and
+    * PERSISTED — the (expensive: LSH + verify) pair subtree computes
+    * once, and every iteration's join streams the cached layout with
+    * no re-shuffle of the edge side. The rank side arrives from its
+    * groupBy already hash-partitioned on the join key, so each round
+    * is one co-partitioned join + one aggregation — the per-round cost
+    * of the distributed CC loop, without its convergence test because
+    * the iteration count is fixed (bounded lineage; no per-round
+    * checkpoint needed). The result is materialized through a reliable
+    * checkpoint before the cache is released, so callers get a flat
+    * file-backed relation, not a plan pinned to executor memory.
+    * In-loop values stay raw doubles (cross-engine replicas agree
+    * modulo sub-rounding summation noise); ranks round to 6 places at
+    * the output edge only.
     *
     * Output: (id, rank), rank rounded to 6 places.
     */
@@ -41,10 +48,18 @@ object Centrality {
       damping: Double = 0.85
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // both directions via ONE explode (the duplicateClusters stance:
+    // a union would execute the pair subtree twice at materialization)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select("e.src", "e.dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val degEdges = edges.join(deg, "src")
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"), (lit(1.0) / col("n_nodes")).as("r"))
@@ -58,6 +73,9 @@ object Centrality {
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / col("n_nodes") + lit(damping) * col("in")).as("r"))
     }
-    ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val out = Dedup.reliableCheckpoint(
+      ranks.select(col("id"), round(col("r"), 6).as("rank")))
+    degEdges.unpersist()
+    out
   }
 }

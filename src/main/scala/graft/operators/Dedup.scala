@@ -923,7 +923,7 @@ object Dedup {
       StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
   }
 
-  private def reliableCheckpoint(df: DataFrame): DataFrame = {
+  private[operators] def reliableCheckpoint(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
