@@ -991,6 +991,27 @@ object SparkEntry {
         .where(col("keep") === 1)
         .select("doc_id")
     }),
+    "pipeline_dsir_select" -> ((s, dir) => {
+      // the seed-and-expand capstone: LSH dedup -> quality gate builds a
+      // trusted SEED split, a DSIR multinomial fits on seed-vs-raw (two
+      // bounded <= numBuckets-row collects, billed in-query), and the
+      // raw corpus is re-scored to select the 50 most seed-like docs —
+      // the curate-then-expand loop a data team runs to grow a corpus
+      // from a vetted nucleus. Every stage value-graded end to end.
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.dedupedCorpus(docs, "doc_id",
+        Dedup.nearDuplicates(docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
+      val seedIds = Curation.qualityFilter(survivors, "doc_id", "text",
+        minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+        .where(col("keep") === 1)
+        .select("doc_id")
+      val seed = docs.join(seedIds, "doc_id")
+      val term = Dsir.fitTerm(
+        Dsir.hashedFeatureCounts(seed, "doc_id", "text", 4096),
+        Dsir.hashedFeatureCounts(docs, "doc_id", "text", 4096),
+        numBuckets = 4096)
+      Dsir.selectTopKWith(docs, "doc_id", "text", term, k = 50)
+    }),
     "text_lang_stopwords" -> ((s, dir) => {
       val stops = Seq("the", "a", "of", "and", "to")
       t(s, dir, "documents").select(
@@ -2101,6 +2122,64 @@ object SparkEntry {
            AND (CASE WHEN len(text) = 0 THEN 0.0 ELSE
                   round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                         / CAST(len(text) AS DOUBLE), 6) END) >= 0.8""",
+    "pipeline_dsir_select" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+                   WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         seed AS (SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
+             AND len(string_split(text, ' ')) >= 10
+             AND (CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+                    round(1.0 - CAST(len(list_distinct(list_transform(
+                            generate_series(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END) <= 0.2
+             AND (CASE WHEN len(text) = 0 THEN 0.0 ELSE
+                    round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                          / CAST(len(text) AS DOUBLE), 6) END) >= 0.8),
+         ftoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         feats AS (
+           SELECT doc_id, t AS g FROM ftoks, unnest(tk) AS u(t) WHERE len(t) > 0
+           UNION ALL
+           SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+           FROM ftoks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+           WHERE len(tk) >= 2),
+         fb AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b FROM feats),
+         tgt AS (SELECT b, count(*) AS c_t FROM fb WHERE doc_id IN (SELECT doc_id FROM seed) GROUP BY b),
+         raw AS (SELECT b, count(*) AS c_r FROM fb GROUP BY b),
+         tt AS (SELECT sum(c_t) AS t_total FROM tgt),
+         rt AS (SELECT sum(c_r) AS r_total FROM raw),
+         w AS (
+           SELECT doc_id,
+             round(sum(log2(coalesce(c_t, 0) + 1) - log2(t_total + 4096)
+                     - log2(coalesce(c_r, 0) + 1) + log2(r_total + 4096)), 6) AS log2_w
+           FROM fb LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tt, rt
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rank, log2_w FROM (
+           SELECT doc_id, log2_w, row_number() OVER (ORDER BY log2_w DESC, doc_id) AS rk
+           FROM w) WHERE rk <= 50""",
     "text_lang_stopwords" ->
       """SELECT doc_id, lang,
          round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
@@ -3014,7 +3093,10 @@ object SparkEntry {
     "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack",
     // heuristic gate -> LM training on the keep split -> perplexity gate:
     // the composed CCNet-style selection chain
-    "curation_lm_gate"
+    "curation_lm_gate",
+    // dedup + quality seed -> DSIR fit on seed-vs-raw -> re-score and
+    // expand: the curate-then-grow loop, every stage value-graded
+    "pipeline_dsir_select"
   )
 
   /** Headline queries for Bench — one per major operator family, heavy
