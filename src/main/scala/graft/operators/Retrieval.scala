@@ -273,6 +273,55 @@ object Retrieval {
       .where(col("n_hits") >= 1)
   }
 
+  /** Per-document BM25 score against ONE fixed query, as a stateless
+    * row expression — the stream-serving form: df / N / total-length
+    * ship as captured constants (read once from a prebuilt index's
+    * termdf and stats tables), per-term tf is the native
+    * [[graft.expressions.TokenPhraseCount]] window walk, and the whole
+    * score is a codegen'd projection with no join, no shuffle, no
+    * state. Because it is a pure projection it composes with
+    * `readStream` UNCHANGED and must produce the identical scores as
+    * the relational [[bm25]] on the same rows (differential-tested).
+    * Terms absent from `df` never matched any document at index time
+    * and contribute nothing. Docs matching no term emit no row.
+    * Output: (id, score).
+    */
+  def scoreAgainstQuery(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      df: Map[String, Long],
+      nDocs: Long,
+      totalLen: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "scoreAgainstQuery: empty query")
+    val tk = split(col(textCol), " ")
+    def tfOf(t: String): Column = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.TokenPhraseCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(tk), Seq(t)))
+    val dl = size(filter(tk, x => length(x) > 0)).cast("long")
+    val known = terms.distinct.filter(df.contains)
+    val contribs = known.map { t =>
+      val tf = tfOf(t)
+      val dft = df(t)
+      when(tf > 0,
+        (log2(lit(2L * nDocs - 2L * dft + 1L)) - log2(lit(2L * dft + 1L)))
+          * (tf * (k1 + 1.0))
+          / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl * lit(nDocs) / lit(totalLen).cast("double"))))
+        .otherwise(lit(0.0))
+    }
+    val matched = known.map(t => tfOf(t) > 0)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val score = contribs.reduceOption(_ + _).getOrElse(lit(0.0))
+    docs
+      .where(col(textCol).isNotNull)
+      .where(matched)
+      .select(col(idCol), round(score, 6).as("score"))
+  }
+
   /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
     * combiner (Cormack/Clarke/Buettcher 2009): fused(d) =
     * sum over rankings of 1 / (c + rank(d)), c = 60 by default, with a

@@ -368,6 +368,42 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("DIFFERENTIAL: BM25 scores a stream against index-time constants, equal to batch") {
+    // the search-serving shape: df / N / total-length are frozen at
+    // index build; live documents score through the same stateless
+    // projection the batch path uses, so backfill and ingest rank
+    // identically against the same query
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "rare common alpha beta"),
+      (1L, "common alpha beta gamma delta epsilon zeta"),
+      (2L, "common alpha"),
+      (3L, "common beta gamma"),
+      (4L, "alpha beta gamma delta"))
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq("rare", "common")
+    // index-time constants derived from the SAME corpus the batch ran on
+    val idx = graft.operators.Retrieval.invertedIndex(docs, "doc_id", "text")
+    val df = idx.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (n, total) = (5L, 20L)
+    val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    val batched = graft.operators.Retrieval.bm25(docs, "doc_id", "text", q)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.Retrieval.scoreAgainstQuery(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", terms, df, n, total)
+    val query = out.writeStream.format("memory").queryName("bm25_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bm25_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batched, s"stream scores diverged: $streamed vs $batched")
+    } finally query.stop()
+  }
+
   test("DIFFERENTIAL: LM perplexity scores a stream against batch-trained count tables") {
     // the CCNet deployment shape: count tables train OFFLINE on the
     // reference corpus (batch), the live ingest scores against them as
