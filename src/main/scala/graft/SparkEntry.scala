@@ -610,6 +610,14 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), centsSum(col("value")).as("total_value"))
       )
     }),
+    "events_funnel" -> ((s, dir) =>
+      // ordered signup -> purchase -> repeat-purchase funnel: each step
+      // strictly after the previous completion, per-user
+      graft.operators.EventAnalytics.funnel(events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "purchase", "purchase"))),
+    "events_cohort" -> ((s, dir) =>
+      // day-granularity cohort retention grid over the event log
+      graft.operators.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")),
     "window_sliding" -> ((s, dir) => {
       events(s, dir)
         .groupBy(Windowing.slide(col("ts"), "2 hours", "1 hour"))
@@ -645,6 +653,23 @@ object SparkEntry {
          count(*) AS n,
          CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)/100.0 AS total_value
          FROM events GROUP BY 1, 2""",
+    "events_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u1.t1 GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+         SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM u1
+         UNION ALL SELECT 2, 'purchase', count(*) FROM u2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM u3""",
+    "events_cohort" ->
+      """WITH ad AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+         coh AS (SELECT u, min(d) AS c FROM ad GROUP BY u)
+         SELECT strftime(c, '%Y-%m-%d') AS cohort_date,
+                CAST(date_diff('day', c, d) AS INTEGER) AS offset_days,
+                count(*) AS n_users
+         FROM ad JOIN coh USING (u) GROUP BY c, date_diff('day', c, d)""",
     "window_sliding" ->
       """WITH starts AS (
            SELECT date_trunc('hour', ts) AS st FROM events
@@ -3146,6 +3171,8 @@ object SparkEntry {
     "fuzzy_name_pairs",
     // the profiling tier: column data-card, exact histogram, and
     // integer-sufficient-statistics correlation over the big table
-    "stats_profile", "stats_histogram", "stats_corr"
+    "stats_profile", "stats_histogram", "stats_corr",
+    // cross-timeline event analytics over the sf-scaled event log
+    "events_funnel", "events_cohort"
   ) ++ capstoneQueries
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.EventAnalytics
+
+/** Cross-timeline event analytics: ordered funnels and cohort
+  * retention on crafted event logs.
+  */
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: A then B then B again (full 3-step completion)
+  // user 2: B before A, then nothing after A — reaches step 1 only
+  // user 3: A then B, no second B — reaches step 2
+  // user 4: B only — never enters the funnel
+  private val log = Seq(
+    (1L, "A", ts("2024-01-01 10:00:00")),
+    (1L, "B", ts("2024-01-01 11:00:00")),
+    (1L, "B", ts("2024-01-01 12:00:00")),
+    (2L, "B", ts("2024-01-01 09:00:00")),
+    (2L, "A", ts("2024-01-01 10:00:00")),
+    (3L, "A", ts("2024-01-02 10:00:00")),
+    (3L, "B", ts("2024-01-03 10:00:00")),
+    (4L, "B", ts("2024-01-01 10:00:00"))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnel counts ordered completions, strictly after the prior step") {
+    val got = EventAnalytics.funnel(log, "user_id", "event_type", "ts", Seq("A", "B", "B"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // step 1: users 1,2,3 did A; step 2: 1 and 3 did B after A (user
+    // 2's B was BEFORE A); step 3: only user 1 repeated B
+    assert(got == Set((1, "A", 3L), (2, "B", 2L), (3, "B", 1L)), s"got $got")
+  }
+
+  test("funnel ignores same-instant events (strict ordering)") {
+    val tied = Seq(
+      (9L, "A", ts("2024-01-01 10:00:00")),
+      (9L, "B", ts("2024-01-01 10:00:00"))).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(tied, "user_id", "event_type", "ts", Seq("A", "B"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 1L, 2 -> 0L), s"got $got")
+  }
+
+  test("cohortRetention buckets users by first active date with day offsets") {
+    val got = EventAnalytics.cohortRetention(log, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // users 1,2,4 start 2024-01-01 and are active only that day;
+    // user 3 starts 2024-01-02, active day 0 and day 1
+    assert(got == Map(
+      ("2024-01-01", 0) -> 3L,
+      ("2024-01-02", 0) -> 1L,
+      ("2024-01-02", 1) -> 1L), s"got $got")
+  }
+}
