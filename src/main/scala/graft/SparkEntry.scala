@@ -618,6 +618,11 @@ object SparkEntry {
     "events_cohort" -> ((s, dir) =>
       // day-granularity cohort retention grid over the event log
       graft.operators.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")),
+    "events_sessionize" -> ((s, dir) =>
+      // 30-minute-gap session sequence numbers per user, tie-broken on
+      // the event id, compared in integer microseconds
+      graft.operators.EventAnalytics.sessionize(events(s, dir),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)),
     "window_sliding" -> ((s, dir) => {
       events(s, dir)
         .groupBy(Windowing.slide(col("ts"), "2 hours", "1 hour"))
@@ -663,6 +668,15 @@ object SparkEntry {
          SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM u1
          UNION ALL SELECT 2, 'purchase', count(*) FROM u2
          UNION ALL SELECT 3, 'purchase', count(*) FROM u3""",
+    "events_sessionize" ->
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events)
+         SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM o""",
     "events_cohort" ->
       """WITH ad AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
          coh AS (SELECT u, min(d) AS c FROM ad GROUP BY u)
@@ -3173,6 +3187,6 @@ object SparkEntry {
     // integer-sufficient-statistics correlation over the big table
     "stats_profile", "stats_histogram", "stats_corr",
     // cross-timeline event analytics over the sf-scaled event log
-    "events_funnel", "events_cohort"
+    "events_funnel", "events_cohort", "events_sessionize"
   ) ++ capstoneQueries
 }

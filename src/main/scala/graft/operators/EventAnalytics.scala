@@ -46,6 +46,37 @@ object EventAnalytics {
     stageCounts.result().reduce(_ unionByName _)
   }
 
+  /** Gap-based sessionization: assign every event its user's session
+    * SEQUENCE NUMBER (1-based), where a new session starts whenever the
+    * gap to the user's previous event exceeds `gapSeconds`. One window
+    * over (user, event-time) — partitioned per user, so no global sort
+    * — with the tie broken on the event id to keep same-instant events
+    * deterministic, and the running session count taken over an
+    * explicit ROWS frame (a RANGE frame would merge ties). Timestamps
+    * compare in integer microseconds, the exact cross-engine domain.
+    * Output: (idCol, userCol, session_seq).
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    events.select(
+      col(idCol), col(userCol),
+      sum(isNew).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)).as("session_seq"))
+  }
+
   /** Day-granularity cohort retention: users cohort by their FIRST
     * active date; each (cohort date, day offset) cell counts the
     * cohort's users active that many days later. Activity collapses to

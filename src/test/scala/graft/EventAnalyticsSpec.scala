@@ -43,6 +43,19 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got == Map(1 -> 1L, 2 -> 0L), s"got $got")
   }
 
+  test("sessionize numbers sessions per user on the gap, ties broken by event id") {
+    val ev = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // u1 session 1
+      (11L, 1L, ts("2024-01-01 10:20:00")), // within 30 min -> session 1
+      (12L, 1L, ts("2024-01-01 11:00:00")), // 40 min gap -> session 2
+      (13L, 2L, ts("2024-01-01 10:00:00")), // u2 session 1
+      (14L, 2L, ts("2024-01-01 10:00:00"))  // same instant: gap 0 -> session 1
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 1L, 14L -> 1L), s"got $got")
+  }
+
   test("cohortRetention buckets users by first active date with day offsets") {
     val got = EventAnalytics.cohortRetention(log, "user_id", "ts")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
