@@ -8,9 +8,11 @@ import graft.operators.Retrieval
 /** Scaling smoke for the lexical-retrieval tier — the text-side sibling
   * of [[AnnScaleSmoke]]: replicate the documents table N times (fresh
   * ids, text unchanged, so every BM25 quantity — df, dl, N, total_len —
-  * scales proportionally and per-doc scores are provably identical
-  * across scales) and compare the direct corpus-scan search against the
-  * build-once / serve-many indexed split at 1x and Nx. Wall-clock is
+  * scales proportionally; scores shift only through the +1 smoothing
+  * terms, which do not scale, so equality is asserted between the two
+  * ACCESS PATHS at each scale, never across scales) and compare the
+  * direct corpus-scan search against the build-once / serve-many
+  * indexed split at 1x and Nx. Wall-clock is
   * printed for the record; the ASSERTED properties are structural:
   *
   *  - equivalence: the indexed serve returns the IDENTICAL (rank, id,

@@ -1206,8 +1206,9 @@ object SparkEntry {
       // BM25 lexical scoring of three fixed keyword queries against the
       // corpus. Value-graded: idf is a difference of log2-of-odd-integer
       // terms and length normalization divides two integers once, so
-      // DuckDB reproduces every score bit-for-bit before the 6-place
-      // round (the text_lm_perplexity determinism recipe).
+      // every per-term contribution is engine-identical; the per-doc sum
+      // over matched terms carries only sub-rounding summation-order
+      // noise under the 6-place round (the dsir-weights stance).
       import s.implicits._
       val q = Seq((0L, "spark"), (0L, "query"),
                   (1L, "window"), (1L, "merge"), (1L, "sort"),

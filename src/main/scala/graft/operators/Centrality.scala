@@ -60,8 +60,12 @@ object Centrality {
     val degEdges = edges.join(deg, "src")
       .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deg.agg(count(lit(1)).as("n_nodes"))
-    var ranks = deg.crossJoin(broadcast(n))
+    // node count and initial ranks derive FROM THE CACHE, not from the
+    // raw deg/pairs lineage — otherwise the expensive pair subtree
+    // executes again for n and a third time for the init ranks
+    val nodes = degEdges.select(col("src"), col("deg")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
       .select(col("src").as("id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (_ <- 1 to iterations) {
       ranks = degEdges

@@ -17,7 +17,12 @@ object EventAnalytics {
     * later). Each stage is one aggregate over the events restricted to
     * that stage's type, joined to the previous stage's per-user
     * completion time — k-1 user-keyed joins for a k-step funnel, all
-    * hash-partitioned on the user, never a per-user event sort.
+    * hash-partitioned on the user, never a per-user event sort. Each
+    * stage's per-user completion relation goes through a reliable
+    * checkpoint (the [[Dedup.duplicateClusters]] machinery): without
+    * it every later stage — and every stage-count branch of the final
+    * union — would re-execute the whole prefix chain, turning a k-step
+    * funnel into O(k^2) event scans.
     * Output: (step, event_type, n_users), one row per step.
     */
   def funnel(
@@ -28,18 +33,20 @@ object EventAnalytics {
       steps: Seq[String]
   ): DataFrame = {
     require(steps.nonEmpty, "funnel: no steps")
-    var reached = events.where(col(typeCol) === steps.head)
-      .groupBy(col(userCol).as("u"))
-      .agg(min(col(tsCol)).as("t"))
+    var reached = Dedup.reliableCheckpoint(
+      events.where(col(typeCol) === steps.head)
+        .groupBy(col(userCol).as("u"))
+        .agg(min(col(tsCol)).as("t")))
     val stageCounts = Seq.newBuilder[DataFrame]
     stageCounts += reached.agg(count(lit(1)).as("n_users"))
       .select(lit(1).as("step"), lit(steps.head).as("event_type"), col("n_users"))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      reached = events.where(col(typeCol) === s)
-        .join(reached, col(userCol) === col("u"))
-        .where(col(tsCol) > col("t"))
-        .groupBy(col("u"))
-        .agg(min(col(tsCol)).as("t"))
+      reached = Dedup.reliableCheckpoint(
+        events.where(col(typeCol) === s)
+          .join(reached, col(userCol) === col("u"))
+          .where(col(tsCol) > col("t"))
+          .groupBy(col("u"))
+          .agg(min(col(tsCol)).as("t")))
       stageCounts += reached.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step"), lit(s).as("event_type"), col("n_users"))
     }

@@ -138,16 +138,24 @@ object Retrieval {
     * count toward N exactly as in [[bm25]]).
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    // the tokenize + explode + hash aggregate is the build's whole cost;
+    // persist it so the postings write and the termdf derivation share
+    // ONE evaluation instead of re-scanning the corpus per output table
     val index = invertedIndex(docs, idCol, textCol)
-    index
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    index.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/termdf")
-    docLengths(docs, idCol, textCol)
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      index
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      index.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/termdf")
+      // stats must come from the DOCS (zero-token docs have no posting
+      // but still count toward N) — a light sizes-only scan
+      docLengths(docs, idCol, textCol)
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally index.unpersist()
   }
 
   /** BM25 top-k against a prebuilt index — the serve path. The ONLY
@@ -181,13 +189,8 @@ object Retrieval {
       .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("contrib")), 6).as("score"))
-      .groupBy(col("query_id"))
-      .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "e")))
-      .select(
-        (col("pos") + 1).cast("int").as("rank"),
-        col("e.neighbor_id").as(idCol),
-        round(col("e.score"), 6).as("score"))
+      .transform(s => rankByScore(s, Seq("query_id"), idCol, k))
+      .select(col("rank"), col(idCol), col("score"))
   }
 
   /** Top-k documents per query by BM25 — [[bm25]] ranked with the
@@ -204,15 +207,27 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame =
-    bm25(docs, idCol, textCol, queries, k1, b)
-      .groupBy(col("query_id"))
+    rankByScore(bm25(docs, idCol, textCol, queries, k1, b), Seq("query_id"), idCol, k)
+
+  /** The ONE score-carrying ranking idiom every retrieval surface
+    * shares: bounded O(k) top-k aggregate per group (ties to the lower
+    * id), exploded to contiguous 1-based ranks — the score-bearing
+    * sibling of `Similarity.rankTopK`. Output:
+    * groupCols ++ (rank, idCol, score round-6).
+    */
+  private def rankByScore(
+      scored: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) scored.groupBy()
+      else scored.groupBy(groupCols.map(col): _*)
+    grouped
       .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(
-        col("query_id"),
+      .select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(groupCols.map(col) ++ Seq(
         (col("pos") + 1).cast("int").as("rank"),
         col("e.neighbor_id").as(idCol),
-        round(col("e.score"), 6).as("score"))
+        round(col("e.score"), 6).as("score")): _*)
+  }
 
   /** Top-k TF-IDF keywords per document — the per-doc salient-term
     * extraction a corpus audit or data card wants. idf uses the same
@@ -302,22 +317,34 @@ object Retrieval {
     def tfOf(t: String): Column = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expressions.TokenPhraseCount(
         org.apache.spark.sql.graftbridge.Bridge.expression(tk), Seq(t)))
-    val dl = size(filter(tk, x => length(x) > 0)).cast("long")
-    val known = terms.distinct.filter(df.contains)
+    val known = terms.filter(df.contains)
+    val distinctKnown = known.distinct
+    // each distinct term's token-array walk runs ONCE, as a projected
+    // column — Spark does not CSE native expressions across the filter
+    // and the scoring projection, so naming them is what dedups them
+    val tfCols = distinctKnown.zipWithIndex.map { case (t, i) => t -> s"_tf_$i" }.toMap
+    val withTf = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol) +:
+        (size(filter(tk, x => length(x) > 0)).cast("long").as("_dl")) +:
+        distinctKnown.map(t => tfOf(t).as(tfCols(t))): _*)
+    // one contribution PER QUERY-TERM OCCURRENCE, in query order — the
+    // duplicate-term re-scoring semantics (and the summation order) of
+    // the relational [[bm25]], where each duplicate query row adds its
+    // own contrib
     val contribs = known.map { t =>
-      val tf = tfOf(t)
+      val tf = col(tfCols(t))
       val dft = df(t)
       when(tf > 0,
         (log2(lit(2L * nDocs - 2L * dft + 1L)) - log2(lit(2L * dft + 1L)))
           * (tf * (k1 + 1.0))
-          / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl * lit(nDocs) / lit(totalLen).cast("double"))))
+          / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") * lit(nDocs) / lit(totalLen).cast("double"))))
         .otherwise(lit(0.0))
     }
-    val matched = known.map(t => tfOf(t) > 0)
+    val matched = distinctKnown.map(t => col(tfCols(t)) > 0)
       .reduceOption(_ || _).getOrElse(lit(false))
     val score = contribs.reduceOption(_ + _).getOrElse(lit(0.0))
-    docs
-      .where(col(textCol).isNotNull)
+    withTf
       .where(matched)
       .select(col(idCol), round(score, 6).as("score"))
   }
@@ -348,14 +375,7 @@ object Retrieval {
       .select(col(idCol),
         round(coalesce(reciprocal(col("r_lex")), lit(0.0))
           + coalesce(reciprocal(col("r_sem")), lit(0.0)), 6).as("score"))
-    fused
-      .groupBy()
-      .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "e")))
-      .select(
-        (col("pos") + 1).cast("int").as("rank"),
-        col("e.neighbor_id").as(idCol),
-        round(col("e.score"), 6).as("score"))
+    rankByScore(fused, Seq.empty, idCol, k)
   }
 
   /** Single-query sugar: score `terms` against the corpus, top-k.
