@@ -152,6 +152,20 @@ class RetrievalSpec extends SparkTestBase {
     assert(hits("a") == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("scoreAgainstQuery matches bm25 even with duplicate query terms") {
+    val terms = Seq("rare", "common", "rare") // duplicate re-scores
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val dfMap = idx.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = terms.zipWithIndex.map { case (t, _) => (0L, t) }.toDF("query_id", "term")
+    val batched = Retrieval.bm25(docs, "doc_id", "text", q)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val projected = Retrieval.scoreAgainstQuery(docs, "doc_id", "text", terms,
+      dfMap, nDocs = 5L, totalLen = 20L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(projected == batched, s"projected $projected != batched $batched")
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
