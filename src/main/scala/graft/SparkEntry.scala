@@ -1242,6 +1242,11 @@ object SparkEntry {
       // oracle brute-forces the distinct-name cross product — identical
       // output proves the blocking scheme loses nothing.
       graft.operators.FuzzyJoin.nearNamePairs(t(s, dir, "part"), "p_name")),
+    "fuzzy_name_pairs2" -> ((s, dir) =>
+      // depth-2 symmetric-delete blocking: catches double typos and
+      // transpositions (distance 2 in plain Levenshtein) the depth-1
+      // scheme cannot; same brute-force oracle stance
+      graft.operators.FuzzyJoin.nearNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)),
     "retrieval_phrase" -> ((s, dir) =>
       // exact-phrase query: per-doc occurrence counts of consecutive
       // tokens "sort merge" — one scan, codegen'd array HOFs
@@ -2598,6 +2603,12 @@ object SparkEntry {
                 CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
          FROM names a JOIN names b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 1""",
+    "fuzzy_name_pairs2" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+         SELECT a.name AS a_name, b.name AS b_name,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM names a JOIN names b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2""",
     "retrieval_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL)
@@ -3183,7 +3194,7 @@ object SparkEntry {
     // iteration PageRank over the duplicate-pair graph
     "retrieval_phrase", "graph_pagerank",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
-    "fuzzy_name_pairs",
+    "fuzzy_name_pairs", "fuzzy_name_pairs2",
     // the profiling tier: column data-card, exact histogram, and
     // integer-sufficient-statistics correlation over the big table
     "stats_profile", "stats_histogram", "stats_corr",

@@ -21,32 +21,57 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** The string and every single-deletion variant, deduplicated. */
-  private def deletionKeys(c: String): org.apache.spark.sql.Column =
-    expr(
-      s"""array_distinct(transform(sequence(0, length($c), 1),
-         |  i -> CASE WHEN i = 0 THEN $c
-         |       ELSE concat(substring($c, 1, i - 1), substring($c, i + 1)) END))""".stripMargin)
-
-  /** Distinct value pairs of `textCol` within edit distance 1, over the
-    * DISTINCT value domain — identical values collapse BEFORE pairing
-    * (the exact-collapse stance: a value repeated k times must not
-    * produce a k^2 clique; expanding matches back to row ids is a
-    * join-back on the value). Output: (a_name, b_name, dist) with
-    * a_name < b_name and dist in {1} (equal values are exact duplicates
-    * and excluded by construction).
+  /** The string and every variant with up to `depth` characters
+    * deleted, deduplicated. depth 1 emits l+1 keys; depth 2 emits
+    * O(l^2/2) — fine for the short strings entity resolution targets.
     */
-  def nearNamePairs(df: DataFrame, textCol: String): DataFrame = {
+  private def deletionKeys(c: String, depth: Int): org.apache.spark.sql.Column = {
+    val d1 =
+      s"""transform(sequence(0, length($c), 1),
+         |  i -> CASE WHEN i = 0 THEN $c
+         |       ELSE concat(substring($c, 1, i - 1), substring($c, i + 1)) END)""".stripMargin
+    depth match {
+      case 1 => expr(s"array_distinct($d1)")
+      case 2 =>
+        // pairs 0 <= i <= j <= length: (0,0) keeps the string, (0,j)
+        // deletes j, (i, j>i) deletes both; (i,i>=1) re-emits the
+        // single deletion (deduplicated below)
+        expr(
+          s"""array_distinct(flatten(transform(sequence(0, length($c), 1),
+             |  i -> transform(sequence(i, length($c), 1),
+             |    j -> CASE
+             |      WHEN i = 0 AND j = 0 THEN $c
+             |      WHEN i = 0 THEN concat(substring($c, 1, j - 1), substring($c, j + 1))
+             |      WHEN j = i THEN concat(substring($c, 1, i - 1), substring($c, i + 1))
+             |      ELSE concat(substring($c, 1, i - 1), substring($c, i + 1, j - i - 1), substring($c, j + 1))
+             |    END))))""".stripMargin)
+      case other =>
+        throw new IllegalArgumentException(s"maxDist must be 1 or 2, got $other")
+    }
+  }
+
+  /** Distinct value pairs of `textCol` within edit distance `maxDist`
+    * (1 or 2), over the DISTINCT value domain — identical values
+    * collapse BEFORE pairing (the exact-collapse stance: a value
+    * repeated k times must not produce a k^2 clique; expanding matches
+    * back to row ids is a join-back on the value). Blocking at depth d
+    * is complete for Levenshtein distance <= d (the SymSpell symmetric-
+    * delete property: any d-edit alignment leaves both strings with a
+    * common <= d-deletion form). Output: (a_name, b_name, dist) with
+    * a_name < b_name and 1 <= dist <= maxDist (equal values are exact
+    * duplicates and excluded by construction).
+    */
+  def nearNamePairs(df: DataFrame, textCol: String, maxDist: Int = 1): DataFrame = {
     val names = df.select(col(textCol).as("name"))
       .where(col("name").isNotNull)
       .distinct()
-    val keyed = names.select(col("name"), explode(deletionKeys("name")).as("k"))
+    val keyed = names.select(col("name"), explode(deletionKeys("name", maxDist)).as("k"))
     keyed.as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.name") < col("b.name"))
       .select(col("a.name").as("a_name"), col("b.name").as("b_name"))
       .distinct()
       .select(col("a_name"), col("b_name"),
         levenshtein(col("a_name"), col("b_name")).as("dist"))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxDist)
   }
 }

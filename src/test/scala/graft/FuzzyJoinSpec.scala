@@ -32,6 +32,24 @@ class FuzzyJoinSpec extends SparkTestBase {
       && want.contains(("", "a", 1)), s"fixture lost its trap cases: $want")
   }
 
+  test("depth-2 blocking equals brute-force distance-2 pairs, transpositions included") {
+    // 'form'/'from' is the classic transposition (distance 2 in plain
+    // Levenshtein); 'cat'/'c' is a double deletion; 'cat'/'bad' a
+    // double substitution; 'dog' stays isolated
+    val names = Seq("form", "from", "cat", "c", "bad", "dog", "cart", "ct")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val got = FuzzyJoin.nearNamePairs(df, "nm", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val distinct = names.distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains(("form", "from", 2)) && want.contains(("c", "cat", 2))
+      && want.contains(("bad", "cat", 2)), s"fixture lost its trap cases: $want")
+  }
+
   test("null names are ignored; no self or reversed pairs") {
     val df = Seq(Some("abc"), None, Some("abd"), Some("abc")).zipWithIndex
       .map { case (n, i) => (i.toLong, n.orNull) }.toDF("id", "nm")
