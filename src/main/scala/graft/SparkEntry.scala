@@ -111,6 +111,27 @@ object SparkEntry {
       path
     })
 
+  /** Per-corpus memoized INCREMENTALLY-MAINTAINED index: built on 80%
+    * of the corpus (doc_id % 5 != 0), then the remaining 20% merged in
+    * via [[Retrieval.updateIndex]] — old postings read back, never
+    * re-tokenized. Serving from it must be indistinguishable from a
+    * from-scratch build on the full corpus, which is exactly what the
+    * `retrieval_index_update` oracle (= the direct-path ranking SQL)
+    * certifies. Build+update cost bills to the first call, like
+    * [[builtBm25Index]].
+    */
+  private val bm25UpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def updatedBm25Index(s: SparkSession, dir: String): String =
+    bm25UpdatedIndexCache.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft-bm25-base").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-bm25-upd").toString
+      Retrieval.buildIndex(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", base)
+      Retrieval.updateIndex(s, base, docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", out)
+      out
+    })
+
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -615,6 +636,16 @@ object SparkEntry {
       // strictly after the previous completion, per-user
       graft.operators.EventAnalytics.funnel(events(s, dir),
         "user_id", "event_type", "ts", Seq("signup", "purchase", "purchase"))),
+    "events_funnel_window" -> ((s, dir) =>
+      // the same funnel under a 7-day conversion window: each purchase
+      // must land within 7 days of the completion it chains from. The
+      // windowed path carries ALL reachable completion times (greedy
+      // earliest-first is wrong under a window), so a user counts iff
+      // ANY qualifying sequence exists — the oracle replays the exact
+      // reachable-set recursion.
+      graft.operators.EventAnalytics.funnel(events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "purchase", "purchase"),
+        withinSeconds = Some(7L * 24 * 3600))),
     "events_cohort" -> ((s, dir) =>
       // day-granularity cohort retention grid over the event log
       graft.operators.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")),
@@ -668,6 +699,20 @@ object SparkEntry {
          SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM u1
          UNION ALL SELECT 2, 'purchase', count(*) FROM u2
          UNION ALL SELECT 3, 'purchase', count(*) FROM u3""",
+    "events_funnel_window" ->
+      """WITH r1 AS (SELECT DISTINCT user_id, ts AS t FROM events
+                     WHERE event_type = 'signup'),
+         r2 AS (SELECT DISTINCT e.user_id, e.ts AS t FROM events e
+                JOIN r1 ON e.user_id = r1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > r1.t
+                  AND epoch_us(e.ts) - epoch_us(r1.t) <= 604800000000),
+         r3 AS (SELECT DISTINCT e.user_id, e.ts AS t FROM events e
+                JOIN r2 ON e.user_id = r2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > r2.t
+                  AND epoch_us(e.ts) - epoch_us(r2.t) <= 604800000000)
+         SELECT 1 AS step, 'signup' AS event_type, count(DISTINCT user_id) AS n_users FROM r1
+         UNION ALL SELECT 2, 'purchase', count(DISTINCT user_id) FROM r2
+         UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM r3""",
     "events_sessionize" ->
       """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
@@ -1247,6 +1292,12 @@ object SparkEntry {
       // transpositions (distance 2 in plain Levenshtein) the depth-1
       // scheme cannot; same brute-force oracle stance
       graft.operators.FuzzyJoin.nearNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)),
+    "fuzzy_entities" -> ((s, dir) =>
+      // the complete entity-resolution loop: fuzzy pairs -> transitive
+      // closure -> min-member canonical value -> row-id join-back. The
+      // oracle brute-forces the pair graph and replays the closure as
+      // a recursive CTE (the dedup_clusters recipe).
+      graft.operators.FuzzyJoin.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name")),
     "retrieval_phrase" -> ((s, dir) =>
       // exact-phrase query: per-doc occurrence counts of consecutive
       // tokens "sort merge" — one scan, codegen'd array HOFs
@@ -1288,6 +1339,14 @@ object SparkEntry {
       // builtBm25Index). Must return the IDENTICAL ranking as the
       // direct-path retrieval_search_topk — one oracle by construction.
       Retrieval.searchTopKIndexed(s, builtBm25Index(s, dir), "doc_id",
+        Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_index_update" -> ((s, dir) =>
+      // index MAINTENANCE: serve the same query from an index built on
+      // 80% of the corpus and incrementally merged with the other 20%
+      // (updateIndex — old postings reread, not re-tokenized). The
+      // ranking must be IDENTICAL to a from-scratch build on the full
+      // corpus, so the oracle is the direct-path SQL by construction.
+      Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir), "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2581,7 +2640,7 @@ object SparkEntry {
                 CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT source) FROM documents""",
     "stats_histogram" ->
-      """SELECT CAST(floor((l_quantity - CAST(1.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) AS INTEGER) AS bin,
+      """SELECT CAST(least(floor((l_quantity - CAST(1.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)), CAST(9 AS DOUBLE)) AS INTEGER) AS bin,
                 count(*) AS n
          FROM lineitem
          WHERE l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity < 51
@@ -2609,6 +2668,21 @@ object SparkEntry {
                 CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
          FROM names a JOIN names b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 2""",
+    "fuzzy_entities" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+         pairs AS (SELECT a.name AS a_name, b.name AS b_name
+                   FROM names a JOIN names b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT a_name AS s, b_name AS d FROM pairs
+                   UNION SELECT b_name AS s, a_name AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         canon AS (SELECT s AS name, least(s, min(d)) AS canonical FROM reach GROUP BY s)
+         SELECT p.p_partkey, p.p_name, coalesce(c.canonical, p.p_name) AS canonical
+         FROM part p LEFT JOIN canon c ON p.p_name = c.name
+         WHERE p.p_name IS NOT NULL""",
     "retrieval_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL)
@@ -3133,7 +3207,11 @@ object SparkEntry {
       ("dedup_clusters_distributed" -> pipelineTierOracle("dedup_clusters")) +
       // the indexed serve path must answer the IDENTICAL query with the
       // IDENTICAL ranking as the direct scan — one oracle by construction
-      ("retrieval_query_serve" -> pipelineTierOracle("retrieval_search_topk"))
+      ("retrieval_query_serve" -> pipelineTierOracle("retrieval_search_topk")) +
+      // the incrementally-maintained index must serve rankings identical
+      // to a from-scratch build on the unioned corpus — one oracle by
+      // construction
+      ("retrieval_index_update" -> pipelineTierOracle("retrieval_search_topk"))
 
   /** The most-composed end-to-end chains — the plans where a silent
     * regression would hurt a real pipeline most. Kept as a named set so
@@ -3193,12 +3271,17 @@ object SparkEntry {
     // phrase query (one-scan array HOFs) and the Pregel-style fixed-
     // iteration PageRank over the duplicate-pair graph
     "retrieval_phrase", "graph_pagerank",
+    // serve from the incrementally-merged index (build+update cost
+    // bills to the memoized first call, disclosed at updatedBm25Index)
+    "retrieval_index_update",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
-    "fuzzy_name_pairs", "fuzzy_name_pairs2",
+    // and its full entity-resolution composition
+    "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities",
     // the profiling tier: column data-card, exact histogram, and
     // integer-sufficient-statistics correlation over the big table
     "stats_profile", "stats_histogram", "stats_corr",
-    // cross-timeline event analytics over the sf-scaled event log
-    "events_funnel", "events_cohort", "events_sessionize"
+    // cross-timeline event analytics over the sf-scaled event log,
+    // including the conversion-window funnel (reachable-set recursion)
+    "events_funnel", "events_funnel_window", "events_cohort", "events_sessionize"
   ) ++ capstoneQueries
 }

@@ -31,12 +31,22 @@ object Centrality {
     * is one co-partitioned join + one aggregation — the per-round cost
     * of the distributed CC loop, without its convergence test because
     * the iteration count is fixed (bounded lineage; no per-round
-    * checkpoint needed). The result is materialized through a reliable
+    * checkpoint needed). The node count is collected ONCE as a driver
+    * scalar from the already-cached edge relation (the same bounded-
+    * action stance as [[Dsir]]'s fit collects — the action also
+    * materializes the cache), and `(1 - d)/n` folds into every round's
+    * projection as a LITERAL: carrying it as an in-plan one-row
+    * relation would cost a BroadcastNestedLoopJoin per round whose
+    * only payload is one scalar. The result is materialized through a
     * checkpoint before the cache is released, so callers get a flat
-    * file-backed relation, not a plan pinned to executor memory.
-    * In-loop values stay raw doubles (cross-engine replicas agree
-    * modulo sub-rounding summation noise); ranks round to 6 places at
-    * the output edge only.
+    * relation, not a plan pinned to the released cache: local
+    * (executor-block) by default — the right cost for an
+    * iterations-bounded plan whose lineage is already truncated at the
+    * cache — or reliable (checkpoint-dir files, the
+    * [[Dedup.duplicateClusters]] stance) when the caller needs the
+    * output to survive executor loss. In-loop values stay raw doubles
+    * (cross-engine replicas agree modulo sub-rounding summation
+    * noise); ranks round to 6 places at the output edge only.
     *
     * Output: (id, rank), rank rounded to 6 places.
     */
@@ -45,7 +55,8 @@ object Centrality {
       aCol: String,
       bCol: String,
       iterations: Int,
-      damping: Double = 0.85
+      damping: Double = 0.85,
+      reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
@@ -60,25 +71,29 @@ object Centrality {
     val degEdges = edges.join(deg, "src")
       .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // node count and initial ranks derive FROM THE CACHE, not from the
-    // raw deg/pairs lineage — otherwise the expensive pair subtree
-    // executes again for n and a third time for the init ranks
-    val nodes = degEdges.select(col("src"), col("deg")).distinct()
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("src").as("id"), (lit(1.0) / col("n_nodes")).as("r"))
+    // nodes and the node count derive FROM THE CACHE, not from the raw
+    // deg/pairs lineage — otherwise the expensive pair subtree executes
+    // again for n and a third time for the init ranks; the count is the
+    // one bounded driver action, and it doubles as the cache
+    // materialization barrier
+    val nodes = degEdges.select(col("src")).distinct()
+    val nNodes = nodes.count()
+    // the SAME IEEE ops the in-plan form evaluated: double(1-d) divided
+    // by double(n), once — rounds identically as a driver literal
+    val teleport = (1.0 - damping) / nNodes.toDouble
+    var ranks = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
     for (_ <- 1 to iterations) {
       ranks = degEdges
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
         .groupBy("id")
         .agg(sum("c").as("in"))
-        .crossJoin(broadcast(n))
-        .select(col("id"),
-          ((lit(1.0) - lit(damping)) / col("n_nodes") + lit(damping) * col("in")).as("r"))
+        .select(col("id"), (lit(teleport) + lit(damping) * col("in")).as("r"))
     }
-    val out = Dedup.reliableCheckpoint(
-      ranks.select(col("id"), round(col("r"), 6).as("rank")))
+    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val out =
+      if (reliableOutput) Dedup.reliableCheckpoint(ranked)
+      else ranked.localCheckpoint(true)
     degEdges.unpersist()
     out
   }

@@ -14,15 +14,36 @@ object EventAnalytics {
   /** Ordered funnel: how many users completed steps(0), then steps(1)
     * STRICTLY AFTER it, then steps(2) after that, ... Repeating a step
     * name means "did it again" (a second qualifying event strictly
-    * later). Each stage is one aggregate over the events restricted to
-    * that stage's type, joined to the previous stage's per-user
-    * completion time — k-1 user-keyed joins for a k-step funnel, all
-    * hash-partitioned on the user, never a per-user event sort. Each
-    * stage's per-user completion relation goes through a reliable
+    * later). With `withinSeconds` set, step k must additionally land
+    * within that many seconds of the step k-1 completion it chains
+    * from (the conversion window every product funnel constrains by);
+    * gaps compare in integer MICROSECONDS, the cross-engine domain.
+    *
+    * Two per-stage state shapes, chosen by the window:
+    *  - Unbounded: the per-user MIN completion time. Greedy-earliest is
+    *    provably optimal here — an earlier completion can only admit a
+    *    superset of later-stage events — so one user-keyed min
+    *    aggregate per stage suffices.
+    *  - Windowed: greedy-earliest is WRONG (the earliest stage-k event
+    *    may strand stage k+1 outside its window while a later one
+    *    chains fine), so each stage carries ALL reachable completion
+    *    times: the distinct (user, t) of stage-k events for which SOME
+    *    reachable stage-(k-1) time r satisfies r < t <= r + window.
+    *    That relation is bounded by the stage's own event count — the
+    *    same order as the min relation in practice — and makes the
+    *    funnel exact (a user converts iff ANY qualifying sequence
+    *    exists), not an approximation tied to one greedy path.
+    *
+    * Each stage is one join + one dedup/aggregate over the events
+    * restricted to that stage's type — k-1 user-keyed joins for a
+    * k-step funnel, all hash-partitioned on the user, never a per-user
+    * event sort. Each stage's relation goes through a reliable
     * checkpoint (the [[Dedup.duplicateClusters]] machinery): without
     * it every later stage — and every stage-count branch of the final
     * union — would re-execute the whole prefix chain, turning a k-step
-    * funnel into O(k^2) event scans.
+    * funnel into O(k^2) event scans. Internal join columns use
+    * collision-proof names, so an events relation that already has
+    * columns named `u`/`t` funnels correctly.
     * Output: (step, event_type, n_users), one row per step.
     */
   def funnel(
@@ -30,25 +51,38 @@ object EventAnalytics {
       userCol: String,
       typeCol: String,
       tsCol: String,
-      steps: Seq[String]
+      steps: Seq[String],
+      withinSeconds: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "funnel: no steps")
-    var reached = Dedup.reliableCheckpoint(
+    withinSeconds.foreach(w => require(w > 0, s"funnel: window must be > 0 s, got $w"))
+    val u = "__funnel_u"
+    val t = "__funnel_t"
+    def collapse(stage: DataFrame): DataFrame = withinSeconds match {
+      case None    => stage.groupBy(col(u)).agg(min(col(t)).as(t))
+      case Some(_) => stage.select(col(u), col(t)).distinct()
+    }
+    var reached = Dedup.reliableCheckpoint(collapse(
       events.where(col(typeCol) === steps.head)
-        .groupBy(col(userCol).as("u"))
-        .agg(min(col(tsCol)).as("t")))
+        .select(col(userCol).as(u), col(tsCol).as(t))))
+    def stageCount(step: Int, name: String): DataFrame =
+      reached.agg(countDistinct(col(u)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("event_type"), col("n_users"))
     val stageCounts = Seq.newBuilder[DataFrame]
-    stageCounts += reached.agg(count(lit(1)).as("n_users"))
-      .select(lit(1).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    stageCounts += stageCount(1, steps.head)
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      reached = Dedup.reliableCheckpoint(
-        events.where(col(typeCol) === s)
-          .join(reached, col(userCol) === col("u"))
-          .where(col(tsCol) > col("t"))
-          .groupBy(col("u"))
-          .agg(min(col(tsCol)).as("t")))
-      stageCounts += reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(s).as("event_type"), col("n_users"))
+      val chained = events.where(col(typeCol) === s)
+        .join(reached, col(userCol) === col(u))
+        .where(col(tsCol) > col(t))
+      val windowed = withinSeconds match {
+        case None => chained
+        case Some(w) =>
+          chained.where(
+            unix_micros(col(tsCol)) - unix_micros(col(t)) <= w * 1000000L)
+      }
+      reached = Dedup.reliableCheckpoint(collapse(
+        windowed.select(col(u), col(tsCol).as(t))))
+      stageCounts += stageCount(i + 1, s)
     }
     stageCounts.result().reduce(_ unionByName _)
   }

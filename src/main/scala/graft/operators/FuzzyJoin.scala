@@ -74,4 +74,34 @@ object FuzzyJoin {
         levenshtein(col("a_name"), col("b_name")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** The full entity-resolution loop over [[nearNamePairs]]: fuzzy
+    * value pairs -> transitive closure -> one CANONICAL value per
+    * connected family -> row-id join-back. The canonical value is the
+    * family's minimum member under Spark's binary (UTF-8 byte)
+    * ordering — [[Dedup.duplicateClusters]] picks it regime-
+    * independently (driver union-find and distributed label
+    * propagation agree, non-ASCII included). Values in no fuzzy pair
+    * are their own canonical form (left join + coalesce, no row lost).
+    *
+    * Scale shape: clustering runs over the DISTINCT VALUE pair graph
+    * (the exact-collapse stance — bounded by the value domain, not the
+    * row count); the join-back is one hash join from rows to the
+    * value->canonical map. `textCol` must not be named `canonical`.
+    * Output: (idCol, textCol, canonical) — one row per input row with
+    * a non-null `textCol`.
+    */
+  def resolveEntities(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
+    require(textCol != "canonical", "resolveEntities: textCol collides with output column")
+    val pairs = nearNamePairs(df, textCol, maxDist)
+      .select(col("a_name").as("a_id"), col("b_name").as("b_id"))
+    val canon = Dedup.duplicateClusters(pairs)
+      .select(col("id").as(textCol), col("cluster_id").as("__fz_canonical"))
+    df.select(col(idCol), col(textCol))
+      .where(col(textCol).isNotNull)
+      .join(canon, Seq(textCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("__fz_canonical"), col(textCol)).as("canonical"))
+  }
 }

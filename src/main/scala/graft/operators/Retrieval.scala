@@ -27,28 +27,38 @@ import org.apache.spark.sql.functions._
   *    Robertson form — stopword-like terms actively penalize, which
   *    is the behavior a boilerplate-audit wants.
   *
-  * Scale shape: document frequencies and lengths are one hash
-  * aggregation each (map-side combinable); only QUERY terms survive
-  * past the first join (the query relation broadcasts both ways), so
-  * the per-position stream collapses to the handful of matching terms
-  * per document; per-(query, doc) scores are one aggregate; ranking is
+  * Scale shape: ONE tokenize + explode scan feeds everything the
+  * scoring needs — term frequencies carry the document length
+  * denormalized beside them (the [[invertedIndex]] posting shape), and
+  * document frequencies derive from that SAME relation in-plan via a
+  * per-term count window, so the corpus text is never tokenized twice;
+  * only QUERY terms survive past the first join (the query relation
+  * broadcasts), so the per-position stream collapses to the handful of
+  * matching terms per document; the corpus stats (N, total length) are
+  * a separate sizes-only scan because zero-match docs still count
+  * toward N. Per-(query, doc) scores are one aggregate; ranking is
   * the bounded O(k) top-k aggregate. Nothing collects, nothing sorts
   * the corpus.
   */
 object Retrieval {
 
-  /** (id, term, tf) term frequencies restricted to the terms of
-    * `queries` (query_id, term) — the only terms scoring ever needs.
-    * Empty split() artifacts are dropped.
+  /** (id, term, tf, dl) term frequencies restricted to the terms of
+    * `queries` (query_id, term), with the document length denormalized
+    * beside each row — the [[invertedIndex]] posting shape, so ONE
+    * tokenize + explode scan serves tf, dl, AND (via a per-term count
+    * window) df. Empty split() artifacts are dropped from both the
+    * term stream and the length.
     */
   private def termFreqs(
       docs: DataFrame, idCol: String, textCol: String, terms: DataFrame): DataFrame =
     docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .where(length(col("term")) > 0)
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
       .join(broadcast(terms.select("term").distinct()), Seq("term"))
-      .groupBy(col(idCol), col("term"))
+      .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
   /** (term, df) document frequencies of the query terms: distinct
@@ -94,16 +104,20 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val tf = termFreqs(docs, idCol, textCol, queries)
-    val df_ = docFrequencies(docs, idCol, textCol, queries)
-    val dl = docLengths(docs, idCol, textCol)
-    val stats = dl.agg(
+    // ONE corpus tokenize: tf carries dl beside it, and df is a
+    // per-term count window OVER THAT SAME relation — an extra shuffle
+    // on term (already the relation's grouping key) instead of two more
+    // full corpus scans (the plan Catalyst cannot CSE away itself)
+    val tfdl = termFreqs(docs, idCol, textCol, queries)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    // stats count over ALL non-null-text docs (zero-match docs still
+    // count toward N and L) — a sizes-only second scan, no explode
+    val stats = docLengths(docs, idCol, textCol).agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("total_len"))
-    queries
-      .join(broadcast(df_), Seq("term"))
-      .join(tf, Seq("term"))
-      .join(dl, Seq(idCol))
+    tfdl
+      .join(broadcast(queries), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
       .groupBy(col("query_id"), col(idCol))
@@ -135,7 +149,11 @@ object Retrieval {
     * count at any vocabulary size, unlike a per-term directory
     * partition); `termdf` (term, df); `stats` (n_docs, total_len — ONE
     * row, counted over ALL non-null-text docs, so zero-token docs
-    * count toward N exactly as in [[bm25]]).
+    * count toward N exactly as in [[bm25]]); and LAST, the `manifest`
+    * marker [[searchTopKIndexed]] validates — the three tables are
+    * three sequential write jobs, and without a commit marker a
+    * failure between them would leave a MIXED index (new postings,
+    * stale df/stats) that serves silently wrong scores.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     // the tokenize + explode + hash aggregate is the build's whole cost;
@@ -144,6 +162,7 @@ object Retrieval {
     val index = invertedIndex(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      clearManifest(docs.sparkSession, path)
       index
         .repartition(col("term"))
         .sortWithinPartitions("term")
@@ -155,7 +174,78 @@ object Retrieval {
       docLengths(docs, idCol, textCol)
         .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
         .write.mode("overwrite").parquet(s"$path/stats")
+      writeManifest(docs.sparkSession, path)
     } finally index.unpersist()
+  }
+
+  /** Merge an INCREMENT of new documents into the index at `indexPath`,
+    * publishing the merged index at `outPath` — the maintenance path a
+    * growing corpus needs, mirroring [[Dedup]]'s incremental stance:
+    * `increment` must contain only documents NOT already indexed (ids
+    * disjoint from the indexed corpus; re-indexing a changed doc means
+    * rebuild). The old corpus is NEVER re-tokenized — its postings are
+    * read back from parquet and re-sorted alongside the increment's
+    * (the term sort must hold globally for row-group pruning, so the
+    * postings rewrite is unavoidable; it is a columnar copy, not a
+    * recompute), termdf merges by summed df, and stats add. `outPath`
+    * must differ from `indexPath`: Spark cannot overwrite a relation
+    * it is reading, and publishing to a fresh path keeps the old index
+    * serving until the new manifest lands (written LAST, as in
+    * [[buildIndex]]).
+    */
+  def updateIndex(
+      spark: SparkSession,
+      indexPath: String,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      outPath: String): Unit = {
+    require(outPath != indexPath,
+      "updateIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
+    requireManifest(spark, indexPath)
+    val inc = invertedIndex(increment, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      clearManifest(spark, outPath)
+      spark.read.parquet(s"$indexPath/postings")
+        .unionByName(inc)
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$outPath/postings")
+      spark.read.parquet(s"$indexPath/termdf")
+        .unionByName(inc.groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum("df").as("df"))
+        .write.mode("overwrite").parquet(s"$outPath/termdf")
+      spark.read.parquet(s"$indexPath/stats")
+        .unionByName(docLengths(increment, idCol, textCol)
+          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len")))
+        .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+        .write.mode("overwrite").parquet(s"$outPath/stats")
+      writeManifest(spark, outPath)
+    } finally inc.unpersist()
+  }
+
+  /** The commit marker: a one-row parquet table written strictly AFTER
+    * the three index tables. Its presence certifies postings/termdf/
+    * stats are a consistent set from one build; builders delete it
+    * FIRST, so a crash mid-(re)build leaves an index that loudly
+    * refuses to serve instead of serving mixed-generation scores.
+    */
+  private def writeManifest(spark: SparkSession, path: String): Unit =
+    spark.range(1).select(lit(1).as("format_version"))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+
+  private def clearManifest(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def requireManifest(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no complete BM25 index at $path: manifest missing (build interrupted or never run)")
   }
 
   /** BM25 top-k against a prebuilt index — the serve path. The ONLY
@@ -174,6 +264,7 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "searchTopKIndexed: empty query")
+    requireManifest(spark, indexPath)
     import spark.implicits._
     val q = terms.map(t => (0L, t)).toDF("query_id", "term")
     val postings = spark.read.parquet(s"$indexPath/postings")

@@ -17,7 +17,12 @@ object Stats {
     * distinct count. Each column's aggregate is its own scan — under a
     * columnar format that scan reads ONLY that column (the per-column
     * cost a profiler should pay), and the per-column relations union
-    * into one result. Output: (column, n_rows, n_nulls, n_distinct).
+    * into one result. Caveat: on a ROW-oriented source (csv/jsonl) or
+    * a very wide column list this is N full scans where one combined
+    * pass would do — convert to parquet first, or accept the cost; the
+    * per-column shape is deliberate because each exact-distinct
+    * aggregate needs its own shuffle key anyway.
+    * Output: (column, n_rows, n_nulls, n_distinct).
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns")
@@ -34,14 +39,18 @@ object Stats {
     * bin i covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/bins.
     * Values outside the range are dropped (count them separately if
     * they matter). The bin expression is the literal arithmetic
-    * `floor((x - lo) / w)` — one map-side combinable hash aggregate.
+    * `floor((x - lo) / w)`, CLAMPED to bins-1: when w is not exactly
+    * representable (e.g. lo=0, hi=0.7, bins=7) a value just below hi
+    * can float up to floor(...) == bins, which would be an
+    * out-of-contract index — the clamp folds it into the last bin.
+    * One map-side combinable hash aggregate.
     * Output: (bin, n), only non-empty bins.
     */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, s"bad histogram range [$lo, $hi) / $bins")
     val w = (hi - lo) / bins
     df.where(col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi)
-      .select(floor((col(valueCol) - lo) / w).cast("int").as("bin"))
+      .select(least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int").as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
   }
@@ -51,15 +60,20 @@ object Stats {
     * exact as long as they stay under 2^53, which the caller guarantees
     * by passing bounded integer domains such as cents or counts):
     * r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²)),
-    * evaluated in double in that fixed order. One map-side combinable
-    * aggregate over one scan. Output: one row (n, corr).
+    * evaluated in double in that fixed order. Inputs are cast to LONG
+    * before any product forms: an IntegerType column would otherwise
+    * wrap its products at 2^31 (non-ANSI) far below the documented
+    * 2^53 contract, silently corrupting the correlation. One map-side
+    * combinable aggregate over one scan. Output: one row (n, corr).
     */
   def corrExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
     val agg = df.agg(
       count(lit(1)).as("n"),
-      sum(x).as("sx"), sum(y).as("sy"),
-      sum(x * x).as("sxx"), sum(y * y).as("syy"),
-      sum(x * y).as("sxy"))
+      sum(xl).as("sx"), sum(yl).as("sy"),
+      sum(xl * xl).as("sxx"), sum(yl * yl).as("syy"),
+      sum(xl * yl).as("sxy"))
     agg.select(col("n"),
       round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
         / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))

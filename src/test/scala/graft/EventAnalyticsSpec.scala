@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.lit
 import graft.operators.EventAnalytics
 
 /** Cross-timeline event analytics: ordered funnels and cohort
@@ -41,6 +42,37 @@ class EventAnalyticsSpec extends SparkTestBase {
     val got = EventAnalytics.funnel(tied, "user_id", "event_type", "ts", Seq("A", "B"))
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
     assert(got == Map(1 -> 1L, 2 -> 0L), s"got $got")
+  }
+
+  test("windowed funnel drops chains whose stage gap exceeds the window") {
+    // user 3's A -> B gap is a full day; a 1-hour window must cut it,
+    // while user 1's 1-hour gaps survive exactly at the bound
+    val got = EventAnalytics.funnel(log, "user_id", "event_type", "ts",
+      Seq("A", "B", "B"), withinSeconds = Some(3600L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
+  test("windowed funnel finds sequences greedy-earliest would miss") {
+    // user 9 does A at 10:00 and again at 11:00, then B at 11:30 with a
+    // 60-minute window: chaining from the EARLIEST A (10:00) strands B
+    // outside the window, but the 11:00 A converts — the reachable-set
+    // semantics must count the user
+    val ev = Seq(
+      (9L, "A", ts("2024-01-01 10:00:00")),
+      (9L, "A", ts("2024-01-01 11:00:00")),
+      (9L, "B", ts("2024-01-01 11:30:00"))).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("A", "B"), withinSeconds = Some(3600L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L), s"greedy-min would report step 2 = 0: $got")
+  }
+
+  test("funnel tolerates events relations that already have columns named u and t") {
+    val clash = log.withColumn("u", lit("collide")).withColumn("t", lit(0L))
+    val got = EventAnalytics.funnel(clash, "user_id", "event_type", "ts", Seq("A", "B"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L), s"got $got")
   }
 
   test("sessionize numbers sessions per user on the gap, ties broken by event id") {

@@ -57,4 +57,18 @@ class FuzzyJoinSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got == Seq(("abc", "abd")), s"got $got")
   }
+
+  test("resolveEntities canonicalizes transitive families and keeps unmatched rows") {
+    // cat ~ cut ~ cute chain transitively (cat-cute is distance 2, only
+    // reachable THROUGH cut) -> one family, canonical 'cat'; dog is
+    // isolated and canonicalizes to itself; repeated values and null
+    // rows behave like nearNamePairs (nulls dropped, values collapsed)
+    val df = Seq((1L, "cat"), (2L, "cut"), (3L, "cute"), (4L, "dog"),
+      (5L, "cat"), (6L, null)).toDF("id", "nm")
+    val got = FuzzyJoin.resolveEntities(df, "id", "nm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "cat", "cat"), (2L, "cut", "cat"), (3L, "cute", "cat"),
+      (4L, "dog", "dog"), (5L, "cat", "cat")), s"got $got")
+  }
 }

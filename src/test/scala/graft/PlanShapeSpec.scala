@@ -527,12 +527,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"query-term restriction not broadcast:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"stats row not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"non-broadcast cross product:\n$plan")
+    // the direct path tokenizes the corpus EXACTLY ONCE: tf carries dl
+    // denormalized and df is a per-term count window over that same
+    // relation — a second Generate would mean a second corpus explode
+    // (count only the FINAL plan; AQE prints the initial one after it)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val explodes = finalPlan.linesIterator.count(l =>
+      l.contains("Generate explode") && !l.contains("posexplode"))
+    assert(explodes == 1, s"corpus tokenized $explodes times (want 1):\n$plan")
+    // ... and that window is term-partitioned, never a global sort
+    val winLines = finalPlan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("windowspecdefinition(term")),
+      s"df window not partitioned by term:\n${winLines.mkString("\n")}")
 
     val topk = executedPlanString(
       graft.operators.Retrieval.searchTopK(docs, "doc_id", "text", Seq("spark", "merge"), k = 10))
     assert(topk.contains("partial_graft_top_k"),
       s"BM25 ranking not a map-side-partial bounded top-k:\n$topk")
-    assert(!topk.contains("Window") && !topk.contains("row_number"),
+    assert(!topk.contains("row_number"),
       s"BM25 ranking sorts the match set globally:\n$topk")
   }
 

@@ -93,6 +93,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(indexed == direct, s"indexed $indexed != direct $direct")
   }
 
+  test("updateIndex serves rankings identical to a from-scratch build on the union") {
+    val base = docs.where($"doc_id" < 3)
+    val increment = docs.where($"doc_id" >= 3)
+    val baseDir = java.nio.file.Files.createTempDirectory("retrieval-spec-base").toString
+    val updDir = java.nio.file.Files.createTempDirectory("retrieval-spec-upd").toString
+    Retrieval.buildIndex(base, "doc_id", "text", baseDir)
+    Retrieval.updateIndex(spark, baseDir, increment, "doc_id", "text", updDir)
+    val q = Seq("rare", "alpha", "common", "gamma")
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val updated = Retrieval.searchTopKIndexed(spark, updDir, "doc_id", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(updated == direct, s"updated $updated != direct $direct")
+    // merged termdf must be the summed df, not duplicate rows per term
+    val dfRows = spark.read.parquet(s"$updDir/termdf")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(dfRows.map(_._1).distinct.length == dfRows.length, "one df row per term")
+    assert(dfRows.toMap.apply("common") == 4L, s"df(common) must sum across halves: $dfRows")
+  }
+
+  test("serving refuses an index whose manifest is missing (interrupted build)") {
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-nomanifest").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    // simulate a crash between table writes: the commit marker is gone
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.searchTopKIndexed(spark, dir, "doc_id", Seq("rare"), k = 3)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
+
   test("zero-token docs count toward N in the index stats like the direct path") {
     val padded = Seq((0L, "rare alpha"), (1L, "  "), (2L, "alpha beta")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-zero").toString

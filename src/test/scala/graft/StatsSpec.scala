@@ -44,4 +44,21 @@ class StatsSpec extends SparkTestBase {
       col("x"), col("y")).collect()(0).getDouble(1)
     assert(perfect == 1.0, s"got $perfect")
   }
+
+  test("corrExact widens IntegerType inputs before products (no 2^31 wrap)") {
+    // 48000^2 > Int.MaxValue: without the internal long cast the product
+    // wraps (non-ANSI) and the correlation silently corrupts
+    val df = Seq((46000, 46001), (47000, 47001), (48000, 48001)).toDF("x", "y")
+    val got = Stats.corrExact(df, col("x"), col("y")).collect()(0).getDouble(1)
+    assert(got == 1.0, s"shifted-copy columns must correlate exactly 1: $got")
+  }
+
+  test("histogram clamps the float-edge bin into bins-1, never out of contract") {
+    // w = 1.0/3 is inexact; the largest double below 1.0 floors to bin 3
+    // unclamped — an out-of-contract index the clamp folds into bin 2
+    val df = Seq(0.1, 0.5, math.nextAfter(1.0, 0.0)).toDF("x")
+    val got = Stats.histogram(df, "x", lo = 0, hi = 1, bins = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L), s"got $got")
+  }
 }
