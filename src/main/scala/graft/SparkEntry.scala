@@ -654,6 +654,19 @@ object SparkEntry {
       // the event id, compared in integer microseconds
       graft.operators.EventAnalytics.sessionize(events(s, dir),
         "user_id", "ts", "event_id", gapSeconds = 1800L)),
+    "events_session_stats" -> ((s, dir) =>
+      // per-session rollup over the same assignment: event count and
+      // exact integer-microsecond span (engagement distributions, bot
+      // detection) — one hash aggregate over the sessionized stream
+      graft.operators.EventAnalytics.sessionStats(events(s, dir),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)),
+    "events_funnel_timing" -> ((s, dir) =>
+      // stage-to-stage conversion latency of the same funnel: exact
+      // long sums of the per-user gaps in integer microseconds (the
+      // caller derives averages; a pre-divided double would not
+      // hash-replicate)
+      graft.operators.EventAnalytics.funnelTiming(events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "purchase", "purchase"))),
     "window_sliding" -> ((s, dir) => {
       events(s, dir)
         .groupBy(Windowing.slide(col("ts"), "2 hours", "1 hour"))
@@ -713,6 +726,31 @@ object SparkEntry {
          SELECT 1 AS step, 'signup' AS event_type, count(DISTINCT user_id) AS n_users FROM r1
          UNION ALL SELECT 2, 'purchase', count(DISTINCT user_id) FROM r2
          UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM r3""",
+    "events_funnel_timing" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2, min(epoch_us(u1.t1)) AS p1
+                FROM events e JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u1.t1 GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3, min(epoch_us(u2.t2)) AS p2
+                FROM events e JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+         SELECT 2 AS step, 'purchase' AS event_type, count(*) AS n_users,
+                CAST(coalesce(sum(epoch_us(t2) - p1), 0) AS BIGINT) AS total_gap_us FROM u2
+         UNION ALL SELECT 3, 'purchase', count(*),
+                CAST(coalesce(sum(epoch_us(t3) - p2), 0) AS BIGINT) FROM u3""",
+    "events_session_stats" ->
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events),
+         s AS (SELECT user_id, us,
+                CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+              FROM o)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         FROM s GROUP BY user_id, session_seq""",
     "events_sessionize" ->
       """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
@@ -1311,6 +1349,18 @@ object SparkEntry {
         Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 8, rowsPerBand = 2),
         "a_id", "b_id", iterations = 5)),
+    "graph_pagerank_personalized" -> ((s, dir) =>
+      // random-walk-with-restart proximity to a seed nucleus (every 7th
+      // doc): teleport mass lands only on seeds, so after 4 rounds
+      // exactly the seeds and their <=4-hop graph neighborhood carry
+      // rank — the graph-side seed-and-expand signal. Value-graded:
+      // DuckDB replays the LSH pair graph and all 4 unrolled rounds.
+      graft.operators.Centrality.pageRankPersonalized(
+        Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2),
+        "a_id", "b_id",
+        t(s, dir, "documents").where(col("doc_id") % 7 === 0), "doc_id",
+        iterations = 4)),
     "retrieval_hybrid" -> ((s, dir) => {
       // hybrid search: BM25 lexical top-20 fused with embedding cosine
       // top-20 (query = vector 0) by reciprocal-rank fusion. Both
@@ -1348,6 +1398,16 @@ object SparkEntry {
       // corpus, so the oracle is the direct-path SQL by construction.
       Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir), "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_batch_serve" -> ((s, dir) => {
+      // the production serve pattern: a BATCH of queries answered from
+      // ONE term-pruned postings scan (the union of all query terms
+      // pushes into the scan as one In filter). Value-graded against
+      // the direct-path formula, per-query ranking.
+      import s.implicits._
+      val q = Seq((0L, "spark"), (0L, "fast"), (0L, "join"),
+        (1L, "merge"), (1L, "sort"), (1L, "hash")).toDF("query_id", "term")
+      Retrieval.searchTopKIndexedBatch(s, builtBm25Index(s, dir), "doc_id", q, k = 10)
+    }),
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
@@ -2734,6 +2794,71 @@ object SparkEntry {
                 FROM edges e JOIN r4 r ON e.src = r.id JOIN deg d ON e.src = d.src, nn
                 GROUP BY e.dst, n_nodes)
          SELECT id, round(r, 6) AS rank FROM r5""",
+    "graph_pagerank_personalized" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         seeds AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+         ns AS (SELECT count(*) AS n FROM seeds),
+         p0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / n AS r FROM seeds, ns),
+         p1 AS (SELECT id, sum(r) AS r FROM (
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
+                  FROM edges e JOIN p0 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  UNION ALL
+                  SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
+         p2 AS (SELECT id, sum(r) AS r FROM (
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
+                  FROM edges e JOIN p1 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  UNION ALL
+                  SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
+         p3 AS (SELECT id, sum(r) AS r FROM (
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
+                  FROM edges e JOIN p2 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  UNION ALL
+                  SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
+         p4 AS (SELECT id, sum(r) AS r FROM (
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
+                  FROM edges e JOIN p3 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  UNION ALL
+                  SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id)
+         SELECT id, round(r, 6) AS rank FROM p4""",
+    "retrieval_batch_serve" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join'),
+                                           (1, 'merge'), (1, 'sort'), (1, 'hash')),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT query_id, doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY query_id, doc_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           FROM w) WHERE rk <= 10""",
     "retrieval_hybrid" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
@@ -3269,11 +3394,13 @@ object SparkEntry {
     // the hybrid lexical+semantic fusion capstone of the retrieval tier
     "retrieval_hybrid",
     // phrase query (one-scan array HOFs) and the Pregel-style fixed-
-    // iteration PageRank over the duplicate-pair graph
-    "retrieval_phrase", "graph_pagerank",
+    // iteration PageRank over the duplicate-pair graph, global and
+    // seed-personalized
+    "retrieval_phrase", "graph_pagerank", "graph_pagerank_personalized",
     // serve from the incrementally-merged index (build+update cost
     // bills to the memoized first call, disclosed at updatedBm25Index)
-    "retrieval_index_update",
+    // and the multi-query batch serve (one postings scan for the batch)
+    "retrieval_index_update", "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities",
@@ -3281,7 +3408,9 @@ object SparkEntry {
     // integer-sufficient-statistics correlation over the big table
     "stats_profile", "stats_histogram", "stats_corr",
     // cross-timeline event analytics over the sf-scaled event log,
-    // including the conversion-window funnel (reachable-set recursion)
-    "events_funnel", "events_funnel_window", "events_cohort", "events_sessionize"
+    // including the conversion-window funnel (reachable-set recursion),
+    // stage latency sums, and per-session rollups
+    "events_funnel", "events_funnel_window", "events_funnel_timing",
+    "events_cohort", "events_sessionize", "events_session_stats"
   ) ++ capstoneQueries
 }

@@ -97,4 +97,77 @@ object Centrality {
     degEdges.unpersist()
     out
   }
+
+  /** Personalized PageRank: random-walk-with-restart proximity to a
+    * SEED SET — "which documents does the graph consider close to this
+    * curated nucleus", the graph-side sibling of the DSIR seed-and-
+    * expand loop (seeds = a vetted sample; high-PPR non-seeds = the
+    * docs most entangled with it through duplicate/link structure).
+    * The recursion is r(v) = (1-d)/|S|*1_S(v) + d * sum(in-contribs):
+    * teleport mass lands ONLY on seeds, and the initial distribution is
+    * uniform on the seeds, so after i iterations exactly the nodes
+    * within i hops of a seed (plus the seeds) carry rank. Seeds need
+    * not be graph nodes — an isolated seed keeps its teleport share and
+    * contributes nothing.
+    *
+    * Scale shape: the edge loop is [[pageRank]]'s (cached
+    * degree-joined relation, one co-partitioned join + aggregate per
+    * round). |S| is a bounded driver count on the (persisted) seed
+    * relation, folded in as literals. The per-round teleport is a
+    * unionByName of the seed relation with the contribution aggregate
+    * followed by a sum — a two-term per-node addition (commutative, so
+    * merge order cannot change the double), NOT a per-round broadcast
+    * join. Output: (id, rank round-6) for every node with nonzero rank
+    * after `iterations` rounds.
+    */
+  def pageRankPersonalized(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      damping: Double = 0.85,
+      reliableOutput: Boolean = false
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degEdges = edges.join(deg, "src")
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the seed relation is touched every round (teleport) — persist it
+    // so an expensive upstream (a quality gate, a sample) runs once;
+    // the count doubles as its materialization barrier and |S|
+    val seedIds = seeds.select(col(seedCol).as("id"))
+      .where(col("id").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0, "pageRankPersonalized: empty seed set")
+    val teleport = (1.0 - damping) / nSeeds.toDouble
+    var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = degEdges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg((lit(damping) * sum("c")).as("r"))
+      ranks = contribs
+        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
+        .groupBy("id")
+        .agg(sum("r").as("r"))
+    }
+    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val out =
+      if (reliableOutput) Dedup.reliableCheckpoint(ranked)
+      else ranked.localCheckpoint(true)
+    degEdges.unpersist()
+    seedIds.unpersist()
+    out
+  }
 }

@@ -103,6 +103,21 @@ object EventAnalytics {
       tsCol: String,
       idCol: String,
       gapSeconds: Long
+  ): DataFrame =
+    sessioned(events, userCol, tsCol, idCol, gapSeconds)
+      .select(col(idCol), col(userCol), col("session_seq"))
+
+  /** The shared sessionization core: every event with its integer-
+    * microsecond time and its session sequence number. One per-user
+    * window, no global sort (see [[sessionize]] for the frame/tiebreak
+    * rationale).
+    */
+  private def sessioned(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol))
@@ -113,9 +128,82 @@ object EventAnalytics {
       lit(1L)).otherwise(lit(0L))
     events.select(
       col(idCol), col(userCol),
+      unix_micros(col(tsCol)).as("__evt_us"),
       sum(isNew).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)).as("session_seq"))
+  }
+
+  /** Per-session rollup over [[sessionize]]'s assignment: event count
+    * and wall-clock span (last event minus first, exact integer
+    * MICROSECONDS — a single-event session spans 0). The rollup is one
+    * hash aggregate over the sessionized stream, already partitioned by
+    * user from the window — engagement-length distributions, bot
+    * detection (thousand-event sessions), and session-level sampling
+    * all start here. Output: (userCol, session_seq, n_events,
+    * duration_us).
+    */
+  def sessionStats(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long
+  ): DataFrame =
+    sessioned(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("__evt_us")) - min(col("__evt_us"))).as("duration_us"))
+
+  /** Stage-to-stage conversion latency for the (unbounded) min-greedy
+    * funnel: for each stage 2..k, how many users converted and the SUM
+    * of their stage-(k-1) -> stage-k gaps in exact integer MICROSECONDS
+    * (avg = total_gap_us / n_users, derived by the caller — an exact
+    * long sum stays bit-reproducible across engines where a pre-divided
+    * double average would not). Greedy-earliest completion times are
+    * the same per-user instants [[funnel]] counts, so `n_users` here
+    * always agrees with the unbounded funnel's stage counts. Same
+    * relational shape as [[funnel]]: one user-keyed join + aggregate
+    * per stage, reliable checkpoints killing the O(k^2) prefix re-scan.
+    * Output: (step, event_type, n_users, total_gap_us) for steps 2..k.
+    */
+  def funnelTiming(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.length >= 2, "funnelTiming: need at least 2 steps")
+    val u = "__funnel_u"
+    val t = "__funnel_t"
+    var reached = Dedup.reliableCheckpoint(
+      events.where(col(typeCol) === steps.head)
+        .groupBy(col(userCol).as(u))
+        .agg(min(col(tsCol)).as(t)))
+    val rows = Seq.newBuilder[DataFrame]
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      // min(prev-us) is constant per user after the equi-join (one
+      // completion time per user in `reached`), so the aggregate just
+      // carries it through beside the new stage's min
+      val next = Dedup.reliableCheckpoint(
+        events.where(col(typeCol) === s)
+          .join(reached, col(userCol) === col(u))
+          .where(col(tsCol) > col(t))
+          .groupBy(col(u))
+          .agg(
+            min(col(tsCol)).as("__funnel_tn"),
+            min(unix_micros(col(t))).as("__funnel_prev_us")))
+      rows += next.agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col("__funnel_tn")) - col("__funnel_prev_us")), lit(0L))
+          .as("total_gap_us"))
+        .select(lit(i + 1).as("step"), lit(s).as("event_type"),
+          col("n_users"), col("total_gap_us"))
+      reached = next.select(col(u), col("__funnel_tn").as(t))
+    }
+    rows.result().reduce(_ unionByName _)
   }
 
   /** Day-granularity cohort retention: users cohort by their FIRST

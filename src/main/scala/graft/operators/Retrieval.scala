@@ -264,24 +264,53 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "searchTopKIndexed: empty query")
-    requireManifest(spark, indexPath)
     import spark.implicits._
     val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    searchTopKIndexedBatch(spark, indexPath, idCol, q, k, k1, b)
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** BM25 top-k for EVERY query in `queries` (query_id, term) against a
+    * prebuilt index — the production serve pattern: however many
+    * queries arrive in the batch, the corpus-sized postings relation is
+    * scanned ONCE, pruned to the UNION of all query terms. The distinct
+    * term list is a bounded driver collect (queries are human-sized;
+    * the corpus is not), which is what lets the restriction push into
+    * the parquet scan as an `In` filter and keep the build-time
+    * row-group pruning effective — a join-based restriction would not
+    * push down. df and stats broadcast; scoring and ranking are
+    * per-query aggregates (the bounded O(k) top-k, ties to the lower
+    * id). Duplicate query terms re-score, as in [[bm25]].
+    * Output: (query_id, rank, id, score).
+    */
+  def searchTopKIndexedBatch(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    requireManifest(spark, indexPath)
+    val terms = queries.select(col("term")).where(col("term").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "searchTopKIndexedBatch: no query terms")
     val postings = spark.read.parquet(s"$indexPath/postings")
-      .where(col("term").isin(terms.distinct: _*))
+      .where(col("term").isin(terms: _*))
     // restrict df to the query terms BEFORE broadcasting: the term-df
     // table is vocabulary-sized, the restriction is |terms| rows
     val dfs = spark.read.parquet(s"$indexPath/termdf")
-      .where(col("term").isin(terms.distinct: _*))
+      .where(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")
-    q.join(broadcast(dfs), Seq("term"))
-      .join(postings, Seq("term"))
+    postings
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("contrib")), 6).as("score"))
       .transform(s => rankByScore(s, Seq("query_id"), idCol, k))
-      .select(col("rank"), col(idCol), col("score"))
   }
 
   /** Top-k documents per query by BM25 — [[bm25]] ranked with the

@@ -50,6 +50,55 @@ class CentralitySpec extends SparkTestBase {
     assert(got(10L) == got.values.max, s"hub must rank highest: $got")
   }
 
+  /** The personalized recursion in plain Scala: teleport only to seeds. */
+  private def refPpr(
+      pairs: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nS = seeds.size
+    var r: Map[Long, Double] = seeds.map(_ -> 1.0 / nS).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.filter { case (src, _) => r.contains(src) }
+        .groupBy(_._2).map { case (dst, es) =>
+          dst -> d * es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+      r = (in.keySet ++ seeds).map { v =>
+        v -> (in.getOrElse(v, 0.0) + (if (seeds(v)) (1.0 - d) / nS else 0.0))
+      }.toMap
+    }
+    r.map { case (id, v) =>
+      id -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("personalized PageRank spreads rank outward from the seed only") {
+    // path 1-2-3-4-5 with seed {1}: after 2 iterations only nodes
+    // within 2 hops carry rank; node 5 stays absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L)
+    val got = Centrality.pageRankPersonalized(
+      pairs.toDF("a", "b"), "a", "b", seeds.toDF("id"), "id", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(pairs, seeds.toSet, 2)
+    assert(got.keySet == want.keySet, s"got ${got.keySet}, want ${want.keySet}")
+    assert(!got.contains(5L), "rank must not reach beyond the iteration horizon")
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+    assert(got(1L) == got.values.max, s"the seed must hold the most rank: $got")
+  }
+
+  test("isolated seeds keep their teleport share; multi-seed mass splits") {
+    val pairs = Seq((1L, 2L))
+    val seeds = Seq(1L, 99L) // 99 is not a graph node
+    val got = Centrality.pageRankPersonalized(
+      pairs.toDF("a", "b"), "a", "b", seeds.toDF("id"), "id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(pairs, seeds.toSet, 3)
+    assert(got.keySet == want.keySet, s"got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+  }
+
   test("isolated docs are not nodes; single-pair graph is uniform") {
     val got = Centrality.pageRank(Seq((7L, 8L)).toDF("a", "b"), "a", "b", iterations = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -88,6 +88,32 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 1L, 14L -> 1L), s"got $got")
   }
 
+  test("sessionStats rolls events up to per-session counts and exact micro spans") {
+    val ev = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 10:20:00")),
+      (12L, 1L, ts("2024-01-01 11:00:00")), // 40-min gap -> new session
+      (13L, 2L, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.sessionStats(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 1200L * 1000000L)), // 10:00-10:20 span
+      (1L, 2L) -> ((1L, 0L)),               // single-event session spans 0
+      (2L, 1L) -> ((1L, 0L))), s"got $got")
+  }
+
+  test("funnelTiming sums the exact stage-to-stage gaps of the greedy completions") {
+    val got = EventAnalytics.funnelTiming(log, "user_id", "event_type", "ts",
+      Seq("A", "B", "B"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSet
+    // stage 2: user 1 (1 h after A) + user 3 (24 h after A); stage 3:
+    // user 1's second B, 1 h after the first
+    assert(got == Set(
+      (2, 2L, (3600L + 86400L) * 1000000L),
+      (3, 1L, 3600L * 1000000L)), s"got $got")
+  }
+
   test("cohortRetention buckets users by first active date with day offsets") {
     val got = EventAnalytics.cohortRetention(log, "user_id", "ts")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -113,6 +113,23 @@ class RetrievalSpec extends SparkTestBase {
     assert(dfRows.toMap.apply("common") == 4L, s"df(common) must sum across halves: $dfRows")
   }
 
+  test("batch serve answers every query identically to its own direct-path ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-batch").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val q = Seq((0L, "rare"), (0L, "alpha"), (1L, "common"), (1L, "gamma"), (2L, "zeta"))
+      .toDF("query_id", "term")
+    val got = Retrieval.searchTopKIndexedBatch(spark, dir, "doc_id", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val perQuery = Map(
+      0L -> Seq("rare", "alpha"), 1L -> Seq("common", "gamma"), 2L -> Seq("zeta"))
+    perQuery.foreach { case (qid, terms) =>
+      val direct = Retrieval.searchTopK(docs, "doc_id", "text", terms, k = 5)
+        .collect().map(r => (qid, r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got(qid).toSeq == direct, s"query $qid: ${got(qid).toSeq} != $direct")
+    }
+  }
+
   test("serving refuses an index whose manifest is missing (interrupted build)") {
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-nomanifest").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir)
