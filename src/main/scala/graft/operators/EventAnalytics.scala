@@ -32,18 +32,25 @@ object EventAnalytics {
     *    That relation is bounded by the stage's own event count — the
     *    same order as the min relation in practice — and makes the
     *    funnel exact (a user converts iff ANY qualifying sequence
-    *    exists), not an approximation tied to one greedy path.
+    *    exists), not an approximation tied to one greedy path. The
+    *    exists test is NOT a join (a per-user events-x-reachable join
+    *    is quadratic in a power user's event count): because any
+    *    qualifying r is dominated by the LATEST reachable time
+    *    strictly before the event, each stage is a tagged UNION of the
+    *    stage events with the reachable set, one per-user sort window
+    *    carrying that running latest, and a range test — per-user
+    *    O(n log n), the sessionization cost shape.
     *
-    * Each stage is one join + one dedup/aggregate over the events
-    * restricted to that stage's type — k-1 user-keyed joins for a
-    * k-step funnel, all hash-partitioned on the user, never a per-user
-    * event sort. Each stage's relation goes through a reliable
-    * checkpoint (the [[Dedup.duplicateClusters]] machinery): without
-    * it every later stage — and every stage-count branch of the final
-    * union — would re-execute the whole prefix chain, turning a k-step
-    * funnel into O(k^2) event scans. Internal join columns use
-    * collision-proof names, so an events relation that already has
-    * columns named `u`/`t` funnels correctly.
+    * Unbounded stages are one user-keyed join + aggregate each —
+    * hash-partitioned on the user, never a per-user event sort;
+    * windowed stages pay the per-user window sort instead of a join.
+    * Each stage's relation goes through a reliable checkpoint (the
+    * [[Dedup.duplicateClusters]] machinery): without it every later
+    * stage — and every stage-count branch of the final union — would
+    * re-execute the whole prefix chain, turning a k-step funnel into
+    * O(k^2) event scans. Internal join columns use collision-proof
+    * names, so an events relation that already has columns named
+    * `u`/`t` funnels correctly.
     * Output: (step, event_type, n_users), one row per step.
     */
   def funnel(
@@ -71,17 +78,41 @@ object EventAnalytics {
     val stageCounts = Seq.newBuilder[DataFrame]
     stageCounts += stageCount(1, steps.head)
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      val chained = events.where(col(typeCol) === s)
-        .join(reached, col(userCol) === col(u))
-        .where(col(tsCol) > col(t))
-      val windowed = withinSeconds match {
-        case None => chained
+      val stageEvents = events.where(col(typeCol) === s)
+        .select(col(userCol).as(u), col(tsCol).as(t))
+      val next = withinSeconds match {
+        case None =>
+          stageEvents
+            .join(reached.select(col(u), col(t).as("__funnel_prev")), Seq(u))
+            .where(col(t) > col("__funnel_prev"))
+            .select(col(u), col(t))
         case Some(w) =>
-          chained.where(
-            unix_micros(col(tsCol)) - unix_micros(col(t)) <= w * 1000000L)
+          // tagged union + per-user sort: an event chains iff the
+          // LATEST reachable time strictly before it (ties sort the
+          // reachable row after the event, so same-instant never
+          // chains) is within the window — any qualifying time is
+          // dominated by the latest one, so the running max over the
+          // union replaces the quadratic events-x-reachable join
+          val tagged = stageEvents
+            .select(col(u), unix_micros(col(t)).as("__funnel_us"),
+              col(t), lit(false).as("__funnel_is_prev"))
+            .unionByName(reached.select(col(u), unix_micros(col(t)).as("__funnel_us"),
+              col(t), lit(true).as("__funnel_is_prev")))
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(u))
+            .orderBy(col("__funnel_us"), col("__funnel_is_prev"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          tagged
+            .withColumn("__funnel_last_prev",
+              max(when(col("__funnel_is_prev"), col("__funnel_us"))).over(win))
+            .where(!col("__funnel_is_prev")
+              && col("__funnel_last_prev").isNotNull
+              && col("__funnel_us") > col("__funnel_last_prev")
+              && col("__funnel_us") - col("__funnel_last_prev") <= w * 1000000L)
+            .select(col(u), col(t))
       }
-      reached = Dedup.reliableCheckpoint(collapse(
-        windowed.select(col(u), col(tsCol).as(t))))
+      reached = Dedup.reliableCheckpoint(collapse(next))
       stageCounts += stageCount(i + 1, s)
     }
     stageCounts.result().reduce(_ unionByName _)
