@@ -81,7 +81,30 @@ object Centrality {
     // the SAME IEEE ops the in-plan form evaluated: double(1-d) divided
     // by double(n), once — rounds identically as a driver literal
     val teleport = (1.0 - damping) / nNodes.toDouble
-    var ranks = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
+    val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
+    val ranked = loopRanks(degEdges, init, teleport, damping, iterations)
+    val out =
+      if (reliableOutput) Dedup.reliableCheckpoint(ranked)
+      else ranked.localCheckpoint(true)
+    degEdges.unpersist()
+    out
+  }
+
+  /** The fixed-iteration rank recursion as ONE lazy plan, shared by
+    * [[pageRank]] and the plan-shape spec (the production output is
+    * checkpointed, which truncates the plan the spec needs to pin):
+    * per round, one co-partitioned join against the prepared
+    * degree-joined edge relation, one aggregation, and a PURELY
+    * LITERAL teleport projection — no in-plan scalar relation, so no
+    * per-round BroadcastNestedLoopJoin. Output: (id, rank round-6).
+    */
+  private[graft] def loopRanks(
+      degEdges: DataFrame,
+      init: DataFrame,
+      teleport: Double,
+      damping: Double,
+      iterations: Int): DataFrame = {
+    var ranks = init
     for (_ <- 1 to iterations) {
       ranks = degEdges
         .join(ranks.select(col("id").as("src"), col("r")), "src")
@@ -90,12 +113,7 @@ object Centrality {
         .agg(sum("c").as("in"))
         .select(col("id"), (lit(teleport) + lit(damping) * col("in")).as("r"))
     }
-    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
-    val out =
-      if (reliableOutput) Dedup.reliableCheckpoint(ranked)
-      else ranked.localCheckpoint(true)
-    degEdges.unpersist()
-    out
+    ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
 
   /** Personalized PageRank: random-walk-with-restart proximity to a

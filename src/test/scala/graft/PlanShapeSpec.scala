@@ -584,6 +584,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"phrase scan shuffles:\n$plan")
   }
 
+  test("pageRank rounds carry the teleport as a literal, never a per-round broadcast join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the production prep shape: both edge directions, degree joined
+    // on, cached and src-partitioned; the loop plan must stream that
+    // cache once per round with NO BroadcastNestedLoopJoin (the
+    // scalar-n_nodes relation regression this pin guards against)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+    val degEdges = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(4, col("src"))
+      .persist()
+    try {
+      val n = degEdges.select("src").distinct().count()
+      val init = degEdges.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1.0 / n).as("r"))
+      val plan = executedPlanString(
+        graft.operators.Centrality.loopRanks(degEdges, init, 0.15 / n, 0.85, iterations = 3))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rank loop re-grew a per-round scalar broadcast join:\n$plan")
+      // every round streams the SAME cached edge layout
+      val cacheScans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheScans >= 3, s"loop rounds do not reuse the edge cache ($cacheScans scans):\n$plan")
+    } finally degEdges.unpersist()
+  }
+
   test("fuzzy matching joins on deletion keys, never a cartesian product") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val plan = executedPlanString(graft.operators.FuzzyJoin.nearNamePairs(part, "p_name"))

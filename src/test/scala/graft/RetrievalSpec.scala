@@ -113,6 +113,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(dfRows.toMap.apply("common") == 4L, s"df(common) must sum across halves: $dfRows")
   }
 
+  test("updates chain: two successive increments equal one build on everything") {
+    val d0 = java.nio.file.Files.createTempDirectory("retrieval-spec-chain0").toString
+    val d1 = java.nio.file.Files.createTempDirectory("retrieval-spec-chain1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("retrieval-spec-chain2").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 2), "doc_id", "text", d0)
+    Retrieval.updateIndex(spark, d0, docs.where($"doc_id" === 2 || $"doc_id" === 3),
+      "doc_id", "text", d1)
+    Retrieval.updateIndex(spark, d1, docs.where($"doc_id" === 4), "doc_id", "text", d2)
+    val q = Seq("rare", "common", "gamma")
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val chained = Retrieval.searchTopKIndexed(spark, d2, "doc_id", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(chained == direct, s"chained $chained != direct $direct")
+  }
+
   test("batch serve answers every query identically to its own direct-path ranking") {
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-batch").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir)
