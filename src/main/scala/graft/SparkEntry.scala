@@ -723,9 +723,10 @@ object SparkEntry {
                 JOIN r2 ON e.user_id = r2.user_id
                 WHERE e.event_type = 'purchase' AND e.ts > r2.t
                   AND epoch_us(e.ts) - epoch_us(r2.t) <= 604800000000)
-         SELECT 1 AS step, 'signup' AS event_type, count(DISTINCT user_id) AS n_users FROM r1
-         UNION ALL SELECT 2, 'purchase', count(DISTINCT user_id) FROM r2
-         UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM r3""",
+         SELECT 1 AS step, 'signup' AS event_type,
+                (SELECT count(*) FROM (SELECT DISTINCT user_id FROM r1)) AS n_users
+         UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM (SELECT DISTINCT user_id FROM r2))
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM (SELECT DISTINCT user_id FROM r3))""",
     "events_funnel_timing" ->
       """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY user_id),

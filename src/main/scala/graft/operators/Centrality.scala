@@ -59,18 +59,7 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    // both directions via ONE explode (the duplicateClusters stance:
-    // a union would execute the pair subtree twice at materialization)
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val degEdges = edges.join(deg, "src")
-      .repartition(nPart, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degEdges = degreeJoinedEdges(pairs, aCol, bCol)
     // nodes and the node count derive FROM THE CACHE, not from the raw
     // deg/pairs lineage — otherwise the expensive pair subtree executes
     // again for n and a third time for the init ranks; the count is the
@@ -88,6 +77,27 @@ object Centrality {
       else ranked.localCheckpoint(true)
     degEdges.unpersist()
     out
+  }
+
+  /** The shared edge preparation of both rank loops, CACHED: both
+    * directions via ONE explode (the [[Dedup.duplicateClusters]]
+    * stance — a union would execute the expensive pair subtree twice
+    * at materialization), out-degree joined on once, repartitioned on
+    * `src` and persisted so every iteration's join streams the cached
+    * layout with no re-shuffle of the edge side. Callers own the
+    * unpersist. Output: (src, dst, deg).
+    */
+  private[graft] def degreeJoinedEdges(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+    edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The fixed-iteration rank recursion as ONE lazy plan, shared by
@@ -149,16 +159,7 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val degEdges = edges.join(deg, "src")
-      .repartition(nPart, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degEdges = degreeJoinedEdges(pairs, aCol, bCol)
     // the seed relation is touched every round (teleport) — persist it
     // so an expensive upstream (a quality gate, a sample) runs once;
     // the count doubles as its materialization barrier and |S|

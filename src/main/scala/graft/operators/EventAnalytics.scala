@@ -72,8 +72,11 @@ object EventAnalytics {
     var reached = Dedup.reliableCheckpoint(collapse(
       events.where(col(typeCol) === steps.head)
         .select(col(userCol).as(u), col(tsCol).as(t))))
+    // distinct-then-count, NOT countDistinct: a NULL user forms a group
+    // like any other in both regimes (the groupBy/min path always kept
+    // it), and countDistinct would silently drop it
     def stageCount(step: Int, name: String): DataFrame =
-      reached.agg(countDistinct(col(u)).as("n_users"))
+      reached.select(col(u)).distinct().agg(count(lit(1)).as("n_users"))
         .select(lit(step).as("step"), lit(name).as("event_type"), col("n_users"))
     val stageCounts = Seq.newBuilder[DataFrame]
     stageCounts += stageCount(1, steps.head)
@@ -82,10 +85,7 @@ object EventAnalytics {
         .select(col(userCol).as(u), col(tsCol).as(t))
       val next = withinSeconds match {
         case None =>
-          stageEvents
-            .join(reached.select(col(u), col(t).as("__funnel_prev")), Seq(u))
-            .where(col(t) > col("__funnel_prev"))
-            .select(col(u), col(t))
+          advanceStage(stageEvents, reached, u, t).select(col(u), col(t))
         case Some(w) =>
           // tagged union + per-user sort: an event chains iff the
           // LATEST reachable time strictly before it (ties sort the
@@ -187,6 +187,25 @@ object EventAnalytics {
         count(lit(1)).as("n_events"),
         (max(col("__evt_us")) - min(col("__evt_us"))).as("duration_us"))
 
+  /** One unbounded (min-greedy) stage advance, shared by [[funnel]]
+    * and [[funnelTiming]] so the two can never drift apart: users in
+    * `reached` (u, t) with a stage event STRICTLY after their
+    * completion time, each with their new min completion and the
+    * chained-from time in integer micros (constant per user after the
+    * equi-join, so the min just carries it through). NULL users never
+    * advance — the equi-join drops them, in both engines.
+    * Output: (u, t, __funnel_prev_us), one row per advancing user.
+    */
+  private def advanceStage(
+      stageEvents: DataFrame, reached: DataFrame, u: String, t: String): DataFrame =
+    stageEvents
+      .join(reached.select(col(u), col(t).as("__funnel_prev")), Seq(u))
+      .where(col(t) > col("__funnel_prev"))
+      .groupBy(col(u))
+      .agg(
+        min(col(t)).as(t),
+        min(unix_micros(col("__funnel_prev"))).as("__funnel_prev_us"))
+
   /** Stage-to-stage conversion latency for the (unbounded) min-greedy
     * funnel: for each stage 2..k, how many users converted and the SUM
     * of their stage-(k-1) -> stage-k gaps in exact integer MICROSECONDS
@@ -215,24 +234,16 @@ object EventAnalytics {
         .agg(min(col(tsCol)).as(t)))
     val rows = Seq.newBuilder[DataFrame]
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      // min(prev-us) is constant per user after the equi-join (one
-      // completion time per user in `reached`), so the aggregate just
-      // carries it through beside the new stage's min
-      val next = Dedup.reliableCheckpoint(
-        events.where(col(typeCol) === s)
-          .join(reached, col(userCol) === col(u))
-          .where(col(tsCol) > col(t))
-          .groupBy(col(u))
-          .agg(
-            min(col(tsCol)).as("__funnel_tn"),
-            min(unix_micros(col(t))).as("__funnel_prev_us")))
+      val stageEvents = events.where(col(typeCol) === s)
+        .select(col(userCol).as(u), col(tsCol).as(t))
+      val next = Dedup.reliableCheckpoint(advanceStage(stageEvents, reached, u, t))
       rows += next.agg(
         count(lit(1)).as("n_users"),
-        coalesce(sum(unix_micros(col("__funnel_tn")) - col("__funnel_prev_us")), lit(0L))
+        coalesce(sum(unix_micros(col(t)) - col("__funnel_prev_us")), lit(0L))
           .as("total_gap_us"))
         .select(lit(i + 1).as("step"), lit(s).as("event_type"),
           col("n_users"), col("total_gap_us"))
-      reached = next.select(col(u), col("__funnel_tn").as(t))
+      reached = next.select(col(u), col(t))
     }
     rows.result().reduce(_ unionByName _)
   }

@@ -61,15 +61,6 @@ object Retrieval {
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  /** (term, df) document frequencies of the query terms: distinct
-    * (doc, term) then count per term — bounded by |query terms| rows.
-    */
-  def docFrequencies(
-      docs: DataFrame, idCol: String, textCol: String, terms: DataFrame): DataFrame =
-    termFreqs(docs, idCol, textCol, terms)
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-
   /** (id, dl) per-document token counts (split artifacts excluded) and
     * the corpus stats (n_docs, total_len) they aggregate to — shared
     * by [[bm25]]'s length normalization.
@@ -206,6 +197,18 @@ object Retrieval {
     val inc = invertedIndex(increment, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // enforce the new-docs-only contract LOUDLY: a re-submitted doc
+      // would duplicate its postings, double-count df and stats, and
+      // still earn a valid manifest — exactly the silently-wrong-scores
+      // state the manifest exists to prevent. One semi-join of the old
+      // id column (columnar-pruned) against the bounded increment.
+      val resubmitted = spark.read.parquet(s"$indexPath/postings")
+        .select(col(idCol)).distinct()
+        .join(broadcast(inc.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+        .count()
+      require(resubmitted == 0L,
+        s"updateIndex: $resubmitted increment ids already indexed at $indexPath — " +
+          "increments must contain NEW documents only (re-indexing a changed doc means rebuild)")
       clearManifest(spark, outPath)
       spark.read.parquet(s"$indexPath/postings")
         .unionByName(inc)
@@ -281,7 +284,7 @@ object Retrieval {
     * push down. df and stats broadcast; scoring and ranking are
     * per-query aggregates (the bounded O(k) top-k, ties to the lower
     * id). Duplicate query terms re-score, as in [[bm25]].
-    * Output: (query_id, rank, id, score).
+    * Output: (query_id, rank, id, score) — query_id normalized to long.
     */
   def searchTopKIndexedBatch(
       spark: SparkSession,
@@ -293,9 +296,19 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     requireManifest(spark, indexPath)
-    val terms = queries.select(col("term")).where(col("term").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty, "searchTopKIndexedBatch: no query terms")
+    // evaluate the caller's relation EXACTLY ONCE: both the In-filter
+    // term list and the scoring join are rebuilt from this one collect,
+    // so a non-deterministic queries source (a sample, an unordered
+    // limit) cannot hand the filter one term set and the join another —
+    // that mismatch would silently prune matching postings
+    val queryRows = queries
+      .select(col("query_id").cast("long"), col("term"))
+      .where(col("term").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(queryRows.nonEmpty, "searchTopKIndexedBatch: no query terms")
+    import spark.implicits._
+    val q = queryRows.toDF("query_id", "term")
+    val terms = queryRows.map(_._2).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
       .where(col("term").isin(terms: _*))
     // restrict df to the query terms BEFORE broadcasting: the term-df
@@ -305,7 +318,7 @@ object Retrieval {
     val stats = spark.read.parquet(s"$indexPath/stats")
     postings
       .join(broadcast(dfs), Seq("term"))
-      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol), contrib(k1, b).as("contrib"))
       .groupBy(col("query_id"), col(idCol))

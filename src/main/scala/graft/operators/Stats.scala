@@ -67,6 +67,19 @@ object Stats {
     * combinable aggregate over one scan. Output: one row (n, corr).
     */
   def corrExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // integral inputs ONLY, loudly: a fractional column would truncate
+    // toward zero in the long cast below and silently bias r — the
+    // caller owns the fixed-point encoding (cents, counts), this
+    // operator owns exactness within it
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    df.select(x.as("x"), y.as("y")).schema.fields.foreach { f =>
+      require(integral.contains(f.dataType),
+        s"corrExact: input '${f.name}' is ${f.dataType.simpleString}; the exact-integer-" +
+          "sufficient-statistics contract needs an integral column — encode fractional " +
+          "data as fixed-point integers (e.g. cents) first")
+    }
     val xl = x.cast("long")
     val yl = y.cast("long")
     val agg = df.agg(

@@ -592,13 +592,7 @@ class PlanShapeSpec extends SparkTestBase {
     // cache once per round with NO BroadcastNestedLoopJoin (the
     // scalar-n_nodes relation regression this pin guards against)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
-    val edges = pairs.select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-    val degEdges = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(4, col("src"))
-      .persist()
+    val degEdges = graft.operators.Centrality.degreeJoinedEdges(pairs, "a", "b")
     try {
       val n = degEdges.select("src").distinct().count()
       val init = degEdges.select(col("src").as("id")).distinct()

@@ -129,6 +129,18 @@ class RetrievalSpec extends SparkTestBase {
     assert(chained == direct, s"chained $chained != direct $direct")
   }
 
+  test("updateIndex refuses an increment that re-submits an indexed doc") {
+    val base = java.nio.file.Files.createTempDirectory("retrieval-spec-dup0").toString
+    val out = java.nio.file.Files.createTempDirectory("retrieval-spec-dup1").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 3), "doc_id", "text", base)
+    val e = intercept[IllegalArgumentException] {
+      // doc 2 is already indexed: merging it would double-count its
+      // postings/df/stats and still earn a valid manifest
+      Retrieval.updateIndex(spark, base, docs.where($"doc_id" >= 2), "doc_id", "text", out)
+    }
+    assert(e.getMessage.contains("already indexed"), e.getMessage)
+  }
+
   test("batch serve answers every query identically to its own direct-path ranking") {
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-batch").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir)

@@ -53,6 +53,14 @@ class StatsSpec extends SparkTestBase {
     assert(got == 1.0, s"shifted-copy columns must correlate exactly 1: $got")
   }
 
+  test("corrExact rejects fractional columns instead of silently truncating them") {
+    val df = Seq((19.99, 1L), (29.99, 2L)).toDF("price", "n")
+    val e = intercept[IllegalArgumentException] {
+      Stats.corrExact(df, col("price"), col("n"))
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("histogram clamps the float-edge bin into bins-1, never out of contract") {
     // w = 1.0/3 is inexact; the largest double below 1.0 floors to bin 3
     // unclamped — an out-of-contract index the clamp folds into bin 2
