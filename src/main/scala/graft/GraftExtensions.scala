@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, NgramFeatureBuckets, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize}
+import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, NgramFeatureBuckets, NormalizeNfc, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize, StripAccents}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -90,6 +90,12 @@ object GraftFunctions {
     desc("graft_ngram_buckets", classOf[NgramFeatureBuckets], 2)(c =>
       NgramFeatureBuckets(c(0), litInt("graft_ngram_buckets", "numBuckets")(c(1))))
 
+  val nfcFunction: FunctionDesc =
+    desc("graft_nfc", classOf[NormalizeNfc], 1)(c => NormalizeNfc(c(0)))
+
+  val stripAccentsFunction: FunctionDesc =
+    desc("graft_strip_accents", classOf[StripAccents], 1)(c => StripAccents(c(0)))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
@@ -97,7 +103,8 @@ object GraftFunctions {
   val all: Seq[FunctionDesc] = Seq(
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
     simhashFunction, hyperplaneBucketFunction, bigramRepFunction,
-    cutSpansFunction, rollingSpanHashesFunction, ngramBucketsFunction)
+    cutSpansFunction, rollingSpanHashesFunction, ngramBucketsFunction,
+    nfcFunction, stripAccentsFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

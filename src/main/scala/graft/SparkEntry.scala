@@ -1145,6 +1145,25 @@ object SparkEntry {
     }),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "text_normalize_nfc" -> ((s, dir) =>
+      // Unicode NFC canonicalization (native codegen'd expression) —
+      // the pre-dedup normalization pass. The appended DECOMPOSED
+      // suffix (e + combining acute, embedded as ́ in both the
+      // Spark literal and the oracle SQL) makes the mapping
+      // non-trivial on the ASCII corpus: both engines must compose it
+      // to the precomposed e-acute or the hash splits.
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeNfc(
+          concat(col("text"), lit(" cafe" + "\u0301"))).as("norm"))),
+    "stats_outliers" -> ((s, dir) => {
+      // rate-spike detection over hourly event counts: mean + 2·stddev
+      // threshold decided in EXACT integer arithmetic (no float
+      // boundary an engine pair could disagree on by 1 ULP)
+      val counts = events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Stats.flagIntegerOutliers(counts, "n", z = 2)
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -2354,6 +2373,21 @@ object SparkEntry {
          FROM documents""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    // the Scala lexer turns the \u escape into the raw combining-acute
+    // char, so DuckDB receives the decomposed bytes verbatim in the
+    // literal and must NFC-compose them exactly like the Spark side
+    "text_normalize_nfc" ->
+      "SELECT doc_id, nfc_normalize(text || ' café') AS norm FROM documents",
+    "stats_outliers" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                           count(*) AS n
+                    FROM events GROUP BY 1),
+         s AS (SELECT count(*) AS m, sum(n) AS sx, sum(n * n) AS sxx FROM c)
+         SELECT hour, n,
+                CAST(CASE WHEN (n * m - sx) > 0
+                           AND (n * m - sx) * (n * m - sx) > 4 * (m * sxx - sx * sx)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         FROM c, s""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
          FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""",
@@ -3405,9 +3439,12 @@ object SparkEntry {
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities",
-    // the profiling tier: column data-card, exact histogram, and
-    // integer-sufficient-statistics correlation over the big table
-    "stats_profile", "stats_histogram", "stats_corr",
+    // the profiling tier: column data-card, exact histogram,
+    // integer-sufficient-statistics correlation over the big table,
+    // and exact-integer rate-spike flagging over hourly buckets
+    "stats_profile", "stats_histogram", "stats_corr", "stats_outliers",
+    // the NFC canonicalization scan (native codegen'd expression)
+    "text_normalize_nfc",
     // cross-timeline event analytics over the sf-scaled event log,
     // including the conversion-window funnel (reachable-set recursion),
     // stage latency sums, and per-session rollups

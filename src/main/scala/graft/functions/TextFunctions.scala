@@ -76,6 +76,28 @@ object TextFunctions {
       graft.expressions.BigramRepetitionRatio(
         org.apache.spark.sql.graftbridge.Bridge.expression(tokens(text))))
 
+  /** Unicode NFC canonical normalization (native codegen'd
+    * [[graft.expressions.NormalizeNfc]]) — run this BEFORE content
+    * hashing or shingling: precomposed and decomposed spellings of the
+    * same visible text otherwise hash apart and survive exact dedup as
+    * distinct documents. Cross-engine replayable (UAX #15 is a
+    * standard mapping).
+    */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.NormalizeNfc(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** Accent stripping (NFD + combining-mark removal, native
+    * [[graft.expressions.StripAccents]]) — the looser normalization a
+    * fuzzy-matching or search pipeline applies so 'café' blocks with
+    * 'cafe'.
+    */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.StripAccents(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** Fraction of characters that are ASCII letters or spaces — a cheap
     * symbol-soup / binary-junk detector (low alpha ratio -> likely not
     * prose). Empty strings score 0.

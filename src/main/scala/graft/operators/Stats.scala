@@ -66,6 +66,36 @@ object Stats {
     * 2^53 contract, silently corrupting the correlation. One map-side
     * combinable aggregate over one scan. Output: one row (n, corr).
     */
+  /** Flag every row whose integral `valueCol` exceeds mean + z·stddev
+    * of the whole relation — the rate-spike / anomaly pass a pipeline
+    * runs over bucketed counts (events per hour, docs per domain).
+    * The threshold test is EXACT INTEGER arithmetic end to end:
+    * x > μ + z·σ  ⟺  (n·x − Σx) > 0  ∧  (n·x − Σx)² > z²·(n·Σx² − (Σx)²)
+    * with n, Σx, Σx² exact longs — no float compare whose boundary a
+    * 1-ULP difference could flip between engines. The caller owns the
+    * magnitude contract (products must stay under 2^63 — the
+    * [[corrExact]] stance; bucket counts always do). The input is
+    * evaluated twice (stats + flag) — intended for already-aggregated
+    * bucket relations, which are bounded by the bucket count.
+    * Output: input columns + is_outlier (1 = above the high
+    * threshold), every input row preserved.
+    */
+  def flagIntegerOutliers(df: DataFrame, valueCol: String, z: Int): DataFrame = {
+    require(z >= 1, s"z must be >= 1, got $z")
+    val v = col(valueCol).cast("long")
+    val stats = df.agg(
+      count(lit(1)).as("__st_n"),
+      coalesce(sum(v), lit(0L)).as("__st_sx"),
+      coalesce(sum(v * v), lit(0L)).as("__st_sxx"))
+    val dev = v * col("__st_n") - col("__st_sx")
+    df.crossJoin(broadcast(stats))
+      .withColumn("is_outlier",
+        (dev > 0 && dev * dev >
+          lit(z.toLong * z) * (col("__st_n") * col("__st_sxx") - col("__st_sx") * col("__st_sx")))
+          .cast("long"))
+      .drop("__st_n", "__st_sx", "__st_sxx")
+  }
+
   def corrExact(df: DataFrame, x: Column, y: Column): DataFrame = {
     // integral inputs ONLY, loudly: a fractional column would truncate
     // toward zero in the long cast below and silently bias r — the

@@ -53,6 +53,20 @@ class StatsSpec extends SparkTestBase {
     assert(got == 1.0, s"shifted-copy columns must correlate exactly 1: $got")
   }
 
+  test("flagIntegerOutliers flags exactly the rows above mean + z*stddev") {
+    // nine 10s and one 50: mean=14, sigma=12, z=2 threshold 38 -> only
+    // the 50 flags (a below-mean row never does; dev must be positive)
+    val df = ((1 to 9).map(i => (s"k$i", 10L)) :+ ("spike", 50L)).toDF("k", "n")
+    val got2 = Stats.flagIntegerOutliers(df, "n", z = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got2 == ((1 to 9).map(i => s"k$i" -> 0L).toMap + ("spike" -> 1L)), s"got $got2")
+    // uniform data flags nothing (dev = 0 is not > 0)
+    val uniform = Stats.flagIntegerOutliers(
+      Seq(("a", 7L), ("b", 7L)).toDF("k", "n"), "n", z = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(uniform == Set(0L), s"got $uniform")
+  }
+
   test("corrExact rejects fractional columns instead of silently truncating them") {
     val df = Seq((19.99, 1L), (29.99, 2L)).toDF("price", "n")
     val e = intercept[IllegalArgumentException] {

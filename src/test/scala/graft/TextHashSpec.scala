@@ -201,6 +201,31 @@ class TextHashSpec extends SparkTestBase {
     }
   }
 
+  test("NFC composes decomposed text; strip_accents removes combining marks") {
+    import graft.functions.TextFunctions
+    // decomposed e + U+0301 vs precomposed U+00E9; ASCII passes through
+    // by reference (isNormalized fast path)
+    val rows = Seq(
+      (1L, "café"), (2L, "café"), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s")
+    val got = rows.select(col("id"),
+      TextFunctions.normalizeNfc(col("s")).as("nfc"),
+      TextFunctions.stripAccents(col("s")).as("flat"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) == (("café", "cafe")), s"got ${got(1L)}")
+    assert(got(2L) == (("café", "cafe")), s"got ${got(2L)}")
+    assert(got(3L) == (("plain ascii", "plain ascii")))
+    assert(got(4L) == ((null, null)))
+    // after NFC, the two spellings exact-collapse to ONE group — the
+    // reason the pass runs before dedup at all
+    val groups = Dedup.exactGroups(
+      rows.where(col("id") <= 2)
+        .select(col("id"), TextFunctions.normalizeNfc(col("s")).as("s")),
+      "id", "s").collect()
+    assert(groups.length == 1 && groups(0).getLong(2) == 2L,
+      s"NFC'd spellings must share one content group: ${groups.toSeq}")
+  }
+
   test("graft_minhash / graft_simhash resolve by SQL name") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("texthash_docs")
