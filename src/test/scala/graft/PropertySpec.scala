@@ -146,4 +146,71 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"trial $trial span=$span toks=${toks.take(12)}...")
     }
   }
+
+  test("windowed funnel with an uncuttable window equals the unbounded funnel") {
+    // when the window exceeds the log's whole span, the reachable-set
+    // recursion and greedy-min must agree exactly (greedy-earliest is
+    // optimal precisely when the window cannot strand anything)
+    import graft.operators.EventAnalytics
+    for (trial <- 1 to 5) {
+      val evs = (1 to 150).map { _ =>
+        (rnd.nextInt(7).toLong,
+          if (rnd.nextBoolean()) "A" else "B",
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(86400) * 1000L))
+      }
+      val df = evs.toDF("user_id", "event_type", "ts")
+      def counts(w: Option[Long]): Map[Int, Long] =
+        EventAnalytics.funnel(df, "user_id", "event_type", "ts", Seq("A", "B", "B"), w)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val unbounded = counts(None)
+      val huge = counts(Some(365L * 24 * 3600))
+      assert(huge == unbounded, s"trial $trial: windowed $huge != unbounded $unbounded")
+    }
+  }
+
+  test("sessionStats partitions the event log and agrees with sessionize") {
+    import graft.operators.EventAnalytics
+    for (trial <- 1 to 5) {
+      val evs = (1 to 120).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L))
+      }
+      val df = evs.toDF("event_id", "user_id", "ts")
+      val stats = EventAnalytics.sessionStats(df, "user_id", "ts", "event_id", gapSeconds = 300L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      // every event lands in exactly one session
+      assert(stats.values.map(_._1).sum == evs.length, s"trial $trial: counts don't partition")
+      assert(stats.values.forall(_._2 >= 0L), s"trial $trial: negative span")
+      // the session set equals sessionize's assignment, per user
+      val seqs = EventAnalytics.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 300L)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(seqs.toSet == stats.keySet, s"trial $trial: session keys diverge")
+      // per-session event counts agree between the two views
+      val countsFromSeqs = seqs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      assert(countsFromSeqs == stats.map { case (k, v) => k -> v._1 }, s"trial $trial")
+    }
+  }
+
+  test("integer outlier flags equal an exact BigInt reference, any partitioning") {
+    import graft.operators.Stats
+    for (trial <- 1 to 5) {
+      val xs = List.fill(30 + rnd.nextInt(40))(rnd.nextInt(1000).toLong) :+
+        (5000L + rnd.nextInt(5000)) // guarantee one far spike
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      def ref(x: Long): Long = {
+        val dev = BigInt(x) * n - sx
+        if (dev > 0 && dev * dev > BigInt(9) * (n * sxx - sx * sx)) 1L else 0L
+      }
+      val parts = 1 + rnd.nextInt(6)
+      val got = Stats.flagIntegerOutliers(
+        xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "n").repartition(parts),
+        "n", z = 3)
+        .collect().map(r => r.getLong(1) -> r.getLong(2))
+      assert(got.forall { case (x, f) => f == ref(x) },
+        s"trial $trial: ${got.filter { case (x, f) => f != ref(x) }.take(3).toSeq}")
+      assert(got.exists(_._2 == 1L), s"trial $trial: the planted spike must flag")
+    }
+  }
 }
