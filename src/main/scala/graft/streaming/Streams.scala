@@ -168,6 +168,48 @@ object Streams {
     deduped.unionByName(withWm.where(col(textCol).isNull))
   }
 
+  /** Per-event gap sessionization on a STREAM — the continuous sibling
+    * of [[graft.operators.EventAnalytics.sessionize]]: every event
+    * gets its user's session SEQUENCE NUMBER, a new session opening
+    * when the gap to the user's previous event exceeds `gapSeconds`.
+    * State per user is two longs (last event-time micros, session
+    * count) via `flatMapGroupsWithState` — bounded by the live-user
+    * set, the mapGroupsWithState cost shape.
+    *
+    * Within each micro-batch a user's events sort by (event-time, id)
+    * before sequencing, so intra-batch disorder is harmless. ACROSS
+    * batches the assignment equals the batch operator's exactly when
+    * each user's events arrive in event-time order (the
+    * partitioned-by-user ingest deployment); an event arriving OLDER
+    * than its user's last processed time sequences against that later
+    * time instead of its true predecessor — an inherent limit of
+    * forward-only state (the batch operator, or
+    * [[sessionCounts]]' session_window aggregate, owns the unordered
+    * regime). Differential-tested against the batch sessionize.
+    * Input: (userId, eventId, eventTimeUs). Output:
+    * (eventId, userId, sessionSeq).
+    */
+  def sessionizeStream(
+      events: Dataset[(Long, Long, Long)],
+      gapSeconds: Long
+  ): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (lastUs, seq) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = evs.toSeq.sortBy(e => (e._3, e._2)).map { case (_, id, us) =>
+            if (lastUs == Long.MinValue || us - lastUs > gapSeconds * 1000000L) seq += 1
+            lastUs = us
+            (id, user, seq)
+          }
+          state.update((lastUs, seq))
+          out.iterator
+      }
+  }
+
   /** Custom per-key running state via mapGroupsWithState — the
     * streaming analog of the reference's CombineFn accumulators with
     * explicit state lifetime.

@@ -439,6 +439,35 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionizeStream matches the batch sessionize on ordered-per-user arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = Streams.sessionizeStream(input.toDS(), gapSeconds = 600L)
+    val query = out.toDF("event_id", "user_id", "session_seq").writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    val base = 1700000000000000L // epoch micros
+    // user 1: two events 300 s apart (one session), then +2000 s (new
+    // session) in the NEXT batch — state must carry across; user 2
+    // stays in one session across the batch boundary
+    val batch1 = Seq((1L, 10L, base), (1L, 11L, base + 300L * 1000000L), (2L, 20L, base))
+    val batch2 = Seq((1L, 12L, base + 2300L * 1000000L), (2L, 21L, base + 500L * 1000000L))
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val all = (batch1 ++ batch2).map { case (u, id, us) =>
+        (id, u, new java.sql.Timestamp(us / 1000L)) }
+      val want = graft.operators.EventAnalytics.sessionize(
+        all.toDF("event_id", "user_id", "ts"), "user_id", "ts", "event_id", gapSeconds = 600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.exists(_._3 == 2L), s"the 2300 s gap must open a second session: $got")
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
