@@ -18,9 +18,10 @@ import graft.operators.{Centrality, Dedup}
   *  - mass conservation: ranks sum to 1 within the round-6 output
   *    rounding budget (PageRank on an undirected graph has no dangling
   *    mass to leak).
-  *  - replication invariance: every copy of the component is the SAME
-  *    arithmetic, so per-copy ranks must be IDENTICAL (exact equality
-  *    after rounding), and each equals the 1x rank scaled by 1/N
+  *  - replication invariance: every copy of the component aggregates
+  *    the same multiset of doubles, so per-copy ranks must agree
+  *    within ONE round-6 step (shuffle arrival order is the only
+  *    degree of freedom), and each equals the 1x rank scaled by 1/N
   *    (uniform init and teleport are linear in 1/N) within rounding.
   *  - personalization isolation: PPR seeded ONLY in copy 0 must put
   *    rank on copy-0 nodes and the seeds alone — random walk with
@@ -30,11 +31,7 @@ import graft.operators.{Centrality, Dedup}
   */
 object GraphScaleSmoke {
 
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def time[T](f: => T): (T, Double) = Sessions.timed(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -51,7 +48,12 @@ object GraphScaleSmoke {
       .select("a_id", "b_id")
       .write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
-    val stride = base.agg(greatest(max("a_id"), max("b_id"))).head().getLong(0) + 1L
+    val maxIdRow = base.agg(greatest(max("a_id"), max("b_id"))).head()
+    if (maxIdRow.isNullAt(0)) {
+      System.err.println(s"[graph-scale] FAIL no LSH candidate pairs in $sfDir — nothing to scale")
+      spark.stop(); sys.exit(4)
+    }
+    val stride = maxIdRow.getLong(0) + 1L
 
     def pairsOf(n: Int): DataFrame = {
       val path = s"/tmp/graft_graph_scale_${n}x"
@@ -84,19 +86,25 @@ object GraphScaleSmoke {
 
       if (n == 1) baseRanks = ranks
       else {
-        // per-copy exact equality (same arithmetic in every copy) and
-        // the 1/N linearity law vs the 1x run (within rounding)
+        // the node-set law FIRST — the per-node laws below assume it
         val byBaseId = ranks.groupBy { case (id, _) => id % stride }
-        byBaseId.foreach { case (bid, copies) =>
-          if (copies.values.toSet.size != 1)
+        if (byBaseId.keySet != baseRanks.keySet)
+          failures += s"x$n: replicated node set diverged from the 1x node set " +
+            s"(${(byBaseId.keySet -- baseRanks.keySet).take(3)} extra, " +
+            s"${(baseRanks.keySet -- byBaseId.keySet).take(3)} missing)"
+        else byBaseId.foreach { case (bid, copies) =>
+          // per-copy equality within 1 ULP of the round-6 grid (each
+          // copy aggregates the same multiset of doubles, but shuffle
+          // arrival order is not contractually identical between
+          // copies — a boundary-straddling sum may round apart by one
+          // step) and the 1/N linearity law vs the 1x run
+          val vs = copies.values
+          if (vs.max - vs.min > 1.1e-6)
             failures += s"x$n: copies of node $bid disagree: ${copies.toSeq.sortBy(_._1).take(4)}"
           val want = baseRanks(bid) / n
-          val got = copies.values.head
-          if (math.abs(got - want) > 2e-6)
-            failures += f"x$n: node $bid rank $got%.7f != base/${n} = $want%.7f"
+          if (math.abs(vs.head - want) > 2e-6)
+            failures += f"x$n: node $bid rank ${vs.head}%.7f != base/${n} = $want%.7f"
         }
-        if (byBaseId.keySet != baseRanks.keySet)
-          failures += s"x$n: replicated node set diverged from the 1x node set"
       }
 
       println(f"[graph-scale] x$n%-4d ($nEdges%9d directed-pair rows, $expectedNodes%8d nodes): pageRank($iterations iters) $sec%6.2f s")
@@ -109,7 +117,9 @@ object GraphScaleSmoke {
           Centrality.pageRankPersonalized(pairs, "a_id", "b_id", seeds, "doc_id",
             iterations = 3).collect().map(_.getLong(0))
         }
-        if (ppr.isEmpty || !ppr.forall(_ < stride))
+        if (ppr.isEmpty)
+          failures += s"x$n: PPR returned NO ranked nodes — seeds lost their teleport mass"
+        else if (!ppr.forall(_ < stride))
           failures += s"x$n: PPR leaked rank outside the seeded component: ${ppr.filter(_ >= stride).take(5).toSeq}"
         println(f"[graph-scale] x$n%-4d PPR from 32 copy-0 seeds: ${ppr.length}%6d ranked nodes (all in copy 0), $pprSec%6.2f s")
       }

@@ -29,11 +29,7 @@ import graft.operators.Retrieval
   */
 object RetrievalScaleSmoke {
 
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def time[T](f: => T): (T, Double) = Sessions.timed(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

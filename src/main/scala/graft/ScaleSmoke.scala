@@ -82,11 +82,7 @@ object ScaleSmoke {
     else translate(text, famAlphabet, famAlphabet.drop(r) + famAlphabet.take(r))
   }
 
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def time[T](f: => T): (T, Double) = Sessions.timed(f)
 
   private val BudgetTokens = 100000L
 

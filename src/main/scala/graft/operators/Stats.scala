@@ -66,50 +66,8 @@ object Stats {
     * 2^53 contract, silently corrupting the correlation. One map-side
     * combinable aggregate over one scan. Output: one row (n, corr).
     */
-  /** Flag every row whose integral `valueCol` exceeds mean + z·stddev
-    * of the whole relation — the rate-spike / anomaly pass a pipeline
-    * runs over bucketed counts (events per hour, docs per domain).
-    * The threshold test is EXACT INTEGER arithmetic end to end:
-    * x > μ + z·σ  ⟺  (n·x − Σx) > 0  ∧  (n·x − Σx)² > z²·(n·Σx² − (Σx)²)
-    * with n, Σx, Σx² exact longs — no float compare whose boundary a
-    * 1-ULP difference could flip between engines. The caller owns the
-    * magnitude contract (products must stay under 2^63 — the
-    * [[corrExact]] stance; bucket counts always do). The input is
-    * evaluated twice (stats + flag) — intended for already-aggregated
-    * bucket relations, which are bounded by the bucket count.
-    * Output: input columns + is_outlier (1 = above the high
-    * threshold), every input row preserved.
-    */
-  def flagIntegerOutliers(df: DataFrame, valueCol: String, z: Int): DataFrame = {
-    require(z >= 1, s"z must be >= 1, got $z")
-    val v = col(valueCol).cast("long")
-    val stats = df.agg(
-      count(lit(1)).as("__st_n"),
-      coalesce(sum(v), lit(0L)).as("__st_sx"),
-      coalesce(sum(v * v), lit(0L)).as("__st_sxx"))
-    val dev = v * col("__st_n") - col("__st_sx")
-    df.crossJoin(broadcast(stats))
-      .withColumn("is_outlier",
-        (dev > 0 && dev * dev >
-          lit(z.toLong * z) * (col("__st_n") * col("__st_sxx") - col("__st_sx") * col("__st_sx")))
-          .cast("long"))
-      .drop("__st_n", "__st_sx", "__st_sxx")
-  }
-
   def corrExact(df: DataFrame, x: Column, y: Column): DataFrame = {
-    // integral inputs ONLY, loudly: a fractional column would truncate
-    // toward zero in the long cast below and silently bias r — the
-    // caller owns the fixed-point encoding (cents, counts), this
-    // operator owns exactness within it
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-    df.select(x.as("x"), y.as("y")).schema.fields.foreach { f =>
-      require(integral.contains(f.dataType),
-        s"corrExact: input '${f.name}' is ${f.dataType.simpleString}; the exact-integer-" +
-          "sufficient-statistics contract needs an integral column — encode fractional " +
-          "data as fixed-point integers (e.g. cents) first")
-    }
+    requireIntegral(df, "corrExact", x, y)
     val xl = x.cast("long")
     val yl = y.cast("long")
     val agg = df.agg(
@@ -122,5 +80,59 @@ object Stats {
         / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
           * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
         .as("corr"))
+  }
+
+  /** Flag every row whose integral `valueCol` exceeds mean + z·stddev
+    * of the whole relation — the rate-spike / anomaly pass a pipeline
+    * runs over bucketed counts (events per hour, docs per domain).
+    * The threshold test is EXACT INTEGER arithmetic end to end:
+    * x > μ + z·σ  ⟺  (n·x − Σx) > 0  ∧  (n·x − Σx)² > z²·(n·Σx² − (Σx)²)
+    * with n, Σx, Σx² exact longs — no float compare whose boundary a
+    * 1-ULP difference could flip between engines. The statistics count
+    * NON-NULL values only (a row with a NULL value has no magnitude:
+    * it neither shifts the threshold nor flags — its is_outlier is 0).
+    * Integral input is enforced loudly, the [[corrExact]] contract;
+    * the caller owns magnitudes (products under 2^63; bucket counts
+    * always are). The input is evaluated twice (stats + flag) —
+    * intended for already-aggregated bucket relations, which are
+    * bounded by the bucket count.
+    * Output: input columns + is_outlier (1 = above the high
+    * threshold), every input row preserved.
+    */
+  def flagIntegerOutliers(df: DataFrame, valueCol: String, z: Int): DataFrame = {
+    require(z >= 1, s"z must be >= 1, got $z")
+    requireIntegral(df, "flagIntegerOutliers", col(valueCol))
+    val v = col(valueCol).cast("long")
+    val stats = df.agg(
+      count(v).as("__st_n"),
+      coalesce(sum(v), lit(0L)).as("__st_sx"),
+      coalesce(sum(v * v), lit(0L)).as("__st_sxx"))
+    val dev = v * col("__st_n") - col("__st_sx")
+    df.crossJoin(broadcast(stats))
+      .withColumn("is_outlier",
+        coalesce(
+          (dev > 0 && dev * dev >
+            lit(z.toLong * z) * (col("__st_n") * col("__st_sxx") - col("__st_sx") * col("__st_sx")))
+            .cast("long"),
+          lit(0L)))
+      .drop("__st_n", "__st_sx", "__st_sxx")
+  }
+
+  /** The shared exact-integer input guard: a fractional column would
+    * truncate toward zero in the long casts these operators apply
+    * before forming products, silently biasing the result — the caller
+    * owns the fixed-point encoding (cents, counts); the operator owns
+    * exactness within it.
+    */
+  private def requireIntegral(df: DataFrame, op: String, cols: Column*): Unit = {
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    df.select(cols: _*).schema.fields.foreach { f =>
+      require(integral.contains(f.dataType),
+        s"$op: input '${f.name}' is ${f.dataType.simpleString}; the exact-integer-" +
+          "sufficient-statistics contract needs an integral column — encode fractional " +
+          "data as fixed-point integers (e.g. cents) first")
+    }
   }
 }

@@ -173,8 +173,11 @@ object Streams {
     * gets its user's session SEQUENCE NUMBER, a new session opening
     * when the gap to the user's previous event exceeds `gapSeconds`.
     * State per user is two longs (last event-time micros, session
-    * count) via `flatMapGroupsWithState` — bounded by the live-user
-    * set, the mapGroupsWithState cost shape.
+    * count) via `flatMapGroupsWithState` — two longs per user EVER
+    * OBSERVED: there is deliberately no state timeout, because
+    * evicting a quiet user would reset their session numbering and
+    * break parity with the batch operator. Size the state store for
+    * the all-time user cardinality, not the live set.
     *
     * Within each micro-batch a user's events sort by (event-time, id)
     * before sequencing, so intra-batch disorder is harmless. ACROSS
