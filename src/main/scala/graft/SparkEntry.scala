@@ -1798,6 +1798,41 @@ object SparkEntry {
       Multimodal.decodeMeta(gifs, "id", "payload")
         .select("id", "width", "height", "n_frames", "codec")
     }),
+    "multimodal_bmp_pixels" -> ((s, dir) => {
+      // REAL PIXEL decode (not just headers): build a deterministic
+      // 24-bit uncompressed BMP per doc, then decodeBmpPixels reads
+      // every pixel back and reduces to exact integer channel sums —
+      // the oracle replays the pixel arithmetic over generate_series
+      val spark = s
+      import spark.implicits._
+      val bmps = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, Multimodal.bmpBytes(w, h, (x, y) =>
+            ((((id + x * 7 + y * 13) % 256).toInt << 16) |
+              (((id + x * 3 + y * 5) % 256).toInt << 8) |
+              ((id + x + y) % 256).toInt))
+          )
+        }.toDF("id", "payload")
+      Multimodal.decodeBmpPixels(bmps, "id", "payload")
+    }),
+    "multimodal_pcm_stats" -> ((s, dir) => {
+      // REAL SAMPLE decode: deterministic 16-bit PCM per doc, then
+      // decodePcmStats reads every sample back into exact integer
+      // signal statistics (peak, energy, channel-0 zero crossings)
+      val spark = s
+      import spark.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val channels = (1 + id % 2).toInt
+          val frames = (50 + id % 100).toInt
+          val samples = Array.tabulate(frames * channels)(j =>
+            (((id * 31 + j * 37) % 4001) - 2000).toShort)
+          (id, Multimodal.wavPcmBytes(8000, channels, samples))
+        }.toDF("id", "payload")
+      Multimodal.decodePcmStats(wavs, "id", "payload")
+    }),
     "io_jsonl_roundtrip" -> ((s, dir) => {
       val tmp = s"/root/repo/target/verify-io/jsonl"
       val src = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
@@ -3052,6 +3087,32 @@ object SparkEntry {
          CAST(0 AS INTEGER) AS n_channels,
          'stub' AS codec
          FROM documents""",
+    "multimodal_bmp_pixels" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h
+                    FROM documents),
+         xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         px AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         agg AS (SELECT id,
+                   CAST(sum((id + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((id + x * 3 + y * 5) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((id + x + y) % 256) AS BIGINT) AS sum_b
+                 FROM px GROUP BY id)
+         SELECT d.id, 1 AS ok, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                sum_r, sum_g, sum_b
+         FROM d JOIN agg USING (id)""",
+    "multimodal_pcm_stats" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, (1 + doc_id % 2) AS ch,
+                           (50 + doc_id % 100) AS frames FROM documents),
+         idx AS (SELECT id, ch, frames, unnest(generate_series(0, frames * ch - 1)) AS j FROM d),
+         s AS (SELECT id, ch, frames, j, ((id * 31 + j * 37) % 4001) - 2000 AS v FROM idx),
+         agg AS (SELECT id, CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+                        CAST(sum(v * v) AS BIGINT) AS sum_sq FROM s GROUP BY id),
+         c0 AS (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY j) AS pv FROM s WHERE j % ch = 0),
+         z AS (SELECT id, CAST(count(CASE WHEN pv * v < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+               FROM c0 GROUP BY id)
+         SELECT d.id, 1 AS ok, CAST(frames AS BIGINT) AS n_frames, CAST(ch AS INTEGER) AS n_channels,
+                8000 AS sample_rate, peak_abs, sum_sq, zero_crossings
+         FROM d JOIN agg USING (id) JOIN z USING (id)""",
     "multimodal_wav_meta" ->
       """SELECT doc_id AS id,
          CAST(44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS INTEGER) AS n_bytes,

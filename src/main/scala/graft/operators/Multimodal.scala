@@ -333,7 +333,7 @@ object Multimodal {
   // object so the per-row decode path doesn't rebuild the dispatch
   // table (and its eta-expanded closures) per payload
   private val byteParsers: Seq[(Array[Byte] => Boolean, (Long, Array[Byte]) => Option[MediaMeta])] =
-    Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4), (isMkv, parseMkv))
+    Seq((isWav, parseWav), (isFlac, parseFlac), (isMp4, parseMp4), (isMkv, parseMkv), (isBmp, parseBmp))
 
   /** Decode one payload's metadata: a real `javax.imageio` header read
     * for PNG/JPEG/GIF (width/height — and the GIF frame count — parsed
@@ -507,6 +507,210 @@ object Multimodal {
     bb.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
     bb.array()
+  }
+
+  /** BMP sniff: 'BM' magic plus a full BITMAPFILEHEADER+INFOHEADER. */
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+  /** BITMAPINFOHEADER parse — plain little-endian byte arithmetic:
+    * width at +18, height at +22 (negative = top-down rows; the
+    * magnitude is the pixel height either way), planes/bpp at +26/+28.
+    * Single-frame image metadata; None on structural violation.
+    */
+  private def parseBmp(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    val w = u32le(b, 18).toInt
+    val h = math.abs(u32le(b, 22).toInt)
+    val bpp = u16le(b, 28)
+    if (w <= 0 || h <= 0 || !(bpp == 24 || bpp == 32 || bpp == 8 || bpp == 1)) None
+    else Some(MediaMeta(id, b.length, w, h, 1, 0, 0, "bmp"))
+  }
+
+  /** Deterministic 24-bit uncompressed BMP fixture: `pix(x, y)` returns
+    * 0xRRGGBB for image coordinates (origin top-left); rows are stored
+    * bottom-up, BGR, padded to 4 bytes — the classic positive-height
+    * layout [[decodeBmpPixels]] reads back.
+    */
+  def bmpBytes(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad BMP dims ${width}x$height")
+    val stride = ((3 * width + 3) / 4) * 4
+    val dataSize = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+    bb.putShort(1.toShort).putShort(24.toShort).putInt(0).putInt(dataSize)
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val rgb = pix(x, y)
+        bb.put((rgb & 0xff).toByte)          // B
+        bb.put(((rgb >> 8) & 0xff).toByte)   // G
+        bb.put(((rgb >> 16) & 0xff).toByte)  // R
+        x += 1
+      }
+      var pad = 3 * width
+      while (pad < stride) { bb.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    bb.array()
+  }
+
+  /** REAL pixel decode for uncompressed 24-bit BMP payloads — the
+    * format needs no codec, just byte arithmetic, so the "decode is a
+    * stub" boundary moves: raw formats (BMP here, PCM WAV in
+    * [[decodePcmStats]]) decode their actual content; only
+    * codec-compressed formats (JPEG/PNG pixels, MP3/H.264) stay
+    * header-only. Per payload: exact integer channel sums over every
+    * pixel (means derive as sum/(w*h) without float drift). ok=0 rows
+    * (not a 24bpp bottom-up BMP, malformed, truncated) carry zeros —
+    * a corrupt blob is routine in a crawled corpus, never a task
+    * failure. Batched per partition like [[decodeMeta]]; one narrow
+    * no-shuffle pass.
+    * Output: (id, ok, width, height, sum_r, sum_g, sum_b).
+    */
+  def decodeBmpPixels(
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+            val none = (id, 0, 0, 0, 0L, 0L, 0L)
+            if (!isBmp(b)) none
+            else {
+              try {
+                val w = u32le(b, 18).toInt
+                val h = u32le(b, 22).toInt // require bottom-up (positive)
+                val bpp = u16le(b, 28)
+                val off = u32le(b, 10).toInt
+                val stride = ((3 * w + 3) / 4) * 4
+                if (w <= 0 || h <= 0 || bpp != 24 || off < 54 ||
+                  off.toLong + stride.toLong * h > b.length) none
+                else {
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var row = 0
+                  while (row < h) {
+                    var x = 0
+                    val base = off + row * stride
+                    while (x < w) {
+                      sb += (b(base + 3 * x) & 0xff)
+                      sg += (b(base + 3 * x + 1) & 0xff)
+                      sr += (b(base + 3 * x + 2) & 0xff)
+                      x += 1
+                    }
+                    row += 1
+                  }
+                  (id, 1, w, h, sr, sg, sb)
+                }
+              } catch { case scala.util.control.NonFatal(_) => none }
+            }
+          }
+        }
+      }
+      .toDF("id", "ok", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic 16-bit PCM WAV fixture with ACTUAL samples:
+    * `samples` are interleaved frames (length must divide evenly by
+    * `channels`); header layout identical to [[wavBytes]].
+    */
+  def wavPcmBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val blockAlign = channels * 2
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL sample decode for 16-bit PCM WAV — the audio sibling of
+    * [[decodeBmpPixels]]: walk the RIFF chunks for fmt (must be
+    * format 1 = integer PCM, 16 bits) and data, then read every
+    * little-endian sample and reduce it to EXACT INTEGER signal
+    * statistics: peak |amplitude|, the energy sum of squares (RMS
+    * derives as sqrt(sum_sq / (frames*channels)) without per-engine
+    * float drift), and channel-0 zero crossings (strict sign flips —
+    * the classic cheap voiced/unvoiced + silence discriminator an
+    * audio-curation gate keys on). ok=0 (zeros) for anything not
+    * 16-bit integer PCM or structurally broken. Batched per partition;
+    * one narrow pass, no shuffle, no collection.
+    * Output: (id, ok, n_frames, n_channels, sample_rate, peak_abs,
+    * sum_sq, zero_crossings).
+    */
+  def decodePcmStats(
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+            val none = (id, 0, 0L, 0, 0, 0, 0L, 0L)
+            if (!isWav(b)) none
+            else {
+              try {
+                var off = 12
+                var fmtOk = false; var channels = 0; var rate = 0
+                var dataOff = -1; var dataLen = 0
+                while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+                  val cid = new String(b, off, 4, "US-ASCII")
+                  val sz = u32le(b, off + 4).toInt
+                  if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+                    val fmt = u16le(b, off + 8)
+                    channels = u16le(b, off + 10)
+                    rate = u32le(b, off + 12).toInt
+                    val bits = u16le(b, off + 22)
+                    fmtOk = fmt == 1 && bits == 16 && channels > 0
+                  } else if (cid == "data") {
+                    dataOff = off + 8
+                    dataLen = math.min(sz, b.length - dataOff)
+                  }
+                  off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+                }
+                if (!fmtOk || dataOff < 0 || dataLen < 2) none
+                else {
+                  val nSamples = dataLen / 2
+                  val nFrames = nSamples / channels
+                  var peak = 0; var sumSq = 0L; var zc = 0L
+                  var prev0 = 0; var havePrev0 = false
+                  var i = 0
+                  while (i < nSamples) {
+                    val lo = b(dataOff + 2 * i) & 0xff
+                    val hi = b(dataOff + 2 * i + 1)
+                    val s = (hi << 8) | lo // sign-extends through hi
+                    val a = math.abs(s)
+                    if (a > peak) peak = a
+                    sumSq += s.toLong * s
+                    if (i % channels == 0) { // channel 0 stream
+                      if (havePrev0 && prev0 * s < 0) zc += 1
+                      prev0 = s; havePrev0 = true
+                    }
+                    i += 1
+                  }
+                  (id, 1, nFrames.toLong, channels, rate, peak, sumSq, zc)
+                }
+              } catch { case scala.util.control.NonFatal(_) => none }
+            }
+          }
+        }
+      }
+      .toDF("id", "ok", "n_frames", "n_channels", "sample_rate",
+        "peak_abs", "sum_sq", "zero_crossings")
   }
 
   /** Per-partition batched decode over (id, binary payload) rows.

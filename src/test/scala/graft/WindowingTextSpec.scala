@@ -157,6 +157,44 @@ class WindowingTextSpec extends SparkTestBase {
     assert(metas(3L)._3 == "stub")
   }
 
+  test("multimodal BMP round-trip: header meta and exact per-channel pixel sums") {
+    import spark.implicits._
+    // 2x2 with hand-placed pixels: (x,y) -> 0xRRGGBB
+    val px = Map((0, 0) -> 0x102030, (1, 0) -> 0x405060, (0, 1) -> 0x708090, (1, 1) -> 0xA0B0C0)
+    val bytes = Multimodal.bmpBytes(2, 2, (x, y) => px((x, y)))
+    val meta = Multimodal.decodeOne(3L, bytes)
+    assert(meta.codec == "bmp" && meta.width == 2 && meta.height == 2 && meta.n_frames == 1,
+      s"got $meta")
+    val got = Multimodal.decodeBmpPixels(Seq((3L, bytes)).toDF("id", "payload"), "id", "payload")
+      .collect()(0)
+    // sums: R 0x10+0x40+0x70+0xA0=0x160, G 0x20+0x50+0x80+0xB0=0x1A0, B 0x30+0x60+0x90+0xC0=0x1E0
+    assert((got.getInt(1), got.getInt(2), got.getInt(3)) == ((1, 2, 2)), s"got $got")
+    assert((got.getLong(4), got.getLong(5), got.getLong(6)) == ((0x160L, 0x1A0L, 0x1E0L)),
+      s"got $got")
+    // a truncated payload degrades to ok=0 zeros, never a task failure
+    val bad = Multimodal.decodeBmpPixels(
+      Seq((4L, bytes.take(40))).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(bad.getInt(1) == 0 && bad.getLong(4) == 0L, s"got $bad")
+  }
+
+  test("multimodal PCM decode: exact peak, energy, and channel-0 zero crossings") {
+    import spark.implicits._
+    // stereo frames: ch0 = [100, -200, 300, -1], ch1 = [5, 5, -5, 5]
+    // ch0 crossings: 100->-200, -200->300, 300->-1 = 3
+    val samples = Array[Short](100, 5, -200, 5, 300, -5, -1, 5)
+    val bytes = Multimodal.wavPcmBytes(8000, 2, samples)
+    val got = Multimodal.decodePcmStats(Seq((9L, bytes)).toDF("id", "payload"), "id", "payload")
+      .collect()(0)
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(got.getInt(1) == 1 && got.getLong(2) == 4L && got.getInt(3) == 2
+      && got.getInt(4) == 8000, s"got $got")
+    assert(got.getInt(5) == 300 && got.getLong(6) == sumSq && got.getLong(7) == 3L, s"got $got")
+    // a non-PCM (8-bit claim) or non-WAV payload degrades to ok=0
+    val notWav = Multimodal.decodePcmStats(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(notWav.getInt(1) == 0, s"got $notWav")
+  }
+
   test("multimodal decodeOne recovers exact WAV metadata from the RIFF byte parse") {
     val meta = Multimodal.decodeOne(7L, Multimodal.wavBytes(16000, 2, 1234))
     assert(meta == Multimodal.MediaMeta(7L, 44 + 1234 * 4, 0, 0, 1234, 16000, 2, "wav"))
