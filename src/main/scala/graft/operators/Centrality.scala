@@ -126,6 +126,64 @@ object Centrality {
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
 
+  /** Weighted PageRank over an undirected pair relation carrying an
+    * edge weight (e.g. the verified Jaccard similarity of a duplicate
+    * pair): contributions split proportionally to weight instead of
+    * uniformly — r(v) = (1-d)/N + d * Σ_u r(u) · w(u,v)/W(u), with
+    * W(u) the node's total incident weight. Over a near-dup graph this
+    * concentrates rank inside TIGHT duplicate families (high-jaccard
+    * cliques) instead of rewarding raw degree — the signal that
+    * separates "one template, many near-copies" from "loosely similar
+    * neighborhood".
+    *
+    * Scale shape is [[pageRank]]'s exactly: weighted-degree joined
+    * onto the edge relation once, cached src-partitioned, one
+    * co-partitioned join + one aggregation per round, node count a
+    * driver scalar folded in as a literal. Weights must be positive;
+    * every node has W > 0 because pairs are undirected. In-loop
+    * values stay raw doubles; ranks round to 6 places at the edge.
+    * Output: (id, rank round-6).
+    */
+  def pageRankWeighted(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      weightCol: String,
+      iterations: Int,
+      damping: Double = 0.85,
+      reliableOutput: Boolean = false
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst"), col(weightCol).as("w")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"), col(weightCol).as("w")))).as("e"))
+      .select("e.src", "e.dst", "e.w")
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val degEdges = edges.join(wdeg, "src")
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = degEdges.select(col("src")).distinct()
+    val nNodes = nodes.count()
+    val teleport = (1.0 - damping) / nNodes.toDouble
+    var ranks = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = degEdges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"), (col("r") * col("w") / col("wdeg")).as("c"))
+        .groupBy("id")
+        .agg(sum("c").as("in"))
+        .select(col("id"), (lit(teleport) + lit(damping) * col("in")).as("r"))
+    }
+    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val out =
+      if (reliableOutput) Dedup.reliableCheckpoint(ranked)
+      else ranked.localCheckpoint(true)
+    degEdges.unpersist()
+    out
+  }
+
   /** Personalized PageRank: random-walk-with-restart proximity to a
     * SEED SET — "which documents does the graph consider close to this
     * curated nucleus", the graph-side sibling of the DSIR seed-and-

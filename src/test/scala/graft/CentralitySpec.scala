@@ -99,6 +99,49 @@ class CentralitySpec extends SparkTestBase {
       assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
   }
 
+  /** The weighted recursion in plain Scala. */
+  private def refWeighted(
+      pairs: Seq[(Long, Long, Double)], iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val n = wdeg.size
+    var r = wdeg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => r(src) * w / wdeg(src) }.sum
+      }
+      r = in.map { case (id, s) => id -> ((1.0 - d) / n + d * s) }
+    }
+    r.map { case (id, v) =>
+      id -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("weighted PageRank splits contributions by weight, not degree") {
+    // node 1 connects strongly (0.9) to 2 and weakly (0.1) to 3: rank
+    // must flow to 2, where the unweighted loop would split evenly
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.1), (2L, 3L, 0.2))
+    val got = Centrality.pageRankWeighted(
+      pairs.toDF("a", "b", "w"), "a", "b", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refWeighted(pairs, 5)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+    assert(got(2L) > got(3L), s"the strong edge must out-rank the weak one: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass not conserved: ${got.values.sum}")
+  }
+
+  test("uniform weights reduce weighted PageRank to the unweighted recursion") {
+    val flat = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val got = Centrality.pageRankWeighted(
+      flat.map { case (a, b) => (a, b, 1.0) }.toDF("a", "b", "w"),
+      "a", "b", "w", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(flat, 4)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"node $id: got ${got(id)}, want $w") }
+  }
+
   test("isolated docs are not nodes; single-pair graph is uniform") {
     val got = Centrality.pageRank(Seq((7L, 8L)).toDF("a", "b"), "a", "b", iterations = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
