@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over pair relations — the corpus-quality signal a
@@ -101,24 +101,27 @@ object Centrality {
   }
 
   /** The fixed-iteration rank recursion as ONE lazy plan, shared by
-    * [[pageRank]] and the plan-shape spec (the production output is
-    * checkpointed, which truncates the plan the spec needs to pin):
-    * per round, one co-partitioned join against the prepared
-    * degree-joined edge relation, one aggregation, and a PURELY
-    * LITERAL teleport projection — no in-plan scalar relation, so no
-    * per-round BroadcastNestedLoopJoin. Output: (id, rank round-6).
+    * [[pageRank]], [[pageRankWeighted]] (which passes the
+    * weight-proportional contribution expression), and the plan-shape
+    * spec (the production output is checkpointed, which truncates the
+    * plan the spec needs to pin): per round, one co-partitioned join
+    * against the prepared degree-joined edge relation, one
+    * aggregation, and a PURELY LITERAL teleport projection — no
+    * in-plan scalar relation, so no per-round
+    * BroadcastNestedLoopJoin. Output: (id, rank round-6).
     */
   private[graft] def loopRanks(
       degEdges: DataFrame,
       init: DataFrame,
       teleport: Double,
       damping: Double,
-      iterations: Int): DataFrame = {
+      iterations: Int,
+      contrib: Column = col("r") / col("deg")): DataFrame = {
     var ranks = init
     for (_ <- 1 to iterations) {
       ranks = degEdges
         .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .select(col("dst").as("id"), contrib.as("c"))
         .groupBy("id")
         .agg(sum("c").as("in"))
         .select(col("id"), (lit(teleport) + lit(damping) * col("in")).as("r"))
@@ -167,16 +170,9 @@ object Centrality {
     val nodes = degEdges.select(col("src")).distinct()
     val nNodes = nodes.count()
     val teleport = (1.0 - damping) / nNodes.toDouble
-    var ranks = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
-    for (_ <- 1 to iterations) {
-      ranks = degEdges
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst").as("id"), (col("r") * col("w") / col("wdeg")).as("c"))
-        .groupBy("id")
-        .agg(sum("c").as("in"))
-        .select(col("id"), (lit(teleport) + lit(damping) * col("in")).as("r"))
-    }
-    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
+    val ranked = loopRanks(degEdges, init, teleport, damping, iterations,
+      contrib = col("r") * col("w") / col("wdeg"))
     val out =
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
