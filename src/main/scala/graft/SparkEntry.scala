@@ -1328,6 +1328,11 @@ object SparkEntry {
       // column, each from a single-column scan
       graft.operators.Stats.profile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source"))),
+    "stats_profile_by" -> ((s, dir) =>
+      // per-language data card: the stratified profile that catches a
+      // collapsed stratum the global card hides
+      graft.operators.Stats.profileBy(t(s, dir, "documents"), "lang",
+        Seq("text", "source"))),
     "stats_histogram" -> ((s, dir) =>
       // exact fixed-width histogram of order quantities: 10 bins of
       // width 5 over [1, 51) — one map-side combinable aggregate
@@ -2778,6 +2783,15 @@ object SparkEntry {
          SELECT 'source', count(*),
                 CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT source) FROM documents""",
+    "stats_profile_by" ->
+      """SELECT lang, 'text' AS column, count(*) AS n_rows,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                count(DISTINCT text) AS n_distinct
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, 'source', count(*),
+                CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT source) FROM documents GROUP BY lang""",
     "stats_histogram" ->
       """SELECT CAST(least(floor((l_quantity - CAST(1.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)), CAST(9 AS DOUBLE)) AS INTEGER) AS bin,
                 count(*) AS n
@@ -3554,7 +3568,7 @@ object SparkEntry {
     // the profiling tier: column data-card, exact histogram,
     // integer-sufficient-statistics correlation over the big table,
     // and exact-integer rate-spike flagging over hourly buckets
-    "stats_profile", "stats_histogram", "stats_corr", "stats_outliers",
+    "stats_profile", "stats_profile_by", "stats_histogram", "stats_corr", "stats_outliers",
     // the NFC canonicalization scan (native codegen'd expression)
     "text_normalize_nfc",
     // cross-timeline event analytics over the sf-scaled event log,

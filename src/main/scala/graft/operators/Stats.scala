@@ -35,6 +35,28 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** Grouped column profile — the per-stratum data card (rows, nulls,
+    * exact distincts per column PER GROUP, e.g. per language or per
+    * source): the corpus-publisher view that catches a stratum whose
+    * quality collapsed even when the global profile looks healthy.
+    * Same per-column scan shape (and caveat) as [[profile]], each scan
+    * now a two-level hash aggregate keyed by the group.
+    * Output: (groupCol, column, n_rows, n_nulls, n_distinct) — one row
+    * per (group, profiled column).
+    */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileBy: no columns")
+    cols.map { c =>
+      df.groupBy(col(groupCol))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col(c).isNull.cast("long")).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(col(groupCol), lit(c).as("column"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact fixed-width histogram of a numeric column over [lo, hi):
     * bin i covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/bins.
     * Values outside the range are dropped (count them separately if

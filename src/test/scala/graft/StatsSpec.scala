@@ -18,6 +18,17 @@ class StatsSpec extends SparkTestBase {
     assert(got("v") == ((4L, 1L, 2L))) // countDistinct ignores nulls
   }
 
+  test("profileBy stratifies the card per group, NULL group included") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", null), ("de", "b"), (null, "c"))
+      .toDF("lang", "v")
+    val got = Stats.profileBy(df, "lang", Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      "en" -> ((3L, 1L, 1L)),
+      "de" -> ((1L, 0L, 1L)),
+      (null: String) -> ((1L, 0L, 1L))), s"got $got")
+  }
+
   test("histogram bins fixed-width ranges, drops out-of-range, omits empty bins") {
     val df = Seq(0.5, 1.0, 1.5, 4.9, 5.0, 9.9, 10.0, 11.0).toDF("x")
     // [1, 10) in 3 bins of width 3: [1,4) [4,7) [7,10)
