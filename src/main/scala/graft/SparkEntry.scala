@@ -1235,6 +1235,14 @@ object SparkEntry {
       // exact-dup groups at its source (see ScaleSmoke growth curve)
       Dedup.nearDuplicatesCollapsed(
         t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)),
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      // the dedup report: duplicate-family size distribution over the
+      // verified clustering (token savings derive from it directly)
+      Dedup.clusterSizeProfile(
+        Dedup.duplicateClusters(
+          Dedup.nearDuplicates(
+            t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 8, rowsPerBand = 2, thresholdPct = 40)))),
     "dedup_clusters" -> ((s, dir) =>
       // verified near-dup pairs -> connected components (min-label
       // propagation): (doc_id, cluster_id = min member id). The full
@@ -2609,6 +2617,36 @@ object SparkEntry {
                       / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 6) AS jaccard
          FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
          WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40""",
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+                FROM toks),
+         hs AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                  FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+                          min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                          min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                   FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+         dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+                   WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         clus AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+         SELECT cluster_size, count(*) AS n_clusters FROM (
+           SELECT cluster_id, count(*) AS cluster_size FROM clus GROUP BY cluster_id)
+         GROUP BY cluster_size""",
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,
@@ -3536,8 +3574,9 @@ object SparkEntry {
     "dedup_clusters_distributed",
     // the SemDeDup chain (cell-blocked pairs -> CC -> farthest-from-
     // centroid keep) — the embedding-side dedup a curation run actually
-    // deploys when a trained quantizer exists
-    "dedup_semantic",
+    // deploys when a trained quantizer exists — and the duplicate-
+    // family size report published beside the deduped corpus
+    "dedup_semantic", "dedup_cluster_sizes",
     // the DSIR tier benches as split fit/serve entries like the ann_*
     // pair: the fit's count aggregations billed alone, the serve path's
     // score-and-select billed against the memoized model

@@ -831,6 +831,23 @@ object Dedup {
     labels
   }
 
+  /** Cluster-size distribution of a clustering — the dedup REPORT a
+    * curation run publishes beside the deduped corpus: how many
+    * duplicate families of each size exist (token savings derive as
+    * sum over sizes of (size - 1) x docs-per-size). Input is
+    * [[duplicateClusters]]' (id, cluster_id); singleton docs never
+    * enter the pair graph, so every reported size is >= 2 — add the
+    * corpus count for the full picture. Two map-side-combinable hash
+    * aggregates, nothing collects.
+    * Output: (cluster_size, n_clusters).
+    */
+  def clusterSizeProfile(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Survivor selection: keep one document per duplicate cluster (the
     * minimum id — deterministic, matching the reference's min-id
     * tie-break stance) plus every document that never appeared in a
