@@ -1369,6 +1369,12 @@ object SparkEntry {
       // oracle brute-forces the pair graph and replays the closure as
       // a recursive CTE (the dedup_clusters recipe).
       graft.operators.FuzzyJoin.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name")),
+    "fuzzy_golden_records" -> ((s, dir) =>
+      // field-level survivorship over the resolved families: one golden
+      // record per canonical name, each field from the lowest-id member
+      // that has it — the MDM merge the oracle replays with arg_min
+      graft.operators.FuzzyJoin.goldenRecords(t(s, dir, "part"),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"))),
     "retrieval_phrase" -> ((s, dir) =>
       // exact-phrase query: per-doc occurrence counts of consecutive
       // tokens "sort merge" — one scan, codegen'd array HOFs
@@ -2874,6 +2880,26 @@ object SparkEntry {
          SELECT p.p_partkey, p.p_name, coalesce(c.canonical, p.p_name) AS canonical
          FROM part p LEFT JOIN canon c ON p.p_name = c.name
          WHERE p.p_name IS NOT NULL""",
+    "fuzzy_golden_records" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+         pairs AS (SELECT a.name AS a_name, b.name AS b_name
+                   FROM names a JOIN names b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT a_name AS s, b_name AS d FROM pairs
+                   UNION SELECT b_name AS s, a_name AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         canon AS (SELECT s AS name, least(s, min(d)) AS canonical FROM reach GROUP BY s),
+         mem AS (SELECT p.p_partkey AS id, coalesce(c.canonical, p.p_name) AS canonical,
+                        p.p_brand, p.p_size
+                 FROM part p LEFT JOIN canon c ON p.p_name = c.name
+                 WHERE p.p_name IS NOT NULL)
+         SELECT canonical, count(*) AS n_members,
+                arg_min(p_brand, CASE WHEN p_brand IS NOT NULL THEN id END) AS p_brand,
+                arg_min(p_size, CASE WHEN p_size IS NOT NULL THEN id END) AS p_size
+         FROM mem GROUP BY canonical""",
     "retrieval_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL)
@@ -3603,7 +3629,7 @@ object SparkEntry {
     "retrieval_index_update", "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
-    "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities",
+    "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
     // the profiling tier: column data-card, exact histogram,
     // integer-sufficient-statistics correlation over the big table,
     // and exact-integer rate-spike flagging over hourly buckets

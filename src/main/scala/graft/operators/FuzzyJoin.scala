@@ -91,6 +91,34 @@ object FuzzyJoin {
     * Output: (idCol, textCol, canonical) — one row per input row with
     * a non-null `textCol`.
     */
+  /** Field-level survivorship on top of [[resolveEntities]] — the
+    * "golden record" an MDM pipeline publishes: one row per canonical
+    * entity, each requested field taken from the LOWEST-id member row
+    * where that field is non-null (a deterministic completeness-first
+    * merge: a family where only one member carries a brand keeps it,
+    * and ties resolve by id so both engines agree). One aggregate of
+    * `min_by` columns over the resolved rows — no window, no sort,
+    * map-side combinable. `idCol` values must be unique (they are row
+    * ids) or the min_by tie is engine-defined.
+    * Output: (canonical, n_members, valueCols...).
+    */
+  def goldenRecords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valueCols: Seq[String],
+      maxDist: Int = 1): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecords: no value columns")
+    val resolved = resolveEntities(df, idCol, textCol, maxDist)
+      .select(col(idCol), col("canonical"))
+    df.join(resolved, Seq(idCol))
+      .groupBy(col("canonical"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        valueCols.map(c =>
+          min_by(col(c), when(col(c).isNotNull, col(idCol))).as(c)): _*)
+  }
+
   def resolveEntities(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
     require(textCol != "canonical", "resolveEntities: textCol collides with output column")

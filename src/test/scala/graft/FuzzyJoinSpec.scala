@@ -71,4 +71,20 @@ class FuzzyJoinSpec extends SparkTestBase {
       (1L, "cat", "cat"), (2L, "cut", "cat"), (3L, "cute", "cat"),
       (4L, "dog", "dog"), (5L, "cat", "cat")), s"got $got")
   }
+
+  test("goldenRecords merges fields completeness-first, lowest id wins ties") {
+    // family {cat,cut,cute}: row 1 has no brand (null), row 2 carries
+    // 'B2', row 3 'B3' -> brand survives from row 2 (lowest non-null
+    // id); size survives from row 1 (it has one). dog is a singleton.
+    val df = Seq(
+      (1L, "cat", null, Some(10)), (2L, "cut", "B2", None),
+      (3L, "cute", "B3", Some(30)), (4L, "dog", "BD", Some(40)))
+      .map { case (i, n, b, sz) => (i, n, b, sz.map(Integer.valueOf).orNull) }
+      .toDF("id", "nm", "brand", "size")
+    val got = FuzzyJoin.goldenRecords(df, "id", "nm", Seq("brand", "size"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.get(3))).toMap
+    assert(got == Map(
+      "cat" -> ((3L, "B2", 10)),
+      "dog" -> ((1L, "BD", 40))), s"got $got")
+  }
 }
