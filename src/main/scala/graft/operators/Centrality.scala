@@ -85,17 +85,32 @@ object Centrality {
     * at materialization), out-degree joined on once, repartitioned on
     * `src` and persisted so every iteration's join streams the cached
     * layout with no re-shuffle of the edge side. Callers own the
-    * unpersist. Output: (src, dst, deg).
+    * unpersist. With `weightCol` the edges carry the weight and the
+    * degree is the WEIGHTED degree (`wdeg` = total incident weight);
+    * without, plain out-degree counts. Output: (src, dst, deg) or
+    * (src, dst, w, wdeg).
     */
   private[graft] def degreeJoinedEdges(
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String,
+      weightCol: Option[String] = None): DataFrame = {
     val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-    edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val edges = weightCol match {
+      case None =>
+        pairs.select(explode(array(
+            struct(col(aCol).as("src"), col(bCol).as("dst")),
+            struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+          .select("e.src", "e.dst")
+      case Some(w) =>
+        pairs.select(explode(array(
+            struct(col(aCol).as("src"), col(bCol).as("dst"), col(w).as("w")),
+            struct(col(bCol).as("src"), col(aCol).as("dst"), col(w).as("w")))).as("e"))
+          .select("e.src", "e.dst", "e.w")
+    }
+    val deg = weightCol match {
+      case None    => edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      case Some(_) => edges.groupBy("src").agg(sum("w").as("wdeg"))
+    }
+    edges.join(deg, "src")
       .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -157,16 +172,7 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst"), col(weightCol).as("w")),
-        struct(col(bCol).as("src"), col(aCol).as("dst"), col(weightCol).as("w")))).as("e"))
-      .select("e.src", "e.dst", "e.w")
-    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
-    val degEdges = edges.join(wdeg, "src")
-      .repartition(nPart, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degEdges = degreeJoinedEdges(pairs, aCol, bCol, Some(weightCol))
     val nodes = degEdges.select(col("src")).distinct()
     val nNodes = nodes.count()
     val teleport = (1.0 - damping) / nNodes.toDouble

@@ -91,15 +91,27 @@ object FuzzyJoin {
     * Output: (idCol, textCol, canonical) — one row per input row with
     * a non-null `textCol`.
     */
+  def resolveEntities(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
+    require(textCol != "canonical", "resolveEntities: textCol collides with output column")
+    df.select(col(idCol), col(textCol))
+      .where(col(textCol).isNotNull)
+      .join(canonicalMap(df, textCol, maxDist), Seq(textCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("__fz_canonical"), col(textCol)).as("canonical"))
+  }
+
   /** Field-level survivorship on top of [[resolveEntities]] — the
     * "golden record" an MDM pipeline publishes: one row per canonical
     * entity, each requested field taken from the LOWEST-id member row
     * where that field is non-null (a deterministic completeness-first
     * merge: a family where only one member carries a brand keeps it,
-    * and ties resolve by id so both engines agree). One aggregate of
-    * `min_by` columns over the resolved rows — no window, no sort,
-    * map-side combinable. `idCol` values must be unique (they are row
-    * ids) or the min_by tie is engine-defined.
+    * and ties resolve by id so both engines agree). ONE hash join of
+    * the bounded value->canonical map onto the rows, then one
+    * aggregate of `min_by` columns — no window, no sort, map-side
+    * combinable. `idCol` values must be unique (they are row ids) or
+    * the min_by tie is engine-defined. Null-`textCol` rows are dropped
+    * like [[resolveEntities]] drops them.
     * Output: (canonical, n_members, valueCols...).
     */
   def goldenRecords(
@@ -109,9 +121,9 @@ object FuzzyJoin {
       valueCols: Seq[String],
       maxDist: Int = 1): DataFrame = {
     require(valueCols.nonEmpty, "goldenRecords: no value columns")
-    val resolved = resolveEntities(df, idCol, textCol, maxDist)
-      .select(col(idCol), col("canonical"))
-    df.join(resolved, Seq(idCol))
+    df.where(col(textCol).isNotNull)
+      .join(canonicalMap(df, textCol, maxDist), Seq(textCol), "left")
+      .withColumn("canonical", coalesce(col("__fz_canonical"), col(textCol)))
       .groupBy(col("canonical"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -119,17 +131,15 @@ object FuzzyJoin {
           min_by(col(c), when(col(c).isNotNull, col(idCol))).as(c)): _*)
   }
 
-  def resolveEntities(
-      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
-    require(textCol != "canonical", "resolveEntities: textCol collides with output column")
+  /** The bounded value -> canonical-value map both surfaces join back:
+    * fuzzy pairs over the DISTINCT value domain, transitive closure,
+    * min member by UTF-8 bytes. Values in no pair are absent (callers
+    * coalesce to the value itself).
+    */
+  private def canonicalMap(df: DataFrame, textCol: String, maxDist: Int): DataFrame = {
     val pairs = nearNamePairs(df, textCol, maxDist)
       .select(col("a_name").as("a_id"), col("b_name").as("b_id"))
-    val canon = Dedup.duplicateClusters(pairs)
+    Dedup.duplicateClusters(pairs)
       .select(col("id").as(textCol), col("cluster_id").as("__fz_canonical"))
-    df.select(col(idCol), col(textCol))
-      .where(col(textCol).isNotNull)
-      .join(canon, Seq(textCol), "left")
-      .select(col(idCol), col(textCol),
-        coalesce(col("__fz_canonical"), col(textCol)).as("canonical"))
   }
 }

@@ -586,7 +586,9 @@ object Multimodal {
             else {
               try {
                 val w = u32le(b, 18).toInt
-                val h = u32le(b, 22).toInt // require bottom-up (positive)
+                // negative height = top-down rows; the channel sums are
+                // row-order invariant, so both layouts decode
+                val h = math.abs(u32le(b, 22).toInt)
                 val bpp = u16le(b, 28)
                 val off = u32le(b, 10).toInt
                 val stride = ((3 * w + 3) / 4) * 4
@@ -665,22 +667,30 @@ object Multimodal {
             else {
               try {
                 var off = 12
-                var fmtOk = false; var channels = 0; var rate = 0
+                var fmtOk = false; var channels = 0; var rate = 0L
                 var dataOff = -1; var dataLen = 0
-                while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+                while (off + 8 <= b.length) {
                   val cid = new String(b, off, 4, "US-ASCII")
-                  val sz = u32le(b, off + 4).toInt
+                  val sz = u32le(b, off + 4) // Long, like parseWav
                   if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
                     val fmt = u16le(b, off + 8)
                     channels = u16le(b, off + 10)
-                    rate = u32le(b, off + 12).toInt
+                    rate = u32le(b, off + 12)
                     val bits = u16le(b, off + 22)
-                    fmtOk = fmt == 1 && bits == 16 && channels > 0
-                  } else if (cid == "data") {
+                    fmtOk = fmt == 1 && bits == 16 && channels > 0 &&
+                      rate > 0 && rate <= Int.MaxValue
+                  } else if (cid == "data" && dataOff < 0) {
+                    // FIRST data chunk, frames actually present — the
+                    // parseWav stance, so the two decoders agree
                     dataOff = off + 8
-                    dataLen = math.min(sz, b.length - dataOff)
+                    dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
                   }
-                  off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+                  // word-aligned walk, stepped in LONG before touching
+                  // the Int offset (parseWav's guard): a lying u32 size
+                  // would otherwise zero or reverse the advance and
+                  // spin this loop forever
+                  val next = off.toLong + 8L + sz + (sz & 1L)
+                  if (next + 8 > b.length) off = b.length else off = next.toInt
                 }
                 if (!fmtOk || dataOff < 0 || dataLen < 2) none
                 else {
@@ -702,7 +712,7 @@ object Multimodal {
                     }
                     i += 1
                   }
-                  (id, 1, nFrames.toLong, channels, rate, peak, sumSq, zc)
+                  (id, 1, nFrames.toLong, channels, rate.toInt, peak, sumSq, zc)
                 }
               } catch { case scala.util.control.NonFatal(_) => none }
             }

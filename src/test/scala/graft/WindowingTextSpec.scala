@@ -175,6 +175,16 @@ class WindowingTextSpec extends SparkTestBase {
     val bad = Multimodal.decodeBmpPixels(
       Seq((4L, bytes.take(40))).toDF("id", "payload"), "id", "payload").collect()(0)
     assert(bad.getInt(1) == 0 && bad.getLong(4) == 0L, s"got $bad")
+    // top-down layout (negative height field): channel sums are
+    // row-order invariant, so the decode must accept it unchanged
+    val topDown = bytes.clone()
+    val nh = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(nh, 0, topDown, 22, 4)
+    val td = Multimodal.decodeBmpPixels(
+      Seq((5L, topDown)).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(td.getInt(1) == 1 && (td.getLong(4), td.getLong(5), td.getLong(6)) ==
+      ((0x160L, 0x1A0L, 0x1E0L)), s"got $td")
   }
 
   test("multimodal PCM decode: exact peak, energy, and channel-0 zero crossings") {
