@@ -1369,6 +1369,17 @@ object SparkEntry {
       // oracle brute-forces the pair graph and replays the closure as
       // a recursive CTE (the dedup_clusters recipe).
       graft.operators.FuzzyJoin.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name")),
+    "fuzzy_link_pairs" -> ((s, dir) => {
+      // CROSS-dataset record linkage: link the even-key catalog's names
+      // to the odd-key catalog's within edit distance 1 (distance 0 =
+      // the same product listed in both). The oracle brute-forces the
+      // cross product of the two distinct domains — equality proves the
+      // two-sided blocking loses nothing.
+      val part = t(s, dir, "part")
+      graft.operators.FuzzyJoin.linkNamePairs(
+        part.where(col("p_partkey") % 2 === 0), "p_name",
+        part.where(col("p_partkey") % 2 === 1), "p_name")
+    }),
     "fuzzy_golden_records" -> ((s, dir) =>
       // field-level survivorship over the resolved families: one golden
       // record per canonical name, each field from the lowest-id member
@@ -2880,6 +2891,14 @@ object SparkEntry {
          SELECT p.p_partkey, p.p_name, coalesce(c.canonical, p.p_name) AS canonical
          FROM part p LEFT JOIN canon c ON p.p_name = c.name
          WHERE p.p_name IS NOT NULL""",
+    "fuzzy_link_pairs" ->
+      """WITH a AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_partkey % 2 = 0 AND p_name IS NOT NULL),
+         b AS (SELECT DISTINCT p_name AS name FROM part
+               WHERE p_partkey % 2 = 1 AND p_name IS NOT NULL)
+         SELECT a.name AS a_name, b.name AS b_name,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM a, b WHERE levenshtein(a.name, b.name) <= 1""",
     "fuzzy_golden_records" ->
       """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
          pairs AS (SELECT a.name AS a_name, b.name AS b_name
@@ -3630,6 +3649,7 @@ object SparkEntry {
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
+    "fuzzy_link_pairs",
     // the profiling tier: column data-card, exact histogram,
     // integer-sufficient-statistics correlation over the big table,
     // and exact-integer rate-spike flagging over hourly buckets

@@ -91,6 +91,32 @@ object FuzzyJoin {
     * Output: (idCol, textCol, canonical) — one row per input row with
     * a non-null `textCol`.
     */
+  /** CROSS-dataset record linkage: value pairs within edit distance
+    * `maxDist` between TWO relations' value domains — the "link the
+    * vendor catalog to ours" form of fuzzy matching, where the
+    * self-join's `a < b` dedup does not apply (the same value on both
+    * sides IS a link, at distance 0). Same complete
+    * deletion-neighborhood blocking, both sides collapsed to their
+    * distinct value domains first, exact `levenshtein` verify on
+    * candidates only. Output: (a_name, b_name, dist) with
+    * 0 <= dist <= maxDist — one row per linked value pair.
+    */
+  def linkNamePairs(
+      dfA: DataFrame, colA: String,
+      dfB: DataFrame, colB: String,
+      maxDist: Int = 1): DataFrame = {
+    def keyed(df: DataFrame, c: String) =
+      df.select(col(c).as("name")).where(col("name").isNotNull).distinct()
+        .select(col("name"), explode(deletionKeys("name", maxDist)).as("k"))
+    keyed(dfA, colA).as("a")
+      .join(keyed(dfB, colB).as("b"), col("a.k") === col("b.k"))
+      .select(col("a.name").as("a_name"), col("b.name").as("b_name"))
+      .distinct()
+      .select(col("a_name"), col("b_name"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   def resolveEntities(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
     require(textCol != "canonical", "resolveEntities: textCol collides with output column")

@@ -72,6 +72,22 @@ class FuzzyJoinSpec extends SparkTestBase {
       (4L, "dog", "dog"), (5L, "cat", "cat")), s"got $got")
   }
 
+  test("cross-dataset linkage equals brute force, distance-0 links included") {
+    val a = Seq("cat", "dog", "fish", "bird").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val b = Seq("cot", "dog", "fisk", "zzz").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val got = FuzzyJoin.linkNamePairs(a, "nm", b, "nm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      x <- Seq("cat", "dog", "fish", "bird"); y <- Seq("cot", "dog", "fisk", "zzz")
+      d = lev(x, y) if d <= 1
+    } yield (x, y, d)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // the exact cross-catalog match links at distance 0
+    assert(got.contains(("dog", "dog", 0)), s"got $got")
+  }
+
   test("goldenRecords merges fields completeness-first, lowest id wins ties") {
     // family {cat,cut,cute}: row 1 has no brand (null), row 2 carries
     // 'B2', row 3 'B3' -> brand survives from row 2 (lowest non-null
