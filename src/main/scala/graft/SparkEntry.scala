@@ -1386,6 +1386,16 @@ object SparkEntry {
       // that has it — the MDM merge the oracle replays with arg_min
       graft.operators.FuzzyJoin.goldenRecords(t(s, dir, "part"),
         "p_partkey", "p_name", Seq("p_brand", "p_size"))),
+    "fuzzy_golden_priority" -> ((s, dir) =>
+      // source-precedence survivorship: members carry a source tier
+      // (partkey mod 3 — three simulated systems of record) and each
+      // field survives from the lowest (tier, id) member that has it —
+      // the CRM-beats-crawl merge, oracle-replayed with a composite
+      // arg_min
+      graft.operators.FuzzyJoin.goldenRecords(
+        t(s, dir, "part").withColumn("src_tier", col("p_partkey") % 3),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"),
+        priorityCol = Some("src_tier"))),
     "retrieval_phrase" -> ((s, dir) =>
       // exact-phrase query: per-doc occurrence counts of consecutive
       // tokens "sort merge" — one scan, codegen'd array HOFs
@@ -2919,6 +2929,27 @@ object SparkEntry {
                 arg_min(p_brand, CASE WHEN p_brand IS NOT NULL THEN id END) AS p_brand,
                 arg_min(p_size, CASE WHEN p_size IS NOT NULL THEN id END) AS p_size
          FROM mem GROUP BY canonical""",
+    "fuzzy_golden_priority" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+         pairs AS (SELECT a.name AS a_name, b.name AS b_name
+                   FROM names a JOIN names b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT a_name AS s, b_name AS d FROM pairs
+                   UNION SELECT b_name AS s, a_name AS d FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+         canon AS (SELECT s AS name, least(s, min(d)) AS canonical FROM reach GROUP BY s),
+         mem AS (SELECT p.p_partkey AS id, p.p_partkey % 3 AS tier,
+                        coalesce(c.canonical, p.p_name) AS canonical,
+                        p.p_brand, p.p_size
+                 FROM part p LEFT JOIN canon c ON p.p_name = c.name
+                 WHERE p.p_name IS NOT NULL)
+         SELECT canonical, count(*) AS n_members,
+                arg_min(p_brand, CASE WHEN p_brand IS NOT NULL THEN tier * 1000000000 + id END) AS p_brand,
+                arg_min(p_size, CASE WHEN p_size IS NOT NULL THEN tier * 1000000000 + id END) AS p_size
+         FROM mem GROUP BY canonical""",
     "retrieval_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
                        FROM documents WHERE text IS NOT NULL)
@@ -3035,23 +3066,23 @@ object SparkEntry {
          ns AS (SELECT count(*) AS n FROM seeds),
          p0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / n AS r FROM seeds, ns),
          p1 AS (SELECT id, sum(r) AS r FROM (
-                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
-                  FROM edges e JOIN p0 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * p.r / d.deg AS r
+                  FROM edges e JOIN p0 p ON e.src = p.id JOIN deg d ON e.src = d.src
                   UNION ALL
                   SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
          p2 AS (SELECT id, sum(r) AS r FROM (
-                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
-                  FROM edges e JOIN p1 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * p.r / d.deg AS r
+                  FROM edges e JOIN p1 p ON e.src = p.id JOIN deg d ON e.src = d.src
                   UNION ALL
                   SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
          p3 AS (SELECT id, sum(r) AS r FROM (
-                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
-                  FROM edges e JOIN p2 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * p.r / d.deg AS r
+                  FROM edges e JOIN p2 p ON e.src = p.id JOIN deg d ON e.src = d.src
                   UNION ALL
                   SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id),
          p4 AS (SELECT id, sum(r) AS r FROM (
-                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
-                  FROM edges e JOIN p3 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+                  SELECT e.dst AS id, CAST(0.85 AS DOUBLE) * p.r / d.deg AS r
+                  FROM edges e JOIN p3 p ON e.src = p.id JOIN deg d ON e.src = d.src
                   UNION ALL
                   SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id)
          SELECT id, round(r, 6) AS rank FROM p4""",
@@ -3649,7 +3680,7 @@ object SparkEntry {
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
-    "fuzzy_link_pairs",
+    "fuzzy_golden_priority", "fuzzy_link_pairs",
     // the profiling tier: column data-card, exact histogram,
     // integer-sufficient-statistics correlation over the big table,
     // and exact-integer rate-spike flagging over hourly buckets

@@ -71,12 +71,11 @@ object Centrality {
     // by double(n), once — rounds identically as a driver literal
     val teleport = (1.0 - damping) / nNodes.toDouble
     val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
-    val ranked = loopRanks(degEdges, init, teleport, damping, iterations)
-    val out =
+    try {
+      val ranked = loopRanks(degEdges, init, teleport, damping, iterations)
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
-    degEdges.unpersist()
-    out
+    } finally degEdges.unpersist()
   }
 
   /** The shared edge preparation of both rank loops, CACHED: both
@@ -177,13 +176,12 @@ object Centrality {
     val nNodes = nodes.count()
     val teleport = (1.0 - damping) / nNodes.toDouble
     val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
-    val ranked = loopRanks(degEdges, init, teleport, damping, iterations,
-      contrib = col("r") * col("w") / col("wdeg"))
-    val out =
+    try {
+      val ranked = loopRanks(degEdges, init, teleport, damping, iterations,
+        contrib = col("r") * col("w") / col("wdeg"))
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
-    degEdges.unpersist()
-    out
+    } finally degEdges.unpersist()
   }
 
   /** Personalized PageRank: random-walk-with-restart proximity to a
@@ -199,14 +197,18 @@ object Centrality {
     * contributes nothing.
     *
     * Scale shape: the edge loop is [[pageRank]]'s (cached
-    * degree-joined relation, one co-partitioned join + aggregate per
-    * round). |S| is a bounded driver count on the (persisted) seed
-    * relation, folded in as literals. The per-round teleport is a
-    * unionByName of the seed relation with the contribution aggregate
-    * followed by a sum — a two-term per-node addition (commutative, so
-    * merge order cannot change the double), NOT a per-round broadcast
-    * join. Output: (id, rank round-6) for every node with nonzero rank
-    * after `iterations` rounds.
+    * degree-joined relation, one co-partitioned join per round). |S|
+    * is a bounded driver count on the (persisted) seed relation,
+    * folded in as literals. The per-round teleport is FUSED into the
+    * contribution aggregation: the damping factor multiplies each
+    * per-edge contribution in the projection, the seed relation's
+    * constant-teleport rows union in BEFORE the aggregate, and ONE
+    * `groupBy(id).agg(sum)` folds both — the same per-round shuffle
+    * count as the unweighted loop (a separate post-agg teleport union
+    * would pay a second shuffle aggregation per round). The sum stays
+    * commutative, so merge order cannot change the result beyond
+    * sub-round-6 summation noise. Output: (id, rank round-6) for every
+    * node with nonzero rank after `iterations` rounds.
     */
   def pageRankPersonalized(
       pairs: DataFrame,
@@ -226,27 +228,30 @@ object Centrality {
     val seedIds = seeds.select(col(seedCol).as("id"))
       .where(col("id").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSeeds = seedIds.count()
-    require(nSeeds > 0, "pageRankPersonalized: empty seed set")
-    val teleport = (1.0 - damping) / nSeeds.toDouble
-    var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
-    for (_ <- 1 to iterations) {
-      val contribs = degEdges
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
-        .groupBy("id")
-        .agg((lit(damping) * sum("c")).as("r"))
-      ranks = contribs
-        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
-        .groupBy("id")
-        .agg(sum("r").as("r"))
-    }
-    val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
-    val out =
+    try {
+      val nSeeds = seedIds.count()
+      require(nSeeds > 0, "pageRankPersonalized: empty seed set")
+      val teleport = (1.0 - damping) / nSeeds.toDouble
+      val teleportRows = seedIds.select(col("id"), lit(teleport).as("r"))
+      var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
+      for (_ <- 1 to iterations) {
+        // damping folds into the per-edge projection and the constant
+        // teleport rows ride the SAME aggregation — one shuffle per
+        // round, with map-side partial aggregation on both branches
+        ranks = degEdges
+          .join(ranks.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst").as("id"),
+            (lit(damping) * col("r") / col("deg")).as("r"))
+          .unionByName(teleportRows)
+          .groupBy("id")
+          .agg(sum("r").as("r"))
+      }
+      val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
-    degEdges.unpersist()
-    seedIds.unpersist()
-    out
+    } finally {
+      degEdges.unpersist()
+      seedIds.unpersist()
+    }
   }
 }

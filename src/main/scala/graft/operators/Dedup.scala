@@ -728,6 +728,10 @@ object Dedup {
       .distinct()
       .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cache must not outlive this call on ANY exit path — including
+    // a mid-loop failure or the non-convergence throw — so the whole
+    // body runs under one finally that releases it
+    try {
     // Size the loop's vertex-relation layout from the data, not the
     // session shuffle width: every iteration scans and re-checkpoints the
     // label relation, and a 10^4-row relation spread over 32 partitions
@@ -736,11 +740,8 @@ object Dedup {
     // vertex-side stages get ceil(|E| / 250k) partitions — one partition
     // locally, thousands on a 10^10-edge cluster run.
     val edgeRows = edges.count()
-    if (edgeRows <= maxDriverEdges) {
-      val out = driverUnionFind(pairs.sparkSession, edges)
-      edges.unpersist()
-      return out
-    }
+    if (edgeRows <= maxDriverEdges)
+      return driverUnionFind(pairs.sparkSession, edges)
     val loopPart = math.max(1L, math.min(nPart.toLong, edgeRows / 250000L + 1L)).toInt
     // The initial labels fuse the FIRST propagation round into the init
     // checkpoint for free: the init already pays a groupBy over the edge
@@ -824,11 +825,11 @@ object Dedup {
       labels = next.select("id", "cluster_id")
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations; raise maxIter")
     labels
+    } finally edges.unpersist()
   }
 
   /** Cluster-size distribution of a clustering — the dedup REPORT a

@@ -92,12 +92,20 @@ object EventAnalytics {
           // reachable row after the event, so same-instant never
           // chains) is within the window — any qualifying time is
           // dominated by the latest one, so the running max over the
-          // union replaces the quadratic events-x-reachable join
+          // union replaces the quadratic events-x-reachable join.
+          // NULL users are filtered from BOTH union branches: the
+          // window's partitionBy would group all NULL users into one
+          // partition and chain them off each other, whereas the
+          // unbounded path's equi-join never matches a NULL — stages
+          // >= 2 must agree across regimes (NULLs still count at
+          // stage 1, where both regimes keep them)
           val tagged = stageEvents
+            .where(col(u).isNotNull)
             .select(col(u), unix_micros(col(t)).as("__funnel_us"),
               col(t), lit(false).as("__funnel_is_prev"))
-            .unionByName(reached.select(col(u), unix_micros(col(t)).as("__funnel_us"),
-              col(t), lit(true).as("__funnel_is_prev")))
+            .unionByName(reached.where(col(u).isNotNull)
+              .select(col(u), unix_micros(col(t)).as("__funnel_us"),
+                col(t), lit(true).as("__funnel_is_prev")))
           val win = org.apache.spark.sql.expressions.Window
             .partitionBy(col(u))
             .orderBy(col("__funnel_us"), col("__funnel_is_prev"))

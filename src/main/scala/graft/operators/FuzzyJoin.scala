@@ -75,22 +75,6 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
   }
 
-  /** The full entity-resolution loop over [[nearNamePairs]]: fuzzy
-    * value pairs -> transitive closure -> one CANONICAL value per
-    * connected family -> row-id join-back. The canonical value is the
-    * family's minimum member under Spark's binary (UTF-8 byte)
-    * ordering — [[Dedup.duplicateClusters]] picks it regime-
-    * independently (driver union-find and distributed label
-    * propagation agree, non-ASCII included). Values in no fuzzy pair
-    * are their own canonical form (left join + coalesce, no row lost).
-    *
-    * Scale shape: clustering runs over the DISTINCT VALUE pair graph
-    * (the exact-collapse stance — bounded by the value domain, not the
-    * row count); the join-back is one hash join from rows to the
-    * value->canonical map. `textCol` must not be named `canonical`.
-    * Output: (idCol, textCol, canonical) — one row per input row with
-    * a non-null `textCol`.
-    */
   /** CROSS-dataset record linkage: value pairs within edit distance
     * `maxDist` between TWO relations' value domains — the "link the
     * vendor catalog to ours" form of fuzzy matching, where the
@@ -117,6 +101,22 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
   }
 
+  /** The full entity-resolution loop over [[nearNamePairs]]: fuzzy
+    * value pairs -> transitive closure -> one CANONICAL value per
+    * connected family -> row-id join-back. The canonical value is the
+    * family's minimum member under Spark's binary (UTF-8 byte)
+    * ordering — [[Dedup.duplicateClusters]] picks it regime-
+    * independently (driver union-find and distributed label
+    * propagation agree, non-ASCII included). Values in no fuzzy pair
+    * are their own canonical form (left join + coalesce, no row lost).
+    *
+    * Scale shape: clustering runs over the DISTINCT VALUE pair graph
+    * (the exact-collapse stance — bounded by the value domain, not the
+    * row count); the join-back is one hash join from rows to the
+    * value->canonical map. `textCol` must not be named `canonical`.
+    * Output: (idCol, textCol, canonical) — one row per input row with
+    * a non-null `textCol`.
+    */
   def resolveEntities(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int = 1): DataFrame = {
     require(textCol != "canonical", "resolveEntities: textCol collides with output column")
@@ -138,6 +138,16 @@ object FuzzyJoin {
     * combinable. `idCol` values must be unique (they are row ids) or
     * the min_by tie is engine-defined. Null-`textCol` rows are dropped
     * like [[resolveEntities]] drops them.
+    *
+    * With `priorityCol` set, survivorship adds SOURCE PRECEDENCE — the
+    * multi-source MDM merge where the CRM's value beats the web
+    * crawl's: each field comes from the non-null member with the
+    * LOWEST (priority, id) pair, so a smaller priority number wins and
+    * ids break ties within a source tier. The ordering key is a
+    * two-field struct compared lexicographically — the same one-pass
+    * `min_by` aggregate, still map-side combinable. Priorities must be
+    * non-null (rank sources explicitly; a null would otherwise sort
+    * ahead of every real tier).
     * Output: (canonical, n_members, valueCols...).
     */
   def goldenRecords(
@@ -145,16 +155,20 @@ object FuzzyJoin {
       idCol: String,
       textCol: String,
       valueCols: Seq[String],
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1,
+      priorityCol: Option[String] = None): DataFrame = {
     require(valueCols.nonEmpty, "goldenRecords: no value columns")
+    val ord: String => org.apache.spark.sql.Column = priorityCol match {
+      case None    => c => when(col(c).isNotNull, col(idCol))
+      case Some(p) => c => when(col(c).isNotNull, struct(col(p), col(idCol)))
+    }
     df.where(col(textCol).isNotNull)
       .join(canonicalMap(df, textCol, maxDist), Seq(textCol), "left")
       .withColumn("canonical", coalesce(col("__fz_canonical"), col(textCol)))
       .groupBy(col("canonical"))
       .agg(
         count(lit(1)).as("n_members"),
-        valueCols.map(c =>
-          min_by(col(c), when(col(c).isNotNull, col(idCol))).as(c)): _*)
+        valueCols.map(c => min_by(col(c), ord(c)).as(c)): _*)
   }
 
   /** The bounded value -> canonical-value map both surfaces join back:

@@ -148,4 +148,18 @@ class CentralitySpec extends SparkTestBase {
     assert(got.keySet == Set(7L, 8L))
     assert(got(7L) == 0.5 && got(8L) == 0.5, s"two symmetric nodes split evenly: $got")
   }
+
+  test("an aborted personalized run releases every cached relation") {
+    // the empty-seed require fires AFTER the edge and seed relations
+    // persist — the finally must still release both, or a failed call
+    // leaks executor storage for the rest of the session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException] {
+      Centrality.pageRankPersonalized(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        Seq.empty[Long].toDF("id"), "id", iterations = 2)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"leaked ${after - before} cached relation(s)")
+  }
 }

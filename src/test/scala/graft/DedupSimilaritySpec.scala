@@ -504,6 +504,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sl == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("a non-converging cluster run releases the cached edge relation") {
+    // maxIter = 0 on the forced-distributed path skips the loop and
+    // fires the non-convergence throw — the finally must still release
+    // the persisted edge relation, or every failed run leaks executor
+    // storage for the rest of the session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxIter = 0, maxDriverEdges = 0L)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"leaked ${after - before} cached relation(s)")
+  }
+
   test("dedupedCorpus keeps one doc per cluster plus unpaired docs") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", 8, 2, 40)
     val kept = Dedup.dedupedCorpus(docs, "doc_id", pairs)

@@ -68,6 +68,24 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got == Map(1 -> 1L, 2 -> 1L), s"greedy-min would report step 2 = 0: $got")
   }
 
+  test("NULL users count at stage 1 but never advance, in BOTH regimes") {
+    // a NULL user's A then B must not chain: the unbounded path's
+    // equi-join never matches NULL, and the windowed path must agree
+    // (its per-user window would otherwise pool all NULL users into
+    // one partition and chain them off each other)
+    val ev = Seq(
+      (Option.empty[Long], "A", ts("2024-01-01 10:00:00")),
+      (Option.empty[Long], "B", ts("2024-01-01 10:30:00")),
+      (Some(1L), "A", ts("2024-01-01 10:00:00")),
+      (Some(1L), "B", ts("2024-01-01 10:30:00"))).toDF("user_id", "event_type", "ts")
+    for (w <- Seq(None, Some(3600L))) {
+      val got = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B"), withinSeconds = w)
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+      assert(got == Map(1 -> 2L, 2 -> 1L), s"window=$w got $got")
+    }
+  }
+
   test("funnel tolerates events relations that already have columns named u and t") {
     val clash = log.withColumn("u", lit("collide")).withColumn("t", lit(0L))
     val got = EventAnalytics.funnel(clash, "user_id", "event_type", "ts", Seq("A", "B"))

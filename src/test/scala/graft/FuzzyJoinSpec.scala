@@ -103,4 +103,24 @@ class FuzzyJoinSpec extends SparkTestBase {
       "cat" -> ((3L, "B2", 10)),
       "dog" -> ((1L, "BD", 40))), s"got $got")
   }
+
+  test("goldenRecords with priorities: the preferred source wins, id breaks tier ties") {
+    // family {cat,cut,cute}: row 3 (tier 0) beats rows 1 and 2 (tier 1)
+    // for brand even though its id is highest; row 1's null brand can't
+    // win regardless of tier. Size: rows 1 and 3 carry one; tier 0 (row
+    // 3) wins. Within a tier the lower id survives: rows 5/6 share tier
+    // 0 in the {dog,dot} family, so row 5's brand wins.
+    val df = Seq(
+      (1L, "cat", null, Some(10), 1L), (2L, "cut", "B2", None, 1L),
+      (3L, "cute", "B3", Some(30), 0L),
+      (5L, "dog", "BD5", Some(50), 0L), (6L, "dot", "BD6", Some(60), 0L))
+      .map { case (i, n, b, sz, p) => (i, n, b, sz.map(Integer.valueOf).orNull, p) }
+      .toDF("id", "nm", "brand", "size", "tier")
+    val got = FuzzyJoin.goldenRecords(df, "id", "nm", Seq("brand", "size"),
+      priorityCol = Some("tier"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.get(3))).toMap
+    assert(got == Map(
+      "cat" -> ((3L, "B3", 30)),
+      "dog" -> ((2L, "BD5", 50))), s"got $got")
+  }
 }
