@@ -26,6 +26,12 @@ import graft.operators.{Centrality, Dedup}
   *  - personalization isolation: PPR seeded ONLY in copy 0 must put
   *    rank on copy-0 nodes and the seeds alone — random walk with
   *    restart cannot cross a component boundary, at any scale.
+  *  - personalization invariance: the copy-0 PPR VALUES are identical
+  *    at 1x and Nx within one round-6 step — teleport mass depends
+  *    only on |S| and the walk never sees the other copies, so the Nx
+  *    run aggregates the same multiset of doubles per node as the 1x
+  *    run (this pins the fused single-aggregation teleport: a scale-
+  *    dependent term sneaking into the per-round sum would break it).
   *
   * Usage: runMain graft.GraphScaleSmoke [sfDir] [replicas]
   */
@@ -66,6 +72,7 @@ object GraphScaleSmoke {
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var baseRanks: Map[Long, Double] = Map.empty
+    var basePpr: Map[Long, Double] = Map.empty
 
     for (n <- Seq(1, replicas)) {
       val pairs = pairsOf(n)
@@ -109,20 +116,35 @@ object GraphScaleSmoke {
 
       println(f"[graph-scale] x$n%-4d ($nEdges%9d directed-pair rows, $expectedNodes%8d nodes): pageRank($iterations iters) $sec%6.2f s")
 
-      if (n > 1) {
-        // PPR seeded only in copy 0: restart proximity cannot cross a
-        // component boundary, so every ranked node lives in copy 0
-        val seeds = base.select(col("a_id").as("doc_id")).distinct().limit(32)
-        val (ppr, pprSec) = time {
-          Centrality.pageRankPersonalized(pairs, "a_id", "b_id", seeds, "doc_id",
-            iterations = 3).collect().map(_.getLong(0))
-        }
-        if (ppr.isEmpty)
-          failures += s"x$n: PPR returned NO ranked nodes — seeds lost their teleport mass"
-        else if (!ppr.forall(_ < stride))
-          failures += s"x$n: PPR leaked rank outside the seeded component: ${ppr.filter(_ >= stride).take(5).toSeq}"
-        println(f"[graph-scale] x$n%-4d PPR from 32 copy-0 seeds: ${ppr.length}%6d ranked nodes (all in copy 0), $pprSec%6.2f s")
+      // PPR seeded only in copy 0, run at EVERY scale: the 1x run
+      // records the reference values, the Nx run must reproduce them
+      val seeds = base.select(col("a_id").as("doc_id")).distinct().limit(32)
+      val (ppr, pprSec) = time {
+        Centrality.pageRankPersonalized(pairs, "a_id", "b_id", seeds, "doc_id",
+          iterations = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       }
+      if (ppr.isEmpty)
+        failures += s"x$n: PPR returned NO ranked nodes — seeds lost their teleport mass"
+      if (n == 1) basePpr = ppr
+      else {
+        // isolation: restart proximity cannot cross a component
+        // boundary, so every ranked node lives in copy 0
+        val leaked = ppr.keys.filter(_ >= stride)
+        if (leaked.nonEmpty)
+          failures += s"x$n: PPR leaked rank outside the seeded component: ${leaked.take(5).toSeq}"
+        // invariance: same node set, same values (one round-6 step of
+        // shuffle-order freedom) as the 1x run — the other N-1 copies
+        // must be invisible to the seeded walk
+        if (ppr.keySet != basePpr.keySet)
+          failures += s"x$n: PPR node set diverged from 1x " +
+            s"(${(ppr.keySet -- basePpr.keySet).take(3)} extra, " +
+            s"${(basePpr.keySet -- ppr.keySet).take(3)} missing)"
+        else basePpr.foreach { case (id, want) =>
+          if (math.abs(ppr(id) - want) > 1.1e-6)
+            failures += f"x$n: PPR of node $id ${ppr(id)}%.7f != 1x value $want%.7f"
+        }
+      }
+      println(f"[graph-scale] x$n%-4d PPR from 32 copy-0 seeds: ${ppr.size}%6d ranked nodes, $pprSec%6.2f s")
     }
 
     failures.foreach(f => System.err.println(s"[graph-scale] FAIL $f"))

@@ -142,8 +142,30 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
 
   /** Driver-side materialization to a Map (reference: to_dict,
     * src/helpers/collect_values.rs:212; to_hashmap keyed.rs:181).
+    *
+    * This is BY CONTRACT a bounded-result operation — the reference's
+    * to_dict collects into process memory too, and the contract the
+    * reference leaves implicit holds here: call it only on relations
+    * already reduced to driver scale (a config table, an aggregate's
+    * output), never on a corpus-sized stream. `maxRows` makes the
+    * expectation enforceable: the default (1 M entries) fails loudly
+    * before a runaway collect kills the driver, and callers with a
+    * genuinely larger bounded result can raise it deliberately. Later
+    * duplicate keys overwrite earlier ones, as in the reference.
     */
-  def toDict: Map[K, V] = ds.collect().toMap
+  def toDict: Map[K, V] = toDict(1000000L)
+
+  /** [[toDict]] with an explicit entry bound. */
+  def toDict(maxRows: Long): Map[K, V] = {
+    val rows = ds.limit(
+      // limit takes an Int; clamp so a caller-raised bound above 2^31
+      // degrades to "no practical limit" instead of overflowing
+      if (maxRows >= Int.MaxValue.toLong) Int.MaxValue else maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      s"toDict: result exceeds $maxRows entries — toDict is a driver-side " +
+        "materialization for bounded relations; aggregate first or raise maxRows deliberately")
+    rows.toMap
+  }
 
   // ---- distinct (reference: src/helpers/distinct.rs:271) ----
 

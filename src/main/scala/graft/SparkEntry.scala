@@ -74,9 +74,34 @@ object SparkEntry {
       val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
       val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
       val path = java.nio.file.Files.createTempDirectory("graft-ann-index").resolve("pqindex").toString
-      Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
-        .write.partitionBy("cell").parquet(path)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, path)
       BuiltAnnIndex(path, coarse, cb)
+    })
+
+  /** Per-corpus memoized INCREMENTALLY-MAINTAINED IVF-PQ index: built
+    * on 80% of the embeddings (vec_id % 5 != 0) — quantizer models
+    * trained on and FROZEN with that base — then the remaining 20%
+    * merged in via [[Similarity.updatePqIndex]]: old codes read back
+    * from parquet, never re-encoded; only the increment pays the
+    * encode, against the frozen models. Serving from it must be
+    * indistinguishable from encoding the full corpus with the same
+    * models in one pass, which is exactly what `ann_index_update`
+    * checks in-query. Build+update cost bills to the first call, the
+    * [[updatedBm25Index]] stance.
+    */
+  private val annUpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, BuiltAnnIndex]()
+  private def updatedAnnIndex(s: SparkSession, dir: String): BuiltAnnIndex =
+    annUpdatedIndexCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val baseCorpus = emb.where(col("vec_id") % 5 =!= 0)
+      val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val base = java.nio.file.Files.createTempDirectory("graft-ann-base").resolve("pqindex").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-ann-upd").resolve("pqindex").toString
+      Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, base)
+      Similarity.updatePqIndex(s, base, emb.where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", coarse, cb, out)
+      BuiltAnnIndex(out, coarse, cb)
     })
 
   /** Per-corpus memoized DSIR term table for the serve-path entry
@@ -1155,6 +1180,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalizeNfc(
           concat(col("text"), lit(" cafe" + "\u0301"))).as("norm"))),
+    "text_html_extract" -> ((s, dir) =>
+      // the web-crawl front door: wrap each doc's text in a realistic
+      // HTML page (head with style + script whose BODY must vanish,
+      // comment boilerplate, nested tags, entity-encoded punctuation),
+      // then extractText strips markup, decodes entities, and
+      // collapses whitespace \u2014 one codegen'd regexp_replace chain the
+      // oracle replays verbatim with RE2
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.extractText(concat(
+          lit("<html><head><style>body { color: red; }</style>" +
+            "<script type=\"text/js\">var x = 1 < 2; alert(\"hi\");</script></head>" +
+            "<body><!-- nav boilerplate --><div class=\"main\"><h1>Doc</h1><p>"),
+          col("text"),
+          lit("</p><p>Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;&#39;4ever&#39;" +
+            "</p></div></body></html>"))).as("clean"))),
     "stats_outliers" -> ((s, dir) => {
       // rate-spike detection over hourly event counts: mean + 2·stddev
       // threshold decided in EXACT integer arithmetic (no float
@@ -1732,7 +1772,7 @@ object SparkEntry {
       val built = builtAnnIndex(s, dir)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqTopKIndexed(
-          emb.where(col("vec_id") < 20), s.read.parquet(built.path),
+          emb.where(col("vec_id") < 20), Similarity.readPqIndex(s, built.path),
           "vec_id", "embedding", k = 5, built.coarse, nprobe = 4, built.cb)
         .groupBy("query_id")
         .agg(
@@ -1740,6 +1780,32 @@ object SparkEntry {
           (min("rank") === 1 && max("rank") === 5).cast("bigint").as("ranks_contiguous"),
           (countDistinct(col("neighbor_id")) === 5).cast("bigint").as("neighbors_distinct"),
           max((col("neighbor_id") === col("query_id")).cast("int")).cast("bigint").as("self_hits"))
+    }),
+    "ann_index_update" -> ((s, dir) => {
+      // Serve from the INCREMENTALLY-MAINTAINED index (80% base build,
+      // 20% delta merged with frozen quantizer models) and, in the same
+      // query, serve the identical top-k request from a from-scratch
+      // one-pass encode of the full corpus under the SAME models. The
+      // per-query `identical` flag value-grades the maintenance path:
+      // encode is deterministic, so the two indexes must hold the same
+      // rows and the rankings must agree neighbor-for-neighbor — any
+      // dropped, duplicated, or re-encoded row breaks a flag.
+      val upd = updatedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromUpdated = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, upd.path),
+        "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.pqIndex(emb, "vec_id", "embedding", upd.coarse, upd.cb),
+        "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
+      fromUpdated.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
     }),
     "embedding_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
@@ -1865,6 +1931,36 @@ object SparkEntry {
           )
         }.toDF("id", "payload")
       Multimodal.decodeBmpPixels(bmps, "id", "payload")
+    }),
+    "multimodal_image_neardup" -> ((s, dir) => {
+      // near-duplicate IMAGE detection over real decoded pixels: 32
+      // base images (geometry + pixels seeded by g = doc_id % 32), each
+      // rendered by ~16 docs, with every other 32-block a left-half-
+      // brightened VARIANT (v = doc_id/32 % 2) — exact re-renders hash
+      // equal and variants land within a few dHash bits. The 64-bit
+      // dHash comes from exact integer block averaging
+      // (decodeBmpDhash), and pairing is the pigeonhole banded Hamming
+      // join — never all-pairs. The oracle replays pixel -> block ->
+      // bit arithmetic over generate_series and brute-forces EVERY
+      // pair, so a match proves the banding exhaustive.
+      val spark = s
+      import spark.implicits._
+      val bmps = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val g = id % 32
+          val v = (id / 32) % 2
+          val w = (16 + g % 5).toInt
+          val h = (12 + g % 4).toInt
+          (id, Multimodal.bmpBytes(w, h, (x, y) => {
+            val bump = if (v == 1 && 2 * x < w) 40L else 0L
+            ((((g + x * 7 + y * 13 + bump) % 256).toInt << 16) |
+              (((g + x * 3 + y * 5) % 256).toInt << 8) |
+              ((g + x + y) % 256).toInt)
+          }))
+        }.toDF("id", "payload")
+      graft.operators.Dedup.fingerprintNearDuplicates(
+        Multimodal.decodeBmpDhash(bmps, "id", "payload").where(col("ok") === 1),
+        "id", "dhash", bits = 64, maxHamming = 8)
     }),
     "multimodal_pcm_stats" -> ((s, dir) => {
       // REAL SAMPLE decode: deterministic 16-bit PCM per doc, then
@@ -2462,6 +2558,24 @@ object SparkEntry {
     // literal and must NFC-compose them exactly like the Spark side
     "text_normalize_nfc" ->
       "SELECT doc_id, nfc_normalize(text || ' café') AS norm FROM documents",
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style>body { color: red; }</style><script type="text/js">var x = 1 < 2; alert("hi");</script></head><body><!-- nav boilerplate --><div class="main"><h1>Doc</h1><p>'
+           || text ||
+           '</p><p>Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;&#39;4ever&#39;</p></div></body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean
+         FROM h""",
     "stats_outliers" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                            count(*) AS n
@@ -3251,6 +3365,10 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS ranks_contiguous, CAST(1 AS BIGINT) AS neighbors_distinct,
          CAST(0 AS BIGINT) AS self_hits
          FROM embeddings WHERE vec_id < 20""",
+    "ann_index_update" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical
+         FROM embeddings WHERE vec_id < 20""",
     "embedding_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -3278,6 +3396,29 @@ object SparkEntry {
          SELECT d.id, 1 AS ok, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                 sum_r, sum_g, sum_b
          FROM d JOIN agg USING (id)""",
+    "multimodal_image_neardup" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 2 AS v,
+                           16 + (doc_id % 32) % 5 AS w, 12 + (doc_id % 32) % 4 AS h
+                    FROM documents),
+         xs AS (SELECT id, g, v, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         px AS (SELECT id, g, v, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         lum AS (SELECT id, w, h, x, y,
+                   (g + x * 7 + y * 13 + CASE WHEN v = 1 AND 2 * x < w THEN 40 ELSE 0 END) % 256
+                   + (g + x * 3 + y * 5) % 256
+                   + (g + x + y) % 256 AS l
+                 FROM px),
+         cells AS (SELECT id, (y * 8) // h AS j, (x * 9) // w AS i,
+                          sum(l) AS s, count(*) AS c
+                   FROM lum GROUP BY id, (y * 8) // h, (x * 9) // w),
+         bits AS (SELECT a.id, a.j * 8 + a.i AS k,
+                         CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
+                  WHERE a.i < 8)
+         SELECT x.id AS a_id, y.id AS b_id,
+                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+         FROM bits x JOIN bits y ON x.k = y.k AND x.id < y.id
+         GROUP BY x.id, y.id
+         HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
     "multimodal_pcm_stats" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, (1 + doc_id % 2) AS ch,
                            (50 + doc_id % 100) AS frames FROM documents),
@@ -3637,14 +3778,21 @@ object SparkEntry {
     "sum_per_key", "distinct_count_per_key", "top_k_per_key", "latest_per_key",
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
-    "text_quality", "text_lm_perplexity", "text_bpe_tokens",
+    "text_quality", "text_lm_perplexity", "text_bpe_tokens", "text_html_extract",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
+    // image-side dedup: real BMP decode -> integer dHash -> banded
+    // Hamming pairing (the text-simhash machinery over pixel hashes)
+    "multimodal_image_neardup",
     // the IVF-PQ tier benches as split build/serve entries: the composed
     // similarity_ivfpq billed ~85% per-call training to the query path,
     // which would hide any regression in the actual serve plan
     "similarity_topk", "similarity_ivf", "ann_index_build", "ann_query_serve",
+    // serve-equivalence of the incrementally-merged IVF-PQ index
+    // (build+update bills to the first call, disclosed at
+    // updatedAnnIndex — the retrieval_index_update stance)
+    "ann_index_update",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",

@@ -98,6 +98,43 @@ object TextFunctions {
       graft.expressions.StripAccents(
         org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** HTML/boilerplate text extraction — the corpus FRONT DOOR of a
+    * web-crawl curation run: every quality signal, dedup fingerprint,
+    * and token count downstream assumes prose, and raw crawl payloads
+    * are markup. One codegen'd chain of `regexp_replace` passes (the
+    * [[graft.operators.Curation.redactPii]] stance — RE2-compatible
+    * patterns, no UDF, replayable verbatim by the oracle engine):
+    *
+    *  1. `<script>`/`<style>` elements drop WITH their content (code
+    *     and CSS are not prose; lazy `.*?` bodies keep the match
+    *     linear), then comments, then every remaining tag — each
+    *     replaced by a space so `a<br>b` cannot weld into `ab`;
+    *  2. the universal named entities decode (`&lt; &gt; &quot;
+    *     &#39; &apos; &nbsp;`), with `&amp;` decoded LAST — the
+    *     standard order that keeps a literal `&amp;lt;` from
+    *     double-decoding into `<`;
+    *  3. whitespace collapses to single spaces and trims.
+    *
+    * Truncated or malformed markup degrades gracefully: an unclosed
+    * tag's remainder reads as text, never an error — crawl payloads
+    * are routinely cut mid-tag.
+    */
+  def extractText(html: Column): Column = {
+    val unScripted = regexp_replace(
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val unTagged = regexp_replace(
+      regexp_replace(unScripted, "(?s)<!--.*?-->", " "),
+      "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(unTagged) { case (c, (entity, plain)) =>
+      regexp_replace(c, entity, plain)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Fraction of characters that are ASCII letters or spaces — a cheap
     * symbol-soup / binary-junk detector (low alpha ratio -> likely not
     * prose). Empty strings score 0.

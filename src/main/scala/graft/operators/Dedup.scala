@@ -410,6 +410,31 @@ object Dedup {
       maxHamming: Int = 2
   ): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    fingerprintNearDuplicates(
+      simhash(docs, idCol, textCol, bits), idCol, "simhash", bits, maxHamming)
+  }
+
+  /** Banded Hamming pairing over ANY precomputed <=64-bit fingerprint
+    * relation — the pigeonhole machinery of [[simhashNearDuplicates]]
+    * factored out so other fingerprint families reuse it (image dHash
+    * via [[Multimodal.decodeBmpDhash]], text SimHash, any rolling
+    * hash). The exhaustiveness argument is banding's: fingerprints
+    * within `maxHamming` differing bits must agree EXACTLY on at least
+    * one of `maxHamming + 1` disjoint bit bands, so the candidate join
+    * is a hash-partitioned equality join over band buckets (never
+    * all-pairs) and the exact XOR popcount verifies each candidate.
+    * Null fingerprints are dropped; the per-band mask keeps the
+    * arithmetic right even when a band holds the sign bit (shiftright
+    * sign-fill is masked away). Output: (a_id, b_id, hamming).
+    */
+  def fingerprintNearDuplicates(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, bits), got $maxHamming")
     val nBands = maxHamming + 1
@@ -417,11 +442,12 @@ object Dedup {
     val extra = bits % nBands
     val widths = Array.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
     val shifts = widths.scanLeft(0)(_ + _).init
-    val fp = simhash(docs, idCol, textCol, bits)
-      .select(col(idCol).as("sid"), col("simhash").as("fp"))
+    val fp = fps.where(col(fpCol).isNotNull)
+      .select(col(idCol).as("sid"), col(fpCol).cast("long").as("fp"))
     val bandCols = (0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
       struct(lit(b).as("band"),
-        shiftright(col("fp"), shifts(b)).bitwiseAND(lit((1 << widths(b)) - 1)).as("bsig"))
+        shiftright(col("fp"), shifts(b)).bitwiseAND(lit(mask)).as("bsig"))
     }
     val banded = fp
       .select(col("sid"), col("fp"), explode(array(bandCols: _*)).as("bb"))

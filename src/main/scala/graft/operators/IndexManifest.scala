@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The commit-marker protocol shared by every on-disk index this
+  * library publishes (the BM25 postings set in [[Retrieval]], the
+  * IVF-PQ vector index in [[Similarity]]): a one-row parquet table
+  * written strictly AFTER every data table of a build. Its presence
+  * certifies the tables under `path` are a consistent set from one
+  * build; builders delete it FIRST, so a crash mid-(re)build leaves an
+  * index that loudly refuses to serve instead of serving
+  * mixed-generation results.
+  */
+private[operators] object IndexManifest {
+
+  def write(spark: SparkSession, path: String): Unit =
+    spark.range(1).select(lit(1).as("format_version"))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+
+  def clear(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Fails loudly when no complete index sits at `path`; `what` names
+    * the index flavor in the error (e.g. "BM25", "IVF-PQ").
+    */
+  def requirePresent(spark: SparkSession, path: String, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no complete $what index at $path: manifest missing (build interrupted or never run)")
+  }
+}

@@ -618,6 +618,104 @@ object Multimodal {
       .toDF("id", "ok", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Perceptual difference-hash (dHash) over REAL decoded BMP pixels —
+    * the standard image-dedup fingerprint: re-encodes, resizes, and
+    * format shifts change every byte of a payload but barely move its
+    * dHash, so banded Hamming pairing over these hashes
+    * ([[Dedup.fingerprintNearDuplicates]]) is the image-side sibling
+    * of text SimHash dedup. Pipeline per payload, all EXACT integer
+    * arithmetic (cross-engine replayable, no float resampling):
+    *
+    *  1. decode the 24bpp BMP ([[decodeBmpPixels]]'s walk, row order
+    *     mapped back to image coordinates — bottom-up and top-down
+    *     layouts hash identically);
+    *  2. brightness per pixel as the plain channel sum r+g+b;
+    *  3. downscale to a `gridCols` x `gridRows` grid: pixel (x, y)
+    *     joins cell (x*gridCols/w, y*gridRows/h) (integer division —
+    *     cells partition the image into near-equal blocks), keeping
+    *     per-cell brightness sum and count;
+    *  4. one bit per horizontally-adjacent cell pair: bit j*(gridCols-1)+i
+    *     is set iff cell (i+1, j)'s average brightness strictly exceeds
+    *     cell (i, j)'s — compared cross-multiplied (sum_r * n_l >
+    *     sum_l * n_r), never as float division.
+    *
+    * The default 9x8 grid yields the classic 64-bit dHash. Images
+    * smaller than the grid (or any undecodable payload) report ok=0
+    * with a zero hash — corrupt blobs are routine in a crawl, never a
+    * task failure. Batched per partition; one narrow no-shuffle pass.
+    * Output: (id, ok, width, height, dhash).
+    */
+  def decodeBmpDhash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      gridCols: Int = 9, gridRows: Int = 8, batchSize: Int = 256): DataFrame = {
+    require(gridCols >= 2 && gridRows >= 1,
+      s"dHash grid must be at least 2x1, got ${gridCols}x$gridRows")
+    require((gridCols - 1) * gridRows <= 64,
+      s"dHash bits (gridCols-1)*gridRows must fit a long, got ${(gridCols - 1) * gridRows}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+            val none = (id, 0, 0, 0, 0L)
+            if (!isBmp(b)) none
+            else {
+              try {
+                val w = u32le(b, 18).toInt
+                val rawH = u32le(b, 22).toInt
+                val h = math.abs(rawH)
+                val topDown = rawH < 0
+                val bpp = u16le(b, 28)
+                val off = u32le(b, 10).toInt
+                val stride = ((3 * w + 3) / 4) * 4
+                if (w < gridCols || h < gridRows || bpp != 24 || off < 54 ||
+                  off.toLong + stride.toLong * h > b.length) none
+                else {
+                  val sums = new Array[Long](gridCols * gridRows)
+                  val counts = new Array[Long](gridCols * gridRows)
+                  var fileRow = 0
+                  while (fileRow < h) {
+                    val y = if (topDown) fileRow else h - 1 - fileRow
+                    val j = y * gridRows / h
+                    val base = off + fileRow * stride
+                    var x = 0
+                    while (x < w) {
+                      val cell = j * gridCols + x * gridCols / w
+                      sums(cell) += (b(base + 3 * x) & 0xff) +
+                        (b(base + 3 * x + 1) & 0xff) + (b(base + 3 * x + 2) & 0xff)
+                      counts(cell) += 1
+                      x += 1
+                    }
+                    fileRow += 1
+                  }
+                  var hash = 0L
+                  var j = 0
+                  while (j < gridRows) {
+                    var i = 0
+                    while (i < gridCols - 1) {
+                      val l = j * gridCols + i
+                      // cross-multiplied average compare: exact for any
+                      // image whose per-cell sum stays under ~2^31
+                      // brightness units (a >2-gigapixel cell otherwise)
+                      if (sums(l + 1) * counts(l) > sums(l) * counts(l + 1))
+                        hash |= 1L << (j * (gridCols - 1) + i)
+                      i += 1
+                    }
+                    j += 1
+                  }
+                  (id, 1, w, h, hash)
+                }
+              } catch { case scala.util.control.NonFatal(_) => none }
+            }
+          }
+        }
+      }
+      .toDF("id", "ok", "width", "height", "dhash")
+  }
+
   /** Deterministic 16-bit PCM WAV fixture with ACTUAL samples:
     * `samples` are interleaved frames (length must divide evenly by
     * `channels`); header layout identical to [[wavBytes]].

@@ -134,17 +134,22 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col(idCol), col("tf"), col("dl"))
 
-  /** Write the three index tables under `path`: `postings` (term, id,
+  /** Write the four index tables under `path`: `postings` (term, id,
     * tf, dl) repartitioned AND sorted by term so parquet row-group
     * min/max statistics prune a term-restricted scan (bounded file
     * count at any vocabulary size, unlike a per-term directory
     * partition); `termdf` (term, df); `stats` (n_docs, total_len — ONE
     * row, counted over ALL non-null-text docs, so zero-token docs
-    * count toward N exactly as in [[bm25]]); and LAST, the `manifest`
-    * marker [[searchTopKIndexed]] validates — the three tables are
-    * three sequential write jobs, and without a commit marker a
-    * failure between them would leave a MIXED index (new postings,
-    * stale df/stats) that serves silently wrong scores.
+    * count toward N exactly as in [[bm25]]); `doclen` (id, dl) — the
+    * COMPLETE indexed id set, zero-token docs included, which is what
+    * [[updateIndex]]'s resubmission guard must check (the postings
+    * table only names docs with >= 1 token, so a previously indexed
+    * empty doc would otherwise slip the guard and double-count
+    * n_docs); and LAST, the `manifest` marker [[searchTopKIndexed]]
+    * validates — the four tables are four sequential write jobs, and
+    * without a commit marker a failure between them would leave a
+    * MIXED index (new postings, stale df/stats) that serves silently
+    * wrong scores.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     // the tokenize + explode + hash aggregate is the build's whole cost;
@@ -160,11 +165,16 @@ object Retrieval {
         .write.mode("overwrite").parquet(s"$path/postings")
       index.groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$path/termdf")
-      // stats must come from the DOCS (zero-token docs have no posting
-      // but still count toward N) — a light sizes-only scan
-      docLengths(docs, idCol, textCol)
-        .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
-        .write.mode("overwrite").parquet(s"$path/stats")
+      // stats and doclen must come from the DOCS (zero-token docs have
+      // no posting but still count toward N) — one light sizes-only
+      // scan feeds both
+      val dl = docLengths(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+          .write.mode("overwrite").parquet(s"$path/stats")
+        dl.write.mode("overwrite").parquet(s"$path/doclen")
+      } finally dl.unpersist()
       writeManifest(docs.sparkSession, path)
     } finally index.unpersist()
   }
@@ -200,11 +210,17 @@ object Retrieval {
       // enforce the new-docs-only contract LOUDLY: a re-submitted doc
       // would duplicate its postings, double-count df and stats, and
       // still earn a valid manifest — exactly the silently-wrong-scores
-      // state the manifest exists to prevent. One semi-join of the old
-      // id column (columnar-pruned) against the bounded increment.
-      val resubmitted = spark.read.parquet(s"$indexPath/postings")
-        .select(col(idCol)).distinct()
-        .join(broadcast(inc.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      // state the manifest exists to prevent. The check runs against
+      // `doclen`, the COMPLETE indexed id set — the postings table only
+      // names docs with >= 1 token, so a previously indexed zero-token
+      // doc would slip a postings-derived guard yet still double-count
+      // n_docs. One semi-join against the bounded broadcast increment;
+      // the increment side uses the same non-null-text domain the
+      // stats count.
+      val resubmitted = spark.read.parquet(s"$indexPath/doclen")
+        .select(col(idCol))
+        .join(broadcast(increment.where(col(textCol).isNotNull)
+          .select(col(idCol)).distinct()), Seq(idCol), "left_semi")
         .count()
       require(resubmitted == 0L,
         s"updateIndex: $resubmitted increment ids already indexed at $indexPath — " +
@@ -219,37 +235,33 @@ object Retrieval {
         .unionByName(inc.groupBy("term").agg(count(lit(1)).as("df")))
         .groupBy("term").agg(sum("df").as("df"))
         .write.mode("overwrite").parquet(s"$outPath/termdf")
-      spark.read.parquet(s"$indexPath/stats")
-        .unionByName(docLengths(increment, idCol, textCol)
-          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len")))
-        .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-        .write.mode("overwrite").parquet(s"$outPath/stats")
+      val incDl = docLengths(increment, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        spark.read.parquet(s"$indexPath/stats")
+          .unionByName(incDl
+            .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len")))
+          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+          .write.mode("overwrite").parquet(s"$outPath/stats")
+        spark.read.parquet(s"$indexPath/doclen").unionByName(incDl)
+          .write.mode("overwrite").parquet(s"$outPath/doclen")
+      } finally incDl.unpersist()
       writeManifest(spark, outPath)
     } finally inc.unpersist()
   }
 
-  /** The commit marker: a one-row parquet table written strictly AFTER
-    * the three index tables. Its presence certifies postings/termdf/
-    * stats are a consistent set from one build; builders delete it
-    * FIRST, so a crash mid-(re)build leaves an index that loudly
-    * refuses to serve instead of serving mixed-generation scores.
+  /** The [[IndexManifest]] commit marker, written strictly AFTER the
+    * three index tables (see that object for the crash-consistency
+    * contract this buys).
     */
   private def writeManifest(spark: SparkSession, path: String): Unit =
-    spark.range(1).select(lit(1).as("format_version"))
-      .write.mode("overwrite").parquet(s"$path/manifest")
+    IndexManifest.write(spark, path)
 
-  private def clearManifest(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  private def clearManifest(spark: SparkSession, path: String): Unit =
+    IndexManifest.clear(spark, path)
 
-  private def requireManifest(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no complete BM25 index at $path: manifest missing (build interrupted or never run)")
-  }
+  private def requireManifest(spark: SparkSession, path: String): Unit =
+    IndexManifest.requirePresent(spark, path, "BM25")
 
   /** BM25 top-k against a prebuilt index — the serve path. The ONLY
     * corpus-sized relation in the plan is the postings scan, and the

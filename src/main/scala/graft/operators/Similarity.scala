@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor operators over an embedding column
@@ -613,6 +613,85 @@ object Similarity {
       assignCell(col(vecCol), coarseCents).as("cell"),
       pqCodes(col(vecCol), codebooks).as("codes"),
       l2Norm(col(vecCol)).as("c_norm"))
+
+  /** Publish [[pqIndex]] at `path` in the deployment layout:
+    * `path/vectors` parquet partitioned by cell (the broadcast cell
+    * join prunes a serve scan to the probed partitions) plus the
+    * [[IndexManifest]] commit marker written LAST — the same
+    * crash-consistency stance as [[Retrieval.buildIndex]]: a failure
+    * mid-write leaves an index that refuses to serve rather than one
+    * missing half its cells.
+    */
+  def writePqIndex(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      path: String): Unit = {
+    val spark = candidates.sparkSession
+    IndexManifest.clear(spark, path)
+    pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
+    IndexManifest.write(spark, path)
+  }
+
+  /** Read back a [[writePqIndex]]-published index, validating the
+    * manifest first — serving from a half-written index fails loudly
+    * here instead of silently missing cells.
+    */
+  def readPqIndex(spark: SparkSession, path: String): DataFrame = {
+    IndexManifest.requirePresent(spark, path, "IVF-PQ")
+    spark.read.parquet(s"$path/vectors")
+  }
+
+  /** Merge an INCREMENT of new vectors into the IVF-PQ index at
+    * `indexPath`, publishing the merged index at `outPath` — the daily
+    * embedding-delta maintenance path, mirroring
+    * [[Retrieval.updateIndex]]'s stance exactly: the old corpus is
+    * NEVER re-encoded (its (cell, codes, norm) rows read back from
+    * parquet — a columnar copy, not a recompute), only the increment
+    * pays the nearest-cell argmax + subspace encodes, and it does so
+    * against the FROZEN `coarseCents`/`codebooks` the index was built
+    * with — quantizer models are part of the index identity, and
+    * re-training them would silently shift every existing code's
+    * meaning (re-train means rebuild). `increment` ids must be
+    * disjoint from the indexed ids (enforced loudly: a re-submitted
+    * vector would serve twice); `outPath` must differ from `indexPath`
+    * (Spark cannot overwrite a relation it reads, and the old index
+    * keeps serving until the new manifest lands LAST).
+    */
+  def updatePqIndex(
+      spark: SparkSession,
+      indexPath: String,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      outPath: String): Unit = {
+    require(outPath != indexPath,
+      "updatePqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
+    val old = readPqIndex(spark, indexPath)
+    val inc = pqIndex(increment, idCol, vecCol, coarseCents, codebooks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the new-vectors-only contract, enforced the updateIndex way:
+      // one semi-join of the old id column (columnar-pruned) against
+      // the bounded broadcast increment
+      val resubmitted = old.select(col("neighbor_id")).distinct()
+        .join(broadcast(inc.select(col("neighbor_id")).distinct()),
+          Seq("neighbor_id"), "left_semi")
+        .count()
+      require(resubmitted == 0L,
+        s"updatePqIndex: $resubmitted increment ids already indexed at $indexPath — " +
+          "increments must contain NEW vectors only (re-indexing a changed vector means rebuild)")
+      IndexManifest.clear(spark, outPath)
+      old.unionByName(inc)
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/vectors")
+      IndexManifest.write(spark, outPath)
+    } finally inc.unpersist()
+  }
 
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse

@@ -213,6 +213,54 @@ object Streams {
       }
   }
 
+  /** Per-session COUNT and SPAN on a stream, emitted when a session
+    * CLOSES — the continuous sibling of
+    * [[graft.operators.EventAnalytics.sessionStats]]: a session closes
+    * the moment a later event of the same user opens the next one
+    * (gap > `gapSeconds`), and exactly then its final (n_events,
+    * duration_us) row emits. The still-open session emits NOTHING —
+    * its stats are not final, and there is deliberately no timeout
+    * flush: an eviction-driven emit would publish a session that a
+    * late-but-in-order event could still extend, breaking the
+    * closed-means-final contract ([[sessionizeStream]]'s no-timeout
+    * stance; state per user is four longs: session start, last event
+    * time, session seq, event count — size the store for all-time
+    * users).
+    *
+    * Differential contract vs the batch rollup, on per-user
+    * event-time-ordered arrival: the emitted rows equal batch
+    * [[graft.operators.EventAnalytics.sessionStats]] RESTRICTED to
+    * closed sessions — every session but each user's last.
+    * Input: (userId, eventId, eventTimeUs).
+    * Output: (userId, sessionSeq, nEvents, durationUs).
+    */
+  def sessionStatsStream(
+      events: Dataset[(Long, Long, Long)],
+      gapSeconds: Long
+  ): Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (startUs, lastUs, seq, n) =
+            state.getOption.getOrElse((0L, Long.MinValue, 0L, 0L))
+          val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+          evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, _, us) =>
+            if (lastUs == Long.MinValue) { seq = 1L; startUs = us; n = 1L }
+            else if (us - lastUs > gapSeconds * 1000000L) {
+              closed += ((user, seq, n, lastUs - startUs))
+              seq += 1L; startUs = us; n = 1L
+            } else n += 1L
+            lastUs = us
+          }
+          state.update((startUs, lastUs, seq, n))
+          closed.result().iterator
+      }
+  }
+
   /** Custom per-key running state via mapGroupsWithState — the
     * streaming analog of the reference's CombineFn accumulators with
     * explicit state lifetime.

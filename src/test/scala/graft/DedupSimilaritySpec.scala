@@ -591,6 +591,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("updatePqIndex merges a delta without re-encoding; guards trip loudly") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val baseCorpus = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_upd").toString
+    // serving an unbuilt path must refuse, not return an empty corpus
+    assertThrows[IllegalArgumentException](Similarity.readPqIndex(spark, s"$root/absent"))
+    Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, s"$root/base")
+    intercept[IllegalArgumentException] { // in-place update refused
+      Similarity.updatePqIndex(spark, s"$root/base", delta,
+        "vec_id", "embedding", coarse, cb, s"$root/base")
+    }
+    intercept[IllegalArgumentException] { // resubmitted ids refused
+      Similarity.updatePqIndex(spark, s"$root/base", baseCorpus.limit(3),
+        "vec_id", "embedding", coarse, cb, s"$root/bad")
+    }
+    Similarity.updatePqIndex(spark, s"$root/base", delta,
+      "vec_id", "embedding", coarse, cb, s"$root/out")
+    // the merged index must hold exactly the rows a one-pass encode of
+    // the full corpus produces under the same frozen models
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val merged = rows(Similarity.readPqIndex(spark, s"$root/out"))
+    val scratch = rows(Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb))
+    assert(merged == scratch, "incrementally-merged index diverged from the one-pass encode")
+    assert(merged.nonEmpty)
+  }
+
   test("residual IVF-PQ is exact when residuals sit on the codebooks") {
     import org.apache.spark.sql.functions.col
     // two coarse cells on distinct axes; residual codebooks that contain

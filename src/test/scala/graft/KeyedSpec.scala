@@ -65,6 +65,13 @@ class KeyedSpec extends SparkTestBase {
     assert(pc.toSetPerKey.collect().map { case (k, vs) => (k, vs.sorted) }.sortBy(_._1) ==
       Seq("a" -> Seq(1), "b" -> Seq(2)))
     assert(kv("a" -> 1, "b" -> 2).toDict == Map("a" -> 1, "b" -> 2))
+    // the driver-side boundedness contract is enforceable: a relation
+    // past the entry bound refuses instead of swelling the driver
+    val e = intercept[IllegalArgumentException] {
+      kv("a" -> 1, "b" -> 2, "c" -> 3).toDict(maxRows = 2L)
+    }
+    assert(e.getMessage.contains("bounded"), e.getMessage)
+    assert(kv("a" -> 1, "b" -> 2).toDict(maxRows = 2L) == Map("a" -> 1, "b" -> 2))
   }
 
   test("distinctPerKey / distinctCountPerKey") {

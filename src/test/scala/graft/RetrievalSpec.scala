@@ -141,6 +141,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(e.getMessage.contains("already indexed"), e.getMessage)
   }
 
+  test("updateIndex catches a re-submitted ZERO-TOKEN doc (no postings row to check)") {
+    // an empty doc earns no postings but counts toward n_docs: a guard
+    // derived from the postings id set would let it resubmit and skew
+    // BM25 length normalization — the doclen table must catch it
+    val base = java.nio.file.Files.createTempDirectory("retrieval-spec-zt0").toString
+    val out = java.nio.file.Files.createTempDirectory("retrieval-spec-zt1").toString
+    val withEmpty = docs.where($"doc_id" < 3)
+      .unionByName(Seq((99L, "")).toDF("doc_id", "text"))
+    Retrieval.buildIndex(withEmpty, "doc_id", "text", base)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.updateIndex(spark, base,
+        Seq((99L, "")).toDF("doc_id", "text"), "doc_id", "text", out)
+    }
+    assert(e.getMessage.contains("already indexed"), e.getMessage)
+  }
+
   test("batch serve answers every query identically to its own direct-path ranking") {
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-batch").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir)

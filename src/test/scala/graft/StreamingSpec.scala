@@ -468,6 +468,42 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionStatsStream emits closed sessions equal to the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = Streams.sessionStatsStream(input.toDS(), gapSeconds = 600L)
+    val query = out.toDF("user_id", "session_seq", "n_events", "duration_us").writeStream
+      .format("memory").queryName("sess_stats").outputMode(OutputMode.Append()).start()
+    val base = 1700000000000000L // epoch micros
+    val m = 1000000L
+    // user 1: 3-event session, then a 2000 s gap straddling the BATCH
+    // BOUNDARY closes it mid-stream and opens session 2 (which stays
+    // open and must NOT emit); user 2's single-event session closes in
+    // batch 2 with span 0
+    val batch1 = Seq((1L, 10L, base), (1L, 11L, base + 300L * m),
+      (1L, 12L, base + 500L * m), (2L, 20L, base))
+    val batch2 = Seq((1L, 13L, base + 2500L * m), (2L, 21L, base + 5000L * m))
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val got = spark.table("sess_stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // the batch rollup over the SAME rows, restricted to closed
+      // sessions (every session but each user's running last)
+      val all = (batch1 ++ batch2).map { case (u, id, us) =>
+        (id, u, new java.sql.Timestamp(us / 1000L)) }
+      val batch = graft.operators.EventAnalytics.sessionStats(
+        all.toDF("event_id", "user_id", "ts"), "user_id", "ts", "event_id", gapSeconds = 600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lastSeq = batch.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+      val want = batch.filter { case (u, seq, _, _) => seq != lastSeq(u) }.toSet
+      assert(got == want, s"stream $got != closed batch sessions $want")
+      assert(got == Set((1L, 1L, 3L, 500L * m), (2L, 1L, 1L, 0L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("runningCountPerKey keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]

@@ -187,6 +187,91 @@ class WindowingTextSpec extends SparkTestBase {
       ((0x160L, 0x1A0L, 0x1E0L)), s"got $td")
   }
 
+  test("extractText strips markup, decodes entities, and feeds the curation chain") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val html =
+      "<html><head><style>p { x: 1; }</style><script>if (a < b) alert(\"hi\");</script>" +
+        "</head><body><!-- chrome --><h1>Title</h1><p>hello&nbsp;world</p>" +
+        "<p>Tom &amp; Jerry say &quot;cheese&quot; &lt;3 &#39;4ever&#39;</p></body></html>"
+    val got = Seq((1L, html)).toDF("id", "html")
+      .select(TextFunctions.extractText(col("html"))).head().getString(0)
+    assert(got == "Title hello world Tom & Jerry say \"cheese\" <3 '4ever'", s"got [$got]")
+    // malformed markup degrades, never errors: the unclosed tag's
+    // remainder reads as text
+    val cut = Seq((2L, "<p>keep <b>bold</b> tail<div cla")).toDF("id", "html")
+      .select(TextFunctions.extractText(col("html"))).head().getString(0)
+    assert(cut == "keep bold tail<div cla", s"got [$cut]")
+    // &amp; decodes LAST: a literal '&amp;lt;' is an escaped '&lt;',
+    // not a '<'
+    val esc = Seq((3L, "a &amp;lt; b")).toDF("id", "html")
+      .select(TextFunctions.extractText(col("html"))).head().getString(0)
+    assert(esc == "a &lt; b", s"got [$esc]")
+    // the composition a crawl pipeline runs: extract -> quality gate ->
+    // exact dedup. Markup variants of the same prose must converge to
+    // one survivor; the script-only page must die at the quality gate.
+    val pages = Seq(
+      (1L, "<html><body><p>the quick brown fox jumps over the lazy dog today</p></body></html>"),
+      (2L, "<div><b>the</b> quick   brown fox <i>jumps</i> over the lazy dog today</div>"),
+      (3L, "<script>var a = 1; var b = 2; var c = a + b; console.log(c);</script>"))
+      .toDF("doc_id", "html")
+    val extracted = pages.select(col("doc_id"),
+      TextFunctions.extractText(col("html")).as("text"))
+    val gated = extracted.join(
+      graft.operators.Curation.qualityFilter(extracted, "doc_id", "text")
+        .where(col("keep") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+    // pages 1 and 2 extract to IDENTICAL prose (markup and whitespace
+    // variants) -> one exact-dup group keeping the min id; page 3
+    // extracts to nothing (script-only) and dies at the gate
+    val groups = graft.operators.Dedup.exactGroups(gated, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(groups.toSeq == Seq((1L, 2L)), s"got ${groups.toSeq}")
+  }
+
+  test("multimodal dHash: gradient saturates all 64 bits, layout-invariant, small images refuse") {
+    import spark.implicits._
+    // brightness strictly increasing with x: EVERY right-adjacent cell
+    // averages brighter, so all 64 bits set — the all-ones hash is -1L,
+    // which also proves the sign bit participates correctly
+    val grad = Multimodal.bmpBytes(18, 16, (x, _) => (x << 16) | (x << 8) | x)
+    val got = Multimodal.decodeBmpDhash(Seq((1L, grad)).toDF("id", "payload"), "id", "payload")
+      .collect()(0)
+    assert(got.getInt(1) == 1 && got.getLong(4) == -1L, s"got $got")
+    // a top-down copy of the same image (negative height field) must
+    // hash identically: cell assignment runs in image coordinates
+    val topDown = grad.clone()
+    val nh = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-16).array()
+    System.arraycopy(nh, 0, topDown, 22, 4)
+    val td = Multimodal.decodeBmpDhash(Seq((2L, topDown)).toDF("id", "payload"), "id", "payload")
+      .collect()(0)
+    assert(td.getInt(1) == 1 && td.getLong(4) == -1L, s"got $td")
+    // an image smaller than the grid cannot carry a meaningful hash
+    val tiny = Multimodal.bmpBytes(4, 3, (_, _) => 0x808080)
+    val small = Multimodal.decodeBmpDhash(Seq((3L, tiny)).toDF("id", "payload"), "id", "payload")
+      .collect()(0)
+    assert(small.getInt(1) == 0 && small.getLong(4) == 0L, s"got $small")
+  }
+
+  test("banded fingerprint pairing equals brute-force Hamming over 64-bit hashes") {
+    import spark.implicits._
+    // sign-bit-heavy fingerprints: -1L (all ones) sits one bit from
+    // Long.MaxValue, far from small positives — the brute-force replica
+    // uses Long.bitCount, so banding must lose nothing and add nothing
+    val fps = Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, -1L), (5L, Long.MaxValue),
+      (6L, 0x8000000000000000L), (7L, 0x00000000FFFFFFFFL))
+    val maxHamming = 2
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= maxHamming
+    } yield (a, b, h)).toSet
+    val got = graft.operators.Dedup.fingerprintNearDuplicates(
+      fps.toDF("id", "fp"), "id", "fp", bits = 64, maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains((4L, 5L, 1)), "the sign-bit pair must be present by construction")
+  }
+
   test("multimodal PCM decode: exact peak, energy, and channel-0 zero crossings") {
     import spark.implicits._
     // stereo frames: ch0 = [100, -200, 300, -1], ch1 = [5, 5, -5, 5]
