@@ -117,8 +117,12 @@ object GraphScaleSmoke {
       println(f"[graph-scale] x$n%-4d ($nEdges%9d directed-pair rows, $expectedNodes%8d nodes): pageRank($iterations iters) $sec%6.2f s")
 
       // PPR seeded only in copy 0, run at EVERY scale: the 1x run
-      // records the reference values, the Nx run must reproduce them
-      val seeds = base.select(col("a_id").as("doc_id")).distinct().limit(32)
+      // records the reference values, the Nx run must reproduce them.
+      // The seed pick is pinned by an orderBy — limit-after-distinct
+      // alone is execution-order-nondeterministic, and the invariance
+      // law needs the SAME 32 seeds in both runs
+      val seeds = base.select(col("a_id").as("doc_id")).distinct()
+        .orderBy(col("doc_id")).limit(32)
       val (ppr, pprSec) = time {
         Centrality.pageRankPersonalized(pairs, "a_id", "b_id", seeds, "doc_id",
           iterations = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -151,18 +151,22 @@ final class KeyedPCollection[K, V](val self: PCollection[(K, V)]) extends Serial
     * expectation enforceable: the default (1 M entries) fails loudly
     * before a runaway collect kills the driver, and callers with a
     * genuinely larger bounded result can raise it deliberately. Later
-    * duplicate keys overwrite earlier ones, as in the reference.
+    * duplicate keys overwrite earlier ones, as in the reference —
+    * but note the bound counts collected ROWS, pre-dedup: a
+    * many-rows-few-keys relation should aggregate (e.g.
+    * [[latestPerKey]]) before collecting, not lean on overwrite.
     */
   def toDict: Map[K, V] = toDict(1000000L)
 
-  /** [[toDict]] with an explicit entry bound. */
+  /** [[toDict]] with an explicit row bound. */
   def toDict(maxRows: Long): Map[K, V] = {
+    require(maxRows >= 1L, s"toDict: maxRows must be >= 1, got $maxRows")
     val rows = ds.limit(
       // limit takes an Int; clamp so a caller-raised bound above 2^31
       // degrades to "no practical limit" instead of overflowing
       if (maxRows >= Int.MaxValue.toLong) Int.MaxValue else maxRows.toInt + 1).collect()
     require(rows.length <= maxRows,
-      s"toDict: result exceeds $maxRows entries — toDict is a driver-side " +
+      s"toDict: relation exceeds $maxRows rows — toDict is a driver-side " +
         "materialization for bounded relations; aggregate first or raise maxRows deliberately")
     rows.toMap
   }

@@ -87,10 +87,17 @@ object SparkEntry {
     * indistinguishable from encoding the full corpus with the same
     * models in one pass, which is exactly what `ann_index_update`
     * checks in-query. Build+update cost bills to the first call, the
-    * [[updatedBm25Index]] stance.
+    * [[updatedBm25Index]] stance — and the from-scratch COMPARISON
+    * index materializes here too (`scratchPath`), so the repeated
+    * bench executions time two indexed serves plus the equality join,
+    * not a full-corpus re-encode per run (the composed-billing trap
+    * the ann build/serve split exists to avoid).
     */
-  private val annUpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, BuiltAnnIndex]()
-  private def updatedAnnIndex(s: SparkSession, dir: String): BuiltAnnIndex =
+  private case class UpdatedAnnIndex(
+      path: String, scratchPath: String,
+      coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+  private val annUpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, UpdatedAnnIndex]()
+  private def updatedAnnIndex(s: SparkSession, dir: String): UpdatedAnnIndex =
     annUpdatedIndexCache.computeIfAbsent(dir, _ => {
       val emb = t(s, dir, "embeddings")
       val baseCorpus = emb.where(col("vec_id") % 5 =!= 0)
@@ -98,10 +105,12 @@ object SparkEntry {
       val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", numSub = 16, nCentroids = 64)
       val base = java.nio.file.Files.createTempDirectory("graft-ann-base").resolve("pqindex").toString
       val out = java.nio.file.Files.createTempDirectory("graft-ann-upd").resolve("pqindex").toString
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ann-scratch").resolve("pqindex").toString
       Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, base)
       Similarity.updatePqIndex(s, base, emb.where(col("vec_id") % 5 === 0),
         "vec_id", "embedding", coarse, cb, out)
-      BuiltAnnIndex(out, coarse, cb)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, scratch)
+      UpdatedAnnIndex(out, scratch, coarse, cb)
     })
 
   /** Per-corpus memoized DSIR term table for the serve-path entry
@@ -1797,7 +1806,7 @@ object SparkEntry {
         q, Similarity.readPqIndex(s, upd.path),
         "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
       val fromScratch = Similarity.ivfPqTopKIndexed(
-        q, Similarity.pqIndex(emb, "vec_id", "embedding", upd.coarse, upd.cb),
+        q, Similarity.readPqIndex(s, upd.scratchPath),
         "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
       fromUpdated.as("u")
         .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
@@ -1939,10 +1948,14 @@ object SparkEntry {
       // brightened VARIANT (v = doc_id/32 % 2) — exact re-renders hash
       // equal and variants land within a few dHash bits. The 64-bit
       // dHash comes from exact integer block averaging
-      // (decodeBmpDhash), and pairing is the pigeonhole banded Hamming
-      // join — never all-pairs. The oracle replays pixel -> block ->
-      // bit arithmetic over generate_series and brute-forces EVERY
-      // pair, so a match proves the banding exhaustive.
+      // (decodeBmpDhash); identical hashes COLLAPSE to their min-id
+      // representative BEFORE pairing (the nearDuplicatesCollapsed
+      // stance — a rendered-16-times image must not produce a 16^2
+      // clique), and representatives pair through the pigeonhole
+      // banded Hamming join — never all-pairs. The oracle replays
+      // pixel -> block -> bit arithmetic over generate_series,
+      // collapses on the exact bit string, and brute-forces EVERY
+      // representative pair, so a match proves the banding exhaustive.
       val spark = s
       import spark.implicits._
       val bmps = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
@@ -1958,9 +1971,11 @@ object SparkEntry {
               ((g + x + y) % 256).toInt)
           }))
         }.toDF("id", "payload")
+      val reps = Multimodal.decodeBmpDhash(bmps, "id", "payload")
+        .where(col("ok") === 1)
+        .groupBy(col("dhash")).agg(min(col("id")).as("id"))
       graft.operators.Dedup.fingerprintNearDuplicates(
-        Multimodal.decodeBmpDhash(bmps, "id", "payload").where(col("ok") === 1),
-        "id", "dhash", bits = 64, maxHamming = 8)
+        reps, "id", "dhash", bits = 64, maxHamming = 8)
     }),
     "multimodal_pcm_stats" -> ((s, dir) => {
       // REAL SAMPLE decode: deterministic 16-bit PCM per doc, then
@@ -3413,10 +3428,14 @@ object SparkEntry {
          bits AS (SELECT a.id, a.j * 8 + a.i AS k,
                          CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
                   FROM cells a JOIN cells b ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
-                  WHERE a.i < 8)
+                  WHERE a.i < 8),
+         sig AS (SELECT id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS s
+                 FROM bits GROUP BY id),
+         reps AS (SELECT min(id) AS id FROM sig GROUP BY s),
+         rbits AS (SELECT b.id, b.k, b.bit FROM bits b JOIN reps r ON b.id = r.id)
          SELECT x.id AS a_id, y.id AS b_id,
                 CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
-         FROM bits x JOIN bits y ON x.k = y.k AND x.id < y.id
+         FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
          GROUP BY x.id, y.id
          HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
     "multimodal_pcm_stats" ->

@@ -423,7 +423,12 @@ object Dedup {
     * one of `maxHamming + 1` disjoint bit bands, so the candidate join
     * is a hash-partitioned equality join over band buckets (never
     * all-pairs) and the exact XOR popcount verifies each candidate.
-    * Null fingerprints are dropped; the per-band mask keeps the
+    * Fingerprints are interpreted MODULO 2^bits: the low `bits` bits
+    * are the whole identity, masked up front so banding and the
+    * Hamming verify agree on the domain — without the mask, a caller
+    * declaring fewer bits than the hash really carries would get bands
+    * over the low bits but popcounts over all 64, silently dropping
+    * pairs. Null fingerprints are dropped; the per-band mask keeps the
     * arithmetic right even when a band holds the sign bit (shiftright
     * sign-fill is masked away). Output: (a_id, b_id, hamming).
     */
@@ -442,8 +447,10 @@ object Dedup {
     val extra = bits % nBands
     val widths = Array.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
     val shifts = widths.scanLeft(0)(_ + _).init
+    val domainMask = if (bits == 64) -1L else (1L << bits) - 1L
     val fp = fps.where(col(fpCol).isNotNull)
-      .select(col(idCol).as("sid"), col(fpCol).cast("long").as("fp"))
+      .select(col(idCol).as("sid"),
+        col(fpCol).cast("long").bitwiseAND(lit(domainMask)).as("fp"))
     val bandCols = (0 until nBands).map { b =>
       val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
       struct(lit(b).as("band"),

@@ -145,9 +145,10 @@ object FuzzyJoin {
     * LOWEST (priority, id) pair, so a smaller priority number wins and
     * ids break ties within a source tier. The ordering key is a
     * two-field struct compared lexicographically — the same one-pass
-    * `min_by` aggregate, still map-side combinable. Priorities must be
-    * non-null (rank sources explicitly; a null would otherwise sort
-    * ahead of every real tier).
+    * `min_by` aggregate, still map-side combinable. A member with a
+    * NULL priority never wins a field (its ordering key is null, the
+    * `arg_min` null-key semantics — rank every source explicitly; an
+    * unranked one would otherwise sort ahead of every real tier).
     * Output: (canonical, n_members, valueCols...).
     */
   def goldenRecords(
@@ -160,7 +161,12 @@ object FuzzyJoin {
     require(valueCols.nonEmpty, "goldenRecords: no value columns")
     val ord: String => org.apache.spark.sql.Column = priorityCol match {
       case None    => c => when(col(c).isNotNull, col(idCol))
-      case Some(p) => c => when(col(c).isNotNull, struct(col(p), col(idCol)))
+      // the null-priority guard lives in the ordering key itself: a
+      // struct(null, id) would sort BEFORE every real tier in Spark's
+      // struct ordering and silently win — nulling the whole key makes
+      // min_by skip the row, exactly what arg_min does to a null key
+      case Some(p) => c => when(col(c).isNotNull && col(p).isNotNull,
+        struct(col(p), col(idCol)))
     }
     df.where(col(textCol).isNotNull)
       .join(canonicalMap(df, textCol, maxDist), Seq(textCol), "left")

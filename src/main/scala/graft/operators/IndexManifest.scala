@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object IndexManifest {
 
-  def write(spark: SparkSession, path: String): Unit =
-    spark.range(1).select(lit(1).as("format_version"))
+  def write(spark: SparkSession, path: String, version: Int = 1): Unit =
+    spark.range(1).select(lit(version).as("format_version"))
       .write.mode("overwrite").parquet(s"$path/manifest")
 
   def clear(spark: SparkSession, path: String): Unit = {
@@ -24,13 +24,24 @@ private[operators] object IndexManifest {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Fails loudly when no complete index sits at `path`; `what` names
-    * the index flavor in the error (e.g. "BM25", "IVF-PQ").
+  /** Fails loudly when no complete index sits at `path`, or when the
+    * index on disk predates the table set the caller needs
+    * (`minVersion`): a maintenance path that reads a table an older
+    * build never wrote must say "rebuild", not die mid-update with an
+    * opaque missing-parquet error. `what` names the index flavor in
+    * the error (e.g. "BM25", "IVF-PQ").
     */
-  def requirePresent(spark: SparkSession, path: String, what: String): Unit = {
+  def requirePresent(
+      spark: SparkSession, path: String, what: String, minVersion: Int = 1): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no complete $what index at $path: manifest missing (build interrupted or never run)")
+    if (minVersion > 1) {
+      val v = spark.read.parquet(s"$path/manifest").head().getInt(0)
+      require(v >= minVersion,
+        s"$what index at $path is format version $v but this operation needs >= $minVersion " +
+          "— rebuild the index with the current builder")
+    }
   }
 }

@@ -203,7 +203,7 @@ object Retrieval {
       outPath: String): Unit = {
     require(outPath != indexPath,
       "updateIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
-    requireManifest(spark, indexPath)
+    requireManifest(spark, indexPath, minVersion = 2)
     val inc = invertedIndex(increment, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -251,17 +251,20 @@ object Retrieval {
   }
 
   /** The [[IndexManifest]] commit marker, written strictly AFTER the
-    * three index tables (see that object for the crash-consistency
-    * contract this buys).
+    * four index tables (see that object for the crash-consistency
+    * contract this buys). Format version 2 = the doclen table exists;
+    * the serve paths accept any version (they never read doclen), but
+    * [[updateIndex]] requires 2 so an index built before doclen fails
+    * with "rebuild" instead of a missing-parquet crash mid-update.
     */
   private def writeManifest(spark: SparkSession, path: String): Unit =
-    IndexManifest.write(spark, path)
+    IndexManifest.write(spark, path, version = 2)
 
   private def clearManifest(spark: SparkSession, path: String): Unit =
     IndexManifest.clear(spark, path)
 
-  private def requireManifest(spark: SparkSession, path: String): Unit =
-    IndexManifest.requirePresent(spark, path, "BM25")
+  private def requireManifest(spark: SparkSession, path: String, minVersion: Int = 1): Unit =
+    IndexManifest.requirePresent(spark, path, "BM25", minVersion)
 
   /** BM25 top-k against a prebuilt index — the serve path. The ONLY
     * corpus-sized relation in the plan is the postings scan, and the

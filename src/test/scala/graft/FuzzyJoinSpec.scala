@@ -123,4 +123,19 @@ class FuzzyJoinSpec extends SparkTestBase {
       "cat" -> ((3L, "B3", 30)),
       "dog" -> ((2L, "BD5", 50))), s"got $got")
   }
+
+  test("goldenRecords: a NULL priority never wins a field (arg_min null-key semantics)") {
+    // row 1 carries a brand but no tier: Spark's struct ordering would
+    // sort (null, 1) before (0, 2) and silently hand it the win — the
+    // ordering key must null out instead, so the ranked row 2 survives
+    val df = Seq(
+      (1L, "cat", "B-unranked", Option.empty[Long]),
+      (2L, "cut", "B-ranked", Some(0L)))
+      .map { case (i, n, b, p) => (i, n, b, p.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "nm", "brand", "tier")
+    val got = FuzzyJoin.goldenRecords(df, "id", "nm", Seq("brand"),
+      priorityCol = Some("tier"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map("cat" -> "B-ranked"), s"got $got")
+  }
 }

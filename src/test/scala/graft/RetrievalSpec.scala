@@ -141,6 +141,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(e.getMessage.contains("already indexed"), e.getMessage)
   }
 
+  test("updateIndex refuses a pre-doclen index format instead of crashing mid-update") {
+    val base = java.nio.file.Files.createTempDirectory("retrieval-spec-v1").toString
+    val out = java.nio.file.Files.createTempDirectory("retrieval-spec-v1out").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 3), "doc_id", "text", base)
+    // simulate an index written by the previous release: doclen absent,
+    // manifest declaring format version 1
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(base, "doclen"))
+    spark.range(1).select(org.apache.spark.sql.functions.lit(1).as("format_version"))
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.updateIndex(spark, base, docs.where($"doc_id" >= 3), "doc_id", "text", out)
+    }
+    assert(e.getMessage.contains("format version"), e.getMessage)
+  }
+
   test("updateIndex catches a re-submitted ZERO-TOKEN doc (no postings row to check)") {
     // an empty doc earns no postings but counts toward n_docs: a guard
     // derived from the postings id set would let it resubmit and skew
