@@ -1148,6 +1148,27 @@ object SparkEntry {
         .where(col("keep") === 1)
         .select("doc_id")
     }),
+    "pipeline_html_curated" -> ((s, dir) => {
+      // the crawl FRONT-DOOR capstone: raw HTML pages (each doc's text
+      // wrapped in realistic markup with a script whose body must
+      // vanish, comment chrome, and entity-encoded boilerplate) ->
+      // extractText -> quality gate, as ONE lazy plan — the first two
+      // stages every web-corpus curation run executes, value-graded
+      // end to end through a single composed oracle (DuckDB replays
+      // the regexp chain AND the quality signals over its output).
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"), concat(
+        lit("<html><head><script>var tracker = 1 < 2;</script></head>" +
+          "<body><!-- chrome --><p>"),
+        col("text"),
+        lit("</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>")).as("html"))
+      val extracted = pages.select(col("doc_id"),
+        TextFunctions.extractText(col("html")).as("text"))
+      Curation.qualityFilter(extracted, "doc_id", "text",
+        minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+        .where(col("keep") === 1)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
     "pipeline_dsir_select" -> ((s, dir) => {
       // the seed-and-expand capstone: LSH dedup -> quality gate builds a
       // trusted SEED split, a DSIR multinomial fits on seed-vs-raw (two
@@ -1977,6 +1998,46 @@ object SparkEntry {
       graft.operators.Dedup.fingerprintNearDuplicates(
         reps, "id", "dhash", bits = 64, maxHamming = 8)
     }),
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      // near-duplicate AUDIO detection over real decoded samples: 32
+      // base clips (seeded by g = doc_id % 32), each rendered by ~16
+      // docs across three variant tiers v = doc_id/32 % 3 — v=1 is the
+      // SAME clip re-mastered 2x louder (the energy-contour
+      // fingerprint is loudness-invariant by construction, so it
+      // hashes IDENTICALLY and exact-collapses), v=2 carries an
+      // inserted transient that flips only the bits around it. The
+      // 64-bit fingerprint comes from exact integer window energies
+      // (decodePcmFingerprint); identical fingerprints collapse to
+      // min-id representatives before the pigeonhole banded Hamming
+      // join — the image dHash pipeline, re-aimed at audio. The oracle
+      // replays sample -> window -> bit arithmetic over
+      // generate_series and brute-forces every representative pair.
+      val spark = s
+      import spark.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val g = id % 32
+          val v = (id / 32) % 3
+          val ch = (1 + g % 2).toInt
+          val frames = (200 + g % 50).toInt
+          val n = frames * ch
+          val samples = Array.tabulate(n) { j =>
+            val base = ((g * 31 + j.toLong * 37) % 4001) - 2000
+            val smp = v match {
+              case 1 => base * 2
+              case 2 => base + (if (10 * j >= 4 * n && 10 * j < 5 * n) 500L else 0L)
+              case _ => base
+            }
+            smp.toShort
+          }
+          (id, Multimodal.wavPcmBytes(8000, ch, samples))
+        }.toDF("id", "payload")
+      val reps = Multimodal.decodePcmFingerprint(wavs, "id", "payload")
+        .where(col("ok") === 1)
+        .groupBy(col("afp")).agg(min(col("id")).as("id"))
+      graft.operators.Dedup.fingerprintNearDuplicates(
+        reps, "id", "afp", bits = 64, maxHamming = 8)
+    }),
     "multimodal_pcm_stats" -> ((s, dir) => {
       // REAL SAMPLE decode: deterministic 16-bit PCM per doc, then
       // decodePcmStats reads every sample back into exact integer
@@ -2208,6 +2269,37 @@ object SparkEntry {
            CAST(CASE WHEN n_tokens >= 10 AND bigram_rep <= 0.2 AND alpha_ratio >= 0.8
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM sig""",
+    "pipeline_html_curated" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><script>var tracker = 1 < 2;</script></head><body><!-- chrome --><p>'
+           || text ||
+           '</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>' AS html
+           FROM documents),
+         ex AS (SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text
+           FROM h),
+         sig AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+           FROM ex)
+         SELECT doc_id, n_tokens FROM sig
+         WHERE n_tokens >= 10 AND bigram_rep <= 0.2 AND alpha_ratio >= 0.8""",
     "curation_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
          feats AS (
@@ -3438,6 +3530,32 @@ object SparkEntry {
          FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
          GROUP BY x.id, y.id
          HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
+    "multimodal_audio_neardup" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 3 AS v,
+                           (1 + (doc_id % 32) % 2) AS ch, (200 + (doc_id % 32) % 50) AS frames
+                    FROM documents),
+         idx AS (SELECT id, g, v, ch, frames, frames * ch AS n,
+                        unnest(generate_series(0, frames * ch - 1)) AS j FROM d),
+         smp AS (SELECT id, ch, frames, j,
+                   CASE WHEN v = 1 THEN (((g * 31 + j * 37) % 4001) - 2000) * 2
+                        WHEN v = 2 THEN ((g * 31 + j * 37) % 4001) - 2000
+                             + CASE WHEN 10 * j >= 4 * n AND 10 * j < 5 * n THEN 500 ELSE 0 END
+                        ELSE ((g * 31 + j * 37) % 4001) - 2000 END AS s
+                 FROM idx),
+         c0 AS (SELECT id, (j // ch) AS f, frames, s FROM smp WHERE j % ch = 0),
+         win AS (SELECT id, (f * 65) // frames AS w, sum(s * s) AS e, count(*) AS c
+                 FROM c0 GROUP BY id, (f * 65) // frames),
+         bits AS (SELECT a.id, a.w AS k, CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END AS bit
+                  FROM win a JOIN win b ON a.id = b.id AND b.w = a.w + 1 WHERE a.w < 64),
+         sig AS (SELECT id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS sg
+                 FROM bits GROUP BY id),
+         reps AS (SELECT min(id) AS id FROM sig GROUP BY sg),
+         rbits AS (SELECT b.id, b.k, b.bit FROM bits b JOIN reps r ON b.id = r.id)
+         SELECT x.id AS a_id, y.id AS b_id,
+                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+         FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
+         GROUP BY x.id, y.id
+         HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
     "multimodal_pcm_stats" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, (1 + doc_id % 2) AS ch,
                            (50 + doc_id % 100) AS frames FROM documents),
@@ -3777,6 +3895,8 @@ object SparkEntry {
     * BenchGuardSpec can assert the bench surface never drops them.
     */
   def capstoneQueries: Seq[String] = Seq(
+    // raw HTML -> extract -> quality gate: the crawl front door
+    "pipeline_html_curated",
     "pipeline_curated", "dedup_near_collapsed", "dedup_clusters",
     "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack",
     // heuristic gate -> LM training on the keep split -> perplexity gate:
@@ -3801,9 +3921,10 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",
-    // image-side dedup: real BMP decode -> integer dHash -> banded
-    // Hamming pairing (the text-simhash machinery over pixel hashes)
-    "multimodal_image_neardup",
+    // image- and audio-side dedup: real BMP / PCM decode -> integer
+    // dHash / energy-contour fingerprint -> banded Hamming pairing
+    // (the text-simhash machinery over content hashes)
+    "multimodal_image_neardup", "multimodal_audio_neardup",
     // the IVF-PQ tier benches as split build/serve entries: the composed
     // similarity_ivfpq billed ~85% per-call training to the query path,
     // which would hide any regression in the actual serve plan

@@ -821,6 +821,105 @@ object Multimodal {
         "peak_abs", "sum_sq", "zero_crossings")
   }
 
+  /** Perceptual audio fingerprint over REAL decoded 16-bit PCM
+    * samples — the audio sibling of [[decodeBmpDhash]], completing the
+    * one-machinery multimodal dedup story (text SimHash, image dHash,
+    * audio energy contour, all paired by
+    * [[Dedup.fingerprintNearDuplicates]]). The channel-0 stream
+    * divides into `windows` near-equal frame blocks (frame f joins
+    * window f·windows/nFrames, integer division), each accumulating
+    * its EXACT integer energy (sum of sample squares); one bit per
+    * adjacent window pair: bit k set iff window k+1's mean energy
+    * strictly exceeds window k's, compared cross-multiplied
+    * (e_r·c_l > e_l·c_r) — never float division. The shape-not-scale
+    * contract falls out: uniform amplitude scaling multiplies every
+    * window energy equally, so a re-mastered louder copy fingerprints
+    * IDENTICALLY, while an inserted transient flips only the bits
+    * around it.
+    *
+    * The cross-multiplied compare is exact while e·c fits a long —
+    * windows of up to ~90k frames at full 16-bit amplitude; chunk
+    * longer audio first (the [[TextFunctions.chunkTokens]] stance).
+    * Clips with fewer channel-0 frames than `windows`, and anything
+    * not 16-bit integer PCM, report ok=0 with a zero fingerprint.
+    * Batched per partition; one narrow no-shuffle pass.
+    * Output: (id, ok, n_frames, afp).
+    */
+  def decodePcmFingerprint(
+      df: DataFrame, idCol: String, payloadCol: String,
+      windows: Int = 65, batchSize: Int = 256): DataFrame = {
+    require(windows >= 2 && windows - 1 <= 64,
+      s"windows must be in [2, 65] so the fingerprint fits a long, got $windows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+            val none = (id, 0, 0L, 0L)
+            if (!isWav(b)) none
+            else {
+              try {
+                // the decodePcmStats chunk walk, verbatim semantics
+                var off = 12
+                var fmtOk = false; var channels = 0
+                var dataOff = -1; var dataLen = 0
+                while (off + 8 <= b.length) {
+                  val cid = new String(b, off, 4, "US-ASCII")
+                  val sz = u32le(b, off + 4)
+                  if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+                    val fmt = u16le(b, off + 8)
+                    channels = u16le(b, off + 10)
+                    val bits = u16le(b, off + 22)
+                    fmtOk = fmt == 1 && bits == 16 && channels > 0
+                  } else if (cid == "data" && dataOff < 0) {
+                    dataOff = off + 8
+                    dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
+                  }
+                  val next = off.toLong + 8L + sz + (sz & 1L)
+                  if (next + 8 > b.length) off = b.length else off = next.toInt
+                }
+                if (!fmtOk || dataOff < 0 || dataLen < 2) none
+                else {
+                  val nSamples = dataLen / 2
+                  val nFrames = nSamples / channels
+                  if (nFrames < windows) none
+                  else {
+                    val energy = new Array[Long](windows)
+                    val counts = new Array[Long](windows)
+                    var i = 0
+                    while (i < nSamples) {
+                      if (i % channels == 0) {
+                        val lo = b(dataOff + 2 * i) & 0xff
+                        val hi = b(dataOff + 2 * i + 1)
+                        val s = (hi << 8) | lo
+                        val f = i / channels
+                        val w = (f.toLong * windows / nFrames).toInt
+                        energy(w) += s.toLong * s
+                        counts(w) += 1L
+                      }
+                      i += 1
+                    }
+                    var afp = 0L
+                    var k = 0
+                    while (k < windows - 1) {
+                      if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
+                        afp |= 1L << k
+                      k += 1
+                    }
+                    (id, 1, nFrames.toLong, afp)
+                  }
+                }
+              } catch { case scala.util.control.NonFatal(_) => none }
+            }
+          }
+        }
+      }
+      .toDF("id", "ok", "n_frames", "afp")
+  }
+
   /** Per-partition batched decode over (id, binary payload) rows.
     * Batching amortizes per-record codec setup exactly like
     * `mapInPandas` batches arrow record-batches.

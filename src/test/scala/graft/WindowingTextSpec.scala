@@ -272,6 +272,35 @@ class WindowingTextSpec extends SparkTestBase {
     assert(want.contains((4L, 5L, 1)), "the sign-bit pair must be present by construction")
   }
 
+  test("multimodal audio fingerprint: loudness-invariant, transient flips few bits, short clips refuse") {
+    import spark.implicits._
+    def clip(scale: Int, spikeAt: Option[Int]): Array[Byte] = {
+      val frames = 130
+      val samples = Array.tabulate(frames) { f =>
+        val base = (((f * 37) % 401) - 200) * scale
+        (base + (if (spikeAt.exists(s => f >= s && f < s + 10)) 8000 else 0)).toShort
+      }
+      Multimodal.wavPcmBytes(8000, 1, samples)
+    }
+    def fp(id: Long, bytes: Array[Byte]) =
+      Multimodal.decodePcmFingerprint(Seq((id, bytes)).toDF("id", "payload"), "id", "payload")
+        .collect()(0)
+    val base = fp(1L, clip(1, None))
+    val loud = fp(2L, clip(3, None))
+    assert(base.getInt(1) == 1 && base.getLong(2) == 130L, s"got $base")
+    // a 3x-amplitude re-master scales every window energy by 9: the
+    // cross-multiplied compares are invariant, so the hash is EQUAL
+    assert(loud.getLong(3) == base.getLong(3),
+      s"louder copy must fingerprint identically: ${loud.getLong(3)} vs ${base.getLong(3)}")
+    // an inserted transient flips only the bits around its windows
+    val spiked = fp(3L, clip(1, Some(60)))
+    val ham = java.lang.Long.bitCount(spiked.getLong(3) ^ base.getLong(3))
+    assert(ham >= 1 && ham <= 12, s"transient should flip a few bits, got $ham")
+    // fewer channel-0 frames than windows cannot carry a contour
+    val tiny = Multimodal.wavPcmBytes(8000, 1, Array.tabulate(40)(_.toShort))
+    assert(fp(4L, tiny).getInt(1) == 0)
+  }
+
   test("multimodal PCM decode: exact peak, energy, and channel-0 zero crossings") {
     import spark.implicits._
     // stereo frames: ch0 = [100, -200, 300, -1], ch1 = [5, 5, -5, 5]
