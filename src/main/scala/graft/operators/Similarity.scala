@@ -620,7 +620,11 @@ object Similarity {
     * [[IndexManifest]] commit marker written LAST — the same
     * crash-consistency stance as [[Retrieval.buildIndex]]: a failure
     * mid-write leaves an index that refuses to serve rather than one
-    * missing half its cells.
+    * missing half its cells. `residual = true` publishes
+    * [[pqResidualIndex]] codes instead (pair with
+    * [[trainResidualCodebooks]] models, and pass the same flag to
+    * [[updatePqIndex]] forever after — the encode flavor is part of
+    * the index identity).
     */
   def writePqIndex(
       candidates: DataFrame,
@@ -628,11 +632,14 @@ object Similarity {
       vecCol: String,
       coarseCents: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
-      path: String): Unit = {
+      path: String,
+      residual: Boolean = false): Unit = {
     val spark = candidates.sparkSession
     IndexManifest.clear(spark, path)
-    pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
+    val encoded =
+      if (residual) pqResidualIndex(candidates, idCol, vecCol, coarseCents, codebooks)
+      else pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
     IndexManifest.write(spark, path)
   }
 
@@ -659,7 +666,13 @@ object Similarity {
     * disjoint from the indexed ids (enforced loudly: a re-submitted
     * vector would serve twice); `outPath` must differ from `indexPath`
     * (Spark cannot overwrite a relation it reads, and the old index
-    * keeps serving until the new manifest lands LAST).
+    * keeps serving until the new manifest lands LAST). Set
+    * `residual = true` when the index was built from
+    * [[pqResidualIndex]] with [[trainResidualCodebooks]] models — the
+    * increment then encodes offsets from the coarse centroids, like
+    * every existing row; the encode flavor is part of the index
+    * identity exactly as the models are, and mixing flavors would
+    * serve silently wrong ADC scores.
     */
   def updatePqIndex(
       spark: SparkSession,
@@ -669,11 +682,15 @@ object Similarity {
       vecCol: String,
       coarseCents: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
-      outPath: String): Unit = {
+      outPath: String,
+      residual: Boolean = false): Unit = {
     require(outPath != indexPath,
       "updatePqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
     val old = readPqIndex(spark, indexPath)
-    val inc = pqIndex(increment, idCol, vecCol, coarseCents, codebooks)
+    val encoded =
+      if (residual) pqResidualIndex(increment, idCol, vecCol, coarseCents, codebooks)
+      else pqIndex(increment, idCol, vecCol, coarseCents, codebooks)
+    val inc = encoded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the new-vectors-only contract, enforced the updateIndex way:

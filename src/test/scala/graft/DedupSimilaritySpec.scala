@@ -624,6 +624,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(merged.nonEmpty)
   }
 
+  test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val baseCorpus = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 4)
+    val cb = Similarity.trainResidualCodebooks(baseCorpus, "vec_id", "embedding", coarse, 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_res_upd").toString
+    Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb,
+      s"$root/base", residual = true)
+    Similarity.updatePqIndex(spark, s"$root/base", delta,
+      "vec_id", "embedding", coarse, cb, s"$root/out", residual = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val merged = rows(Similarity.readPqIndex(spark, s"$root/out"))
+    val scratch = rows(Similarity.pqResidualIndex(emb, "vec_id", "embedding", coarse, cb))
+    assert(merged == scratch, "residual merge diverged from the one-pass residual encode")
+    assert(merged.nonEmpty)
+  }
+
   test("residual IVF-PQ is exact when residuals sit on the codebooks") {
     import org.apache.spark.sql.functions.col
     // two coarse cells on distinct axes; residual codebooks that contain
