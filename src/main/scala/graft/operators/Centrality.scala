@@ -231,27 +231,42 @@ object Centrality {
     try {
       val nSeeds = seedIds.count()
       require(nSeeds > 0, "pageRankPersonalized: empty seed set")
-      val teleport = (1.0 - damping) / nSeeds.toDouble
-      val teleportRows = seedIds.select(col("id"), lit(teleport).as("r"))
-      var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
-      for (_ <- 1 to iterations) {
-        // damping folds into the per-edge projection and the constant
-        // teleport rows ride the SAME aggregation — one shuffle per
-        // round, with map-side partial aggregation on both branches
-        ranks = degEdges
-          .join(ranks.select(col("id").as("src"), col("r")), "src")
-          .select(col("dst").as("id"),
-            (lit(damping) * col("r") / col("deg")).as("r"))
-          .unionByName(teleportRows)
-          .groupBy("id")
-          .agg(sum("r").as("r"))
-      }
-      val ranked = ranks.select(col("id"), round(col("r"), 6).as("rank"))
+      val ranked = personalizedRanks(degEdges, seedIds, nSeeds, damping, iterations)
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
     } finally {
       degEdges.unpersist()
       seedIds.unpersist()
     }
+  }
+
+  /** The personalized rank recursion as ONE lazy plan ([[loopRanks]]'s
+    * stance — the production output is checkpointed, so the plan-shape
+    * spec pins this form): per round, one co-partitioned join against
+    * the prepared degree-joined edge relation and exactly ONE shuffle
+    * aggregation — damping folds into the per-edge projection and the
+    * constant seed-teleport rows ride the same `groupBy(id).sum`, with
+    * map-side partial aggregation on both union branches.
+    * Output: (id, rank round-6).
+    */
+  private[graft] def personalizedRanks(
+      degEdges: DataFrame,
+      seedIds: DataFrame,
+      nSeeds: Long,
+      damping: Double,
+      iterations: Int): DataFrame = {
+    val teleport = (1.0 - damping) / nSeeds.toDouble
+    val teleportRows = seedIds.select(col("id"), lit(teleport).as("r"))
+    var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = degEdges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"),
+          (lit(damping) * col("r") / col("deg")).as("r"))
+        .unionByName(teleportRows)
+        .groupBy("id")
+        .agg(sum("r").as("r"))
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
 }

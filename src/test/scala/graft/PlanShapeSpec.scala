@@ -607,6 +607,38 @@ class PlanShapeSpec extends SparkTestBase {
     } finally degEdges.unpersist()
   }
 
+  test("personalized PageRank pays ONE shuffle aggregation per round, teleport fused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r11 regression this pins: a post-aggregation teleport union
+    // cost a SECOND groupBy per round (8 shuffle aggregations for 4
+    // rounds). The fused form must show exactly one partial/final
+    // HashAggregate pair per iteration and no scalar broadcast join.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val degEdges = graft.operators.Centrality.degreeJoinedEdges(pairs, "a", "b")
+    try {
+      val seedIds = degEdges.select(col("src").as("id")).distinct()
+        .where(col("id") <= 2L)
+      val iterations = 3
+      val ranked = graft.operators.Centrality.personalizedRanks(
+        degEdges, seedIds, nSeeds = 2L, damping = 0.85, iterations = iterations)
+      val plan = executedPlanString(ranked)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"personalized loop re-grew a per-round scalar broadcast join:\n$plan")
+      // one grouped sum per round in the OPTIMIZED LOGICAL plan — the
+      // two-agg regression doubles this count. The logical tree is the
+      // right place to count: the physical string under AQE reprints
+      // subtrees per query-stage reference, double-counting nodes
+      // (seedIds' distinct() is an Aggregate too, but carries no sum
+      // and cannot mask a regression)
+      val logical = ranked.queryExecution.optimizedPlan.toString
+      val rankAggs = logical.linesIterator
+        .count(l => l.contains("Aggregate [") && l.contains("sum("))
+      assert(rankAggs == iterations,
+        s"expected $iterations rank aggregations (one per round), saw $rankAggs:\n$logical")
+    } finally degEdges.unpersist()
+  }
+
   test("fuzzy matching joins on deletion keys, never a cartesian product") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val plan = executedPlanString(graft.operators.FuzzyJoin.nearNamePairs(part, "p_name"))
