@@ -1225,6 +1225,36 @@ object SparkEntry {
           col("text"),
           lit("</p><p>Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;&#39;4ever&#39;" +
             "</p></div></body></html>"))).as("clean"))),
+    "text_url_canonical" -> ((s, dir) =>
+      // crawl-URL canonicalization: messy per-doc URLs (case soup,
+      // default and explicit ports, utm tracking params in every
+      // position, fragments, and non-URL passthrough rows) normalize
+      // to the dedup key a web pipeline groups by, plus the
+      // lowercased host for per-domain caps. Every step is an
+      // extract/replace chain with no replacement backreferences, so
+      // the oracle replays it verbatim with RE2.
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("plain text id "), col("doc_id")))
+          .otherwise(concat(
+            when(col("doc_id") % 2 === 0, lit("HtTp://")).otherwise(lit("HTTPS://")),
+            lit("CrAwl"), col("doc_id") % 7, lit(".ExAmple.COM"),
+            when(col("doc_id") % 3 === 0,
+              when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+              .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(""))
+              .otherwise(concat(lit("/Page/"), col("doc_id") % 5)),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("?utm_source=feed&q="), col("doc_id") % 9, lit("&utm_campaign=x")))
+              .when(col("doc_id") % 4 === 1,
+                concat(lit("?q="), col("doc_id") % 9, lit("&utm_medium=m")))
+              .when(col("doc_id") % 4 === 2, lit("?utm_only=1"))
+              .otherwise(lit("")),
+            lit("#Frag"))).as("url"))
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canonical"),
+          TextFunctions.urlHost(col("url")).as("host"))),
     "stats_outliers" -> ((s, dir) => {
       // rate-spike detection over hourly event counts: mean + 2·stddev
       // threshold decided in EXACT integer arithmetic (no float
@@ -2731,6 +2761,40 @@ object SparkEntry {
                '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              '\s+', ' ', 'g')) AS clean
          FROM h""",
+    "text_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'plain text id ' || doc_id
+                ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HtTp://' ELSE 'HTTPS://' END)
+                  || 'CrAwl' || (doc_id % 7) || '.ExAmple.COM'
+                  || (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                           WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Page/' || (doc_id % 5) END)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&q=' || (doc_id % 9) || '&utm_campaign=x'
+                           WHEN doc_id % 4 = 1 THEN '?q=' || (doc_id % 9) || '&utm_medium=m'
+                           WHEN doc_id % 4 = 2 THEN '?utm_only=1'
+                           ELSE '' END)
+                  || '#Frag' END AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           FROM u),
+         c AS (SELECT doc_id, url, scheme,
+           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END AS h,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+             '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+             '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
+             '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g'),
+             '[?&]$', '', 'g') AS cleaned
+           FROM p)
+         SELECT doc_id,
+           CASE WHEN scheme = '' THEN url
+                ELSE scheme || '://' || h || (CASE WHEN cleaned = '' THEN '/' ELSE cleaned END) END AS canonical,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+         FROM c""",
     "stats_outliers" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                            count(*) AS n
@@ -4014,6 +4078,7 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "text_lm_perplexity", "text_bpe_tokens", "text_html_extract",
+    "text_url_canonical",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",

@@ -228,6 +228,33 @@ class WindowingTextSpec extends SparkTestBase {
     assert(groups.toSeq == Seq((1L, 2L)), s"got ${groups.toSeq}")
   }
 
+  test("canonicalizeUrl normalizes case/ports/tracking/fragments; non-URLs pass through") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      // case soup + default port + utm in every position + fragment
+      ("HTTP://ExAmple.COM:80/A/b?utm_source=x&q=1&utm_c=2#top", "http://example.com/A/b?q=1"),
+      // https default port, lone leading utm, empty path
+      ("HttpS://Host.IO:443?utm_only=1#f", "https://host.io/"),
+      // explicit non-default port survives; utm donates ? to successor
+      ("http://h.co:8080/p?utm_a=1&x=2", "http://h.co:8080/p?x=2"),
+      // two leading utms then a real param
+      ("http://h.co/p?utm_a=1&utm_b=2&x=3", "http://h.co/p?x=3"),
+      // nothing but utms -> query drops entirely
+      ("http://h.co/p?utm_a=1&utm_b=2", "http://h.co/p"),
+      // path/query case is significant and kept
+      ("https://h.co/CaseKept?Q=Vv", "https://h.co/CaseKept?Q=Vv"),
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalizeUrl($in) = ${got(in)}, want $want") }
+    val hosts = Seq("HTTP://ExAmple.COM:80/x", "no url here").toDF("url")
+      .select(TextFunctions.urlHost(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("example.com", ""), s"got $hosts")
+  }
+
   test("multimodal dHash: gradient saturates all 64 bits, layout-invariant, small images refuse") {
     import spark.implicits._
     // brightness strictly increasing with x: EVERY right-adjacent cell
