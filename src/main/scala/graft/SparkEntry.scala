@@ -2777,23 +2777,30 @@ object SparkEntry {
            FROM documents),
          p AS (SELECT doc_id, url,
            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)) AS hostport,
            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
            FROM u),
-         c AS (SELECT doc_id, url, scheme,
+         q AS (SELECT doc_id, url, scheme, hostport,
+           regexp_extract(rest, '^([^?]*)', 1) AS pth,
+           regexp_extract(rest, '^[^?]*(\?.*)$', 1) AS qry
+           FROM p),
+         c AS (SELECT doc_id, url, scheme, pth,
            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                 ELSE hostport END AS h,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(qry,
              '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
-             '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
-             '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g'),
-             '[?&]$', '', 'g') AS cleaned
-           FROM p)
+             '^\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
+             '^\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g'),
+             '[?&]$', '', 'g') AS cq
+           FROM q)
          SELECT doc_id,
            CASE WHEN scheme = '' THEN url
-                ELSE scheme || '://' || h || (CASE WHEN cleaned = '' THEN '/' ELSE cleaned END) END AS canonical,
-           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+                ELSE scheme || '://' || h
+                  || (CASE WHEN pth = '' THEN '/' ELSE pth END) || cq END AS canonical,
+           lower(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1),
+             ':[0-9]*$', '')) AS host
          FROM c""",
     "stats_outliers" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

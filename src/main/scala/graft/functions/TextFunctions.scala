@@ -135,46 +135,60 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** The lowercased host of a URL, port excluded — the grouping key
-    * for per-domain caps ([[graft.operators.Curation.capPerGroup]]),
-    * domain mixes, and crawl politeness stats. Empty string for
-    * anything without a `scheme://` prefix.
+  /** The lowercased host of a URL — userinfo (`user:pass@`) skipped,
+    * port dropped, bracketed IPv6 literals kept whole — the grouping
+    * key for per-domain caps
+    * ([[graft.operators.Curation.capPerGroup]]), domain mixes, and
+    * crawl politeness stats. Empty string for anything without a
+    * `scheme://` prefix.
     */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1),
+      ":[0-9]*$", ""))
 
   /** Crawl-URL canonicalization — the dedup key a web pipeline uses so
     * `HTTP://Example.COM:80/a?utm_source=x#top` and
     * `http://example.com/a` count as ONE page. Scheme and host
-    * lowercase (path/query case is significant and kept), default
-    * ports drop (:80 for http, :443 for https), the fragment drops,
-    * `utm_*` tracking parameters drop (with `?`/`&` separators
-    * repaired), an empty path becomes `/`. Non-URL strings pass
-    * through unchanged. All steps are RE2-compatible
-    * extract/replace chains with NO replacement backreferences —
-    * Spark (`$1`) and RE2 (`\1`) disagree on backreference syntax, so
-    * avoiding them is what keeps the operator replayable verbatim by
-    * an RE2-based engine.
+    * lowercase (path/query case is significant and kept), userinfo
+    * (`user:pass@`) drops (it never identifies a distinct page, and a
+    * dedup key should not embed credentials), default ports drop
+    * (:80 for http, :443 for https — bracketed IPv6 hosts included),
+    * the fragment drops, `utm_*` tracking parameters drop FROM THE
+    * QUERY ONLY (the path is split off first, so a literal `&utm_` in
+    * a path segment survives; a `utm_` inside another parameter's
+    * VALUE is the one ambiguity a regex normalizer cannot resolve
+    * without full parsing), and an empty path becomes `/` whether or
+    * not a query follows. Non-URL strings pass through unchanged. All
+    * steps are RE2-compatible extract/replace chains with NO
+    * replacement backreferences — Spark (`$1`) and RE2 (`\1`)
+    * disagree on backreference syntax, so avoiding them is what keeps
+    * the operator replayable verbatim by an RE2-based engine.
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostPort = lower(regexp_extract(
+      url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    // path/query split BEFORE any utm surgery: the tracking passes
+    // must never see the path, where `?` and `&` are ordinary chars
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*(\\?.*)$", 1)
     // tracking-parameter removal in separator-safe passes: `&utm_...`
     // drops wherever it sits, then a LEADING utm with a successor
     // donates its `?` to that successor, then a lone leading utm and
     // any dangling separator drop
-    val cleaned = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      rest, "&utm_[A-Za-z0-9_]*=[^&]*", ""),
-      "\\?utm_[A-Za-z0-9_]*=[^&]*&", "?"),
-      "\\?utm_[A-Za-z0-9_]*=[^&]*$", ""),
+    val cleanedQuery = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      query, "&utm_[A-Za-z0-9_]*=[^&]*", ""),
+      "^\\?utm_[A-Za-z0-9_]*=[^&]*&", "?"),
+      "^\\?utm_[A-Za-z0-9_]*=[^&]*$", ""),
       "[?&]$", "")
     when(scheme === "", url)
       .otherwise(concat(scheme, lit("://"), host,
-        when(cleaned === "", lit("/")).otherwise(cleaned)))
+        when(path === "", lit("/")).otherwise(path), cleanedQuery))
   }
 
   /** Fraction of characters that are ASCII letters or spaces — a cheap

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object IndexManifest {
 
-  def write(spark: SparkSession, path: String, version: Int = 1): Unit =
-    spark.range(1).select(lit(version).as("format_version"))
+  /** `flavor` names the encode variant when an index family has more
+    * than one (e.g. direct vs residual PQ codes) — it is part of the
+    * index identity, so maintenance paths validate it via
+    * [[requireFlavor]] instead of trusting caller discipline.
+    */
+  def write(spark: SparkSession, path: String, version: Int = 1, flavor: String = ""): Unit =
+    spark.range(1).select(lit(version).as("format_version"), lit(flavor).as("flavor"))
       .write.mode("overwrite").parquet(s"$path/manifest")
 
   def clear(spark: SparkSession, path: String): Unit = {
@@ -38,10 +43,25 @@ private[operators] object IndexManifest {
     require(fs.exists(p),
       s"no complete $what index at $path: manifest missing (build interrupted or never run)")
     if (minVersion > 1) {
-      val v = spark.read.parquet(s"$path/manifest").head().getInt(0)
+      val v = spark.read.parquet(s"$path/manifest")
+        .select("format_version").head().getInt(0)
       require(v >= minVersion,
         s"$what index at $path is format version $v but this operation needs >= $minVersion " +
           "— rebuild the index with the current builder")
     }
+  }
+
+  /** Fails loudly when the index at `path` was built with a different
+    * encode flavor than the operation expects — merging direct codes
+    * into a residual index (or vice versa) would serve silently wrong
+    * scores, the exact corruption the manifest exists to prevent.
+    */
+  def requireFlavor(
+      spark: SparkSession, path: String, what: String, expected: String): Unit = {
+    val f = spark.read.parquet(s"$path/manifest").select("flavor").head().getString(0)
+    require(f == expected,
+      s"$what index at $path was built with encode flavor '$f' but this operation " +
+        s"expects '$expected' — the flavor is part of the index identity; " +
+        "pass the matching flag or rebuild")
   }
 }

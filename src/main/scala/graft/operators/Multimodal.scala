@@ -750,6 +750,43 @@ object Multimodal {
     * Output: (id, ok, n_frames, n_channels, sample_rate, peak_abs,
     * sum_sq, zero_crossings).
     */
+  /** The shared RIFF walk of the two PCM decoders: locate the fmt and
+    * FIRST data chunks, validate 16-bit integer PCM, and return
+    * (channels, sampleRate, dataOff, dataLen) — or None for anything
+    * structurally broken or non-PCM. One implementation so the
+    * decoders can never diverge on which payloads decode (and the
+    * lying-u32-size hang guard lives in exactly one place: the walk
+    * steps in LONG before touching the Int offset, because a lying
+    * chunk size would otherwise zero or reverse the advance and spin
+    * forever).
+    */
+  private def pcmFmtAndData(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    var off = 12
+    var fmtOk = false; var channels = 0; var rate = 0L
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val sz = u32le(b, off + 4) // Long, like parseWav
+      if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+        val fmt = u16le(b, off + 8)
+        channels = u16le(b, off + 10)
+        rate = u32le(b, off + 12)
+        val bits = u16le(b, off + 22)
+        fmtOk = fmt == 1 && bits == 16 && channels > 0 &&
+          rate > 0 && rate <= Int.MaxValue
+      } else if (cid == "data" && dataOff < 0) {
+        // FIRST data chunk, frames actually present — the parseWav
+        // stance, so the decoders agree
+        dataOff = off + 8
+        dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
+      }
+      val next = off.toLong + 8L + sz + (sz & 1L)
+      if (next + 8 > b.length) off = b.length else off = next.toInt
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) None
+    else Some((channels, rate.toInt, dataOff, dataLen))
+  }
+
   def decodePcmStats(
       df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
@@ -764,53 +801,28 @@ object Multimodal {
             if (!isWav(b)) none
             else {
               try {
-                var off = 12
-                var fmtOk = false; var channels = 0; var rate = 0L
-                var dataOff = -1; var dataLen = 0
-                while (off + 8 <= b.length) {
-                  val cid = new String(b, off, 4, "US-ASCII")
-                  val sz = u32le(b, off + 4) // Long, like parseWav
-                  if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
-                    val fmt = u16le(b, off + 8)
-                    channels = u16le(b, off + 10)
-                    rate = u32le(b, off + 12)
-                    val bits = u16le(b, off + 22)
-                    fmtOk = fmt == 1 && bits == 16 && channels > 0 &&
-                      rate > 0 && rate <= Int.MaxValue
-                  } else if (cid == "data" && dataOff < 0) {
-                    // FIRST data chunk, frames actually present — the
-                    // parseWav stance, so the two decoders agree
-                    dataOff = off + 8
-                    dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
-                  }
-                  // word-aligned walk, stepped in LONG before touching
-                  // the Int offset (parseWav's guard): a lying u32 size
-                  // would otherwise zero or reverse the advance and
-                  // spin this loop forever
-                  val next = off.toLong + 8L + sz + (sz & 1L)
-                  if (next + 8 > b.length) off = b.length else off = next.toInt
-                }
-                if (!fmtOk || dataOff < 0 || dataLen < 2) none
-                else {
-                  val nSamples = dataLen / 2
-                  val nFrames = nSamples / channels
-                  var peak = 0; var sumSq = 0L; var zc = 0L
-                  var prev0 = 0; var havePrev0 = false
-                  var i = 0
-                  while (i < nSamples) {
-                    val lo = b(dataOff + 2 * i) & 0xff
-                    val hi = b(dataOff + 2 * i + 1)
-                    val s = (hi << 8) | lo // sign-extends through hi
-                    val a = math.abs(s)
-                    if (a > peak) peak = a
-                    sumSq += s.toLong * s
-                    if (i % channels == 0) { // channel 0 stream
-                      if (havePrev0 && prev0 * s < 0) zc += 1
-                      prev0 = s; havePrev0 = true
+                pcmFmtAndData(b) match {
+                  case None => none
+                  case Some((channels, rate, dataOff, dataLen)) =>
+                    val nSamples = dataLen / 2
+                    val nFrames = nSamples / channels
+                    var peak = 0; var sumSq = 0L; var zc = 0L
+                    var prev0 = 0; var havePrev0 = false
+                    var i = 0
+                    while (i < nSamples) {
+                      val lo = b(dataOff + 2 * i) & 0xff
+                      val hi = b(dataOff + 2 * i + 1)
+                      val s = (hi << 8) | lo // sign-extends through hi
+                      val a = math.abs(s)
+                      if (a > peak) peak = a
+                      sumSq += s.toLong * s
+                      if (i % channels == 0) { // channel 0 stream
+                        if (havePrev0 && prev0 * s < 0) zc += 1
+                        prev0 = s; havePrev0 = true
+                      }
+                      i += 1
                     }
-                    i += 1
-                  }
-                  (id, 1, nFrames.toLong, channels, rate.toInt, peak, sumSq, zc)
+                    (id, 1, nFrames.toLong, channels, rate, peak, sumSq, zc)
                 }
               } catch { case scala.util.control.NonFatal(_) => none }
             }
@@ -862,55 +874,39 @@ object Multimodal {
             if (!isWav(b)) none
             else {
               try {
-                // the decodePcmStats chunk walk, verbatim semantics
-                var off = 12
-                var fmtOk = false; var channels = 0
-                var dataOff = -1; var dataLen = 0
-                while (off + 8 <= b.length) {
-                  val cid = new String(b, off, 4, "US-ASCII")
-                  val sz = u32le(b, off + 4)
-                  if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
-                    val fmt = u16le(b, off + 8)
-                    channels = u16le(b, off + 10)
-                    val bits = u16le(b, off + 22)
-                    fmtOk = fmt == 1 && bits == 16 && channels > 0
-                  } else if (cid == "data" && dataOff < 0) {
-                    dataOff = off + 8
-                    dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
-                  }
-                  val next = off.toLong + 8L + sz + (sz & 1L)
-                  if (next + 8 > b.length) off = b.length else off = next.toInt
-                }
-                if (!fmtOk || dataOff < 0 || dataLen < 2) none
-                else {
-                  val nSamples = dataLen / 2
-                  val nFrames = nSamples / channels
-                  if (nFrames < windows) none
-                  else {
-                    val energy = new Array[Long](windows)
-                    val counts = new Array[Long](windows)
-                    var i = 0
-                    while (i < nSamples) {
-                      if (i % channels == 0) {
+                pcmFmtAndData(b) match {
+                  case None => none
+                  case Some((channels, _, dataOff, dataLen)) =>
+                    val nSamples = dataLen / 2
+                    val nFrames = nSamples / channels
+                    if (nFrames < windows) none
+                    else {
+                      val energy = new Array[Long](windows)
+                      val counts = new Array[Long](windows)
+                      // walk COMPLETE frames only: a multi-channel clip
+                      // truncated mid-frame has a trailing channel-0
+                      // sample whose frame index equals nFrames, which
+                      // would index one past the window array
+                      var f = 0
+                      while (f < nFrames) {
+                        val i = f * channels
                         val lo = b(dataOff + 2 * i) & 0xff
                         val hi = b(dataOff + 2 * i + 1)
                         val s = (hi << 8) | lo
-                        val f = i / channels
                         val w = (f.toLong * windows / nFrames).toInt
                         energy(w) += s.toLong * s
                         counts(w) += 1L
+                        f += 1
                       }
-                      i += 1
+                      var afp = 0L
+                      var k = 0
+                      while (k < windows - 1) {
+                        if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
+                          afp |= 1L << k
+                        k += 1
+                      }
+                      (id, 1, nFrames.toLong, afp)
                     }
-                    var afp = 0L
-                    var k = 0
-                    while (k < windows - 1) {
-                      if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
-                        afp |= 1L << k
-                      k += 1
-                    }
-                    (id, 1, nFrames.toLong, afp)
-                  }
                 }
               } catch { case scala.util.control.NonFatal(_) => none }
             }

@@ -640,8 +640,11 @@ object Similarity {
       if (residual) pqResidualIndex(candidates, idCol, vecCol, coarseCents, codebooks)
       else pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
     encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
-    IndexManifest.write(spark, path)
+    IndexManifest.write(spark, path, flavor = pqFlavor(residual))
   }
+
+  private def pqFlavor(residual: Boolean): String =
+    if (residual) "pq-residual" else "pq-direct"
 
   /** Read back a [[writePqIndex]]-published index, validating the
     * manifest first — serving from a half-written index fails loudly
@@ -670,9 +673,10 @@ object Similarity {
     * `residual = true` when the index was built from
     * [[pqResidualIndex]] with [[trainResidualCodebooks]] models — the
     * increment then encodes offsets from the coarse centroids, like
-    * every existing row; the encode flavor is part of the index
-    * identity exactly as the models are, and mixing flavors would
-    * serve silently wrong ADC scores.
+    * every existing row. The encode flavor is part of the index
+    * identity exactly as the models are: the manifest RECORDS it at
+    * build, and a mismatched flag fails loudly here — mixing flavors
+    * would serve silently wrong ADC scores.
     */
   def updatePqIndex(
       spark: SparkSession,
@@ -687,6 +691,10 @@ object Similarity {
     require(outPath != indexPath,
       "updatePqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
     val old = readPqIndex(spark, indexPath)
+    // the manifest records which encode built the index — merging the
+    // other flavor would serve silently wrong ADC scores, so a
+    // mismatched flag fails here instead of trusting caller discipline
+    IndexManifest.requireFlavor(spark, indexPath, "IVF-PQ", pqFlavor(residual))
     val encoded =
       if (residual) pqResidualIndex(increment, idCol, vecCol, coarseCents, codebooks)
       else pqIndex(increment, idCol, vecCol, coarseCents, codebooks)

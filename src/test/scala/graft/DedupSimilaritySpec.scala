@@ -634,6 +634,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_res_upd").toString
     Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb,
       s"$root/base", residual = true)
+    // the manifest records the encode flavor: merging DIRECT codes
+    // into this residual index must refuse, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      Similarity.updatePqIndex(spark, s"$root/base", delta,
+        "vec_id", "embedding", coarse, cb, s"$root/bad")
+    }
+    assert(e.getMessage.contains("flavor"), e.getMessage)
     Similarity.updatePqIndex(spark, s"$root/base", delta,
       "vec_id", "embedding", coarse, cb, s"$root/out", residual = true)
     def rows(df: org.apache.spark.sql.DataFrame) = df
