@@ -113,6 +113,62 @@ object SparkEntry {
       UpdatedAnnIndex(out, scratch, coarse, cb)
     })
 
+  /** The deterministic image-payload fixture shared by the image-dedup
+    * queries: 32 base images (geometry + pixels seeded by g = id % 32),
+    * every other 32-block a left-half-brightened variant — so exact
+    * re-renders dHash equal and variants land within a few bits. Built
+    * in-executor per doc; the oracle replays the same arithmetic over
+    * generate_series.
+    */
+  private def fixtureBmps(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val g = id % 32
+        val v = (id / 32) % 2
+        val w = (16 + g % 5).toInt
+        val h = (12 + g % 4).toInt
+        (id, Multimodal.bmpBytes(w, h, (x, y) => {
+          val bump = if (v == 1 && 2 * x < w) 40L else 0L
+          ((((g + x * 7 + y * 13 + bump) % 256).toInt << 16) |
+            (((g + x * 3 + y * 5) % 256).toInt << 8) |
+            ((g + x + y) % 256).toInt)
+        }))
+      }.toDF("id", "payload")
+  }
+
+  /** The union pair graph of cross-modal dedup — a doc pairs with
+    * another if its TEXT SimHash (hamming <= 2) OR its IMAGE dHash
+    * (hamming <= 8) matches. Each modality collapses to its
+    * distinct-fingerprint domain first: same-fingerprint members star
+    * onto a min-id representative (LINEAR edges — equal fingerprints
+    * are hamming-0, so cluster structure is identical to full-pair CC)
+    * and only representatives enter the banded Hamming join. Feeds
+    * both the cluster and the survivor queries. Output: (a_id, b_id).
+    */
+  private def crossModalEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tfp = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val tReps = tfp.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    val tMembers = tfp.join(tReps, "simhash").where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val tPairs = Dedup.fingerprintNearDuplicates(
+        tReps.select(col("rep").as("id"), col("simhash")), "id", "simhash",
+        bits = 16, maxHamming = 2)
+      .select(col("a_id"), col("b_id"))
+    val ifp = Multimodal.decodeBmpDhash(fixtureBmps(s, dir), "id", "payload")
+      .where(col("ok") === 1)
+    val iReps = ifp.groupBy(col("dhash")).agg(min(col("id")).as("rep"))
+    val iMembers = ifp.join(iReps, "dhash").where(col("id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("id").as("b_id"))
+    val iPairs = Dedup.fingerprintNearDuplicates(
+        iReps.select(col("rep").as("id"), col("dhash")), "id", "dhash",
+        bits = 64, maxHamming = 8)
+      .select(col("a_id"), col("b_id"))
+    tMembers.unionByName(tPairs).unionByName(iMembers).unionByName(iPairs)
+  }
+
   /** Per-corpus memoized DSIR term table for the serve-path entry
     * (`curation_dsir_select`): fits the target + raw hashed-feature
     * multinomials ONCE per sfDir (two bounded <= numBuckets-row
@@ -2007,22 +2063,7 @@ object SparkEntry {
       // pixel -> block -> bit arithmetic over generate_series,
       // collapses on the exact bit string, and brute-forces EVERY
       // representative pair, so a match proves the banding exhaustive.
-      val spark = s
-      import spark.implicits._
-      val bmps = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val g = id % 32
-          val v = (id / 32) % 2
-          val w = (16 + g % 5).toInt
-          val h = (12 + g % 4).toInt
-          (id, Multimodal.bmpBytes(w, h, (x, y) => {
-            val bump = if (v == 1 && 2 * x < w) 40L else 0L
-            ((((g + x * 7 + y * 13 + bump) % 256).toInt << 16) |
-              (((g + x * 3 + y * 5) % 256).toInt << 8) |
-              ((g + x + y) % 256).toInt)
-          }))
-        }.toDF("id", "payload")
-      val reps = Multimodal.decodeBmpDhash(bmps, "id", "payload")
+      val reps = Multimodal.decodeBmpDhash(fixtureBmps(s, dir), "id", "payload")
         .where(col("ok") === 1)
         .groupBy(col("dhash")).agg(min(col("id")).as("id"))
       graft.operators.Dedup.fingerprintNearDuplicates(
@@ -2068,54 +2109,23 @@ object SparkEntry {
       graft.operators.Dedup.fingerprintNearDuplicates(
         reps, "id", "afp", bits = 64, maxHamming = 8)
     }),
-    "multimodal_cross_dedup" -> ((s, dir) => {
+    "multimodal_cross_dedup" -> ((s, dir) =>
       // CROSS-MODAL duplicate clusters — the composition a multimodal
       // corpus actually needs: a doc joins a duplicate family if its
       // TEXT fingerprint (SimHash, hamming <= 2) OR its IMAGE dHash
       // (hamming <= 8) matches, i.e. one connected-components pass
-      // over the union of the two modality pair graphs. Each modality
-      // collapses to its distinct-fingerprint domain first:
-      // same-fingerprint members star onto a min-id representative
-      // (LINEAR edges — equal fingerprints are hamming-0, so cluster
-      // structure is identical to full-pair CC) and only
-      // representatives enter the banded Hamming join. Value-graded:
-      // DuckDB replays both fingerprint constructions, both collapses,
-      // both all-pairs verifications, and the transitive closure.
-      val spark = s
-      import spark.implicits._
-      val docs = t(s, dir, "documents")
-      val tfp = Dedup.simhash(docs, "doc_id", "text", bits = 16)
-      val tReps = tfp.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
-      val tMembers = tfp.join(tReps, "simhash").where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
-      val tPairs = Dedup.fingerprintNearDuplicates(
-          tReps.select(col("rep").as("id"), col("simhash")), "id", "simhash",
-          bits = 16, maxHamming = 2)
-        .select(col("a_id"), col("b_id"))
-      val bmps = docs.select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val g = id % 32
-          val v = (id / 32) % 2
-          val w = (16 + g % 5).toInt
-          val h = (12 + g % 4).toInt
-          (id, Multimodal.bmpBytes(w, h, (x, y) => {
-            val bump = if (v == 1 && 2 * x < w) 40L else 0L
-            ((((g + x * 7 + y * 13 + bump) % 256).toInt << 16) |
-              (((g + x * 3 + y * 5) % 256).toInt << 8) |
-              ((g + x + y) % 256).toInt)
-          }))
-        }.toDF("id", "payload")
-      val ifp = Multimodal.decodeBmpDhash(bmps, "id", "payload").where(col("ok") === 1)
-      val iReps = ifp.groupBy(col("dhash")).agg(min(col("id")).as("rep"))
-      val iMembers = ifp.join(iReps, "dhash").where(col("id") =!= col("rep"))
-        .select(col("rep").as("a_id"), col("id").as("b_id"))
-      val iPairs = Dedup.fingerprintNearDuplicates(
-          iReps.select(col("rep").as("id"), col("dhash")), "id", "dhash",
-          bits = 64, maxHamming = 8)
-        .select(col("a_id"), col("b_id"))
-      Dedup.duplicateClusters(
-        tMembers.unionByName(tPairs).unionByName(iMembers).unionByName(iPairs))
-    }),
+      // over the union of the two modality pair graphs
+      // (crossModalEdges). Value-graded: DuckDB replays both
+      // fingerprint constructions, both collapses, both all-pairs
+      // verifications, and the transitive closure.
+      Dedup.duplicateClusters(crossModalEdges(s, dir))),
+    "multimodal_cross_survivors" -> ((s, dir) =>
+      // the publishable end of cross-modal dedup: one surviving doc
+      // per text-OR-image duplicate family (min id) plus every doc in
+      // no family — dedupedCorpus over the same union pair graph, the
+      // whole chain value-graded through one composed oracle
+      Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", crossModalEdges(s, dir))
+        .select(col("doc_id"))),
     "multimodal_pcm_stats" -> ((s, dir) => {
       // REAL SAMPLE decode: deterministic 16-bit PCM per doc, then
       // decodePcmStats reads every sample back into exact integer
@@ -3694,6 +3704,52 @@ object SparkEntry {
            UNION
            SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2 WHERE e.d2 <> r.s2)
          SELECT s2 AS id, least(s2, min(d2)) AS cluster_id FROM reach GROUP BY s2""",
+    "multimodal_cross_survivors" ->
+      """WITH RECURSIVE
+         ttk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tb AS (SELECT doc_id, j,
+                       CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+                FROM ttk CROSS JOIN range(0, 16) r(j)),
+         ts AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM tb GROUP BY doc_id, j),
+         tfp AS (SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS f FROM ts GROUP BY doc_id),
+         trep AS (SELECT f, min(doc_id) AS rep FROM tfp GROUP BY f),
+         tmem AS (SELECT r.rep AS a, m.doc_id AS b FROM tfp m JOIN trep r ON m.f = r.f
+                  WHERE m.doc_id <> r.rep),
+         tpair AS (SELECT a.rep AS a, b.rep AS b FROM trep a JOIN trep b ON a.rep < b.rep
+                   WHERE bit_count(xor(a.f, b.f)) <= 2),
+         idm AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 2 AS v,
+                        16 + (doc_id % 32) % 5 AS w, 12 + (doc_id % 32) % 4 AS h
+                 FROM documents),
+         ixs AS (SELECT id, g, v, w, h, unnest(generate_series(0, w - 1)) AS x FROM idm),
+         ipx AS (SELECT id, g, v, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM ixs),
+         ilum AS (SELECT id, w, h, x, y,
+                    (g + x * 7 + y * 13 + CASE WHEN v = 1 AND 2 * x < w THEN 40 ELSE 0 END) % 256
+                    + (g + x * 3 + y * 5) % 256
+                    + (g + x + y) % 256 AS l
+                  FROM ipx),
+         icell AS (SELECT id, (y * 8) // h AS j, (x * 9) // w AS i, sum(l) AS s, count(*) AS c
+                   FROM ilum GROUP BY id, (y * 8) // h, (x * 9) // w),
+         ibit AS (SELECT a.id, a.j * 8 + a.i AS k, CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+                  FROM icell a JOIN icell b ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
+                  WHERE a.i < 8),
+         isig AS (SELECT id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS sg
+                  FROM ibit GROUP BY id),
+         irep AS (SELECT sg, min(id) AS rep FROM isig GROUP BY sg),
+         imem AS (SELECT r.rep AS a, m.id AS b FROM isig m JOIN irep r ON m.sg = r.sg
+                  WHERE m.id <> r.rep),
+         irb AS (SELECT b.id, b.k, b.bit FROM ibit b JOIN irep r ON b.id = r.rep),
+         ipair AS (SELECT x.id AS a, y.id AS b FROM irb x JOIN irb y ON x.k = y.k AND x.id < y.id
+                   GROUP BY x.id, y.id
+                   HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8),
+         ed AS (SELECT a, b FROM tmem UNION SELECT a, b FROM tpair
+                UNION SELECT a, b FROM imem UNION SELECT a, b FROM ipair),
+         edges AS (SELECT a AS s2, b AS d2 FROM ed UNION SELECT b AS s2, a AS d2 FROM ed),
+         reach(s2, d2) AS (
+           SELECT s2, d2 FROM edges
+           UNION
+           SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2 WHERE e.d2 <> r.s2),
+         losers AS (SELECT s2 AS id FROM reach GROUP BY s2 HAVING least(s2, min(d2)) <> s2)
+         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)""",
     "multimodal_audio_neardup" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 3 AS v,
                            (1 + (doc_id % 32) % 2) AS ch, (200 + (doc_id % 32) % 50) AS frames
@@ -4062,8 +4118,9 @@ object SparkEntry {
     // raw HTML -> extract -> quality gate: the crawl front door
     "pipeline_html_curated",
     // text-OR-image duplicate families: both modality pair graphs
-    // through one connected-components pass
-    "multimodal_cross_dedup",
+    // through one connected-components pass, plus the published
+    // survivor corpus over the same union graph
+    "multimodal_cross_dedup", "multimodal_cross_survivors",
     "pipeline_curated", "dedup_near_collapsed", "dedup_clusters",
     "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack",
     // heuristic gate -> LM training on the keep split -> perplexity gate:
