@@ -714,7 +714,10 @@ object Similarity {
       IndexManifest.clear(spark, outPath)
       old.unionByName(inc)
         .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/vectors")
-      IndexManifest.write(spark, outPath)
+      // the merged index must carry the SAME flavor the base recorded,
+      // or the next generation's requireFlavor refuses both flags and
+      // the daily-delta chain dies after one update
+      IndexManifest.write(spark, outPath, flavor = pqFlavor(residual))
     } finally inc.unpersist()
   }
 

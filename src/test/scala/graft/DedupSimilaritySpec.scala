@@ -624,6 +624,48 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(merged.nonEmpty)
   }
 
+  test("updatePqIndex chains: a second-generation update serves like a one-pass encode (both flavors)") {
+    import org.apache.spark.sql.functions.col
+    // the daily-delta contract is closed under itself: the output of
+    // one update must be a valid BASE for the next (the merged manifest
+    // carries the encode flavor forward, or generation 2 is refused)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val baseCorpus = emb.where(col("vec_id") % 3 === 0)
+    val delta1 = emb.where(col("vec_id") % 3 === 1)
+    val delta2 = emb.where(col("vec_id") % 3 === 2)
+    val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    for (residual <- Seq(false, true)) {
+      val cb =
+        if (residual) Similarity.trainResidualCodebooks(baseCorpus, "vec_id", "embedding", coarse, 8, 16)
+        else Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", 8, 16)
+      val root = java.nio.file.Files.createTempDirectory(s"graft_pq_chain_$residual").toString
+      Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb,
+        s"$root/g0", residual = residual)
+      Similarity.updatePqIndex(spark, s"$root/g0", delta1,
+        "vec_id", "embedding", coarse, cb, s"$root/g1", residual = residual)
+      // generation 2 updates FROM the merged output — this is the call
+      // that used to die on an empty manifest flavor
+      Similarity.updatePqIndex(spark, s"$root/g1", delta2,
+        "vec_id", "embedding", coarse, cb, s"$root/g2", residual = residual)
+      val merged = rows(Similarity.readPqIndex(spark, s"$root/g2"))
+      val scratch = rows(
+        if (residual) Similarity.pqResidualIndex(emb, "vec_id", "embedding", coarse, cb)
+        else Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb))
+      assert(merged == scratch,
+        s"generation-2 merge (residual=$residual) diverged from the one-pass encode")
+      assert(merged.nonEmpty)
+      // the generation-2 manifest still refuses the OTHER flavor
+      intercept[IllegalArgumentException] {
+        Similarity.updatePqIndex(spark, s"$root/g2", emb.limit(0),
+          "vec_id", "embedding", coarse, cb, s"$root/bad", residual = !residual)
+      }
+    }
+  }
+
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
