@@ -138,6 +138,34 @@ object SparkEntry {
       }.toDF("id", "payload")
   }
 
+  /** The MIXED-FORMAT image fixture for the JDK-decoder dedup query:
+    * the same deterministic GRAY pixel function renders each doc's
+    * image, but the container cycles BMP / PNG / GIF with doc_id % 3 —
+    * so exact re-renders collapse to one dHash ACROSS formats (the
+    * format-shift dedup story), and the oracle replays the pixel
+    * arithmetic with no idea which container carried it. Same
+    * 32-base-image / brightened-variant structure as [[fixtureBmps]].
+    */
+  private def fixtureMixedImages(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val g = id % 32
+        val v = (id / 32) % 2
+        val w = (16 + g % 5).toInt
+        val h = (12 + g % 4).toInt
+        def gray(x: Int, y: Int): Int =
+          ((g * 3 + x * 11 + y * 17 + (if (v == 1 && 2 * x < w) 40L else 0L)) % 256).toInt
+        val payload = (id % 3) match {
+          case 0 => Multimodal.bmpBytes(w, h, (x, y) => gray(x, y) * 0x010101)
+          case 1 => Multimodal.pngBytes(w, h, (x, y) => gray(x, y) * 0x010101)
+          case _ => Multimodal.gifGrayBytes(w, h, gray)
+        }
+        (id, payload)
+      }.toDF("id", "payload")
+  }
+
   /** The union pair graph of cross-modal dedup — a doc pairs with
     * another if its TEXT SimHash (hamming <= 2) OR its IMAGE dHash
     * (hamming <= 8) matches. Each modality collapses to its
@@ -2069,6 +2097,23 @@ object SparkEntry {
       graft.operators.Dedup.fingerprintNearDuplicates(
         reps, "id", "dhash", bits = 64, maxHamming = 8)
     }),
+    "multimodal_png_neardup" -> ((s, dir) => {
+      // near-duplicate detection over JDK-DECODED (javax.imageio) image
+      // payloads: the fixtureMixedImages corpus renders one gray pixel
+      // function per (g, v) seed through THREE containers (BMP byte
+      // walk, PNG inflate, GIF palette) — decodeImageDhash must read
+      // identical pixels back from all three, so every render of a
+      // seed collapses to ONE representative before the banded Hamming
+      // join. The oracle replays pixel -> block -> bit arithmetic over
+      // generate_series with no container knowledge and brute-forces
+      // every representative pair: a match proves the JDK decode
+      // bit-exact AND the banding exhaustive.
+      val reps = Multimodal.decodeImageDhash(fixtureMixedImages(s, dir), "id", "payload")
+        .where(col("ok") === 1)
+        .groupBy(col("dhash")).agg(min(col("id")).as("id"))
+      graft.operators.Dedup.fingerprintNearDuplicates(
+        reps, "id", "dhash", bits = 64, maxHamming = 8)
+    }),
     "multimodal_audio_neardup" -> ((s, dir) => {
       // near-duplicate AUDIO detection over real decoded samples: 32
       // base clips (seeded by g = doc_id % 32), each rendered by ~16
@@ -3659,6 +3704,31 @@ object SparkEntry {
          FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
          GROUP BY x.id, y.id
          HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
+    "multimodal_png_neardup" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 2 AS v,
+                           16 + (doc_id % 32) % 5 AS w, 12 + (doc_id % 32) % 4 AS h
+                    FROM documents),
+         xs AS (SELECT id, g, v, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         px AS (SELECT id, g, v, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         lum AS (SELECT id, w, h, x, y,
+                   3 * ((g * 3 + x * 11 + y * 17 + CASE WHEN v = 1 AND 2 * x < w THEN 40 ELSE 0 END) % 256) AS l
+                 FROM px),
+         cells AS (SELECT id, (y * 8) // h AS j, (x * 9) // w AS i,
+                          sum(l) AS s, count(*) AS c
+                   FROM lum GROUP BY id, (y * 8) // h, (x * 9) // w),
+         bits AS (SELECT a.id, a.j * 8 + a.i AS k,
+                         CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
+                  WHERE a.i < 8),
+         sig AS (SELECT id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS s
+                 FROM bits GROUP BY id),
+         reps AS (SELECT min(id) AS id FROM sig GROUP BY s),
+         rbits AS (SELECT b.id, b.k, b.bit FROM bits b JOIN reps r ON b.id = r.id)
+         SELECT x.id AS a_id, y.id AS b_id,
+                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+         FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
+         GROUP BY x.id, y.id
+         HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
     "multimodal_cross_dedup" ->
       """WITH RECURSIVE
          ttk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -4150,6 +4220,9 @@ object SparkEntry {
     // dHash / energy-contour fingerprint -> banded Hamming pairing
     // (the text-simhash machinery over content hashes)
     "multimodal_image_neardup", "multimodal_audio_neardup",
+    // the JDK-decoder (javax.imageio) tier: mixed BMP/PNG/GIF payloads
+    // of one pixel function collapsing to one hash across containers
+    "multimodal_png_neardup",
     // the IVF-PQ tier benches as split build/serve entries: the composed
     // similarity_ivfpq billed ~85% per-call training to the query path,
     // which would hide any regression in the actual serve plan

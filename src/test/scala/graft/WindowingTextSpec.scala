@@ -289,6 +289,47 @@ class WindowingTextSpec extends SparkTestBase {
     assert(small.getInt(1) == 0 && small.getLong(4) == 0L, s"got $small")
   }
 
+  test("decodeImageDhash: one pixel function hashes identically through BMP, PNG, and GIF") {
+    import spark.implicits._
+    // the cross-format collapse story: re-encoding an image in another
+    // container changes every payload byte but none of the pixels, so
+    // the dHash must be bit-identical across BMP bytes, the JDK PNG
+    // decoder, and the palette GIF decoder
+    def pix(x: Int, y: Int): Int =
+      (((x * 7 + y * 13) % 256) << 16) | (((x * 3 + y * 5) % 256) << 8) | ((x + y) % 256)
+    val w = 19; val h = 14
+    val asBmp = Multimodal.bmpBytes(w, h, pix)
+    val asPng = Multimodal.pngBytes(w, h, pix)
+    def gray(x: Int, y: Int): Int = (x * 11 + y * 17) % 256
+    val gBmp = Multimodal.bmpBytes(w, h, (x, y) => gray(x, y) * 0x010101)
+    val gGif = Multimodal.gifGrayBytes(w, h, gray)
+    val rows = Multimodal.decodeImageDhash(
+      Seq((1L, asBmp), (2L, asPng), (3L, gBmp), (4L, gGif)).toDF("id", "payload"),
+      "id", "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(rows(1L) == rows(2L), s"BMP vs PNG diverged: ${rows(1L)} vs ${rows(2L)}")
+    assert(rows(3L) == rows(4L), s"gray BMP vs GIF diverged: ${rows(3L)} vs ${rows(4L)}")
+    assert(rows(1L)._1 == 1 && rows(3L)._1 == 1, s"decodes must succeed: $rows")
+    assert(rows(1L)._4 != rows(3L)._4, "distinct images should hash apart")
+    // JPEG decodes through the same JDK reader — lossy, so graded for
+    // success + near-equality to the lossless render, not bit equality
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jRow = Multimodal.decodeImageDhash(
+      Seq((9L, bos.toByteArray)).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(jRow.getInt(1) == 1 && jRow.getInt(2) == w && jRow.getInt(3) == h, s"got $jRow")
+    assert(java.lang.Long.bitCount(jRow.getLong(4) ^ rows(1L)._4) <= 12,
+      s"JPEG render drifted implausibly far: ${jRow.getLong(4)} vs ${rows(1L)._4}")
+    // garbage and sub-grid images refuse with ok=0, never throw
+    val refuse = Multimodal.decodeImageDhash(
+      Seq((5L, Array[Byte](1, 2, 3)), (6L, Multimodal.pngBytes(4, 3, (_, _) => 0x808080)))
+        .toDF("id", "payload"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(refuse == Map(5L -> 0, 6L -> 0), s"got $refuse")
+  }
+
   test("banded fingerprint pairing equals brute-force Hamming over 64-bit hashes") {
     import spark.implicits._
     // sign-bit-heavy fingerprints: -1L (all ones) sits one bit from
