@@ -1206,6 +1206,13 @@ object SparkEntry {
       // top-3 TF-IDF salient terms per document (log2-integer idf grid;
       // ties to the lexicographically smaller term)
       Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    "text_chunks_overlap" -> ((s, dir) =>
+      // strided context windows: 16-token chunks every 8 tokens, so
+      // adjacent chunks share half their context — the retrieval /
+      // packing convention; the oracle replays window arithmetic over
+      // generate_series and list slicing
+      TextFunctions.chunkTokensStrided(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 16, stride = 8)),
     "text_chunks" -> ((s, dir) =>
       // context-length chunking: 16-token pieces, remainder kept
       TextFunctions.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 16)),
@@ -1328,11 +1335,16 @@ object SparkEntry {
               when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
               .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
             when(col("doc_id") % 5 === 0, lit(""))
-              .otherwise(concat(lit("/Page/"), col("doc_id") % 5)),
+              .otherwise(concat(lit("/Page/"), col("doc_id") % 5,
+                // percent-encoded unreserved + reserved escapes: %7e
+                // decodes to ~, %41 to A, %2f only UPPERCASES (a
+                // decoded slash would change which page is named)
+                when(col("doc_id") % 6 === 0, lit("/%7eUser%41%2fDocs"))
+                  .otherwise(lit("")))),
             when(col("doc_id") % 4 === 0,
               concat(lit("?utm_source=feed&q="), col("doc_id") % 9, lit("&utm_campaign=x")))
               .when(col("doc_id") % 4 === 1,
-                concat(lit("?q="), col("doc_id") % 9, lit("&utm_medium=m")))
+                concat(lit("?q="), col("doc_id") % 9, lit("%2d%61&utm_medium=m")))
               .when(col("doc_id") % 4 === 2, lit("?utm_only=1"))
               .otherwise(lit("")),
             lit("#Frag"))).as("url"))
@@ -1435,6 +1447,25 @@ object SparkEntry {
         Dedup.nearDuplicates(
           t(s, dir, "documents"), "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
         .select(col("id").as("doc_id"), col("cluster_id"))),
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      // incremental cluster MAINTENANCE: yesterday's corpus (doc_id %
+      // 10 != 0) is clustered first, then the increment's pairs (any
+      // pair touching a % 10 == 0 doc) merge in via updateClusters —
+      // CC runs over new pairs + star edges of the AFFECTED existing
+      // clusters only, never the full union pair graph. The oracle is
+      // the from-scratch recursive-CTE clustering of the WHOLE corpus:
+      // matching it proves the merge path indistinguishable from a
+      // full recompute, including increments that bridge existing
+      // clusters.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(
+        docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)
+      val newSide = (c: org.apache.spark.sql.Column) => c % 10 === 0
+      val oldPairs = pairs.where(!(newSide(col("a_id")) || newSide(col("b_id"))))
+      val incPairs = pairs.where(newSide(col("a_id")) || newSide(col("b_id")))
+      Dedup.updateClusters(Dedup.duplicateClusters(oldPairs), incPairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     "dedup_clusters_distributed" -> ((s, dir) =>
       // the same clustering with the small-graph driver short-circuit
       // disabled: benches and oracle-checks the distributed
@@ -2661,6 +2692,18 @@ object SparkEntry {
            SELECT doc_id, term, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
            FROM scored) WHERE rk <= 3""",
+    "text_chunks_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         c AS (SELECT doc_id, tk, n,
+                      unnest(generate_series(0,
+                        CASE WHEN n <= 16 THEN 0
+                             ELSE CAST(ceil((n - 16) / 8.0) AS BIGINT) END)) AS chunk_id
+               FROM n)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(tk[chunk_id*8+1 : least(chunk_id*8+16, n)]) AS INTEGER) AS n_tokens,
+                array_to_string(tk[chunk_id*8+1 : least(chunk_id*8+16, n)], ' ') AS chunk_text
+         FROM c""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          c AS (SELECT doc_id, tk,
@@ -2817,15 +2860,16 @@ object SparkEntry {
              '\s+', ' ', 'g')) AS clean
          FROM h""",
     "text_url_canonical" ->
-      """WITH u AS (SELECT doc_id,
+      ("""WITH u AS (SELECT doc_id,
            CASE WHEN doc_id % 11 = 0 THEN 'plain text id ' || doc_id
                 ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HtTp://' ELSE 'HTTPS://' END)
                   || 'CrAwl' || (doc_id % 7) || '.ExAmple.COM'
                   || (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
                            WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-                  || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Page/' || (doc_id % 5) END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Page/' || (doc_id % 5)
+                        || (CASE WHEN doc_id % 6 = 0 THEN '/%7eUser%41%2fDocs' ELSE '' END) END)
                   || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&q=' || (doc_id % 9) || '&utm_campaign=x'
-                           WHEN doc_id % 4 = 1 THEN '?q=' || (doc_id % 9) || '&utm_medium=m'
+                           WHEN doc_id % 4 = 1 THEN '?q=' || (doc_id % 9) || '%2d%61&utm_medium=m'
                            WHEN doc_id % 4 = 2 THEN '?utm_only=1'
                            ELSE '' END)
                   || '#Frag' END AS url
@@ -2835,10 +2879,11 @@ object SparkEntry {
            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)) AS hostport,
            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
            FROM u),
+         """ + pctCtesSql + """,
          q AS (SELECT doc_id, url, scheme, hostport,
-           regexp_extract(rest, '^([^?]*)', 1) AS pth,
-           regexp_extract(rest, '^[^?]*(\?.*)$', 1) AS qry
-           FROM p),
+           regexp_extract(""" + pctFinalCol + """, '^([^?]*)', 1) AS pth,
+           regexp_extract(""" + pctFinalCol + """, '^[^?]*(\?.*)$', 1) AS qry
+           FROM """ + pctFinalCte + """),
          c AS (SELECT doc_id, url, scheme, pth,
            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
@@ -2856,7 +2901,7 @@ object SparkEntry {
            lower(regexp_replace(
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1),
              ':[0-9]*$', '')) AS host
-         FROM c""",
+         FROM c"""),
     "stats_outliers" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                            count(*) AS n
@@ -4151,6 +4196,28 @@ object SparkEntry {
 
   // =====================================================================
 
+  /** The DuckDB replay of [[TextFunctions.normalizePctEncoding]]:
+    * GENERATED from the same [[TextFunctions.pctNormalizePairs]] table
+    * the Spark column runs, folded into nested plain `replace` calls —
+    * the two engines cannot drift because there is one source of truth
+    * for the pair list and `replace` has identical substring semantics
+    * in both. DuckDB's binder caps expression nesting at 128, so the
+    * ~170-pair chain splits into staged CTEs of 60 replaces each:
+    * returns (cteSql, finalColumn) given the input column and a CTE to
+    * read it from.
+    */
+  private lazy val (pctCtesSql, pctFinalCte, pctFinalCol) = {
+    val groups = TextFunctions.pctNormalizePairs.grouped(60).toList
+    val carry = "doc_id, url, scheme, hostport"
+    val stages = groups.zipWithIndex.map { case (g, i) =>
+      val src = if (i == 0) "rest" else s"pr${i - 1}"
+      val from = if (i == 0) "p" else s"pn${i - 1}"
+      val expr = g.foldLeft(src) { case (acc, (f, t)) => s"replace($acc, '$f', '$t')" }
+      s"pn$i AS (SELECT $carry, $expr AS pr$i FROM $from)"
+    }
+    (stages.mkString(",\n         "), s"pn${groups.size - 1}", s"pr${groups.size - 1}")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     elementWise ++ grouping ++ joins ++ windowing ++ regexAndErrors ++ pipelineTier ++ surfaceTier
@@ -4172,6 +4239,10 @@ object SparkEntry {
       // same clustering semantics, distributed loop forced (driver
       // union-find gate off) — one oracle by construction
       ("dedup_clusters_distributed" -> pipelineTierOracle("dedup_clusters")) +
+      // the incrementally-merged clustering must be indistinguishable
+      // from a from-scratch clustering of the union pair graph — one
+      // oracle by construction
+      ("dedup_clusters_incremental" -> pipelineTierOracle("dedup_clusters")) +
       // the indexed serve path must answer the IDENTICAL query with the
       // IDENTICAL ranking as the direct scan — one oracle by construction
       ("retrieval_query_serve" -> pipelineTierOracle("retrieval_search_topk")) +
@@ -4234,6 +4305,9 @@ object SparkEntry {
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",
+    // the daily-delta cluster maintenance path: CC over new pairs +
+    // affected-cluster star edges, never the full union graph
+    "dedup_clusters_incremental",
     // the SemDeDup chain (cell-blocked pairs -> CC -> farthest-from-
     // centroid keep) — the embedding-side dedup a curation run actually
     // deploys when a trained quantizer exists — and the duplicate-

@@ -147,6 +147,37 @@ object TextFunctions {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1),
       ":[0-9]*$", ""))
 
+  /** The RFC 3986 §6.2.2 percent-encoding normalization table, exposed
+    * so the DuckDB oracle can be GENERATED from the same data: first
+    * every hex escape's digits uppercase (`%2f` → `%2F`; two plain
+    * substring passes — first digit, then second digit behind the
+    * now-uppercase first), then every UNRESERVED character's escape
+    * decodes (`%41` → `A`, `%7E` → `~`). Reserved escapes (`%2F`,
+    * `%3A`, UTF-8 multibyte) survive — decoding those would change
+    * which URL the string names. Plain `replace` pairs, applied left
+    * to right: no regex at all, so Spark and a replaying engine cannot
+    * disagree on syntax.
+    */
+  def pctNormalizePairs: Seq[(String, String)] = {
+    val hex = "0123456789ABCDEF"
+    val upperFirst = ('a' to 'f').map(c => (s"%$c", s"%${c.toUpper}"))
+    val upperSecond = for (x <- hex; c <- 'a' to 'f') yield (s"%$x$c", s"%$x${c.toUpper}")
+    val unreserved = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+    upperFirst ++ upperSecond ++ unreserved
+  }
+
+  /** Percent-encoding normalization ([[pctNormalizePairs]] applied in
+    * order): `%7E` and `%7e` both become `~`, `%2f` becomes `%2F` —
+    * the RFC 3986 §6.2.2 step that stops two spellings of one page
+    * surviving as distinct dedup keys. Escapes never produce `%`, `?`,
+    * `&`, or `#` (those are reserved and kept encoded), so this is
+    * safe to run on a path+query string before separator-based
+    * surgery.
+    */
+  def normalizePctEncoding(s: Column): Column =
+    pctNormalizePairs.foldLeft(s) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+
   /** Crawl-URL canonicalization — the dedup key a web pipeline uses so
     * `HTTP://Example.COM:80/a?utm_source=x#top` and
     * `http://example.com/a` count as ONE page. Scheme and host
@@ -158,10 +189,13 @@ object TextFunctions {
     * QUERY ONLY (the path is split off first, so a literal `&utm_` in
     * a path segment survives; a `utm_` inside another parameter's
     * VALUE is the one ambiguity a regex normalizer cannot resolve
-    * without full parsing), and an empty path becomes `/` whether or
-    * not a query follows. Non-URL strings pass through unchanged. All
-    * steps are RE2-compatible extract/replace chains with NO
-    * replacement backreferences — Spark (`$1`) and RE2 (`\1`)
+    * without full parsing), percent-encoding normalizes per RFC 3986
+    * §6.2.2 ([[normalizePctEncoding]]: unreserved escapes decode —
+    * `%7E` → `~` — and surviving escapes uppercase their hex digits,
+    * so `a%2fb` and `a%2Fb` share one key), and an empty path becomes
+    * `/` whether or not a query follows. Non-URL strings pass through
+    * unchanged. All steps are RE2-compatible extract/replace chains
+    * with NO replacement backreferences — Spark (`$1`) and RE2 (`\1`)
     * disagree on backreference syntax, so avoiding them is what keeps
     * the operator replayable verbatim by an RE2-based engine.
     */
@@ -173,10 +207,14 @@ object TextFunctions {
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    // percent-encoding normalizes BEFORE the path/query split: escapes
+    // never encode to `?`/`&`/`#` (reserved stays encoded), so the
+    // split is unaffected and one replace chain covers both halves
+    val restN = normalizePctEncoding(rest)
     // path/query split BEFORE any utm surgery: the tracking passes
     // must never see the path, where `?` and `&` are ordinary chars
-    val path = regexp_extract(rest, "^([^?]*)", 1)
-    val query = regexp_extract(rest, "^[^?]*(\\?.*)$", 1)
+    val path = regexp_extract(restN, "^([^?]*)", 1)
+    val query = regexp_extract(restN, "^[^?]*(\\?.*)$", 1)
     // tracking-parameter removal in separator-safe passes: `&utm_...`
     // drops wherever it sits, then a LEADING utm with a successor
     // donates its `?` to that successor, then a lone leading utm and
@@ -237,6 +275,41 @@ object TextFunctions {
       .withColumn("chunk_id",
         explode(sequence(lit(0L), ceil(size(col("tk")) / lit(c.toDouble)).cast("long") - 1)))
     val piece = slice(col("tk"), (col("chunk_id") * c + 1).cast("int"), lit(c))
+    out.select(
+      col(idCol), col("chunk_id"),
+      size(piece).as("n_tokens"),
+      concat_ws(" ", piece).as("chunk_text"))
+  }
+
+  /** Overlapping (STRIDED) chunking — the retrieval/packing
+    * convention [[chunkTokens]] cannot express: windows of
+    * `chunkTokens` tokens start every `stride` tokens, so consecutive
+    * chunks share `chunkTokens - stride` tokens of context and no
+    * sentence is ever orphaned at a hard boundary. Window k covers
+    * tokens [k·stride, k·stride + chunkTokens); the window count is 1
+    * for documents that fit one window, else
+    * ceil((n - chunkTokens) / stride) + 1 — the smallest set that
+    * covers every token, with the LAST window always contributing
+    * tokens no predecessor carried (its start is the first stride
+    * multiple ≥ n - chunkTokens). `stride = chunkTokens` degenerates
+    * to exactly [[chunkTokens]]' disjoint pieces. Same execution
+    * shape: one narrow explode per doc, no shuffle, (id, chunk_id)
+    * dense from 0 as a stable global key.
+    */
+  def chunkTokensStrided(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens]; got stride=$stride, chunkTokens=$chunkTokens")
+    val c = chunkTokens
+    val n = size(col("tk"))
+    val nChunks = when(n <= c, lit(1L))
+      .otherwise(ceil((n - c).cast("double") / lit(stride.toDouble)).cast("long") + 1L)
+    val out = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+    val piece = slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(c))
     out.select(
       col(idCol), col("chunk_id"),
       size(piece).as("n_tokens"),

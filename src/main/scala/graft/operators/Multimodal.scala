@@ -1010,6 +1010,11 @@ object Multimodal {
     * The cross-multiplied compare is exact while e·c fits a long —
     * windows of up to ~90k frames at full 16-bit amplitude; chunk
     * longer audio first (the [[TextFunctions.chunkTokens]] stance).
+    * That bound is ENFORCED on the actual values, not assumed: any
+    * adjacent-window compare whose product would exceed Long range
+    * reports ok=0 — loudly refusing, never silently wrapping into a
+    * garbage-but-plausible fingerprint — while a long-but-quiet clip
+    * whose true products fit keeps fingerprinting.
     * Clips with fewer channel-0 frames than `windows`, and anything
     * not 16-bit integer PCM, report ok=0 with a zero fingerprint.
     * Batched per partition; one narrow no-shuffle pass.
@@ -1057,13 +1062,22 @@ object Multimodal {
                         f += 1
                       }
                       var afp = 0L
+                      var fits = true
                       var k = 0
-                      while (k < windows - 1) {
-                        if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
+                      while (fits && k < windows - 1) {
+                        val eL = energy(k); val cL = counts(k)
+                        val eR = energy(k + 1); val cR = counts(k + 1)
+                        // the exact-integer contract enforced on the
+                        // actual values: refuse (ok=0) if either cross
+                        // product would wrap, instead of comparing
+                        // garbage — counts are >= 1, energies >= 0
+                        if (eR > Long.MaxValue / cL || eL > Long.MaxValue / cR)
+                          fits = false
+                        else if (eR * cL > eL * cR)
                           afp |= 1L << k
                         k += 1
                       }
-                      (id, 1, nFrames.toLong, afp)
+                      if (!fits) none else (id, 1, nFrames.toLong, afp)
                     }
                 }
               } catch { case scala.util.control.NonFatal(_) => none }

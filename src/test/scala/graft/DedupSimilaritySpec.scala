@@ -375,6 +375,35 @@ class DedupSimilaritySpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("updateClusters merges a delta like a from-scratch run, including cluster bridges") {
+    // yesterday's clustering: {1,2,3} -> 1, {10,11} -> 10, {20,21} -> 20,
+    // {40,41} -> 40 (the untouched control)
+    val oldPairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (40L, 41L)
+    ).toDF("a_id", "b_id")
+    val existing = Dedup.duplicateClusters(oldPairs)
+    // today's increment: a BRIDGE joining clusters 1 and 10, a brand-new
+    // pair {30,31}, and a new doc 22 joining cluster 20
+    val incPairs = Seq((3L, 10L), (30L, 31L), (22L, 21L)).toDF("a_id", "b_id")
+    val want = Dedup.duplicateClusters(oldPairs.unionByName(incPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 40L), s"from-scratch ground truth surprised: $want")
+    for (gate <- Seq(500000L, 0L)) { // driver union-find AND forced-distributed merge
+      val got = Dedup.updateClusters(existing, incPairs, maxDriverEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"gate=$gate: incremental merge diverged: $got")
+    }
+    // an increment touching NOTHING existing leaves old labels verbatim
+    // and only adds the new component
+    val onlyNew = Dedup.updateClusters(existing, Seq((30L, 31L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldLabels = existing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onlyNew == oldLabels ++ Map(30L -> 30L, 31L -> 30L), s"got $onlyNew")
+  }
+
   test("bounded top-k excludes NaN scores regardless of arrival order") {
     // a NaN compares false both ways: admitted, it would squat in the
     // buffer and reject later elements depending on arrival order
