@@ -1206,6 +1206,26 @@ object SparkEntry {
       // top-3 TF-IDF salient terms per document (log2-integer idf grid;
       // ties to the lexicographically smaller term)
       Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    "text_lang_ngram" -> ((s, dir) => {
+      // character-n-gram language ID over text salted with a snippet
+      // of the doc's DECLARED language (the synthetic corpus is
+      // English-ish word soup regardless of its lang column, so the
+      // snippet is what gives each row a real cross-language signal):
+      // per-language profile scores are exact substring counts, the
+      // prediction is a deterministic argmax. The oracle replays every
+      // count with length/replace arithmetic from the same profile
+      // table.
+      val snippet = langSnippets.tail.foldLeft(lit(langSnippets.head._2)) {
+        case (acc, (l, sn)) => when(col("lang") === l, lit(sn)).otherwise(acc)
+      }
+      val txt = concat(col("text"), repeat(snippet, 3))
+      val scoreCols = TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+        TextFunctions.langNgramScore(txt, gs).as(s"s_$l")
+      }
+      t(s, dir, "documents").select(
+        (col("doc_id") +: col("lang") +: scoreCols) :+
+          TextFunctions.langIdNgram(txt).as("lang_pred"): _*)
+    }),
     "text_chunks_overlap" -> ((s, dir) =>
       // strided context windows: 16-token chunks every 8 tokens, so
       // adjacent chunks share half their context — the retrieval /
@@ -2692,6 +2712,7 @@ object SparkEntry {
            SELECT doc_id, term, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
            FROM scored) WHERE rk <= 3""",
+    "text_lang_ngram" -> langNgramOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
@@ -4206,6 +4227,46 @@ object SparkEntry {
     * returns (cteSql, finalColumn) given the input column and a CTE to
     * read it from.
     */
+  /** Per-language salt snippets for the language-ID query: each is
+    * dense in its language's [[TextFunctions.defaultLangProfiles]]
+    * grams, appended (3x) to the synthetic English-ish corpus text so
+    * every row carries a genuine cross-language signal. One table
+    * drives BOTH the Spark when-chain and the generated DuckDB CASE.
+    */
+  // lazy: referenced from map vals that initialize EARLIER in <clinit>
+  private lazy val langSnippets: Seq[(String, String)] = Seq(
+    "de" -> " der und ein ich schnell ",
+    "en" -> " the king and a thing ",
+    "es" -> " de la casa de los grandes puente ",
+    "fr" -> " les amis et le jour que lent ",
+    "zh" -> " 的是了不在 ")
+
+  /** The DuckDB replay of the [[TextFunctions.langIdNgram]] scoring:
+    * generated from the SAME profile table — per-language substring
+    * counts via length/replace, argmax with first-in-profile-order
+    * tiebreak, 'und' when all zero.
+    */
+  private lazy val langNgramOracleSql: String = {
+    val snippetCase = "CASE " + langSnippets.tail.reverse.map { case (l, sn) =>
+      s"WHEN lang = '$l' THEN repeat('$sn', 3) "
+    }.mkString + s"ELSE repeat('${langSnippets.head._2}', 3) END"
+    val scoreExprs = TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+      val sum = gs.map(g =>
+        s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}").mkString(" + ")
+      s"$sum AS s_$l"
+    }.mkString(",\n           ")
+    val langs = TextFunctions.defaultLangProfiles.map(_._1)
+    val m = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+    val predCase = "CASE " + langs.map(l =>
+      s"WHEN $m > 0 AND s_$l = $m THEN '$l' ").mkString + "ELSE 'und' END"
+    s"""WITH a AS (SELECT doc_id, lang, text || $snippetCase AS t FROM documents),
+       sc AS (SELECT doc_id, lang,
+           $scoreExprs
+         FROM a)
+       SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $predCase AS lang_pred
+       FROM sc"""
+  }
+
   private lazy val (pctCtesSql, pctFinalCte, pctFinalCol) = {
     val groups = TextFunctions.pctNormalizePairs.grouped(60).toList
     val carry = "doc_id, url, scheme, hostport"
@@ -4283,7 +4344,7 @@ object SparkEntry {
     "join_inner", "join_broadcast", "cogroup_counts",
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "text_lm_perplexity", "text_bpe_tokens", "text_html_extract",
-    "text_url_canonical",
+    "text_url_canonical", "text_lang_ngram",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_spans", "dedup_spans_cut",

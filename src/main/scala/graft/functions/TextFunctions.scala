@@ -54,10 +54,59 @@ object TextFunctions {
 
   /** n-gram-free language guess from a stopword hit-ratio threshold.
     * A real pipeline would score per-language stopword sets; the shape
-    * (narrow map, no shuffle) is identical.
+    * (narrow map, no shuffle) is identical. For multi-language gating
+    * use [[langIdNgram]].
     */
   def langGuess(text: Column, stopwords: Seq[String], threshold: Double): Column =
     when(stopwordRatio(text, stopwords) > threshold, lit("en")).otherwise(lit("other"))
+
+  /** Character-n-gram language profiles (Cavnar & Trenkle's n-gram
+    * method, reduced to a fixed high-signal gram set per language so
+    * scoring stays EXACT integer arithmetic): the most frequent
+    * trigrams of each language's running text — function-word cores
+    * and bound morphology that occur in any domain — plus top
+    * single-character grams for Chinese, where words are characters.
+    * Deterministic and engine-neutral by construction: a score is a
+    * plain substring count, so a DuckDB oracle replays it with
+    * length/replace arithmetic.
+    */
+  val defaultLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "ich", "sch", "und"),
+    "en" -> Seq("the", " th", "he ", "and", "ing"),
+    "es" -> Seq(" de", " la", "os ", "ión", "nte"),
+    "fr" -> Seq(" le", "les", " et", "que", "ent"),
+    "zh" -> Seq("的", "是", "了", "不", "在"))
+
+  /** Exact occurrence count of each profile gram summed per language:
+    * count(g) = (len(text) - len(replace(text, g, ''))) / len(g) —
+    * non-overlapping left-to-right occurrences, the same answer every
+    * engine's plain `replace` gives.
+    */
+  def langNgramScore(text: Column, grams: Seq[String]): Column =
+    grams.map { g =>
+      ((length(text) - length(replace(text, lit(g), lit("")))) / g.length).cast("long")
+    }.reduce(_ + _)
+
+  /** Multi-language character-n-gram language ID — the gate a
+    * multilingual curation run actually branches on, replacing the
+    * single-language stopword heuristic: per-language profile scores
+    * ([[langNgramScore]] over [[defaultLangProfiles]] or a custom
+    * set), argmax with a deterministic first-in-profile-order
+    * tiebreak, `"und"` (BCP 47 undetermined) when every score is zero.
+    * One narrow codegen'd projection — no shuffle, no UDF, and exact
+    * integer scores, so the prediction is bit-identical across engines
+    * and replayable by the oracle.
+    */
+  def langIdNgram(
+      text: Column,
+      profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
+    require(profiles.nonEmpty, "langIdNgram needs at least one language profile")
+    val scores = profiles.map { case (l, gs) => (l, langNgramScore(text, gs)) }
+    val m = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(m > 0 && sc === m, lit(l)).otherwise(acc)
+    }
+  }
 
   /** Duplicate word-bigram fraction: 1 - distinct/total 2-grams — the
     * Gopher-style repetition rule (boilerplate, keyword stuffing and

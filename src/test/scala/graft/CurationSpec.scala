@@ -24,6 +24,36 @@ class CurationSpec extends SparkTestBase {
     assert(out(5L) == (1L, null))
   }
 
+  test("langIdNgram predicts from char-n-gram profiles and composes with qualityFilter") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      (1L, "the king stands at the bridge and the thing was singing"),
+      (2L, "der schnelle hund und ein kleines licht in der nacht sich"),
+      (3L, "en la casa de los grandes amigos de la montana"),
+      (4L, "les amis et le jour sont arrives avant que la nuit lente"),
+      (5L, "的是了不在的是了不在"),
+      (6L, "zzz qqq xxx www")  // no profile gram at all -> undetermined
+    ).toDF("doc_id", "text")
+    val preds = texts
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh", 6L -> "und"), s"got $preds")
+    // the multilingual gate a curation run branches on: quality signals
+    // AND the language decision in one composed plan — keep clean
+    // English rows only
+    val gated = Curation.qualityFilter(docs, "doc_id", "text",
+        minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .join(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.langIdNgram(col("text")).as("lang_pred")), "doc_id")
+      .where(col("keep") === 1 && col("lang_pred") === "en")
+      .collect().map(_.getLong(0)).toSet
+    // doc 1 is clean English; doc 5 is clean but predicts de (ein/und/
+    // satz grams); 2-4 fail quality before language even matters
+    assert(gated == Set(1L), s"got $gated")
+  }
+
   test("tokenBudgetSample keeps docs while the per-stratum running total fits") {
     // 3 docs of 4 tokens each in one stratum, budget 8 -> exactly 2 kept,
     // and WHICH two is fixed by md5 priority, not input order

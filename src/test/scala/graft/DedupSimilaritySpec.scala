@@ -545,6 +545,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after == before, s"leaked ${after - before} cached relation(s)")
+    // and with maxIter = 1 on a path too long to converge in one round:
+    // a REAL iteration runs (frontier join, checkpoint, convergence
+    // probe) before the throw, so the cleanup is proven against the
+    // loop's own allocations, not just the init path
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxIter = 1, maxDriverEdges = 0L)
+    }
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    assert(after1 == before, s"looped run leaked ${after1 - before} cached relation(s)")
   }
 
   test("dedupedCorpus keeps one doc per cluster plus unpaired docs") {
