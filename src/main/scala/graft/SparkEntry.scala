@@ -2148,6 +2148,13 @@ object SparkEntry {
       graft.operators.Dedup.fingerprintNearDuplicates(
         reps, "id", "dhash", bits = 64, maxHamming = 8)
     }),
+    "multimodal_png_pixels" -> ((s, dir) =>
+      // exact channel sums over the SAME mixed BMP/PNG/GIF fixture:
+      // the gray pixel function makes sum_r = sum_g = sum_b = the
+      // generator's gray total, whichever container carried it — the
+      // oracle replays the sum over generate_series with no container
+      // knowledge, value-grading the JDK pixel decode itself
+      Multimodal.decodeImagePixels(fixtureMixedImages(s, dir), "id", "payload")),
     "multimodal_png_neardup" -> ((s, dir) => {
       // near-duplicate detection over JDK-DECODED (javax.imageio) image
       // payloads: the fixtureMixedImages corpus renders one gray pixel
@@ -3770,6 +3777,18 @@ object SparkEntry {
          FROM rbits x JOIN rbits y ON x.k = y.k AND x.id < y.id
          GROUP BY x.id, y.id
          HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 8""",
+    "multimodal_png_pixels" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 2 AS v,
+                           16 + (doc_id % 32) % 5 AS w, 12 + (doc_id % 32) % 4 AS h
+                    FROM documents),
+         xs AS (SELECT id, g, v, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         px AS (SELECT id, g, v, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         agg AS (SELECT id,
+                   CAST(sum((g * 3 + x * 11 + y * 17 + CASE WHEN v = 1 AND 2 * x < w THEN 40 ELSE 0 END) % 256) AS BIGINT) AS sg
+                 FROM px GROUP BY id)
+         SELECT d.id, 1 AS ok, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                sg AS sum_r, sg AS sum_g, sg AS sum_b
+         FROM d JOIN agg ON d.id = agg.id""",
     "multimodal_png_neardup" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 32 AS g, (doc_id // 32) % 2 AS v,
                            16 + (doc_id % 32) % 5 AS w, 12 + (doc_id % 32) % 4 AS h

@@ -584,32 +584,11 @@ object Multimodal {
             val none = (id, 0, 0, 0, 0L, 0L, 0L)
             if (!isBmp(b)) none
             else {
-              try {
-                val w = u32le(b, 18).toInt
-                // negative height = top-down rows; the channel sums are
-                // row-order invariant, so both layouts decode
-                val h = math.abs(u32le(b, 22).toInt)
-                val bpp = u16le(b, 28)
-                val off = u32le(b, 10).toInt
-                val stride = ((3 * w + 3) / 4) * 4
-                if (w <= 0 || h <= 0 || bpp != 24 || off < 54 ||
-                  off.toLong + stride.toLong * h > b.length) none
-                else {
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  var row = 0
-                  while (row < h) {
-                    var x = 0
-                    val base = off + row * stride
-                    while (x < w) {
-                      sb += (b(base + 3 * x) & 0xff)
-                      sg += (b(base + 3 * x + 1) & 0xff)
-                      sr += (b(base + 3 * x + 2) & 0xff)
-                      x += 1
-                    }
-                    row += 1
-                  }
-                  (id, 1, w, h, sr, sg, sb)
-                }
+              // negative height = top-down rows; the channel sums are
+              // row-order invariant, so both layouts decode
+              try bmpPixelSumsOne(b) match {
+                case Some((w, h, sr, sg, sb)) => (id, 1, w, h, sr, sg, sb)
+                case None                     => none
               } catch { case scala.util.control.NonFatal(_) => none }
             }
           }
@@ -824,6 +803,90 @@ object Multimodal {
       else if (isPng(b) || isGif(b) || isJpeg(b)) imageioDhashOne(b, gridCols, gridRows)
       else None
     }
+
+  /** Format-dispatching exact channel sums — [[decodeBmpPixels]]
+    * widened the way [[decodeImageDhash]] widens [[decodeBmpDhash]]:
+    * 24bpp BMPs take the byte walk, PNG/GIF/JPEG decode through the
+    * JDK's `javax.imageio` readers into the same integer r/g/b sums
+    * (PNG/GIF bit-exact; JPEG decoder-deterministic). The cheap
+    * corpus-wide brightness/color statistics pass a media-curation run
+    * feeds its exposure/blank-image gates with. ok=0 zeros for
+    * undecodable payloads; batched, narrow, no shuffle.
+    * Output: (id, ok, width, height, sum_r, sum_g, sum_b).
+    */
+  def decodeImagePixels(
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytesOrNull) =>
+            val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+            val none = (id, 0, 0, 0, 0L, 0L, 0L)
+            try {
+              if (isBmp(b)) bmpPixelSumsOne(b) match {
+                case Some((w, h, sr, sg, sb)) => (id, 1, w, h, sr, sg, sb)
+                case None                     => none
+              }
+              else if (isPng(b) || isGif(b) || isJpeg(b)) {
+                require(imageioReady)
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+                if (img == null) none
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  val rowPix = new Array[Int](w)
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, rowPix, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val p = rowPix(x)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (id, 1, w, h, sr, sg, sb)
+                }
+              } else none
+            } catch { case scala.util.control.NonFatal(_) => none }
+          }
+        }
+      }
+      .toDF("id", "ok", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** The [[decodeBmpPixels]] walk for one payload (shared with
+    * [[decodeImagePixels]]' BMP branch).
+    */
+  private def bmpPixelSumsOne(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val w = u32le(b, 18).toInt
+    val h = math.abs(u32le(b, 22).toInt)
+    val bpp = u16le(b, 28)
+    val off = u32le(b, 10).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || bpp != 24 || off < 54 ||
+      off.toLong + stride.toLong * h > b.length) None
+    else {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var row = 0
+      while (row < h) {
+        var x = 0
+        val base = off + row * stride
+        while (x < w) {
+          sb += (b(base + 3 * x) & 0xff)
+          sg += (b(base + 3 * x + 1) & 0xff)
+          sr += (b(base + 3 * x + 2) & 0xff)
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, sr, sg, sb))
+    }
+  }
 
   /** Deterministic PNG fixture: `pix(x, y)` returns 0xRRGGBB for image
     * coordinates (origin top-left), encoded by the JDK's own PNG writer

@@ -364,6 +364,33 @@ class WindowingTextSpec extends SparkTestBase {
     assert(refuse == Map(5L -> 0, 6L -> 0), s"got $refuse")
   }
 
+  test("decodeImagePixels sums channels identically across BMP, PNG, and GIF") {
+    import spark.implicits._
+    def pix(x: Int, y: Int): Int =
+      (((x * 5 + y * 3) % 256) << 16) | (((x * 2 + y * 7) % 256) << 8) | ((x + y * 11) % 256)
+    val w = 13; val h = 9
+    var wr = 0L; var wg = 0L; var wb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pix(x, y); wr += (p >> 16) & 0xff; wg += (p >> 8) & 0xff; wb += p & 0xff
+    }
+    def gray(x: Int, y: Int): Int = (x * 9 + y * 4) % 256
+    var wgray = 0L
+    for (y <- 0 until h; x <- 0 until w) wgray += gray(x, y)
+    val rows = Multimodal.decodeImagePixels(
+      Seq(
+        (1L, Multimodal.bmpBytes(w, h, pix)),
+        (2L, Multimodal.pngBytes(w, h, pix)),
+        (3L, Multimodal.gifGrayBytes(w, h, gray)),
+        (4L, Array[Byte](9, 9, 9))).toDF("id", "payload"),
+      "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows(1L) == ((1, wr, wg, wb)), s"BMP sums: ${rows(1L)} want ($wr,$wg,$wb)")
+    assert(rows(2L) == rows(1L), s"PNG diverged from BMP: ${rows(2L)}")
+    assert(rows(3L) == ((1, wgray, wgray, wgray)), s"GIF gray sums: ${rows(3L)}")
+    assert(rows(4L)._1 == 0, s"garbage must refuse: ${rows(4L)}")
+  }
+
   test("banded fingerprint pairing equals brute-force Hamming over 64-bit hashes") {
     import spark.implicits._
     // sign-bit-heavy fingerprints: -1L (all ones) sits one bit from
