@@ -1206,6 +1206,28 @@ object SparkEntry {
       // top-3 TF-IDF salient terms per document (log2-integer idf grid;
       // ties to the lexicographically smaller term)
       Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    "pipeline_multilingual" -> ((s, dir) => {
+      // the MULTILINGUAL curation front door composed end to end, one
+      // lazy plan: heuristic quality gate on RAW text -> char-n-gram
+      // language ID on the lang-salted text -> per-DETECTED-language
+      // token budgets (downsample-only, md5-priority order). Every
+      // stage's arithmetic is replayed by the composed oracle, so the
+      // quality signals, the profile scoring, the argmax, AND the
+      // budget cut are all value-graded through one hash compare.
+      val docs = t(s, dir, "documents")
+      val snippet = langSnippets.tail.foldLeft(lit(langSnippets.head._2)) {
+        case (acc, (l, sn)) => when(col("lang") === l, lit(sn)).otherwise(acc)
+      }
+      val langed = docs.select(col("doc_id"),
+        TextFunctions.langIdNgram(concat(col("text"), repeat(snippet, 3))).as("lang_pred"))
+      val kept = Curation.qualityFilter(docs, "doc_id", "text",
+          minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+        .where(col("keep") === 1).select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .join(langed, "doc_id")
+      Curation.rebalanceMixByTokens(kept, "doc_id", "text", "lang_pred",
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+    }),
     "text_lang_ngram" -> ((s, dir) => {
       // character-n-gram language ID over text salted with a snippet
       // of the doc's DECLARED language (the synthetic corpus is
@@ -1485,6 +1507,23 @@ object SparkEntry {
       val incPairs = pairs.where(newSide(col("a_id")) || newSide(col("b_id")))
       Dedup.updateClusters(Dedup.duplicateClusters(oldPairs), incPairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    "dedup_survivors_incremental" -> ((s, dir) => {
+      // the daily-delta chain closed END TO END: yesterday's clustering
+      // + today's pairs -> updateClusters merge -> survivor corpus,
+      // without re-clustering yesterday's graph. Must be
+      // indistinguishable from survivors of the full-corpus run (the
+      // dedup_survivors oracle by construction).
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(
+        docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)
+      val newSide = (c: org.apache.spark.sql.Column) => c % 10 === 0
+      val oldPairs = pairs.where(!(newSide(col("a_id")) || newSide(col("b_id"))))
+      val incPairs = pairs.where(newSide(col("a_id")) || newSide(col("b_id")))
+      Dedup.dedupedCorpusFromClusters(
+        docs, "doc_id",
+        Dedup.updateClusters(Dedup.duplicateClusters(oldPairs), incPairs))
+        .select("doc_id")
     }),
     "dedup_clusters_distributed" -> ((s, dir) =>
       // the same clustering with the small-graph driver short-circuit
@@ -2720,6 +2759,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
            FROM scored) WHERE rk <= 3""",
     "text_lang_ngram" -> langNgramOracleSql,
+    "pipeline_multilingual" -> multilingualOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
@@ -4260,31 +4300,77 @@ object SparkEntry {
     "fr" -> " les amis et le jour que lent ",
     "zh" -> " 的是了不在 ")
 
-  /** The DuckDB replay of the [[TextFunctions.langIdNgram]] scoring:
-    * generated from the SAME profile table — per-language substring
-    * counts via length/replace, argmax with first-in-profile-order
-    * tiebreak, 'und' when all zero.
+  /** DuckDB fragments replaying [[TextFunctions.langIdNgram]],
+    * generated from the SAME profile/snippet tables: the declared-lang
+    * salt CASE, per-language substring-count score columns (over a
+    * column named `t`), and the argmax CASE with first-in-profile-order
+    * tiebreak and 'und' fallback.
     */
-  private lazy val langNgramOracleSql: String = {
-    val snippetCase = "CASE " + langSnippets.tail.reverse.map { case (l, sn) =>
+  private lazy val langSaltCaseSql: String =
+    "CASE " + langSnippets.tail.map { case (l, sn) =>
       s"WHEN lang = '$l' THEN repeat('$sn', 3) "
     }.mkString + s"ELSE repeat('${langSnippets.head._2}', 3) END"
-    val scoreExprs = TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+  private lazy val langScoresSql: String =
+    TextFunctions.defaultLangProfiles.map { case (l, gs) =>
       val sum = gs.map(g =>
         s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}").mkString(" + ")
       s"$sum AS s_$l"
     }.mkString(",\n           ")
+  private lazy val langPredCaseSql: String = {
     val langs = TextFunctions.defaultLangProfiles.map(_._1)
     val m = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
-    val predCase = "CASE " + langs.map(l =>
+    "CASE " + langs.map(l =>
       s"WHEN $m > 0 AND s_$l = $m THEN '$l' ").mkString + "ELSE 'und' END"
-    s"""WITH a AS (SELECT doc_id, lang, text || $snippetCase AS t FROM documents),
-       sc AS (SELECT doc_id, lang,
-           $scoreExprs
-         FROM a)
-       SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $predCase AS lang_pred
-       FROM sc"""
   }
+
+  /** The DuckDB replay of the `text_lang_ngram` query, assembled from
+    * the generated fragments above.
+    */
+  private lazy val langNgramOracleSql: String =
+    s"""WITH a AS (SELECT doc_id, lang, text || $langSaltCaseSql AS t FROM documents),
+       sc AS (SELECT doc_id, lang,
+           $langScoresSql
+         FROM a)
+       SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $langPredCaseSql AS lang_pred
+       FROM sc"""
+
+  /** The DuckDB replay of the `pipeline_multilingual` capstone:
+    * quality signals on RAW text (the curation_quality arithmetic),
+    * language ID on the salted text (the fragments above), then
+    * per-DETECTED-language token budgets with md5-priority cumulative
+    * sums (the curation_mix_tokens arithmetic keyed by lang_pred).
+    */
+  private lazy val multilingualOracleSql: String =
+    s"""WITH u AS (SELECT doc_id, lang, text, text || $langSaltCaseSql AS t FROM documents),
+       sig AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+           FROM u),
+       sc AS (SELECT doc_id,
+           $langScoresSql
+         FROM u),
+       pred AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM sc),
+       kept AS (SELECT sig.doc_id, pred.lang_pred, sig.n_tokens
+                FROM sig JOIN pred ON sig.doc_id = pred.doc_id
+                WHERE sig.n_tokens >= 10 AND sig.bigram_rep <= 0.2 AND sig.alpha_ratio >= 0.8),
+       w(lang_pred, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
+       totals AS (SELECT lang_pred, sum(n_tokens) AS tok FROM kept GROUP BY lang_pred),
+       s AS (SELECT min(tok / wt) AS scale FROM totals JOIN w USING (lang_pred)),
+       b AS (SELECT lang_pred, CAST(floor(wt * scale) AS BIGINT) AS budget_tokens
+             FROM totals JOIN w USING (lang_pred) CROSS JOIN s),
+       r AS (SELECT doc_id, lang_pred, n_tokens,
+                    CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+             FROM kept)
+       SELECT r.doc_id, r.lang_pred, r.n_tokens
+       FROM r JOIN b USING (lang_pred) WHERE cum_tokens <= budget_tokens"""
 
   private lazy val (pctCtesSql, pctFinalCte, pctFinalCol) = {
     val groups = TextFunctions.pctNormalizePairs.grouped(60).toList
@@ -4323,6 +4409,9 @@ object SparkEntry {
       // from a from-scratch clustering of the union pair graph — one
       // oracle by construction
       ("dedup_clusters_incremental" -> pipelineTierOracle("dedup_clusters")) +
+      // the incrementally-maintained survivor corpus equals the
+      // full-run survivors — one oracle by construction
+      ("dedup_survivors_incremental" -> pipelineTierOracle("dedup_survivors")) +
       // the indexed serve path must answer the IDENTICAL query with the
       // IDENTICAL ranking as the direct scan — one oracle by construction
       ("retrieval_query_serve" -> pipelineTierOracle("retrieval_search_topk")) +
@@ -4338,6 +4427,9 @@ object SparkEntry {
   def capstoneQueries: Seq[String] = Seq(
     // raw HTML -> extract -> quality gate: the crawl front door
     "pipeline_html_curated",
+    // quality gate -> char-n-gram language ID -> per-detected-language
+    // token budgets: the multilingual mix a training run targets
+    "pipeline_multilingual",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph

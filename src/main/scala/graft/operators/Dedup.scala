@@ -958,8 +958,18 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 25,
-      maxDriverEdges: Long = 500000L): DataFrame = {
-    val losers = duplicateClusters(pairs, maxIter, maxDriverEdges)
+      maxDriverEdges: Long = 500000L): DataFrame =
+    dedupedCorpusFromClusters(docs, idCol, duplicateClusters(pairs, maxIter, maxDriverEdges))
+
+  /** Survivor selection against an ALREADY-COMPUTED clustering — the
+    * form [[updateClusters]] composes with, so the daily-delta chain
+    * reaches corpus output without re-clustering: losers are the
+    * members whose id is not their cluster's representative, removed
+    * by one left-anti hash join.
+    */
+  def dedupedCorpusFromClusters(
+      docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
