@@ -1422,6 +1422,18 @@ object SparkEntry {
       // some candidate heuristic
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      // daily-ingest shape at the FINGERPRINT tier: banded Hamming
+      // pairs of a 10% increment against the 90% corpus plus within
+      // the increment — corpus x corpus candidates never generated.
+      // The oracle brute-forces the same membership-dependent rule, so
+      // a match proves the tagged-union banding loses nothing
+      val fps = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)
+      Dedup.fingerprintNearDuplicatesIncremental(
+        fps.where(col("doc_id") % 10 === 0),
+        fps.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "simhash", bits = 16, maxHamming = 2)
+    }),
     "dedup_simhash_collapsed" -> ((s, dir) => {
       // the scale-right composition the operator scaladoc prescribes
       // for dup-heavy corpora: exact-collapse to one keeper per
@@ -3040,6 +3052,19 @@ object SparkEntry {
                 CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.f, b.f)) <= 2""",
+    "dedup_simhash_incremental" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         b AS (SELECT doc_id, j,
+                      CASE WHEN substr(md5(tok), j+1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+               FROM tk CROSS JOIN range(0, 16) r(j)),
+         s AS (SELECT doc_id, j, CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS bit FROM b GROUP BY doc_id, j),
+         fp AS (SELECT doc_id, CAST(sum(bit * (1 << j)) AS INTEGER) AS f FROM s GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b
+           ON a.doc_id % 10 = 0
+          AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+         WHERE bit_count(xor(a.f, b.f)) <= 2""",
     "dedup_simhash_collapsed" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
                        WHERE text IS NOT NULL GROUP BY md5(text)),
@@ -4458,6 +4483,7 @@ object SparkEntry {
     "text_url_canonical", "text_lang_ngram",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
+    "dedup_simhash_incremental",
     "dedup_spans", "dedup_spans_cut",
     // image- and audio-side dedup: real BMP / PCM decode -> integer
     // dHash / energy-contour fingerprint -> banded Hamming pairing

@@ -442,6 +442,24 @@ object Dedup {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, bits), got $maxHamming")
+    val banded = bandedFingerprintRel(fps, idCol, fpCol, bits, maxHamming)
+    val a = banded.select(col("sid").as("a_id"), col("fp").as("a_fp"), col("band"), col("bsig"))
+    val b = banded.select(col("sid").as("b_id"), col("fp").as("b_fp"), col("band"), col("bsig"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "bsig"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The pigeonhole band relation shared by the fingerprint pairing
+    * forms: (sid, fp, band, bsig) with the fingerprint masked to the
+    * declared bit domain and maxHamming+1 sign-safe bands.
+    */
+  private def bandedFingerprintRel(
+      fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands
@@ -456,13 +474,41 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("fp"), shifts(b)).bitwiseAND(lit(mask)).as("bsig"))
     }
-    val banded = fp
-      .select(col("sid"), col("fp"), explode(array(bandCols: _*)).as("bb"))
+    fp.select(col("sid"), col("fp"), explode(array(bandCols: _*)).as("bb"))
       .select(col("sid"), col("fp"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-    val a = banded.select(col("sid").as("a_id"), col("fp").as("a_fp"), col("band"), col("bsig"))
-    val b = banded.select(col("sid").as("b_id"), col("fp").as("b_fp"), col("band"), col("bsig"))
-    a.join(b.hint("shuffle_hash"), Seq("band", "bsig"))
-      .where(col("a_id") < col("b_id"))
+  }
+
+  /** Incremental banded Hamming pairing — [[incrementalNearDuplicates]]
+    * re-aimed at the fingerprint tier (SimHash, image dHash, audio
+    * energy contours): pairs of a daily increment against the indexed
+    * corpus plus within the increment, with corpus x corpus candidates
+    * NEVER generated — the corpus band relation is scanned once and
+    * joined against increment bands only. One tagged-union join (the
+    * [[incrementalNearDuplicates]] shape): the build side is corpus ∪
+    * increment bands, the increment side is the hinted hash-join probe,
+    * and the membership-dependent pair rule (corpus matches in any
+    * order, increment-internal matches only as a < b) is a residual
+    * filter on the tag. Output: (a_id, b_id, hamming) with `a_id`
+    * always the increment-side document. Increment ids must be new —
+    * re-submitting an indexed id double-reports its pairs, the same
+    * contract as every incremental tier here.
+    */
+  def fingerprintNearDuplicatesIncremental(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    val bi = bandedFingerprintRel(increment, idCol, fpCol, bits, maxHamming)
+    val bc = bandedFingerprintRel(corpus, idCol, fpCol, bits, maxHamming)
+    val a = bi.select(col("sid").as("a_id"), col("fp").as("a_fp"), col("band"), col("bsig"))
+    val b = bc.select(col("sid").as("b_id"), col("fp").as("b_fp"), col("band"), col("bsig"),
+        lit(false).as("b_inc"))
+      .unionByName(bi.select(col("sid").as("b_id"), col("fp").as("b_fp"),
+        col("band"), col("bsig"), lit(true).as("b_inc")))
+    a.hint("shuffle_hash").join(b, Seq("band", "bsig"))
+      .where(!col("b_inc") || col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -404,6 +404,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(onlyNew == oldLabels ++ Map(30L -> 30L, 31L -> 30L), s"got $onlyNew")
   }
 
+  test("updateClusters churn is corpus-size invariant: Nx more clusters change nothing it touches") {
+    // the 100 TB law behind the churn-sized CC: replicate the existing
+    // clustering N times (disjoint id blocks) while the increment keeps
+    // touching only block-0 clusters — the merge must (a) equal a
+    // from-scratch clustering of the union graph at every scale and
+    // (b) relabel EXACTLY the affected members + new ids, so the
+    // untouched (N-1)/N of the corpus provably never enters the loop
+    def blockPairs(n: Int): Seq[(Long, Long)] =
+      (0 until n).flatMap { blk =>
+        val o = blk * 1000L
+        Seq((o + 1, o + 2), (o + 2, o + 3), (o + 10, o + 11), (o + 20, o + 21))
+      }
+    val incPairs = Seq((3L, 10L), (21L, 30L)).toDF("a_id", "b_id") // bridge + new doc
+    for (n <- Seq(1, 25)) {
+      val oldPairs = blockPairs(n).toDF("a_id", "b_id")
+      val existing = Dedup.duplicateClusters(oldPairs)
+      val merged = Dedup.updateClusters(existing, incPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.duplicateClusters(oldPairs.unionByName(incPairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == want, s"n=$n: merge diverged from from-scratch")
+      val old = existing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val changed = merged.filter { case (id, l) => old.get(id) != Some(l) }.keySet
+      // affected: clusters {1,2,3} and {10,11} merge (10, 11 relabel to 1);
+      // {20,21} gains new doc 30 — regardless of N, nothing else moves
+      assert(changed == Set(10L, 11L, 30L),
+        s"n=$n: relabel set must be churn-sized and block-0-only, got $changed")
+    }
+  }
+
   test("bounded top-k excludes NaN scores regardless of arrival order") {
     // a NaN compares false both ways: admitted, it would squat in the
     // buffer and reject later elements depending on arrival order
