@@ -1215,16 +1215,14 @@ object SparkEntry {
       // quality signals, the profile scoring, the argmax, AND the
       // budget cut are all value-graded through one hash compare.
       val docs = t(s, dir, "documents")
-      val snippet = langSnippets.tail.foldLeft(lit(langSnippets.head._2)) {
-        case (acc, (l, sn)) => when(col("lang") === l, lit(sn)).otherwise(acc)
-      }
-      val langed = docs.select(col("doc_id"),
-        TextFunctions.langIdNgram(concat(col("text"), repeat(snippet, 3))).as("lang_pred"))
+      // gate FIRST, score after: the 25-gram language projection only
+      // runs over rows that survived the (cheaper) quality signals
       val kept = Curation.qualityFilter(docs, "doc_id", "text",
           minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
         .where(col("keep") === 1).select("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .join(langed, "doc_id")
+        .join(docs.select("doc_id", "text", "lang"), "doc_id")
+        .withColumn("lang_pred",
+          TextFunctions.langIdNgram(concat(col("text"), repeat(langSaltSnippet, 3))))
       Curation.rebalanceMixByTokens(kept, "doc_id", "text", "lang_pred",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
     }),
@@ -1237,10 +1235,7 @@ object SparkEntry {
       // prediction is a deterministic argmax. The oracle replays every
       // count with length/replace arithmetic from the same profile
       // table.
-      val snippet = langSnippets.tail.foldLeft(lit(langSnippets.head._2)) {
-        case (acc, (l, sn)) => when(col("lang") === l, lit(sn)).otherwise(acc)
-      }
-      val txt = concat(col("text"), repeat(snippet, 3))
+      val txt = concat(col("text"), repeat(langSaltSnippet, 3))
       val scoreCols = TextFunctions.defaultLangProfiles.map { case (l, gs) =>
         TextFunctions.langNgramScore(txt, gs).as(s"s_$l")
       }
@@ -4317,6 +4312,15 @@ object SparkEntry {
     * every row carries a genuine cross-language signal. One table
     * drives BOTH the Spark when-chain and the generated DuckDB CASE.
     */
+  /** The Spark twin of [[langSaltCaseSql]]: one when-chain over the
+    * `lang` column, shared by every query that salts text with its
+    * declared language's snippet.
+    */
+  private def langSaltSnippet: org.apache.spark.sql.Column =
+    langSnippets.tail.foldLeft(lit(langSnippets.head._2)) {
+      case (acc, (l, sn)) => when(col("lang") === l, lit(sn)).otherwise(acc)
+    }
+
   // lazy: referenced from map vals that initialize EARLIER in <clinit>
   private lazy val langSnippets: Seq[(String, String)] = Seq(
     "de" -> " der und ein ich schnell ",

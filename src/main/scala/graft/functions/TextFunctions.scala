@@ -205,7 +205,13 @@ object TextFunctions {
     * `%3A`, UTF-8 multibyte) survive — decoding those would change
     * which URL the string names. Plain `replace` pairs, applied left
     * to right: no regex at all, so Spark and a replaying engine cannot
-    * disagree on syntax.
+    * disagree on syntax. DELIBERATE tradeoff: a `%` is always treated
+    * as starting an escape, so a MALFORMED sequence (`%ax`, second
+    * char not a hex digit) still gets its leading `%a` uppercased — a
+    * bare `%` in a URL is invalid per RFC 3986 anyway, and uniform
+    * treatment keeps the table kind (plain substring pairs) replayable
+    * by any engine, where strict valid-triplet matching would need
+    * lookahead or replacement backreferences, both banned here.
     */
   def pctNormalizePairs: Seq[(String, String)] = {
     val hex = "0123456789ABCDEF"

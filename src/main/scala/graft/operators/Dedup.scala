@@ -488,10 +488,14 @@ object Dedup {
     * increment bands, the increment side is the hinted hash-join probe,
     * and the membership-dependent pair rule (corpus matches in any
     * order, increment-internal matches only as a < b) is a residual
-    * filter on the tag. Output: (a_id, b_id, hamming) with `a_id`
-    * always the increment-side document. Increment ids must be new —
-    * re-submitting an indexed id double-reports its pairs, the same
-    * contract as every incremental tier here.
+    * filter on the tag. The `shuffle_hash` hint sits on the INCREMENT
+    * side — the hinted relation is the hash-join BUILD side, and the
+    * build table must be the small relation in the
+    * corpus-dwarfs-increment regime this operator exists for. Output:
+    * (a_id, b_id, hamming) with `a_id` always the increment-side
+    * document. Increment ids must be new — re-submitting an indexed id
+    * double-reports its pairs, the same contract as every incremental
+    * tier here.
     */
   def fingerprintNearDuplicatesIncremental(
       increment: DataFrame,
@@ -500,6 +504,9 @@ object Dedup {
       fpCol: String,
       bits: Int,
       maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
     val bi = bandedFingerprintRel(increment, idCol, fpCol, bits, maxHamming)
     val bc = bandedFingerprintRel(corpus, idCol, fpCol, bits, maxHamming)
     val a = bi.select(col("sid").as("a_id"), col("fp").as("a_fp"), col("band"), col("bsig"))
@@ -950,19 +957,32 @@ object Dedup {
       newPairs: DataFrame,
       maxIter: Int = 25,
       maxDriverEdges: Long = 500000L): DataFrame = {
-    val touched = newPairs.select(col("a_id").as("id"))
-      .unionByName(newPairs.select(col("b_id").as("id")))
+    // the increment's pair relation is referenced three times (both
+    // touched projections + the CC input) and in the registered
+    // pipelines it is an LSH + exact-verify chain — checkpoint the
+    // churn-sized relation ONCE so that chain never re-executes; the
+    // `affected` cluster-id relation is read twice (members semi,
+    // untouched anti) and is at most one row per affected cluster, so
+    // it checkpoints for pennies too. `existing` is scanned by the two
+    // semi joins and the anti join: pass a MATERIALIZED relation (a
+    // parquet read-back or a duplicateClusters output, which is
+    // checkpointed/local already) — that is what yesterday's clustering
+    // is in a real daily run.
+    val pairs = reliableCheckpoint(newPairs.select(col("a_id"), col("b_id")))
+    val touched = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id")))
       .distinct()
     // clusters holding any endpoint of a new pair; brand-new ids fall
     // out of the semi join (they have no existing cluster to affect)
-    val affected = existing.join(touched, Seq("id"), "left_semi")
-      .select(col("cluster_id")).distinct()
+    val affected = reliableCheckpoint(
+      existing.join(touched, Seq("id"), "left_semi")
+        .select(col("cluster_id")).distinct())
     val affectedMembers = existing.join(affected, Seq("cluster_id"), "left_semi")
     val starEdges = affectedMembers
       .where(col("id") =!= col("cluster_id"))
       .select(col("cluster_id").as("a_id"), col("id").as("b_id"))
     val merged = duplicateClusters(
-      starEdges.unionByName(newPairs.select(col("a_id"), col("b_id"))),
+      starEdges.unionByName(pairs),
       maxIter, maxDriverEdges)
     // representative-only affected clusters (size-1 stars have no
     // non-rep member, but CAN still be touched via their rep) are

@@ -745,22 +745,37 @@ object Multimodal {
     * same 64-bit dHash. None when ImageIO has no reader for the bytes
     * or the image is smaller than the grid.
     */
-  private def imageioDhashOne(
-      b: Array[Byte], gridCols: Int, gridRows: Int): Option[(Int, Int, Long)] = {
+  /** Decode via ImageIO and hand the caller (w, h, row iterator) — the
+    * ONE place the JDK read + sRGB row extraction happens, so the
+    * dHash and pixel-sum tiers cannot drift on what the same payload
+    * decodes to. The row array is reused across rows (consume within
+    * the iteration). None when ImageIO has no reader for the bytes.
+    */
+  private def withImageioRows[T](b: Array[Byte])(
+      f: (Int, Int, Iterator[Array[Int]]) => T): Option[T] = {
     require(imageioReady)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
     if (img == null) None
     else {
       val w = img.getWidth
       val h = img.getHeight
+      val rowPix = new Array[Int](w)
+      val rows = (0 until h).iterator.map { y =>
+        img.getRGB(0, y, w, 1, rowPix, 0, w); rowPix
+      }
+      Some(f(w, h, rows))
+    }
+  }
+
+  private def imageioDhashOne(
+      b: Array[Byte], gridCols: Int, gridRows: Int): Option[(Int, Int, Long)] =
+    withImageioRows(b) { (w, h, rows) =>
       if (w < gridCols || h < gridRows) None
       else {
         val sums = new Array[Long](gridCols * gridRows)
         val counts = new Array[Long](gridCols * gridRows)
-        val rowPix = new Array[Int](w)
         var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, rowPix, 0, w)
+        rows.foreach { rowPix =>
           val j = y * gridRows / h
           var x = 0
           while (x < w) {
@@ -774,8 +789,7 @@ object Multimodal {
         }
         Some((w, h, dhashBits(sums, counts, gridCols, gridRows)))
       }
-    }
-  }
+    }.flatten
 
   /** Format-dispatching perceptual dHash — the image-dedup front door
     * for a REAL crawled corpus, where payloads arrive as PNG and JPEG
@@ -799,7 +813,12 @@ object Multimodal {
       df: DataFrame, idCol: String, payloadCol: String,
       gridCols: Int = 9, gridRows: Int = 8, batchSize: Int = 256): DataFrame =
     dhashFrame(df, idCol, payloadCol, gridCols, gridRows, batchSize) { b =>
-      if (isBmp(b)) bmpDhashOne(b, gridCols, gridRows)
+      // BMPs the byte walk declines (32bpp BI_BITFIELDS, 8bpp palette,
+      // 1bpp) fall through to the JDK's own BMP reader instead of
+      // reporting ok=0 — a crawled 32bpp duplicate of a PNG must not
+      // silently survive dedup
+      if (isBmp(b))
+        bmpDhashOne(b, gridCols, gridRows).orElse(imageioDhashOne(b, gridCols, gridRows))
       else if (isPng(b) || isGif(b) || isJpeg(b)) imageioDhashOne(b, gridCols, gridRows)
       else None
     }
@@ -825,33 +844,28 @@ object Multimodal {
           batch.iterator.map { case (id, bytesOrNull) =>
             val b = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
             val none = (id, 0, 0, 0, 0L, 0L, 0L)
+            def viaImageio = withImageioRows(b) { (w, h, rows) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              rows.foreach { rowPix =>
+                var x = 0
+                while (x < w) {
+                  val p = rowPix(x)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+              }
+              (id, 1, w, h, sr, sg, sb)
+            }
             try {
+              // same dispatch as decodeImageDhash: exact byte walk for
+              // 24bpp BMP, JDK reader for PNG/GIF/JPEG AND for the BMP
+              // variants the walk declines
               if (isBmp(b)) bmpPixelSumsOne(b) match {
                 case Some((w, h, sr, sg, sb)) => (id, 1, w, h, sr, sg, sb)
-                case None                     => none
+                case None                     => viaImageio.getOrElse(none)
               }
-              else if (isPng(b) || isGif(b) || isJpeg(b)) {
-                require(imageioReady)
-                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-                if (img == null) none
-                else {
-                  val w = img.getWidth; val h = img.getHeight
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  val rowPix = new Array[Int](w)
-                  var y = 0
-                  while (y < h) {
-                    img.getRGB(0, y, w, 1, rowPix, 0, w)
-                    var x = 0
-                    while (x < w) {
-                      val p = rowPix(x)
-                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  (id, 1, w, h, sr, sg, sb)
-                }
-              } else none
+              else if (isPng(b) || isGif(b) || isJpeg(b)) viaImageio.getOrElse(none)
+              else none
             } catch { case scala.util.control.NonFatal(_) => none }
           }
         }

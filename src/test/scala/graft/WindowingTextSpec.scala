@@ -362,6 +362,28 @@ class WindowingTextSpec extends SparkTestBase {
         .toDF("id", "payload"), "id", "payload")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(refuse == Map(5L -> 0, 6L -> 0), s"got $refuse")
+    // a 32bpp BMP (the variant the exact 24bpp byte walk declines)
+    // falls through to the JDK's own BMP reader and hashes identically
+    // to the 24bpp render of the same pixels
+    def bmp32(width: Int, height: Int, p: (Int, Int) => Int): Array[Byte] = {
+      val dataSize = 4 * width * height
+      val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+      bb.putInt(40).putInt(width).putInt(height)
+      bb.putShort(1.toShort).putShort(32.toShort).putInt(0).putInt(dataSize)
+      bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (fileRow <- 0 until height; x <- 0 until width) {
+        val rgb = p(x, height - 1 - fileRow) // bottom-up rows
+        bb.put((rgb & 0xff).toByte).put(((rgb >> 8) & 0xff).toByte)
+          .put(((rgb >> 16) & 0xff).toByte).put(0xff.toByte)
+      }
+      bb.array()
+    }
+    val deep = Multimodal.decodeImageDhash(
+      Seq((7L, bmp32(w, h, pix))).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(deep.getInt(1) == 1 && deep.getLong(4) == rows(1L)._4,
+      s"32bpp BMP must decode via the JDK fallback to the same hash: $deep vs ${rows(1L)._4}")
   }
 
   test("decodeImagePixels sums channels identically across BMP, PNG, and GIF") {
