@@ -240,6 +240,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"incremental near-dup degenerated to a cross join:\n$plan")
   }
 
+  test("incremental fingerprint pairing hash-joins band buckets with the increment as build") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fps = graft.operators.Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val nd = graft.operators.Dedup.fingerprintNearDuplicatesIncremental(
+      fps.where(col("doc_id") % 10 === 0), fps.where(col("doc_id") % 10 =!= 0),
+      "doc_id", "simhash", bits = 16, maxHamming = 2)
+    val plan = executedPlanString(nd)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // ONE shuffled hash join on (band, bsig) — the increment side is
+    // the hinted build table (small by the daily-delta contract) — and
+    // never a cross join; corpus x corpus pairs are excluded by
+    // construction, not filtered after the fact
+    assert("ShuffledHashJoin".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly one shuffled hash join on band buckets:\n$finalPlan")
+    assert(finalPlan.contains("BuildLeft"),
+      s"the increment (left) side must be the hash build table:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental fingerprint pairing degenerated to a cross join:\n$plan")
+  }
+
   test("embedding near-dup self-join reuses one bucket exchange, cache-free") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val nd = graft.operators.Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 4, 30)
