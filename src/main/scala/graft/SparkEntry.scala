@@ -1216,13 +1216,23 @@ object SparkEntry {
       // budget cut are all value-graded through one hash compare.
       val docs = t(s, dir, "documents")
       // gate FIRST, score after: the 25-gram language projection only
-      // runs over rows that survived the (cheaper) quality signals
+      // runs over rows that survived the (cheaper) quality signals,
+      // and text/lang ride the gate's own projection (carryCols) so
+      // the corpus text column is scanned exactly ONCE — no join back
+      val salted = concat(col("text"), repeat(langSaltSnippet, 3))
       val kept = Curation.qualityFilter(docs, "doc_id", "text",
-          minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
-        .where(col("keep") === 1).select("doc_id")
-        .join(docs.select("doc_id", "text", "lang"), "doc_id")
-        .withColumn("lang_pred",
-          TextFunctions.langIdNgram(concat(col("text"), repeat(langSaltSnippet, 3))))
+          minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8,
+          carryCols = Seq("text", "lang"))
+        .where(col("keep") === 1)
+        // STAGED scoring: the 25 substring counts compute once as
+        // columns; the argmax sees references, not 7 inlined copies of
+        // the whole replace chain per branch
+        .select(col("doc_id") +: col("text") +:
+          TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+            TextFunctions.langNgramScore(salted, gs).as(s"s_$l")
+          }: _*)
+        .withColumn("lang_pred", TextFunctions.langIdFromScores(
+          TextFunctions.defaultLangProfiles.map { case (l, _) => (l, col(s"s_$l")) }))
       Curation.rebalanceMixByTokens(kept, "doc_id", "text", "lang_pred",
         Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
     }),
@@ -1239,9 +1249,12 @@ object SparkEntry {
       val scoreCols = TextFunctions.defaultLangProfiles.map { case (l, gs) =>
         TextFunctions.langNgramScore(txt, gs).as(s"s_$l")
       }
-      t(s, dir, "documents").select(
-        (col("doc_id") +: col("lang") +: scoreCols) :+
-          TextFunctions.langIdNgram(txt).as("lang_pred"): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+        // staged argmax over the score COLUMNS — one copy of each
+        // substring-count chain in the plan, not one per when branch
+        .withColumn("lang_pred", TextFunctions.langIdFromScores(
+          TextFunctions.defaultLangProfiles.map { case (l, _) => (l, col(s"s_$l")) }))
     }),
     "text_chunks_overlap" -> ((s, dir) =>
       // strided context windows: 16-token chunks every 8 tokens, so

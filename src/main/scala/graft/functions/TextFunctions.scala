@@ -101,7 +101,20 @@ object TextFunctions {
       text: Column,
       profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
     require(profiles.nonEmpty, "langIdNgram needs at least one language profile")
-    val scores = profiles.map { case (l, gs) => (l, langNgramScore(text, gs)) }
+    langIdFromScores(profiles.map { case (l, gs) => (l, langNgramScore(text, gs)) })
+  }
+
+  /** The argmax half of [[langIdNgram]] on ALREADY-COMPUTED score
+    * columns. Use this staged form when the scores are also emitted as
+    * output columns (or the text is long): the when-chain references
+    * each score ~7 times, and handing it attribute REFERENCES instead
+    * of score expressions keeps Catalyst from inlining the whole
+    * substring-count tree into every branch — project the scores
+    * first (CollapseProject leaves multiply-referenced non-trivial
+    * aliases staged), then call this on the columns.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    require(scores.nonEmpty, "langIdFromScores needs at least one language score")
     val m = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
       when(m > 0 && sc === m, lit(l)).otherwise(acc)

@@ -28,7 +28,11 @@ object Curation {
     * quality stacks report the dominant defect). A narrow projection —
     * at 100 TB this is a single pass over corpus bytes, and the
     * `keep` column composes with partition-pruned writes for the
-    * kept/rejected split.
+    * kept/rejected split. `carryCols` ride the signal projection so a
+    * downstream stage that still needs them (the text for language ID,
+    * a domain column for budget cuts) composes without a join back to
+    * the corpus — a second scan of the text column is the expensive
+    * part of the whole gate at scale.
     */
   def qualityFilter(
       docs: DataFrame,
@@ -36,24 +40,29 @@ object Curation {
       textCol: String,
       minTokens: Int = 5,
       maxBigramRep: Double = 0.2,
-      minAlphaRatio: Double = 0.8
+      minAlphaRatio: Double = 0.8,
+      carryCols: Seq[String] = Nil
   ): DataFrame = {
     val txt = col(textCol)
+    // carryCols ride the signal projection so a downstream stage that
+    // needs the text (language ID, budget cut) composes WITHOUT a
+    // join back to the corpus — at 100 TB a second text scan is the
+    // expensive part of the whole gate
     val out = docs.select(
-      col(idCol),
-      TextFunctions.tokenCount(txt).as("n_tokens"),
-      TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
-      TextFunctions.alphaRatio(txt).as("alpha_ratio"))
+      col(idCol) +: carryCols.map(col) ++: Seq(
+        TextFunctions.tokenCount(txt).as("n_tokens"),
+        TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
+        TextFunctions.alphaRatio(txt).as("alpha_ratio")): _*)
     out.select(
-      col(idCol), col("n_tokens"), col("bigram_rep"), col("alpha_ratio"),
-      // null text first: every signal is NULL for it, so the later
-      // when() predicates all evaluate to null (not true) and a null
-      // document would otherwise sail through the gate with keep=1
-      when(col("n_tokens").isNull, lit("null_text"))
-        .when(col("n_tokens") < minTokens, lit("too_short"))
-        .when(col("bigram_rep") > maxBigramRep, lit("repetitive"))
-        .when(col("alpha_ratio") < minAlphaRatio, lit("symbol_soup"))
-        .as("reject_reason"))
+      out.columns.map(col) :+
+        // null text first: every signal is NULL for it, so the later
+        // when() predicates all evaluate to null (not true) and a null
+        // document would otherwise sail through the gate with keep=1
+        when(col("n_tokens").isNull, lit("null_text"))
+          .when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("bigram_rep") > maxBigramRep, lit("repetitive"))
+          .when(col("alpha_ratio") < minAlphaRatio, lit("symbol_soup"))
+          .as("reject_reason"): _*)
       .withColumn("keep", col("reject_reason").isNull.cast("bigint"))
   }
 
