@@ -159,6 +159,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("DIFFERENTIAL: the multilingual gate (quality + langIdNgram) projects identically on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the multilingual front door is stateless end to end (signals,
+    // substring-count scores, argmax), so the SAME composed gate runs
+    // on a stream: carryCols keeps the text riding the projection, the
+    // language decision lands per micro-batch with no state
+    val rows = Seq(
+      (1L, "the king stands at the bridge and the thing was singing today"),
+      (2L, "der schnelle hund und ein kleines licht in der nacht sich jetzt"),
+      (3L, "no"),
+      (4L, "spam spam spam spam spam spam spam spam spam spam"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.qualityFilter(df, "doc_id", "text",
+          minTokens = 5, maxBigramRep = 0.3, minAlphaRatio = 0.5,
+          carryCols = Seq("text"))
+        .withColumn("lang_pred",
+          graft.functions.TextFunctions.langIdNgram(col("text")))
+        .select("doc_id", "keep", "reject_reason", "lang_pred")
+    val batch = gate(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(batch(1L) == ((1L, null, "en")) && batch(2L) == ((1L, null, "de"))
+      && batch(3L)._1 == 0L && batch(4L)._2 == "repetitive", s"batch ground truth: $batch")
+    val input = MemoryStream[(Long, String)]
+    val query = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ml_gate").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*) // second micro-batch: no carried state
+      query.processAllAvailable()
+      val streamed = spark.table("ml_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+      assert(streamed == batch, s"stream diverged from batch: $streamed vs $batch")
+    } finally query.stop()
+  }
+
   test("sessionCounts groups a stream into gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
