@@ -1206,6 +1206,37 @@ object SparkEntry {
       // top-3 TF-IDF salient terms per document (log2-integer idf grid;
       // ties to the lexicographically smaller term)
       Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    "text_lang_fit" -> ((s, dir) =>
+      // LEARN the language profiles from the labeled salted corpus
+      // instead of hand-picking them: per-(lang, gram) counts, global
+      // gram counts, each language keeps its 5 most DISCRIMINATIVE
+      // trigrams by integer ownership share — one explode, two hash
+      // aggregates, one bounded per-lang window. The oracle replays
+      // the trigram explosion and ranking arithmetic exactly.
+      TextFunctions.langProfileFit(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          concat(col("text"), repeat(langSaltSnippet, 3)).as("t")),
+        "t", "lang", gramsPerLang = 5)),
+    "text_lang_learned" -> ((s, dir) => {
+      // fit-then-serve closed end to end: the profiles LEARNED by
+      // langProfileFit (a bounded languages x 5 model collect — the
+      // BPE/DSIR stance) drive the same staged scoring as the
+      // hand-picked tier; the oracle re-derives the profiles AND
+      // replays the dynamic-gram scoring via a 25-row cross join, so
+      // fit and serve are both value-graded through one compare
+      val salted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), repeat(langSaltSnippet, 3)).as("t"))
+      val profiles = TextFunctions.collectLangProfiles(
+        TextFunctions.langProfileFit(salted, "t", "lang", gramsPerLang = 5))
+      val scored = salted.select(col("doc_id") +: col("lang") +:
+        profiles.zipWithIndex.map { case ((_, gs), i) =>
+          TextFunctions.langNgramScore(col("t"), gs).as(s"ls_$i")
+        }: _*)
+      scored
+        .withColumn("lang_pred", TextFunctions.langIdFromScores(
+          profiles.zipWithIndex.map { case ((l, _), i) => (l, col(s"ls_$i")) }))
+        .select("doc_id", "lang", "lang_pred")
+    }),
     "pipeline_multilingual" -> ((s, dir) => {
       // the MULTILINGUAL curation front door composed end to end, one
       // lazy plan: heuristic quality gate on RAW text -> char-n-gram
@@ -2779,6 +2810,8 @@ object SparkEntry {
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
            FROM scored) WHERE rk <= 3""",
     "text_lang_ngram" -> langNgramOracleSql,
+    "text_lang_fit" -> langFitOracleSql,
+    "text_lang_learned" -> langLearnedOracleSql,
     "pipeline_multilingual" -> multilingualOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -4413,6 +4446,40 @@ object SparkEntry {
              FROM kept)
        SELECT r.doc_id, r.lang_pred, r.n_tokens
        FROM r JOIN b USING (lang_pred) WHERE cum_tokens <= budget_tokens"""
+
+  /** Shared CTE prefix for the LEARNED-profile oracles: salted text,
+    * trigram explosion, per-(lang, gram) and global counts, and the
+    * ownership-share ranking — the DuckDB replay of
+    * [[TextFunctions.langProfileFit]], generated with the same salt
+    * CASE as every language query.
+    */
+  private lazy val langFitCtePrefix: String =
+    s"""WITH u AS (SELECT doc_id, lang, text || $langSaltCaseSql AS t FROM documents),
+       g AS (SELECT lang, unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS gram
+             FROM u WHERE t IS NOT NULL AND lang IS NOT NULL AND length(t) >= 3),
+       cl AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS c_lang FROM g GROUP BY lang, gram),
+       ca AS (SELECT gram, CAST(sum(c_lang) AS BIGINT) AS c_all FROM cl GROUP BY gram),
+       r AS (SELECT lang, gram, c_lang, c_all,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY (c_lang * 1000000) // c_all DESC, c_lang DESC, gram ASC) AS INTEGER) AS "rank"
+             FROM cl JOIN ca USING (gram))"""
+
+  private lazy val langFitOracleSql: String =
+    s"""$langFitCtePrefix
+       SELECT lang, gram, c_lang, c_all, "rank" FROM r WHERE "rank" <= 5"""
+
+  private lazy val langLearnedOracleSql: String =
+    s"""$langFitCtePrefix,
+       prof AS (SELECT lang AS plang, gram FROM r WHERE "rank" <= 5),
+       sc AS (SELECT u.doc_id, p.plang,
+                CAST(sum((length(u.t) - length(replace(u.t, p.gram, ''))) // 3) AS BIGINT) AS s
+              FROM u CROSS JOIN prof p GROUP BY u.doc_id, p.plang),
+       mx AS (SELECT doc_id, max(s) AS m FROM sc GROUP BY doc_id),
+       pred AS (SELECT sc.doc_id,
+                  CASE WHEN mx.m > 0 THEN min(CASE WHEN sc.s = mx.m THEN sc.plang END)
+                       ELSE 'und' END AS lang_pred
+                FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id, mx.m)
+       SELECT u.doc_id, u.lang, pred.lang_pred FROM u JOIN pred USING (doc_id)"""
 
   private lazy val (pctCtesSql, pctFinalCte, pctFinalCol) = {
     val groups = TextFunctions.pctNormalizePairs.grouped(60).toList

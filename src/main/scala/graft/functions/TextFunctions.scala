@@ -104,6 +104,59 @@ object TextFunctions {
     langIdFromScores(profiles.map { case (l, gs) => (l, langNgramScore(text, gs)) })
   }
 
+  /** FIT the language profiles from a labeled corpus instead of using
+    * the hand-picked [[defaultLangProfiles]] — the train-then-serve
+    * split every model tier here follows (BPE merges, DSIR term
+    * tables, quality-classifier weights): character trigrams explode
+    * once, count per (lang, gram) and per gram globally, and each
+    * language keeps its `gramsPerLang` most DISCRIMINATIVE grams —
+    * ranked by the integer share (c_lang · 10^6) div c_all (the
+    * fraction of a gram's occurrences owned by this language; raw
+    * frequency would hand every language the same corpus-common soup),
+    * ties broken by higher count then gram order, so the fit is
+    * deterministic and replayable cross-engine. One explode + two
+    * hash aggregates + one bounded per-lang top-k window — the 100 TB
+    * shape; output (lang, gram, c_lang, c_all, rank) is languages ×
+    * gramsPerLang rows.
+    */
+  def langProfileFit(
+      docs: DataFrame, textCol: String, langCol: String,
+      gramsPerLang: Int = 5): DataFrame = {
+    require(gramsPerLang > 0, "gramsPerLang must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // the sub-3-char guard matters: Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) instead of returning empty, which would fabricate grams
+    val grams = docs
+      .where(col(textCol).isNotNull && col(langCol).isNotNull && length(col(textCol)) >= 3)
+      .select(col(langCol).as("lang"),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - 2),
+          i => col(textCol).substr(i, lit(3)))).as("gram"))
+    val cl = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c_lang"))
+    val ca = cl.groupBy("gram").agg(sum("c_lang").as("c_all"))
+    // integral DIV, not float division + floor: exact at any count
+    // magnitude (a 100 TB corpus's gram counts would exceed a double's
+    // 2^53 integer range)
+    val d = expr("c_lang * CAST(1000000 AS BIGINT) DIV c_all")
+    cl.join(ca, "gram")
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(d.desc, col("c_lang").desc, col("gram").asc)))
+      .where(col("rank") <= gramsPerLang)
+      .select(col("lang"), col("gram"), col("c_lang"), col("c_all"), col("rank"))
+  }
+
+  /** Collect a [[langProfileFit]] relation into the profile shape
+    * [[langIdNgram]] serves from — a bounded model collect (languages
+    * × gramsPerLang rows), the [[graft.operators.BpeTokenizer]]
+    * stance: fit distributed, model small, serve codegen'd.
+    */
+  def collectLangProfiles(profileRel: DataFrame): Seq[(String, Seq[String])] =
+    profileRel.select(col("lang"), col("gram"), col("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toSeq) }
+
   /** The argmax half of [[langIdNgram]] on ALREADY-COMPUTED score
     * columns. Use this staged form when the scores are also emitted as
     * output columns (or the text is long): the when-chain references

@@ -54,6 +54,37 @@ class CurationSpec extends SparkTestBase {
     assert(gated == Set(1L), s"got $gated")
   }
 
+  test("langProfileFit learns discriminative trigrams and the learned profiles serve") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    // shared filler dominates RAW frequency in every language; only
+    // the ownership-share ranking should surface the distinctive grams
+    val corpus = Seq(
+      (1L, "the king went to the market in the morning zzz", "en"),
+      (2L, "the queen and the king at the harbour zzz", "en"),
+      (3L, "der hund und der wagen in der nacht zzz", "de"),
+      (4L, "der schnelle wind und der regen zzz", "de")
+    ).toDF("doc_id", "t", "lang")
+    val rel = TextFunctions.langProfileFit(corpus, "t", "lang", gramsPerLang = 3)
+    val profiles = TextFunctions.collectLangProfiles(rel)
+    assert(profiles.map(_._1) == Seq("de", "en"), s"langs: $profiles")
+    val de = profiles.toMap.apply("de")
+    val en = profiles.toMap.apply("en")
+    // ownership share filters the shared ' zz'/'zzz' filler out of the
+    // top ranks: every learned gram is exclusive to its language
+    assert((de ++ en).forall(g => !g.contains("z")),
+      s"shared filler leaked into the learned profiles: de=$de en=$en")
+    // the learned profiles drive the serve path and recover the labels
+    val preds = corpus.select(col("doc_id"), col("lang"),
+        TextFunctions.langIdNgram(col("t"), profiles).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(preds.forall { case (_, (lang, p)) => lang == p }, s"got $preds")
+    // rank determinism: the relation carries dense 1..k ranks per lang
+    val ranks = rel.collect().map(r => (r.getString(0), r.getInt(4))).groupBy(_._1)
+      .map { case (l, rs) => l -> rs.map(_._2).sorted.toSeq }
+    assert(ranks == Map("de" -> Seq(1, 2, 3), "en" -> Seq(1, 2, 3)), s"got $ranks")
+  }
+
   test("tokenBudgetSample keeps docs while the per-stratum running total fits") {
     // 3 docs of 4 tokens each in one stratum, budget 8 -> exactly 2 kept,
     // and WHICH two is fixed by md5 priority, not input order
