@@ -106,6 +106,81 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("updateClusters on a random pair split equals clustering the whole graph") {
+    // the incremental merge must be indistinguishable from a full
+    // recompute for ANY split of the pair graph into yesterday/today —
+    // including empty sides, bridges, and pure-new components
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 20
+      val m = n + rnd.nextInt(2 * n)
+      val pairs = List.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val (oldPairs, newPairs) = pairs.partition(_ => rnd.nextBoolean())
+      val truth = graft.operators.Dedup.duplicateClusters(pairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val merged = graft.operators.Dedup.updateClusters(
+          graft.operators.Dedup.duplicateClusters(oldPairs.toDF("a_id", "b_id")),
+          newPairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == truth,
+        s"trial $trial (old=${oldPairs.size} new=${newPairs.size}): merge diverged")
+    }
+  }
+
+  test("incremental fingerprint pairing equals the batch pairs touching the increment") {
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 20
+      // cluster fingerprints around a few prototypes so near-pairs and
+      // exact collisions both occur; full 64-bit domain incl. sign bit
+      val protos = Array.fill(4)(rnd.nextLong())
+      val fps = (0L until n).map { id =>
+        val base = protos(rnd.nextInt(protos.length))
+        val flips = rnd.nextInt(4)
+        val fp = (0 until flips).foldLeft(base)((f, _) => f ^ (1L << rnd.nextInt(64)))
+        (id, fp)
+      }
+      val incIds = fps.map(_._1).filter(_ % 3 == 0).toSet
+      val inc = fps.filter(f => incIds(f._1))
+      val corpus = fps.filterNot(f => incIds(f._1))
+      val batch = graft.operators.Dedup.fingerprintNearDuplicates(
+          fps.toDF("id", "fp"), "id", "fp", bits = 64, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter { case (a, b, _) => incIds(a) || incIds(b) }.toSet
+      val incr = graft.operators.Dedup.fingerprintNearDuplicatesIncremental(
+          inc.toDF("id", "fp"), corpus.toDF("id", "fp"), "id", "fp",
+          bits = 64, maxHamming = 3)
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+      assert(incr == batch, s"trial $trial: incremental diverged "
+        + s"(${(incr -- batch).take(3)} extra, ${(batch -- incr).take(3)} missing)")
+    }
+  }
+
+  test("percent-encoding normalization is idempotent") {
+    import org.apache.spark.sql.functions.col
+    // normalize(normalize(s)) == normalize(s) for arbitrary %-soup:
+    // decoded characters and uppercased escapes must never re-trigger
+    // a later pass differently
+    val alphabet = "abcdefABCDEF0123456789%~._-/?=&xyzXYZ"
+    val strings = (1 to 200).map { _ =>
+      val len = 1 + rnd.nextInt(24)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "%7e%7E%41%2f%2F%" :+ "%a%b%" :+ "" :+ "%%41%"
+    // two separate single-pass plans (one composed 336-replace column
+    // tree overflows the column-converter stack — the operator itself
+    // is one pass deep by construction)
+    val once = strings.toDF("s")
+      .select(graft.functions.TextFunctions.normalizePctEncoding(col("s")).as("a"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("s")
+      .select(graft.functions.TextFunctions.normalizePctEncoding(col("s")).as("b"))
+      .collect().map(_.getString(0)).toSeq
+    once.zip(twice).foreach { case (a, b) =>
+      assert(a == b, s"not idempotent: '$a' -> '$b'") }
+  }
+
   test("rolling window fingerprints equal a direct per-window recomputation") {
     // the O(1) rolling update (subtract outgoing, multiply, add
     // incoming) must produce the SAME key a from-scratch polynomial
