@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BigramRepetitionRatio, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, NgramFeatureBuckets, NormalizeNfc, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize, StripAccents}
+import graft.expressions.{BigramRepetitionRatio, CharTrigrams, CutSpannedTokens, FloatDotProduct, HyperplaneBuckets, MinHashSignatures, NgramFeatureBuckets, NormalizeNfc, RollingTokenHashes, SimHashFingerprint, SortedIntersectSize, StripAccents}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so they resolve by name in `spark.sql(...)` / `expr(...)`.
@@ -96,6 +96,9 @@ object GraftFunctions {
   val stripAccentsFunction: FunctionDesc =
     desc("graft_strip_accents", classOf[StripAccents], 1)(c => StripAccents(c(0)))
 
+  val charTrigramsFunction: FunctionDesc =
+    desc("graft_char_trigrams", classOf[CharTrigrams], 1)(c => CharTrigrams(c(0)))
+
   /** Every graft function description — the single source both
     * registration paths share, so the SQL-extension and programmatic
     * routes cannot diverge.
@@ -104,7 +107,7 @@ object GraftFunctions {
     dotFunction, sortedIntersectSizeFunction, minhashFunction,
     simhashFunction, hyperplaneBucketFunction, bigramRepFunction,
     cutSpansFunction, rollingSpanHashesFunction, ngramBucketsFunction,
-    nfcFunction, stripAccentsFunction)
+    nfcFunction, stripAccentsFunction, charTrigramsFunction)
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

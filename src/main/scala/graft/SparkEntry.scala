@@ -4565,6 +4565,10 @@ object SparkEntry {
     "window_tumbling", "window_session", "window_sliding", "analytic_running",
     "text_quality", "text_lm_perplexity", "text_bpe_tokens", "text_html_extract",
     "text_url_canonical", "text_lang_ngram",
+    // the learned-profile language tier bills fit (trigram explode +
+    // two aggregates + bounded top-k window) separately from the
+    // codegen'd serve, the dsir_fit/select split
+    "text_lang_fit", "text_lang_learned",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_near_verified", "dedup_near_skewsafe", "dedup_incremental",
     "dedup_simhash_incremental",

@@ -115,6 +115,72 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** All character trigrams of a string, in order — the gram generator
+  * behind [[graft.functions.TextFunctions.langProfileFit]]'s
+  * per-language counting. Exists because the compositional form
+  * (`transform(sequence(...), i -> substring(t, i, 3))`) is a
+  * CodegenFallback higher-order function — interpreted per element —
+  * and the explode-the-positions rewrite copies the WHOLE document
+  * string into every generated row; both benched several times slower
+  * than the replaying DuckDB oracle on the corpus-wide fit. One pass
+  * records each character's byte offset, then every trigram is a
+  * zero-walk byte-slice view — O(n) per document, codegen'd. Fewer
+  * than three characters yields an empty array (matching
+  * `generate_series(1, n-2)` emptiness, never a descending sequence).
+  */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_trigrams expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_trigrams"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // one pass: byte offset of every character (UTF-8 aware, so CJK
+    // profile grams count as single characters exactly like
+    // substr/length in both engines)
+    var nChars = 0
+    var pos = 0
+    while (pos < bytes.length) {
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      nChars += 1
+    }
+    if (nChars < 3) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](nChars + 1)
+    pos = 0
+    var c = 0
+    while (pos < bytes.length) {
+      offs(c) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    val out = new Array[Any](nChars - 2)
+    var i = 0
+    while (i < nChars - 2) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + 3) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charTrigrams", this, classOf[CharTrigrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Duplicate word-bigram fraction of a token array — `round(1 -
   * distinct_bigrams / total_bigrams, 6)`, 0.0 for fewer than two
   * tokens — the Gopher-style repetition quality signal, in ONE pass

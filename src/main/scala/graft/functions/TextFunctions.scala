@@ -124,14 +124,20 @@ object TextFunctions {
       gramsPerLang: Int = 5): DataFrame = {
     require(gramsPerLang > 0, "gramsPerLang must be positive")
     import org.apache.spark.sql.expressions.Window
-    // the sub-3-char guard matters: Spark's sequence(1, 0) DESCENDS
-    // ([1, 0]) instead of returning empty, which would fabricate grams
+    // gram extraction is the native codegen'd graft_char_trigrams
+    // expression, NOT transform(sequence(...), i -> substring(...)):
+    // higher-order functions are CodegenFallback (interpreted per
+    // element, one boxed array per doc — benched 6x the replaying
+    // oracle), and the explode-the-positions rewrite copies the whole
+    // document string into every generated row. The expression also
+    // owns the sub-3-char emptiness (Spark's sequence(1, 0) DESCENDS
+    // instead of returning empty, which would fabricate grams).
     val grams = docs
-      .where(col(textCol).isNotNull && col(langCol).isNotNull && length(col(textCol)) >= 3)
+      .where(col(textCol).isNotNull && col(langCol).isNotNull)
       .select(col(langCol).as("lang"),
-        explode(transform(
-          sequence(lit(1), length(col(textCol)) - 2),
-          i => col(textCol).substr(i, lit(3)))).as("gram"))
+        explode(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.CharTrigrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(textCol))))).as("gram"))
     val cl = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c_lang"))
     val ca = cl.groupBy("gram").agg(sum("c_lang").as("c_all"))
     // integral DIV, not float division + floor: exact at any count

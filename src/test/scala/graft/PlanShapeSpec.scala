@@ -240,6 +240,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"incremental near-dup degenerated to a cross join:\n$plan")
   }
 
+  test("language-profile fit explodes native char trigrams, not interpreted HOF lambdas") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("t"), col("lang"))
+    val fit = graft.functions.TextFunctions.langProfileFit(docs, "t", "lang", 5)
+    val plan = executedPlanString(fit)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("graft_char_trigrams"),
+      s"gram generator must be the native expression:\n$finalPlan")
+    assert(!finalPlan.contains("transform("),
+      s"interpreted HOF leaked back into the fit path:\n$finalPlan")
+  }
+
   test("incremental fingerprint pairing hash-joins band buckets with the increment as build") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.operators.Dedup.simhash(docs, "doc_id", "text", bits = 16)
