@@ -141,25 +141,20 @@ case class CharTrigrams(child: Expression)
 
   def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
-    // one pass: byte offset of every character (UTF-8 aware, so CJK
-    // profile grams count as single characters exactly like
-    // substr/length in both engines)
-    var nChars = 0
+    // ONE pass records every character's byte offset (UTF-8 aware, so
+    // CJK profile grams count as single characters exactly like
+    // substr/length in both engines); offs is sized to the byte count
+    // — bounded, transient — to avoid a separate counting walk
+    val offs = new Array[Int](bytes.length + 1)
     var pos = 0
+    var nChars = 0
     while (pos < bytes.length) {
+      offs(nChars) = pos
       pos += UTF8String.numBytesForFirstByte(bytes(pos))
       nChars += 1
     }
-    if (nChars < 3) return new GenericArrayData(Array.empty[Any])
-    val offs = new Array[Int](nChars + 1)
-    pos = 0
-    var c = 0
-    while (pos < bytes.length) {
-      offs(c) = pos
-      pos += UTF8String.numBytesForFirstByte(bytes(pos))
-      c += 1
-    }
     offs(nChars) = bytes.length
+    if (nChars < 3) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](nChars - 2)
     var i = 0
     while (i < nChars - 2) {

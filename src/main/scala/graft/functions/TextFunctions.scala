@@ -84,7 +84,12 @@ object TextFunctions {
     */
   def langNgramScore(text: Column, grams: Seq[String]): Column =
     grams.map { g =>
-      ((length(text) - length(replace(text, lit(g), lit("")))) / g.length).cast("long")
+      // divide by the gram's CODE-POINT count, matching Spark/DuckDB
+      // length() semantics — g.length is UTF-16 units, which
+      // double-counts supplementary-plane characters (astral CJK,
+      // emoji) and would zero out a learned astral gram's score
+      val glen = g.codePointCount(0, g.length)
+      ((length(text) - length(replace(text, lit(g), lit("")))) / glen).cast("long")
     }.reduce(_ + _)
 
   /** Multi-language character-n-gram language ID — the gate a

@@ -44,6 +44,12 @@ object Curation {
       carryCols: Seq[String] = Nil
   ): DataFrame = {
     val txt = col(textCol)
+    // a carried column that collides with the gate's own outputs would
+    // be silently overwritten (keep/reject_reason) or turn ambiguous
+    // (id/signals) — refuse at the API boundary instead
+    val reserved = idCol +: Seq("n_tokens", "bigram_rep", "alpha_ratio", "reject_reason", "keep")
+    require(carryCols.intersect(reserved).isEmpty,
+      s"qualityFilter carryCols ${carryCols.intersect(reserved).mkString(", ")} collide with gate output columns")
     // carryCols ride the signal projection so a downstream stage that
     // needs the text (language ID, budget cut) composes WITHOUT a
     // join back to the corpus — at 100 TB a second text scan is the
