@@ -1249,6 +1249,50 @@ object SparkEntry {
           profiles.zipWithIndex.map { case ((l, _), i) => (l, col(s"ls_$i")) }))
         .select("doc_id", "lang", "lang_pred")
     }),
+    "pipeline_training_set" -> ((s, dir) => {
+      // THE full training-set pipeline as ONE lazy plan — every stage a
+      // real web-corpus run executes, in deployment order: raw HTML
+      // pages -> boilerplate extraction -> near-duplicate detection
+      // (LSH + exact Jaccard verify) -> connected components -> min-id
+      // survivor corpus -> heuristic quality gate -> char-n-gram
+      // language ID -> per-DETECTED-language token budgets. The
+      // composed oracle replays the regexp extraction, the MinHash/
+      // banding arithmetic, the recursive-CTE closure, the quality
+      // signals, the profile scoring, AND the budget cut, so the whole
+      // chain is value-graded through one hash compare.
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"), col("lang"), concat(
+        lit("<html><head><script>var tracker = 1 < 2;</script></head>" +
+          "<body><!-- chrome --><p>"),
+        col("text"),
+        lit("</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>")).as("html"))
+      // Materialize the extraction ONCE: the dedup stage scans its
+      // input several times (shingle/minhash pass, two Jaccard-verify
+      // sides, the survivor anti-join) and each scan would re-run the
+      // whole regexp chain — the dominant cost of this plan. A real
+      // crawl pipeline persists extracted text before dedup for the
+      // same reason; at cluster scale this is the extract -> durable
+      // storage -> dedup boundary.
+      val extracted = Dedup.reliableCheckpoint(
+        pages.select(col("doc_id"), col("lang"),
+          TextFunctions.extractText(col("html")).as("text")))
+      val survivors = Dedup.dedupedCorpus(extracted, "doc_id",
+        Dedup.nearDuplicates(extracted, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, thresholdPct = 40))
+      val salted = concat(col("text"), repeat(langSaltSnippet, 3))
+      val kept = Curation.qualityFilter(survivors, "doc_id", "text",
+          minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8,
+          carryCols = Seq("text", "lang"))
+        .where(col("keep") === 1)
+        .select(col("doc_id") +: col("text") +:
+          TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+            TextFunctions.langNgramScore(salted, gs).as(s"s_$l")
+          }: _*)
+        .withColumn("lang_pred", TextFunctions.langIdFromScores(
+          TextFunctions.defaultLangProfiles.map { case (l, _) => (l, col(s"s_$l")) }))
+      Curation.rebalanceMixByTokens(kept, "doc_id", "text", "lang_pred",
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+    }),
     "pipeline_multilingual" -> ((s, dir) => {
       // the MULTILINGUAL curation front door composed end to end, one
       // lazy plan: heuristic quality gate on RAW text -> char-n-gram
@@ -2825,6 +2869,7 @@ object SparkEntry {
     "text_lang_fit" -> langFitOracleSql,
     "text_lang_learned" -> langLearnedOracleSql,
     "pipeline_multilingual" -> multilingualOracleSql,
+    "pipeline_training_set" -> trainingSetOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
@@ -4493,6 +4538,92 @@ object SparkEntry {
                 FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id, mx.m)
        SELECT u.doc_id, u.lang, pred.lang_pred FROM u JOIN pred USING (doc_id)"""
 
+  /** The composed DuckDB replay of the full `pipeline_training_set`
+    * chain: HTML wrap + regexp extraction (the pipeline_html_curated
+    * fragment), MinHash/banding/Jaccard verify + recursive-CTE closure
+    * + min-id survivors (the pipeline_curated fragment, re-sourced
+    * from the EXTRACTED text), quality signals, generated language
+    * scoring, and the md5-priority token-budget cut. Raw triple-quoted
+    * parts (the extract chain contains regex backslashes that an
+    * s-interpolator would mangle) concatenated with the generated lang
+    * fragments.
+    */
+  private lazy val trainingSetOracleSql: String =
+    """WITH RECURSIVE h AS (SELECT doc_id, lang,
+         '<html><head><script>var tracker = 1 < 2;</script></head><body><!-- chrome --><p>'
+         || text ||
+         '</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>' AS html
+         FROM documents),
+       ex AS (SELECT doc_id, lang,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+         FROM h),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ex),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]))) AS sh
+              FROM toks),
+       hs AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+              FROM sh),
+       sigs AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+                FROM hs CROSS JOIN range(0, 8) r(i) GROUP BY doc_id, i),
+       bands AS (SELECT doc_id, i // 2 AS band,
+                        min(CASE WHEN i % 2 = 0 THEN sig END) AS s0,
+                        min(CASE WHEN i % 2 = 1 THEN sig END) AS s1
+                 FROM sigs GROUP BY doc_id, i // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+       dtoks AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM ex),
+       prs AS (SELECT c.a_id, c.b_id
+               FROM cand c JOIN dtoks ta ON c.a_id = ta.doc_id JOIN dtoks tb ON c.b_id = tb.doc_id
+               WHERE len(list_intersect(ta.toks, tb.toks)) * 100 >= len(list_distinct(list_concat(ta.toks, tb.toks))) * 40),
+       edges AS (SELECT a_id AS s, b_id AS d FROM prs UNION SELECT b_id AS s, a_id AS d FROM prs),
+       reach(s, d) AS (
+         SELECT s, d FROM edges
+         UNION
+         SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+       surv AS (SELECT doc_id, lang, text FROM ex
+                WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) <> s)),
+       sig AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE), 6) END AS bigram_rep,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             round(CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE), 6) END AS alpha_ratio
+           FROM surv),
+       u AS (SELECT doc_id, text || """ + langSaltCaseSql + """ AS t FROM surv),
+       lsc AS (SELECT doc_id,
+           """ + langScoresSql + """
+         FROM u),
+       pred AS (SELECT doc_id, """ + langPredCaseSql + """ AS lang_pred FROM lsc),
+       kept AS (SELECT sig.doc_id, pred.lang_pred, sig.n_tokens
+                FROM sig JOIN pred ON sig.doc_id = pred.doc_id
+                WHERE sig.n_tokens >= 10 AND sig.bigram_rep <= 0.2 AND sig.alpha_ratio >= 0.8),
+       w(lang_pred, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
+       totals AS (SELECT lang_pred, sum(n_tokens) AS tok FROM kept GROUP BY lang_pred),
+       sca AS (SELECT min(tok / wt) AS scale FROM totals JOIN w USING (lang_pred)),
+       b AS (SELECT lang_pred, CAST(floor(wt * scale) AS BIGINT) AS budget_tokens
+             FROM totals JOIN w USING (lang_pred) CROSS JOIN sca),
+       rr AS (SELECT doc_id, lang_pred, n_tokens,
+                    CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+             FROM kept)
+       SELECT rr.doc_id, rr.lang_pred, rr.n_tokens
+       FROM rr JOIN b USING (lang_pred) WHERE cum_tokens <= budget_tokens"""
+
   private lazy val (pctCtesSql, pctFinalCte, pctFinalCol) = {
     val groups = TextFunctions.pctNormalizePairs.grouped(60).toList
     val carry = "doc_id, url, scheme, hostport"
@@ -4551,6 +4682,9 @@ object SparkEntry {
     // quality gate -> char-n-gram language ID -> per-detected-language
     // token budgets: the multilingual mix a training run targets
     "pipeline_multilingual",
+    // the FLAGSHIP chain: HTML -> extract -> near-dup survivors ->
+    // quality -> language ID -> token budgets, one lazy plan
+    "pipeline_training_set",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph

@@ -1112,7 +1112,7 @@ object Dedup {
       StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
   }
 
-  private[operators] def reliableCheckpoint(df: DataFrame): DataFrame = {
+  private[graft] def reliableCheckpoint(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
