@@ -60,7 +60,7 @@ object Curation {
         TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
         TextFunctions.alphaRatio(txt).as("alpha_ratio")): _*)
     out.select(
-      out.columns.map(col) :+
+      out.columns.toIndexedSeq.map(col) :+
         // null text first: every signal is NULL for it, so the later
         // when() predicates all evaluate to null (not true) and a null
         // document would otherwise sail through the gate with keep=1

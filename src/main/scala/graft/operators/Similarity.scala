@@ -1126,4 +1126,57 @@ object Similarity {
         (pqAdcDot(col("lut"), col("codes"), kCents) / (col("q_norm") * col("c_norm"))).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** Two-stage serve over a prebuilt [[pqIndex]]: the compressed index
+    * produces an ADC shortlist of `shortlist` candidates per query,
+    * then only those (query, candidate) pairs are re-scored with EXACT
+    * cosine against the raw `corpus` vectors — the standard
+    * quantized-recall/exact-precision split (FAISS's refine stage; the
+    * same exact-verify-on-candidates stance every blocked pairing tier
+    * here takes). ADC quantization error can reorder
+    * or drop true neighbors; re-ranking repairs ordering within the
+    * shortlist at the cost of fetching `queries x shortlist` raw
+    * vectors.
+    *
+    * Scale shape: the shortlist relation is (numQueries x shortlist)
+    * rows — a serve batch, bounded and explicitly broadcast — so the
+    * join back to the corpus is one broadcast hash join against the
+    * corpus scan (no shuffle of the corpus), the query side broadcasts
+    * as in every serve path, and the final ranking is the bounded
+    * O(k)-state top-k aggregate. One corpus scan per serve batch; a
+    * deployment with a point-lookup vector store would replace that
+    * scan, not this plan's shape.
+    *
+    * Output: (query_id, rank, neighbor_id), rank by exact cosine,
+    * ties to the lower neighbor_id.
+    */
+  def ivfPqTopKReranked(
+      queries: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int,
+      coarseCents: Array[Array[Float]],
+      nprobe: Int,
+      codebooks: Array[Array[Array[Float]]]
+  ): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be at least k ($k): the exact re-rank can only ever return shortlist candidates")
+    val cand = ivfPqTopKIndexed(
+        queries, index, idCol, vecCol, shortlist, coarseCents, nprobe, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), l2Norm(col(vecCol)).as("c_norm"))
+    val scored = c
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
+    rankTopK(scored, k)
+  }
 }

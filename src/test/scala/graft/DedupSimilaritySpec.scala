@@ -659,6 +659,50 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("reranked serve: full coverage equals exact top-k; realistic shortlist never hurts recall") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val q = emb.where(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_rerank").toString + "/idx"
+    Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb).write.parquet(path)
+    val index = spark.read.parquet(path)
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (qid, rs) => qid -> rs.sortBy(_._2).map(_._3).toSeq }
+
+    // full coverage: every cell probed, shortlist spans the corpus ->
+    // the two-stage path must reproduce exact cosine top-k exactly
+    // (same id tie-break on both sides)
+    val n = emb.count().toInt
+    val exact = ids(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val full = ids(Similarity.ivfPqTopKReranked(
+      q, index, emb, "vec_id", "embedding", 5, n, coarse, 4, cb))
+    assert(full == exact, "full-coverage rerank diverged from brute force")
+    assert(full.size == 10 && full.values.forall(_.size == 5))
+
+    // realistic shortlist: within the SAME probed cells, any true
+    // neighbor the pure-ADC top-5 finds is also in the ADC top-32, and
+    // the exact re-rank of a set containing a true-top-5 member must
+    // rank it in ITS top-5 (at most 4 corpus vectors score higher
+    // anywhere) — so per-query recall can only improve. Pin that.
+    val adc = ids(Similarity.ivfPqTopKIndexed(
+      q, index, "vec_id", "embedding", 5, coarse, 2, cb))
+    val rr = ids(Similarity.ivfPqTopKReranked(
+      q, index, emb, "vec_id", "embedding", 5, 32, coarse, 2, cb))
+    exact.foreach { case (qid, truth) =>
+      val t = truth.toSet
+      val adcHits = adc.getOrElse(qid, Seq.empty).count(t)
+      val rrHits = rr.getOrElse(qid, Seq.empty).count(t)
+      assert(rrHits >= adcHits, s"query $qid: rerank recall $rrHits < ADC recall $adcHits")
+    }
+
+    // a shortlist smaller than k can never serve k results — refused
+    assertThrows[IllegalArgumentException](Similarity.ivfPqTopKReranked(
+      q, index, emb, "vec_id", "embedding", 5, 3, coarse, 2, cb))
+  }
+
   test("updatePqIndex merges a delta without re-encoding; guards trip loudly") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
