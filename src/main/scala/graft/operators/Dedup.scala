@@ -453,28 +453,46 @@ object Dedup {
       .distinct()
   }
 
-  /** The pigeonhole band relation shared by the fingerprint pairing
-    * forms: (sid, fp, band, bsig) with the fingerprint masked to the
-    * declared bit domain and maxHamming+1 sign-safe bands.
+  /** The fingerprint masked to the declared bit domain — every band
+    * consumer must apply this before slicing, or bits above `bits`
+    * (sign bits included) would leak into the top band's signature.
     */
-  private def bandedFingerprintRel(
-      fps: DataFrame, idCol: String, fpCol: String,
-      bits: Int, maxHamming: Int): DataFrame = {
+  private[graft] def maskToDomain(fp: Column, bits: Int): Column =
+    fp.cast("long").bitwiseAND(lit(if (bits == 64) -1L else (1L << bits) - 1L))
+
+  /** The maxHamming+1 pigeonhole band slices of a domain-masked
+    * fingerprint column, as an array of (band, bsig) structs — the
+    * band construction shared by every banded-Hamming consumer (the
+    * batch pair joins here, the streaming admission gate). Two
+    * fingerprints within maxHamming differing bits MUST agree exactly
+    * on at least one band (the differing bits cannot touch all
+    * maxHamming+1 disjoint slices).
+    */
+  private[graft] def fingerprintBands(maskedFp: Column, bits: Int, maxHamming: Int): Column = {
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands
     val widths = Array.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
     val shifts = widths.scanLeft(0)(_ + _).init
-    val domainMask = if (bits == 64) -1L else (1L << bits) - 1L
-    val fp = fps.where(col(fpCol).isNotNull)
-      .select(col(idCol).as("sid"),
-        col(fpCol).cast("long").bitwiseAND(lit(domainMask)).as("fp"))
     val bandCols = (0 until nBands).map { b =>
       val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
       struct(lit(b).as("band"),
-        shiftright(col("fp"), shifts(b)).bitwiseAND(lit(mask)).as("bsig"))
+        shiftright(maskedFp, shifts(b)).bitwiseAND(lit(mask)).as("bsig"))
     }
-    fp.select(col("sid"), col("fp"), explode(array(bandCols: _*)).as("bb"))
+    array(bandCols: _*)
+  }
+
+  /** The pigeonhole band relation shared by the fingerprint pairing
+    * forms: (sid, fp, band, bsig) with the fingerprint masked to the
+    * declared bit domain and maxHamming+1 sign-safe bands.
+    */
+  private[graft] def bandedFingerprintRel(
+      fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val fp = fps.where(col(fpCol).isNotNull)
+      .select(col(idCol).as("sid"), maskToDomain(col(fpCol), bits).as("fp"))
+    fp.select(col("sid"), col("fp"),
+        explode(fingerprintBands(col("fp"), bits, maxHamming)).as("bb"))
       .select(col("sid"), col("fp"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
   }
 

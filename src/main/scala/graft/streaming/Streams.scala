@@ -168,6 +168,88 @@ object Streams {
     deduped.unionByName(withWm.where(col(textCol).isNull))
   }
 
+  /** Streaming near-duplicate ADMISSION gate — a stream of incoming
+    * documents fingerprint-checked against a STATIC, already-ingested
+    * corpus (the ingest-time question "is this new page a copy of
+    * something we already hold?", where [[dedupNearSignature]] answers
+    * the within-stream question). Each incoming doc's SimHash
+    * fingerprint (the batch tier's native
+    * [[graft.expressions.SimHashFingerprint]] expression) is sliced
+    * into the same maxHamming+1 pigeonhole bands the batch pairing
+    * uses ([[graft.operators.Dedup.fingerprintBands]] — shared code,
+    * so the two tiers cannot drift), each band slice probes the
+    * corpus's banded relation through a stream-static equality join,
+    * and candidates are verified with the exact XOR popcount. Banding
+    * is EXHAUSTIVE (pigeonhole, not probabilistic), so a missed match
+    * is impossible, and the corpus side is a static relation Spark
+    * broadcasts or hash-joins per micro-batch with no streaming state
+    * of its own.
+    *
+    * Output: one row per incoming doc — (idCol, tsCol, `is_dup` 0/1,
+    * `matched_id` = the smallest matching corpus id or NULL). The
+    * per-doc reduction is a streaming aggregation keyed by
+    * (doc id, event time); the watermark bounds its state, and in
+    * append mode a doc's verdict emits once the watermark passes its
+    * event time (update mode emits immediately — the spec's choice).
+    * Docs with NULL text carry a NULL fingerprint, match nothing, and
+    * pass through admitted — the batch tiers' stance that unknown
+    * contents are not duplicates of anything.
+    *
+    * Scale shape: the stream side is a narrow per-row projection
+    * (fingerprint + band explode = maxHamming+1 rows per doc); the
+    * corpus relation carries (id, fp, band, bsig) longs only — at
+    * 100 TB the corpus FINGERPRINT relation is ~40 bytes x docs, a
+    * parquet side table maintained by the batch tier
+    * ([[graft.operators.Dedup.simhash]] output), never the corpus
+    * text. Within-stream duplicates are deliberately NOT paired here
+    * (a micro-batch is not a join boundary for stream-stream
+    * self-joins); compose [[dedupNearSignature]] upstream for that.
+    */
+  def nearDupAdmission(
+      incoming: DataFrame,
+      corpusFps: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      corpusIdCol: String,
+      corpusFpCol: String,
+      watermark: String,
+      bits: Int = 16,
+      maxHamming: Int = 2
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
+    val corpusBanded = graft.operators.Dedup
+      .bandedFingerprintRel(corpusFps, corpusIdCol, corpusFpCol, bits, maxHamming)
+      .select(col("sid").as("graft_cid"), col("fp").as("graft_cfp"),
+        col("band"), col("bsig"))
+    val fpExpr = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SimHashFingerprint(
+        org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+        bits))
+    val probes = incoming
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        graft.operators.Dedup.maskToDomain(fpExpr, bits).as("graft_fp"))
+      // a NULL fingerprint yields NULL band signatures, which match no
+      // corpus row in the equi-join — the doc survives to the
+      // aggregation as admitted rather than being dropped
+      .select(col(idCol), col(tsCol), col("graft_fp"),
+        explode(graft.operators.Dedup.fingerprintBands(col("graft_fp"), bits, maxHamming)).as("bb"))
+      .select(col(idCol), col(tsCol), col("graft_fp"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    probes
+      .join(corpusBanded, Seq("band", "bsig"), "left_outer")
+      .withColumn("graft_hit",
+        col("graft_cid").isNotNull &&
+          bit_count(col("graft_fp").bitwiseXOR(col("graft_cfp"))) <= maxHamming)
+      .groupBy(col(idCol), col(tsCol))
+      .agg(
+        max(col("graft_hit").cast("int")).as("is_dup"),
+        min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
+  }
+
   /** Per-event gap sessionization on a STREAM — the continuous sibling
     * of [[graft.operators.EventAnalytics.sessionize]]: every event
     * gets its user's session SEQUENCE NUMBER, a new session opening

@@ -116,6 +116,58 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("nearDupAdmission flags stream docs exactly like a batch Hamming scan of the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{bit_count, col, min, max, when => sqlWhen}
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"), // same fp, higher id
+      (102L, "completely different words about spark engines here")
+    ).toDF("doc_id", "text")
+    val corpusFps = graft.operators.Dedup.simhash(corpus, "doc_id", "text", bits = 16)
+
+    val incomingRows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog"),   // exact copy
+      (2L, ts("2024-01-01 00:05:00"), "the quick brown fox jumps over the lazy cat"),   // near copy
+      (3L, ts("2024-01-01 00:10:00"), "entirely novel sentences never ingested before today"),
+      (4L, ts("2024-01-01 00:15:00"), "NULL")                                           // null text: admitted
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val incoming = input.toDF().toDF("doc_id", "ts", "text")
+      .select($"doc_id", $"ts",
+        sqlWhen($"text" === "NULL", lit(null: String)).otherwise($"text").as("text"))
+    val out = Streams.nearDupAdmission(incoming, corpusFps,
+      "doc_id", "ts", "text", "doc_id", "simhash", watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("adm_out")
+      .outputMode(OutputMode.Update()).start()
+    val got = try {
+      input.addData(incomingRows: _*)
+      query.processAllAvailable()
+      spark.table("adm_out").collect()
+        .map(r => r.getLong(0) -> (r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    } finally query.stop()
+
+    // batch differential: brute-force every (incoming, corpus) pair —
+    // no banding, no join tricks — and reduce the same way
+    val incomingDf = incomingRows.toDF("doc_id", "ts", "text")
+      .select($"doc_id", $"ts",
+        sqlWhen($"text" === "NULL", lit(null: String)).otherwise($"text").as("text"))
+    val inFps = graft.operators.Dedup.simhash(incomingDf, "doc_id", "text", bits = 16)
+      .select(col("doc_id").as("in_id"), col("simhash").as("in_fp"))
+    val hits = inFps.crossJoin(corpusFps.select(col("doc_id").as("c_id"), col("simhash").as("c_fp")))
+      .where(bit_count(col("in_fp").bitwiseXOR(col("c_fp"))) <= 2)
+      .groupBy("in_id").agg(min("c_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = incomingRows.map { case (id, _, _) =>
+      id -> (if (hits.contains(id)) (1, hits(id)) else (0, -1L))
+    }.toMap
+    assert(got == expected, s"stream $got vs batch $expected")
+    // the fixture must actually exercise both verdicts and the min-id
+    // tie-break across two fp-identical corpus docs
+    assert(got(1L) == ((1, 100L)), s"exact copy not flagged to the min corpus id: $got")
+    assert(got(3L)._1 == 0 && got(4L)._1 == 0, s"novel/null docs must be admitted: $got")
+  }
+
   test("dedupNearSignature drops signature-equal docs, keeps distinct and short ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
