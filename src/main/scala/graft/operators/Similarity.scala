@@ -92,6 +92,21 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"),
         col("nb.neighbor_id").as("neighbor_id"))
 
+  /** The exact-cosine scoring tail shared by every raw-vector serve
+    * path: a joined relation carrying (query_id, q_vec, q_norm,
+    * neighbor_id, c_vec, c_norm) pair rows scores dot/(|q|·|c|) and
+    * ranks the bounded top-k. Self-pairs are excluded HERE so no
+    * caller can forget the exclusion; norms ride the inputs (projected
+    * below the join, once per row, never once per pair).
+    */
+  private def exactCosineTopK(pairs: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      pairs
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim")), k)
+
   /** Exact cosine top-k neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id).
     */
@@ -102,17 +117,9 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    // norms are projected below the join, so each side's norm is
-    // computed once per row — not once per (query, candidate) pair
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), l2Norm(col(vecCol)).as("c_norm"))
-    val scored = c
-      .crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    rankTopK(scored, k)
+    exactCosineTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** IVF-style ANN: search only candidates in the query's coarse cell. */
@@ -130,13 +137,7 @@ object Similarity {
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol).as("cell"),
       l2Norm(col(vecCol)).as("c_norm"))
-    val scored = c
-      .join(broadcast(q), "cell")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    rankTopK(scored, k)
+    exactCosineTopK(c.join(broadcast(q), "cell"), k)
   }
 
   /** Deterministic seeded k-means (k-means++ init + Lloyd) over a
@@ -324,13 +325,7 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"),
       explode(probeCells(col(vecCol), cents, nprobe)).as("cell"))
-    val scored = c
-      .join(broadcast(q), "cell")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    rankTopK(scored, k)
+    exactCosineTopK(c.join(broadcast(q), "cell"), k)
   }
 
   /** LSH-bucketed ANN via signed random hyperplanes derived from md5 of
@@ -1171,12 +1166,7 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), l2Norm(col(vecCol)).as("c_norm"))
-    val scored = c
-      .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("sim"))
-    rankTopK(scored, k)
+    exactCosineTopK(
+      c.join(broadcast(cand), "neighbor_id").join(broadcast(q), "query_id"), k)
   }
 }

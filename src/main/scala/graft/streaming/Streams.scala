@@ -217,7 +217,11 @@ object Streams {
       bits: Int = 16,
       maxHamming: Int = 2
   ): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    // [1,32], not the band machinery's [1,64]: this gate COMPUTES the
+    // stream side's fingerprint with SimHashFingerprint, whose domain
+    // is 32 bits — validate at the API boundary rather than letting
+    // the expression constructor throw from a deeper layer
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, bits), got $maxHamming")
     val corpusBanded = graft.operators.Dedup
