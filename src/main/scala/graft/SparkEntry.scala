@@ -1750,6 +1750,39 @@ object SparkEntry {
       // engine-native streaming covariance
       graft.operators.Stats.corrExact(t(s, dir, "lineitem"),
         col("l_quantity").cast("long"), cents(col("l_discount")))),
+    "stats_psi" -> ((s, dir) => {
+      // corpus drift monitor between snapshot versions: the baseline
+      // is the published corpus, the "daily successor" drops every
+      // third doc and doubles every seventh's text — a deliberate
+      // token-length distribution shift the PSI report must quantify
+      // bin by bin. Fixed 16-bin grid over [0, 512) tokens; DuckDB
+      // replays the binning, Laplace smoothing, and ln terms.
+      val docs = t(s, dir, "documents")
+      val base = docs.select(TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val cur = docs.where(col("doc_id") % 3 =!= 0)
+        .select(TextFunctions.tokenCount(
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))).as("n_tokens"))
+      graft.operators.Stats.populationStability(base, cur, "n_tokens",
+        lo = 0, hi = 512, bins = 16)
+    }),
+    "stats_snapshot_diff" -> ((s, dir) => {
+      // per-doc change report between snapshot versions: the successor
+      // drops every fifth doc, rewrites every seventh's text, and
+      // ingests a new doc for every eleventh — the diff must label
+      // each id added/removed/changed/unchanged from fingerprints
+      // alone. The oracle derives ground truth from the construction
+      // rule (null text never reads as changed: unknown contents did
+      // not observably change).
+      val docs = t(s, dir, "documents")
+      val cur = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" CHANGED!")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Stats.snapshotDiff(docs, cur, "doc_id", "text")
+    }),
     "fuzzy_name_pairs" -> ((s, dir) =>
       // entity resolution: distinct part names within edit distance 1,
       // deletion-neighborhood blocked + exact levenshtein verify. The
@@ -3435,6 +3468,32 @@ object SparkEntry {
          FROM lineitem
          WHERE l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity < 51
          GROUP BY 1""",
+    "stats_psi" ->
+      """WITH bv AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+         cv AS (SELECT len(string_split(
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END, ' ')) AS v
+                FROM documents WHERE doc_id % 3 <> 0),
+         hb AS (SELECT CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_base
+                FROM bv WHERE v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1),
+         hc AS (SELECT CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_cur
+                FROM cv WHERE v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1),
+         j AS (SELECT coalesce(hb.bin, hc.bin) AS bin,
+                      coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+               FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin),
+         t AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM j)
+         SELECT bin, n_base, n_cur,
+           round(((n_cur + 1) / (nc + 16.0) - (n_base + 1) / (nb + 16.0))
+                 * ln(((n_cur + 1) / (nc + 16.0)) / ((n_base + 1) / (nb + 16.0))), 6) AS psi_term
+         FROM j, t""",
+    "stats_snapshot_diff" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'removed'
+                WHEN doc_id % 7 = 0 AND text IS NOT NULL THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+         FROM documents WHERE doc_id % 11 = 0""",
     "stats_corr" ->
       """WITH s AS (SELECT count(*) AS n,
                 sum(CAST(l_quantity AS BIGINT)) AS sx,

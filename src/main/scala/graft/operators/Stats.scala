@@ -140,6 +140,83 @@ object Stats {
       .drop("__st_n", "__st_sx", "__st_sxx")
   }
 
+  /** Population Stability Index between two corpus SNAPSHOTS over an
+    * integral value column on a FIXED, caller-declared bin grid — the
+    * drift monitor a pipeline runs between a published corpus version
+    * and its daily successor ("did the token-length / quality-score
+    * distribution move?"). The grid is data-independent (same [lo,hi)
+    * x bins contract as [[histogram]]), so the report is deterministic
+    * and two engines replay it bit for bit; each snapshot's bin shares
+    * use Laplace smoothing p = (n+1)/(N+bins) — N the snapshot's
+    * IN-RANGE row count — so a bin empty on one side contributes a
+    * finite term instead of log(0). Bins empty on BOTH sides
+    * contribute exactly 0 by that formula (p = q), so the relation
+    * only carries bins at least one snapshot populated.
+    *
+    * Output: one row per populated bin —
+    * (bin, n_base, n_cur, psi_term), psi_term rounded to 6 places;
+    * total PSI = sum(psi_term) (conventional alert bands: < 0.1 quiet,
+    * 0.1-0.25 drifting, > 0.25 shifted).
+    *
+    * Scale shape: one scan + one map-side-combinable count aggregate
+    * per snapshot (the [[histogram]] plan), a full-outer join of two
+    * <= bins-row relations, and two single-row broadcast totals — the
+    * corpora are never joined to each other.
+    */
+  def populationStability(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    requireIntegral(baseline, "populationStability", col(valueCol))
+    requireIntegral(current, "populationStability", col(valueCol))
+    val hb = histogram(baseline, valueCol, lo, hi, bins)
+      .select(col("bin"), col("n").as("n_base"))
+    val hc = histogram(current, valueCol, lo, hi, bins)
+      .select(col("bin"), col("n").as("n_cur"))
+    val joined = hb.join(hc, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum("n_base").as("__ps_nb"), sum("n_cur").as("__ps_nc"))
+    val p = (col("n_base") + 1).cast("double") / (col("__ps_nb") + bins).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__ps_nc") + bins).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
+  /** Per-document diff between two corpus snapshots by content
+    * fingerprint — the change report published beside a corpus
+    * version: `added` (id only in current), `removed` (id only in
+    * baseline), `changed` (both, different text), `unchanged`. One
+    * full-outer hash join on the id; only (id, md5) pairs shuffle,
+    * never text. Null text fingerprints NULL and compares null-safely,
+    * so a doc whose text is null in both snapshots is `unchanged`
+    * (unknown contents did not observably change) while null-vs-text
+    * is `changed`.
+    */
+  def snapshotDiff(
+      baseline: DataFrame,
+      current: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val b = baseline.select(col(idCol).as("__sd_bid"), md5(col(textCol).cast("binary")).as("__sd_bfp"))
+    val c = current.select(col(idCol).as("__sd_cid"), md5(col(textCol).cast("binary")).as("__sd_cfp"))
+    b.join(c, b("__sd_bid") === c("__sd_cid"), "full_outer")
+      .select(
+        coalesce(col("__sd_bid"), col("__sd_cid")).as(idCol),
+        when(col("__sd_bid").isNull, lit("added"))
+          .when(col("__sd_cid").isNull, lit("removed"))
+          .when(col("__sd_bfp") <=> col("__sd_cfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** The shared exact-integer input guard: a fractional column would
     * truncate toward zero in the long casts these operators apply
     * before forming products, silently biasing the result — the caller

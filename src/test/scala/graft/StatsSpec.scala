@@ -94,4 +94,45 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L), s"got $got")
   }
+
+  test("populationStability: identical snapshots score zero, a shifted bin scores positive") {
+    val base = Seq(1, 1, 2, 5, 9, 9).toDF("v")
+    // identical snapshots: every term is exactly 0 (p = q bin by bin)
+    val same = Stats.populationStability(base, base, "v", lo = 0, hi = 10, bins = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.nonEmpty && same.forall(_._4 == 0.0), s"got ${same.toSeq}")
+    // mass moved from bin 0 to bin 2: both touched bins contribute > 0,
+    // the untouched bin 4 contributes 0, and hand-replay matches
+    val cur = Seq(1, 4, 5, 5, 9, 9).toDF("v")
+    val got = Stats.populationStability(base, cur, "v", lo = 0, hi = 10, bins = 5)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def term(nb: Long, nc: Long): Double = {
+      val p = (nb + 1).toDouble / (6 + 5); val q = (nc + 1).toDouble / (6 + 5)
+      math.round((q - p) * math.log(q / p) * 1e6) / 1e6
+    }
+    assert(got(0) == ((2L, 1L, term(2, 1))), s"got $got")
+    assert(got(2) == ((1L, 3L, term(1, 3))), s"got $got")
+    assert(got(4) == ((2L, 2L, 0.0)), s"got $got")
+    assert(got.values.map(_._3).sum > 0.0)
+    // fractional values refuse loudly (fixed-point contract)
+    intercept[IllegalArgumentException] {
+      Stats.populationStability(Seq(1.5).toDF("v"), base, "v", 0, 10, 5): Unit
+    }
+  }
+
+  test("snapshotDiff labels added/removed/changed/unchanged; null text never reads changed") {
+    val base = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha"),                       // unchanged
+      (2L, "beta v2"),                     // changed
+      (4L, null.asInstanceOf[String]),     // null both sides: unchanged
+      (5L, "delta")                        // added; 3 removed
+    ).toDF("doc_id", "text")
+    val got = Stats.snapshotDiff(base, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), s"got $got")
+  }
 }
