@@ -181,6 +181,78 @@ class PropertySpec extends SparkTestBase {
       assert(a == b, s"not idempotent: '$a' -> '$b'") }
   }
 
+  test("snapshotDiff statuses partition the id union; identical snapshots read all-unchanged") {
+    import org.apache.spark.sql.functions.col
+    // random base corpus with nulls; random successor built by random
+    // drop / rewrite / insert — the labels must partition the id union
+    // and invert the construction exactly
+    val baseRows = (0L until 120L).map(i =>
+      (i, if (rnd.nextInt(10) == 0) null else s"doc $i ${randomStrings(3).mkString(" ")}"))
+    val removed = baseRows.filter(_ => rnd.nextInt(4) == 0).map(_._1).toSet
+    val rewritten = baseRows.filter(r => !removed(r._1) && r._2 != null && rnd.nextInt(4) == 0).map(_._1).toSet
+    val added = (1000L until 1020L).map(i => (i, s"new doc $i"))
+    val curRows = baseRows.filterNot(r => removed(r._1))
+      .map { case (i, t) => (i, if (rewritten(i)) t + " v2" else t) } ++ added
+    val got = graft.operators.Stats.snapshotDiff(
+        baseRows.toDF("doc_id", "text"), curRows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == baseRows.map(_._1).toSet ++ added.map(_._1),
+      "statuses must cover exactly the id union")
+    baseRows.foreach { case (i, _) =>
+      val want = if (removed(i)) "removed" else if (rewritten(i)) "changed" else "unchanged"
+      assert(got(i) == want, s"id $i: got ${got(i)}, want $want")
+    }
+    added.foreach { case (i, _) => assert(got(i) == "added") }
+    // identity: diffing a snapshot against itself is all-unchanged
+    val self = graft.operators.Stats.snapshotDiff(
+        baseRows.toDF("doc_id", "text"), baseRows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getString(1)).toSet
+    assert(self == Set("unchanged"), s"got $self")
+  }
+
+  test("PSI is symmetric under snapshot swap and exactly zero on identical snapshots") {
+    import org.apache.spark.sql.functions.col
+    // (q-p)·ln(q/p) is invariant under p <-> q, so swapping baseline
+    // and current must preserve every per-bin term (with the count
+    // columns exchanged); identical snapshots score exactly 0.0
+    val a = List.fill(300)(rnd.nextInt(100)).toDF("v")
+    val b = List.fill(200)(rnd.nextInt(100) + rnd.nextInt(40)).toDF("v")
+    def terms(base: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.populationStability(base, cur, "v", lo = 0, hi = 140, bins = 14)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ab = terms(a, b)
+    val ba = terms(b, a)
+    assert(ab.keySet == ba.keySet)
+    ab.foreach { case (bin, (nb, nc, t)) =>
+      val (nb2, nc2, t2) = ba(bin)
+      assert(nb2 == nc && nc2 == nb && t2 == t, s"bin $bin asymmetric: $t vs $t2")
+    }
+    val self = terms(a, a)
+    assert(self.nonEmpty && self.values.forall(_._3 == 0.0))
+  }
+
+  test("full-coverage reranked ANN serve equals brute force on random embeddings") {
+    import org.apache.spark.sql.functions.col
+    // shortlist >= corpus and every cell probed: the compressed stage
+    // passes every candidate through, so exact re-ranking must undo
+    // ALL quantization error regardless of codebook quality
+    val dim = 16
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(dim)((rnd.nextInt(2000) - 1000) / 997.0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val coarse = graft.operators.Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = graft.operators.Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 4, 8)
+    val index = graft.operators.Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q = emb.where(col("vec_id") < 8)
+    val exact = ids(graft.operators.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 4))
+    val rr = ids(graft.operators.Similarity.ivfPqTopKReranked(
+      q, index, emb, "vec_id", "embedding", 4, 60, coarse, 4, cb))
+    assert(rr == exact, "full-coverage rerank diverged from brute force on random data")
+  }
+
   test("rolling window fingerprints equal a direct per-window recomputation") {
     // the O(1) rolling update (subtract outgoing, multiply, add
     // incoming) must produce the SAME key a from-scratch polynomial
