@@ -3512,9 +3512,10 @@ object SparkEntry {
                 FROM bv WHERE v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1),
          hc AS (SELECT CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_cur
                 FROM cv WHERE v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1),
-         j AS (SELECT coalesce(hb.bin, hc.bin) AS bin,
+         g AS (SELECT CAST(r AS INTEGER) AS bin FROM range(0, 16) t(r)),
+         j AS (SELECT g.bin,
                       coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
-               FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin),
+               FROM g LEFT JOIN hb ON g.bin = hb.bin LEFT JOIN hc ON g.bin = hc.bin),
          t AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM j)
          SELECT bin, n_base, n_cur,
            round(((n_cur + 1) / (nc + 16.0) - (n_base + 1) / (nb + 16.0))
@@ -4590,10 +4591,16 @@ object SparkEntry {
     * cannot drift between the plan and its replay. Must stay free of
     * single quotes (it embeds in a SQL string literal).
     */
-  private lazy val htmlWrapPrefix =
-    "<html><head><script>var tracker = 1 < 2;</script></head><body><!-- chrome --><p>"
-  private lazy val htmlWrapSuffix =
-    "</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>"
+  private lazy val htmlWrapPrefix = {
+    val p = "<html><head><script>var tracker = 1 < 2;</script></head><body><!-- chrome --><p>"
+    require(!p.contains("'"), "htmlWrapPrefix must stay quote-free: it splices into SQL string literals")
+    p
+  }
+  private lazy val htmlWrapSuffix = {
+    val s = "</p><div>Tom &amp; Jerry&nbsp;footer</div></body></html>"
+    require(!s.contains("'"), "htmlWrapSuffix must stay quote-free: it splices into SQL string literals")
+    s
+  }
 
   /** The DuckDB replay of [[graft.functions.TextFunctions.extractText]]
     * over a column named `html` — script/style with content, comments,

@@ -149,18 +149,21 @@ object Stats {
     * and two engines replay it bit for bit; each snapshot's bin shares
     * use Laplace smoothing p = (n+1)/(N+bins) — N the snapshot's
     * IN-RANGE row count — so a bin empty on one side contributes a
-    * finite term instead of log(0). Bins empty on BOTH sides
-    * contribute exactly 0 by that formula (p = q), so the relation
-    * only carries bins at least one snapshot populated.
+    * finite term instead of log(0). The report carries EVERY grid bin,
+    * populated or not: under smoothing a bin empty on both sides still
+    * contributes (q-p)·ln(q/p) with p = 1/(N_base+bins) and
+    * q = 1/(N_cur+bins), which is nonzero whenever the snapshots'
+    * in-range totals differ — dropping those bins would bias total PSI
+    * low exactly when the corpus shrank or grew.
     *
-    * Output: one row per populated bin —
-    * (bin, n_base, n_cur, psi_term), psi_term rounded to 6 places;
-    * total PSI = sum(psi_term) (conventional alert bands: < 0.1 quiet,
-    * 0.1-0.25 drifting, > 0.25 shifted).
+    * Output: one row per grid bin — (bin, n_base, n_cur, psi_term),
+    * psi_term rounded to 6 places; total PSI = sum(psi_term)
+    * (conventional alert bands: < 0.1 quiet, 0.1-0.25 drifting,
+    * > 0.25 shifted).
     *
     * Scale shape: one scan + one map-side-combinable count aggregate
-    * per snapshot (the [[histogram]] plan), a full-outer join of two
-    * <= bins-row relations, and two single-row broadcast totals — the
+    * per snapshot (the [[histogram]] plan), two joins against a
+    * bins-row grid relation, and two single-row broadcast totals — the
     * corpora are never joined to each other.
     */
   def populationStability(
@@ -177,7 +180,11 @@ object Stats {
       .select(col("bin"), col("n").as("n_base"))
     val hc = histogram(current, valueCol, lo, hi, bins)
       .select(col("bin"), col("n").as("n_cur"))
-    val joined = hb.join(hc, Seq("bin"), "full_outer")
+    val grid = baseline.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = grid
+      .join(hb, Seq("bin"), "left_outer")
+      .join(hc, Seq("bin"), "left_outer")
       .select(col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -199,6 +206,13 @@ object Stats {
     * so a doc whose text is null in both snapshots is `unchanged`
     * (unknown contents did not observably change) while null-vs-text
     * is `changed`.
+    *
+    * Contract: ids must be UNIQUE within each snapshot — the id is the
+    * join key, so a duplicated id fans out into one status row per
+    * matched pair (the same new-ids contract every incremental tier
+    * here has). A snapshot with ingest duplication should pass through
+    * exact dedup first; downstream, `groupBy(id).count > 1` over this
+    * output surfaces a violation loudly rather than silently.
     */
   def snapshotDiff(
       baseline: DataFrame,
