@@ -1801,6 +1801,20 @@ object SparkEntry {
       graft.operators.Stats.populationStability(base, cur, "n_tokens",
         lo = 0, hi = 512, bins = 16)
     }),
+    "stats_psi_by_lang" -> ((s, dir) => {
+      // STRATIFIED drift: the same snapshot shift as stats_psi but
+      // measured within each language — the report that catches one
+      // language's distribution collapsing behind a stable global mix.
+      // Same 16-bin grid; per-language shares, totals, and full grid.
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("lang"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val cur = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("lang"), TextFunctions.tokenCount(
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))).as("n_tokens"))
+      graft.operators.Stats.populationStabilityBy(base, cur, "n_tokens", "lang",
+        lo = 0, hi = 512, bins = 16)
+    }),
     "stats_snapshot_diff" -> ((s, dir) => {
       // per-doc change report between snapshot versions: the successor
       // drops every fifth doc, rewrites every seventh's text, and
@@ -3521,6 +3535,26 @@ object SparkEntry {
            round(((n_cur + 1) / (nc + 16.0) - (n_base + 1) / (nb + 16.0))
                  * ln(((n_cur + 1) / (nc + 16.0)) / ((n_base + 1) / (nb + 16.0))), 6) AS psi_term
          FROM j, t""",
+    "stats_psi_by_lang" ->
+      """WITH bv AS (SELECT lang, len(string_split(text, ' ')) AS v FROM documents),
+         cv AS (SELECT lang, len(string_split(
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END, ' ')) AS v
+                FROM documents WHERE doc_id % 3 <> 0),
+         hb AS (SELECT lang, CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_base
+                FROM bv WHERE lang IS NOT NULL AND v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1, 2),
+         hc AS (SELECT lang, CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_cur
+                FROM cv WHERE lang IS NOT NULL AND v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1, 2),
+         st AS (SELECT DISTINCT lang FROM (SELECT lang FROM hb UNION ALL SELECT lang FROM hc)),
+         g AS (SELECT st.lang, CAST(r AS INTEGER) AS bin FROM st CROSS JOIN range(0, 16) t(r)),
+         j AS (SELECT g.lang, g.bin,
+                      coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+               FROM g LEFT JOIN hb ON g.lang = hb.lang AND g.bin = hb.bin
+                      LEFT JOIN hc ON g.lang = hc.lang AND g.bin = hc.bin),
+         t AS (SELECT lang, sum(n_base) AS nb, sum(n_cur) AS nc FROM j GROUP BY lang)
+         SELECT j.lang, bin, n_base, n_cur,
+           round(((n_cur + 1) / (nc + 16.0) - (n_base + 1) / (nb + 16.0))
+                 * ln(((n_cur + 1) / (nc + 16.0)) / ((n_base + 1) / (nb + 16.0))), 6) AS psi_term
+         FROM j JOIN t ON j.lang = t.lang""",
     "stats_snapshot_diff" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'removed'

@@ -197,6 +197,69 @@ object Stats {
         round((q - p) * log(q / p), 6).as("psi_term"))
   }
 
+  /** Stratified [[populationStability]] — drift measured WITHIN each
+    * stratum (language, source domain), the report a multilingual
+    * corpus publisher actually reads: a stable global mix can hide one
+    * language's length distribution collapsing, and vice versa a
+    * deliberate mix rebalance reads as global drift while every
+    * stratum is individually stable. Same fixed grid, same Laplace
+    * smoothing, but shares and totals are PER STRATUM, and the full
+    * grid is carried per stratum (the both-empty-bin term matters
+    * whenever a stratum's totals differ between snapshots). Strata are
+    * the union observed in either snapshot — a stratum present only in
+    * one side still reports (all its mass against smoothed-empty
+    * opposite bins). NULL strata are dropped: an unlabeled doc has no
+    * stratum to drift within.
+    *
+    * Output: (strataCol, bin, n_base, n_cur, psi_term); per-stratum
+    * PSI = sum(psi_term) grouped by the stratum.
+    *
+    * Scale shape: one scan + one (stratum, bin) hash aggregate per
+    * snapshot, a strata-x-bins grid built from the (tiny) distinct
+    * strata relation, and per-stratum totals as one more tiny
+    * aggregate joined back broadcast — corpora never join each other,
+    * nothing collects.
+    */
+  def populationStabilityBy(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      strataCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad grid [$lo, $hi) / $bins")
+    requireIntegral(baseline, "populationStabilityBy", col(valueCol))
+    requireIntegral(current, "populationStabilityBy", col(valueCol))
+    val w = (hi - lo) / bins
+    def hist(df: DataFrame, n: String) = df
+      .where(col(strataCol).isNotNull &&
+        col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi)
+      .select(col(strataCol),
+        least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int").as("bin"))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as(n))
+    val hb = hist(baseline, "n_base")
+    val hc = hist(current, "n_cur")
+    val strata = hb.select(col(strataCol)).unionByName(hc.select(col(strataCol))).distinct()
+    val grid = strata.crossJoin(
+      baseline.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+    val joined = grid
+      .join(hb, Seq(strataCol, "bin"), "left_outer")
+      .join(hc, Seq(strataCol, "bin"), "left_outer")
+      .select(col(strataCol), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.groupBy(col(strataCol)).agg(
+      sum("n_base").as("__ps_nb"), sum("n_cur").as("__ps_nc"))
+    val p = (col("n_base") + 1).cast("double") / (col("__ps_nb") + bins).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__ps_nc") + bins).cast("double")
+    joined.join(broadcast(totals), Seq(strataCol))
+      .select(col(strataCol), col("bin"), col("n_base"), col("n_cur"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
   /** Per-document diff between two corpus snapshots by content
     * fingerprint — the change report published beside a corpus
     * version: `added` (id only in current), `removed` (id only in

@@ -120,6 +120,28 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("stratified PSI equals per-stratum runs of the global operator") {
+    // each stratum's report must be exactly what populationStability
+    // computes on that stratum's rows alone — strata never leak into
+    // each other's shares or totals; NULL strata drop
+    val base = Seq(("en", 1), ("en", 5), ("en", 9), ("de", 2), ("de", 2),
+      (null.asInstanceOf[String], 7)).toDF("lang", "v")
+    val cur = Seq(("en", 1), ("en", 4), ("de", 8), ("de", 9), ("fr", 3)).toDF("lang", "v")
+    val got = Stats.populationStabilityBy(base, cur, "v", "lang", lo = 0, hi = 10, bins = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet.map(_._1) == Set("en", "de", "fr"), s"strata: ${got.keySet.map(_._1)}")
+    for (lang <- Seq("en", "de", "fr")) {
+      val solo = Stats.populationStability(
+          base.where($"lang" === lang).select($"v"),
+          cur.where($"lang" === lang).select($"v"), "v", lo = 0, hi = 10, bins = 5)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      (0 until 5).foreach { bin =>
+        assert(got((lang, bin)) == solo(bin), s"$lang bin $bin: ${got((lang, bin))} vs ${solo(bin)}")
+      }
+    }
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged; null text never reads changed") {
     val base = Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null.asInstanceOf[String])
