@@ -254,6 +254,69 @@ object Streams {
         min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
   }
 
+  /** Online drift monitor — the streaming sibling of
+    * [[graft.operators.Stats.populationStability]]: each event-time
+    * tumbling window's value distribution is scored against a STATIC
+    * baseline snapshot with the same fixed-grid / Laplace-smoothed PSI
+    * arithmetic, emitting one (window, n, psi) row per closed window —
+    * the alert feed a continuous ingest pipeline watches for "today's
+    * crawl stopped looking like the corpus". The baseline histogram is
+    * bins-row tiny, so it collects once at plan build (the
+    * trained-model stance: a bounded driver-side fit, scoring stays
+    * distributed) and rides the plan as literals; the stream pays ONE
+    * stateful aggregation per window (the per-bin counts pivoted into
+    * `bins` conditional sums — a second chained aggregation for totals
+    * would be a second stateful operator), and the PSI fold over the
+    * bin columns is pure per-row arithmetic after it. Out-of-grid and
+    * null values are excluded on both sides, mirroring the batch
+    * operator's in-range contract; every grid bin participates in the
+    * sum (the both-empty-bin term matters whenever the window's count
+    * differs from the baseline's — same fix as the batch operator).
+    *
+    * Output: (window struct, n_rows, psi) with psi rounded to 6
+    * places; conventional alert bands: < 0.1 quiet, 0.1-0.25 drifting,
+    * > 0.25 shifted.
+    */
+  def psiPerWindow(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      baseline: DataFrame,
+      baselineValueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      windowDuration: String,
+      watermark: String
+  ): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad grid [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    // bounded collect: the baseline histogram is <= bins rows
+    val baseCounts = graft.operators.Stats
+      .histogram(baseline, baselineValueCol, lo, hi, bins)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nBase = baseCounts.values.sum
+    val pDen = (nBase + bins).toDouble
+    val inRange = col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi
+    val binCol = least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int")
+    val counted = events
+      .withWatermark(tsCol, watermark)
+      .where(inRange)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (0 until bins).map(b =>
+          sum((binCol === b).cast("long")).as(s"graft_n_$b")): _*)
+    val qDen = (col("n_rows") + bins).cast("double")
+    val terms = (0 until bins).map { b =>
+      val p = lit((baseCounts.getOrElse(b, 0L) + 1).toDouble / pDen)
+      val q = (col(s"graft_n_$b") + 1).cast("double") / qDen
+      (q - p) * log(q / p)
+    }
+    counted.select(col("window"), col("n_rows"),
+      round(terms.reduce(_ + _), 6).as("psi"))
+  }
+
   /** Per-event gap sessionization on a STREAM — the continuous sibling
     * of [[graft.operators.EventAnalytics.sessionize]]: every event
     * gets its user's session SEQUENCE NUMBER, a new session opening

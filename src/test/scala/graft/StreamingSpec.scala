@@ -116,6 +116,49 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("psiPerWindow scores each window exactly like a hand-replayed batch PSI") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: values spread over [0, 10); stream: one quiet window
+    // near the baseline shape, one shifted window, plus out-of-grid
+    // and boundary values that must drop/clamp like the batch operator
+    val baseVals = Seq(1, 1, 2, 3, 5, 5, 7, 9)
+    val baseline = baseVals.toDF("v")
+    val w1 = Seq(1, 2, 5, 9)                  // roughly baseline-shaped
+    val w2 = Seq(9, 9, 9, 9, 8, 42, -1)      // shifted; 42 and -1 out of grid
+    val input = MemoryStream[(Timestamp, Int)]
+    val out = Streams.psiPerWindow(input.toDF().toDF("ts", "v"), "ts", "v",
+      baseline, "v", lo = 0, hi = 10, bins = 5,
+      windowDuration = "1 hour", watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Update()).start()
+    val got = try {
+      input.addData(
+        w1.map(v => (ts("2024-01-01 00:10:00"), v)) ++
+          w2.map(v => (ts("2024-01-01 01:10:00"), v)): _*)
+      query.processAllAvailable()
+      spark.table("psi_out").collect()
+        .map(r => r.getStruct(0).getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    } finally query.stop()
+
+    // hand replay: 5 bins of width 2, Laplace smoothing, in-range only
+    def expect(vals: Seq[Int]): (Long, Double) = {
+      val in = vals.filter(v => v >= 0 && v < 10)
+      val bc = in.groupBy(v => math.min(v / 2, 4)).view.mapValues(_.size.toLong).toMap
+      val baseBins = baseVals.groupBy(v => math.min(v / 2, 4)).view.mapValues(_.size.toLong).toMap
+      val (nb, nc) = (baseVals.size, in.size)
+      val psi = (0 until 5).map { b =>
+        val p = (baseBins.getOrElse(b, 0L) + 1).toDouble / (nb + 5)
+        val q = (bc.getOrElse(b, 0L) + 1).toDouble / (nc + 5)
+        (q - p) * math.log(q / p)
+      }.sum
+      (in.size.toLong, math.round(psi * 1e6) / 1e6)
+    }
+    assert(got("2024-01-01 00:00:00.0") == expect(w1), s"w1: $got")
+    assert(got("2024-01-01 01:00:00.0") == expect(w2), s"w2: $got")
+    // the shifted window must read as MORE drifted than the quiet one
+    assert(got("2024-01-01 01:00:00.0")._2 > got("2024-01-01 00:00:00.0")._2)
+  }
+
   test("nearDupAdmission flags stream docs exactly like a batch Hamming scan of the corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{bit_count, col, min, max, when => sqlWhen}
