@@ -470,6 +470,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(finalPlan.contains("BroadcastExchange"), s"query side not broadcast:\n$finalPlan")
   }
 
+  test("reranked serve: shortlist and queries broadcast, the corpus never sort-merge joins") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = graft.operators.Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = graft.operators.Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val index = graft.operators.Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb)
+    val out = graft.operators.Similarity.ivfPqTopKReranked(
+      emb.where(col("vec_id") < 10), index, emb, "vec_id", "embedding", 5, 32, coarse, 2, cb)
+    val finalPlan = executedPlanString(out).split("== Initial Plan ==")(0)
+    // the two-stage serve is broadcast end to end: the ADC cell join,
+    // the shortlist join-back onto the corpus, and the query join are
+    // all hash joins over broadcast sides — a sort-merge join anywhere
+    // would mean the corpus (or the index) got shuffled for a
+    // serve-batch-sized probe relation
+    assert(!finalPlan.contains("SortMergeJoin"), s"corpus shuffled for the rerank:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), s"unexpected cartesian:\n$finalPlan")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 3,
+      s"expected cell + shortlist + query broadcast joins:\n$finalPlan")
+    // exactly two hash exchanges may exist: the ADC stage's bounded
+    // top-k aggregate and the final exact top-k aggregate — both O(k)
+    // partial buffers, never vectors
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2,
+      s"unexpected shuffle beyond the two top-k aggregates:\n$finalPlan")
+    assert(finalPlan.contains("partial_graft_top_k"),
+      s"bounded top-k not partially aggregated map-side:\n$finalPlan")
+  }
+
   test("BPE encode and classifier scoring stay inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = graft.operators.BpeTokenizer.train(docs, "doc_id", "text", 50)
