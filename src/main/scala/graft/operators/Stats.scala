@@ -70,11 +70,29 @@ object Stats {
     */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, s"bad histogram range [$lo, $hi) / $bins")
-    val w = (hi - lo) / bins
-    df.where(col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi)
-      .select(least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int").as("bin"))
+    df.where(inRangeExpr(col(valueCol), lo, hi))
+      .select(binExpr(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The grid membership predicate every binned operator shares:
+    * non-null and in [lo, hi). Never null (null input reads false), so
+    * it is safe as a conditional-aggregation guard.
+    */
+  private[graft] def inRangeExpr(v: Column, lo: Double, hi: Double): Column =
+    v.isNotNull && v >= lo && v < hi
+
+  /** The clamped fixed-width bin index every binned operator shares.
+    * The least(...) clamp exists for a subtle float edge: with an
+    * inexact width, the largest double below `hi` can floor to `bins`
+    * unclamped — an out-of-contract index (see the histogram spec's
+    * nextAfter case). ONE definition keeps the batch, stratified, and
+    * streaming PSI siblings bin-identical by construction.
+    */
+  private[graft] def binExpr(v: Column, lo: Double, hi: Double, bins: Int): Column = {
+    val w = (hi - lo) / bins
+    least(floor((v - lo) / w), lit(bins - 1L)).cast("int")
   }
 
   /** Pearson correlation of two INTEGER-valued columns, from exact
@@ -232,12 +250,9 @@ object Stats {
     require(bins >= 1 && hi > lo, s"bad grid [$lo, $hi) / $bins")
     requireIntegral(baseline, "populationStabilityBy", col(valueCol))
     requireIntegral(current, "populationStabilityBy", col(valueCol))
-    val w = (hi - lo) / bins
     def hist(df: DataFrame, n: String) = df
-      .where(col(strataCol).isNotNull &&
-        col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi)
-      .select(col(strataCol),
-        least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int").as("bin"))
+      .where(col(strataCol).isNotNull && inRangeExpr(col(valueCol), lo, hi))
+      .select(col(strataCol), binExpr(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy(col(strataCol), col("bin"))
       .agg(count(lit(1)).as(n))
     val hb = hist(baseline, "n_base")
@@ -300,7 +315,7 @@ object Stats {
     * owns the fixed-point encoding (cents, counts); the operator owns
     * exactness within it.
     */
-  private def requireIntegral(df: DataFrame, op: String, cols: Column*): Unit = {
+  private[graft] def requireIntegral(df: DataFrame, op: String, cols: Column*): Unit = {
     val integral: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)

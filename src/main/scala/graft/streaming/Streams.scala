@@ -268,14 +268,26 @@ object Streams {
     * `bins` conditional sums — a second chained aggregation for totals
     * would be a second stateful operator), and the PSI fold over the
     * bin columns is pure per-row arithmetic after it. Out-of-grid and
-    * null values are excluded on both sides, mirroring the batch
-    * operator's in-range contract; every grid bin participates in the
-    * sum (the both-empty-bin term matters whenever the window's count
-    * differs from the baseline's — same fix as the batch operator).
+    * null values are excluded from the counts on both sides —
+    * mirroring the batch operator's in-range contract — but by
+    * CONDITIONAL aggregation, not a pre-filter: a window whose events
+    * are ALL out-of-grid still emits a row instead of going silent
+    * exactly when the data is most corrupted — n_rows = 0 IS the
+    * alert there (under Laplace smoothing an empty window reads as
+    * uniform, so the PSI value alone cannot carry it; alert on
+    * psi OR n_rows). Every grid bin participates in the sum (the
+    * both-empty-bin term matters whenever the window's count differs
+    * from the baseline's — same fix as the batch operator), and the
+    * value column must be integral on both sides (the batch siblings'
+    * fixed-point bit-reproducibility contract, same loud refusal).
     *
-    * Output: (window struct, n_rows, psi) with psi rounded to 6
-    * places; conventional alert bands: < 0.1 quiet, 0.1-0.25 drifting,
-    * > 0.25 shifted.
+    * Output: (window struct, n_rows, psi) — n_rows counts IN-RANGE
+    * events, psi rounded to 6 places; conventional alert bands:
+    * < 0.1 quiet, 0.1-0.25 drifting, > 0.25 shifted. One FINAL row per
+    * window requires Append output mode (emission once the watermark
+    * closes the window); Update mode emits an evolving partial row per
+    * trigger — fine for a live dashboard, wrong for a fire-once
+    * alerter.
     */
   def psiPerWindow(
       events: DataFrame,
@@ -290,23 +302,26 @@ object Streams {
       watermark: String
   ): DataFrame = {
     require(bins >= 1 && hi > lo, s"bad grid [$lo, $hi) / $bins")
-    val w = (hi - lo) / bins
+    graft.operators.Stats.requireIntegral(events, "psiPerWindow", col(valueCol))
+    graft.operators.Stats.requireIntegral(baseline, "psiPerWindow", col(baselineValueCol))
     // bounded collect: the baseline histogram is <= bins rows
     val baseCounts = graft.operators.Stats
       .histogram(baseline, baselineValueCol, lo, hi, bins)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nBase = baseCounts.values.sum
     val pDen = (nBase + bins).toDouble
-    val inRange = col(valueCol).isNotNull && col(valueCol) >= lo && col(valueCol) < hi
-    val binCol = least(floor((col(valueCol) - lo) / w), lit(bins - 1L)).cast("int")
+    // the batch siblings' shared grid expressions — bin-identical by
+    // construction; inRange is never null, so it guards the
+    // conditional sums safely
+    val inRange = graft.operators.Stats.inRangeExpr(col(valueCol), lo, hi)
+    val binCol = graft.operators.Stats.binExpr(col(valueCol), lo, hi, bins)
     val counted = events
       .withWatermark(tsCol, watermark)
-      .where(inRange)
       .groupBy(window(col(tsCol), windowDuration))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(inRange.cast("long")).as("n_rows"),
         (0 until bins).map(b =>
-          sum((binCol === b).cast("long")).as(s"graft_n_$b")): _*)
+          sum((inRange && binCol === b).cast("long")).as(s"graft_n_$b")): _*)
     val qDen = (col("n_rows") + bins).cast("double")
     val terms = (0 until bins).map { b =>
       val p = lit((baseCounts.getOrElse(b, 0L) + 1).toDouble / pDen)

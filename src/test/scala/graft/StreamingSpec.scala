@@ -125,6 +125,8 @@ class StreamingSpec extends SparkTestBase {
     val baseline = baseVals.toDF("v")
     val w1 = Seq(1, 2, 5, 9)                  // roughly baseline-shaped
     val w2 = Seq(9, 9, 9, 9, 8, 42, -1)      // shifted; 42 and -1 out of grid
+    val w3 = Seq(100, 200, -5)                // ALL out of grid: the monitor
+                                              // must still emit (n=0, max PSI)
     val input = MemoryStream[(Timestamp, Int)]
     val out = Streams.psiPerWindow(input.toDF().toDF("ts", "v"), "ts", "v",
       baseline, "v", lo = 0, hi = 10, bins = 5,
@@ -134,7 +136,8 @@ class StreamingSpec extends SparkTestBase {
     val got = try {
       input.addData(
         w1.map(v => (ts("2024-01-01 00:10:00"), v)) ++
-          w2.map(v => (ts("2024-01-01 01:10:00"), v)): _*)
+          w2.map(v => (ts("2024-01-01 01:10:00"), v)) ++
+          w3.map(v => (ts("2024-01-01 02:10:00"), v)): _*)
       query.processAllAvailable()
       spark.table("psi_out").collect()
         .map(r => r.getStruct(0).getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -155,6 +158,13 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(got("2024-01-01 00:00:00.0") == expect(w1), s"w1: $got")
     assert(got("2024-01-01 01:00:00.0") == expect(w2), s"w2: $got")
+    // an all-out-of-grid window must still EMIT — n_rows = 0 is the
+    // loud signal (under Laplace smoothing an empty window reads as
+    // uniform, so the PSI value alone cannot carry the alert); the
+    // silent alternative would hide exactly the upstream-corruption
+    // case that pushes every value off the grid
+    assert(got("2024-01-01 02:00:00.0") == expect(w3), s"w3: $got")
+    assert(got("2024-01-01 02:00:00.0")._1 == 0L)
     // the shifted window must read as MORE drifted than the quiet one
     assert(got("2024-01-01 01:00:00.0")._2 > got("2024-01-01 00:00:00.0")._2)
   }
