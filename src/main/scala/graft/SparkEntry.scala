@@ -4922,6 +4922,9 @@ object SparkEntry {
     // integer-sufficient-statistics correlation over the big table,
     // and exact-integer rate-spike flagging over hourly buckets
     "stats_profile", "stats_profile_by", "stats_histogram", "stats_corr", "stats_outliers",
+    // the snapshot-QA tier: global + per-language drift and the
+    // per-doc diff between corpus versions
+    "stats_psi", "stats_psi_by_lang", "stats_snapshot_diff",
     // the NFC canonicalization scan (native codegen'd expression)
     "text_normalize_nfc",
     // cross-timeline event analytics over the sf-scaled event log,
