@@ -169,6 +169,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got("2024-01-01 01:00:00.0")._2 > got("2024-01-01 00:00:00.0")._2)
   }
 
+  test("psiPerWindow in Append mode emits one FINAL row per watermark-closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(1, 3, 5, 7, 9).toDF("v")
+    val input = MemoryStream[(Timestamp, Int)]
+    val out = Streams.psiPerWindow(input.toDF().toDF("ts", "v"), "ts", "v",
+      baseline, "v", lo = 0, hi = 10, bins = 5,
+      windowDuration = "1 hour", watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("psi_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two triggers land data in the SAME window: nothing may emit
+      // until the watermark closes it
+      input.addData((ts("2024-01-01 00:05:00"), 1), (ts("2024-01-01 00:10:00"), 9))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:20:00"), 5))
+      query.processAllAvailable()
+      assert(spark.table("psi_append").isEmpty,
+        "append emitted before the watermark closed the window")
+      // an event 90 minutes later advances the watermark past 00:00-01:00
+      input.addData((ts("2024-01-01 02:00:00"), 3))
+      query.processAllAvailable()
+      val rows = spark.table("psi_append").collect()
+        .map(r => r.getStruct(0).getTimestamp(0).toString -> r.getLong(1))
+      // exactly ONE final row for the closed window, counting ALL
+      // THREE events across both triggers
+      assert(rows.toSeq == Seq("2024-01-01 00:00:00.0" -> 3L), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("nearDupAdmission flags stream docs exactly like a batch Hamming scan of the corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{bit_count, col, min, max, when => sqlWhen}
