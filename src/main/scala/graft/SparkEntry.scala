@@ -1182,6 +1182,15 @@ object SparkEntry {
       Curation.packManifest(
         Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512),
         contextTokens = 512)),
+    "curation_shards" -> ((s, dir) =>
+      // the writer's final step: the packed-example manifest split
+      // into 4 token-balanced contiguous shards per language — each
+      // shard a self-contained slice of the training stream
+      Curation.assignShards(
+        Curation.packManifest(
+          Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang", contextTokens = 512),
+          contextTokens = 512),
+        "lang", nShards = 4)),
     "curation_split" -> ((s, dir) =>
       // deterministic hash-bucket train/val/test assignment — same row,
       // same split, on any engine/partitioning/retry
@@ -2825,6 +2834,30 @@ object SparkEntry {
                 CAST(least(start_token + n_tokens, (bin + 1) * 512)
                      - greatest(start_token, bin * 512) AS BIGINT) AS len_in_bin
          FROM b""",
+    "curation_shards" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(cum - n_tokens AS BIGINT) AS start_token,
+                  (cum - n_tokens) // 512 AS bin_id,
+                  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_bins
+           FROM (
+             SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                    CAST(sum(CAST(len(string_split(text, ' ')) AS INTEGER))
+                      OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+             FROM documents)),
+         m AS (
+           SELECT doc_id, lang, n_tokens, CAST(bin AS BIGINT) AS bin_id,
+                  CAST(greatest(start_token - bin * 512, 0) AS BIGINT) AS offset_in_bin,
+                  CAST(least(start_token + n_tokens, (bin + 1) * 512)
+                       - greatest(start_token, bin * 512) AS BIGINT) AS len_in_bin
+           FROM (SELECT doc_id, lang, n_tokens, start_token,
+                        unnest(generate_series(bin_id, bin_id + n_bins - 1)) AS bin
+                 FROM p)),
+         t AS (SELECT lang, max(bin_id) + 1 AS tb FROM m GROUP BY lang)
+         SELECT m.doc_id, m.lang, m.n_tokens, m.bin_id, m.offset_in_bin, m.len_in_bin,
+                CAST(m.bin_id * 4 // t.tb AS INTEGER) AS shard_id
+         FROM m JOIN t ON m.lang = t.lang""",
     "curation_split" ->
       // same domain-separated ("split:"-prefixed) md5-bucket arithmetic,
       // same INTEGER thresholds (round(cumfrac * 2^32)) — float-free

@@ -440,6 +440,35 @@ object Curation {
       .select(col(idCol), col(domainCol), col("n_tokens"))
   }
 
+  /** Token-balanced OUTPUT sharding over a [[packManifest]] relation —
+    * the writer's final step: bin `b` of a stratum holding `T` context
+    * bins lands in shard `b * nShards DIV T`, so each stratum's bins
+    * split into `nShards` CONTIGUOUS ranges whose sizes differ by at
+    * most one bin — and because every bin is a fixed `contextTokens`
+    * slice by construction (only each stratum's last bin is short),
+    * the shards are token-balanced to within one context window.
+    * Contiguity preserves the stream order inside a shard, so a shard
+    * is a self-contained slice of the training stream (a reader can
+    * consume shard files independently without reordering).
+    *
+    * Scale shape: per-stratum bin totals are one rows-per-stratum
+    * aggregate over the manifest (every bin appears — the packed
+    * stream is gapless), broadcast back; the shard id is then pure
+    * per-row integer arithmetic. No window, no extra corpus shuffle —
+    * composes onto packSequences' single prefix-sum exchange. Output:
+    * the manifest plus `shard_id`; write with
+    * `partitionBy(strataCol, "shard_id")`.
+    */
+  def assignShards(manifest: DataFrame, strataCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val totals = manifest
+      .groupBy(col(strataCol))
+      .agg((max(col("bin_id")) + 1).as("__sh_bins"))
+    manifest.join(broadcast(totals), Seq(strataCol))
+      .withColumn("shard_id", expr(s"bin_id * $nShards DIV __sh_bins").cast("int"))
+      .drop("__sh_bins")
+  }
+
   /** Rebalance the corpus to target domain proportions by downsampling
     * over-represented domains (never upsampling): the binding domain is
     * the one with the smallest count/weight ratio; every domain keeps

@@ -219,6 +219,35 @@ class CurationSpec extends SparkTestBase {
       ("zh", 0L) -> 50L), s"got $binFill")
   }
 
+  test("assignShards cuts each stratum's bins into contiguous shards within one bin of equal") {
+    // en: 10 full 256-token docs -> 10 bins; zh: 3 docs -> 3 bins.
+    // nShards=4: en shards must hold {3,2,3,2} contiguous bins
+    // (b*4 DIV 10), zh {1,1,1} with shard 1 skipped (b*4 DIV 3 =
+    // 0,1,2 for b=0,1,2) — ranges stay contiguous and sizes within 1
+    val docs = ((1L to 10L).map(i => (i, "en", "w " * 255 + "end")) ++
+      (11L to 13L).map(i => (i, "zh", "z " * 255 + "end"))).toDF("doc_id", "lang", "text")
+    val sharded = Curation.assignShards(
+      Curation.packManifest(
+        Curation.packSequences(docs, "doc_id", "text", "lang", 256), 256),
+      "lang", nShards = 4)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin_id"), r.getAs[Int]("shard_id")))
+    for (lang <- Seq("en", "zh")) {
+      val byBin = sharded.filter(_._1 == lang).map(t => t._2 -> t._3).distinct.sortBy(_._1)
+      // contiguity: shard ids are non-decreasing along the bin order
+      assert(byBin.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"$lang shards not contiguous: ${byBin.toSeq}")
+      // balance: occupied shard sizes differ by at most one bin
+      val sizes = byBin.groupBy(_._2).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang unbalanced: ${byBin.toSeq}")
+    }
+    val enShards = sharded.filter(_._1 == "en").map(t => t._2 -> t._3).distinct.toMap
+    assert(enShards == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 2, 8L -> 3, 9L -> 3), s"got $enShards")
+    intercept[IllegalArgumentException] {
+      Curation.assignShards(docs.limit(0), "lang", 0): Unit
+    }
+  }
+
   test("splitByHash assigns deterministic, roughly-proportional split labels") {
     val d = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
