@@ -82,10 +82,12 @@ object RetrievalScaleSmoke {
       // candidate law: scoring-join input rows == sum(df) over the
       // query terms; the admitted share of the postings relation is a
       // term property and must not grow with the corpus
-      val postings = spark.read.parquet(s"$indexPath/postings")
+      // a fresh buildIndex publishes exactly one segment; the law is
+      // checked against its tables directly
+      val postings = spark.read.parquet(s"$indexPath/segments/seg-00000/postings")
       val totalPostings = postings.count()
       val matched = postings.where(col("term").isin(terms: _*)).count()
-      val sumDf = spark.read.parquet(s"$indexPath/termdf")
+      val sumDf = spark.read.parquet(s"$indexPath/segments/seg-00000/termdf")
         .where(col("term").isin(terms: _*))
         .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
       if (matched != sumDf)

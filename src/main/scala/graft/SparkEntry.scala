@@ -137,7 +137,7 @@ object SparkEntry {
     * the ann build/serve split exists to avoid).
     */
   private case class UpdatedAnnIndex(
-      path: String, scratchPath: String,
+      path: String, scratchPath: String, compactedPath: String,
       coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
   private val annUpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, UpdatedAnnIndex]()
   private def updatedAnnIndex(s: SparkSession, dir: String): UpdatedAnnIndex =
@@ -149,11 +149,17 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft-ann-base").resolve("pqindex").toString
       val out = java.nio.file.Files.createTempDirectory("graft-ann-upd").resolve("pqindex").toString
       val scratch = java.nio.file.Files.createTempDirectory("graft-ann-scratch").resolve("pqindex").toString
+      val compacted = java.nio.file.Files.createTempDirectory("graft-ann-compact").resolve("pqindex").toString
       Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, base)
+      // the update writes ONLY the increment's segment under `out`;
+      // the manifest references the base segments in place
       Similarity.updatePqIndex(s, base, emb.where(col("vec_id") % 5 === 0),
         "vec_id", "embedding", coarse, cb, out)
       Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, scratch)
-      UpdatedAnnIndex(out, scratch, coarse, cb)
+      // the explicit O(corpus) merge that re-homes both segments under
+      // one self-contained root — billed here, with the builds
+      Similarity.compactPqIndex(s, out, compacted)
+      UpdatedAnnIndex(out, scratch, compacted, coarse, cb)
     })
 
   /** The deterministic image-payload fixture shared by the image-dedup
@@ -289,16 +295,23 @@ object SparkEntry {
     * certifies. Build+update cost bills to the first call, like
     * [[builtBm25Index]].
     */
-  private val bm25UpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def updatedBm25Index(s: SparkSession, dir: String): String =
+  private case class UpdatedBm25Index(path: String, compactedPath: String)
+  private val bm25UpdatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, UpdatedBm25Index]()
+  private def updatedBm25Index(s: SparkSession, dir: String): UpdatedBm25Index =
     bm25UpdatedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
       val base = java.nio.file.Files.createTempDirectory("graft-bm25-base").toString
       val out = java.nio.file.Files.createTempDirectory("graft-bm25-upd").toString
+      val compacted = java.nio.file.Files.createTempDirectory("graft-bm25-compact").toString
       Retrieval.buildIndex(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", base)
+      // the update writes ONLY the increment's segment under `out`;
+      // the manifest references the base segments in place
       Retrieval.updateIndex(s, base, docs.where(col("doc_id") % 5 === 0),
         "doc_id", "text", out)
-      out
+      // and the explicit merge back to one self-contained segment —
+      // billed here, with the builds
+      Retrieval.compactIndex(s, out, compacted)
+      UpdatedBm25Index(out, compacted)
     })
 
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
@@ -1740,6 +1753,24 @@ object SparkEntry {
         .map(_.getSeq[Float](0).toArray)
       Similarity.semanticDuplicatePairs(emb, "vec_id", "embedding", cents, thresholdPct = 30)
     }),
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      // daily-ingest shape at the EMBEDDING tier: cosine duplicate
+      // pairs of a 10% increment against the 90% corpus plus within
+      // the increment, under the same deterministic frozen quantizer
+      // as dedup_semantic_pairs — corpus x corpus candidates never
+      // generated. The oracle brute-forces the same
+      // membership-dependent rule over the full cell-blocked pair
+      // space, so a match proves the tagged-union blocking loses
+      // nothing
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.semanticDuplicatePairsIncremental(
+        emb.where(col("vec_id") % 10 === 0),
+        emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", cents, thresholdPct = 30)
+    }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup survivors end to end: cell-blocked cosine pairs ->
       // connected components -> keep the member FARTHEST from its cell
@@ -1823,6 +1854,20 @@ object SparkEntry {
             .otherwise(col("text"))).as("n_tokens"))
       graft.operators.Stats.populationStabilityBy(base, cur, "n_tokens", "lang",
         lo = 0, hi = 512, bins = 16)
+    }),
+    "stats_psi_categorical" -> ((s, dir) => {
+      // CATEGORICAL drift: the language-mix shift between releases —
+      // the successor drops every third doc of languages below 'm'
+      // only, so the mix tilts toward the upper half of the alphabet.
+      // Bins are the observed category union (no numeric grid); DuckDB
+      // replays the shares, the observed-domain Laplace smoothing, and
+      // the ln terms.
+      val docs = t(s, dir, "documents")
+      graft.operators.Stats.populationStabilityCat(
+        docs.select(col("lang")),
+        docs.where((col("doc_id") % 3 =!= 0) || (col("lang") >= lit("m")))
+          .select(col("lang")),
+        "lang")
     }),
     "stats_snapshot_diff" -> ((s, dir) => {
       // per-doc change report between snapshot versions: the successor
@@ -1950,11 +1995,23 @@ object SparkEntry {
         Seq("spark", "fast", "join"), k = 10)),
     "retrieval_index_update" -> ((s, dir) =>
       // index MAINTENANCE: serve the same query from an index built on
-      // 80% of the corpus and incrementally merged with the other 20%
-      // (updateIndex — old postings reread, not re-tokenized). The
-      // ranking must be IDENTICAL to a from-scratch build on the full
-      // corpus, so the oracle is the direct-path SQL by construction.
-      Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir), "doc_id",
+      // 80% of the corpus and incrementally extended with the other
+      // 20% (updateIndex — the increment lands as a NEW SEGMENT, the
+      // base postings are never re-tokenized OR re-written; the serve
+      // unions the two segments, summing df and stats across them).
+      // The ranking must be IDENTICAL to a from-scratch build on the
+      // full corpus, so the oracle is the direct-path SQL by
+      // construction.
+      Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir).path, "doc_id",
+        Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_index_compacted" -> ((s, dir) =>
+      // COMPACTION: the segmented (80% base + 20% delta) index merged
+      // back into one self-contained segment by compactIndex — a
+      // columnar copy re-sorted globally by term, no re-tokenize.
+      // Serving from it must again equal the direct-path SQL, which
+      // value-grades the whole merge (postings concat, df re-sum,
+      // stats add) through the ranking.
+      Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir).compactedPath, "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
@@ -2269,6 +2326,32 @@ object SparkEntry {
         q, Similarity.readPqIndex(s, upd.scratchPath),
         "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
       fromUpdated.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
+    }),
+    "ann_index_compacted" -> ((s, dir) => {
+      // COMPACTION: the segmented (80% base build + 20% delta segment)
+      // index merged back into ONE self-contained segment by
+      // compactPqIndex — a columnar copy, no re-encode. Serving from
+      // the compacted index must be neighbor-for-neighbor identical to
+      // serving from a from-scratch one-pass encode under the same
+      // frozen models, which value-grades the merge end to end (the
+      // rows survive compaction exactly; the serve plan over the
+      // compacted root has a fresh build's shape).
+      val upd = updatedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromCompacted = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, upd.compactedPath),
+        "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, upd.scratchPath),
+        "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
+      fromCompacted.as("u")
         .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
         .groupBy("query_id")
         .agg(
@@ -2856,7 +2939,7 @@ object SparkEntry {
                  FROM p)),
          t AS (SELECT lang, max(bin_id) + 1 AS tb FROM m GROUP BY lang)
          SELECT m.doc_id, m.lang, m.n_tokens, m.bin_id, m.offset_in_bin, m.len_in_bin,
-                CAST(m.bin_id * 4 // t.tb AS INTEGER) AS shard_id
+                CAST(m.bin_id * least(t.tb, 4) // t.tb AS INTEGER) AS shard_id
          FROM m JOIN t ON m.lang = t.lang""",
     "curation_split" ->
       // same domain-separated ("split:"-prefixed) md5-bucket arithmetic,
@@ -3471,6 +3554,24 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm), 6) AS cosine
          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30""",
+    "dedup_semantic_incremental" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev,
+           sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         score AS (SELECT vec_id, ev, nrm, cell,
+             list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             - list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / 2 AS sc
+           FROM v, cents),
+         asg AS (SELECT vec_id, ev, nrm, cell FROM (
+             SELECT vec_id, ev, nrm, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell) AS rk
+             FROM score) WHERE rk = 1)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm), 6) AS cosine
+         FROM asg a JOIN asg b ON a.cell = b.cell
+           AND a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+           AND (b.vec_id % 10 <> 0 OR a.vec_id < b.vec_id)
+         WHERE list_sum(list_transform(generate_series(1,len(a.ev)), i -> CAST(a.ev[i] AS DOUBLE)*CAST(b.ev[i] AS DOUBLE)))/(a.nrm*b.nrm) * 100 >= 30""",
     "dedup_semantic" ->
       """WITH RECURSIVE cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
          v AS (SELECT vec_id, embedding AS ev,
@@ -3577,7 +3678,8 @@ object SparkEntry {
                 FROM bv WHERE lang IS NOT NULL AND v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1, 2),
          hc AS (SELECT lang, CAST(least(floor(v / 32.0), 15) AS INTEGER) AS bin, count(*) AS n_cur
                 FROM cv WHERE lang IS NOT NULL AND v IS NOT NULL AND v >= 0 AND v < 512 GROUP BY 1, 2),
-         st AS (SELECT DISTINCT lang FROM (SELECT lang FROM hb UNION ALL SELECT lang FROM hc)),
+         st AS (SELECT DISTINCT lang FROM (SELECT lang FROM bv UNION ALL SELECT lang FROM cv)
+                WHERE lang IS NOT NULL),
          g AS (SELECT st.lang, CAST(r AS INTEGER) AS bin FROM st CROSS JOIN range(0, 16) t(r)),
          j AS (SELECT g.lang, g.bin,
                       coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
@@ -3588,6 +3690,19 @@ object SparkEntry {
            round(((n_cur + 1) / (nc + 16.0) - (n_base + 1) / (nb + 16.0))
                  * ln(((n_cur + 1) / (nc + 16.0)) / ((n_base + 1) / (nb + 16.0))), 6) AS psi_term
          FROM j JOIN t ON j.lang = t.lang""",
+    "stats_psi_categorical" ->
+      """WITH b AS (SELECT lang, count(*) AS n_base FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
+         c AS (SELECT lang, count(*) AS n_cur FROM documents
+               WHERE lang IS NOT NULL AND (doc_id % 3 <> 0 OR lang >= 'm') GROUP BY lang),
+         j AS (SELECT coalesce(b.lang, c.lang) AS lang,
+                      coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+               FROM b FULL JOIN c ON b.lang = c.lang),
+         t AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc, CAST(count(*) AS DOUBLE) AS k FROM j)
+         SELECT lang, n_base, n_cur,
+           round(((n_cur + 1) / (nc + k) - (n_base + 1) / (nb + k))
+                 * ln(((n_cur + 1) / (nc + k)) / ((n_base + 1) / (nb + k))), 6) AS psi_term
+         FROM j, t""",
     "stats_snapshot_diff" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'removed'
@@ -3986,6 +4101,10 @@ object SparkEntry {
          CAST(0 AS BIGINT) AS self_hits
          FROM embeddings WHERE vec_id < 20""",
     "ann_index_update" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical
+         FROM embeddings WHERE vec_id < 20""",
+    "ann_index_compacted" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
@@ -4558,8 +4677,15 @@ object SparkEntry {
     }.mkString + s"ELSE repeat('${langSnippets.head._2}', 3) END"
   private lazy val langScoresSql: String =
     TextFunctions.defaultLangProfiles.map { case (l, gs) =>
+      // divisor = the gram's CODE POINT count, like the Spark side's
+      // langNgramScore: DuckDB's length() counts code points while
+      // Java's String#length counts UTF-16 units, so dividing by
+      // g.length would halve/zero the count for any profile gram
+      // carrying a supplementary-plane char (astral CJK, emoji) —
+      // derive the oracle from the same arithmetic, not a lookalike
       val sum = gs.map(g =>
-        s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}").mkString(" + ")
+        s"(length(t) - length(replace(t, '$g', ''))) // ${g.codePointCount(0, g.length)}")
+        .mkString(" + ")
       s"$sum AS s_$l"
     }.mkString(",\n           ")
   private lazy val langPredCaseSql: String = {
@@ -4844,7 +4970,10 @@ object SparkEntry {
       // the incrementally-maintained index must serve rankings identical
       // to a from-scratch build on the unioned corpus — one oracle by
       // construction
-      ("retrieval_index_update" -> pipelineTierOracle("retrieval_search_topk"))
+      ("retrieval_index_update" -> pipelineTierOracle("retrieval_search_topk")) +
+      // and so must the COMPACTED form of that same segmented index —
+      // compaction is a storage re-home, never a semantics change
+      ("retrieval_index_compacted" -> pipelineTierOracle("retrieval_search_topk"))
 
   /** The most-composed end-to-end chains — the plans where a silent
     * regression would hurt a real pipeline most. Kept as a named set so
@@ -4910,8 +5039,9 @@ object SparkEntry {
     "ann_serve_reranked",
     // serve-equivalence of the incrementally-merged IVF-PQ index
     // (build+update bills to the first call, disclosed at
-    // updatedAnnIndex — the retrieval_index_update stance)
-    "ann_index_update",
+    // updatedAnnIndex — the retrieval_index_update stance), and of its
+    // compacted single-segment re-home
+    "ann_index_update", "ann_index_compacted",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",
@@ -4944,9 +5074,10 @@ object SparkEntry {
     "retrieval_phrase", "graph_pagerank", "graph_pagerank_personalized",
     "graph_pagerank_weighted",
     // serve from the incrementally-merged index (build+update cost
-    // bills to the memoized first call, disclosed at updatedBm25Index)
-    // and the multi-query batch serve (one postings scan for the batch)
-    "retrieval_index_update", "retrieval_batch_serve",
+    // bills to the memoized first call, disclosed at updatedBm25Index),
+    // from its compacted re-home, and the multi-query batch serve (one
+    // postings scan for the batch)
+    "retrieval_index_update", "retrieval_index_compacted", "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",

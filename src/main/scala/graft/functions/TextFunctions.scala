@@ -288,7 +288,21 @@ object TextFunctions {
     * bare `%` in a URL is invalid per RFC 3986 anyway, and uniform
     * treatment keeps the table kind (plain substring pairs) replayable
     * by any engine, where strict valid-triplet matching would need
-    * lookahead or replacement backreferences, both banned here.
+    * lookahead or replacement backreferences, both banned here. The
+    * same tradeoff means decodes can CASCADE on malformed input: in
+    * `%7%45`, the `%45` pair decodes to `E`, synthesizing a `%7E` the
+    * original never spelled, which a LATER pair then decodes to `~`;
+    * in `%3%34`, the `%34` pair re-synthesizes an occurrence of its
+    * OWN pattern, which survives the pass (no pair ordering can fix a
+    * self-cascade, so applying the table twice can decode further) —
+    * for a malformed-`%` string the result is not always a single-pass
+    * decode of the original escapes, nor always a fixed point. This
+    * only ever fires behind an invalid bare `%`; it is deterministic
+    * (fixed pair order) and engine-consistent (the oracle replays the
+    * same pairs in the same order), and on WELL-FORMED input — every
+    * `%` starting a valid hex triplet — normalization is idempotent
+    * (PropertySpec pins the law, plus golden outputs for the
+    * malformed cascades).
     */
   def pctNormalizePairs: Seq[(String, String)] = {
     val hex = "0123456789ABCDEF"

@@ -442,14 +442,21 @@ object Curation {
 
   /** Token-balanced OUTPUT sharding over a [[packManifest]] relation —
     * the writer's final step: bin `b` of a stratum holding `T` context
-    * bins lands in shard `b * nShards DIV T`, so each stratum's bins
-    * split into `nShards` CONTIGUOUS ranges whose sizes differ by at
-    * most one bin — and because every bin is a fixed `contextTokens`
-    * slice by construction (only each stratum's last bin is short),
-    * the shards are token-balanced to within one context window.
-    * Contiguity preserves the stream order inside a shard, so a shard
-    * is a self-contained slice of the training stream (a reader can
-    * consume shard files independently without reordering).
+    * bins lands in shard `b * min(T, nShards) DIV T`, so each
+    * stratum's bins split into `min(T, nShards)` CONTIGUOUS ranges
+    * whose sizes differ by at most one bin — and because every bin is
+    * a fixed `contextTokens` slice by construction (only each
+    * stratum's last bin is short), the shards are token-balanced to
+    * within one context window. The `min(T, nShards)` numerator keeps
+    * populated shard ids DENSE: a small stratum (T < nShards) fills
+    * shards 0..T-1 exactly, so a writer/reader iterating shard ids
+    * sees empty shards only ABOVE every populated one, never gaps
+    * between them (the plain `b * nShards DIV T` formula would emit
+    * sparse ids — T=2, nShards=4 lands in {0, 2}). For T >= nShards
+    * the two formulas coincide. Contiguity preserves the stream order
+    * inside a shard, so a shard is a self-contained slice of the
+    * training stream (a reader can consume shard files independently
+    * without reordering).
     *
     * Scale shape: per-stratum bin totals are one rows-per-stratum
     * aggregate over the manifest (every bin appears — the packed
@@ -465,7 +472,8 @@ object Curation {
       .groupBy(col(strataCol))
       .agg((max(col("bin_id")) + 1).as("__sh_bins"))
     manifest.join(broadcast(totals), Seq(strataCol))
-      .withColumn("shard_id", expr(s"bin_id * $nShards DIV __sh_bins").cast("int"))
+      .withColumn("shard_id",
+        expr(s"bin_id * least(__sh_bins, $nShards) DIV __sh_bins").cast("int"))
       .drop("__sh_bins")
   }
 

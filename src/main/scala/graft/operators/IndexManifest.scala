@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * build; builders delete it FIRST, so a crash mid-(re)build leaves an
   * index that loudly refuses to serve instead of serving
   * mixed-generation results.
+  *
+  * Segmented layout: the manifest additionally RECORDS the list of
+  * segment directories that make up the index — the LSM stance that
+  * makes maintenance O(increment): an update writes the delta as a
+  * brand-new segment directory and publishes a manifest whose list is
+  * (old segments ++ the new one); data files written before the
+  * manifest lands are invisible to readers (they only ever read
+  * LISTED segments), so the old index serves untouched until the new
+  * manifest commits. Entries are resolved against the manifest's own
+  * root when relative, or taken verbatim when absolute — an updated
+  * index published at a fresh root points back at the base
+  * generation's segments instead of copying them (which would be the
+  * O(corpus) rewrite this layout exists to kill); [[compactIndex]]-
+  * style merges are the explicit path that re-homes data.
   */
 private[operators] object IndexManifest {
 
@@ -18,10 +32,41 @@ private[operators] object IndexManifest {
     * than one (e.g. direct vs residual PQ codes) — it is part of the
     * index identity, so maintenance paths validate it via
     * [[requireFlavor]] instead of trusting caller discipline.
+    * `segments` lists the directories (relative to `path`, or
+    * absolute) whose tables a reader must union — order is the append
+    * order, oldest first.
     */
-  def write(spark: SparkSession, path: String, version: Int = 1, flavor: String = ""): Unit =
-    spark.range(1).select(lit(version).as("format_version"), lit(flavor).as("flavor"))
+  def write(
+      spark: SparkSession, path: String, version: Int = 1, flavor: String = "",
+      segments: Seq[String] = Seq.empty): Unit =
+    spark.range(1).select(
+        lit(version).as("format_version"), lit(flavor).as("flavor"),
+        typedLit(segments).as("segments"))
       .write.mode("overwrite").parquet(s"$path/manifest")
+
+  /** The manifest's segment list resolved to full paths: relative
+    * entries anchor at `path` (the manifest's own root), absolute ones
+    * (leading '/' or a scheme://) pass through — how an incrementally
+    * updated index at a fresh root references the base generation's
+    * segments without copying a byte of them.
+    */
+  def segmentPaths(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"$path/manifest")
+      .select("segments").head().getSeq[String](0)
+      .map(resolve(path, _))
+
+  def resolve(root: String, entry: String): String =
+    if (entry.startsWith("/") || entry.contains("://")) entry else s"$root/$entry"
+
+  /** The next free generation name under `segments/` — zero-padded so
+    * listings sort in append order. Deterministic (count-derived, no
+    * clock) and collision-checked against the CURRENT list, which is
+    * all a linear maintenance chain needs.
+    */
+  def nextSegmentName(existing: Seq[String]): String = {
+    val taken = existing.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    Iterator.from(existing.size).map(i => f"seg-$i%05d").find(!taken(_)).get
+  }
 
   def clear(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/manifest")

@@ -134,22 +134,27 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col(idCol), col("tf"), col("dl"))
 
-  /** Write the four index tables under `path`: `postings` (term, id,
-    * tf, dl) repartitioned AND sorted by term so parquet row-group
-    * min/max statistics prune a term-restricted scan (bounded file
-    * count at any vocabulary size, unlike a per-term directory
-    * partition); `termdf` (term, df); `stats` (n_docs, total_len — ONE
-    * row, counted over ALL non-null-text docs, so zero-token docs
-    * count toward N exactly as in [[bm25]]); `doclen` (id, dl) — the
+  /** Write the four index tables as the index's FIRST segment
+    * (`path/segments/seg-00000/`): `postings` (term, id, tf, dl)
+    * repartitioned AND sorted by term so parquet row-group min/max
+    * statistics prune a term-restricted scan (bounded file count at
+    * any vocabulary size, unlike a per-term directory partition);
+    * `termdf` (term, df); `stats` (n_docs, total_len — ONE row,
+    * counted over ALL non-null-text docs, so zero-token docs count
+    * toward N exactly as in [[bm25]]); `doclen` (id, dl) — the
     * COMPLETE indexed id set, zero-token docs included, which is what
     * [[updateIndex]]'s resubmission guard must check (the postings
     * table only names docs with >= 1 token, so a previously indexed
     * empty doc would otherwise slip the guard and double-count
-    * n_docs); and LAST, the `manifest` marker [[searchTopKIndexed]]
-    * validates — the four tables are four sequential write jobs, and
-    * without a commit marker a failure between them would leave a
-    * MIXED index (new postings, stale df/stats) that serves silently
-    * wrong scores.
+    * n_docs); and LAST, the `manifest` marker (now also carrying the
+    * segment list) that [[searchTopKIndexed]] validates — the four
+    * tables are four sequential write jobs, and without a commit
+    * marker a failure between them would leave a MIXED index (new
+    * postings, stale df/stats) that serves silently wrong scores.
+    * [[updateIndex]] appends further segments; serve paths union the
+    * listed segments (df summing, stats adding across them), so
+    * maintenance writes O(increment) bytes; [[compactIndex]] merges
+    * the list back to one segment when it grows.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     // the tokenize + explode + hash aggregate is the build's whole cost;
@@ -159,40 +164,70 @@ object Retrieval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       clearManifest(docs.sparkSession, path)
-      index
-        .repartition(col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$path/postings")
-      index.groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/termdf")
-      // stats and doclen must come from the DOCS (zero-token docs have
-      // no posting but still count toward N) — one light sizes-only
-      // scan feeds both
-      val dl = docLengths(docs, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
-          .write.mode("overwrite").parquet(s"$path/stats")
-        dl.write.mode("overwrite").parquet(s"$path/doclen")
-      } finally dl.unpersist()
-      writeManifest(docs.sparkSession, path)
+      val seg = "segments/seg-00000"
+      writeSegment(docs, idCol, textCol, index, s"$path/$seg")
+      IndexManifest.write(docs.sparkSession, path, version = FormatVersion,
+        segments = Seq(seg))
     } finally index.unpersist()
   }
+
+  /** One segment's four tables under `segPath`, from the documents
+    * they index and their precomputed postings relation — the shared
+    * write shape of [[buildIndex]] (first segment = whole corpus) and
+    * [[updateIndex]] (new segment = the increment).
+    */
+  private def writeSegment(
+      docs: DataFrame, idCol: String, textCol: String,
+      postings: DataFrame, segPath: String): Unit = {
+    postings
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$segPath/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$segPath/termdf")
+    // stats and doclen must come from the DOCS (zero-token docs have
+    // no posting but still count toward N) — one light sizes-only
+    // scan feeds both
+    val dl = docLengths(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+        .write.mode("overwrite").parquet(s"$segPath/stats")
+      dl.write.mode("overwrite").parquet(s"$segPath/doclen")
+    } finally dl.unpersist()
+  }
+
+  /** One index table unioned across every listed segment — the serve
+    * paths' read shape. Parquet takes the segment roots as a
+    * multi-path scan, so filter pushdown (the query-term In) reaches
+    * every segment's row groups and each segment's build-time term
+    * sort keeps pruning locally.
+    */
+  private def segTable(spark: SparkSession, segs: Seq[String], table: String): DataFrame =
+    spark.read.parquet(segs.map(s => s"$s/$table"): _*)
 
   /** Merge an INCREMENT of new documents into the index at `indexPath`,
     * publishing the merged index at `outPath` — the maintenance path a
     * growing corpus needs, mirroring [[Dedup]]'s incremental stance:
     * `increment` must contain only documents NOT already indexed (ids
     * disjoint from the indexed corpus; re-indexing a changed doc means
-    * rebuild). The old corpus is NEVER re-tokenized — its postings are
-    * read back from parquet and re-sorted alongside the increment's
-    * (the term sort must hold globally for row-group pruning, so the
-    * postings rewrite is unavoidable; it is a columnar copy, not a
-    * recompute), termdf merges by summed df, and stats add. `outPath`
-    * must differ from `indexPath`: Spark cannot overwrite a relation
-    * it is reading, and publishing to a fresh path keeps the old index
-    * serving until the new manifest lands (written LAST, as in
-    * [[buildIndex]]).
+    * rebuild). The old corpus is NEVER re-tokenized — and, since the
+    * segmented layout, never re-WRITTEN either: only the increment's
+    * four tables land on disk, as a brand-new segment directory
+    * (`outPath/segments/seg-NNNNN`), and the published manifest lists
+    * (the base index's segments, referenced in place at their
+    * resolved paths, ++ the new one). Bytes written per update are
+    * therefore O(increment), not O(corpus) — at 100 TB a daily delta
+    * must not rewrite the postings daily. Serve paths union the
+    * listed segments (per-term df sums and global stats add across
+    * them; each segment keeps its own local term sort for row-group
+    * pruning). `outPath` must differ from `indexPath`: the old index
+    * keeps serving, untouched, until the new manifest lands (written
+    * LAST, as in [[buildIndex]]) — and because the new manifest
+    * references the old segments where they sit, `indexPath` must
+    * stay alive as long as `outPath` serves; [[compactIndex]] is the
+    * explicit O(corpus) merge that re-homes the data when the segment
+    * list grows or the base root is to be retired.
     */
   def updateIndex(
       spark: SparkSession,
@@ -202,8 +237,10 @@ object Retrieval {
       textCol: String,
       outPath: String): Unit = {
     require(outPath != indexPath,
-      "updateIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
-    requireManifest(spark, indexPath, minVersion = 2)
+      "updateIndex: outPath must differ from indexPath (the base index keeps serving, " +
+        "and its segments are referenced in place by the updated manifest)")
+    requireManifest(spark, indexPath, minVersion = FormatVersion)
+    val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
     val inc = invertedIndex(increment, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -211,13 +248,14 @@ object Retrieval {
       // would duplicate its postings, double-count df and stats, and
       // still earn a valid manifest — exactly the silently-wrong-scores
       // state the manifest exists to prevent. The check runs against
-      // `doclen`, the COMPLETE indexed id set — the postings table only
-      // names docs with >= 1 token, so a previously indexed zero-token
-      // doc would slip a postings-derived guard yet still double-count
-      // n_docs. One semi-join against the bounded broadcast increment;
-      // the increment side uses the same non-null-text domain the
-      // stats count.
-      val resubmitted = spark.read.parquet(s"$indexPath/doclen")
+      // `doclen`, the COMPLETE indexed id set (unioned across every
+      // segment) — the postings table only names docs with >= 1 token,
+      // so a previously indexed zero-token doc would slip a
+      // postings-derived guard yet still double-count n_docs. One
+      // semi-join against the bounded broadcast increment; the
+      // increment side uses the same non-null-text domain the stats
+      // count.
+      val resubmitted = segTable(spark, baseSegs, "doclen")
         .select(col(idCol))
         .join(broadcast(increment.where(col(textCol).isNotNull)
           .select(col(idCol)).distinct()), Seq(idCol), "left_semi")
@@ -225,45 +263,60 @@ object Retrieval {
       require(resubmitted == 0L,
         s"updateIndex: $resubmitted increment ids already indexed at $indexPath — " +
           "increments must contain NEW documents only (re-indexing a changed doc means rebuild)")
+      val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       clearManifest(spark, outPath)
-      spark.read.parquet(s"$indexPath/postings")
-        .unionByName(inc)
-        .repartition(col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$outPath/postings")
-      spark.read.parquet(s"$indexPath/termdf")
-        .unionByName(inc.groupBy("term").agg(count(lit(1)).as("df")))
-        .groupBy("term").agg(sum("df").as("df"))
-        .write.mode("overwrite").parquet(s"$outPath/termdf")
-      val incDl = docLengths(increment, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        spark.read.parquet(s"$indexPath/stats")
-          .unionByName(incDl
-            .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len")))
-          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-          .write.mode("overwrite").parquet(s"$outPath/stats")
-        spark.read.parquet(s"$indexPath/doclen").unionByName(incDl)
-          .write.mode("overwrite").parquet(s"$outPath/doclen")
-      } finally incDl.unpersist()
-      writeManifest(spark, outPath)
+      writeSegment(increment, idCol, textCol, inc, s"$outPath/$seg")
+      IndexManifest.write(spark, outPath, version = FormatVersion,
+        segments = baseSegs :+ seg)
     } finally inc.unpersist()
   }
 
-  /** The [[IndexManifest]] commit marker, written strictly AFTER the
-    * four index tables (see that object for the crash-consistency
-    * contract this buys). Format version 2 = the doclen table exists;
-    * the serve paths accept any version (they never read doclen), but
-    * [[updateIndex]] requires 2 so an index built before doclen fails
-    * with "rebuild" instead of a missing-parquet crash mid-update.
+  /** Merge every segment of the index at `indexPath` back into ONE,
+    * published at `outPath` — the compaction half of the segmented
+    * story: [[updateIndex]] keeps daily maintenance O(increment), and
+    * this explicit O(corpus) merge re-homes the data under a single
+    * self-contained segment when the list grows (each query-time df
+    * sum and stats add costs a few extra tiny broadcast rows per
+    * segment) or when a referenced base root is to be retired.
+    * Nothing re-tokenizes: postings are a columnar copy re-sorted
+    * GLOBALLY by term (restoring single-segment row-group pruning),
+    * termdf re-sums, doclen concatenates, stats add.
     */
-  private def writeManifest(spark: SparkSession, path: String): Unit =
-    IndexManifest.write(spark, path, version = 2)
+  def compactIndex(spark: SparkSession, indexPath: String, outPath: String): Unit = {
+    require(outPath != indexPath,
+      "compactIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
+    requireManifest(spark, indexPath, minVersion = FormatVersion)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val seg = "segments/seg-00000"
+    clearManifest(spark, outPath)
+    segTable(spark, segs, "postings")
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$outPath/$seg/postings")
+    segTable(spark, segs, "termdf")
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
+    segTable(spark, segs, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+      .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
+    segTable(spark, segs, "doclen")
+      .write.mode("overwrite").parquet(s"$outPath/$seg/doclen")
+    IndexManifest.write(spark, outPath, version = FormatVersion,
+      segments = Seq(seg))
+  }
+
+  /** Format version 3 = segmented layout (manifest carries the
+    * segment list; every table sits under `segments/<name>/`). All
+    * paths — serve and maintenance — require it, so an index
+    * published by a pre-segment build answers "rebuild" instead of a
+    * missing-parquet crash.
+    */
+  private val FormatVersion = 3
 
   private def clearManifest(spark: SparkSession, path: String): Unit =
     IndexManifest.clear(spark, path)
 
-  private def requireManifest(spark: SparkSession, path: String, minVersion: Int = 1): Unit =
+  private def requireManifest(spark: SparkSession, path: String, minVersion: Int = FormatVersion): Unit =
     IndexManifest.requirePresent(spark, path, "BM25", minVersion)
 
   /** BM25 top-k against a prebuilt index — the serve path. The ONLY
@@ -311,6 +364,7 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     requireManifest(spark, indexPath)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
     // evaluate the caller's relation EXACTLY ONCE: both the In-filter
     // term list and the scoring join are rebuilt from this one collect,
     // so a non-deterministic queries source (a sample, an unordered
@@ -324,13 +378,18 @@ object Retrieval {
     import spark.implicits._
     val q = queryRows.toDF("query_id", "term")
     val terms = queryRows.map(_._2).distinct
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val postings = segTable(spark, segs, "postings")
       .where(col("term").isin(terms: _*))
-    // restrict df to the query terms BEFORE broadcasting: the term-df
-    // table is vocabulary-sized, the restriction is |terms| rows
-    val dfs = spark.read.parquet(s"$indexPath/termdf")
+    // restrict df to the query terms BEFORE broadcasting (the term-df
+    // union is vocabulary-sized, the restriction is |terms| x segments
+    // rows), then SUM across segments — each segment counted only its
+    // own documents' df
+    val dfs = segTable(spark, segs, "termdf")
       .where(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$indexPath/stats")
+      .groupBy("term").agg(sum("df").as("df"))
+    // global stats ADD across segments: one tiny row per segment
+    val stats = segTable(spark, segs, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
     postings
       .join(broadcast(dfs), Seq("term"))
       .join(broadcast(q), Seq("term"))

@@ -610,13 +610,17 @@ object Similarity {
       l2Norm(col(vecCol)).as("c_norm"))
 
   /** Publish [[pqIndex]] at `path` in the deployment layout:
-    * `path/vectors` parquet partitioned by cell (the broadcast cell
-    * join prunes a serve scan to the probed partitions) plus the
-    * [[IndexManifest]] commit marker written LAST — the same
-    * crash-consistency stance as [[Retrieval.buildIndex]]: a failure
-    * mid-write leaves an index that refuses to serve rather than one
-    * missing half its cells. `residual = true` publishes
-    * [[pqResidualIndex]] codes instead (pair with
+    * `path/segments/seg-00000/vectors` parquet partitioned by cell
+    * (the broadcast cell join prunes a serve scan to the probed
+    * partitions) plus the [[IndexManifest]] commit marker written
+    * LAST — the same crash-consistency stance as
+    * [[Retrieval.buildIndex]]: a failure mid-write leaves an index
+    * that refuses to serve rather than one missing half its cells. A
+    * fresh build is ONE segment; [[updatePqIndex]] appends more and
+    * [[compactPqIndex]] merges them back — the manifest's segment
+    * list is what a reader unions, so maintenance costs O(increment)
+    * bytes instead of an O(corpus) rewrite per delta. `residual =
+    * true` publishes [[pqResidualIndex]] codes instead (pair with
     * [[trainResidualCodebooks]] models, and pass the same flag to
     * [[updatePqIndex]] forever after — the encode flavor is part of
     * the index identity).
@@ -634,20 +638,38 @@ object Similarity {
     val encoded =
       if (residual) pqResidualIndex(candidates, idCol, vecCol, coarseCents, codebooks)
       else pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
-    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
-    IndexManifest.write(spark, path, flavor = pqFlavor(residual))
+    val seg = "segments/seg-00000"
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/$seg/vectors")
+    IndexManifest.write(spark, path, version = PqFormatVersion,
+      flavor = pqFlavor(residual), segments = Seq(seg))
   }
 
   private def pqFlavor(residual: Boolean): String =
     if (residual) "pq-residual" else "pq-direct"
 
-  /** Read back a [[writePqIndex]]-published index, validating the
-    * manifest first — serving from a half-written index fails loudly
-    * here instead of silently missing cells.
+  /** Format version 2 = segmented layout (the manifest carries the
+    * segment list). Serve and maintenance paths require it, so an
+    * index published by a pre-segment build answers "rebuild" instead
+    * of a missing-parquet crash.
+    */
+  private val PqFormatVersion = 2
+
+  /** Read back a [[writePqIndex]]-published index — the UNION of every
+    * segment the manifest lists, validated first: serving from a
+    * half-written index fails loudly here instead of silently missing
+    * cells, and a segment written by a crashed update is invisible
+    * until its manifest commits.
     */
   def readPqIndex(spark: SparkSession, path: String): DataFrame = {
-    IndexManifest.requirePresent(spark, path, "IVF-PQ")
-    spark.read.parquet(s"$path/vectors")
+    IndexManifest.requirePresent(spark, path, "IVF-PQ", PqFormatVersion)
+    val segs = IndexManifest.segmentPaths(spark, path)
+    // one read PER segment, then union — segments are cell-partitioned
+    // directories under DIFFERENT roots, and a single multi-path scan
+    // would make Spark infer one partition spec across roots (it
+    // refuses: CONFLICTING_DIRECTORY_STRUCTURES). Catalyst pushes a
+    // serve's cell filter through the Union into each scan, so
+    // per-segment partition pruning is preserved.
+    segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
   }
 
   /** Merge an INCREMENT of new vectors into the IVF-PQ index at
@@ -663,8 +685,11 @@ object Similarity {
     * meaning (re-train means rebuild). `increment` ids must be
     * disjoint from the indexed ids (enforced loudly: a re-submitted
     * vector would serve twice); `outPath` must differ from `indexPath`
-    * (Spark cannot overwrite a relation it reads, and the old index
-    * keeps serving until the new manifest lands LAST). Set
+    * (the old index keeps serving, untouched, until the new manifest
+    * lands LAST — and the new index references the old segments where
+    * they sit, so `indexPath` must stay alive as long as `outPath`
+    * serves; [[compactPqIndex]] is the explicit path that re-homes
+    * the data when segment count or lifecycle demands it). Set
     * `residual = true` when the index was built from
     * [[pqResidualIndex]] with [[trainResidualCodebooks]] models — the
     * increment then encodes offsets from the coarse centroids, like
@@ -672,6 +697,14 @@ object Similarity {
     * identity exactly as the models are: the manifest RECORDS it at
     * build, and a mismatched flag fails loudly here — mixing flavors
     * would serve silently wrong ADC scores.
+    *
+    * Cost shape — the reason this path exists: the increment lands as
+    * a brand-new segment directory (`outPath/segments/seg-NNNNN`,
+    * partitioned by cell like every segment) and the published
+    * manifest lists (the base index's segments, referenced in place
+    * at their resolved paths, ++ the new one) — so the bytes written
+    * per update are O(increment), not O(corpus). At 100 TB, a daily
+    * delta must not rewrite the index daily.
     */
   def updatePqIndex(
       spark: SparkSession,
@@ -684,7 +717,8 @@ object Similarity {
       outPath: String,
       residual: Boolean = false): Unit = {
     require(outPath != indexPath,
-      "updatePqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
+      "updatePqIndex: outPath must differ from indexPath (the base index keeps serving, " +
+        "and its segments are referenced in place by the updated manifest)")
     val old = readPqIndex(spark, indexPath)
     // the manifest records which encode built the index — merging the
     // other flavor would serve silently wrong ADC scores, so a
@@ -706,14 +740,45 @@ object Similarity {
       require(resubmitted == 0L,
         s"updatePqIndex: $resubmitted increment ids already indexed at $indexPath — " +
           "increments must contain NEW vectors only (re-indexing a changed vector means rebuild)")
+      // the base generation's segments carry over BY REFERENCE — their
+      // resolved (absolute) paths go into the new manifest verbatim;
+      // only the increment's rows are written, as one new segment
+      val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
+      val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       IndexManifest.clear(spark, outPath)
-      old.unionByName(inc)
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/vectors")
+      inc.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
       // the merged index must carry the SAME flavor the base recorded,
       // or the next generation's requireFlavor refuses both flags and
       // the daily-delta chain dies after one update
-      IndexManifest.write(spark, outPath, flavor = pqFlavor(residual))
+      IndexManifest.write(spark, outPath, version = PqFormatVersion,
+        flavor = pqFlavor(residual), segments = baseSegs :+ seg)
     } finally inc.unpersist()
+  }
+
+  /** Merge every segment of the index at `indexPath` back into ONE,
+    * published at `outPath` — the compaction half of the segmented
+    * maintenance story: [[updatePqIndex]] keeps appends O(increment),
+    * and when the segment count (or a retired base root's lifecycle)
+    * says so, this explicit O(corpus) columnar copy re-homes all the
+    * data under a single self-contained segment with no cross-root
+    * references. No re-encode anywhere — the (cell, codes, norm) rows
+    * are read back and rewritten partitioned by cell, so serve plans
+    * over the compacted index are identical in shape to a fresh
+    * build's, and serve RESULTS are identical to the segmented
+    * index's (the rows are the same set). The flavor carries over
+    * from the source manifest.
+    */
+  def compactPqIndex(spark: SparkSession, indexPath: String, outPath: String): Unit = {
+    require(outPath != indexPath,
+      "compactPqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
+    val all = readPqIndex(spark, indexPath)
+    val flavor = spark.read.parquet(s"$indexPath/manifest")
+      .select("flavor").head().getString(0)
+    val seg = "segments/seg-00000"
+    IndexManifest.clear(spark, outPath)
+    all.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
+    IndexManifest.write(spark, outPath, version = PqFormatVersion,
+      flavor = flavor, segments = Seq(seg))
   }
 
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
@@ -1046,6 +1111,56 @@ object Similarity {
     val b = t.select(col("vid").as("b_id"), col("cell"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
     a.join(b.hint("shuffle_hash"), "cell")
       .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
+      .where(col("cos") * 100 >= thresholdPct)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Incremental SemDeDup pairing — the semantic sibling of
+    * [[graft.operators.Dedup.fingerprintNearDuplicatesIncremental]]:
+    * cosine duplicate pairs of a daily increment against the indexed
+    * corpus plus within the increment, with corpus × corpus candidates
+    * NEVER generated. The coarse centroids are FROZEN (the
+    * trained-model stance shared with [[updatePqIndex]]): both sides
+    * assign to the same caller-supplied cells, so an increment vector
+    * probes exactly the corpus cell it would have landed in at build
+    * time — re-fitting per delta would silently reshuffle blocks and
+    * change which pairs are even candidates. One tagged-union join:
+    * the probe side is the increment's cell relation (hinted
+    * `shuffle_hash` — the hinted relation is the hash-join BUILD side,
+    * and the build table must be the small relation in the
+    * corpus-dwarfs-increment regime this operator exists for), the
+    * other side is corpus ∪ increment, and the membership-dependent
+    * rule (corpus matches in any order, increment-internal matches
+    * only as a < b) is a residual filter on the tag. Exact codegen'd
+    * cosine verifies every candidate, as in [[semanticDuplicatePairs]].
+    * Output: (a_id, b_id, cosine) with `a_id` always the
+    * increment-side vector. Increment ids must be new — re-submitting
+    * an indexed id double-reports its pairs, the same contract as
+    * every incremental tier.
+    */
+  def semanticDuplicatePairsIncremental(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      thresholdPct: Int
+  ): DataFrame = {
+    def rel(df: DataFrame) = df.select(
+      col(idCol).as("vid"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"), assignCell(col(vecCol), cents).as("cell"))
+    val ri = rel(increment)
+    val a = ri.select(col("vid").as("a_id"), col("cell"),
+      col("vec").as("a_vec"), col("nrm").as("a_norm"))
+    val b = rel(corpus).select(col("vid").as("b_id"), col("cell"),
+        col("vec").as("b_vec"), col("nrm").as("b_norm"), lit(false).as("b_inc"))
+      .unionByName(ri.select(col("vid").as("b_id"), col("cell"),
+        col("vec").as("b_vec"), col("nrm").as("b_norm"), lit(true).as("b_inc")))
+    a.hint("shuffle_hash").join(b, Seq("cell"))
+      .where(!col("b_inc") || col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
         (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))

@@ -224,10 +224,17 @@ object Stats {
     * smoothing, but shares and totals are PER STRATUM, and the full
     * grid is carried per stratum (the both-empty-bin term matters
     * whenever a stratum's totals differ between snapshots). Strata are
-    * the union observed in either snapshot — a stratum present only in
-    * one side still reports (all its mass against smoothed-empty
-    * opposite bins). NULL strata are dropped: an unlabeled doc has no
-    * stratum to drift within.
+    * the union observed in either snapshot's INPUT ROWS — before the
+    * in-range filter, not derived from the histograms — so a stratum
+    * present only in one side still reports (all its mass against
+    * smoothed-empty opposite bins), and a stratum whose rows are ALL
+    * out-of-grid or null-valued in both snapshots still reports a full
+    * grid of n_base=n_cur=0 rows instead of vanishing: that case is
+    * exactly the upstream-corruption signal (every value suddenly
+    * outside the expected range), and the never-silent stance
+    * [[graft.streaming.Streams.psiPerWindow]] contracts holds here too
+    * — 0 IS the alert. NULL strata are dropped: an unlabeled doc has
+    * no stratum to drift within.
     *
     * Output: (strataCol, bin, n_base, n_cur, psi_term); per-stratum
     * PSI = sum(psi_term) grouped by the stratum.
@@ -257,7 +264,14 @@ object Stats {
       .agg(count(lit(1)).as(n))
     val hb = hist(baseline, "n_base")
     val hc = hist(current, "n_cur")
-    val strata = hb.select(col(strataCol)).unionByName(hc.select(col(strataCol))).distinct()
+    // the strata relation comes from the PRE-filter inputs: deriving
+    // it from hb/hc would silently drop any stratum whose rows are all
+    // out-of-grid (or all null-valued) in both snapshots — silent in
+    // precisely the upstream-corruption case this report exists to
+    // catch. One distinct over each input's stratum column only.
+    val strata = baseline.select(col(strataCol))
+      .unionByName(current.select(col(strataCol)))
+      .where(col(strataCol).isNotNull).distinct()
     val grid = strata.crossJoin(
       baseline.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
     val joined = grid
@@ -273,6 +287,71 @@ object Stats {
     joined.join(broadcast(totals), Seq(strataCol))
       .select(col(strataCol), col("bin"), col("n_base"), col("n_cur"),
         round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
+  /** Categorical [[populationStability]] — drift over a LABEL column
+    * (language mix, source-domain mix: the first thing a corpus
+    * publisher watches between releases), where the numeric grid makes
+    * no sense. The bin domain is the union of categories OBSERVED in
+    * either snapshot, so a category that appears or vanishes entirely
+    * still reports (its mass against a smoothed-empty opposite count —
+    * the largest legitimate psi_term, exactly the alert). Laplace
+    * smoothing uses that observed-domain size as the pseudo-count
+    * denominator, mirroring the numeric form's `bins`. NULL categories
+    * are dropped: an unlabeled doc has no category to drift within
+    * (label-coverage drift is [[snapshotDiff]]/count territory).
+    *
+    * Output: (catCol, n_base, n_cur, psi_term); PSI = sum(psi_term).
+    * Same laws as the numeric form: swap-symmetric (the term is
+    * antisymmetry-free in (p, q)), zero on identical snapshots.
+    *
+    * Scale shape: one scan + one map-side-combinable count aggregate
+    * per snapshot, then ONE hash full-outer join between the two
+    * category-sized count relations (which IS the observed-domain
+    * grid — no separate strata pass) and a single-row broadcast totals
+    * relation carrying the domain size; the corpora never join each
+    * other, nothing collects.
+    */
+  def populationStabilityCat(
+      baseline: DataFrame,
+      current: DataFrame,
+      catCol: String
+  ): DataFrame = {
+    def hist(df: DataFrame, n: String) = df
+      .where(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as(n))
+    val joined = hist(baseline, "n_base")
+      .join(hist(current, "n_cur"), Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // the observed-category domain size rides the totals row — it is a
+    // data property here, not a caller-fixed grid parameter
+    val totals = joined.agg(
+      sum("n_base").as("__ps_nb"), sum("n_cur").as("__ps_nc"),
+      count(lit(1)).as("__ps_k"))
+    val p = (col("n_base") + 1).cast("double") / (col("__ps_nb") + col("__ps_k")).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__ps_nc") + col("__ps_k")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_base"), col("n_cur"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
+  /** Fixed-point encoder for the exact-integer contract: a continuous
+    * drift target (perplexity, a quality score) scaled by `factor` and
+    * rounded HALF_UP to a long — the sanctioned escape hatch from
+    * [[requireIntegral]]'s refusal. The caller owns the factor (1000 =
+    * three decimals survive) and the finiteness of the input:
+    * NaN/Infinity are upstream data bugs and surface as the cast's
+    * overflow semantics, not silently as zeros. Deliberately a
+    * COLUMN helper, not an operator option — the encoding choice must
+    * be visible at the call site where the grid [lo, hi) is chosen,
+    * because the two must agree (PSI over values scaled by 1000 needs
+    * a grid in thousandths).
+    */
+  def scaleToLong(c: Column, factor: Long): Column = {
+    require(factor > 0, s"scaleToLong: factor must be positive, got $factor")
+    round(c * factor, 0).cast("long")
   }
 
   /** Per-document diff between two corpus snapshots by content

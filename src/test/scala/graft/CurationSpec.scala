@@ -220,18 +220,21 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("assignShards cuts each stratum's bins into contiguous shards within one bin of equal") {
-    // en: 10 full 256-token docs -> 10 bins; zh: 3 docs -> 3 bins.
-    // nShards=4: en shards must hold {3,2,3,2} contiguous bins
-    // (b*4 DIV 10), zh {1,1,1} with shard 1 skipped (b*4 DIV 3 =
-    // 0,1,2 for b=0,1,2) — ranges stay contiguous and sizes within 1
+    // en: 10 full 256-token docs -> 10 bins; zh: 3 docs -> 3 bins;
+    // fr: 2 docs -> 2 bins. nShards=4: en shards hold {3,2,3,2}
+    // contiguous bins (b*4 DIV 10); small strata (T < nShards) emit
+    // DENSE ids via b*min(T,4) DIV T — zh fills 0,1,2 and fr fills
+    // 0,1 with no gaps (the plain b*4 DIV T formula would scatter fr
+    // into {0,2}) — ranges stay contiguous and sizes within 1
     val docs = ((1L to 10L).map(i => (i, "en", "w " * 255 + "end")) ++
-      (11L to 13L).map(i => (i, "zh", "z " * 255 + "end"))).toDF("doc_id", "lang", "text")
+      (11L to 13L).map(i => (i, "zh", "z " * 255 + "end")) ++
+      (14L to 15L).map(i => (i, "fr", "f " * 255 + "end"))).toDF("doc_id", "lang", "text")
     val sharded = Curation.assignShards(
       Curation.packManifest(
         Curation.packSequences(docs, "doc_id", "text", "lang", 256), 256),
       "lang", nShards = 4)
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin_id"), r.getAs[Int]("shard_id")))
-    for (lang <- Seq("en", "zh")) {
+    for (lang <- Seq("en", "zh", "fr")) {
       val byBin = sharded.filter(_._1 == lang).map(t => t._2 -> t._3).distinct.sortBy(_._1)
       // contiguity: shard ids are non-decreasing along the bin order
       assert(byBin.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
@@ -243,6 +246,11 @@ class CurationSpec extends SparkTestBase {
     val enShards = sharded.filter(_._1 == "en").map(t => t._2 -> t._3).distinct.toMap
     assert(enShards == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
       5L -> 2, 6L -> 2, 7L -> 2, 8L -> 3, 9L -> 3), s"got $enShards")
+    // density: every small stratum's populated shards are 0..T-1
+    val zhShards = sharded.filter(_._1 == "zh").map(_._3).distinct.sorted.toSeq
+    assert(zhShards == Seq(0, 1, 2), s"zh shards not dense: $zhShards")
+    val frShards = sharded.filter(_._1 == "fr").map(_._3).distinct.sorted.toSeq
+    assert(frShards == Seq(0, 1), s"fr shards not dense: $frShards")
     intercept[IllegalArgumentException] {
       Curation.assignShards(docs.limit(0), "lang", 0): Unit
     }

@@ -778,6 +778,73 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("updatePqIndex is O(increment) and compactPqIndex re-homes: 3-generation chain, base files untouched") {
+    import org.apache.spark.sql.functions.col
+    def fileListing(root: String): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(root)
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+      } finally walk.close()
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val baseCorpus = emb.where(col("vec_id") % 3 === 0)
+    val delta1 = emb.where(col("vec_id") % 3 === 1)
+    val delta2 = emb.where(col("vec_id") % 3 === 2)
+    val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_oinc").toString
+    Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, s"$root/g0")
+    val g0Files = fileListing(s"$root/g0")
+
+    Similarity.updatePqIndex(spark, s"$root/g0", delta1,
+      "vec_id", "embedding", coarse, cb, s"$root/g1")
+    // the base generation's files are byte-for-byte untouched
+    assert(fileListing(s"$root/g0") == g0Files, "update rewrote base index files")
+    // g1 holds the manifest plus ONE delta-sized segment
+    val g1Segs = new java.io.File(s"$root/g1/segments").listFiles().map(_.getName).toSet
+    assert(g1Segs == Set("seg-00001"), s"expected one new segment: $g1Segs")
+    assert(spark.read.parquet(s"$root/g1/segments/seg-00001/vectors").count() == delta1.count(),
+      "the new segment must hold exactly the increment's rows")
+
+    val g1Files = fileListing(s"$root/g1")
+    Similarity.updatePqIndex(spark, s"$root/g1", delta2,
+      "vec_id", "embedding", coarse, cb, s"$root/g2")
+    assert(fileListing(s"$root/g0") == g0Files, "second update rewrote generation-0 files")
+    assert(fileListing(s"$root/g1") == g1Files, "second update rewrote generation-1 files")
+    val g2Segs = new java.io.File(s"$root/g2/segments").listFiles().map(_.getName).toSet
+    assert(g2Segs == Set("seg-00002"), s"expected one new segment: $g2Segs")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val scratch = rows(Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb))
+    assert(rows(Similarity.readPqIndex(spark, s"$root/g2")) == scratch,
+      "3-generation segmented index diverged from the one-pass encode")
+
+    // compaction: one self-contained segment, identical row set, and
+    // the retired chain roots are no longer referenced
+    Similarity.compactPqIndex(spark, s"$root/g2", s"$root/c")
+    val cSegs = new java.io.File(s"$root/c/segments").listFiles().map(_.getName).toSet
+    assert(cSegs == Set("seg-00000"), s"compacted root must hold one segment: $cSegs")
+    assert(spark.read.parquet(s"$root/c/segments/seg-00000/vectors").count() == emb.count())
+    assert(rows(Similarity.readPqIndex(spark, s"$root/c")) == scratch,
+      "compaction changed the index contents")
+    assertThrows[IllegalArgumentException](Similarity.compactPqIndex(spark, s"$root/c", s"$root/c"))
+    // a post-compaction update chains from the compacted root
+    intercept[IllegalArgumentException] { // flavor guard still live
+      Similarity.updatePqIndex(spark, s"$root/c", emb.limit(1),
+        "vec_id", "embedding", coarse, cb, s"$root/c2", residual = true)
+    }
+  }
+
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -613,9 +613,12 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlanString(
       graft.operators.Retrieval.searchTopKIndexed(spark, dir, "doc_id", Seq("spark", "merge"), k = 10))
     // the term restriction reaches the postings parquet scan (row-group
-    // pruning on the build-time term sort does the rest at scale)
+    // pruning on the build-time term sort does the rest at scale). The
+    // postings scan is recognized by its tf column — the scan line's
+    // Location path truncates at 100 chars, so the table name in the
+    // segmented layout's longer path is not a reliable marker
     val postingsScan = plan.linesIterator.filter(l =>
-      l.contains("PushedFilters") && l.contains("postings")).mkString("\n")
+      l.contains("PushedFilters") && l.contains("tf#")).mkString("\n")
     assert(postingsScan.contains("In(term") || postingsScan.contains("EqualTo(term"),
       s"term restriction not pushed into the postings scan:\n$plan")
     // serve time re-tokenizes nothing and joins no corpus-sized side:

@@ -158,16 +158,71 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("percent-encoding normalization is idempotent") {
+  test("incremental semantic pairing equals the batch pairs touching the increment, and chains into updateClusters") {
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val dims = 6
+      // vectors clustered around a few prototypes so near-dups occur;
+      // the prototypes double as the FROZEN coarse centroids (the
+      // trained-model stance the operator contracts)
+      val protos = Array.fill(4)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+      val vecs = (0L until n).map { id =>
+        val base = protos(rnd.nextInt(protos.length))
+        (id, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+      }
+      val incIds = vecs.map(_._1).filter(_ % 3 == 0).toSet
+      val inc = vecs.filter(v => incIds(v._1))
+      val corpus = vecs.filterNot(v => incIds(v._1))
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+      val batchPairs = graft.operators.Similarity.semanticDuplicatePairs(
+          vecs.toDF("id", "vec"), "id", "vec", protos, thresholdPct = 90)
+      val batch = norm(batchPairs.collect())
+        .filter { case (a, b, _) => incIds(a) || incIds(b) }
+      val incrPairs = graft.operators.Similarity.semanticDuplicatePairsIncremental(
+          inc.toDF("id", "vec"), corpus.toDF("id", "vec"), "id", "vec",
+          protos, thresholdPct = 90)
+      // a_id is contractually the increment-side endpoint
+      incrPairs.collect().foreach(r => assert(incIds(r.getLong(0)),
+        s"trial $trial: a_id ${r.getLong(0)} is not an increment id"))
+      val incr = norm(incrPairs.collect())
+      assert(incr == batch, s"trial $trial: incremental diverged "
+        + s"(${(incr -- batch).take(3)} extra, ${(batch -- incr).take(3)} missing)")
+      // the daily-delta chain: clusters maintained from yesterday's
+      // corpus-only pairs + today's incremental pairs must equal a
+      // from-scratch clustering of the full pair graph
+      val corpusPairs = graft.operators.Similarity.semanticDuplicatePairs(
+        corpus.toDF("id", "vec"), "id", "vec", protos, thresholdPct = 90)
+      val merged = graft.operators.Dedup.updateClusters(
+          graft.operators.Dedup.duplicateClusters(corpusPairs.select("a_id", "b_id")),
+          incrPairs.select("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = graft.operators.Dedup.duplicateClusters(batchPairs.select("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == truth, s"trial $trial: daily-delta cluster chain diverged")
+    }
+  }
+
+  test("percent-encoding normalization is idempotent on well-formed input; malformed cascades pin") {
     import org.apache.spark.sql.functions.col
-    // normalize(normalize(s)) == normalize(s) for arbitrary %-soup:
-    // decoded characters and uppercased escapes must never re-trigger
-    // a later pass differently
-    val alphabet = "abcdefABCDEF0123456789%~._-/?=&xyzXYZ"
+    // normalize(normalize(s)) == normalize(s) whenever every '%' in s
+    // starts a valid hex triplet (RFC 3986 well-formed input): after
+    // one pass nothing decodable remains. TRUE idempotence for
+    // arbitrary malformed %-soup is impossible for ANY replace-pair
+    // chain — a digit decode can re-synthesize an occurrence of its
+    // OWN pattern ('%3%34' -> '%34'), which no pair ordering fixes —
+    // so the malformed contract is instead pinned by golden outputs
+    // below, per the operator's DELIBERATE-tradeoff scaladoc.
+    val hexChars = "0123456789abcdefABCDEF"
+    val safe = "~._-/?=&xyzXYZ059AfF"
     val strings = (1 to 200).map { _ =>
-      val len = 1 + rnd.nextInt(24)
-      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    } :+ "%7e%7E%41%2f%2F%" :+ "%a%b%" :+ "" :+ "%%41%"
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map { _ =>
+        if (rnd.nextBoolean()) safe(rnd.nextInt(safe.length)).toString
+        else s"%${hexChars(rnd.nextInt(hexChars.length))}${hexChars(rnd.nextInt(hexChars.length))}"
+      }.mkString
+    } :+ "%7e%7E%41%2f%2F" :+ "" :+ "%7%45"
     // two separate single-pass plans (one composed 336-replace column
     // tree overflows the column-converter stack — the operator itself
     // is one pass deep by construction)
@@ -179,6 +234,14 @@ class PropertySpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     once.zip(twice).foreach { case (a, b) =>
       assert(a == b, s"not idempotent: '$a' -> '$b'") }
+    // malformed-% behavior is deterministic and pinned: bare-% strings
+    // normalize to a fixed value, including the self-cascade case
+    // where one application leaves a synthesized escape behind
+    val malformed = Seq("%a%b%", "%%41%", "%7%45", "%3%34")
+      .toDF("s")
+      .select(graft.functions.TextFunctions.normalizePctEncoding(col("s")).as("a"))
+      .collect().map(_.getString(0)).toSeq
+    assert(malformed == Seq("%A%B%", "%A%", "~", "%34"), s"got $malformed")
   }
 
   test("snapshotDiff statuses partition the id union; identical snapshots read all-unchanged") {

@@ -106,11 +106,14 @@ class RetrievalSpec extends SparkTestBase {
     val updated = Retrieval.searchTopKIndexed(spark, updDir, "doc_id", q, k = 5)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(updated == direct, s"updated $updated != direct $direct")
-    // merged termdf must be the summed df, not duplicate rows per term
-    val dfRows = spark.read.parquet(s"$updDir/termdf")
+    // segmented df: each segment counts only its own docs, and the
+    // QUERY-TIME sum across segments must recover the corpus df — the
+    // base segment sits under baseDir, the increment's under updDir
+    val dfRows = spark.read.parquet(
+        s"$baseDir/segments/seg-00000/termdf", s"$updDir/segments/seg-00001/termdf")
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    assert(dfRows.map(_._1).distinct.length == dfRows.length, "one df row per term")
-    assert(dfRows.toMap.apply("common") == 4L, s"df(common) must sum across halves: $dfRows")
+    assert(dfRows.toMap.apply("common") == 4L, s"df(common) must sum across segments: $dfRows")
   }
 
   test("updates chain: two successive increments equal one build on everything") {
@@ -127,6 +130,90 @@ class RetrievalSpec extends SparkTestBase {
     val chained = Retrieval.searchTopKIndexed(spark, d2, "doc_id", q, k = 5)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(chained == direct, s"chained $chained != direct $direct")
+  }
+
+  /** Every regular file under `root`: relative path -> (size, mtime).
+    * The O(increment) assertions compare these snapshots — "the base
+    * index was not touched" is exactly "its listing is identical".
+    */
+  private def fileListing(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    } finally walk.close()
+  }
+
+  test("updateIndex is O(increment): base untouched, out holds ONE increment-sized segment, 3-generation chain") {
+    val d0 = java.nio.file.Files.createTempDirectory("retrieval-oinc-0").toString
+    val d1 = java.nio.file.Files.createTempDirectory("retrieval-oinc-1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("retrieval-oinc-2").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 3), "doc_id", "text", d0)
+    val base0 = fileListing(d0)
+
+    val inc1 = docs.where($"doc_id" === 3)
+    Retrieval.updateIndex(spark, d0, inc1, "doc_id", "text", d1)
+    // the base generation's files are byte-for-byte untouched — the
+    // update wrote NOTHING under the old root
+    assert(fileListing(d0) == base0, "update rewrote base index files")
+    // the new root holds exactly the manifest and ONE new segment
+    val d1Dirs = new java.io.File(d1).listFiles().map(_.getName).toSet
+    assert(d1Dirs == Set("manifest", "segments"), s"unexpected entries under out: $d1Dirs")
+    val d1Segs = new java.io.File(s"$d1/segments").listFiles().map(_.getName).toSet
+    assert(d1Segs == Set("seg-00001"), s"expected one new segment: $d1Segs")
+    // ...and that segment's tables are increment-sized, not corpus-sized
+    val segPostings = spark.read.parquet(s"$d1/segments/seg-00001/postings").count()
+    val incPostings = Retrieval.invertedIndex(inc1, "doc_id", "text").count()
+    assert(segPostings == incPostings, s"segment postings $segPostings != increment's $incPostings")
+    assert(spark.read.parquet(s"$d1/segments/seg-00001/doclen").count() == 1L)
+
+    // generation 2: neither earlier root gains or loses a byte
+    val upd1 = fileListing(d1)
+    Retrieval.updateIndex(spark, d1, docs.where($"doc_id" === 4), "doc_id", "text", d2)
+    assert(fileListing(d0) == base0, "second update rewrote generation-0 files")
+    assert(fileListing(d1) == upd1, "second update rewrote generation-1 files")
+    val d2Segs = new java.io.File(s"$d2/segments").listFiles().map(_.getName).toSet
+    assert(d2Segs == Set("seg-00002"), s"expected one new segment: $d2Segs")
+
+    // the three-root chain still serves exactly the direct-path answer
+    val q = Seq("rare", "common", "gamma")
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val chained = Retrieval.searchTopKIndexed(spark, d2, "doc_id", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(chained == direct, s"chained $chained != direct $direct")
+  }
+
+  test("compactIndex merges the segment chain into ONE self-contained root that serves identically") {
+    val d0 = java.nio.file.Files.createTempDirectory("retrieval-compact-0").toString
+    val d1 = java.nio.file.Files.createTempDirectory("retrieval-compact-1").toString
+    val c = java.nio.file.Files.createTempDirectory("retrieval-compact-c").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 3), "doc_id", "text", d0)
+    Retrieval.updateIndex(spark, d0, docs.where($"doc_id" >= 3), "doc_id", "text", d1)
+    Retrieval.compactIndex(spark, d1, c)
+    // one self-contained segment; the full corpus-sized tables live here
+    val cSegs = new java.io.File(s"$c/segments").listFiles().map(_.getName).toSet
+    assert(cSegs == Set("seg-00000"), s"compacted root must hold one segment: $cSegs")
+    val allPostings = Retrieval.invertedIndex(docs, "doc_id", "text").count()
+    assert(spark.read.parquet(s"$c/segments/seg-00000/postings").count() == allPostings)
+    assert(spark.read.parquet(s"$c/segments/seg-00000/doclen").count() == docs.count())
+    val stats = spark.read.parquet(s"$c/segments/seg-00000/stats").collect()
+    assert(stats.length == 1, "compacted stats must re-aggregate to one row")
+    // in-place compaction refused (cannot overwrite an index being read)
+    assertThrows[IllegalArgumentException](Retrieval.compactIndex(spark, c, c))
+    // and the answer is unchanged — compaction is storage, not semantics
+    val q = Seq("rare", "alpha", "common", "gamma")
+    val direct = Retrieval.searchTopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val compacted = Retrieval.searchTopKIndexed(spark, c, "doc_id", q, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(compacted == direct, s"compacted $compacted != direct $direct")
   }
 
   test("updateIndex refuses an increment that re-submits an indexed doc") {
@@ -152,7 +239,7 @@ class RetrievalSpec extends SparkTestBase {
         java.nio.file.Files.list(p).forEach(rm(_))
       java.nio.file.Files.delete(p)
     }
-    rm(java.nio.file.Paths.get(base, "doclen"))
+    rm(java.nio.file.Paths.get(base, "segments", "seg-00000", "doclen"))
     spark.range(1).select(org.apache.spark.sql.functions.lit(1).as("format_version"))
       .write.mode("overwrite").parquet(s"$base/manifest")
     val e = intercept[IllegalArgumentException] {
@@ -210,7 +297,7 @@ class RetrievalSpec extends SparkTestBase {
     val padded = Seq((0L, "rare alpha"), (1L, "  "), (2L, "alpha beta")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("retrieval-spec-zero").toString
     Retrieval.buildIndex(padded, "doc_id", "text", dir)
-    val stats = spark.read.parquet(s"$dir/stats").collect()(0)
+    val stats = spark.read.parquet(s"$dir/segments/seg-00000/stats").collect()(0)
     assert(stats.getLong(0) == 3L, s"N must include the zero-token doc: ${stats.getLong(0)}")
     assert(stats.getLong(1) == 4L)
     val direct = Retrieval.searchTopK(padded, "doc_id", "text", Seq("rare"), k = 3)

@@ -142,6 +142,75 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("stratified PSI never goes silent: an all-out-of-grid stratum reports a full zero grid") {
+    // 'xx' has rows in both snapshots, but every value sits outside
+    // [0, 10) — the upstream-corruption shape. The report must carry
+    // its full grid with n_base = n_cur = 0 (0 IS the alert), not drop
+    // the stratum; same for a stratum whose values are all NULL
+    val base = Seq(("en", java.lang.Integer.valueOf(1)),
+      ("xx", java.lang.Integer.valueOf(99)),
+      ("nn", null.asInstanceOf[java.lang.Integer])).toDF("lang", "v")
+    val cur = Seq(("en", java.lang.Integer.valueOf(2)),
+      ("xx", java.lang.Integer.valueOf(-5)),
+      ("nn", null.asInstanceOf[java.lang.Integer])).toDF("lang", "v")
+    val got = Stats.populationStabilityBy(base, cur, "v", "lang", lo = 0, hi = 10, bins = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet.map(_._1) == Set("en", "xx", "nn"),
+      s"corrupted strata vanished: ${got.keySet.map(_._1)}")
+    for (lang <- Seq("xx", "nn"); bin <- 0 until 5)
+      assert(got((lang, bin)) == ((0L, 0L, 0.0)), s"$lang bin $bin: ${got((lang, bin))}")
+  }
+
+  test("categorical PSI: identical zero, mix shift positive, vanished category still reports") {
+    val base = Seq("en", "en", "en", "de", "de", "fr",
+      null.asInstanceOf[String]).toDF("lang")
+    val same = Stats.populationStabilityCat(base, base, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.length == 3 && same.forall(_._4 == 0.0), s"got ${same.toSeq}")
+    // fr vanishes, es appears, de doubles — every category reports and
+    // the terms hand-replay with the observed-domain (k=4) smoothing
+    val cur = Seq("en", "en", "de", "de", "de", "de", "es").toDF("lang")
+    val got = Stats.populationStabilityCat(base, cur, "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def term(nb: Long, nc: Long): Double = {
+      val p = (nb + 1).toDouble / (6 + 4); val q = (nc + 1).toDouble / (7 + 4)
+      math.round((q - p) * math.log(q / p) * 1e6) / 1e6
+    }
+    assert(got.keySet == Set("en", "de", "fr", "es"), s"categories: ${got.keySet}")
+    assert(got("fr") == ((1L, 0L, term(1, 0))), s"got $got")
+    assert(got("es") == ((0L, 1L, term(0, 1))), s"got $got")
+    assert(got("de") == ((2L, 4L, term(2, 4))), s"got $got")
+    assert(got.values.map(_._3).sum > 0.0)
+    // swap symmetry: the term is symmetric in (p, q)
+    val swapped = Stats.populationStabilityCat(cur, base, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    got.foreach { case (lang, (_, _, t)) =>
+      assert(math.abs(swapped(lang) - t) <= 1e-6, s"$lang: $t vs ${swapped(lang)}") }
+  }
+
+  test("scaleToLong is the sanctioned fixed-point escape hatch into the PSI contract") {
+    import org.apache.spark.sql.functions.col
+    // continuous quality scores refuse directly...
+    val base = Seq(0.111, 0.256, 0.931).toDF("score")
+    intercept[IllegalArgumentException] {
+      Stats.populationStability(base, base, "score", 0, 1000, 4): Unit
+    }
+    // ...and pass once scaled; the binning then runs on exact integers
+    // and hand-replays from round(score * 1000)
+    val cur = Seq(0.112, 0.743, 0.930).toDF("score")
+    def scaled(df: org.apache.spark.sql.DataFrame) =
+      df.select(Stats.scaleToLong(col("score"), 1000L).as("v"))
+    val got = Stats.populationStability(scaled(base), scaled(cur), "v",
+        lo = 0, hi = 1000, bins = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0) == ((1L, 1L)), s"got $got") // 111 vs 112
+    assert(got(1) == ((1L, 0L)), s"got $got") // 256
+    assert(got(2) == ((0L, 1L)), s"got $got") // 743
+    assert(got(3) == ((1L, 1L)), s"got $got") // 931 vs 930
+    intercept[IllegalArgumentException] { Stats.scaleToLong(col("score"), 0L): Unit }
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged; null text never reads changed") {
     val base = Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null.asInstanceOf[String])
