@@ -77,6 +77,12 @@ object Bench {
 
     val results = benchSet.map { name =>
       val fn = SparkEntry.queries(name)
+      // Iterative (CC/PageRank loop) and sub-second serve queries are the
+      // sweep's most environment-sensitive timings — r12 and r13 both
+      // produced apparent ~2x "regressions" there that were pure box
+      // noise. Median-of-5 (at least) for those; default elsewhere.
+      val effRuns =
+        if (SparkEntry.jitterProneBenchQueries(name)) runs.max(5) else runs
       // Collect garbage outside the timed window so a prior query's heap
       // isn't billed to this one.
       System.gc()
@@ -85,7 +91,7 @@ object Bench {
       // wall time would otherwise drag the median down and mask the
       // failure. All runs failed -> report -1 s, which any baseline
       // comparison and the JSON consumer can see.
-      val times = (1 to runs).flatMap { _ =>
+      val times = (1 to effRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { n = fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
@@ -93,22 +99,31 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
       val sec = if (times.isEmpty) -1.0 else times(times.length / 2)
+      val (lo, hi) = if (times.isEmpty) (-1.0, -1.0) else (times.head, times.last)
       // Drop any cache a query persisted (e.g. LSH bands) so queries
       // don't accumulate executor memory pressure across the sweep.
       spark.sharedState.cacheManager.clearCache()
-      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows, median of $runs)")
-      name -> sec
+      System.err.println(
+        f"[bench] $name%-24s $sec%8.3f s  ($n rows, median of $effRuns, spread [$lo%.3f, $hi%.3f])")
+      (name, sec, lo, hi)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // per-query [min,max] across the timed runs: a reported median whose
+    // baseline sits INSIDE the spread is jitter, not plan drift — the
+    // guard a noisy driver box needs. Emitted BEFORE "queries" so
+    // parseBaseline's scan-from-"queries" extractor never reads a spread
+    // bound as a median.
+    val spreads = results.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + f"$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","spreads":$spreads,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
 
     sys.env.get("GRAFT_BENCH_BASELINE").foreach { path =>
       val ratio = sys.env.getOrElse("GRAFT_BENCH_GUARD_RATIO", "2.0").toDouble
       val base = parseBaseline(path)
       val regressed = results.collect {
-        case (name, sec) if base.get(name).exists(b => b > 0 && sec > b * ratio) =>
+        case (name, sec, _, _) if base.get(name).exists(b => b > 0 && sec > b * ratio) =>
           f"$name: $sec%.3f s vs baseline ${base(name)}%.3f s (>${ratio}%.1fx)"
       }
       if (regressed.nonEmpty) {

@@ -300,8 +300,13 @@ object Curation {
     * pass, codegen'd, no shuffle). Patterns deliberately avoid
     * lookaround so the same expression runs identically under Java
     * regex (Spark) and RE2 (DuckDB oracle / many scrubbing stacks).
+    * `carryCols` ride the projection (the [[qualityFilter]]
+    * convention) so a composed pipeline keeps its label columns
+    * without a corpus-sized join-back.
     */
-  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def redactPii(
+      docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     // counts mirror the SEQUENTIAL replacement: IPs are counted in the
@@ -309,13 +314,13 @@ object Curation {
     // by the <EMAIL> placeholder) is not double-reported — the audit
     // totals reconcile with the placeholders actually inserted
     val emailRedacted = regexp_replace(col(textCol), email, "<EMAIL>")
-    docs.select(
+    docs.select(Seq(
       col(idCol),
       regexp_replace(emailRedacted, ipv4, "<IP>").as("clean_text"),
       size(call_function("regexp_extract_all", col(textCol), lit(email), lit(0)))
         .as("n_emails"),
       size(call_function("regexp_extract_all", emailRedacted, lit(ipv4), lit(0)))
-        .as("n_ips"))
+        .as("n_ips")) ++ carryCols.map(col): _*)
   }
 
   /** Benchmark decontamination: find corpus docs sharing at least

@@ -254,6 +254,89 @@ object Streams {
         min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
   }
 
+  /** Streaming SEMANTIC admission gate — [[nearDupAdmission]]'s
+    * embedding-tier sibling: a stream of incoming vectors checked
+    * against a STATIC, already-embedded corpus for cosine duplicates
+    * (the ingest-time question "is this document semantically a copy
+    * of something we already hold?"). The coarse centroids are FROZEN
+    * and ride the plan as literals (the trained-model stance shared
+    * with [[psiPerWindow]]'s baseline and
+    * [[graft.operators.Similarity.semanticDuplicatePairsIncremental]]):
+    * both sides assign to the same caller-supplied cells, the stream
+    * row probes the corpus's cell-keyed relation through ONE
+    * stream-static equality join, and every candidate is verified with
+    * the exact codegen'd cosine — identical arithmetic to the batch
+    * tier, so the two cannot drift. Cell blocking is the SemDeDup
+    * within-cluster stance (same-cell pairs only, like the batch
+    * operator — not the pigeonhole exhaustiveness of the SimHash
+    * gate), so batch and stream agree EXACTLY by construction: the
+    * differential spec pins stream output == batch
+    * [[graft.operators.Similarity.semanticDuplicatePairs]] restricted
+    * to (incoming, corpus) pairs.
+    *
+    * Output: one row per incoming vector — (idCol, tsCol, `is_dup`
+    * 0/1, `matched_id` = smallest matching corpus id or NULL). The
+    * per-doc reduction is a streaming aggregation keyed by
+    * (id, event time); the watermark bounds its state, and in append
+    * mode a verdict emits once the watermark passes its event time.
+    * NULL vectors assign no cell, match nothing, and pass through
+    * admitted — unknown contents are not duplicates of anything.
+    *
+    * Scale shape / bounded-state argument: the stream side is a
+    * narrow per-row projection (norm + one argmin over K centroid
+    * literals — no explode, exactly one probe row per vector); the
+    * corpus side carries (id, vec, norm, cell) and is a static
+    * relation hash-joined per micro-batch with NO streaming state of
+    * its own — at 100 TB it is the parquet side table the batch tier
+    * maintains, pre-bucketed by cell so each micro-batch's shuffle
+    * prunes to the probed cells. The only stateful operator is the
+    * per-(id, ts) verdict aggregation, whose state is one boolean +
+    * one long per in-flight doc and is evicted by the watermark —
+    * state is bounded by stream rate x watermark horizon, never by
+    * corpus size. Within-stream duplicates are deliberately not
+    * paired here (same boundary as [[nearDupAdmission]]); compose
+    * [[dedupNearSignature]] upstream for that.
+    */
+  def annAdmission(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      tsCol: String,
+      vecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      cents: Array[Array[Float]],
+      thresholdPct: Int,
+      watermark: String
+  ): DataFrame = {
+    require(cents.nonEmpty, "annAdmission: empty centroid set")
+    import graft.operators.Similarity.{assignCell, dot, l2Norm}
+    val corpusCells = corpus.select(
+      col(corpusIdCol).as("graft_cid"), col(corpusVecCol).as("graft_cvec"),
+      l2Norm(col(corpusVecCol)).as("graft_cnorm"),
+      assignCell(col(corpusVecCol), cents).as("cell"))
+    val probes = incoming
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol).as("graft_vec"),
+        l2Norm(col(vecCol)).as("graft_norm"),
+        // a NULL vector must assign NO cell (join miss -> admitted),
+        // not whatever cell the argmin's null-score sort happens to
+        // surface — guard explicitly rather than trusting struct-sort
+        // null ordering
+        when(col(vecCol).isNull, lit(null))
+          .otherwise(assignCell(col(vecCol), cents)).as("cell"))
+    probes
+      .join(corpusCells, Seq("cell"), "left_outer")
+      .withColumn("graft_hit",
+        col("graft_cid").isNotNull &&
+          (dot(col("graft_vec"), col("graft_cvec"))
+            / (col("graft_norm") * col("graft_cnorm"))) * 100 >= thresholdPct)
+      .groupBy(col(idCol), col(tsCol))
+      .agg(
+        max(col("graft_hit").cast("int")).as("is_dup"),
+        min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
+  }
+
   /** Online drift monitor — the streaming sibling of
     * [[graft.operators.Stats.populationStability]]: each event-time
     * tumbling window's value distribution is scored against a STATIC

@@ -38,6 +38,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m("join_broadcast") == 1.524)
   }
 
+  test("parseBaseline reads medians, never spread bounds, from the spreads-carrying format") {
+    // round 14 added per-query [min,max] spreads; they are emitted
+    // BEFORE "queries" precisely so the scan-from-"queries" extractor
+    // cannot read a spread bound as a median
+    val p = write(
+      """{"metric":"total","value":10.144,"unit":"sec","spreads":{"q1_agg":[0.101,9.999],"sum_per_key":[0.700,0.901]},"queries":{"q1_agg":0.472,"sum_per_key":0.853},"sf":"/root/testdata/sf0.1"}""")
+    val m = Bench.parseBaseline(p)
+    assert(m("q1_agg") == 0.472, s"median overwritten by a spread bound: $m")
+    assert(m("sum_per_key") == 0.853)
+  }
+
+  test("every jitter-prone query is a real bench entry") {
+    val unknown = SparkEntry.jitterProneBenchQueries -- SparkEntry.benchQueries.toSet
+    assert(unknown.isEmpty, s"jitterProneBenchQueries not in benchQueries: $unknown")
+  }
+
   test("parseBaseline tolerates a file with no queries block") {
     val p = write("""{"metric":"total","value":1.0}""")
     val m = Bench.parseBaseline(p)

@@ -250,6 +250,61 @@ class StreamingSpec extends SparkTestBase {
     assert(got(3L)._1 == 0 && got(4L)._1 == 0, s"novel/null docs must be admitted: $got")
   }
 
+  test("annAdmission flags stream vectors exactly like batch semanticDuplicatePairs on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, when => sqlWhen, size => sqlSize}
+    // frozen coarse centroids (the trained-model stance); two cells
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val corpusRows = Seq(
+      (100L, Array(0.9f, 0.1f, 0f, 0f)),    // cell 0
+      (101L, Array(0.9f, 0.11f, 0f, 0f)),   // cell 0, near-identical to 100
+      (102L, Array(0f, 1f, 0f, 0f)))        // cell 1
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val incomingRows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Array(0.9f, 0.1f, 0f, 0f)),    // exact copy of 100
+      (2L, ts("2024-01-01 00:05:00"), Array(0.88f, 0.12f, 0f, 0f)),  // near copy
+      (3L, ts("2024-01-01 00:10:00"), Array(0.05f, 0.04f, 1f, 0f)),  // same cell, low cosine
+      (4L, ts("2024-01-01 00:15:00"), Array.empty[Float]))           // sentinel -> null vec
+    val input = MemoryStream[(Long, Timestamp, Array[Float])]
+    val incoming = input.toDF().toDF("vec_id", "ts", "embedding")
+      .select($"vec_id", $"ts",
+        sqlWhen(sqlSize($"embedding") === 0, lit(null).cast("array<float>"))
+          .otherwise($"embedding").as("embedding"))
+    val out = Streams.annAdmission(incoming, corpus,
+      "vec_id", "ts", "embedding", "vec_id", "embedding", cents,
+      thresholdPct = 95, watermark = "1 hour")
+    val got = try {
+      val query = out.writeStream.format("memory").queryName("ann_adm_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(incomingRows: _*)
+        query.processAllAvailable()
+        spark.table("ann_adm_out").collect()
+          .map(r => r.getLong(0) -> (r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      } finally query.stop()
+    } finally ()
+    // batch differential: the SAME question asked of the batch tier —
+    // semanticDuplicatePairs over incoming ∪ corpus, restricted to
+    // (incoming, corpus) pairs, reduced the same way
+    val allVecs = incomingRows.map { case (id, _, v) =>
+      (id, if (v.isEmpty) null else v) } ++ corpusRows
+    val pairs = graft.operators.Similarity.semanticDuplicatePairs(
+        allVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cents, thresholdPct = 95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (in, c) => in < 100L && c >= 100L }
+    val matched = pairs.groupBy(_._1).map { case (in, ps) => in -> ps.map(_._2).min }
+    val expected = incomingRows.map { case (id, _, _) =>
+      id -> (if (matched.contains(id)) (1, matched(id)) else (0, -1L))
+    }.toMap
+    assert(got == expected, s"stream $got vs batch $expected")
+    // the fixture exercises both verdicts, the min-id tie-break across
+    // two above-threshold corpus matches, and the null-vector pass
+    assert(got(1L) == ((1, 100L)), s"exact copy not flagged to the min corpus id: $got")
+    assert(got(2L)._1 == 1, s"near copy not flagged: $got")
+    assert(got(3L)._1 == 0 && got(4L)._1 == 0, s"low-cosine/null vectors must be admitted: $got")
+  }
+
   test("dedupNearSignature drops signature-equal docs, keeps distinct and short ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
