@@ -368,6 +368,65 @@ object SparkEntry {
       UpdatedBm25Index(out, compacted)
     })
 
+  /** Per-corpus memoized DELETE-chain BM25 index: full build, then
+    * every seventh (non-null-text) doc tombstoned via
+    * [[Retrieval.deleteFromIndex]], then every fourteenth RE-ADDED
+    * with changed text via [[Retrieval.updateIndex]] — the
+    * delete/re-add document-update chain. Serving from it must equal
+    * the direct path over (docs minus deleted, plus the refreshed
+    * re-adds), which value-grades the sequenced tombstone mask, the
+    * per-term df subtraction, AND the tsstats correction through the
+    * ranking. Build+delete+update bill to the first call (the
+    * updatedBm25Index stance).
+    */
+  private val bm25DeletedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deletedBm25Index(s: SparkSession, dir: String): String =
+    bm25DeletedIndexCache.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val full = java.nio.file.Files.createTempDirectory("graft-bm25-dfull").toString
+      val del = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+      val upd = java.nio.file.Files.createTempDirectory("graft-bm25-dupd").toString
+      Retrieval.buildIndex(docs, "doc_id", "text", full)
+      Retrieval.deleteFromIndex(s, full,
+        docs.where(col("doc_id") % 7 === 0 && col("text").isNotNull).select("doc_id"),
+        "doc_id", del)
+      Retrieval.updateIndex(s, del,
+        docs.where(col("doc_id") % 14 === 0 && col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text")),
+        "doc_id", "text", upd)
+      upd
+    })
+
+  /** Per-corpus memoized DELETE-chain IVF-PQ index (the
+    * [[deletedBm25Index]] recipe at the vector tier): full build under
+    * frozen models, every seventh vector tombstoned, every fourteenth
+    * re-embedded via updatePqIndex; `scratchPath` holds a one-pass
+    * encode of the equivalent live set for the equality oracle.
+    */
+  private case class DeletedAnnIndex(
+      path: String, scratchPath: String,
+      coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+  private val annDeletedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, DeletedAnnIndex]()
+  private def deletedAnnIndex(s: SparkSession, dir: String): DeletedAnnIndex =
+    annDeletedIndexCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", numSub = 16, nCentroids = 64)
+      val full = java.nio.file.Files.createTempDirectory("graft-ann-dfull").resolve("pqindex").toString
+      val del = java.nio.file.Files.createTempDirectory("graft-ann-del").resolve("pqindex").toString
+      val upd = java.nio.file.Files.createTempDirectory("graft-ann-dupd").resolve("pqindex").toString
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ann-dscr").resolve("pqindex").toString
+      Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, full)
+      Similarity.deleteFromPqIndex(s, full,
+        emb.where(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", del)
+      Similarity.updatePqIndex(s, del, emb.where(col("vec_id") % 14 === 0),
+        "vec_id", "embedding", coarse, cb, upd)
+      Similarity.writePqIndex(
+        emb.where(col("vec_id") % 7 =!= 0 || col("vec_id") % 14 === 0),
+        "vec_id", "embedding", coarse, cb, scratch)
+      DeletedAnnIndex(upd, scratch, coarse, cb)
+    })
+
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -2119,6 +2178,17 @@ object SparkEntry {
       // stats add) through the ranking.
       Retrieval.searchTopKIndexed(s, updatedBm25Index(s, dir).compactedPath, "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_index_deleted" -> ((s, dir) =>
+      // index DELETION + the delete/re-add update chain: serve the
+      // standard query from an index built on the full corpus, with
+      // every seventh doc tombstoned and every fourteenth re-added
+      // with refreshed text. The ranking must be IDENTICAL to the
+      // direct path over the resulting corpus, so the oracle replays
+      // the BM25 arithmetic over (docs minus deleted, plus re-adds) —
+      // the sequenced mask, df subtraction, and stats correction all
+      // value-graded through the scores.
+      Retrieval.searchTopKIndexed(s, deletedBm25Index(s, dir), "doc_id",
+        Seq("spark", "fast", "join"), k = 10)),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
       // ONE term-pruned postings scan (the union of all query terms
@@ -2432,6 +2502,30 @@ object SparkEntry {
         q, Similarity.readPqIndex(s, upd.scratchPath),
         "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
       fromUpdated.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
+    }),
+    "ann_index_deleted" -> ((s, dir) => {
+      // DELETION at the vector tier: every seventh vector tombstoned,
+      // every fourteenth re-embedded (the delete/re-add update chain).
+      // Serving from the masked index must be neighbor-for-neighbor
+      // identical to a from-scratch encode of the equivalent live set
+      // under the same frozen models — the sequenced mask value-graded
+      // through the serve.
+      val didx = deletedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromDeleted = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, didx.path),
+        "vec_id", "embedding", k = 5, didx.coarse, nprobe = 4, didx.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, didx.scratchPath),
+        "vec_id", "embedding", k = 5, didx.coarse, nprobe = 4, didx.cb)
+      fromDeleted.as("u")
         .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
         .groupBy("query_id")
         .agg(
@@ -4216,6 +4310,36 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
+    "ann_index_deleted" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical
+         FROM embeddings WHERE vec_id < 20""",
+    "retrieval_index_deleted" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' refreshed' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 14 = 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
+         WHERE rk <= 10""",
     "ann_serve_reranked" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -5273,6 +5397,9 @@ object SparkEntry {
     // updatedAnnIndex — the retrieval_index_update stance), and of its
     // compacted single-segment re-home
     "ann_index_update", "ann_index_compacted",
+    // serve after tombstone deletes + a re-embed (the sequenced-mask
+    // read path billed against the memoized delete chain)
+    "ann_index_deleted",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",
@@ -5311,7 +5438,8 @@ object SparkEntry {
     // bills to the memoized first call, disclosed at updatedBm25Index),
     // from its compacted re-home, and the multi-query batch serve (one
     // postings scan for the batch)
-    "retrieval_index_update", "retrieval_index_compacted", "retrieval_batch_serve",
+    "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
+    "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -5344,7 +5472,9 @@ object SparkEntry {
   def jitterProneBenchQueries: Set[String] = Set(
     "graph_pagerank", "graph_pagerank_personalized", "graph_pagerank_weighted",
     "dedup_clusters", "dedup_clusters_distributed", "dedup_clusters_incremental",
-    "ann_query_serve", "ann_index_update", "ann_index_compacted", "ann_serve_reranked",
+    "ann_query_serve", "ann_index_update", "ann_index_compacted", "ann_index_deleted",
+    "ann_serve_reranked",
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
-    "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted")
+    "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
+    "retrieval_index_deleted")
 }

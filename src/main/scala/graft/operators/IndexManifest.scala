@@ -34,14 +34,19 @@ private[operators] object IndexManifest {
     * [[requireFlavor]] instead of trusting caller discipline.
     * `segments` lists the directories (relative to `path`, or
     * absolute) whose tables a reader must union — order is the append
-    * order, oldest first.
+    * order, oldest first. `tombstones` lists delete-marker directories
+    * the same way: a delete is a new tombstone dir + a manifest
+    * listing it, never a data rewrite (the LSM delete stance); readers
+    * subtract the union of listed tombstone ids, and compaction is
+    * what applies them physically.
     */
   def write(
       spark: SparkSession, path: String, version: Int = 1, flavor: String = "",
-      segments: Seq[String] = Seq.empty): Unit =
+      segments: Seq[String] = Seq.empty, tombstones: Seq[String] = Seq.empty): Unit =
     spark.range(1).select(
         lit(version).as("format_version"), lit(flavor).as("flavor"),
-        typedLit(segments).as("segments"))
+        typedLit(segments).as("segments"),
+        typedLit(tombstones).as("tombstones"))
       .write.mode("overwrite").parquet(s"$path/manifest")
 
   /** The manifest's segment list resolved to full paths: relative
@@ -55,6 +60,16 @@ private[operators] object IndexManifest {
       .select("segments").head().getSeq[String](0)
       .map(resolve(path, _))
 
+  /** The manifest's tombstone-directory list, resolved like
+    * [[segmentPaths]]. Reads the column defensively: a manifest
+    * written before deletes existed simply has none.
+    */
+  def tombstonePaths(spark: SparkSession, path: String): Seq[String] = {
+    val m = spark.read.parquet(s"$path/manifest")
+    if (!m.columns.contains("tombstones")) Seq.empty
+    else m.select("tombstones").head().getSeq[String](0).map(resolve(path, _))
+  }
+
   def resolve(root: String, entry: String): String =
     if (entry.startsWith("/") || entry.contains("://")) entry else s"$root/$entry"
 
@@ -63,9 +78,16 @@ private[operators] object IndexManifest {
     * clock) and collision-checked against the CURRENT list, which is
     * all a linear maintenance chain needs.
     */
-  def nextSegmentName(existing: Seq[String]): String = {
+  def nextSegmentName(existing: Seq[String]): String =
+    nextName(existing, "seg")
+
+  /** [[nextSegmentName]] for tombstone directories (`ts-NNNNN`). */
+  def nextTombstoneName(existing: Seq[String]): String =
+    nextName(existing, "ts")
+
+  private def nextName(existing: Seq[String], prefix: String): String = {
     val taken = existing.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
-    Iterator.from(existing.size).map(i => f"seg-$i%05d").find(!taken(_)).get
+    Iterator.from(existing.size).map(i => f"$prefix%s-$i%05d").find(!taken(_)).get
   }
 
   def clear(spark: SparkSession, path: String): Unit = {

@@ -206,12 +206,65 @@ object Retrieval {
   private def segTable(spark: SparkSession, segs: Seq[String], table: String): DataFrame =
     spark.read.parquet(segs.map(s => s"$s/$table"): _*)
 
+  /** The tombstone mask relation — one row per tombstoned id with
+    * `__ts_up` = the per-id MAX of each delete's `up_to` (the index's
+    * segment COUNT at delete time). A tombstone masks exactly the
+    * segments that existed when the delete was published: a later
+    * re-add lands in a NEW segment whose ordinal is >= up_to and
+    * serves cleanly (a bare id mask would wrongly swallow it — the
+    * classic LSM sequencing bug), and a doc deleted AGAIN after a
+    * re-add gets a later horizon that covers both generations — which
+    * is why MAX is the right merge. Delta-sized: rows = deleted ids.
+    * None when the index has no tombstones, so the common no-deletes
+    * plans carry zero extra operators.
+    */
+  private def tombstoneRel(
+      spark: SparkSession, tsPaths: Seq[String], idCol: String): Option[DataFrame] =
+    if (tsPaths.isEmpty) None
+    else Some(spark.read.parquet(tsPaths.map(t => s"$t/ids"): _*)
+      .groupBy(col(idCol)).agg(max("up_to").as("__ts_up")))
+
+  /** One index table unioned across segments WITH each row's segment
+    * ordinal (`__seg`) riding along — the shape tombstone masking
+    * needs. Filter pushdown still reaches every per-segment scan
+    * (Catalyst pushes through Project-of-literal and Union).
+    */
+  private def segTableOrd(spark: SparkSession, segs: Seq[String], table: String): DataFrame =
+    segs.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
+    }.reduce(_.unionByName(_))
+
+  /** `rows` (a [[segTableOrd]] relation) minus the tombstone-masked
+    * ones: a row dies iff its id is tombstoned AND its segment
+    * predates that tombstone's horizon. No join hint — tombstones are
+    * usually tiny (Spark broadcasts them from stats), but a
+    * mass-deletion batch must be allowed to hash-join.
+    */
+  private def maskLive(
+      rows: DataFrame, ts: Option[DataFrame], idCol: String): DataFrame =
+    ts.fold(rows)(t => rows.join(t, Seq(idCol), "left_outer")
+        .where(col("__ts_up").isNull || col("__seg") >= col("__ts_up"))
+        .drop("__ts_up"))
+      .drop("__seg")
+
+  /** The currently-indexed-and-LIVE id set: the segment-unioned
+    * `doclen` ids minus tombstone-masked rows — what the maintenance
+    * guards must check membership against (doclen alone would refuse
+    * the delete-then-re-add document-update path).
+    */
+  private def liveIndexedIds(
+      spark: SparkSession, segs: Seq[String], tsPaths: Seq[String], idCol: String): DataFrame =
+    maskLive(segTableOrd(spark, segs, "doclen"),
+      tombstoneRel(spark, tsPaths, idCol), idCol).select(col(idCol))
+
   /** Merge an INCREMENT of new documents into the index at `indexPath`,
     * publishing the merged index at `outPath` — the maintenance path a
     * growing corpus needs, mirroring [[Dedup]]'s incremental stance:
-    * `increment` must contain only documents NOT already indexed (ids
-    * disjoint from the indexed corpus; re-indexing a changed doc means
-    * rebuild). The old corpus is NEVER re-tokenized — and, since the
+    * `increment` must contain only documents NOT already LIVE in the
+    * index (ids disjoint from the indexed-minus-tombstoned set —
+    * [[deleteFromIndex]] followed by updateIndex with the new text IS
+    * the per-document update path). The old corpus is NEVER
+    * re-tokenized — and, since the
     * segmented layout, never re-WRITTEN either: only the increment's
     * four tables land on disk, as a brand-new segment directory
     * (`outPath/segments/seg-NNNNN`), and the published manifest lists
@@ -241,6 +294,7 @@ object Retrieval {
         "and its segments are referenced in place by the updated manifest)")
     requireManifest(spark, indexPath, minVersion = FormatVersion)
     val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
+    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
     val inc = invertedIndex(increment, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -248,27 +302,95 @@ object Retrieval {
       // would duplicate its postings, double-count df and stats, and
       // still earn a valid manifest — exactly the silently-wrong-scores
       // state the manifest exists to prevent. The check runs against
-      // `doclen`, the COMPLETE indexed id set (unioned across every
-      // segment) — the postings table only names docs with >= 1 token,
-      // so a previously indexed zero-token doc would slip a
-      // postings-derived guard yet still double-count n_docs. One
-      // semi-join against the bounded broadcast increment; the
-      // increment side uses the same non-null-text domain the stats
-      // count.
-      val resubmitted = segTable(spark, baseSegs, "doclen")
-        .select(col(idCol))
+      // the LIVE id set — `doclen`, the COMPLETE indexed id set
+      // (unioned across every segment; the postings table only names
+      // docs with >= 1 token, so a previously indexed zero-token doc
+      // would slip a postings-derived guard yet still double-count
+      // n_docs), minus tombstoned ids, so re-adding a DELETED doc is
+      // accepted: delete + update is how a changed document re-enters
+      // the index. One semi-join against the bounded broadcast
+      // increment; the increment side uses the same non-null-text
+      // domain the stats count.
+      val resubmitted = liveIndexedIds(spark, baseSegs, baseTs, idCol)
         .join(broadcast(increment.where(col(textCol).isNotNull)
           .select(col(idCol)).distinct()), Seq(idCol), "left_semi")
         .count()
       require(resubmitted == 0L,
-        s"updateIndex: $resubmitted increment ids already indexed at $indexPath — " +
-          "increments must contain NEW documents only (re-indexing a changed doc means rebuild)")
+        s"updateIndex: $resubmitted increment ids already live at $indexPath — " +
+          "increments must contain NEW documents only (to change an indexed doc, " +
+          "deleteFromIndex it first, then update with the new text)")
       val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       clearManifest(spark, outPath)
       writeSegment(increment, idCol, textCol, inc, s"$outPath/$seg")
+      // tombstones carry forward BY REFERENCE like the segments: the
+      // re-added doc's old rows stay masked in the old segment while
+      // its new segment rows serve
       IndexManifest.write(spark, outPath, version = FormatVersion,
-        segments = baseSegs :+ seg)
+        segments = baseSegs :+ seg, tombstones = baseTs)
     } finally inc.unpersist()
+  }
+
+  /** DELETE documents from the index at `indexPath`, publishing at
+    * `outPath` — the retention / right-to-erasure / document-update
+    * path, with the same O(delta) cost shape as [[updateIndex]]: no
+    * data table is rewritten; the delete lands as a brand-new
+    * tombstone directory (`outPath/tombstones/ts-NNNNN` — the id list
+    * plus a one-row `tsstats` with the deleted docs' (n_docs,
+    * total_len), computed ONCE here from `doclen` so serve-time stats
+    * correction is a tiny negated union instead of a corpus scan per
+    * query batch), and the published manifest lists (base segments
+    * verbatim, base tombstones ++ the new one). Each tombstone row
+    * carries `up_to` = the segment count at delete time, so it masks
+    * ONLY the segments that existed then ([[tombstoneRel]]) — the
+    * sequencing that lets a deleted id re-enter via [[updateIndex]]
+    * without the old tombstone swallowing the new rows. Serve paths
+    * subtract: postings drop masked rows, per-term df subtracts the
+    * masked term-pruned posting counts, stats subtract tsstats —
+    * BM25 scores after a delete are EXACTLY a fresh build's on the
+    * remaining corpus. [[compactIndex]] applies tombstones physically
+    * and clears them. Every delete id must be currently LIVE (indexed,
+    * not already tombstoned): deleting an unknown id is a caller bug
+    * that must fail loudly, and liveness is also what keeps each
+    * row masked by exactly one delete event, so the per-generation
+    * tsstats masses add without overlap.
+    */
+  def deleteFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      deletes: DataFrame,
+      idCol: String,
+      outPath: String): Unit = {
+    require(outPath != indexPath,
+      "deleteFromIndex: outPath must differ from indexPath (the base index keeps serving, " +
+        "and its segments are referenced in place by the new manifest)")
+    requireManifest(spark, indexPath, minVersion = FormatVersion)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
+    val ids = deletes.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missing = ids
+        .join(liveIndexedIds(spark, segs, baseTs, idCol), Seq(idCol), "left_anti")
+        .count()
+      require(missing == 0L,
+        s"deleteFromIndex: $missing ids are not live in the index at $indexPath — " +
+          "every delete must name a currently-indexed, not-already-deleted document")
+      val ts = s"tombstones/${IndexManifest.nextTombstoneName(baseTs)}"
+      clearManifest(spark, outPath)
+      ids.withColumn("up_to", lit(segs.size))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/ids")
+      // tsstats = the mass THIS delete removes: the deleted ids'
+      // rows from the LIVE doclen (earlier tombstones already masked
+      // their rows, so generations' masses add without overlap even
+      // across delete/re-add/delete cycles)
+      maskLive(segTableOrd(spark, segs, "doclen"),
+          tombstoneRel(spark, baseTs, idCol), idCol)
+        .join(ids, Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/tsstats")
+      IndexManifest.write(spark, outPath, version = FormatVersion,
+        segments = segs, tombstones = baseTs :+ ts)
+    } finally ids.unpersist()
   }
 
   /** Merge every segment of the index at `indexPath` back into ONE,
@@ -280,27 +402,46 @@ object Retrieval {
     * segment) or when a referenced base root is to be retired.
     * Nothing re-tokenizes: postings are a columnar copy re-sorted
     * GLOBALLY by term (restoring single-segment row-group pruning),
-    * termdf re-sums, doclen concatenates, stats add.
+    * termdf re-sums, doclen concatenates, stats add. Tombstones are
+    * APPLIED PHYSICALLY here — live rows only land in the compacted
+    * segment, termdf recomputes from the live postings and stats from
+    * the live doclen, and the published manifest carries no tombstones
+    * — compaction is where the LSM delete debt is paid.
     */
   def compactIndex(spark: SparkSession, indexPath: String, outPath: String): Unit = {
     require(outPath != indexPath,
       "compactIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
     requireManifest(spark, indexPath, minVersion = FormatVersion)
     val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
     val seg = "segments/seg-00000"
     clearManifest(spark, outPath)
-    segTable(spark, segs, "postings")
+    // the id column name is whatever the build used — read it off the
+    // doclen schema (doclen is (id, dl))
+    val idCol = segTable(spark, segs, "doclen").columns.filter(_ != "dl").head
+    val tsRel = tombstoneRel(spark, tsPaths, idCol)
+    def live(table: String): DataFrame =
+      maskLive(segTableOrd(spark, segs, table), tsRel, idCol)
+    val postings = live("postings")
+    postings
       .repartition(col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$outPath/$seg/postings")
-    segTable(spark, segs, "termdf")
-      .groupBy("term").agg(sum("df").as("df"))
-      .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
-    segTable(spark, segs, "stats")
-      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    // with deletes in play, per-segment termdf/stats over-count the
+    // tombstoned docs — recompute exactly from the live relations (the
+    // compaction is O(corpus) regardless); without deletes the cheap
+    // segment sums are identical, so keep them
+    if (tsPaths.isEmpty)
+      segTable(spark, segs, "termdf")
+        .groupBy("term").agg(sum("df").as("df"))
+        .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
+    else
+      postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
+    val doclen = live("doclen")
+    doclen.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
       .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
-    segTable(spark, segs, "doclen")
-      .write.mode("overwrite").parquet(s"$outPath/$seg/doclen")
+    doclen.write.mode("overwrite").parquet(s"$outPath/$seg/doclen")
     IndexManifest.write(spark, outPath, version = FormatVersion,
       segments = Seq(seg))
   }
@@ -365,6 +506,7 @@ object Retrieval {
   ): DataFrame = {
     requireManifest(spark, indexPath)
     val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
     // evaluate the caller's relation EXACTLY ONCE: both the In-filter
     // term list and the scoring join are rebuilt from this one collect,
     // so a non-deterministic queries source (a sample, an unordered
@@ -378,18 +520,44 @@ object Retrieval {
     import spark.implicits._
     val q = queryRows.toDF("query_id", "term")
     val terms = queryRows.map(_._2).distinct
-    val postings = segTable(spark, segs, "postings")
+    val pruned = segTable(spark, segs, "postings")
       .where(col("term").isin(terms: _*))
     // restrict df to the query terms BEFORE broadcasting (the term-df
     // union is vocabulary-sized, the restriction is |terms| x segments
     // rows), then SUM across segments — each segment counted only its
     // own documents' df
-    val dfs = segTable(spark, segs, "termdf")
+    val dfSummed = segTable(spark, segs, "termdf")
       .where(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").as("df"))
     // global stats ADD across segments: one tiny row per segment
-    val stats = segTable(spark, segs, "stats")
+    val statSummed = segTable(spark, segs, "stats")
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    // tombstone subtraction — only when deletes exist, so the common
+    // no-deletes plan is untouched: live postings by the sequenced
+    // mask (a row dies iff its id is tombstoned AND its segment
+    // predates the tombstone's horizon — a re-added doc's new rows
+    // serve); per-term df minus the MASKED posting counts (derived
+    // from the same term-pruned scan, so the correction costs a
+    // pruned re-scan, never a vocabulary pass); stats minus the
+    // delete-time tsstats rows (negated union — no corpus doclen scan
+    // at serve time)
+    val (postings, dfs, stats) = tombstoneRel(spark, tsPaths, idCol) match {
+      case None => (pruned, dfSummed, statSummed)
+      case Some(ts) =>
+        val prunedOrd = segTableOrd(spark, segs, "postings")
+          .where(col("term").isin(terms: _*))
+        val live = maskLive(prunedOrd, Some(ts), idCol)
+        val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
+          .where(col("__seg") < col("__ts_up"))
+          .groupBy("term").agg(count(lit(1)).as("df_del"))
+        val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
+          .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        val statLive = segTable(spark, segs, "stats")
+          .unionByName(spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+            .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
+          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+        (live, dfLive, statLive)
+    }
     postings
       .join(broadcast(dfs), Seq("term"))
       .join(broadcast(q), Seq("term"))

@@ -669,7 +669,81 @@ object Similarity {
     // refuses: CONFLICTING_DIRECTORY_STRUCTURES). Catalyst pushes a
     // serve's cell filter through the Union into each scan, so
     // per-segment partition pruning is preserved.
-    segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
+    // tombstoned vectors leave via ONE sequenced-mask join — only when
+    // deletes exist, so the common no-deletes plan is untouched. Each
+    // tombstone row carries `up_to` (the segment count at delete
+    // time), and a row dies iff its id is tombstoned AND its segment
+    // ordinal predates that horizon — so a vector deleted and then
+    // RE-EMBEDDED via updatePqIndex serves its new segment's row while
+    // the old one stays masked (a bare id mask would swallow both —
+    // the classic LSM sequencing bug); per-id MAX horizon covers
+    // delete/re-add/delete chains. Every reader (serve, update guard,
+    // compaction) goes through here, so deleted vectors can never
+    // serve, double-count, or survive a re-home.
+    val tsPaths = IndexManifest.tombstonePaths(spark, path)
+    if (tsPaths.isEmpty)
+      segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
+    else {
+      val all = segs.zipWithIndex.map { case (s, i) =>
+        spark.read.parquet(s"$s/vectors").withColumn("__seg", lit(i))
+      }.reduce(_.unionByName(_))
+      val ts = spark.read.parquet(tsPaths.map(t => s"$t/ids"): _*)
+        .groupBy(col("neighbor_id")).agg(max("up_to").as("__ts_up"))
+      all.join(ts, Seq("neighbor_id"), "left_outer")
+        .where(col("__ts_up").isNull || col("__seg") >= col("__ts_up"))
+        .drop("__ts_up", "__seg")
+    }
+  }
+
+  /** DELETE vectors from the IVF-PQ index at `indexPath`, publishing
+    * at `outPath` — the retention / right-to-erasure / re-embed path,
+    * O(delta) like [[updatePqIndex]]: nothing re-encodes and no
+    * segment is rewritten; the delete lands as a brand-new tombstone
+    * id list (`outPath/tombstones/ts-NNNNN/ids`, keyed `neighbor_id`)
+    * and the published manifest lists (base segments verbatim, base
+    * tombstones ++ the new one). Each tombstone row carries `up_to` =
+    * the segment count at delete time, so it masks only the segments
+    * that existed then — the sequencing that lets a deleted id
+    * re-enter via [[updatePqIndex]] (the supported re-embed update)
+    * without the old tombstone swallowing the new rows.
+    * [[readPqIndex]] applies the mask, so every serve and maintenance
+    * path sees only live vectors; [[compactPqIndex]] applies
+    * tombstones physically (it reads through readPqIndex) and clears
+    * them. Every delete id must be currently LIVE — deleting an
+    * unknown or already-deleted id fails loudly. The flavor carries
+    * over: a delete never changes the encode identity.
+    */
+  def deleteFromPqIndex(
+      spark: SparkSession,
+      indexPath: String,
+      deletes: DataFrame,
+      idCol: String,
+      outPath: String): Unit = {
+    require(outPath != indexPath,
+      "deleteFromPqIndex: outPath must differ from indexPath (the base index keeps serving, " +
+        "and its segments are referenced in place by the new manifest)")
+    val live = readPqIndex(spark, indexPath)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
+    val flavor = spark.read.parquet(s"$indexPath/manifest")
+      .select("flavor").head().getString(0)
+    val ids = deletes.select(col(idCol).as("neighbor_id"))
+      .where(col("neighbor_id").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missing = ids
+        .join(live.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
+        .count()
+      require(missing == 0L,
+        s"deleteFromPqIndex: $missing ids are not live in the index at $indexPath — " +
+          "every delete must name a currently-indexed, not-already-deleted vector")
+      val ts = s"tombstones/${IndexManifest.nextTombstoneName(baseTs)}"
+      IndexManifest.clear(spark, outPath)
+      ids.withColumn("up_to", lit(segs.size))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/ids")
+      IndexManifest.write(spark, outPath, version = PqFormatVersion,
+        flavor = flavor, segments = segs, tombstones = baseTs :+ ts)
+    } finally ids.unpersist()
   }
 
   /** Merge an INCREMENT of new vectors into the IVF-PQ index at
@@ -740,10 +814,15 @@ object Similarity {
       require(resubmitted == 0L,
         s"updatePqIndex: $resubmitted increment ids already indexed at $indexPath — " +
           "increments must contain NEW vectors only (re-indexing a changed vector means rebuild)")
-      // the base generation's segments carry over BY REFERENCE — their
-      // resolved (absolute) paths go into the new manifest verbatim;
-      // only the increment's rows are written, as one new segment
+      // the base generation's segments AND tombstones carry over BY
+      // REFERENCE — their resolved (absolute) paths go into the new
+      // manifest verbatim; only the increment's rows are written, as
+      // one new segment. Carrying tombstones is what closes the
+      // delete-then-re-add re-embed path: the old rows stay masked in
+      // their segment while the new segment's rows serve (the guard
+      // above checks the LIVE set, so a deleted id re-enters cleanly).
       val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
+      val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
       val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       IndexManifest.clear(spark, outPath)
       inc.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
@@ -751,7 +830,7 @@ object Similarity {
       // or the next generation's requireFlavor refuses both flags and
       // the daily-delta chain dies after one update
       IndexManifest.write(spark, outPath, version = PqFormatVersion,
-        flavor = pqFlavor(residual), segments = baseSegs :+ seg)
+        flavor = pqFlavor(residual), segments = baseSegs :+ seg, tombstones = baseTs)
     } finally inc.unpersist()
   }
 
@@ -765,8 +844,11 @@ object Similarity {
     * are read back and rewritten partitioned by cell, so serve plans
     * over the compacted index are identical in shape to a fresh
     * build's, and serve RESULTS are identical to the segmented
-    * index's (the rows are the same set). The flavor carries over
-    * from the source manifest.
+    * index's (the rows are the same set). Tombstones are applied
+    * PHYSICALLY — the read goes through [[readPqIndex]], which
+    * subtracts them, and the published manifest carries none — so
+    * compaction is also how deleted vectors' bytes actually leave
+    * disk. The flavor carries over from the source manifest.
     */
   def compactPqIndex(spark: SparkSession, indexPath: String, outPath: String): Unit = {
     require(outPath != indexPath,

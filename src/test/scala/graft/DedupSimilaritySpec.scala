@@ -845,6 +845,70 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("deleteFromPqIndex masks vectors; delete + re-embed updates; compaction drops bytes") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_del").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, s"$root/g0")
+    val g0Files = {
+      val base = java.nio.file.Paths.get(s"$root/g0")
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p)).toMap
+      } finally walk.close()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val delIds = Set(3L, 7L, 11L)
+    Similarity.deleteFromPqIndex(spark, s"$root/g0",
+      delIds.toSeq.toDF("vec_id"), "vec_id", s"$root/g1")
+    // O(delta): base untouched; the deleted root holds only manifest + tombstones
+    assert({
+      val base = java.nio.file.Paths.get(s"$root/g0")
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p)).toMap
+      } finally walk.close()
+    } == g0Files, "delete rewrote base index files")
+    assert(new java.io.File(s"$root/g1").listFiles().map(_.getName).toSet
+      == Set("manifest", "tombstones"))
+    // the live view equals a one-pass encode of the remaining vectors
+    val remaining = emb.where(!col("vec_id").isin(delIds.toSeq: _*))
+    assert(rows(Similarity.readPqIndex(spark, s"$root/g1"))
+      == rows(Similarity.pqIndex(remaining, "vec_id", "embedding", coarse, cb)))
+    // guards: unknown + already-deleted refuse
+    val scratch = java.nio.file.Files.createTempDirectory("graft_pq_del_x").toString
+    assertThrows[IllegalArgumentException](Similarity.deleteFromPqIndex(
+      spark, s"$root/g1", Seq(999999L).toDF("vec_id"), "vec_id", scratch))
+    assertThrows[IllegalArgumentException](Similarity.deleteFromPqIndex(
+      spark, s"$root/g1", Seq(3L).toDF("vec_id"), "vec_id", scratch))
+    // re-embed the deleted vector 3 via updatePqIndex (the guard checks
+    // the LIVE set): the sequenced tombstone masks only the old row
+    Similarity.updatePqIndex(spark, s"$root/g1", emb.where(col("vec_id") === 3L),
+      "vec_id", "embedding", coarse, cb, s"$root/g2")
+    val afterReadd = emb.where(!col("vec_id").isin(7L, 11L))
+    assert(rows(Similarity.readPqIndex(spark, s"$root/g2"))
+      == rows(Similarity.pqIndex(afterReadd, "vec_id", "embedding", coarse, cb)),
+      "re-embedded vector must serve its new row, others stay masked")
+    // compaction pays the delete debt physically: one segment, no
+    // tombstones, exactly the live rows on disk
+    Similarity.compactPqIndex(spark, s"$root/g2", s"$root/c")
+    assert(new java.io.File(s"$root/c").listFiles().map(_.getName).toSet
+      == Set("manifest", "segments"))
+    assert(spark.read.parquet(s"$root/c/segments/seg-00000/vectors").count()
+      == afterReadd.count())
+    assert(rows(Similarity.readPqIndex(spark, s"$root/c"))
+      == rows(Similarity.pqIndex(afterReadd, "vec_id", "embedding", coarse, cb)))
+  }
+
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -216,6 +216,63 @@ class RetrievalSpec extends SparkTestBase {
     assert(compacted == direct, s"compacted $compacted != direct $direct")
   }
 
+  test("deleteFromIndex masks docs exactly; delete + update is the per-doc update; compaction pays the debt") {
+    val d0 = java.nio.file.Files.createTempDirectory("retrieval-del-0").toString
+    val dDel = java.nio.file.Files.createTempDirectory("retrieval-del-1").toString
+    val dUpd = java.nio.file.Files.createTempDirectory("retrieval-del-2").toString
+    val c = java.nio.file.Files.createTempDirectory("retrieval-del-c").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", d0)
+    val base0 = fileListing(d0)
+    Retrieval.deleteFromIndex(spark, d0, Seq(1L, 3L).toDF("doc_id"), "doc_id", dDel)
+    // O(delta): the base index gains/loses no byte; the new root holds
+    // ONLY the manifest and the tombstone dir (no data segment)
+    assert(fileListing(d0) == base0, "delete rewrote base index files")
+    val dDirs = new java.io.File(dDel).listFiles().map(_.getName).toSet
+    assert(dDirs == Set("manifest", "tombstones"), s"unexpected entries: $dDirs")
+    // serving from the deleted index == a direct scan of the remaining
+    // corpus: postings mask, per-term df subtraction, AND the
+    // tsstats-based (n_docs, total_len) correction must all be exact —
+    // BM25 scores move with N and avg doclen, so any slack shows
+    val q = Seq("rare", "common", "gamma")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val remaining = docs.where(!$"doc_id".isin(1L, 3L))
+    assert(ranks(Retrieval.searchTopKIndexed(spark, dDel, "doc_id", q, k = 5))
+      == ranks(Retrieval.searchTopK(remaining, "doc_id", "text", q, k = 5)))
+    // guards: unknown and already-deleted ids refuse loudly
+    val scratch = java.nio.file.Files.createTempDirectory("retrieval-del-x").toString
+    assertThrows[IllegalArgumentException](
+      Retrieval.deleteFromIndex(spark, dDel, Seq(99L).toDF("doc_id"), "doc_id", scratch))
+    assertThrows[IllegalArgumentException](
+      Retrieval.deleteFromIndex(spark, dDel, Seq(1L).toDF("doc_id"), "doc_id", scratch))
+    // the per-document UPDATE path: re-add deleted doc 1 with NEW text;
+    // the sequenced tombstone must mask only the OLD segment's rows
+    val newDoc1 = Seq((1L, "rare gamma gamma zeta")).toDF("doc_id", "text")
+    Retrieval.updateIndex(spark, dDel, newDoc1, "doc_id", "text", dUpd)
+    val updatedCorpus = remaining.unionByName(newDoc1)
+    val directUpd = ranks(Retrieval.searchTopK(updatedCorpus, "doc_id", "text", q, k = 5))
+    assert(ranks(Retrieval.searchTopKIndexed(spark, dUpd, "doc_id", q, k = 5)) == directUpd,
+      "delete + re-add must serve exactly the updated corpus")
+    // a LIVE doc still refuses re-submission
+    assertThrows[IllegalArgumentException](
+      Retrieval.updateIndex(spark, dUpd, Seq((0L, "x y")).toDF("doc_id", "text"),
+        "doc_id", "text", scratch))
+    // compaction applies tombstones physically: doc 3 and OLD doc 1
+    // leave disk, the re-added doc 1 survives, manifest carries no
+    // tombstones, and serving is unchanged
+    Retrieval.compactIndex(spark, dUpd, c)
+    val cIds = spark.read.parquet(s"$c/segments/seg-00000/doclen")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cIds == Set(0L, 1L, 2L, 4L), s"compacted doclen ids: $cIds")
+    val cPostings = spark.read.parquet(s"$c/segments/seg-00000/postings")
+    assert(cPostings.where($"doc_id" === 3L).count() == 0, "deleted doc's postings survived compaction")
+    assert(cPostings.where($"doc_id" === 1L && $"term" === "zeta").count() == 1,
+      "re-added doc's NEW postings must survive compaction")
+    assert(cPostings.where($"doc_id" === 1L && $"term" === "delta").count() == 0,
+      "re-added doc's OLD postings must not survive compaction")
+    assert(ranks(Retrieval.searchTopKIndexed(spark, c, "doc_id", q, k = 5)) == directUpd)
+  }
+
   test("updateIndex refuses an increment that re-submits an indexed doc") {
     val base = java.nio.file.Files.createTempDirectory("retrieval-spec-dup0").toString
     val out = java.nio.file.Files.createTempDirectory("retrieval-spec-dup1").toString
@@ -225,7 +282,7 @@ class RetrievalSpec extends SparkTestBase {
       // postings/df/stats and still earn a valid manifest
       Retrieval.updateIndex(spark, base, docs.where($"doc_id" >= 2), "doc_id", "text", out)
     }
-    assert(e.getMessage.contains("already indexed"), e.getMessage)
+    assert(e.getMessage.contains("already live"), e.getMessage)
   }
 
   test("updateIndex refuses a pre-doclen index format instead of crashing mid-update") {
@@ -261,7 +318,7 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.updateIndex(spark, base,
         Seq((99L, "")).toDF("doc_id", "text"), "doc_id", "text", out)
     }
-    assert(e.getMessage.contains("already indexed"), e.getMessage)
+    assert(e.getMessage.contains("already live"), e.getMessage)
   }
 
   test("batch serve answers every query identically to its own direct-path ranking") {
