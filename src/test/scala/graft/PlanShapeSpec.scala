@@ -634,6 +634,38 @@ class PlanShapeSpec extends SparkTestBase {
       s"indexed ranking not a map-side-partial bounded top-k:\n$plan")
   }
 
+  test("segmented + tombstoned BM25 serve keeps term pushdown in EVERY segment scan, joins stay broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val d0 = java.nio.file.Files.createTempDirectory("planshape-bm25-seg0").toString
+    val d1 = java.nio.file.Files.createTempDirectory("planshape-bm25-seg1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("planshape-bm25-seg2").toString
+    graft.operators.Retrieval.buildIndex(
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", d0)
+    graft.operators.Retrieval.updateIndex(spark, d0,
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", d1)
+    graft.operators.Retrieval.deleteFromIndex(spark, d1,
+      docs.where(col("doc_id") % 5 === 0 && col("text").isNotNull).select("doc_id"),
+      "doc_id", d2)
+    val plan = executedPlanString(
+      graft.operators.Retrieval.searchTopKIndexed(spark, d2, "doc_id", Seq("spark", "merge"), k = 10))
+    // the term restriction reaches BOTH segments' postings scans (and
+    // the masked df-correction branch re-reads the same pruned scans):
+    // every postings scan line must carry the In(term) pushdown
+    val postingsScans = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("tf#")).toSeq
+    assert(postingsScans.size >= 2, s"expected per-segment postings scans:\n$plan")
+    postingsScans.foreach(l => assert(l.contains("In(term") || l.contains("EqualTo(term"),
+      s"term restriction missing from a segment scan:\n$l"))
+    // serve never re-tokenizes and never shuffles a join side: the
+    // tombstone mask and df joins are broadcast (the mask relation is
+    // delta-sized), ranking stays the bounded map-side top-k
+    assert(!plan.contains("split("), s"serve path re-tokenizes:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"serve path shuffles a join side:\n$plan")
+    assert(plan.contains("partial_graft_top_k"),
+      s"indexed ranking not a map-side-partial bounded top-k:\n$plan")
+  }
+
   test("phrase counting is one codegen'd scan, no interpreted gram lambdas") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = executedPlanString(
