@@ -1011,6 +1011,65 @@ object Dedup {
     untouched.select(col("id"), col("cluster_id")).unionByName(merged)
   }
 
+  /** Duplicate-cluster maintenance under DELETION — the removal
+    * sibling of [[updateClusters]], completing the data-deletion story
+    * the index tiers' tombstone deletes started: drop `removedIds`
+    * from an `existing` clustering WITHOUT re-running connected
+    * components over the whole pair graph.
+    *
+    * Removal is harder than addition: adding edges only MERGES
+    * components, so the star-edge connectivity certificate is sound —
+    * but removing a document deletes its edges, and if it was the
+    * bridge its cluster SPLITS, which no certificate derived from the
+    * old labels can express. The sound churn-bounded recompute is to
+    * re-cluster the AFFECTED clusters (those losing >= 1 member) over
+    * their ORIGINAL pairs restricted to surviving members — `pairs`
+    * is the pair relation the clustering was built from (yesterday's
+    * LSH output, materialized, exactly as `existing` is). Pairs never
+    * cross component boundaries, so untouched clusters keep their
+    * labels verbatim and the CC input is the affected clusters'
+    * internal surviving pairs — churn-sized, never the corpus graph.
+    * Survivors whose every pair died leave the report entirely
+    * (clusterings never carry singletons), and a split cluster's
+    * fragments re-label to their own min members — both exactly as a
+    * from-scratch clustering of the remaining corpus would, which is
+    * what the `dedup_clusters_removed` oracle certifies (removal can
+    * create no NEW pairs, so from-scratch over the remaining corpus ==
+    * CC over the original pairs minus removed endpoints).
+    *
+    * `existing` is (id, cluster_id); `pairs` is (a_id, b_id);
+    * `removedIds` carries one `id` column. Ids in `removedIds` that
+    * were never clustered are ignored (deleting a singleton doc
+    * changes no cluster). Output: (id, cluster_id).
+    */
+  def removeFromClusters(
+      existing: DataFrame,
+      pairs: DataFrame,
+      removedIds: DataFrame,
+      maxIter: Int = 25,
+      maxDriverEdges: Long = 500000L): DataFrame = {
+    // the removed-id relation is read three times (affected semi, the
+    // two survivor anti joins) and is delta-sized — checkpoint once;
+    // `affected` likewise (one row per affected cluster)
+    val removed = reliableCheckpoint(removedIds.select(col("id")).distinct())
+    val affected = reliableCheckpoint(
+      existing.join(removed, Seq("id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val untouched = existing.join(affected, Seq("cluster_id"), "left_anti")
+    val affectedSurvivors = existing
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .join(removed, Seq("id"), "left_anti")
+      .select(col("id"))
+    // the surviving internal pair graph of the affected clusters: both
+    // endpoints must be affected-and-surviving. Two semi joins restrict
+    // the (corpus-sized) pair relation to churn before any CC work.
+    val survivorPairs = pairs.select(col("a_id"), col("b_id"))
+      .join(affectedSurvivors.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(affectedSurvivors.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+    untouched.select(col("id"), col("cluster_id"))
+      .unionByName(duplicateClusters(survivorPairs, maxIter, maxDriverEdges))
+  }
+
   /** Cluster-size distribution of a clustering — the dedup REPORT a
     * curation run publishes beside the deduped corpus: how many
     * duplicate families of each size exist (token savings derive as

@@ -404,6 +404,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(onlyNew == oldLabels ++ Map(30L -> 30L, 31L -> 30L), s"got $onlyNew")
   }
 
+  test("removeFromClusters: bridge removal splits, survivors relabel, untouched stay verbatim") {
+    // {1,2,3} chained through bridge 2; {10,11,12} a triangle; {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val existing = Dedup.duplicateClusters(pairs)
+    val got = Dedup.removeFromClusters(existing, pairs, Seq(2L, 10L, 99L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // removing bridge 2 dissolves {1,3} (no surviving pair — both leave,
+    // as a from-scratch run would have them); removing 10 from the
+    // triangle leaves {11,12} relabeled to its own min member; 99 was
+    // never clustered (no-op); {20,21} is untouched verbatim
+    assert(got == Map(11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L), s"got $got")
+    // empty removal set: the clustering passes through unchanged
+    val noop = Dedup.removeFromClusters(existing, pairs, spark.emptyDataset[Long].toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = existing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == orig, s"empty removal changed the clustering: $noop vs $orig")
+  }
+
   test("updateClusters churn is corpus-size invariant: Nx more clusters change nothing it touches") {
     // the 100 TB law behind the churn-sized CC: replicate the existing
     // clustering N times (disjoint id blocks) while the increment keeps

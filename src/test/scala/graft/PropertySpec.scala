@@ -129,6 +129,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("removeFromClusters on a random removal set equals clustering the surviving graph") {
+    // deletion maintenance must be indistinguishable from a full
+    // recompute over (pairs minus removed endpoints) for ANY removal
+    // set — including bridge removals that split clusters, removals
+    // that dissolve clusters entirely, and empty removal sets
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 20
+      val m = n + rnd.nextInt(2 * n)
+      val pairs = List.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val removedSet = (0L until n).filter(_ => rnd.nextInt(4) == 0).toSet
+      val surviving = pairs.filterNot { case (a, b) => removedSet(a) || removedSet(b) }
+      val truth = graft.operators.Dedup.duplicateClusters(surviving.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Dedup.removeFromClusters(
+          graft.operators.Dedup.duplicateClusters(pairs.toDF("a_id", "b_id")),
+          pairs.toDF("a_id", "b_id"),
+          removedSet.toSeq.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth,
+        s"trial $trial (removed=${removedSet.size} of $n): removal maintenance diverged")
+    }
+  }
+
   test("incremental fingerprint pairing equals the batch pairs touching the increment") {
     for (trial <- 1 to 5) {
       val n = 40 + trial * 20
