@@ -1943,6 +1943,24 @@ object SparkEntry {
         Dedup.updateClusters(yesterdaysClustering(s, dir), incPairs))
         .select("doc_id")
     }),
+    "dedup_survivors_removed" -> ((s, dir) => {
+      // the DELETION chain closed end to end: yesterday's materialized
+      // clustering + pair relation -> removeFromClusters (re-CC of
+      // affected clusters' surviving pairs) -> survivor corpus over
+      // the REMAINING docs. Must be indistinguishable from survivors
+      // of a from-scratch run on the remaining corpus — the oracle
+      // replays exactly that.
+      val docs = t(s, dir, "documents")
+      val art = fullClustering(s, dir)
+      val remaining = docs.where(col("doc_id") % 9 =!= 0)
+      Dedup.dedupedCorpusFromClusters(
+          remaining, "doc_id",
+          Dedup.removeFromClusters(
+            s.read.parquet(art.clustersPath),
+            s.read.parquet(art.pairsPath).select("a_id", "b_id"),
+            docs.where(col("doc_id") % 9 === 0).select(col("doc_id").as("id"))))
+        .select("doc_id")
+    }),
     "dedup_clusters_distributed" -> ((s, dir) =>
       // the same clustering with the small-graph driver short-circuit
       // disabled: benches and oracle-checks the distributed
@@ -3749,6 +3767,11 @@ object SparkEntry {
       ("""WITH RECURSIVE rem AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0),
          """ + minhashClosureCtes("rem") + """
          SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s"""),
+    "dedup_survivors_removed" ->
+      ("""WITH RECURSIVE rem AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0),
+         """ + minhashClosureCtes("rem") + """
+         SELECT doc_id FROM rem
+         WHERE """ + survivorsWhereSql),
     "dedup_survivors" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id,
@@ -5484,6 +5507,7 @@ object SparkEntry {
     // its deletion sibling (re-CC of affected clusters' surviving
     // pairs; splits are possible, so no certificate shortcut)
     "dedup_clusters_incremental", "dedup_clusters_removed",
+    "dedup_survivors_removed",
     // the SemDeDup chain (cell-blocked pairs -> CC -> farthest-from-
     // centroid keep) — the embedding-side dedup a curation run actually
     // deploys when a trained quantizer exists — and the duplicate-
