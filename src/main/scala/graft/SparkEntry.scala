@@ -2279,6 +2279,15 @@ object SparkEntry {
       // value-graded through the scores.
       Retrieval.searchTopKIndexed(s, deletedBm25Index(s, dir), "doc_id",
         Seq("spark", "fast", "join"), k = 10)),
+    "retrieval_index_info" -> ((s, dir) =>
+      // the metadata-only ops surface over the delete-chain index:
+      // segment/tombstone counts from the manifest, doc and token
+      // masses from the per-segment stats + per-delete tsstats rows —
+      // never a corpus scan. The oracle derives every number from the
+      // chain's construction rule (full build + %7 deletes + %14
+      // refreshed re-adds), so the delete-time tsstats bookkeeping is
+      // value-graded too.
+      Retrieval.indexInfo(s, deletedBm25Index(s, dir))),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
       // ONE term-pruned postings scan (the union of all query terms
@@ -4413,6 +4422,17 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
+    "retrieval_index_info" ->
+      """WITH d AS (SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS dl
+                    FROM documents WHERE text IS NOT NULL)
+         SELECT CAST(2 AS INTEGER) AS n_segments,
+                CAST(1 AS INTEGER) AS n_tombstone_gens,
+                (SELECT count(*) FROM d) + (SELECT count(*) FROM d WHERE doc_id % 14 = 0) AS n_docs_indexed,
+                (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS n_docs_masked,
+                (SELECT count(*) FROM d) + (SELECT count(*) FROM d WHERE doc_id % 14 = 0)
+                  - (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS n_docs_live,
+                (SELECT coalesce(sum(dl), 0) FROM d WHERE doc_id % 7 <> 0)
+                  + (SELECT coalesce(sum(dl + 1), 0) FROM d WHERE doc_id % 14 = 0) AS total_len_live""",
     "retrieval_index_deleted" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
          corpus AS (
@@ -5541,7 +5561,7 @@ object SparkEntry {
     // from its compacted re-home, and the multi-query batch serve (one
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
-    "retrieval_batch_serve",
+    "retrieval_index_info", "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",

@@ -446,6 +446,54 @@ object Retrieval {
       segments = Seq(seg))
   }
 
+  /** One-row operational summary of a segmented index — the dashboard
+    * row an index owner watches and the input to [[needsCompaction]]:
+    * (n_segments, n_tombstone_gens, n_docs_indexed, n_docs_masked,
+    * n_docs_live, total_len_live). Everything derives from the
+    * manifest lists plus the per-segment one-row `stats` and
+    * per-tombstone one-row `tsstats` tables — a few KB of metadata
+    * reads, NEVER a corpus scan, so it is safe to poll from a
+    * scheduler deciding when to compact.
+    */
+  def indexInfo(spark: SparkSession, indexPath: String): DataFrame = {
+    requireManifest(spark, indexPath)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    val total = segTable(spark, segs, "stats")
+      .agg(sum("n_docs").as("n_docs_indexed"), sum("total_len").as("len_indexed"))
+    val masked =
+      if (tsPaths.isEmpty)
+        spark.range(1).select(lit(0L).as("n_docs_masked"), lit(0L).as("len_masked"))
+      else spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+        .agg(sum("n_docs").as("n_docs_masked"), sum("total_len").as("len_masked"))
+    total.crossJoin(broadcast(masked)).select(
+      lit(segs.size).as("n_segments"),
+      lit(tsPaths.size).as("n_tombstone_gens"),
+      col("n_docs_indexed"),
+      col("n_docs_masked"),
+      (col("n_docs_indexed") - col("n_docs_masked")).as("n_docs_live"),
+      (col("len_indexed") - col("len_masked")).as("total_len_live"))
+  }
+
+  /** The compaction-policy trigger: true when the segment list has
+    * grown past `maxSegments` (each serve pays a few extra tiny
+    * broadcast rows and one more pruned scan per segment) or when the
+    * tombstone-masked share of indexed docs passes `maxMaskedRatio`
+    * (masked rows still occupy disk and still flow through the serve
+    * mask until [[compactIndex]] pays the debt). Metadata-only, like
+    * [[indexInfo]] — poll it, then run the explicit compaction.
+    */
+  def needsCompaction(
+      spark: SparkSession, indexPath: String,
+      maxSegments: Int = 8, maxMaskedRatio: Double = 0.2): Boolean = {
+    require(maxSegments >= 1 && maxMaskedRatio >= 0.0,
+      s"needsCompaction: bad thresholds ($maxSegments, $maxMaskedRatio)")
+    val r = indexInfo(spark, indexPath).head()
+    val indexed = r.getAs[Long]("n_docs_indexed")
+    r.getAs[Int]("n_segments") > maxSegments ||
+      (indexed > 0L && r.getAs[Long]("n_docs_masked").toDouble / indexed > maxMaskedRatio)
+  }
+
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All
     * paths — serve and maintenance — require it, so an index

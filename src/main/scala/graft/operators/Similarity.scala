@@ -863,6 +863,24 @@ object Similarity {
       flavor = flavor, segments = Seq(seg))
   }
 
+  /** One-row operational summary of a segmented IVF-PQ index —
+    * (n_segments, n_tombstone_gens, flavor), all from the manifest:
+    * metadata-only, safe to poll from a compaction scheduler. The PQ
+    * layout keeps no per-segment stats table (ADC serve needs none),
+    * so live-vector counts cost a [[readPqIndex]] count — deliberate:
+    * a scheduler compacts on segment/tombstone-generation growth, not
+    * on row counts.
+    */
+  def pqIndexInfo(spark: SparkSession, indexPath: String): DataFrame = {
+    IndexManifest.requirePresent(spark, indexPath, "IVF-PQ", PqFormatVersion)
+    val segs = IndexManifest.segmentPaths(spark, indexPath)
+    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    spark.read.parquet(s"$indexPath/manifest").select(
+      lit(segs.size).as("n_segments"),
+      lit(tsPaths.size).as("n_tombstone_gens"),
+      col("flavor"))
+  }
+
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse
     * centroid (FAISS `by_residual=true` training). The coarse quantizer

@@ -273,6 +273,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(ranks(Retrieval.searchTopKIndexed(spark, c, "doc_id", q, k = 5)) == directUpd)
   }
 
+  test("indexInfo reports metadata-derived masses; needsCompaction triggers on segments or masked share") {
+    val d0 = java.nio.file.Files.createTempDirectory("retrieval-info-0").toString
+    val d1 = java.nio.file.Files.createTempDirectory("retrieval-info-1").toString
+    val dDel = java.nio.file.Files.createTempDirectory("retrieval-info-d").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", d0)
+    def info(p: String) = Retrieval.indexInfo(spark, p).head()
+    val i0 = info(d0)
+    assert((i0.getInt(0), i0.getInt(1), i0.getLong(2), i0.getLong(3), i0.getLong(4), i0.getLong(5))
+      == ((1, 0, 5L, 0L, 5L, 20L)), s"fresh build info: $i0")
+    assert(!Retrieval.needsCompaction(spark, d0), "fresh build must not need compaction")
+    // deleting docs 1 and 3 masks dl 7 + 3 = 10 of 20 tokens, 2 of 5
+    // docs — a 40% masked share trips the default 0.2 ratio
+    Retrieval.deleteFromIndex(spark, d0, Seq(1L, 3L).toDF("doc_id"), "doc_id", dDel)
+    val iDel = info(dDel)
+    assert((iDel.getInt(0), iDel.getInt(1), iDel.getLong(2), iDel.getLong(3), iDel.getLong(4), iDel.getLong(5))
+      == ((1, 1, 5L, 2L, 3L, 10L)), s"post-delete info: $iDel")
+    assert(Retrieval.needsCompaction(spark, dDel), "40% masked share must trip the ratio")
+    assert(!Retrieval.needsCompaction(spark, dDel, maxMaskedRatio = 0.5),
+      "a 0.5 ratio threshold must tolerate 40%")
+    // a second segment trips a maxSegments = 1 policy
+    Retrieval.updateIndex(spark, d0, Seq((9L, "brand new doc")).toDF("doc_id", "text"),
+      "doc_id", "text", d1)
+    assert(Retrieval.needsCompaction(spark, d1, maxSegments = 1),
+      "two segments must trip maxSegments = 1")
+    assert(!Retrieval.needsCompaction(spark, d1), "two segments are fine by default")
+  }
+
   test("updateIndex refuses an increment that re-submits an indexed doc") {
     val base = java.nio.file.Files.createTempDirectory("retrieval-spec-dup0").toString
     val out = java.nio.file.Files.createTempDirectory("retrieval-spec-dup1").toString
