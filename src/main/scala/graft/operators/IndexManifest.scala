@@ -71,7 +71,69 @@ private[operators] object IndexManifest {
   }
 
   def resolve(root: String, entry: String): String =
-    if (entry.startsWith("/") || entry.contains("://")) entry else s"$root/$entry"
+    if (new org.apache.hadoop.fs.Path(entry).isAbsolute) entry else s"$root/$entry"
+
+  /** Fully-qualified forms of `paths` — what a maintenance operation
+    * must write into a NEW manifest when it carries another root's
+    * segments/tombstones by reference: a relative base index path
+    * ("rel/base") resolves to a still-relative segment entry, which a
+    * reader of the new manifest would re-anchor at the NEW root and
+    * crash (or silently read a wrong directory). Qualification makes
+    * carried references root-independent once and forever.
+    */
+  def qualify(spark: SparkSession, paths: Seq[String]): Seq[String] =
+    paths.map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+    }
+
+  /** The sequenced tombstone mask relation shared by every segmented
+    * index family — ONE implementation of the LSM sequencing rule, so
+    * the BM25 and IVF-PQ tiers cannot drift: one row per tombstoned id
+    * with `__ts_up` = the per-id MAX of each delete's `up_to` (the
+    * index's segment COUNT at delete time). A tombstone masks exactly
+    * the segments that existed when the delete was published: a later
+    * re-add lands in a NEW segment whose ordinal is >= up_to and
+    * serves cleanly (a bare id mask would wrongly swallow it), and a
+    * doc deleted AGAIN after a re-add gets a later horizon that covers
+    * both generations — which is why MAX is the right merge.
+    * Delta-sized: rows = deleted ids. None when the index has no
+    * tombstones, so no-deletes plans carry zero extra operators.
+    */
+  def tombstoneRel(
+      spark: SparkSession, tsPaths: Seq[String], idCol: String): Option[
+        org.apache.spark.sql.DataFrame] =
+    if (tsPaths.isEmpty) None
+    else Some(spark.read.parquet(tsPaths.map(t => s"$t/ids"): _*)
+      .groupBy(col(idCol)).agg(max("up_to").as("__ts_up")))
+
+  /** One per-segment table read with each row's segment ordinal
+    * (`__seg`) riding along — the shape [[maskLive]] needs. Per-path
+    * reads keep multi-root partitioned directories legal (a single
+    * multi-path scan would infer one partition spec across roots and
+    * refuse), and filter pushdown still reaches every per-segment scan
+    * (Catalyst pushes through Project-of-literal and Union).
+    */
+  def segTableOrd(
+      spark: SparkSession, segs: Seq[String], table: String): org.apache.spark.sql.DataFrame =
+    segs.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
+    }.reduce(_.unionByName(_))
+
+  /** `rows` (a [[segTableOrd]] relation) minus the tombstone-masked
+    * ones: a row dies iff its id is tombstoned AND its segment
+    * predates that tombstone's horizon. No join hint — tombstones are
+    * usually tiny (Spark broadcasts them from stats), but a
+    * mass-deletion batch must be allowed to hash-join.
+    */
+  def maskLive(
+      rows: org.apache.spark.sql.DataFrame,
+      ts: Option[org.apache.spark.sql.DataFrame],
+      idCol: String): org.apache.spark.sql.DataFrame =
+    ts.fold(rows)(t => rows.join(t, Seq(idCol), "left_outer")
+        .where(col("__ts_up").isNull || col("__seg") >= col("__ts_up"))
+        .drop("__ts_up"))
+      .drop("__seg")
 
   /** The next free generation name under `segments/` — zero-padded so
     * listings sort in append order. Deterministic (count-derived, no

@@ -206,46 +206,20 @@ object Retrieval {
   private def segTable(spark: SparkSession, segs: Seq[String], table: String): DataFrame =
     spark.read.parquet(segs.map(s => s"$s/$table"): _*)
 
-  /** The tombstone mask relation — one row per tombstoned id with
-    * `__ts_up` = the per-id MAX of each delete's `up_to` (the index's
-    * segment COUNT at delete time). A tombstone masks exactly the
-    * segments that existed when the delete was published: a later
-    * re-add lands in a NEW segment whose ordinal is >= up_to and
-    * serves cleanly (a bare id mask would wrongly swallow it — the
-    * classic LSM sequencing bug), and a doc deleted AGAIN after a
-    * re-add gets a later horizon that covers both generations — which
-    * is why MAX is the right merge. Delta-sized: rows = deleted ids.
-    * None when the index has no tombstones, so the common no-deletes
-    * plans carry zero extra operators.
-    */
+  // The sequenced tombstone-mask machinery (the LSM rule that lets a
+  // deleted doc re-enter via updateIndex) lives in [[IndexManifest]],
+  // SHARED with the IVF-PQ tier — one implementation of the
+  // sequencing invariant, so the two index families cannot drift.
   private def tombstoneRel(
       spark: SparkSession, tsPaths: Seq[String], idCol: String): Option[DataFrame] =
-    if (tsPaths.isEmpty) None
-    else Some(spark.read.parquet(tsPaths.map(t => s"$t/ids"): _*)
-      .groupBy(col(idCol)).agg(max("up_to").as("__ts_up")))
+    IndexManifest.tombstoneRel(spark, tsPaths, idCol)
 
-  /** One index table unioned across segments WITH each row's segment
-    * ordinal (`__seg`) riding along — the shape tombstone masking
-    * needs. Filter pushdown still reaches every per-segment scan
-    * (Catalyst pushes through Project-of-literal and Union).
-    */
   private def segTableOrd(spark: SparkSession, segs: Seq[String], table: String): DataFrame =
-    segs.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
-    }.reduce(_.unionByName(_))
+    IndexManifest.segTableOrd(spark, segs, table)
 
-  /** `rows` (a [[segTableOrd]] relation) minus the tombstone-masked
-    * ones: a row dies iff its id is tombstoned AND its segment
-    * predates that tombstone's horizon. No join hint — tombstones are
-    * usually tiny (Spark broadcasts them from stats), but a
-    * mass-deletion batch must be allowed to hash-join.
-    */
   private def maskLive(
       rows: DataFrame, ts: Option[DataFrame], idCol: String): DataFrame =
-    ts.fold(rows)(t => rows.join(t, Seq(idCol), "left_outer")
-        .where(col("__ts_up").isNull || col("__seg") >= col("__ts_up"))
-        .drop("__ts_up"))
-      .drop("__seg")
+    IndexManifest.maskLive(rows, ts, idCol)
 
   /** The currently-indexed-and-LIVE id set: the segment-unioned
     * `doclen` ids minus tombstone-masked rows — what the maintenance
@@ -326,7 +300,8 @@ object Retrieval {
       // re-added doc's old rows stay masked in the old segment while
       // its new segment rows serve
       IndexManifest.write(spark, outPath, version = FormatVersion,
-        segments = baseSegs :+ seg, tombstones = baseTs)
+        segments = IndexManifest.qualify(spark, baseSegs) :+ seg,
+        tombstones = IndexManifest.qualify(spark, baseTs))
     } finally inc.unpersist()
   }
 
@@ -389,7 +364,8 @@ object Retrieval {
         .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
         .write.mode("overwrite").parquet(s"$outPath/$ts/tsstats")
       IndexManifest.write(spark, outPath, version = FormatVersion,
-        segments = segs, tombstones = baseTs :+ ts)
+        segments = IndexManifest.qualify(spark, segs),
+        tombstones = IndexManifest.qualify(spark, baseTs) :+ ts)
     } finally ids.unpersist()
   }
 
@@ -420,28 +396,42 @@ object Retrieval {
     // doclen schema (doclen is (id, dl))
     val idCol = segTable(spark, segs, "doclen").columns.filter(_ != "dl").head
     val tsRel = tombstoneRel(spark, tsPaths, idCol)
+    // the masked relations feed TWO writes each (postings -> postings +
+    // termdf recompute; doclen -> stats + doclen) — persist them so the
+    // segment-union + mask join runs once per relation, the buildIndex
+    // stance. Without tombstones the mask is a no-op and termdf comes
+    // from the cheap per-segment sums, so only doclen double-reads raw
+    // parquet (narrow, as before) — no persist needed.
     def live(table: String): DataFrame =
       maskLive(segTableOrd(spark, segs, table), tsRel, idCol)
-    val postings = live("postings")
-    postings
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$outPath/$seg/postings")
-    // with deletes in play, per-segment termdf/stats over-count the
-    // tombstoned docs — recompute exactly from the live relations (the
-    // compaction is O(corpus) regardless); without deletes the cheap
-    // segment sums are identical, so keep them
-    if (tsPaths.isEmpty)
-      segTable(spark, segs, "termdf")
-        .groupBy("term").agg(sum("df").as("df"))
-        .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
-    else
-      postings.groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
-    val doclen = live("doclen")
-    doclen.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
-      .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
-    doclen.write.mode("overwrite").parquet(s"$outPath/$seg/doclen")
+    val postings =
+      if (tsPaths.isEmpty) live("postings")
+      else live("postings").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$outPath/$seg/postings")
+      // with deletes in play, per-segment termdf/stats over-count the
+      // tombstoned docs — recompute exactly from the live relations (the
+      // compaction is O(corpus) regardless); without deletes the cheap
+      // segment sums are identical, so keep them
+      if (tsPaths.isEmpty)
+        segTable(spark, segs, "termdf")
+          .groupBy("term").agg(sum("df").as("df"))
+          .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
+      else
+        postings.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$outPath/$seg/termdf")
+    } finally if (tsPaths.nonEmpty) postings.unpersist(): Unit
+    val doclen =
+      if (tsPaths.isEmpty) live("doclen")
+      else live("doclen").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      doclen.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+        .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
+      doclen.write.mode("overwrite").parquet(s"$outPath/$seg/doclen")
+    } finally if (tsPaths.nonEmpty) doclen.unpersist(): Unit
     IndexManifest.write(spark, outPath, version = FormatVersion,
       segments = Seq(seg))
   }

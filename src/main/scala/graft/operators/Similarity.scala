@@ -681,17 +681,14 @@ object Similarity {
     // compaction) goes through here, so deleted vectors can never
     // serve, double-count, or survive a re-home.
     val tsPaths = IndexManifest.tombstonePaths(spark, path)
-    if (tsPaths.isEmpty)
-      segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
-    else {
-      val all = segs.zipWithIndex.map { case (s, i) =>
-        spark.read.parquet(s"$s/vectors").withColumn("__seg", lit(i))
-      }.reduce(_.unionByName(_))
-      val ts = spark.read.parquet(tsPaths.map(t => s"$t/ids"): _*)
-        .groupBy(col("neighbor_id")).agg(max("up_to").as("__ts_up"))
-      all.join(ts, Seq("neighbor_id"), "left_outer")
-        .where(col("__ts_up").isNull || col("__seg") >= col("__ts_up"))
-        .drop("__ts_up", "__seg")
+    IndexManifest.tombstoneRel(spark, tsPaths, "neighbor_id") match {
+      case None =>
+        segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
+      case some =>
+        // the sequencing rule is IndexManifest's — shared verbatim with
+        // the BM25 tier, one implementation of the invariant
+        IndexManifest.maskLive(
+          IndexManifest.segTableOrd(spark, segs, "vectors"), some, "neighbor_id")
     }
   }
 
@@ -742,7 +739,8 @@ object Similarity {
       ids.withColumn("up_to", lit(segs.size))
         .write.mode("overwrite").parquet(s"$outPath/$ts/ids")
       IndexManifest.write(spark, outPath, version = PqFormatVersion,
-        flavor = flavor, segments = segs, tombstones = baseTs :+ ts)
+        flavor = flavor, segments = IndexManifest.qualify(spark, segs),
+        tombstones = IndexManifest.qualify(spark, baseTs) :+ ts)
     } finally ids.unpersist()
   }
 
@@ -830,7 +828,9 @@ object Similarity {
       // or the next generation's requireFlavor refuses both flags and
       // the daily-delta chain dies after one update
       IndexManifest.write(spark, outPath, version = PqFormatVersion,
-        flavor = pqFlavor(residual), segments = baseSegs :+ seg, tombstones = baseTs)
+        flavor = pqFlavor(residual),
+        segments = IndexManifest.qualify(spark, baseSegs) :+ seg,
+        tombstones = IndexManifest.qualify(spark, baseTs))
     } finally inc.unpersist()
   }
 
@@ -1211,9 +1211,13 @@ object Similarity {
     val b = t.select(col("vid").as("b_id"), col("cell"), col("vec").as("b_vec"), col("nrm").as("b_norm"))
     a.join(b.hint("shuffle_hash"), "cell")
       .where(col("a_id") < col("b_id"))
+      // guard, don't divide: a zero-norm vector has no defined cosine —
+      // NULL it (the decontaminateByEmbedding stance), so such rows
+      // pair with nothing instead of faulting ANSI's divide-by-zero
       .select(
         col("a_id"), col("b_id"),
-        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
+        when(col("a_norm") * col("b_norm") > 0,
+          dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
       .where(col("cos") * 100 >= thresholdPct)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
@@ -1261,9 +1265,12 @@ object Similarity {
         col("vec").as("b_vec"), col("nrm").as("b_norm"), lit(true).as("b_inc")))
     a.hint("shuffle_hash").join(b, Seq("cell"))
       .where(!col("b_inc") || col("a_id") < col("b_id"))
+      // zero-norm guard: NULL cosine pairs with nothing (the batch
+      // form's stance, shared so the differential law holds verbatim)
       .select(
         col("a_id"), col("b_id"),
-        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
+        when(col("a_norm") * col("b_norm") > 0,
+          dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
       .where(col("cos") * 100 >= thresholdPct)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }

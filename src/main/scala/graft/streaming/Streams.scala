@@ -327,10 +327,22 @@ object Streams {
           .otherwise(assignCell(col(vecCol), cents)).as("cell"))
     probes
       .join(corpusCells, Seq("cell"), "left_outer")
-      .withColumn("graft_hit",
+      // the cosine must be GUARDED and the predicate NULL-SAFE: a
+      // zero-norm vector on either side has no defined cosine — an
+      // unguarded divide faults under ANSI and yields NULL under
+      // legacy Divide, and a propagated NULL through max() would emit
+      // a NULL verdict instead of the contracted 0/1. when(denom > 0)
+      // NULLs the cosine (the decontaminateByEmbedding stance, shared
+      // with semanticDuplicatePairs so the batch differential holds
+      // verbatim) and coalesce(false) admits the row.
+      .withColumn("graft_hit", {
+        val denom = col("graft_norm") * col("graft_cnorm")
         col("graft_cid").isNotNull &&
-          (dot(col("graft_vec"), col("graft_cvec"))
-            / (col("graft_norm") * col("graft_cnorm"))) * 100 >= thresholdPct)
+          coalesce(
+            when(denom > 0,
+              dot(col("graft_vec"), col("graft_cvec")) / denom) * 100 >= thresholdPct,
+            lit(false))
+      })
       .groupBy(col(idCol), col(tsCol))
       .agg(
         max(col("graft_hit").cast("int")).as("is_dup"),

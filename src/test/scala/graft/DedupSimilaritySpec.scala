@@ -799,19 +799,7 @@ class DedupSimilaritySpec extends SparkTestBase {
 
   test("updatePqIndex is O(increment) and compactPqIndex re-homes: 3-generation chain, base files untouched") {
     import org.apache.spark.sql.functions.col
-    def fileListing(root: String): Map[String, (Long, Long)] = {
-      val base = java.nio.file.Paths.get(root)
-      val walk = java.nio.file.Files.walk(base)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => base.relativize(p).toString ->
-            (java.nio.file.Files.size(p),
-              java.nio.file.Files.getLastModifiedTime(p).toMillis))
-          .toMap
-      } finally walk.close()
-    }
+    // fileListing from SparkTestBase: shared (size, mtime) snapshots
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val baseCorpus = emb.where(col("vec_id") % 3 === 0)
     val delta1 = emb.where(col("vec_id") % 3 === 1)
@@ -871,15 +859,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
     val root = java.nio.file.Files.createTempDirectory("graft_pq_del").toString
     Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, s"$root/g0")
-    val g0Files = {
-      val base = java.nio.file.Paths.get(s"$root/g0")
-      val walk = java.nio.file.Files.walk(base)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p)).toMap
-      } finally walk.close()
-    }
+    val g0Files = fileListing(s"$root/g0")
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("neighbor_id"), col("cell").cast("int"),
         col("codes").cast("string"), col("c_norm"))
@@ -888,15 +868,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     Similarity.deleteFromPqIndex(spark, s"$root/g0",
       delIds.toSeq.toDF("vec_id"), "vec_id", s"$root/g1")
     // O(delta): base untouched; the deleted root holds only manifest + tombstones
-    assert({
-      val base = java.nio.file.Paths.get(s"$root/g0")
-      val walk = java.nio.file.Files.walk(base)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p)).toMap
-      } finally walk.close()
-    } == g0Files, "delete rewrote base index files")
+    assert(fileListing(s"$root/g0") == g0Files, "delete rewrote base index files")
     assert(new java.io.File(s"$root/g1").listFiles().map(_.getName).toSet
       == Set("manifest", "tombstones"))
     // the live view equals a one-pass encode of the remaining vectors

@@ -132,23 +132,8 @@ class RetrievalSpec extends SparkTestBase {
     assert(chained == direct, s"chained $chained != direct $direct")
   }
 
-  /** Every regular file under `root`: relative path -> (size, mtime).
-    * The O(increment) assertions compare these snapshots — "the base
-    * index was not touched" is exactly "its listing is identical".
-    */
-  private def fileListing(root: String): Map[String, (Long, Long)] = {
-    val base = java.nio.file.Paths.get(root)
-    val walk = java.nio.file.Files.walk(base)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => base.relativize(p).toString ->
-          (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .toMap
-    } finally walk.close()
-  }
+  // fileListing comes from SparkTestBase — the shared (size, mtime)
+  // snapshot the O(increment)/O(delta) assertions compare
 
   test("updateIndex is O(increment): base untouched, out holds ONE increment-sized segment, 3-generation chain") {
     val d0 = java.nio.file.Files.createTempDirectory("retrieval-oinc-0").toString
@@ -271,6 +256,37 @@ class RetrievalSpec extends SparkTestBase {
     assert(cPostings.where($"doc_id" === 1L && $"term" === "delta").count() == 0,
       "re-added doc's OLD postings must not survive compaction")
     assert(ranks(Retrieval.searchTopKIndexed(spark, c, "doc_id", q, k = 5)) == directUpd)
+  }
+
+  test("maintenance chains survive a relative base index path: carried references qualify") {
+    // a base index built at a RELATIVE path, then chained to an
+    // absolute out root: the new manifest must reference the base
+    // segments/tombstones FULLY QUALIFIED — written verbatim-relative,
+    // a reader would re-anchor them at the NEW root and crash (or
+    // silently read a wrong directory)
+    def rm(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    val relBase = "target/retrieval-spec-relbase"
+    rm(java.nio.file.Paths.get(relBase))
+    val out = java.nio.file.Files.createTempDirectory("retrieval-rel-out").toString
+    val out2 = java.nio.file.Files.createTempDirectory("retrieval-rel-out2").toString
+    Retrieval.buildIndex(docs.where($"doc_id" < 3), "doc_id", "text", relBase)
+    Retrieval.updateIndex(spark, relBase, docs.where($"doc_id" >= 3), "doc_id", "text", out)
+    val q = Seq("rare", "common", "gamma")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ranks(Retrieval.searchTopKIndexed(spark, out, "doc_id", q, k = 5))
+      == ranks(Retrieval.searchTopK(docs, "doc_id", "text", q, k = 5)),
+      "chained index with a relative base must serve the full corpus")
+    // and a SECOND-generation operation from the absolute root still
+    // resolves the (once-relative) base segments
+    Retrieval.deleteFromIndex(spark, out, Seq(0L).toDF("doc_id"), "doc_id", out2)
+    assert(ranks(Retrieval.searchTopKIndexed(spark, out2, "doc_id", q, k = 5))
+      == ranks(Retrieval.searchTopK(docs.where($"doc_id" =!= 0L), "doc_id", "text", q, k = 5)),
+      "second-generation delete over the once-relative base diverged")
   }
 
   test("indexInfo reports metadata-derived masses; needsCompaction triggers on segments or masked share") {

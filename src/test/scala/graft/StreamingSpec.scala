@@ -264,7 +264,8 @@ class StreamingSpec extends SparkTestBase {
       (1L, ts("2024-01-01 00:00:00"), Array(0.9f, 0.1f, 0f, 0f)),    // exact copy of 100
       (2L, ts("2024-01-01 00:05:00"), Array(0.88f, 0.12f, 0f, 0f)),  // near copy
       (3L, ts("2024-01-01 00:10:00"), Array(0.05f, 0.04f, 1f, 0f)),  // same cell, low cosine
-      (4L, ts("2024-01-01 00:15:00"), Array.empty[Float]))           // sentinel -> null vec
+      (4L, ts("2024-01-01 00:15:00"), Array.empty[Float]),           // sentinel -> null vec
+      (5L, ts("2024-01-01 00:20:00"), Array(0f, 0f, 0f, 0f)))        // zero norm: NULL cosine
     val input = MemoryStream[(Long, Timestamp, Array[Float])]
     val incoming = input.toDF().toDF("vec_id", "ts", "embedding")
       .select($"vec_id", $"ts",
@@ -303,6 +304,10 @@ class StreamingSpec extends SparkTestBase {
     assert(got(1L) == ((1, 100L)), s"exact copy not flagged to the min corpus id: $got")
     assert(got(2L)._1 == 1, s"near copy not flagged: $got")
     assert(got(3L)._1 == 0 && got(4L)._1 == 0, s"low-cosine/null vectors must be admitted: $got")
+    // zero-norm vector: cosine is NULL (divide by zero) — the verdict
+    // must still be the contracted 0, never NULL, matching the batch
+    // tier where a NULL cosine survives no threshold filter
+    assert(got(5L) == ((0, -1L)), s"zero-norm vector must be admitted with a 0/1 verdict: $got")
   }
 
   test("dedupNearSignature drops signature-equal docs, keeps distinct and short ones") {
