@@ -4431,8 +4431,8 @@ object SparkEntry {
                 (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS n_docs_masked,
                 (SELECT count(*) FROM d) + (SELECT count(*) FROM d WHERE doc_id % 14 = 0)
                   - (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS n_docs_live,
-                (SELECT coalesce(sum(dl), 0) FROM d WHERE doc_id % 7 <> 0)
-                  + (SELECT coalesce(sum(dl + 1), 0) FROM d WHERE doc_id % 14 = 0) AS total_len_live""",
+                CAST((SELECT coalesce(sum(dl), 0) FROM d WHERE doc_id % 7 <> 0)
+                  + (SELECT coalesce(sum(dl + 1), 0) FROM d WHERE doc_id % 14 = 0) AS BIGINT) AS total_len_live""",
     "retrieval_index_deleted" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
          corpus AS (

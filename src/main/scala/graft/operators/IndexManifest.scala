@@ -28,6 +28,104 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object IndexManifest {
 
+  /** One loaded manifest: everything a serve call needs to know about
+    * an index generation, in memory. `segments` / `tombstones` are
+    * already resolved to full paths against the manifest's root.
+    */
+  final case class Handle(
+      version: Int, flavor: String, segments: Seq[String], tombstones: Seq[String])
+
+  /** Memoized [[Handle]] per index path. A cold serve call used to pay
+    * 3–4 driver-blocking one-row parquet jobs (presence + version +
+    * segments + tombstones) on EVERY invocation — fixed, corpus-size-
+    * independent overhead, but real per-call latency for an online
+    * serve path. The cache collapses that to ONE parquet read on first
+    * touch and a pure filesystem METADATA listing afterwards: entries
+    * are keyed by the path's qualified URI and fingerprinted by the
+    * manifest directory's file listing (name+length+mtime). Every
+    * republish rewrites the manifest with fresh part-file UUIDs, so
+    * the fingerprint ALWAYS changes when a new generation lands and a
+    * stale handle can never be served — the staleness check is the
+    * listing compare, not a TTL. Bounded: one tiny Handle per distinct
+    * index path touched by the JVM.
+    */
+  private val handleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Handle)]()
+
+  private def manifestDir(
+      spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The manifest directory's identity on disk, or None when absent.
+    * Directory mtimes alone are too coarse to trust across filesystems;
+    * the per-file (name, length, mtime) triple is not — Spark writes
+    * every commit under a fresh part-file UUID, so two generations can
+    * never collide.
+    */
+  private def fingerprint(
+      spark: SparkSession, path: String): Option[String] = {
+    val (fs, p) = manifestDir(spark, path)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n"))
+  }
+
+  private def cacheKey(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  /** The loaded-and-current [[Handle]] for the index at `path`; fails
+    * loudly (the [[requirePresent]] message) when no manifest exists.
+    * All read-side helpers below route through here, so a serve entry
+    * point that checks presence + version + flavor and lists segments
+    * + tombstones costs one cached lookup, not four driver jobs.
+    */
+  def handle(spark: SparkSession, path: String, what: String = "segmented"): Handle = {
+    val fp = fingerprint(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: no complete $what index at $path: manifest missing " +
+        "(build interrupted or never run)"))
+    val key = cacheKey(spark, path)
+    val cached = handleCache.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val row = spark.read.parquet(s"$path/manifest").head()
+      def seqCol(name: String): Seq[String] =
+        if (!row.schema.fieldNames.contains(name)) Seq.empty
+        else row.getSeq[String](row.fieldIndex(name))
+      val h = Handle(
+        version = row.getInt(row.fieldIndex("format_version")),
+        flavor =
+          if (row.schema.fieldNames.contains("flavor"))
+            row.getString(row.fieldIndex("flavor"))
+          else "",
+        segments = seqCol("segments").map(resolve(path, _)),
+        tombstones = seqCol("tombstones").map(resolve(path, _)))
+      // Segments/tombstones carried BY REFERENCE mean this index
+      // depends on every ancestor root staying alive; if a retired
+      // base root was deleted, fail here with the manifest-level
+      // refusal the format promises, not a raw missing-parquet error
+      // deep inside a serve plan. Runs only on (re)load, never on a
+      // cached lookup.
+      (h.segments ++ h.tombstones).foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        require(dp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp),
+          s"$what index at $path references $d, which no longer exists — a base " +
+            "generation this index carries by reference was deleted; rebuild the " +
+            "index, or compactIndex before retiring base roots")
+      }
+      handleCache.put(key, (fp, h))
+      h
+    }
+  }
+
+  private def invalidate(spark: SparkSession, path: String): Unit =
+    handleCache.remove(cacheKey(spark, path))
+
   /** `flavor` names the encode variant when an index family has more
     * than one (e.g. direct vs residual PQ codes) — it is part of the
     * index identity, so maintenance paths validate it via
@@ -42,12 +140,14 @@ private[operators] object IndexManifest {
     */
   def write(
       spark: SparkSession, path: String, version: Int = 1, flavor: String = "",
-      segments: Seq[String] = Seq.empty, tombstones: Seq[String] = Seq.empty): Unit =
+      segments: Seq[String] = Seq.empty, tombstones: Seq[String] = Seq.empty): Unit = {
     spark.range(1).select(
         lit(version).as("format_version"), lit(flavor).as("flavor"),
         typedLit(segments).as("segments"),
         typedLit(tombstones).as("tombstones"))
       .write.mode("overwrite").parquet(s"$path/manifest")
+    invalidate(spark, path)
+  }
 
   /** The manifest's segment list resolved to full paths: relative
     * entries anchor at `path` (the manifest's own root), absolute ones
@@ -56,19 +156,14 @@ private[operators] object IndexManifest {
     * segments without copying a byte of them.
     */
   def segmentPaths(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(s"$path/manifest")
-      .select("segments").head().getSeq[String](0)
-      .map(resolve(path, _))
+    handle(spark, path).segments
 
   /** The manifest's tombstone-directory list, resolved like
     * [[segmentPaths]]. Reads the column defensively: a manifest
     * written before deletes existed simply has none.
     */
-  def tombstonePaths(spark: SparkSession, path: String): Seq[String] = {
-    val m = spark.read.parquet(s"$path/manifest")
-    if (!m.columns.contains("tombstones")) Seq.empty
-    else m.select("tombstones").head().getSeq[String](0).map(resolve(path, _))
-  }
+  def tombstonePaths(spark: SparkSession, path: String): Seq[String] =
+    handle(spark, path).tombstones
 
   def resolve(root: String, entry: String): String =
     if (new org.apache.hadoop.fs.Path(entry).isAbsolute) entry else s"$root/$entry"
@@ -153,9 +248,9 @@ private[operators] object IndexManifest {
   }
 
   def clear(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, p) = manifestDir(spark, path)
     if (fs.exists(p)) fs.delete(p, true)
+    invalidate(spark, path)
   }
 
   /** Fails loudly when no complete index sits at `path`, or when the
@@ -167,16 +262,11 @@ private[operators] object IndexManifest {
     */
   def requirePresent(
       spark: SparkSession, path: String, what: String, minVersion: Int = 1): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no complete $what index at $path: manifest missing (build interrupted or never run)")
+    val h = handle(spark, path, what)
     if (minVersion > 1) {
-      val v = spark.read.parquet(s"$path/manifest")
-        .select("format_version").head().getInt(0)
-      require(v >= minVersion,
-        s"$what index at $path is format version $v but this operation needs >= $minVersion " +
-          "— rebuild the index with the current builder")
+      require(h.version >= minVersion,
+        s"$what index at $path is format version ${h.version} but this operation needs " +
+          s">= $minVersion — rebuild the index with the current builder")
     }
   }
 
@@ -187,7 +277,7 @@ private[operators] object IndexManifest {
     */
   def requireFlavor(
       spark: SparkSession, path: String, what: String, expected: String): Unit = {
-    val f = spark.read.parquet(s"$path/manifest").select("flavor").head().getString(0)
+    val f = handle(spark, path, what).flavor
     require(f == expected,
       s"$what index at $path was built with encode flavor '$f' but this operation " +
         s"expects '$expected' — the flavor is part of the index identity; " +

@@ -449,13 +449,20 @@ object Retrieval {
     requireManifest(spark, indexPath)
     val segs = IndexManifest.segmentPaths(spark, indexPath)
     val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    // coalesce: a listed segment whose stats parquet exists but is
+    // EMPTY (partial write predating the crash-consistency manifest,
+    // or external truncation) must degrade this metadata surface to
+    // zeros, not surface a null that NPEs the scheduler probe in
+    // [[needsCompaction]].
     val total = segTable(spark, segs, "stats")
-      .agg(sum("n_docs").as("n_docs_indexed"), sum("total_len").as("len_indexed"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs_indexed"),
+        coalesce(sum("total_len"), lit(0L)).as("len_indexed"))
     val masked =
       if (tsPaths.isEmpty)
         spark.range(1).select(lit(0L).as("n_docs_masked"), lit(0L).as("len_masked"))
       else spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
-        .agg(sum("n_docs").as("n_docs_masked"), sum("total_len").as("len_masked"))
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs_masked"),
+          coalesce(sum("total_len"), lit(0L)).as("len_masked"))
     total.crossJoin(broadcast(masked)).select(
       lit(segs.size).as("n_segments"),
       lit(tsPaths.size).as("n_tombstone_gens"),

@@ -341,9 +341,13 @@ object Stats {
     * drift target (perplexity, a quality score) scaled by `factor` and
     * rounded HALF_UP to a long — the sanctioned escape hatch from
     * [[requireIntegral]]'s refusal. The caller owns the factor (1000 =
-    * three decimals survive) and the finiteness of the input:
-    * NaN/Infinity are upstream data bugs and surface as the cast's
-    * overflow semantics, not silently as zeros. Deliberately a
+    * three decimals survive); NaN/Infinity are upstream data bugs and
+    * FAIL here explicitly (raise_error), in every cast mode — under
+    * legacy (non-ANSI) casting NaN→long silently yields 0 and
+    * Infinity saturates, exactly the silent-zero corruption a drift
+    * metric must never absorb, so the guard cannot be left to the
+    * session's ANSI flag. NULL passes through as NULL (absent, not
+    * broken). Deliberately a
     * COLUMN helper, not an operator option — the encoding choice must
     * be visible at the call site where the grid [lo, hi) is chosen,
     * because the two must agree (PSI over values scaled by 1000 needs
@@ -351,7 +355,11 @@ object Stats {
     */
   def scaleToLong(c: Column, factor: Long): Column = {
     require(factor > 0, s"scaleToLong: factor must be positive, got $factor")
-    round(c * factor, 0).cast("long")
+    val d = c.cast("double")
+    when(isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
+        raise_error(concat(lit("scaleToLong: non-finite input "), d.cast("string"),
+          lit(" — fix the upstream metric; a drift grid cannot encode NaN/Infinity"))))
+      .otherwise(round(c * factor, 0).cast("long"))
   }
 
   /** Per-document diff between two corpus snapshots by content

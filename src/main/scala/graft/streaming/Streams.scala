@@ -311,10 +311,17 @@ object Streams {
   ): DataFrame = {
     require(cents.nonEmpty, "annAdmission: empty centroid set")
     import graft.operators.Similarity.{assignCell, dot, l2Norm}
+    // the corpus side gets the SAME null-vector guard as the stream
+    // side below: an unguarded assignCell on a NULL vector would land
+    // in whatever cell the argmin's null-score struct sort surfaces,
+    // and those junk rows would then join every probe in that cell
+    // (verdicts stay correct — NULL denom coalesces to false — but
+    // the join fans out for nothing). A null cell never matches.
     val corpusCells = corpus.select(
       col(corpusIdCol).as("graft_cid"), col(corpusVecCol).as("graft_cvec"),
       l2Norm(col(corpusVecCol)).as("graft_cnorm"),
-      assignCell(col(corpusVecCol), cents).as("cell"))
+      when(col(corpusVecCol).isNull, lit(null))
+        .otherwise(assignCell(col(corpusVecCol), cents)).as("cell"))
     val probes = incoming
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), col(vecCol).as("graft_vec"),

@@ -316,6 +316,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(!Retrieval.needsCompaction(spark, d1), "two segments are fine by default")
   }
 
+  test("indexInfo degrades an EMPTY stats table to zeros; needsCompaction stays poll-safe") {
+    // a listed segment whose stats parquet exists but holds zero rows
+    // (partial write predating the manifest protocol, or external
+    // truncation) must read as zero mass, not surface a null that
+    // NPEs the scheduler's compaction probe
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-info-empty").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val statsPath = s"$dir/segments/seg-00000/stats"
+    spark.read.parquet(statsPath).limit(0)
+      .write.mode("overwrite").parquet(s"$statsPath.tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$statsPath.tmp"),
+      new org.apache.hadoop.fs.Path(statsPath))
+    val r = Retrieval.indexInfo(spark, dir).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((0L, 0L, 0L, 0L)),
+      s"truncated stats must degrade to zeros: $r")
+    assert(!Retrieval.needsCompaction(spark, dir),
+      "zero indexed docs must not NPE or trip the masked-share ratio")
+  }
+
   test("updateIndex refuses an increment that re-submits an indexed doc") {
     val base = java.nio.file.Files.createTempDirectory("retrieval-spec-dup0").toString
     val out = java.nio.file.Files.createTempDirectory("retrieval-spec-dup1").toString

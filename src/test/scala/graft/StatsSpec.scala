@@ -209,6 +209,23 @@ class StatsSpec extends SparkTestBase {
     assert(got(2) == ((0L, 1L)), s"got $got") // 743
     assert(got(3) == ((1L, 1L)), s"got $got") // 931 vs 930
     intercept[IllegalArgumentException] { Stats.scaleToLong(col("score"), 0L): Unit }
+    // non-finite inputs FAIL explicitly in every cast mode — legacy
+    // casting would silently turn NaN into 0L (a phantom low-bin count
+    // in the drift grid) and saturate Infinity; neither may pass
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val e = intercept[Exception] {
+        Seq(0.5, bad).toDF("score")
+          .select(Stats.scaleToLong(col("score"), 1000L)).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("non-finite")),
+        s"$bad must raise the scaleToLong guard, got: $msgs")
+    }
+    // NULL is absent-not-broken and passes through as NULL
+    val nullRow = Seq(Some(0.25), None).toDF("score")
+      .select(Stats.scaleToLong(col("score"), 100L).as("v")).collect()
+    assert(nullRow.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq == Seq(-1L, 25L))
   }
 
   test("snapshotDiff labels added/removed/changed/unchanged; null text never reads changed") {

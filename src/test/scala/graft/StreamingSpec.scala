@@ -259,7 +259,12 @@ class StreamingSpec extends SparkTestBase {
       (100L, Array(0.9f, 0.1f, 0f, 0f)),    // cell 0
       (101L, Array(0.9f, 0.11f, 0f, 0f)),   // cell 0, near-identical to 100
       (102L, Array(0f, 1f, 0f, 0f)))        // cell 1
-    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // plus a NULL-vector corpus row: it must assign NO cell (the
+    // corpus-side mirror of the stream guard) — it can never match,
+    // and it must not fan junk candidate rows into any probed cell
+    val corpus = (corpusRows.map { case (id, v) => (id, Option(v)) } :+
+        ((103L, Option.empty[Array[Float]])))
+      .toDF("vec_id", "embedding")
     val incomingRows = Seq(
       (1L, ts("2024-01-01 00:00:00"), Array(0.9f, 0.1f, 0f, 0f)),    // exact copy of 100
       (2L, ts("2024-01-01 00:05:00"), Array(0.88f, 0.12f, 0f, 0f)),  // near copy
@@ -287,8 +292,8 @@ class StreamingSpec extends SparkTestBase {
     // batch differential: the SAME question asked of the batch tier —
     // semanticDuplicatePairs over incoming ∪ corpus, restricted to
     // (incoming, corpus) pairs, reduced the same way
-    val allVecs = incomingRows.map { case (id, _, v) =>
-      (id, if (v.isEmpty) null else v) } ++ corpusRows
+    val allVecs = (incomingRows.map { case (id, _, v) =>
+      (id, if (v.isEmpty) null else v) } ++ corpusRows) :+ ((103L, null: Array[Float]))
     val pairs = graft.operators.Similarity.semanticDuplicatePairs(
         allVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cents, thresholdPct = 95)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
