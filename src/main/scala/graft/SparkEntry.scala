@@ -2632,6 +2632,15 @@ object SparkEntry {
           min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
             .cast("bigint").as("identical"))
     }),
+    "ann_index_info" -> ((s, dir) =>
+      // the metadata-only ops surface over the vector delete-chain
+      // index (the retrieval_index_info twin): segment/tombstone-
+      // generation counts and flavor from the manifest, vector masses
+      // from the per-segment stats + per-delete tsstats one-row tables
+      // — never a codes scan. The oracle derives every number from the
+      // chain's construction rule (full build + %7 deletes + %14
+      // re-embeds), value-grading the delete-time tsstats bookkeeping.
+      Similarity.pqIndexInfo(s, deletedAnnIndex(s, dir).path)),
     "ann_index_compacted" -> ((s, dir) => {
       // COMPACTION: the segmented (80% base build + 20% delta segment)
       // index merged back into ONE self-contained segment by
@@ -4422,6 +4431,16 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
+    "ann_index_info" ->
+      """SELECT CAST(2 AS INTEGER) AS n_segments,
+                CAST(1 AS INTEGER) AS n_tombstone_gens,
+                'pq-direct' AS flavor,
+                CAST((SELECT count(*) FROM embeddings)
+                  + (SELECT count(*) FROM embeddings WHERE vec_id % 14 = 0) AS BIGINT) AS n_vecs_indexed,
+                CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS BIGINT) AS n_vecs_masked,
+                CAST((SELECT count(*) FROM embeddings)
+                  + (SELECT count(*) FROM embeddings WHERE vec_id % 14 = 0)
+                  - (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS BIGINT) AS n_vecs_live""",
     "retrieval_index_info" ->
       """WITH d AS (SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS dl
                     FROM documents WHERE text IS NOT NULL)
@@ -5517,8 +5536,9 @@ object SparkEntry {
     // compacted single-segment re-home
     "ann_index_update", "ann_index_compacted",
     // serve after tombstone deletes + a re-embed (the sequenced-mask
-    // read path billed against the memoized delete chain)
-    "ann_index_deleted",
+    // read path billed against the memoized delete chain), plus the
+    // metadata-only ops poll over the same chain
+    "ann_index_deleted", "ann_index_info",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",

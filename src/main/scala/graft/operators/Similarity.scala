@@ -640,19 +640,32 @@ object Similarity {
       else pqIndex(candidates, idCol, vecCol, coarseCents, codebooks)
     val seg = "segments/seg-00000"
     encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/$seg/vectors")
+    writeSegStats(spark, s"$path/$seg")
     IndexManifest.write(spark, path, version = PqFormatVersion,
       flavor = pqFlavor(residual), segments = Seq(seg))
   }
 
+  /** One-row `stats` table beside a segment's vectors (n_vecs) — the
+    * metadata [[pqIndexInfo]] sums so an operational poll never scans
+    * the codes. Counted from the just-written parquet: a count(*)
+    * over parquet resolves from file footers, so the extra job reads
+    * no vector bytes.
+    */
+  private def writeSegStats(spark: SparkSession, segPath: String): Unit =
+    spark.read.parquet(s"$segPath/vectors")
+      .agg(count(lit(1)).as("n_vecs"))
+      .write.mode("overwrite").parquet(s"$segPath/stats")
+
   private def pqFlavor(residual: Boolean): String =
     if (residual) "pq-residual" else "pq-direct"
 
-  /** Format version 2 = segmented layout (the manifest carries the
-    * segment list). Serve and maintenance paths require it, so an
-    * index published by a pre-segment build answers "rebuild" instead
-    * of a missing-parquet crash.
+  /** Format version 3 = segmented layout WITH per-segment `stats` and
+    * per-tombstone `tsstats` one-row tables (the [[Retrieval]] index's
+    * metadata stance, mirrored). Serve and maintenance paths require
+    * it, so an index published by an older build answers "rebuild"
+    * instead of a missing-parquet crash.
     */
-  private val PqFormatVersion = 2
+  private val PqFormatVersion = 3
 
   /** Read back a [[writePqIndex]]-published index — the UNION of every
     * segment the manifest lists, validated first: serving from a
@@ -720,10 +733,8 @@ object Similarity {
       "deleteFromPqIndex: outPath must differ from indexPath (the base index keeps serving, " +
         "and its segments are referenced in place by the new manifest)")
     val live = readPqIndex(spark, indexPath)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
-    val flavor = spark.read.parquet(s"$indexPath/manifest")
-      .select("flavor").head().getString(0)
+    val base = IndexManifest.handle(spark, indexPath, "IVF-PQ")
+    val (segs, baseTs, flavor) = (base.segments, base.tombstones, base.flavor)
     val ids = deletes.select(col(idCol).as("neighbor_id"))
       .where(col("neighbor_id").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -738,6 +749,10 @@ object Similarity {
       IndexManifest.clear(spark, outPath)
       ids.withColumn("up_to", lit(segs.size))
         .write.mode("overwrite").parquet(s"$outPath/$ts/ids")
+      // one-row tsstats: the masked-vector mass this generation adds,
+      // so pqIndexInfo's masked count stays a metadata read
+      ids.agg(count(lit(1)).as("n_vecs"))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/tsstats")
       IndexManifest.write(spark, outPath, version = PqFormatVersion,
         flavor = flavor, segments = IndexManifest.qualify(spark, segs),
         tombstones = IndexManifest.qualify(spark, baseTs) :+ ts)
@@ -824,6 +839,7 @@ object Similarity {
       val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       IndexManifest.clear(spark, outPath)
       inc.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
+      writeSegStats(spark, s"$outPath/$seg")
       // the merged index must carry the SAME flavor the base recorded,
       // or the next generation's requireFlavor refuses both flags and
       // the daily-delta chain dies after one update
@@ -854,31 +870,46 @@ object Similarity {
     require(outPath != indexPath,
       "compactPqIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
     val all = readPqIndex(spark, indexPath)
-    val flavor = spark.read.parquet(s"$indexPath/manifest")
-      .select("flavor").head().getString(0)
+    val flavor = IndexManifest.handle(spark, indexPath, "IVF-PQ").flavor
     val seg = "segments/seg-00000"
     IndexManifest.clear(spark, outPath)
     all.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
+    writeSegStats(spark, s"$outPath/$seg")
     IndexManifest.write(spark, outPath, version = PqFormatVersion,
       flavor = flavor, segments = Seq(seg))
   }
 
-  /** One-row operational summary of a segmented IVF-PQ index —
-    * (n_segments, n_tombstone_gens, flavor), all from the manifest:
-    * metadata-only, safe to poll from a compaction scheduler. The PQ
-    * layout keeps no per-segment stats table (ADC serve needs none),
-    * so live-vector counts cost a [[readPqIndex]] count — deliberate:
-    * a scheduler compacts on segment/tombstone-generation growth, not
-    * on row counts.
+  /** One-row operational summary of a segmented IVF-PQ index — the
+    * [[Retrieval.indexInfo]] twin: (n_segments, n_tombstone_gens,
+    * flavor, n_vecs_indexed, n_vecs_masked, n_vecs_live). Everything
+    * derives from the manifest lists plus the per-segment one-row
+    * `stats` and per-tombstone one-row `tsstats` tables — a few KB of
+    * metadata reads, NEVER a codes scan, so it is safe to poll from a
+    * scheduler deciding when to compact. Masked means tombstoned rows
+    * still occupying segment bytes; live = indexed - masked (a
+    * re-embedded vector counts once in its new segment and once as
+    * masked debt in its old one, exactly the disk reality compaction
+    * collects). Empty stats tables coalesce to zeros — a truncated
+    * segment must degrade the poll, not NPE it.
     */
   def pqIndexInfo(spark: SparkSession, indexPath: String): DataFrame = {
     IndexManifest.requirePresent(spark, indexPath, "IVF-PQ", PqFormatVersion)
     val segs = IndexManifest.segmentPaths(spark, indexPath)
     val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
-    spark.read.parquet(s"$indexPath/manifest").select(
+    val flavor = IndexManifest.handle(spark, indexPath, "IVF-PQ").flavor
+    val total = spark.read.parquet(segs.map(s => s"$s/stats"): _*)
+      .agg(coalesce(sum("n_vecs"), lit(0L)).as("n_vecs_indexed"))
+    val masked =
+      if (tsPaths.isEmpty) spark.range(1).select(lit(0L).as("n_vecs_masked"))
+      else spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+        .agg(coalesce(sum("n_vecs"), lit(0L)).as("n_vecs_masked"))
+    total.crossJoin(broadcast(masked)).select(
       lit(segs.size).as("n_segments"),
       lit(tsPaths.size).as("n_tombstone_gens"),
-      col("flavor"))
+      lit(flavor).as("flavor"),
+      col("n_vecs_indexed"),
+      col("n_vecs_masked"),
+      (col("n_vecs_indexed") - col("n_vecs_masked")).as("n_vecs_live"))
   }
 
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded

@@ -889,6 +889,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows(Similarity.readPqIndex(spark, s"$root/g2"))
       == rows(Similarity.pqIndex(afterReadd, "vec_id", "embedding", coarse, cb)),
       "re-embedded vector must serve its new row, others stay masked")
+    // the metadata-only ops surface tracks the chain: per-segment stats
+    // and per-delete tsstats, never a codes scan. indexed counts the
+    // re-embedded row's old (masked) AND new copy — the disk reality
+    // compaction collects.
+    val n = emb.count()
+    def info(p: String) = {
+      val r = Similarity.pqIndexInfo(spark, p).head()
+      (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    assert(info(s"$root/g1") == ((1, 1, "pq-direct", n, 3L, n - 3L)), s"g1: ${info(s"$root/g1")}")
+    assert(info(s"$root/g2") == ((2, 1, "pq-direct", n + 1L, 3L, n - 2L)), s"g2: ${info(s"$root/g2")}")
     // compaction pays the delete debt physically: one segment, no
     // tombstones, exactly the live rows on disk
     Similarity.compactPqIndex(spark, s"$root/g2", s"$root/c")
@@ -898,6 +909,8 @@ class DedupSimilaritySpec extends SparkTestBase {
       == afterReadd.count())
     assert(rows(Similarity.readPqIndex(spark, s"$root/c"))
       == rows(Similarity.pqIndex(afterReadd, "vec_id", "embedding", coarse, cb)))
+    assert(info(s"$root/c") == ((1, 0, "pq-direct", n - 2L, 0L, n - 2L)),
+      s"compaction must clear the masked debt: ${info(s"$root/c")}")
   }
 
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
