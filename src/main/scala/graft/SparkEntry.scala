@@ -471,6 +471,49 @@ object SparkEntry {
       DeletedAnnIndex(upd, scratch, coarse, cb)
     })
 
+  /** Per-corpus memoized AUTO-MAINTAINED BM25 index: the
+    * [[deletedBm25Index]] transformation (delete every seventh doc,
+    * re-add every fourteenth refreshed) run through ONE
+    * `Retrieval.maintainIndex` round whose maxSegments = 1 policy is
+    * guaranteed to trip — so the returned root is the auto-compacted
+    * re-home, value-grading the scheduler entry point end to end.
+    */
+  private val bm25MaintainedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintainedBm25Index(s: SparkSession, dir: String): String =
+    bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val full = java.nio.file.Files.createTempDirectory("graft-bm25-mfull").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-bm25-mout").toString
+      Retrieval.buildIndex(docs, "doc_id", "text", full)
+      Retrieval.maintainIndex(s, full,
+        deletes = Some(docs.where(col("doc_id") % 7 === 0 && col("text").isNotNull)
+          .select("doc_id")),
+        increment = Some(docs.where(col("doc_id") % 14 === 0 && col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))),
+        "doc_id", "text", out, maxSegments = 1)
+    })
+
+  /** Per-corpus memoized AUTO-MAINTAINED IVF-PQ index — the vector
+    * twin of [[maintainedBm25Index]]: the [[deletedAnnIndex]]
+    * transformation run through one `Similarity.maintainPqIndex` round
+    * under the SAME frozen models, with a maxSegments = 1 policy that
+    * trips, so the serve root is the auto-compacted re-home and the
+    * equality oracle can reuse deletedAnnIndex's scratch encode.
+    */
+  private val annMaintainedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintainedAnnIndex(s: SparkSession, dir: String): String =
+    annMaintainedIndexCache.computeIfAbsent(dir, _ => {
+      val didx = deletedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val full = java.nio.file.Files.createTempDirectory("graft-ann-mfull").resolve("pqindex").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-ann-mout").resolve("pqindex").toString
+      Similarity.writePqIndex(emb, "vec_id", "embedding", didx.coarse, didx.cb, full)
+      Similarity.maintainPqIndex(s, full,
+        deletes = Some(emb.where(col("vec_id") % 7 === 0).select("vec_id")),
+        increment = Some(emb.where(col("vec_id") % 14 === 0)),
+        "vec_id", "embedding", didx.coarse, didx.cb, out, maxSegments = 1)
+    })
+
   /** Integer-cents of a 2-decimal double column (order-independent sums). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -2288,6 +2331,22 @@ object SparkEntry {
       // refreshed re-adds), so the delete-time tsstats bookkeeping is
       // value-graded too.
       Retrieval.indexInfo(s, deletedBm25Index(s, dir))),
+    "retrieval_index_maintained" -> ((s, dir) => {
+      // the AUTO-MAINTENANCE entry point: one maintainIndex round
+      // (deletes + increment + a maxSegments=1 policy that trips into
+      // compaction) must serve the standard query IDENTICALLY to the
+      // direct path over the post-maintenance corpus — the same oracle
+      // arithmetic as retrieval_index_deleted — and the `compacted`
+      // flag proves the policy actually fired (one segment, zero
+      // tombstone generations on the served root).
+      val path = maintainedBm25Index(s, dir)
+      val serve = Retrieval.searchTopKIndexed(s, path, "doc_id",
+        Seq("spark", "fast", "join"), k = 10)
+      val compacted = Retrieval.indexInfo(s, path).select(
+        (col("n_segments") === 1 && col("n_tombstone_gens") === 0)
+          .cast("bigint").as("compacted"))
+      serve.crossJoin(broadcast(compacted))
+    }),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
       // ONE term-pruned postings scan (the union of all query terms
@@ -2641,6 +2700,34 @@ object SparkEntry {
       // chain's construction rule (full build + %7 deletes + %14
       // re-embeds), value-grading the delete-time tsstats bookkeeping.
       Similarity.pqIndexInfo(s, deletedAnnIndex(s, dir).path)),
+    "ann_index_maintained" -> ((s, dir) => {
+      // the vector-tier auto-maintenance entry point: one
+      // maintainPqIndex round (deletes + re-embeds + a tripping
+      // policy) must serve neighbor-for-neighbor like a from-scratch
+      // encode of the live set under the same frozen models, and the
+      // `compacted` flag proves the policy fired on the served root.
+      val didx = deletedAnnIndex(s, dir)
+      val path = maintainedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromMaintained = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, path),
+        "vec_id", "embedding", k = 5, didx.coarse, nprobe = 4, didx.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, didx.scratchPath),
+        "vec_id", "embedding", k = 5, didx.coarse, nprobe = 4, didx.cb)
+      val compacted = Similarity.pqIndexInfo(s, path).select(
+        (col("n_segments") === 1 && col("n_tombstone_gens") === 0)
+          .cast("bigint").as("compacted"))
+      fromMaintained.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
+        .crossJoin(broadcast(compacted))
+    }),
     "ann_index_compacted" -> ((s, dir) => {
       // COMPACTION: the segmented (80% base build + 20% delta segment)
       // index merged back into ONE self-contained segment by
@@ -4431,6 +4518,10 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
+    "ann_index_maintained" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical, CAST(1 AS BIGINT) AS compacted
+         FROM embeddings WHERE vec_id < 20""",
     "ann_index_info" ->
       """SELECT CAST(2 AS INTEGER) AS n_segments,
                 CAST(1 AS INTEGER) AS n_tombstone_gens,
@@ -4476,6 +4567,36 @@ object SparkEntry {
            FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
          w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
          SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
+         WHERE rk <= 10""",
+    "retrieval_index_maintained" ->
+      // the same post-maintenance corpus arithmetic as
+      // retrieval_index_deleted (the maintainIndex round applies the
+      // identical delete + refreshed re-add set), plus the compaction
+      // proof flag
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' refreshed' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 14 = 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score, CAST(1 AS BIGINT) AS compacted FROM (
            SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
          WHERE rk <= 10""",
     "ann_serve_reranked" ->
@@ -5539,6 +5660,9 @@ object SparkEntry {
     // read path billed against the memoized delete chain), plus the
     // metadata-only ops poll over the same chain
     "ann_index_deleted", "ann_index_info",
+    // one auto-maintenance round (delete + re-embed + tripped policy
+    // -> compaction) billed against the memoized chain
+    "ann_index_maintained",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",
@@ -5581,7 +5705,7 @@ object SparkEntry {
     // from its compacted re-home, and the multi-query batch serve (one
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
-    "retrieval_index_info", "retrieval_batch_serve",
+    "retrieval_index_info", "retrieval_index_maintained", "retrieval_batch_serve",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",

@@ -491,6 +491,53 @@ object Retrieval {
       (indexed > 0L && r.getAs[Long]("n_docs_masked").toDouble / indexed > maxMaskedRatio)
   }
 
+  /** ONE maintenance round as a single documented entry point — the
+    * scheduler loop every index owner otherwise hand-rolls: apply this
+    * round's deletes (if any), merge this round's new-document
+    * increment (if any), then poll [[needsCompaction]] with the given
+    * policy and run [[compactIndex]] if it trips. Returns the path to
+    * SERVE from after the round — `outRoot/deleted`, `outRoot/updated`
+    * or `outRoot/compacted`, whichever ran last (each step publishes a
+    * full manifest, so every intermediate root is also a valid index —
+    * the crash story is unchanged: a failure mid-round leaves the last
+    * published generation serving).
+    *
+    * Cost shape: the delete and update steps stay O(delta) exactly as
+    * their underlying ops; only a tripped policy pays the explicit
+    * O(corpus) compaction — which is the point of routing maintenance
+    * through one place: the policy decides when the debt is paid, not
+    * caller discipline. A no-op round (no deletes, no increment,
+    * policy quiet) returns `indexPath` unchanged. The IVF-PQ twin is
+    * [[Similarity.maintainPqIndex]].
+    */
+  def maintainIndex(
+      spark: SparkSession,
+      indexPath: String,
+      deletes: Option[DataFrame],
+      increment: Option[DataFrame],
+      idCol: String,
+      textCol: String,
+      outRoot: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2): String = {
+    require(outRoot != indexPath,
+      "maintainIndex: outRoot must differ from indexPath (steps publish under it)")
+    var cur = indexPath
+    deletes.foreach { d =>
+      deleteFromIndex(spark, cur, d, idCol, s"$outRoot/deleted")
+      cur = s"$outRoot/deleted"
+    }
+    increment.foreach { inc =>
+      updateIndex(spark, cur, inc, idCol, textCol, s"$outRoot/updated")
+      cur = s"$outRoot/updated"
+    }
+    if (needsCompaction(spark, cur, maxSegments, maxMaskedRatio)) {
+      compactIndex(spark, cur, s"$outRoot/compacted")
+      cur = s"$outRoot/compacted"
+    }
+    cur
+  }
+
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All
     * paths — serve and maintenance — require it, so an index

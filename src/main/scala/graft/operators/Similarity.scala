@@ -912,6 +912,69 @@ object Similarity {
       (col("n_vecs_indexed") - col("n_vecs_masked")).as("n_vecs_live"))
   }
 
+  /** The compaction-policy trigger for the IVF-PQ tier, mirroring
+    * [[Retrieval.needsCompaction]]: trips when the segment list grows
+    * past `maxSegments` (each serve pays one more pruned scan per
+    * segment) or the tombstone-masked share of indexed vectors passes
+    * `maxMaskedRatio` (masked codes still occupy disk and flow through
+    * the serve mask until [[compactPqIndex]] pays the debt).
+    * Metadata-only via [[pqIndexInfo]] — poll-safe.
+    */
+  def needsPqCompaction(
+      spark: SparkSession, indexPath: String,
+      maxSegments: Int = 8, maxMaskedRatio: Double = 0.2): Boolean = {
+    require(maxSegments >= 1 && maxMaskedRatio >= 0.0,
+      s"needsPqCompaction: bad thresholds ($maxSegments, $maxMaskedRatio)")
+    val r = pqIndexInfo(spark, indexPath).head()
+    val indexed = r.getAs[Long]("n_vecs_indexed")
+    r.getAs[Int]("n_segments") > maxSegments ||
+      (indexed > 0L && r.getAs[Long]("n_vecs_masked").toDouble / indexed > maxMaskedRatio)
+  }
+
+  /** ONE maintenance round for the IVF-PQ index as a single entry
+    * point — [[Retrieval.maintainIndex]]'s vector twin: apply this
+    * round's deletes (if any), merge this round's new-vector increment
+    * (encoded against the index's FROZEN models, if any), then poll
+    * [[needsPqCompaction]] and run [[compactPqIndex]] if the policy
+    * trips. Returns the path to SERVE from (`outRoot/deleted`,
+    * `outRoot/updated` or `outRoot/compacted`, whichever ran last);
+    * every intermediate root is a fully-published index, so a crash
+    * mid-round leaves the last committed generation serving. Delete
+    * and update stay O(delta); only a tripped policy pays the explicit
+    * O(corpus) re-home.
+    */
+  def maintainPqIndex(
+      spark: SparkSession,
+      indexPath: String,
+      deletes: Option[DataFrame],
+      increment: Option[DataFrame],
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      outRoot: String,
+      residual: Boolean = false,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2): String = {
+    require(outRoot != indexPath,
+      "maintainPqIndex: outRoot must differ from indexPath (steps publish under it)")
+    var cur = indexPath
+    deletes.foreach { d =>
+      deleteFromPqIndex(spark, cur, d, idCol, s"$outRoot/deleted")
+      cur = s"$outRoot/deleted"
+    }
+    increment.foreach { inc =>
+      updatePqIndex(spark, cur, inc, idCol, vecCol, coarseCents, codebooks,
+        s"$outRoot/updated", residual)
+      cur = s"$outRoot/updated"
+    }
+    if (needsPqCompaction(spark, cur, maxSegments, maxMaskedRatio)) {
+      compactPqIndex(spark, cur, s"$outRoot/compacted")
+      cur = s"$outRoot/compacted"
+    }
+    cur
+  }
+
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse
     * centroid (FAISS `by_residual=true` training). The coarse quantizer

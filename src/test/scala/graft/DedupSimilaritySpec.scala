@@ -913,6 +913,43 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"compaction must clear the masked debt: ${info(s"$root/c")}")
   }
 
+  test("maintainPqIndex runs a round and auto-compacts exactly when the policy trips") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_maint").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, s"$root/base")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    // quiet policy: a delete-only round keeps the O(delta) root
+    val p1 = Similarity.maintainPqIndex(spark, s"$root/base",
+      Some(Seq(5L).toDF("vec_id")), None, "vec_id", "embedding", coarse, cb, s"$root/r1")
+    assert(p1 == s"$root/r1/deleted", p1)
+    assert(rows(Similarity.readPqIndex(spark, p1))
+      == rows(Similarity.pqIndex(emb.where(col("vec_id") =!= 5L),
+        "vec_id", "embedding", coarse, cb)))
+    // tripping policy: delete + re-embed with maxSegments = 1 -> the
+    // update's second segment trips, the served root is the compacted
+    // re-home with the delete debt paid physically
+    val p2 = Similarity.maintainPqIndex(spark, p1,
+      Some(Seq(3L, 7L).toDF("vec_id")), Some(emb.where(col("vec_id") === 3L)),
+      "vec_id", "embedding", coarse, cb, s"$root/r2", maxSegments = 1)
+    assert(p2 == s"$root/r2/compacted", p2)
+    val live = emb.where(!col("vec_id").isin(5L, 7L))
+    assert(rows(Similarity.readPqIndex(spark, p2))
+      == rows(Similarity.pqIndex(live, "vec_id", "embedding", coarse, cb)),
+      "auto-compacted round diverged from the one-pass encode of the live set")
+    val r = Similarity.pqIndexInfo(spark, p2).head()
+    assert((r.getInt(0), r.getInt(1), r.getLong(4)) == ((1, 0, 0L)),
+      s"served root must be one clean segment: $r")
+    // a no-op round serves the same root back
+    assert(Similarity.maintainPqIndex(spark, p2, None, None,
+      "vec_id", "embedding", coarse, cb, s"$root/r3") == p2)
+  }
+
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

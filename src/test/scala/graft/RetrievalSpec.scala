@@ -316,6 +316,46 @@ class RetrievalSpec extends SparkTestBase {
     assert(!Retrieval.needsCompaction(spark, d1), "two segments are fine by default")
   }
 
+  test("maintainIndex chains rounds and auto-compacts exactly when the policy trips") {
+    val base = java.nio.file.Files.createTempDirectory("retrieval-maint-0").toString
+    val r1 = java.nio.file.Files.createTempDirectory("retrieval-maint-1").toString
+    val r2 = java.nio.file.Files.createTempDirectory("retrieval-maint-2").toString
+    val r3 = java.nio.file.Files.createTempDirectory("retrieval-maint-3").toString
+    val r4 = java.nio.file.Files.createTempDirectory("retrieval-maint-4").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", base)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def serveEq(path: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val q = Seq("rare", "alpha", "common")
+      assert(ranks(Retrieval.searchTopKIndexed(spark, path, "doc_id", q, k = 10))
+        == ranks(Retrieval.searchTopK(corpus, "doc_id", "text", q, k = 10)),
+        s"serve from $path diverged from the direct path")
+    }
+    def info(p: String) = {
+      val r = Retrieval.indexInfo(spark, p).head(); (r.getInt(0), r.getInt(1))
+    }
+    // round 1: increment only, quiet policy -> the updated root serves
+    val extra = Seq((9L, "alpha gamma fresh")).toDF("doc_id", "text")
+    val p1 = Retrieval.maintainIndex(spark, base, None, Some(extra), "doc_id", "text", r1)
+    assert(p1 == s"$r1/updated", p1)
+    serveEq(p1, docs.unionByName(extra))
+    // round 2: one delete, tolerant ratio -> masked debt carried, no compaction
+    val p2 = Retrieval.maintainIndex(spark, p1, Some(Seq(1L).toDF("doc_id")), None,
+      "doc_id", "text", r2, maxMaskedRatio = 0.5)
+    assert(p2 == s"$r2/deleted", p2)
+    assert(info(p2) == ((2, 1)), s"round 2 must keep 2 segments + 1 tombstone gen: ${info(p2)}")
+    serveEq(p2, docs.where($"doc_id" =!= 1).unionByName(extra))
+    // round 3: second delete pushes masked share to 2/6 > 0.2 -> compaction
+    // fires, the served root is one self-contained segment with no debt
+    val p3 = Retrieval.maintainIndex(spark, p2, Some(Seq(0L).toDF("doc_id")), None,
+      "doc_id", "text", r3)
+    assert(p3 == s"$r3/compacted", p3)
+    assert(info(p3) == ((1, 0)), s"compaction must clear segments+tombstones: ${info(p3)}")
+    serveEq(p3, docs.where($"doc_id" > 1).unionByName(extra))
+    // a no-op round (nothing to apply, quiet policy) serves the same root
+    assert(Retrieval.maintainIndex(spark, p3, None, None, "doc_id", "text", r4) == p3)
+  }
+
   test("indexInfo degrades an EMPTY stats table to zeros; needsCompaction stays poll-safe") {
     // a listed segment whose stats parquet exists but holds zero rows
     // (partial write predating the manifest protocol, or external
