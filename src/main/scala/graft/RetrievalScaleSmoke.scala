@@ -24,12 +24,44 @@ import graft.operators.Retrieval
   *    stays a term-frequency property, NOT a corpus-size property
   *    (the fraction is asserted scale-invariant between 1x and Nx).
   *  - completeness: contiguous ranks 1..k at every scale.
+  *  - maintenance at scale (the segmented + tombstoned chain): a
+  *    build + O(increment) update + fixed-size delete publishes a
+  *    delete root whose on-disk footprint is CORPUS-SIZE-INVARIANT
+  *    (O(delta) bytes — the same id count must cost the same bytes at
+  *    1x and Nx), the masked serve equals the direct scan over the
+  *    live set, and the serve plan keeps the sequenced tombstone mask
+  *    as a broadcast join (never a corpus-side shuffle).
   *
   * Usage: runMain graft.RetrievalScaleSmoke [sfDir] [replicas]
   */
 object RetrievalScaleSmoke {
 
   private def time[T](f: => T): (T, Double) = Sessions.timed(f)
+
+  /** Recursive on-disk byte count of a published index root — the
+    * O(delta) measurement: manifests + tombstone id lists only for a
+    * delete root (its segments are carried by reference).
+    */
+  private def duBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  private def rmrf(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -55,6 +87,8 @@ object RetrievalScaleSmoke {
     println(s"[retrieval-scale] base: $nBase docs; direct scan vs indexed serve at x1 and x$replicas (terms=${terms.mkString(",")}, k=$k)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var fracAt1x = -1.0
+    var delBytesAt1x = -1L
+    val deltaN = 37 // FIXED delete size — the O(delta) yardstick
 
     for (n <- Seq(1, replicas)) {
       val corpus = corpusOf(n)
@@ -98,6 +132,49 @@ object RetrievalScaleSmoke {
         failures += f"x$n: admitted-postings fraction $frac%.4f drifted from the 1x fraction $fracAt1x%.4f — serve-side share must be scale-invariant"
 
       println(f"[retrieval-scale] x$n%-4d ($nDocs%8d docs): direct $directSec%6.2f s, indexed SERVE $serveSec%6.2f s (one-off index build $buildSec%.2f s), candidates $matched%8d = ${frac * 100}%5.2f%% of ${totalPostings}%9d postings")
+
+      // ---- the segmented + tombstoned maintenance chain at this scale:
+      // 90% build + 10% O(increment) update (2 segments), then a
+      // FIXED-size delete. The delete root's bytes are the O(delta)
+      // assertion: same id count, same bytes, at x1 and xN.
+      val segPath = s"/tmp/graft_retrieval_seg_${n}x"
+      val updPath = s"/tmp/graft_retrieval_segupd_${n}x"
+      val delPath = s"/tmp/graft_retrieval_segdel_${n}x"
+      Seq(segPath, updPath, delPath).foreach(rmrf)
+      val (_, chainSec) = time {
+        Retrieval.buildIndex(corpus.where(col("doc_id") % 10 =!= 0), "doc_id", "text", segPath)
+        Retrieval.updateIndex(spark, segPath,
+          corpus.where(col("doc_id") % 10 === 0), "doc_id", "text", updPath)
+        Retrieval.deleteFromIndex(spark, updPath,
+          corpus.where(col("text").isNotNull).select("doc_id")
+            .orderBy("doc_id").limit(deltaN),
+          "doc_id", delPath)
+      }
+      val delBytes = duBytes(delPath)
+      if (delBytesAt1x < 0) delBytesAt1x = delBytes
+      else if (delBytes > 3L * delBytesAt1x)
+        failures += s"x$n: delete root is $delBytes bytes vs $delBytesAt1x at x1 for the SAME " +
+          s"$deltaN-id delete — tombstone publish must be O(delta), not O(corpus)"
+      val servedDf = Retrieval.searchTopKIndexed(spark, delPath, "doc_id", terms, k)
+      val (served, maskedServeSec) = time {
+        servedDf.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+      val delIds = corpus.where(col("text").isNotNull).select("doc_id")
+        .orderBy("doc_id").limit(deltaN)
+      val liveCorpus = corpus.join(delIds, Seq("doc_id"), "left_anti")
+      val directLive = Retrieval.searchTopK(liveCorpus, "doc_id", "text", terms, k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      if (served != directLive)
+        failures += s"x$n: masked serve diverged from the direct scan over the live set:\n  direct  $directLive\n  masked  $served"
+      // mask-join shape: the sequenced tombstone mask must ride a
+      // broadcast join — a sort-merge shuffle of the postings against
+      // a $deltaN-row mask would be the 100TB anti-plan
+      val plan = servedDf.queryExecution.executedPlan.toString
+      if (!plan.contains("BroadcastHashJoin"))
+        failures += s"x$n: masked serve plan lost its broadcast joins:\n$plan"
+      if (plan.contains("SortMergeJoin"))
+        failures += s"x$n: masked serve plan shuffles a sort-merge join against the delta-sized mask:\n$plan"
+      println(f"[retrieval-scale] x$n%-4d segmented+tombstoned: chain ${chainSec}%6.2f s, masked serve $maskedServeSec%6.2f s, delete root $delBytes%8d bytes (delta=$deltaN ids)")
     }
 
     failures.foreach(f => System.err.println(s"[retrieval-scale] FAIL $f"))
