@@ -195,13 +195,25 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
     new PCollection(ds.alias(qualified))
   }
 
-  /** Structured plan explanation (reference: `plan.explain()`,
-    * tests/explain.rs — steps with barrier flags plus summary counts).
-    * Spark realization: walk the physical plan; a "barrier" is a
+  /** Structured plan explanation (reference: `plan.explain()` ->
+    * ExecutionExplanation, planner.rs:600-786 — steps with barrier
+    * flags, per-node cost estimates, and the planner's optimization
+    * log). Spark realization: walk the physical plan; a "barrier" is a
     * shuffle Exchange (the cost unit the reference counts), and
     * `suggestedPartitions` is the session's shuffle parallelism (the
     * reference's partition-suggestion pass is AQE + this setting).
-    * The full formatted plan is included for eyeballing.
+    * `estimates` are Catalyst's OWN per-node statistics over the
+    * optimized logical plan (root first, the plan's collect order) —
+    * sizeInBytes always, rowCount when the stats pipeline can derive
+    * one — deliberately NOT a custom cost model: the numbers shown are
+    * the numbers the join-strategy and AQE decisions actually consume.
+    * `rewrites` is the per-query optimization log from Spark's
+    * QueryPlanningTracker: every rule that EFFECTIVELY changed this
+    * plan, with its invocation count — the counterpart of the
+    * reference's OptimizationDecision list (FusedStateless,
+    * LiftedGBKCombine, ...), reported from the optimizer that really
+    * ran rather than re-derived. The full formatted plan is included
+    * for eyeballing.
     */
   def explain(): PCollection.Explanation = {
     // AQE wraps the real tree in AdaptiveSparkPlanExec whose inner plan
@@ -220,12 +232,25 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
         !name.contains("Broadcast") && !name.contains("Reused")
       PCollection.ExplainStep(name, isShuffle)
     }
+    val optimized = ds.queryExecution.optimizedPlan
+    val estimates = optimized.collect { case node =>
+      val s = node.stats
+      PCollection.CostStep(node.nodeName, s.rowCount, s.sizeInBytes)
+    }
+    val rewrites = ds.queryExecution.tracker.rules.toSeq
+      .filter { case (_, summary) => summary.numEffectiveInvocations > 0 }
+      .sortBy { case (_, summary) => -summary.numEffectiveInvocations }
+      .map { case (rule, summary) =>
+        s"${rule.substring(rule.lastIndexOf('.') + 1)} x${summary.numEffectiveInvocations}"
+      }
     PCollection.Explanation(
       steps = steps,
       barriers = steps.count(_.isBarrier),
       totalOps = steps.size,
       suggestedPartitions = ds.sparkSession.sessionState.conf.numShufflePartitions,
-      formatted = plan.toString
+      formatted = plan.toString,
+      estimates = estimates,
+      rewrites = rewrites
     )
   }
 
@@ -353,15 +378,26 @@ object PCollection {
   /** One physical-plan node (reference: ExplainStep, tests/explain.rs). */
   final case class ExplainStep(name: String, isBarrier: Boolean)
 
-  /** Structured explanation summary (reference: Explanation with
-    * cost_estimate.{barriers,total_ops} and suggested_partitions).
+  /** One optimized-logical-plan node with Catalyst's cost estimate for
+    * it (reference: ExplainStep.cost, planner.rs:280-299):
+    * `estimatedRows` when the stats pipeline derives a row count,
+    * `estimatedBytes` always.
+    */
+  final case class CostStep(
+      name: String, estimatedRows: Option[BigInt], estimatedBytes: BigInt)
+
+  /** Structured explanation summary (reference: ExecutionExplanation
+    * with cost_estimate.{barriers,total_ops}, suggested_partitions,
+    * and the optimizations log — planner.rs:304-324).
     */
   final case class Explanation(
       steps: Seq[ExplainStep],
       barriers: Int,
       totalOps: Int,
       suggestedPartitions: Int,
-      formatted: String
+      formatted: String,
+      estimates: Seq[CostStep] = Nil,
+      rewrites: Seq[String] = Nil
   )
 
   /** Hierarchical naming scope (reference: Pipeline::named_scope,

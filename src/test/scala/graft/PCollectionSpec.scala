@@ -121,6 +121,31 @@ class PCollectionSpec extends SparkTestBase {
     assert(grouped.steps.exists(_.isBarrier))
   }
 
+  test("explain carries Catalyst cost estimates per optimized node and the rewrite log") {
+    // a plan with a real scan (parquet -> stats from the files), a
+    // filter, and an aggregation — enough surface for the optimizer to
+    // have DONE something worth logging
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") >= 30)
+      .groupBy("l_returnflag")
+      .count()
+    val ex = new PCollection(df.as(org.apache.spark.sql.Encoders.row(df.schema))).explain()
+    // estimates: one per optimized-plan node, in the plan's own
+    // (root-first) order, every node costed in bytes
+    val optNames = df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    assert(ex.estimates.map(_.name) == optNames,
+      s"estimates must cover the optimized plan in order: ${ex.estimates.map(_.name)} vs $optNames")
+    assert(ex.estimates.nonEmpty && ex.estimates.forall(_.estimatedBytes > 0),
+      s"every node needs a positive byte estimate: ${ex.estimates}")
+    // the leaf scan's estimate is the real file-backed size — strictly
+    // the largest number in this shrinking plan
+    assert(ex.estimates.last.estimatedBytes >= ex.estimates.head.estimatedBytes,
+      s"scan estimate must dominate the aggregated root: ${ex.estimates}")
+    // the rewrite log names at least one effective optimizer rule
+    assert(ex.rewrites.nonEmpty, "optimizer rewrite log is empty")
+    assert(ex.rewrites.forall(_.matches(".+ x\\d+")), s"bad rewrite entries: ${ex.rewrites}")
+  }
+
   test("reshuffle preserves content") {
     assert(pc(1 to 100: _*).reshuffle(7).collectSorted() == (1 to 100))
   }
