@@ -170,6 +170,34 @@ object SparkEntry {
     * in durable storage, never a live recompute). Build cost bills to
     * the first call, the extractedTrainingCorpus stance.
     */
+  /** Per-corpus memoized RELEASE REGISTRY — the post-decontamination,
+    * post-PII (doc_id, lang_pred, n_tokens) relation the release tier
+    * stores beside its shards, written to parquet once per sf dir.
+    * `pipeline_release_delta` reads yesterday's registry from THIS
+    * relation (the real deployment reads it from durable storage, the
+    * releaseSnapshot stance) — its plan references the registry many
+    * times (both manifests, the shard diff, the apply), and each
+    * reference must be a parquet scan, not a re-run of the
+    * decontamination + redaction chain. Build cost bills to the first
+    * call.
+    */
+  private val releaseRegistryCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def releaseRegistry(s: SparkSession, dir: String): DataFrame = {
+    val path = releaseRegistryCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-release").resolve("registry").toString
+      val kept = curatedKeptCorpus(s, dir)
+      val flagged = Curation.decontaminate(kept, "doc_id", "text",
+        t(s, dir, "documents").where(col("doc_id") < 25), "text", n = 3, minHits = 1)
+      val clean = kept.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      Curation.redactPii(clean, "doc_id", "text", carryCols = Seq("lang_pred"))
+        .select(col("doc_id"), col("lang_pred"),
+          TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val releaseSnapshotCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def releaseSnapshot(s: SparkSession, dir: String): DataFrame = {
     val path = releaseSnapshotCache.computeIfAbsent(dir, _ => {
@@ -1586,14 +1614,14 @@ object SparkEntry {
       // perturbed registry via the shared release CTEs, so the query
       // value-grades the whole delta law: prev + delta == from-scratch
       // — a wrong touched-shard set, a missed tombstone, or a stale
-      // carried row all break the hash.
-      val kept = curatedKeptCorpus(s, dir)
-      val flagged = Curation.decontaminate(kept, "doc_id", "text",
-        t(s, dir, "documents").where(col("doc_id") < 25), "text", n = 3, minHits = 1)
-      val clean = kept.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
-      val pii = Curation.redactPii(clean, "doc_id", "text", carryCols = Seq("lang_pred"))
-      val prevReg = pii.select(col("doc_id"), col("lang_pred"),
-        TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+      // carried row all break the hash. The previous registry reads
+      // from its per-corpus materialization (releaseRegistry): the
+      // delta machinery references it ~8x across both manifests, the
+      // shard diff, and the apply — and in the real deployment the
+      // previous release's registry IS a parquet artifact in durable
+      // storage, never a live recompute (the releaseSnapshot stance;
+      // build cost bills to the first call).
+      val prevReg = releaseRegistry(s, dir)
       val newReg = prevReg.where(col("doc_id") % 9 =!= 0)
         .withColumn("n_tokens",
           when(col("doc_id") % 13 === 0, col("n_tokens") + 5).otherwise(col("n_tokens")))
