@@ -243,6 +243,12 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       .map { case (rule, summary) =>
         s"${rule.substring(rule.lastIndexOf('.') + 1)} x${summary.numEffectiveInvocations}"
       }
+    // withName aliases surface as SubqueryAlias nodes in the ANALYZED
+    // plan (the optimizer eliminates them, so collect before it runs)
+    // — the reference's ExecutionExplanation.node_names footer
+    val nodeNames = ds.queryExecution.analyzed.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => s.alias
+    }
     PCollection.Explanation(
       steps = steps,
       barriers = steps.count(_.isBarrier),
@@ -250,7 +256,8 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       suggestedPartitions = ds.sparkSession.sessionState.conf.numShufflePartitions,
       formatted = plan.toString,
       estimates = estimates,
-      rewrites = rewrites
+      rewrites = rewrites,
+      nodeNames = nodeNames
     )
   }
 
@@ -397,7 +404,8 @@ object PCollection {
       suggestedPartitions: Int,
       formatted: String,
       estimates: Seq[CostStep] = Nil,
-      rewrites: Seq[String] = Nil
+      rewrites: Seq[String] = Nil,
+      nodeNames: Seq[String] = Nil
   )
 
   /** Hierarchical naming scope (reference: Pipeline::named_scope,

@@ -105,6 +105,10 @@ class PCollectionSpec extends SparkTestBase {
     // must carry the scope active when withName was CALLED
     val wired = PCollection.namedScope("Outer") { pc(1).withName("Inside") }
     assert(wired.ds.queryExecution.analyzed.toString.contains("Outer/Inside"))
+    // explain surfaces the attached names (reference:
+    // ExecutionExplanation.node_names, the NAMED OPERATIONS footer)
+    assert(named.explain().nodeNames.contains("WordCount/Inner/Sum"),
+      s"node names missing from explain: ${named.explain().nodeNames}")
   }
 
   test("explain reports steps, counts shuffle barriers, suggests partitions") {
