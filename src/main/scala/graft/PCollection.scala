@@ -237,8 +237,14 @@ final class PCollection[T](dsThunk: => Dataset[T]) extends Serializable {
       val s = node.stats
       PCollection.CostStep(node.nodeName, s.rowCount, s.sizeInBytes)
     }
+    // the tracker aggregates ANALYZER rules (ResolveReferences,
+    // CleanupAliases, ...) in the same map — resolution bookkeeping
+    // that fires on every query and would drown the log; only
+    // optimizer-package rules are plan OPTIMIZATION decisions
     val rewrites = ds.queryExecution.tracker.rules.toSeq
-      .filter { case (_, summary) => summary.numEffectiveInvocations > 0 }
+      .filter { case (rule, summary) =>
+        summary.numEffectiveInvocations > 0 && rule.contains(".optimizer.")
+      }
       .sortBy { case (_, summary) => -summary.numEffectiveInvocations }
       .map { case (rule, summary) =>
         s"${rule.substring(rule.lastIndexOf('.') + 1)} x${summary.numEffectiveInvocations}"

@@ -411,24 +411,44 @@ object Curation {
       domainCol: String,
       targetWeights: Map[String, Double]
   ): DataFrame = {
-    val spark = docs.sparkSession
+    // ONE corpus tokenize pass feeding the shared budget-cut
+    // arithmetic. Null-text docs are excluded up front: their NULL
+    // token count would stall the cumulative sum and duplicate the
+    // last-row selection [[tokenBudgetCut]] relies on.
+    tokenBudgetCut(
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol), col(domainCol),
+          TextFunctions.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, domainCol, targetWeights)
+  }
+
+  /** The token-budget selection over an `(idCol, domainCol, n_tokens)`
+    * relation whose counts are already materialized and STRICTLY
+    * POSITIVE — ONE copy of the arithmetic for both front doors
+    * ([[rebalanceMixByTokens]] tokenizes first;
+    * [[releaseRegistryManifest]] reads a registry), exactly as the
+    * oracle side keeps one mixBudgetCtesSql. Positivity is
+    * load-bearing: the per-domain totals relation is the LAST row of
+    * each domain's priority order — the row whose cumulative sum
+    * equals the domain total — and a zero or NULL count would let a
+    * second row share that cumulative sum, duplicating the totals row
+    * and with it every row of the domain. Selecting the last row
+    * (rather than a groupBy) makes the quota branch reference BOTH
+    * window columns, so its copy of the subtree prunes identically to
+    * the main branch's and the two canonicalize to ONE exchange
+    * (ReuseExchange: the input is scanned and shuffled once,
+    * shuffle-file-backed).
+    */
+  private def tokenBudgetCut(
+      withTokens: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetWeights: Map[String, Double]
+  ): DataFrame = {
+    val spark = withTokens.sparkSession
     import spark.implicits._
     val w = targetWeights.toSeq.toDF(domainCol, "w")
-    // ONE corpus tokenize pass: the cumulative priority sum and the
-    // per-domain total ride the same domain-partitioned window shuffle,
-    // and the per-domain totals relation is the LAST row of each
-    // domain's priority order — the row whose cumulative sum equals the
-    // domain total. Selecting it makes the quota branch reference BOTH
-    // window columns, so its copy of the subtree prunes identically to
-    // the main branch's and the two canonicalize to ONE exchange
-    // (ReuseExchange: the corpus is scanned, tokenized and shuffled
-    // once, shuffle-file-backed) — a plain groupBy-totals branch would
-    // prune doc_id, diverge, and silently re-scan the corpus. Null-text
-    // docs are excluded up front: their NULL token count would stall
-    // the cumulative sum and duplicate the last-row selection.
-    val withCum = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol), col(domainCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val withCum = withTokens
       .withColumn("cum_tokens",
         sum("n_tokens").over(Window.partitionBy(domainCol)
           .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
@@ -535,7 +555,10 @@ object Curation {
     * match, and the enabling fact of [[releaseDelta]]: everything
     * after curation is a deterministic function of the registry, so a
     * re-release over yesterday's registry + today's churn never
-    * touches yesterday's text. Output columns, fixed order:
+    * touches yesterday's text. Rows with NULL or non-positive counts
+    * are excluded up front — the text-fed chain's domain (tokenCount
+    * of non-null text is >= 1), enforced because registry counts are
+    * caller-supplied. Output columns, fixed order:
     * (idCol, strataCol, n_tokens, bin_id, offset_in_bin, len_in_bin,
     * shard_id).
     */
@@ -548,27 +571,16 @@ object Curation {
       contextTokens: Int,
       nShards: Int
   ): DataFrame = {
-    val spark = registry.sparkSession
-    import spark.implicits._
-    val w = targetWeights.toSeq.toDF(strataCol, "w")
-    // the rebalanceMixByTokens arithmetic with n_tokens pre-counted:
-    // same md5 priority order, same one-window budget shape
-    val withCum = registry
-      .select(col(idCol), col(strataCol), col(nTokensCol).as("n_tokens"))
-      .withColumn("cum_tokens",
-        sum("n_tokens").over(Window.partitionBy(strataCol)
-          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
-      .withColumn("dom_tokens", sum("n_tokens").over(Window.partitionBy(strataCol)))
-    val budgets = withCum
-      .where(col("cum_tokens") === col("dom_tokens"))
-      .select(col(strataCol), col("dom_tokens"))
-      .join(broadcast(w), strataCol)
-      .withColumn("scale", min(col("dom_tokens") / col("w")).over(Window.partitionBy()))
-      .select(col(strataCol), floor(col("w") * col("scale")).as("budget_tokens"))
-    val bud = withCum
-      .join(broadcast(budgets), strataCol)
-      .where(col("cum_tokens") <= col("budget_tokens"))
-      .select(col(idCol), col(strataCol), col("n_tokens"))
+    // registries are caller-supplied counts, so the text-fed chain's
+    // implicit domain (tokenCount of non-null text is always >= 1)
+    // must be enforced here: NULL or non-positive counts would
+    // duplicate tokenBudgetCut's last-row totals selection, and a
+    // zero-token doc has no bytes to ship anyway
+    val bud = tokenBudgetCut(
+      registry
+        .where(col(nTokensCol).isNotNull && col(nTokensCol) > 0)
+        .select(col(idCol), col(strataCol), col(nTokensCol).as("n_tokens")),
+      idCol, strataCol, targetWeights)
     assignShards(
         packManifest(
           packSequences(bud, idCol, "n_tokens", strataCol, contextTokens,
@@ -624,6 +636,11 @@ object Curation {
     val touched = prevM.exceptAll(newM).select(col(strataCol), col("shard_id"))
       .unionByName(newM.exceptAll(prevM).select(col(strataCol), col("shard_id")))
       .distinct()
+    // absent-column nulls take their types from the MANIFEST schema —
+    // the API is type-agnostic over (idCol, strataCol, nTokensCol),
+    // so a string-keyed or long-counted registry must union cleanly
+    val mSchema = newM.schema
+    def nullAs(name: String) = lit(null).cast(mSchema(name).dataType).as(name)
     val shardRows = newM.join(touched, Seq(strataCol, "shard_id"), "left_semi")
       .select(lit("shard").as("kind"), col(strataCol), col("shard_id"),
         col(idCol), col("n_tokens"), col("bin_id"),
@@ -632,15 +649,14 @@ object Curation {
       .join(newM.select(col(strataCol), col("shard_id")).distinct(),
         Seq(strataCol, "shard_id"), "left_anti")
       .select(lit("drop_shard").as("kind"), col(strataCol), col("shard_id"),
-        lit(null).cast("long").as(idCol), lit(null).cast("int").as("n_tokens"),
-        lit(null).cast("long").as("bin_id"), lit(null).cast("long").as("offset_in_bin"),
-        lit(null).cast("long").as("len_in_bin"))
+        nullAs(idCol), nullAs("n_tokens"),
+        nullAs("bin_id"), nullAs("offset_in_bin"), nullAs("len_in_bin"))
     val tombstones = prevM.select(col(idCol)).distinct()
       .join(newM.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-      .select(lit("tombstone").as("kind"), lit(null).cast("string").as(strataCol),
-        lit(null).cast("int").as("shard_id"), col(idCol),
-        lit(null).cast("int").as("n_tokens"), lit(null).cast("long").as("bin_id"),
-        lit(null).cast("long").as("offset_in_bin"), lit(null).cast("long").as("len_in_bin"))
+      .select(lit("tombstone").as("kind"), nullAs(strataCol),
+        nullAs("shard_id"), col(idCol),
+        nullAs("n_tokens"), nullAs("bin_id"),
+        nullAs("offset_in_bin"), nullAs("len_in_bin"))
     shardRows.unionByName(dropped).unionByName(tombstones)
   }
 

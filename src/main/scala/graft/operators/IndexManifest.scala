@@ -261,26 +261,47 @@ private[operators] object IndexManifest {
     * the error (e.g. "BM25", "IVF-PQ").
     */
   def requirePresent(
-      spark: SparkSession, path: String, what: String, minVersion: Int = 1): Unit = {
-    val h = handle(spark, path, what)
+      spark: SparkSession, path: String, what: String, minVersion: Int = 1): Unit =
+    requireVersion(handle(spark, path, what), path, what, minVersion)
+
+  /** The [[requirePresent]] version check on an ALREADY-loaded handle —
+    * so a caller that needs presence + version + segments + tombstones
+    * + flavor resolves the handle ONCE (one fingerprint listing per
+    * call, one parquet read per generation) instead of once per
+    * helper. On object stores every extra resolution is a listing
+    * round trip, on the surfaces this cache exists to make cheap.
+    */
+  /** Refuses a maintenance-round output root that overlaps the index
+    * being maintained or ANY generation it carries by reference. The
+    * failure this blocks: a scheduler loop that reuses one outRoot
+    * across rounds feeds round N's compacted output back as round
+    * N+1's base — the new round's delete/update manifests then carry
+    * `outRoot/compacted/segments/...` by reference, and when the
+    * policy trips again, compaction READS those segments while
+    * overwriting the very same directory (Spark's cannot-overwrite-a-
+    * path-being-read error at best, silent corruption at worst). Each
+    * round must publish under a FRESH root; this makes the contract
+    * loud instead of leaving it to scheduler discipline.
+    */
+  def requireDisjointRoot(
+      spark: SparkSession, indexPath: String, outRoot: String, what: String): Unit = {
+    val h = handle(spark, indexPath, what)
+    val out = cacheKey(spark, outRoot)
+    val carried = qualify(spark, indexPath +: (h.segments ++ h.tombstones))
+    carried.find(p => p == out || p.startsWith(out + "/")).foreach { p =>
+      throw new IllegalArgumentException(
+        s"requirement failed: maintenance outRoot $outRoot is not fresh — the $what index " +
+          s"at $indexPath (or a generation it carries by reference: $p) lives under it; " +
+          "a tripped compaction would overwrite data it is reading. Publish each " +
+          "maintenance round under a new root")
+    }
+  }
+
+  def requireVersion(h: Handle, path: String, what: String, minVersion: Int): Unit =
     if (minVersion > 1) {
       require(h.version >= minVersion,
         s"$what index at $path is format version ${h.version} but this operation needs " +
           s">= $minVersion — rebuild the index with the current builder")
     }
-  }
 
-  /** Fails loudly when the index at `path` was built with a different
-    * encode flavor than the operation expects — merging direct codes
-    * into a residual index (or vice versa) would serve silently wrong
-    * scores, the exact corruption the manifest exists to prevent.
-    */
-  def requireFlavor(
-      spark: SparkSession, path: String, what: String, expected: String): Unit = {
-    val f = handle(spark, path, what).flavor
-    require(f == expected,
-      s"$what index at $path was built with encode flavor '$f' but this operation " +
-        s"expects '$expected' — the flavor is part of the index identity; " +
-        "pass the matching flag or rebuild")
-  }
 }

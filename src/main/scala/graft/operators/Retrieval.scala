@@ -266,9 +266,9 @@ object Retrieval {
     require(outPath != indexPath,
       "updateIndex: outPath must differ from indexPath (the base index keeps serving, " +
         "and its segments are referenced in place by the updated manifest)")
-    requireManifest(spark, indexPath, minVersion = FormatVersion)
-    val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
-    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val (baseSegs, baseTs) = (h.segments, h.tombstones)
     val inc = invertedIndex(increment, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -338,9 +338,9 @@ object Retrieval {
     require(outPath != indexPath,
       "deleteFromIndex: outPath must differ from indexPath (the base index keeps serving, " +
         "and its segments are referenced in place by the new manifest)")
-    requireManifest(spark, indexPath, minVersion = FormatVersion)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val (segs, baseTs) = (h.segments, h.tombstones)
     val ids = deletes.select(col(idCol)).where(col(idCol).isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -387,9 +387,9 @@ object Retrieval {
   def compactIndex(spark: SparkSession, indexPath: String, outPath: String): Unit = {
     require(outPath != indexPath,
       "compactIndex: outPath must differ from indexPath (cannot overwrite an index being read)")
-    requireManifest(spark, indexPath, minVersion = FormatVersion)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val (segs, tsPaths) = (h.segments, h.tombstones)
     val seg = "segments/seg-00000"
     clearManifest(spark, outPath)
     // the id column name is whatever the build used — read it off the
@@ -446,9 +446,9 @@ object Retrieval {
     * scheduler deciding when to compact.
     */
   def indexInfo(spark: SparkSession, indexPath: String): DataFrame = {
-    requireManifest(spark, indexPath)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val (segs, tsPaths) = (h.segments, h.tombstones)
     // coalesce: a listed segment whose stats parquet exists but is
     // EMPTY (partial write predating the crash-consistency manifest,
     // or external truncation) must degrade this metadata surface to
@@ -509,6 +509,11 @@ object Retrieval {
     * caller discipline. A no-op round (no deletes, no increment,
     * policy quiet) returns `indexPath` unchanged. The IVF-PQ twin is
     * [[Similarity.maintainPqIndex]].
+    *
+    * `outRoot` must be FRESH each round (a new dated/numbered
+    * directory — enforced loudly): feeding a round's returned path
+    * back with the SAME outRoot would make the next tripped
+    * compaction overwrite carried segments it is reading.
     */
   def maintainIndex(
       spark: SparkSession,
@@ -522,6 +527,10 @@ object Retrieval {
       maxMaskedRatio: Double = 0.2): String = {
     require(outRoot != indexPath,
       "maintainIndex: outRoot must differ from indexPath (steps publish under it)")
+    // each round needs a FRESH root: reusing one outRoot feeds round
+    // N's compacted output back under round N+1's output, and the next
+    // tripped compaction would overwrite segments it is reading
+    IndexManifest.requireDisjointRoot(spark, indexPath, outRoot, "BM25")
     var cur = indexPath
     deletes.foreach { d =>
       deleteFromIndex(spark, cur, d, idCol, s"$outRoot/deleted")
@@ -596,9 +605,12 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    requireManifest(spark, indexPath)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
+    // ONE handle resolution per serve call (presence + version +
+    // segments + tombstones) — on an object store every extra
+    // resolution is a listing round trip
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val (segs, tsPaths) = (h.segments, h.tombstones)
     // evaluate the caller's relation EXACTLY ONCE: both the In-filter
     // term list and the scoring join are rebuilt from this one collect,
     // so a non-deterministic queries source (a sample, an unordered

@@ -674,8 +674,12 @@ object Similarity {
     * until its manifest commits.
     */
   def readPqIndex(spark: SparkSession, path: String): DataFrame = {
-    IndexManifest.requirePresent(spark, path, "IVF-PQ", PqFormatVersion)
-    val segs = IndexManifest.segmentPaths(spark, path)
+    // one handle resolution for presence + version + segments +
+    // tombstones (each extra resolution is a listing round trip on an
+    // object store)
+    val h = IndexManifest.handle(spark, path, "IVF-PQ")
+    IndexManifest.requireVersion(h, path, "IVF-PQ", PqFormatVersion)
+    val segs = h.segments
     // one read PER segment, then union — segments are cell-partitioned
     // directories under DIFFERENT roots, and a single multi-path scan
     // would make Spark infer one partition spec across roots (it
@@ -693,7 +697,7 @@ object Similarity {
     // delete/re-add/delete chains. Every reader (serve, update guard,
     // compaction) goes through here, so deleted vectors can never
     // serve, double-count, or survive a re-home.
-    val tsPaths = IndexManifest.tombstonePaths(spark, path)
+    val tsPaths = h.tombstones
     IndexManifest.tombstoneRel(spark, tsPaths, "neighbor_id") match {
       case None =>
         segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
@@ -807,10 +811,14 @@ object Similarity {
       "updatePqIndex: outPath must differ from indexPath (the base index keeps serving, " +
         "and its segments are referenced in place by the updated manifest)")
     val old = readPqIndex(spark, indexPath)
+    val base = IndexManifest.handle(spark, indexPath, "IVF-PQ")
     // the manifest records which encode built the index — merging the
     // other flavor would serve silently wrong ADC scores, so a
     // mismatched flag fails here instead of trusting caller discipline
-    IndexManifest.requireFlavor(spark, indexPath, "IVF-PQ", pqFlavor(residual))
+    require(base.flavor == pqFlavor(residual),
+      s"IVF-PQ index at $indexPath was built with encode flavor '${base.flavor}' but this " +
+        s"operation expects '${pqFlavor(residual)}' — the flavor is part of the index " +
+        "identity; pass the matching flag or rebuild")
     val encoded =
       if (residual) pqResidualIndex(increment, idCol, vecCol, coarseCents, codebooks)
       else pqIndex(increment, idCol, vecCol, coarseCents, codebooks)
@@ -834,8 +842,7 @@ object Similarity {
       // delete-then-re-add re-embed path: the old rows stay masked in
       // their segment while the new segment's rows serve (the guard
       // above checks the LIVE set, so a deleted id re-enters cleanly).
-      val baseSegs = IndexManifest.segmentPaths(spark, indexPath)
-      val baseTs = IndexManifest.tombstonePaths(spark, indexPath)
+      val (baseSegs, baseTs) = (base.segments, base.tombstones)
       val seg = s"segments/${IndexManifest.nextSegmentName(baseSegs)}"
       IndexManifest.clear(spark, outPath)
       inc.write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/$seg/vectors")
@@ -893,10 +900,9 @@ object Similarity {
     * segment must degrade the poll, not NPE it.
     */
   def pqIndexInfo(spark: SparkSession, indexPath: String): DataFrame = {
-    IndexManifest.requirePresent(spark, indexPath, "IVF-PQ", PqFormatVersion)
-    val segs = IndexManifest.segmentPaths(spark, indexPath)
-    val tsPaths = IndexManifest.tombstonePaths(spark, indexPath)
-    val flavor = IndexManifest.handle(spark, indexPath, "IVF-PQ").flavor
+    val h = IndexManifest.handle(spark, indexPath, "IVF-PQ")
+    IndexManifest.requireVersion(h, indexPath, "IVF-PQ", PqFormatVersion)
+    val (segs, tsPaths, flavor) = (h.segments, h.tombstones, h.flavor)
     val total = spark.read.parquet(segs.map(s => s"$s/stats"): _*)
       .agg(coalesce(sum("n_vecs"), lit(0L)).as("n_vecs_indexed"))
     val masked =
@@ -941,7 +947,8 @@ object Similarity {
     * every intermediate root is a fully-published index, so a crash
     * mid-round leaves the last committed generation serving. Delete
     * and update stay O(delta); only a tripped policy pays the explicit
-    * O(corpus) re-home.
+    * O(corpus) re-home. `outRoot` must be FRESH each round (enforced
+    * loudly — see [[Retrieval.maintainIndex]]).
     */
   def maintainPqIndex(
       spark: SparkSession,
@@ -958,6 +965,10 @@ object Similarity {
       maxMaskedRatio: Double = 0.2): String = {
     require(outRoot != indexPath,
       "maintainPqIndex: outRoot must differ from indexPath (steps publish under it)")
+    // each round needs a FRESH root — see Retrieval.maintainIndex: a
+    // reused outRoot makes the next tripped compaction overwrite
+    // carried segments it is reading
+    IndexManifest.requireDisjointRoot(spark, indexPath, outRoot, "IVF-PQ")
     var cur = indexPath
     deletes.foreach { d =>
       deleteFromPqIndex(spark, cur, d, idCol, s"$outRoot/deleted")

@@ -465,4 +465,33 @@ class CurationSpec extends SparkTestBase {
     assert(gotTs == expectTs, s"tombstones $gotTs != expected $expectTs")
     assert(gotTs.contains(101L), "the retired doc must be tombstoned")
   }
+
+  test("releaseRegistryManifest excludes non-positive counts; releaseDelta is type-agnostic over ids") {
+    import org.apache.spark.sql.functions.col
+    // zero/NULL counts are outside the text-fed chain's domain and
+    // would duplicate the budget cut's last-row totals selection —
+    // they must leave up front, not corrupt the manifest
+    val reg = Seq((1L, "en", Option(50)), (2L, "en", Option(30)),
+      (3L, "en", Option(0)), (4L, "en", Option.empty[Int]))
+      .toDF("doc_id", "lang", "n_tokens")
+    val m = Curation.releaseRegistryManifest(reg, "doc_id", "n_tokens", "lang",
+      Map("en" -> 1.0), contextTokens = 64, nShards = 2)
+    assert(m.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "zero/NULL-count rows must be excluded")
+    assert(m.count() == m.dropDuplicates().count(), "manifest emitted duplicate rows")
+    // a STRING-keyed, LONG-counted registry (a content-hash-addressed
+    // corpus) must flow through the delta's null-padded union branches
+    val prevS = Seq(("a", "en", 50L), ("b", "en", 40L), ("c", "en", 30L))
+      .toDF("key", "lang", "toks")
+    val newS = prevS.where(col("key") =!= "b")
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "key", "toks", "lang", Map("en" -> 1.0), contextTokens = 64, nShards = 2)
+    val delta = Curation.releaseDelta(prevS, newS, "key", "toks", "lang",
+      Map("en" -> 1.0), contextTokens = 64, nShards = 2)
+    val applied = Curation.applyReleaseDelta(mOf(prevS), delta, "lang")
+    assert(applied.exceptAll(mOf(newS)).isEmpty && mOf(newS).exceptAll(applied).isEmpty,
+      "string-keyed delta-applied manifest diverged from the from-scratch release")
+    assert(delta.where(col("kind") === "tombstone").select("key")
+      .collect().map(_.getString(0)).toSet == Set("b"))
+  }
 }

@@ -948,6 +948,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     // a no-op round serves the same root back
     assert(Similarity.maintainPqIndex(spark, p2, None, None,
       "vec_id", "embedding", coarse, cb, s"$root/r3") == p2)
+    // outRoot REUSE refuses loudly (the compaction-overwrites-its-own-
+    // input hazard of a scheduler loop that recycles one root)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.maintainPqIndex(spark, p2, Some(Seq(9L).toDF("vec_id")), None,
+        "vec_id", "embedding", coarse, cb, s"$root/r2")
+    }
+    assert(e.getMessage.contains("not fresh"), e.getMessage)
   }
 
   test("updatePqIndex merges a RESIDUAL-coded delta against the same frozen models") {

@@ -145,9 +145,12 @@ class PCollectionSpec extends SparkTestBase {
     // the largest number in this shrinking plan
     assert(ex.estimates.last.estimatedBytes >= ex.estimates.head.estimatedBytes,
       s"scan estimate must dominate the aggregated root: ${ex.estimates}")
-    // the rewrite log names at least one effective optimizer rule
+    // the rewrite log names at least one effective optimizer rule and
+    // carries NO analyzer resolution noise (those fire on every query)
     assert(ex.rewrites.nonEmpty, "optimizer rewrite log is empty")
     assert(ex.rewrites.forall(_.matches(".+ x\\d+")), s"bad rewrite entries: ${ex.rewrites}")
+    assert(!ex.rewrites.exists(r => r.startsWith("ResolveReferences") || r.startsWith("CleanupAliases")),
+      s"analyzer bookkeeping leaked into the optimization log: ${ex.rewrites}")
   }
 
   test("reshuffle preserves content") {

@@ -354,6 +354,14 @@ class RetrievalSpec extends SparkTestBase {
     serveEq(p3, docs.where($"doc_id" > 1).unionByName(extra))
     // a no-op round (nothing to apply, quiet policy) serves the same root
     assert(Retrieval.maintainIndex(spark, p3, None, None, "doc_id", "text", r4) == p3)
+    // outRoot REUSE refuses loudly: feeding round 3's compacted output
+    // back under the same r3 would make the next tripped compaction
+    // overwrite segments it is reading
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.maintainIndex(spark, p3, Some(Seq(2L).toDF("doc_id")), None,
+        "doc_id", "text", r3)
+    }
+    assert(e.getMessage.contains("not fresh"), e.getMessage)
   }
 
   test("indexInfo degrades an EMPTY stats table to zeros; needsCompaction stays poll-safe") {

@@ -68,13 +68,13 @@ def main():
         spark_glob = f"{outdir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
             continue
+        checked += 1
         try:
             o = described(con, f"({oracle[name]})")
         except Exception as e:
             bad.append((name, f"oracle DESCRIBE failed: {str(e)[:200]}"))
             continue
         s = described(con, f"(SELECT * FROM read_parquet('{spark_glob}'))")
-        checked += 1
         if sorted(o) != sorted(s):
             bad.append((name, f"column sets differ: oracle={sorted(o)} spark={sorted(s)}"))
             continue
