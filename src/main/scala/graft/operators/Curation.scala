@@ -667,6 +667,58 @@ object Curation {
     * from-scratch manifest of the new registry — the equality the
     * release-delta oracle value-grades.
     */
+  /** Physically publish a release manifest as a `(strataCol,
+    * shard_id)`-partitioned parquet tree — the on-disk unit of change
+    * [[publishReleaseDelta]] rewrites. Write once per release root;
+    * deltas take over from there.
+    */
+  def publishRelease(manifest: DataFrame, strataCol: String, path: String): Unit =
+    manifest.write.partitionBy(strataCol, "shard_id").mode("overwrite").parquet(path)
+
+  /** Apply a [[releaseDelta]] to a PUBLISHED release in place,
+    * touching only the delta's partitions — where the O(changed
+    * shards) publish-bytes claim becomes physical:
+    *
+    *  - `shard` rows rewrite their `(stratum, shard_id)` partitions
+    *    via DYNAMIC partition overwrite — partitions absent from the
+    *    delta are not listed, not rewritten, their files stay
+    *    byte-identical on disk (at 100 TB, a churn that touches one
+    *    language must not rewrite every shard's parquet).
+    *  - `drop_shard` rows delete their partition directories (a
+    *    bounded shards-count driver loop over filesystem metadata).
+    *  - `tombstone` ids append under `_removed/` — the
+    *    removed-documents record published beside the shards; the
+    *    leading underscore keeps it invisible to parquet readers of
+    *    the release root.
+    */
+  def publishReleaseDelta(delta: DataFrame, strataCol: String, path: String): Unit = {
+    val spark = delta.sparkSession
+    delta.where(col("kind") === "shard").drop("kind")
+      .write.partitionBy(strataCol, "shard_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drops = delta.where(col("kind") === "drop_shard")
+      .select(col(strataCol), col("shard_id")).collect()
+    drops.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/$strataCol=${r.get(0)}/shard_id=${r.get(1)}"), true): Unit
+    }
+    // a stratum whose LAST shard was dropped leaves an empty
+    // partition dir behind — remove it so the tree mirrors the
+    // manifest exactly
+    drops.map(r => s"$path/$strataCol=${r.get(0)}").distinct.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
+    }
+    val idCol = delta.columns.filterNot(
+      Set("kind", strataCol, "shard_id", "n_tokens", "bin_id",
+        "offset_in_bin", "len_in_bin").contains).head
+    delta.where(col("kind") === "tombstone").select(col(idCol))
+      .write.mode("append").parquet(s"$path/_removed")
+  }
+
   def applyReleaseDelta(
       prevManifest: DataFrame, delta: DataFrame, strataCol: String): DataFrame = {
     val touched = delta.where(col("kind").isin("shard", "drop_shard"))

@@ -494,4 +494,50 @@ class CurationSpec extends SparkTestBase {
     assert(delta.where(col("kind") === "tombstone").select("key")
       .collect().map(_.getString(0)).toSet == Set("b"))
   }
+
+  test("publishReleaseDelta rewrites ONLY the touched shard partitions on disk") {
+    import org.apache.spark.sql.functions.col
+    // same binding-stratum fixture as the delta test: en untouched, de churned
+    val prevReg = ((1L to 10L).map(i => (i, "en", 50)) ++
+      (101L to 112L).map(i => (i, "de", 50))).toDF("doc_id", "lang", "n_tokens")
+    val newReg = prevReg.where(col("doc_id") =!= 101L)
+      .unionByName(Seq((201L, "de", 55)).toDF("doc_id", "lang", "n_tokens"))
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
+    def deltaOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Curation.releaseDelta(a, b, "doc_id", "n_tokens", "lang", weights,
+        contextTokens = 64, nShards = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-pub").toString
+    Curation.publishRelease(mOf(prevReg), "lang", root)
+    val enBefore = fileListing(s"$root/lang=en")
+    Curation.publishReleaseDelta(deltaOf(prevReg, newReg), "lang", root)
+    // the untouched stratum's files are BYTE-IDENTICAL — the delta
+    // paid O(changed shards), not a full republish
+    assert(fileListing(s"$root/lang=en") == enBefore,
+      "publishing a de-only delta rewrote en shard files")
+    // read-back equals the from-scratch release of the new registry
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "n_tokens", "bin_id", "offset_in_bin", "len_in_bin", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toSet
+    val readBack = spark.read.parquet(root)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id"))
+    assert(rows(readBack) == rows(mOf(newReg)),
+      "delta-published release diverged from the from-scratch manifest")
+    // the removed-doc record sits beside the shards, invisible to the read
+    assert(spark.read.parquet(s"$root/_removed").collect().map(_.getLong(0)).toSet
+      .contains(101L))
+    // a second delta that retires the whole de stratum drops its
+    // partition directories physically
+    val noDe = newReg.where(col("lang") =!= "de")
+    Curation.publishReleaseDelta(deltaOf(newReg, noDe), "lang", root)
+    assert(!new java.io.File(s"$root/lang=de").exists(),
+      "dropped shards must leave the disk")
+    assert(rows(spark.read.parquet(root)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+          col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id")))
+      == rows(mOf(noDe)))
+  }
 }
