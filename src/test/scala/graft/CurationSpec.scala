@@ -437,8 +437,7 @@ class CurationSpec extends SparkTestBase {
         contextTokens = 64, nShards = 2)
     val prevM = manifestOf(prevReg)
     val newM = manifestOf(newReg)
-    val delta = Curation.releaseDelta(prevReg, newReg, "doc_id", "n_tokens", "lang",
-      weights, contextTokens = 64, nShards = 2)
+    val delta = Curation.releaseDelta(prevM, newM, "doc_id", "lang")
     // the law: prev manifest + delta == from-scratch manifest
     val applied = Curation.applyReleaseDelta(prevM, delta, "lang")
     assert(applied.exceptAll(newM).isEmpty && newM.exceptAll(applied).isEmpty,
@@ -486,8 +485,7 @@ class CurationSpec extends SparkTestBase {
     val newS = prevS.where(col("key") =!= "b")
     def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
       r, "key", "toks", "lang", Map("en" -> 1.0), contextTokens = 64, nShards = 2)
-    val delta = Curation.releaseDelta(prevS, newS, "key", "toks", "lang",
-      Map("en" -> 1.0), contextTokens = 64, nShards = 2)
+    val delta = Curation.releaseDelta(mOf(prevS), mOf(newS), "key", "lang")
     val applied = Curation.applyReleaseDelta(mOf(prevS), delta, "lang")
     assert(applied.exceptAll(mOf(newS)).isEmpty && mOf(newS).exceptAll(applied).isEmpty,
       "string-keyed delta-applied manifest diverged from the from-scratch release")
@@ -506,8 +504,7 @@ class CurationSpec extends SparkTestBase {
     def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
       r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
     def deltaOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-      Curation.releaseDelta(a, b, "doc_id", "n_tokens", "lang", weights,
-        contextTokens = 64, nShards = 2)
+      Curation.releaseDelta(mOf(a), mOf(b), "doc_id", "lang")
     val root = java.nio.file.Files.createTempDirectory("graft-release-pub").toString
     Curation.publishRelease(mOf(prevReg), "lang", root)
     val enBefore = fileListing(s"$root/lang=en")
