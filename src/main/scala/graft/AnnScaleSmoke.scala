@@ -22,12 +22,39 @@ import graft.operators.Similarity
   *  - compression: the candidate relation IVF-PQ shuffles/scans
   *    carries byte codes + one norm per row; its width is asserted
   *    against the float-vector width it replaces.
+  *  - maintenance at scale (the segmented + tombstoned chain, the
+  *    [[RetrievalScaleSmoke]] assertion at the vector tier): a build
+  *    + O(increment) update + fixed-size delete publishes a delete
+  *    root whose bytes are CORPUS-SIZE-INVARIANT, the masked read
+  *    equals a one-pass encode of the live set, and the sequenced
+  *    tombstone mask rides a broadcast join.
   *
   * Usage: runMain graft.AnnScaleSmoke [sfDir] [replicas]
   */
 object AnnScaleSmoke {
 
   private def time[T](f: => T): (T, Double) = Sessions.timed(f)
+
+  private def duBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  private def rmrf(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -60,6 +87,8 @@ object AnnScaleSmoke {
 
     println(s"[ann-scale] base: $nBase vectors; comparing exact vs IVF-PQ at x1 and x$replicas (cells=$nCells, nprobe=$nprobe, k=$k)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var delBytesAt1x = -1L
+    val deltaN = 37 // FIXED delete size — the O(delta) yardstick
     // the trained subspace codebooks of the last scale step — the
     // compression assertion below derives M from them instead of
     // hardcoding the config
@@ -127,6 +156,50 @@ object AnnScaleSmoke {
       val hits = exact._2.select("query_id", "neighbor_id")
         .intersect(approx._2.select("query_id", "neighbor_id")).count()
       println(f"[ann-scale] x$n%-4d ($nVecs%8d vecs): exact $exactSec%6.2f s, ivf-pq QUERY $annSec%6.2f s (one-off: train $trainSec%.2f s, index build $buildSec%.2f s), scanned ${frac * 100}%5.1f%% of pairs, recall@$k ${hits.toDouble / exact._1}%.3f")
+
+      // ---- segmented + tombstoned maintenance chain at this scale:
+      // 90% build + 10% O(increment) update (2 segments), then a
+      // FIXED-size delete; the delete root's bytes must not scale
+      // with the corpus, and the masked read must equal a one-pass
+      // encode of the live set
+      val segPath = s"/tmp/graft_ann_seg_${n}x"
+      val updPath = s"/tmp/graft_ann_segupd_${n}x"
+      val delPath = s"/tmp/graft_ann_segdel_${n}x"
+      Seq(segPath, updPath, delPath).foreach(rmrf)
+      val (_, chainSec) = time {
+        Similarity.writePqIndex(corpus.where(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", coarse, cb, segPath)
+        Similarity.updatePqIndex(spark, segPath, corpus.where(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", coarse, cb, updPath)
+        Similarity.deleteFromPqIndex(spark, updPath,
+          corpus.select("vec_id").orderBy("vec_id").limit(deltaN), "vec_id", delPath)
+      }
+      val delBytes = duBytes(delPath)
+      if (delBytesAt1x < 0) delBytesAt1x = delBytes
+      else if (delBytes > 3L * delBytesAt1x)
+        failures += s"x$n: delete root is $delBytes bytes vs $delBytesAt1x at x1 for the SAME " +
+          s"$deltaN-id delete — tombstone publish must be O(delta), not O(corpus)"
+      val masked = Similarity.readPqIndex(spark, delPath)
+      def rows(df: DataFrame) = df.select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      val delIds = corpus.select("vec_id").orderBy("vec_id").limit(deltaN)
+      val expect = Similarity.pqIndex(
+        corpus.join(delIds, Seq("vec_id"), "left_anti"), "vec_id", "embedding", coarse, cb)
+      val (diverged, maskedSec) = time {
+        rows(masked).exceptAll(rows(expect)).count() +
+          rows(expect).exceptAll(rows(masked)).count()
+      }
+      if (diverged != 0)
+        failures += s"x$n: masked segmented read diverged from the one-pass live encode ($diverged rows)"
+      // mask-join shape: the delta-sized tombstone mask must broadcast
+      val mq = masked.queryExecution
+      mq.toRdd.count(): Unit // finalize AQE on THIS QueryExecution
+      val plan = mq.executedPlan.toString
+      if (!plan.contains("BroadcastHashJoin"))
+        failures += s"x$n: masked read plan lost its broadcast mask join:\n$plan"
+      if (plan.contains("SortMergeJoin"))
+        failures += s"x$n: masked read shuffles a sort-merge join against the delta-sized mask:\n$plan"
+      println(f"[ann-scale] x$n%-4d segmented+tombstoned: chain $chainSec%6.2f s, masked-read equality check $maskedSec%6.2f s, delete root $delBytes%8d bytes (delta=$deltaN ids)")
     }
 
     // compression: the scored candidate payload is M code bytes + one
