@@ -35,26 +35,7 @@ object AnnScaleSmoke {
 
   private def time[T](f: => T): (T, Double) = Sessions.timed(f)
 
-  private def duBytes(path: String): Long = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else {
-      val s = java.nio.file.Files.walk(p)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally s.close()
-    }
-  }
-
-  private def rmrf(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(java.nio.file.Files.delete(_))
-      finally s.close()
-    }
-  }
+  import SmokeFiles.{duBytes, rmrf}
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,33 @@
+package graft
+
+/** Local-filesystem helpers shared by the scale-smoke mains — one copy
+  * of the recursive byte count the O(delta) assertions measure with,
+  * and of the scratch-dir reset the chains need between runs.
+  */
+private[graft] object SmokeFiles {
+
+  /** Recursive on-disk byte count of a directory tree (0 when absent)
+    * — the O(delta) measurement: for a delete root, manifests +
+    * tombstone id lists only, its segments carried by reference.
+    */
+  def duBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  def rmrf(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+  }
+}

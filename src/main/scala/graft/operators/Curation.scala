@@ -622,13 +622,11 @@ object Curation {
     * delta == from-scratch manifest of the new registry.
     */
   def releaseDelta(
-      prevManifest: DataFrame,
-      newManifest: DataFrame,
+      prevM: DataFrame,
+      newM: DataFrame,
       idCol: String,
       strataCol: String
   ): DataFrame = {
-    val prevM = prevManifest
-    val newM = newManifest
     // exact symmetric difference -> the touched (stratum, shard) set;
     // exceptAll (not a checksum) because a release diff must be sound,
     // and the manifests are narrow arithmetic rows
@@ -666,13 +664,45 @@ object Curation {
     * from-scratch manifest of the new registry — the equality the
     * release-delta oracle value-grades.
     */
+  /** The release root's commit-marker directory — the
+    * [[graft.operators.IndexManifest]] protocol at the release tier:
+    * present iff the tree is a CONSISTENT release state. Underscore-
+    * prefixed, so parquet readers of the root never see it.
+    */
+  private val ReleaseCommitDir = "_commit"
+
+  private def releaseCommitPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$ReleaseCommitDir")
+
   /** Physically publish a release manifest as a `(strataCol,
     * shard_id)`-partitioned parquet tree — the on-disk unit of change
-    * [[publishReleaseDelta]] rewrites. Write once per release root;
-    * deltas take over from there.
+    * [[publishReleaseDelta]] rewrites — plus a commit marker written
+    * LAST: a crash mid-publish leaves a root [[readRelease]] refuses,
+    * never a half release. Write once per release root; deltas take
+    * over from there.
     */
-  def publishRelease(manifest: DataFrame, strataCol: String, path: String): Unit =
+  def publishRelease(manifest: DataFrame, strataCol: String, path: String): Unit = {
+    val spark = manifest.sparkSession
+    val fs = releaseCommitPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
     manifest.write.partitionBy(strataCol, "shard_id").mode("overwrite").parquet(path)
+    spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
+  }
+
+  /** Read back a published release, refusing a root whose commit
+    * marker is missing — an interrupted [[publishRelease]] or
+    * [[publishReleaseDelta]] must answer "republish", not serve a
+    * mixed state.
+    */
+  def readRelease(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = releaseCommitPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(releaseCommitPath(path)),
+      s"no consistent release at $path: commit marker missing " +
+        "(publish interrupted or never run) — republish or re-apply the delta")
+    spark.read.parquet(path)
+  }
 
   /** Apply a [[releaseDelta]] to a PUBLISHED release in place,
     * touching only the delta's partitions — where the O(changed
@@ -684,38 +714,62 @@ object Curation {
     *    byte-identical on disk (at 100 TB, a churn that touches one
     *    language must not rewrite every shard's parquet).
     *  - `drop_shard` rows delete their partition directories (a
-    *    bounded shards-count driver loop over filesystem metadata).
+    *    bounded shards-count driver loop over filesystem metadata),
+    *    resolved through Spark's own partition-path escaping so a
+    *    stratum value like "zh:Hant" hits the directory the writer
+    *    actually produced. Deletes are idempotent (an already-absent
+    *    directory — a re-applied delta after a crash — passes), but a
+    *    delete that fails while the directory persists fails loudly.
     *  - `tombstone` ids append under `_removed/` — the
     *    removed-documents record published beside the shards; the
     *    leading underscore keeps it invisible to parquet readers of
     *    the release root.
+    *
+    * The three mutations are not atomic individually, so the apply
+    * wears the index tiers' crash posture: the commit marker is
+    * deleted FIRST and re-written LAST — a crash anywhere in between
+    * leaves a root [[readRelease]] loudly refuses (re-applying the
+    * same delta repairs it: the shard overwrite and directory deletes
+    * are idempotent), never a silently mixed state. The delta is
+    * persisted across its three consumers, so the diff (or a live
+    * upstream derivation) computes once.
     */
-  def publishReleaseDelta(delta: DataFrame, strataCol: String, path: String): Unit = {
+  def publishReleaseDelta(
+      delta: DataFrame, idCol: String, strataCol: String, path: String): Unit = {
     val spark = delta.sparkSession
-    delta.where(col("kind") === "shard").drop("kind")
-      .write.partitionBy(strataCol, "shard_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val drops = delta.where(col("kind") === "drop_shard")
-      .select(col(strataCol), col("shard_id")).collect()
-    drops.foreach { r =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/$strataCol=${r.get(0)}/shard_id=${r.get(1)}"), true): Unit
-    }
-    // a stratum whose LAST shard was dropped leaves an empty
-    // partition dir behind — remove it so the tree mirrors the
-    // manifest exactly
-    drops.map(r => s"$path/$strataCol=${r.get(0)}").distinct.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
-    }
-    val idCol = delta.columns.filterNot(
-      Set("kind", strataCol, "shard_id", "n_tokens", "bin_id",
-        "offset_in_bin", "len_in_bin").contains).head
-    delta.where(col("kind") === "tombstone").select(col(idCol))
-      .write.mode("append").parquet(s"$path/_removed")
+    if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
+    val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      d.where(col("kind") === "shard").drop("kind")
+        .write.partitionBy(strataCol, "shard_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path)
+      def partDir(strata: Any, shard: Any): String = {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
+        s"$path/${getPartitionPathString(strataCol, String.valueOf(strata))}/" +
+          getPartitionPathString("shard_id", String.valueOf(shard))
+      }
+      val drops = d.where(col("kind") === "drop_shard")
+        .select(col(strataCol), col("shard_id")).collect()
+      drops.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(partDir(r.get(0), r.get(1)))
+        require(fs.delete(p, true) || !fs.exists(p),
+          s"publishReleaseDelta: failed to drop retired shard directory $p")
+      }
+      // a stratum whose LAST shard was dropped leaves an empty
+      // partition dir behind — remove it so the tree mirrors the
+      // manifest exactly
+      drops.map(r => partDir(r.get(0), r.get(1)))
+        .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
+        }
+      d.where(col("kind") === "tombstone").select(col(idCol))
+        .write.mode("append").parquet(s"$path/_removed")
+    } finally d.unpersist()
+    spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
   }
 
   def applyReleaseDelta(

@@ -508,20 +508,21 @@ class CurationSpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("graft-release-pub").toString
     Curation.publishRelease(mOf(prevReg), "lang", root)
     val enBefore = fileListing(s"$root/lang=en")
-    Curation.publishReleaseDelta(deltaOf(prevReg, newReg), "lang", root)
+    Curation.publishReleaseDelta(deltaOf(prevReg, newReg), "doc_id", "lang", root)
     // the untouched stratum's files are BYTE-IDENTICAL — the delta
     // paid O(changed shards), not a full republish
     assert(fileListing(s"$root/lang=en") == enBefore,
       "publishing a de-only delta rewrote en shard files")
-    // read-back equals the from-scratch release of the new registry
+    // read-back (through the commit-marker gate) equals the
+    // from-scratch release of the new registry
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_id", "lang", "n_tokens", "bin_id", "offset_in_bin", "len_in_bin", "shard_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toSet
-    val readBack = spark.read.parquet(root)
+    def readBack() = Curation.readRelease(spark, root)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
         col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id"))
-    assert(rows(readBack) == rows(mOf(newReg)),
+    assert(rows(readBack()) == rows(mOf(newReg)),
       "delta-published release diverged from the from-scratch manifest")
     // the removed-doc record sits beside the shards, invisible to the read
     assert(spark.read.parquet(s"$root/_removed").collect().map(_.getLong(0)).toSet
@@ -529,12 +530,19 @@ class CurationSpec extends SparkTestBase {
     // a second delta that retires the whole de stratum drops its
     // partition directories physically
     val noDe = newReg.where(col("lang") =!= "de")
-    Curation.publishReleaseDelta(deltaOf(newReg, noDe), "lang", root)
+    Curation.publishReleaseDelta(deltaOf(newReg, noDe), "doc_id", "lang", root)
     assert(!new java.io.File(s"$root/lang=de").exists(),
       "dropped shards must leave the disk")
-    assert(rows(spark.read.parquet(root)
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
-          col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id")))
-      == rows(mOf(noDe)))
+    assert(rows(readBack()) == rows(mOf(noDe)))
+    // crash posture: a root whose commit marker is gone (an
+    // interrupted publish/apply) refuses to serve instead of mixing
+    // generations — the index tiers' manifest stance
+    val marker = java.nio.file.Paths.get(s"$root/_commit")
+    val walk = java.nio.file.Files.walk(marker)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(java.nio.file.Files.delete(_))
+    finally walk.close()
+    val e = intercept[IllegalArgumentException] { Curation.readRelease(spark, root) }
+    assert(e.getMessage.contains("commit marker missing"), e.getMessage)
   }
 }
