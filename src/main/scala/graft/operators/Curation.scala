@@ -623,10 +623,19 @@ object Curation {
     */
   def releaseDelta(
       prevM: DataFrame,
-      newM: DataFrame,
+      newM0: DataFrame,
       idCol: String,
       strataCol: String
   ): DataFrame = {
+    // exceptAll compares POSITIONALLY, and the previous manifest is
+    // typically re-read from published parquet whose column order
+    // need not match a freshly derived manifest's — align before
+    // diffing, or same-typed columns mispair and every shard reads
+    // as touched (a silent full republish, not an error)
+    require(prevM.columns.toSet == newM0.columns.toSet,
+      s"releaseDelta: manifests disagree on columns — prev ${prevM.columns.mkString(",")} " +
+        s"vs new ${newM0.columns.mkString(",")}")
+    val newM = newM0.select(prevM.columns.map(col): _*)
     // exact symmetric difference -> the touched (stratum, shard) set;
     // exceptAll (not a checksum) because a release diff must be sound,
     // and the manifests are narrow arithmetic rows
@@ -720,28 +729,54 @@ object Curation {
     *    actually produced. Deletes are idempotent (an already-absent
     *    directory — a re-applied delta after a crash — passes), but a
     *    delete that fails while the directory persists fails loudly.
-    *  - `tombstone` ids append under `_removed/` — the
-    *    removed-documents record published beside the shards; the
-    *    leading underscore keeps it invisible to parquet readers of
-    *    the release root.
+    *  - `tombstone` ids land under `_removed/delta-<content-hash>/`
+    *    — the removed-documents record published beside the shards
+    *    (the leading underscore keeps `_removed` invisible to parquet
+    *    readers of the release root; read it back via
+    *    [[readRemoved]]). The subdir is keyed by a deterministic
+    *    content hash of the WHOLE delta and written with overwrite
+    *    semantics, the index tiers' per-generation tombstone-dir
+    *    pattern (Retrieval `tombstones/ts-NNNNN`): re-applying the
+    *    same delta lands in the same subdir and leaves the
+    *    removed-doc ROW COUNT unchanged, so a consumer counting
+    *    removals (or replaying them into an index tier) never reads
+    *    an inflated record. Hashing the whole delta — not just the
+    *    tombstone ids — keeps a later remove/re-add/remove cycle of
+    *    the same ids a DISTINCT event (its shard rows differ).
     *
     * The three mutations are not atomic individually, so the apply
     * wears the index tiers' crash posture: the commit marker is
     * deleted FIRST and re-written LAST — a crash anywhere in between
     * leaves a root [[readRelease]] loudly refuses (re-applying the
-    * same delta repairs it: the shard overwrite and directory deletes
-    * are idempotent), never a silently mixed state. The delta is
-    * persisted across its three consumers, so the diff (or a live
-    * upstream derivation) computes once.
+    * same delta repairs it: all three mutations are idempotent),
+    * never a silently mixed state. The delta is persisted and FULLY
+    * MATERIALIZED by the content-hash pass BEFORE the commit marker
+    * is deleted — a pure compute failure (an upstream bug, an OOM in
+    * the diff) therefore surfaces while the release is still intact
+    * and readable; only real on-disk mutations open the unreadable
+    * window.
     */
   def publishReleaseDelta(
       delta: DataFrame, idCol: String, strataCol: String, path: String): Unit = {
     val spark = delta.sparkSession
     val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
     val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE bounded pass over the persisted delta, run while the
+      // commit marker still stands: an order-insensitive content hash
+      // (sum of per-row xxhash64 in decimal — no overflow under ANSI)
+      // that keys the tombstone subdir, plus the tombstone row count.
+      // This is also the materialization barrier: any compute failure
+      // in the delta's plan throws HERE, before the release is opened.
+      val fp = d.agg(
+        coalesce(sum(xxhash64(d.columns.map(col): _*).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("h"),
+        sum(when(col("kind") === "tombstone", 1L).otherwise(0L)).as("n_ts")).head()
+      val deltaKey =
+        fp.getDecimal(0).toBigInteger.toString(16).replace("-", "n")
+      val nTombstones = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+      if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
       d.where(col("kind") === "shard").drop("kind")
         .write.partitionBy(strataCol, "shard_id")
         .option("partitionOverwriteMode", "dynamic")
@@ -766,10 +801,30 @@ object Curation {
           val p = new org.apache.hadoop.fs.Path(dir)
           if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
         }
-      d.where(col("kind") === "tombstone").select(col(idCol))
-        .write.mode("append").parquet(s"$path/_removed")
+      if (nTombstones > 0L)
+        d.where(col("kind") === "tombstone").select(col(idCol))
+          .write.mode("overwrite").parquet(s"$path/_removed/delta-$deltaKey")
+      spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
     } finally d.unpersist()
-    spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
+  }
+
+  /** Read the removed-documents record a release accumulates — one
+    * `delta-<hash>` subdir per applied [[publishReleaseDelta]] that
+    * carried tombstones, unioned. A release with no removals yet
+    * yields an empty relation whose single column takes `idCol`'s
+    * type from the published manifest itself, so downstream unions
+    * and joins typecheck without a special case.
+    */
+  def readRemoved(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/_removed")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("delta-")).map(_.getPath.toString)
+    if (dirs.isEmpty) readRelease(spark, path).select(col(idCol)).limit(0)
+    else spark.read.parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(dirs): _*)
   }
 
   def applyReleaseDelta(

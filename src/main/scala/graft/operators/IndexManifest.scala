@@ -46,11 +46,38 @@ private[operators] object IndexManifest {
     * republish rewrites the manifest with fresh part-file UUIDs, so
     * the fingerprint ALWAYS changes when a new generation lands and a
     * stale handle can never be served — the staleness check is the
-    * listing compare, not a TTL. Bounded: one tiny Handle per distinct
-    * index path touched by the JVM.
+    * listing compare, not a TTL. Bounded EXPLICITLY: an LRU cap of
+    * [[handleCacheCap]] entries (access-ordered eviction), so a
+    * years-long scheduler JVM touching dated index roots daily cannot
+    * accrue entries forever — an evicted path simply pays the
+    * one-parquet-read reload on its next touch.
     */
-  private val handleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Handle)]()
+  private[operators] var handleCacheCap = 256
+
+  /** Carried segment/tombstone roots are existence-checked on every
+    * (re)load, but a base root deleted while the handle sits cached
+    * (fingerprint unchanged — the manifest itself was untouched)
+    * would otherwise surface as a raw missing-parquet failure deep in
+    * a serve plan. Every Nth cached lookup re-runs the root checks —
+    * pure filesystem metadata over a bounded dir list — so the
+    * manifest-level refusal the format promises arrives within N
+    * serve calls of the deletion instead of never.
+    */
+  private val RevalidateEvery = 64L
+
+  private final class CacheEntry(val fp: String, val h: Handle) {
+    val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  private val handleCache: java.util.Map[String, CacheEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CacheEntry](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CacheEntry]): Boolean =
+          size() > handleCacheCap
+      })
+
+  private[operators] def handleCacheSize: Int = handleCache.size()
 
   private def manifestDir(
       spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem,
@@ -91,8 +118,19 @@ private[operators] object IndexManifest {
         "(build interrupted or never run)"))
     val key = cacheKey(spark, path)
     val cached = handleCache.get(key)
-    if (cached != null && cached._1 == fp) cached._2
-    else {
+    if (cached != null && cached.fp == fp) {
+      // periodic carried-root re-validation (see [[RevalidateEvery]]);
+      // a tripped check drops the entry so every subsequent call pays
+      // the reload path and refuses immediately
+      if (cached.hits.incrementAndGet() % RevalidateEvery == 0L) {
+        try validateRoots(spark, path, what, cached.h)
+        catch {
+          case e: IllegalArgumentException =>
+            handleCache.remove(key); throw e
+        }
+      }
+      cached.h
+    } else {
       val row = spark.read.parquet(s"$path/manifest").head()
       def seqCol(name: String): Seq[String] =
         if (!row.schema.fieldNames.contains(name)) Seq.empty
@@ -105,23 +143,28 @@ private[operators] object IndexManifest {
           else "",
         segments = seqCol("segments").map(resolve(path, _)),
         tombstones = seqCol("tombstones").map(resolve(path, _)))
-      // Segments/tombstones carried BY REFERENCE mean this index
-      // depends on every ancestor root staying alive; if a retired
-      // base root was deleted, fail here with the manifest-level
-      // refusal the format promises, not a raw missing-parquet error
-      // deep inside a serve plan. Runs only on (re)load, never on a
-      // cached lookup.
-      (h.segments ++ h.tombstones).foreach { d =>
-        val dp = new org.apache.hadoop.fs.Path(d)
-        require(dp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp),
-          s"$what index at $path references $d, which no longer exists — a base " +
-            "generation this index carries by reference was deleted; rebuild the " +
-            "index, or compactIndex before retiring base roots")
-      }
-      handleCache.put(key, (fp, h))
+      validateRoots(spark, path, what, h)
+      handleCache.put(key, new CacheEntry(fp, h))
       h
     }
   }
+
+  /** Segments/tombstones carried BY REFERENCE mean an index depends
+    * on every ancestor root staying alive; if a retired base root was
+    * deleted, fail with the manifest-level refusal the format
+    * promises, not a raw missing-parquet error deep inside a serve
+    * plan. Runs on every (re)load and on every [[RevalidateEvery]]th
+    * cached lookup.
+    */
+  private def validateRoots(
+      spark: SparkSession, path: String, what: String, h: Handle): Unit =
+    (h.segments ++ h.tombstones).foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      require(dp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp),
+        s"$what index at $path references $d, which no longer exists — a base " +
+          "generation this index carries by reference was deleted; rebuild the " +
+          "index, or compactIndex before retiring base roots")
+    }
 
   private def invalidate(spark: SparkSession, path: String): Unit =
     handleCache.remove(cacheKey(spark, path))

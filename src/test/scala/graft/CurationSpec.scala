@@ -507,8 +507,12 @@ class CurationSpec extends SparkTestBase {
       Curation.releaseDelta(mOf(a), mOf(b), "doc_id", "lang")
     val root = java.nio.file.Files.createTempDirectory("graft-release-pub").toString
     Curation.publishRelease(mOf(prevReg), "lang", root)
+    // a release with no removals yet reads back as an EMPTY typed relation
+    assert(Curation.readRemoved(spark, root, "doc_id").isEmpty,
+      "fresh release must have an empty removed-doc record")
     val enBefore = fileListing(s"$root/lang=en")
-    Curation.publishReleaseDelta(deltaOf(prevReg, newReg), "doc_id", "lang", root)
+    val d1 = deltaOf(prevReg, newReg)
+    Curation.publishReleaseDelta(d1, "doc_id", "lang", root)
     // the untouched stratum's files are BYTE-IDENTICAL — the delta
     // paid O(changed shards), not a full republish
     assert(fileListing(s"$root/lang=en") == enBefore,
@@ -525,8 +529,37 @@ class CurationSpec extends SparkTestBase {
     assert(rows(readBack()) == rows(mOf(newReg)),
       "delta-published release diverged from the from-scratch manifest")
     // the removed-doc record sits beside the shards, invisible to the read
-    assert(spark.read.parquet(s"$root/_removed").collect().map(_.getLong(0)).toSet
-      .contains(101L))
+    def removedIds() = Curation.readRemoved(spark, root, "doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val removedOnce = removedIds()
+    assert(removedOnce.contains(101L))
+    // the documented crash repair — re-applying the SAME delta — must
+    // be idempotent for ALL THREE mutations: the removed-doc record
+    // keeps its exact ROW COUNT (a set-compare would hide appended
+    // duplicates), and the release content is unchanged
+    Curation.publishReleaseDelta(d1, "doc_id", "lang", root)
+    assert(removedIds() == removedOnce,
+      s"re-applying a delta changed the removed-doc record: ${removedIds()} vs $removedOnce")
+    assert(rows(readBack()) == rows(mOf(newReg)),
+      "re-applying a delta changed the release content")
+    // crash drill: kill the commit marker mid-state (a crash between
+    // the marker delete and the final rewrite), confirm the root
+    // refuses, then re-apply the delta and confirm FULL repair —
+    // readable again, content right, removed record not inflated
+    def dropMarker(): Unit = {
+      val m = java.nio.file.Paths.get(s"$root/_commit")
+      val w = java.nio.file.Files.walk(m)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally w.close()
+    }
+    dropMarker()
+    assert(intercept[IllegalArgumentException] { Curation.readRelease(spark, root) }
+      .getMessage.contains("commit marker missing"))
+    Curation.publishReleaseDelta(d1, "doc_id", "lang", root)
+    assert(rows(readBack()) == rows(mOf(newReg)), "crash re-apply diverged")
+    assert(removedIds() == removedOnce,
+      "crash re-apply inflated the removed-doc record")
     // a second delta that retires the whole de stratum drops its
     // partition directories physically
     val noDe = newReg.where(col("lang") =!= "de")

@@ -63,6 +63,49 @@ class IndexHandleSpec extends SparkTestBase {
     assert(e.getMessage.contains("no complete BM25 index"), e.getMessage)
   }
 
+  test("the handle cache is LRU-bounded: the eldest path is evicted past the cap") {
+    val saved = IndexManifest.handleCacheCap
+    try {
+      IndexManifest.handleCacheCap = 2
+      val dirs = (1 to 3).map { i =>
+        val d = tmp(s"handle-lru-$i")
+        IndexManifest.write(spark, d, version = 3, segments = Seq("segments/a"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$d/segments/a"))
+        d
+      }
+      dirs.foreach(d => IndexManifest.handle(spark, d))
+      assert(IndexManifest.handleCacheSize <= 2,
+        s"cache grew past the cap: ${IndexManifest.handleCacheSize}")
+      // the evicted path still serves — it just pays a reload
+      assert(IndexManifest.handle(spark, dirs.head).segments.nonEmpty)
+      assert(IndexManifest.handleCacheSize <= 2)
+    } finally IndexManifest.handleCacheCap = saved
+  }
+
+  test("a base root deleted AFTER the handle is cached trips the periodic re-validation") {
+    val dir = tmp("handle-revalidate")
+    val base = tmp("handle-revalidate-base")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/segments/a"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/seg"))
+    IndexManifest.write(spark, dir, version = 3,
+      segments = Seq("segments/a", s"$base/seg"))
+    assert(IndexManifest.handle(spark, dir, "BM25").segments.size == 2)
+    // delete the carried base root OUT OF BAND — the manifest (and so
+    // the fingerprint) is untouched, so only re-validation can catch it
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/seg"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(base))
+    val e = intercept[IllegalArgumentException] {
+      (1 to 64).foreach(_ => IndexManifest.handle(spark, dir, "BM25"))
+    }
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    // the tripped entry is dropped, so the very next call refuses at
+    // load time instead of waiting out another period
+    val e2 = intercept[IllegalArgumentException] {
+      IndexManifest.handle(spark, dir, "BM25")
+    }
+    assert(e2.getMessage.contains("no longer exists"), e2.getMessage)
+  }
+
   test("a vanished base root carried by reference fails at the manifest level, not mid-scan") {
     val dir = tmp("handle-gone")
     IndexManifest.write(spark, dir, version = 3,
