@@ -211,16 +211,26 @@ object SparkEntry {
     */
   private case class ReleaseManifests(prevPath: String, newPath: String)
   private val releaseManifestsCache = new java.util.concurrent.ConcurrentHashMap[String, ReleaseManifests]()
+
+  /** The registry churn rule shared by `pipeline_release_delta` and
+    * `release_maintained` (and replayed verbatim in both oracles'
+    * `regnew` CTE): every ninth doc retired, every thirteenth
+    * re-extracted (+5 tokens), a new doc ingested for every
+    * seventeenth.
+    */
+  private def churnedRegistry(prevReg: DataFrame): DataFrame =
+    prevReg.where(col("doc_id") % 9 =!= 0)
+      .withColumn("n_tokens",
+        when(col("doc_id") % 13 === 0, col("n_tokens") + 5).otherwise(col("n_tokens")))
+      .unionByName(prevReg.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang_pred"),
+          (col("n_tokens") + 3).as("n_tokens")))
+
   private def releaseManifests(s: SparkSession, dir: String): ReleaseManifests =
     releaseManifestsCache.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-release-m")
       val prevReg = releaseRegistry(s, dir)
-      val newReg = prevReg.where(col("doc_id") % 9 =!= 0)
-        .withColumn("n_tokens",
-          when(col("doc_id") % 13 === 0, col("n_tokens") + 5).otherwise(col("n_tokens")))
-        .unionByName(prevReg.where(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang_pred"),
-            (col("n_tokens") + 3).as("n_tokens")))
+      val newReg = churnedRegistry(prevReg)
       def mOf(reg: DataFrame) = Curation.releaseRegistryManifest(reg, "doc_id",
         "n_tokens", "lang_pred", releaseMixWeights, contextTokens = 256, nShards = 4)
       val prevPath = root.resolve("prev").toString
@@ -228,6 +238,33 @@ object SparkEntry {
       mOf(prevReg).write.parquet(prevPath)
       mOf(newReg).write.parquet(newPath)
       ReleaseManifests(prevPath, newPath)
+    })
+
+  /** Per-corpus memoized LIVE MAINTAINED RELEASE — yesterday's release
+    * physically published ([[Curation.publishRelease]]) at a fresh
+    * root, then ONE [[Curation.maintainRelease]] round with the
+    * churned registry: the drift gate scores per-stratum PSI over the
+    * two manifests and, passing, ships the shard-level delta in place.
+    * The gate is REQUIRED to pass here (loudly — the benign churn rule
+    * sits far inside the default threshold), so the query over this
+    * root value-grades the full one-call maintenance path: gate →
+    * delta → physical apply → commit marker, against the from-scratch
+    * release of the churned registry. Build cost bills to the first
+    * call (the releaseSnapshot stance).
+    */
+  private val maintainedReleaseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintainedReleaseRoot(s: SparkSession, dir: String): String =
+    maintainedReleaseCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-release-live").toString
+      Curation.publishRelease(
+        s.read.parquet(releaseManifests(s, dir).prevPath), "lang_pred", root)
+      val report = Curation.maintainRelease(s, root,
+        churnedRegistry(releaseRegistry(s, dir)),
+        "doc_id", "n_tokens", "lang_pred", releaseMixWeights,
+        contextTokens = 256, nShards = 4, maxPsi = 0.5)
+      require(report.collect().forall(_.getBoolean(2)),
+        "release_maintained setup: the drift gate tripped on the benign churn rule")
+      root
     })
 
   private val releaseSnapshotCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -539,6 +576,32 @@ object SparkEntry {
     * re-home, value-grading the scheduler entry point end to end.
     */
   private val bm25MaintainedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-corpus memoized SIDE-TABLE index chain — the third index
+    * family ([[graft.operators.SideIndex]], the published admission
+    * side tables the streaming gates serve from), exercised through
+    * its full segmented + tombstoned life: build over a
+    * SQL-expressible payload (doc_id, n_chars), delete every seventh
+    * doc, re-add every fourteenth with a changed payload (the
+    * delete + update document-update path, LSM-sequenced). The
+    * `side_index_live` oracle value-grades the masked live read.
+    */
+  private val sideIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sideIndexRoot(s: SparkSession, dir: String): String =
+    sideIndexCache.computeIfAbsent(dir, _ => {
+      import graft.operators.SideIndex
+      val rows = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+      val root = java.nio.file.Files.createTempDirectory("graft-side-idx").toString
+      SideIndex.build(rows, "doc_id", "chars", s"$root/base")
+      SideIndex.delete(s, s"$root/base",
+        rows.where(col("doc_id") % 7 === 0).select("doc_id"), "doc_id", s"$root/deleted")
+      SideIndex.update(s, s"$root/deleted",
+        rows.where(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars")),
+        "doc_id", s"$root/updated")
+      s"$root/updated"
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -1251,6 +1314,18 @@ object SparkEntry {
     "regex_replace" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 50).as("repl"))),
+    "regex_split" -> ((s, dir) => {
+      import s.implicits._
+      import Filters._
+      // the typed regexSplit surface (reference regex.rs:302) —
+      // split each document on non-letter runs, then token frequencies
+      // (a deterministic, order-free rendering of the split lists)
+      val texts = new PCollection(t(s, dir, "documents").select("text").as[String])
+      texts.regexSplit("[^a-zA-Z]+").ds.toDF("toks")
+        .select(explode(col("toks")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+    }),
     "dead_letter" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").select("event_type", "props").as[(String, String)]
@@ -1277,6 +1352,10 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE regexp_matches(text, 'vector.+hash')",
     "regex_replace" ->
       "SELECT doc_id, substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 50) AS repl FROM documents",
+    "regex_split" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS tok FROM documents) t
+         WHERE tok <> '' GROUP BY tok""",
     "dead_letter" ->
       """SELECT event_type,
          CAST(count(CASE WHEN CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) <> 50 THEN 1 END) AS BIGINT) AS ok,
@@ -1694,6 +1773,30 @@ object SparkEntry {
           col("bin").cast("long").as("k2"), col("n_base"), col("n_cur"),
           col("psi_term").as("metric"))
       diff.unionByName(psi)
+    }),
+    "release_maintained" -> ((s, dir) => {
+      // the ONE-CALL release maintenance round (the release twin of
+      // retrieval_index_maintained): yesterday's release published
+      // physically, today's churned registry through
+      // Curation.maintainRelease — per-stratum PSI drift gate, then
+      // the shard-level delta applied IN PLACE (dynamic partition
+      // overwrite + per-delta tombstone record + commit marker). The
+      // query reads the maintained TREE back through the commit-marker
+      // gate and rides the removed-doc record along as a constant
+      // column, so the oracle (the from-scratch release of the churned
+      // registry + the retired-id count) value-grades the physical
+      // apply end to end: a wrong touched-shard set, a stale carried
+      // partition, a missed or duplicated tombstone all break the
+      // hash. Setup bills to the memoized first call
+      // (maintainedReleaseRoot).
+      val root = maintainedReleaseRoot(s, dir)
+      val removed = Curation.readRemoved(s, root, "doc_id")
+        .agg(count(lit(1)).as("n_removed"))
+      Curation.readRelease(s, root)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("bin_id"), col("offset_in_bin"), col("len_in_bin"),
+          col("shard_id").cast("int").as("shard_id"))
+        .crossJoin(broadcast(removed))
     }),
     "pipeline_multilingual" -> ((s, dir) => {
       // the MULTILINGUAL curation front door composed end to end, one
@@ -2430,6 +2533,20 @@ object SparkEntry {
         (col("n_segments") === 1 && col("n_tombstone_gens") === 0)
           .cast("bigint").as("compacted"))
       serve.crossJoin(broadcast(compacted))
+    }),
+    "side_index_live" -> ((s, dir) => {
+      // the SideIndex tier (published admission side tables) through
+      // its whole segmented + tombstoned life — build, O(delta)
+      // delete, delete+update re-key — value-graded: the masked live
+      // read must equal the rule-replayed relation, and the info row
+      // (segments / tombstone generations / live count, footer-sized
+      // metadata reads) rides along as constant columns
+      import graft.operators.SideIndex
+      val root = sideIndexRoot(s, dir)
+      val live = SideIndex.read(s, root, "doc_id", "chars")
+      val inf = SideIndex.info(s, root, "chars")
+        .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
+      live.crossJoin(broadcast(inf))
     }),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
@@ -3565,6 +3682,7 @@ object SparkEntry {
     "pipeline_release" -> releaseOracleSql,
     "pipeline_release_delta" -> releaseDeltaOracleSql,
     "release_qa" -> releaseQaOracleSql,
+    "release_maintained" -> releaseMaintainedOracleSql,
     "text_chunks_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
@@ -4426,6 +4544,21 @@ object SparkEntry {
                   UNION ALL
                   SELECT doc_id AS id, (1 - CAST(0.85 AS DOUBLE)) / n AS r FROM seeds, ns) GROUP BY id)
          SELECT id, round(r, 6) AS rank FROM p4""",
+    "side_index_live" ->
+      // the rule-replayed live set: build over all docs, every 7th
+      // deleted, every 14th re-added with payload+1 (the LSM
+      // delete + update path), plus the constant info columns
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         live AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0)
+         SELECT doc_id, n_chars,
+                2 AS n_segments, 1 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
     "retrieval_batch_serve" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join'),
                                            (1, 'merge'), (1, 'sort'), (1, 'hash')),
@@ -5305,7 +5438,7 @@ object SparkEntry {
            $langScoresSql
          FROM u),
        pred AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM sc),
-       kept AS (SELECT sig.doc_id, pred.lang_pred, sig.n_tokens
+       kept AS MATERIALIZED (SELECT sig.doc_id, pred.lang_pred, sig.n_tokens
                 FROM sig JOIN pred ON sig.doc_id = pred.doc_id
                 WHERE sig.n_tokens >= 10 AND sig.bigram_rep <= 0.2 AND sig.alpha_ratio >= 0.8),
        w(lang_pred, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
@@ -5488,28 +5621,35 @@ object SparkEntry {
            """ + langScoresSql + """
          FROM u),
        pred AS (SELECT doc_id, """ + langPredCaseSql + """ AS lang_pred FROM lsc),
-       kept AS (SELECT surv.doc_id, surv.text, pred.lang_pred, sig.n_tokens
+       kept AS MATERIALIZED (SELECT surv.doc_id, surv.text, pred.lang_pred, sig.n_tokens
                 FROM surv JOIN sig ON surv.doc_id = sig.doc_id
                           JOIN pred ON surv.doc_id = pred.doc_id
                 WHERE sig.n_tokens >= 10 AND sig.bigram_rep <= 0.2 AND sig.alpha_ratio >= 0.8)"""
+       // MATERIALIZED is load-bearing for oracle runtime, not
+       // semantics: DuckDB inlines CTEs by default, and every
+       // downstream reference to `kept` (the release oracles touch it
+       // from the decontamination grams, the clean anti-join, TWO
+       // budget instantiations, and the packing chain) would re-expand
+       // the whole recursive extract+dedup+gate pipeline — measured
+       // 310 s -> 6 s on release_maintained at sf0.001
 
   /** The md5-priority language-mix budget cut over a source CTE with
     * (doc_id, lang_pred, n_tokens) — `Curation.rebalanceMixByTokens`'s
     * replay, emitting CTE `bud`. Shared by the training-set, release,
     * and release-QA oracles so the budget arithmetic exists once.
     */
-  private def mixBudgetCtesSql(src: String): String =
-    s"""w(lang_pred, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
-       totals AS (SELECT lang_pred, sum(n_tokens) AS tok FROM $src GROUP BY lang_pred),
-       sca AS (SELECT min(tok / wt) AS scale FROM totals JOIN w USING (lang_pred)),
-       b AS (SELECT lang_pred, CAST(floor(wt * scale) AS BIGINT) AS budget_tokens
-             FROM totals JOIN w USING (lang_pred) CROSS JOIN sca),
-       rr AS (SELECT doc_id, lang_pred, n_tokens,
+  private def mixBudgetCtesSql(src: String, p: String = ""): String =
+    s"""${p}w(lang_pred, wt) AS (VALUES ('en', 0.4), ('zh', 0.15), ('es', 0.15), ('de', 0.15), ('fr', 0.15)),
+       ${p}totals AS (SELECT lang_pred, sum(n_tokens) AS tok FROM $src GROUP BY lang_pred),
+       ${p}sca AS (SELECT min(tok / wt) AS scale FROM ${p}totals JOIN ${p}w USING (lang_pred)),
+       ${p}b AS (SELECT lang_pred, CAST(floor(wt * scale) AS BIGINT) AS budget_tokens
+             FROM ${p}totals JOIN ${p}w USING (lang_pred) CROSS JOIN ${p}sca),
+       ${p}rr AS (SELECT doc_id, lang_pred, n_tokens,
                     CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
              FROM $src),
-       bud AS (SELECT rr.doc_id, rr.lang_pred, rr.n_tokens
-               FROM rr JOIN b USING (lang_pred) WHERE cum_tokens <= budget_tokens)"""
+       ${p}bud AS (SELECT ${p}rr.doc_id, ${p}rr.lang_pred, ${p}rr.n_tokens
+               FROM ${p}rr JOIN ${p}b USING (lang_pred) WHERE cum_tokens <= budget_tokens)"""
 
   /** The composed DuckDB replay of the full `pipeline_training_set`
     * chain: the shared curated-base CTEs plus the budget cut over the
@@ -5546,7 +5686,7 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
          FROM clean),
-       counted AS (SELECT doc_id, lang_pred,
+       counted AS MATERIALIZED (SELECT doc_id, lang_pred,
            CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens FROM pii),
        """ + mixBudgetCtesSql("counted") + """,
        p AS (SELECT doc_id, lang_pred, n_tokens,
@@ -5596,7 +5736,7 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
          FROM clean),
-       counted AS (SELECT doc_id, lang_pred,
+       counted AS MATERIALIZED (SELECT doc_id, lang_pred,
            CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens FROM pii),
        regnew AS (
          SELECT doc_id, lang_pred,
@@ -5625,6 +5765,68 @@ object SparkEntry {
        SELECT m.doc_id, m.lang_pred, m.n_tokens, m.bin_id, m.offset_in_bin, m.len_in_bin,
               CAST(m.bin_id * least(tt.tb, 4) // tt.tb AS INTEGER) AS shard_id
        FROM m JOIN tt ON m.lang_pred = tt.lang_pred"""
+
+  /** The composed DuckDB replay of `release_maintained`: the
+    * from-scratch release of the churned registry (identical
+    * arithmetic to `pipeline_release_delta`'s oracle — the maintained
+    * TREE must equal it by the delta law), plus the retired-id count
+    * (ids shipped by the previous release — its own budget cut,
+    * instantiated under the `pv` CTE prefix — and absent from the new
+    * one), which grades the physical `_removed` record the round
+    * published.
+    */
+  private lazy val releaseMaintainedOracleSql: String =
+    "WITH RECURSIVE " + curatedKeptCtesSql + """,
+       bench AS (
+         SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-2),
+                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 25)),
+       dg AS (
+         SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM kept)),
+       contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bench USING (g)),
+       clean AS (SELECT doc_id, text, lang_pred FROM kept
+                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       pii AS (SELECT doc_id, lang_pred,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+         FROM clean),
+       counted AS MATERIALIZED (SELECT doc_id, lang_pred,
+           CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens FROM pii),
+       regnew AS (
+         SELECT doc_id, lang_pred,
+                CASE WHEN doc_id % 13 = 0 THEN n_tokens + 5 ELSE n_tokens END AS n_tokens
+         FROM counted WHERE doc_id % 9 <> 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, lang_pred, n_tokens + 3 AS n_tokens
+         FROM counted WHERE doc_id % 17 = 0),
+       """ + mixBudgetCtesSql("counted", "pv") + """,
+       """ + mixBudgetCtesSql("regnew") + """,
+       rem AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM (
+                 SELECT DISTINCT doc_id FROM pvbud
+                 EXCEPT SELECT DISTINCT doc_id FROM bud)),
+       p AS (SELECT doc_id, lang_pred, n_tokens,
+               CAST(cum2 - n_tokens AS BIGINT) AS start_token,
+               (cum2 - n_tokens) // 256 AS bin_id,
+               (cum2 - 1) // 256 - (cum2 - n_tokens) // 256 + 1 AS n_bins
+             FROM (SELECT doc_id, lang_pred, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum2
+                   FROM bud)),
+       m AS (SELECT doc_id, lang_pred, n_tokens, CAST(bin AS BIGINT) AS bin_id,
+               CAST(greatest(start_token - bin * 256, 0) AS BIGINT) AS offset_in_bin,
+               CAST(least(start_token + n_tokens, (bin + 1) * 256)
+                    - greatest(start_token, bin * 256) AS BIGINT) AS len_in_bin
+             FROM (SELECT doc_id, lang_pred, n_tokens, start_token,
+                     unnest(generate_series(bin_id, bin_id + n_bins - 1)) AS bin
+                   FROM p)),
+       tt AS (SELECT lang_pred, max(bin_id) + 1 AS tb FROM m GROUP BY lang_pred)
+       SELECT m.doc_id, m.lang_pred, m.n_tokens, m.bin_id, m.offset_in_bin, m.len_in_bin,
+              CAST(m.bin_id * least(tt.tb, 4) // tt.tb AS INTEGER) AS shard_id,
+              rem.n_removed
+       FROM m JOIN tt ON m.lang_pred = tt.lang_pred CROSS JOIN rem"""
 
   /** The composed DuckDB replay of `release_qa`: the published release
     * re-derived via the shared CTEs, the perturbed re-release and the
@@ -5747,6 +5949,10 @@ object SparkEntry {
     // snapshot QA proven on the release's own output: per-doc diff +
     // stratified PSI against a rule-perturbed re-release, one report
     "release_qa",
+    // the ONE-CALL maintenance round: PSI drift gate -> shard-level
+    // delta applied physically in place, tree read back through the
+    // commit-marker gate
+    "release_maintained",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph
@@ -5851,6 +6057,9 @@ object SparkEntry {
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
     "retrieval_index_info", "retrieval_index_maintained", "retrieval_batch_serve",
+    // the third index family: the published admission side table the
+    // streaming gates serve from, read through its sequenced mask
+    "side_index_live",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -5890,5 +6099,5 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
-    "retrieval_batch_serve")
+    "retrieval_batch_serve", "side_index_live", "release_maintained")
 }

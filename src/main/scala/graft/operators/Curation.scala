@@ -749,63 +749,80 @@ object Curation {
     * deleted FIRST and re-written LAST — a crash anywhere in between
     * leaves a root [[readRelease]] loudly refuses (re-applying the
     * same delta repairs it: all three mutations are idempotent),
-    * never a silently mixed state. The delta is persisted and FULLY
-    * MATERIALIZED by the content-hash pass BEFORE the commit marker
-    * is deleted — a pure compute failure (an upstream bug, an OOM in
-    * the diff) therefore surfaces while the release is still intact
-    * and readable; only real on-disk mutations open the unreadable
-    * window.
+    * never a silently mixed state. Before the marker is touched the
+    * delta is STAGED to parquet under `_staged/delta-<hash>` (same
+    * filesystem as the release — underscore-hidden from readers) and
+    * every mutation reads the STAGED copy, never the caller's plan.
+    * Staging is load-bearing twice over: (1) it is the
+    * materialization barrier — a pure compute failure (an upstream
+    * bug, an OOM in the diff) surfaces while the release is still
+    * intact and readable, so only real mutations open the unreadable
+    * window; (2) a delta whose lineage reads the release root itself
+    * (the [[maintainRelease]] shape: prev = [[readRelease]]) would
+    * otherwise be silently RECOMPUTED against the half-rewritten tree
+    * mid-apply — Spark refreshes path-dependent caches when the path
+    * is overwritten, so even a persisted plan is not a snapshot; a
+    * staged file is.
     */
   def publishReleaseDelta(
       delta: DataFrame, idCol: String, strataCol: String, path: String): Unit = {
     val spark = delta.sparkSession
     val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // ONE bounded pass over the persisted delta, run while the
-      // commit marker still stands: an order-insensitive content hash
-      // (sum of per-row xxhash64 in decimal — no overflow under ANSI)
-      // that keys the tombstone subdir, plus the tombstone row count.
-      // This is also the materialization barrier: any compute failure
-      // in the delta's plan throws HERE, before the release is opened.
-      val fp = d.agg(
-        coalesce(sum(xxhash64(d.columns.map(col): _*).cast("decimal(38,0)")),
-          lit(0L).cast("decimal(38,0)")).as("h"),
-        sum(when(col("kind") === "tombstone", 1L).otherwise(0L)).as("n_ts")).head()
-      val deltaKey =
-        fp.getDecimal(0).toBigInteger.toString(16).replace("-", "n")
-      val nTombstones = if (fp.isNullAt(1)) 0L else fp.getLong(1)
-      if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
-      d.where(col("kind") === "shard").drop("kind")
-        .write.partitionBy(strataCol, "shard_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(path)
-      def partDir(strata: Any, shard: Any): String = {
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
-        s"$path/${getPartitionPathString(strataCol, String.valueOf(strata))}/" +
-          getPartitionPathString("shard_id", String.valueOf(shard))
+    val d0 = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded pass over the delta, run while the commit marker
+    // still stands: an order-insensitive content hash (sum of per-row
+    // xxhash64 in decimal — no overflow under ANSI) keying the staged
+    // and tombstone dirs, plus the tombstone row count.
+    val (deltaKey, nTombstones) =
+      try {
+        val fp = d0.agg(
+          coalesce(sum(xxhash64(d0.columns.map(col): _*).cast("decimal(38,0)")),
+            lit(0L).cast("decimal(38,0)")).as("h"),
+          sum(when(col("kind") === "tombstone", 1L).otherwise(0L)).as("n_ts")).head()
+        val key = fp.getDecimal(0).toBigInteger.toString(16).replace("-", "n")
+        d0.write.mode("overwrite").parquet(s"$path/_staged/delta-$key")
+        (key, if (fp.isNullAt(1)) 0L else fp.getLong(1))
+      } finally d0.unpersist()
+    // from here on, read ONLY the staged snapshot: the caller's delta
+    // plan may read the very tree the mutations below rewrite
+    val d = spark.read.parquet(s"$path/_staged/delta-$deltaKey")
+    if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
+    d.where(col("kind") === "shard").drop("kind")
+      .write.partitionBy(strataCol, "shard_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    def partDir(strata: Any, shard: Any): String = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
+      s"$path/${getPartitionPathString(strataCol, String.valueOf(strata))}/" +
+        getPartitionPathString("shard_id", String.valueOf(shard))
+    }
+    val drops = d.where(col("kind") === "drop_shard")
+      .select(col(strataCol), col("shard_id")).collect()
+    drops.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(partDir(r.get(0), r.get(1)))
+      require(fs.delete(p, true) || !fs.exists(p),
+        s"publishReleaseDelta: failed to drop retired shard directory $p")
+    }
+    // a stratum whose LAST shard was dropped leaves an empty
+    // partition dir behind — remove it so the tree mirrors the
+    // manifest exactly
+    drops.map(r => partDir(r.get(0), r.get(1)))
+      .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
       }
-      val drops = d.where(col("kind") === "drop_shard")
-        .select(col(strataCol), col("shard_id")).collect()
-      drops.foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(partDir(r.get(0), r.get(1)))
-        require(fs.delete(p, true) || !fs.exists(p),
-          s"publishReleaseDelta: failed to drop retired shard directory $p")
-      }
-      // a stratum whose LAST shard was dropped leaves an empty
-      // partition dir behind — remove it so the tree mirrors the
-      // manifest exactly
-      drops.map(r => partDir(r.get(0), r.get(1)))
-        .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.foreach { dir =>
-          val p = new org.apache.hadoop.fs.Path(dir)
-          if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
-        }
-      if (nTombstones > 0L)
-        d.where(col("kind") === "tombstone").select(col(idCol))
-          .write.mode("overwrite").parquet(s"$path/_removed/delta-$deltaKey")
-      spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
-    } finally d.unpersist()
+    if (nTombstones > 0L)
+      d.where(col("kind") === "tombstone").select(col(idCol))
+        .write.mode("overwrite").parquet(s"$path/_removed/delta-$deltaKey")
+    spark.range(1).write.mode("overwrite").parquet(s"$path/$ReleaseCommitDir")
+    // the staged snapshot has served its purpose once the marker is
+    // back; a crash before this line leaves harmless hidden bytes a
+    // re-apply overwrites
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staged/delta-$deltaKey"), true): Unit
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_staged")) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_staged")).isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staged"), true): Unit
   }
 
   /** Read the removed-documents record a release accumulates — one
@@ -825,6 +842,75 @@ object Curation {
         s.isDirectory && s.getPath.getName.startsWith("delta-")).map(_.getPath.toString)
     if (dirs.isEmpty) readRelease(spark, path).select(col(idCol)).limit(0)
     else spark.read.parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(dirs): _*)
+  }
+
+  /** ONE release maintenance round — the release twin of
+    * `Retrieval.maintainIndex`: today's registry in, a drift-gated
+    * incremental publish out. Composes the whole deployment sequence
+    * behind a single entry point so the QA gate decides what ships,
+    * not caller discipline:
+    *
+    *  1. yesterday's manifest = the PUBLISHED release at
+    *     `releasePath` ([[readRelease]] — refuses an inconsistent
+    *     tree up front);
+    *  2. today's manifest derives once via
+    *     [[releaseRegistryManifest]] (persisted for the round — the
+    *     PSI pass and the delta both reference it);
+    *  3. the drift gate: per-stratum PSI of the token-count
+    *     distribution, yesterday's manifest vs today's
+    *     ([[Stats.populationStabilityBy]] over the manifests' own
+    *     `n_tokens`). Any stratum above `maxPsi` — including a
+    *     brand-new stratum, whose baseline is empty and whose PSI is
+    *     therefore large — REFUSES the round: nothing is written,
+    *     the previous release keeps serving, and the report says why.
+    *  4. a passed gate ships [[releaseDelta]] via
+    *     [[publishReleaseDelta]] — O(changed shards) bytes, in place.
+    *
+    * Returns the per-stratum gate report, one row per stratum:
+    * `(strataCol, psi, published)` — `published` is the ROUND verdict
+    * (true on every row, or false on every row), so the report reads
+    * the same whether it gated or shipped. Cost shape: the gate is
+    * two manifest-sized histogram aggregations plus a strata-count
+    * driver collect (bounded: strata = languages); the publish is the
+    * delta's own O(changed shards). A no-churn round ships an empty
+    * delta and leaves the tree byte-identical.
+    */
+  def maintainRelease(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String,
+      newRegistry: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      strataCol: String,
+      targetWeights: Map[String, Double],
+      contextTokens: Int,
+      nShards: Int,
+      maxPsi: Double = 0.25,
+      psiHi: Double = 4096,
+      psiBins: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val prevM = readRelease(spark, releasePath)
+    val newM = releaseRegistryManifest(newRegistry, idCol, nTokensCol, strataCol,
+        targetWeights, contextTokens, nShards)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val psiRows = Stats.populationStabilityBy(
+          prevM.select(col(strataCol), col("n_tokens")),
+          newM.select(col(strataCol), col("n_tokens")),
+          "n_tokens", strataCol, lo = 0, hi = psiHi, bins = psiBins)
+        .groupBy(col(strataCol))
+        .agg(sum("psi_term").as("psi"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      val publish = psiRows.forall(_._2 <= maxPsi)
+      if (publish)
+        publishReleaseDelta(
+          releaseDelta(prevM, newM, idCol, strataCol), idCol, strataCol, releasePath)
+      psiRows.map { case (stratum, psi) => (stratum, psi, publish) }
+        .toDF(strataCol, "psi", "published")
+    } finally newM.unpersist()
   }
 
   def applyReleaseDelta(

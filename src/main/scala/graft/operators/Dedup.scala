@@ -372,6 +372,33 @@ object Dedup {
             org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
             bits)).as("simhash"))
 
+  /** The corpus fingerprint relation in the PUBLISHED side-index
+    * schema — (doc_id, fp) — the rows [[publishFingerprintIndex]]
+    * builds from and the rows an increment feeds to
+    * [[SideIndex.update]], normalized here so the publisher, the
+    * maintainer, and the streaming gate
+    * ([[graft.streaming.Streams.nearDupAdmission]]'s index overload)
+    * can never disagree on column names.
+    */
+  def fingerprintIndexRows(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    simhash(docs, idCol, textCol, bits)
+      .select(col(idCol).as("doc_id"), col("simhash").as("fp"))
+
+  /** Publish the corpus SimHash relation as a segmented + tombstoned
+    * [[SideIndex]] (flavor `simhash-<bits>`) — the batch half of the
+    * online near-dup admission story: nightly build here, daily
+    * increments via [[SideIndex.update]] over
+    * [[fingerprintIndexRows]], erasures via [[SideIndex.delete]], and
+    * the streaming gate serves the masked live set. Fingerprints are
+    * ~16 bytes/doc: at 100 TB of corpus text this side table is tens
+    * of GB — the whole point of gating on it instead of the text.
+    */
+  def publishFingerprintIndex(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int, path: String): Unit =
+    SideIndex.build(fingerprintIndexRows(docs, idCol, textCol, bits),
+      "doc_id", s"simhash-$bits", path)
+
   /** SimHash near-duplicate PAIRS — banded (pigeonhole) candidate
     * generation plus exact Hamming verification, the fingerprint-side
     * sibling of [[nearDuplicates]]: any two fingerprints within

@@ -33,7 +33,78 @@ private[operators] object IndexManifest {
     * already resolved to full paths against the manifest's root.
     */
   final case class Handle(
-      version: Int, flavor: String, segments: Seq[String], tombstones: Seq[String])
+      version: Int, flavor: String, segments: Seq[String], tombstones: Seq[String]) {
+    /** Per-generation memo of ASSEMBLED serve relations (the
+      * segment-unioned table scans and the merged tombstone mask).
+      * Segments and tombstone dirs are immutable once published (the
+      * LSM contract — maintenance always writes NEW dirs and a new
+      * manifest, which is a new fingerprint and so a new Handle), so
+      * a relation assembled once is valid for the Handle's lifetime.
+      * Without this, every serve call pays a driver file-listing +
+      * parquet-footer read per table per segment just to rebuild an
+      * identical plan. Keyed by session identity so a Handle touched
+      * from two sessions never serves one session's plan to the
+      * other.
+      */
+    private[IndexManifest] val rels =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+  }
+
+  private def sid(spark: SparkSession): Int = System.identityHashCode(spark)
+
+  /** get-then-putIfAbsent rather than computeIfAbsent: a memoized
+    * assembly (e.g. the PQ tier's masked vector union) composes the
+    * OTHER memoized helpers, and nested computeIfAbsent on one
+    * ConcurrentHashMap throws "Recursive update". A racing duplicate
+    * build is harmless — both sides assemble the identical immutable
+    * plan and one wins the publish.
+    */
+  private def cachedRel(spark: SparkSession, h: Handle, key: String)(
+      mk: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = (sid(spark), key)
+    val cur = h.rels.get(k)
+    if (cur != null) cur
+    else {
+      val v = mk
+      val prev = h.rels.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
+  /** [[Handle]]-memoized flat segment-table union — the common serve
+    * read ([[segTableOrd]]'s multi-path cousin: one scan, pushdown
+    * reaches every segment's row groups).
+    */
+  def segTable(spark: SparkSession, h: Handle, table: String): org.apache.spark.sql.DataFrame =
+    cachedRel(spark, h, s"flat/$table")(
+      spark.read.parquet(h.segments.map(s => s"$s/$table"): _*))
+
+  /** [[Handle]]-memoized [[segTableOrd]]. */
+  def segTableOrd(spark: SparkSession, h: Handle, table: String): org.apache.spark.sql.DataFrame =
+    cachedRel(spark, h, s"ord/$table")(segTableOrd(spark, h.segments, table))
+
+  /** [[Handle]]-memoized [[tombstoneRel]]. */
+  def tombstoneRel(
+      spark: SparkSession, h: Handle, idCol: String): Option[org.apache.spark.sql.DataFrame] =
+    if (h.tombstones.isEmpty) None
+    else Some(cachedRel(spark, h, s"ts/$idCol")(
+      tombstoneRel(spark, h.tombstones, idCol).get))
+
+  /** [[Handle]]-memoized union of the per-tombstone `tsstats` one-row
+    * tables (the delete-time mass each generation removed).
+    */
+  def tsStats(spark: SparkSession, h: Handle): org.apache.spark.sql.DataFrame =
+    cachedRel(spark, h, "tsstats")(
+      spark.read.parquet(h.tombstones.map(t => s"$t/tsstats"): _*))
+
+  /** Generic [[Handle]]-memoized relation for tier-specific assembled
+    * reads (e.g. the PQ tier's masked vector union) — same contract as
+    * the named helpers above: `mk` must assemble purely from the
+    * Handle's immutable segment/tombstone dirs.
+    */
+  def memo(spark: SparkSession, h: Handle, key: String)(
+      mk: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cachedRel(spark, h, s"memo/$key")(mk)
 
   /** Memoized [[Handle]] per index path. A cold serve call used to pay
     * 3–4 driver-blocking one-row parquet jobs (presence + version +
@@ -78,6 +149,13 @@ private[operators] object IndexManifest {
       })
 
   private[operators] def handleCacheSize: Int = handleCache.size()
+
+  /** Test hook: drop every cached handle. Safe at any time — an
+    * evicted entry just reloads on next touch — but only tests have a
+    * reason to call it (isolating LRU assertions from whatever other
+    * suites cached in the shared JVM).
+    */
+  private[operators] def handleCacheClear(): Unit = handleCache.clear()
 
   private def manifestDir(
       spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem,

@@ -454,13 +454,13 @@ object Retrieval {
     // or external truncation) must degrade this metadata surface to
     // zeros, not surface a null that NPEs the scheduler probe in
     // [[needsCompaction]].
-    val total = segTable(spark, segs, "stats")
+    val total = IndexManifest.segTable(spark, h, "stats")
       .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs_indexed"),
         coalesce(sum("total_len"), lit(0L)).as("len_indexed"))
     val masked =
       if (tsPaths.isEmpty)
         spark.range(1).select(lit(0L).as("n_docs_masked"), lit(0L).as("len_masked"))
-      else spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+      else IndexManifest.tsStats(spark, h)
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs_masked"),
           coalesce(sum("total_len"), lit(0L)).as("len_masked"))
     total.crossJoin(broadcast(masked)).select(
@@ -624,17 +624,22 @@ object Retrieval {
     import spark.implicits._
     val q = queryRows.toDF("query_id", "term")
     val terms = queryRows.map(_._2).distinct
-    val pruned = segTable(spark, segs, "postings")
+    // every base relation below comes off the Handle's per-generation
+    // memo (IndexManifest.segTable(h)): assembling them fresh costs a
+    // driver listing + footer read per table per call — measurable
+    // per-call serve latency that buys nothing, since published
+    // segments are immutable
+    val pruned = IndexManifest.segTable(spark, h, "postings")
       .where(col("term").isin(terms: _*))
     // restrict df to the query terms BEFORE broadcasting (the term-df
     // union is vocabulary-sized, the restriction is |terms| x segments
     // rows), then SUM across segments — each segment counted only its
     // own documents' df
-    val dfSummed = segTable(spark, segs, "termdf")
+    val dfSummed = IndexManifest.segTable(spark, h, "termdf")
       .where(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").as("df"))
     // global stats ADD across segments: one tiny row per segment
-    val statSummed = segTable(spark, segs, "stats")
+    val statSummed = IndexManifest.segTable(spark, h, "stats")
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
     // tombstone subtraction — only when deletes exist, so the common
     // no-deletes plan is untouched: live postings by the sequenced
@@ -645,10 +650,10 @@ object Retrieval {
     // pruned re-scan, never a vocabulary pass); stats minus the
     // delete-time tsstats rows (negated union — no corpus doclen scan
     // at serve time)
-    val (postings, dfs, stats) = tombstoneRel(spark, tsPaths, idCol) match {
+    val (postings, dfs, stats) = IndexManifest.tombstoneRel(spark, h, idCol) match {
       case None => (pruned, dfSummed, statSummed)
       case Some(ts) =>
-        val prunedOrd = segTableOrd(spark, segs, "postings")
+        val prunedOrd = IndexManifest.segTableOrd(spark, h, "postings")
           .where(col("term").isin(terms: _*))
         val live = maskLive(prunedOrd, Some(ts), idCol)
         val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
@@ -656,8 +661,8 @@ object Retrieval {
           .groupBy("term").agg(count(lit(1)).as("df_del"))
         val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
           .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
-        val statLive = segTable(spark, segs, "stats")
-          .unionByName(spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+        val statLive = IndexManifest.segTable(spark, h, "stats")
+          .unionByName(IndexManifest.tsStats(spark, h)
             .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
           .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
         (live, dfLive, statLive)

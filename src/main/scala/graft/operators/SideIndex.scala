@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A published, segmented + tombstoned SIDE TABLE under the
+  * [[IndexManifest]] protocol — the third index family, for the
+  * narrow per-document relations the batch tier maintains BESIDE the
+  * corpus so online paths never touch corpus text: the SimHash
+  * fingerprint relation a streaming near-dup admission gate probes,
+  * the (vector, cell) relation its semantic sibling probes. The BM25
+  * and IVF-PQ tiers each hard-code their table set; this one carries
+  * a single `rows` table of caller-defined schema, identified by a
+  * caller-supplied `flavor` string (validated on every read, so a
+  * gate expecting 16-bit fingerprints refuses a 32-bit index loudly
+  * instead of emitting silently-wrong verdicts).
+  *
+  * Same LSM cost shape as the other two tiers, same shared
+  * sequencing implementation (one [[IndexManifest.maskLive]] for all
+  * three families): a nightly batch run publishes the base, daily
+  * increments land as O(increment) segments, deletes land as
+  * O(delta) tombstones with per-generation horizons (so a deleted
+  * doc re-enters via [[update]] without the old tombstone swallowing
+  * the new row), and readers union the listed segments minus the
+  * sequenced mask. The commit-marker crash posture is inherited: a
+  * crash mid-publish leaves an index that refuses to serve.
+  *
+  * Reference counterpart: ironbeam's side-input relations
+  * (side_input.rs) are in-memory per-run; this tier is what they
+  * become when the corpus outgrows one machine and the admission
+  * side tables must live in durable storage between runs.
+  */
+object SideIndex {
+
+  private val FormatVersion = 3
+
+  /** Publish `rows` as a fresh one-segment side index at `path`.
+    * `rows` must carry `idCol` (the key deletes and the re-submission
+    * guard work over); all other columns are payload. `flavor` names
+    * the table's semantic identity (e.g. "simhash-16") — readers
+    * validate it.
+    */
+  def build(rows: DataFrame, idCol: String, flavor: String, path: String): Unit = {
+    val spark = rows.sparkSession
+    require(rows.columns.contains(idCol), s"SideIndex.build: no '$idCol' column")
+    IndexManifest.clear(spark, path)
+    val seg = "segments/seg-00000"
+    writeSegment(rows, idCol, s"$path/$seg")
+    IndexManifest.write(spark, path, version = FormatVersion,
+      flavor = flavor, segments = Seq(seg))
+  }
+
+  private def writeSegment(rows: DataFrame, idCol: String, segPath: String): Unit = {
+    val spark = rows.sparkSession
+    rows.where(col(idCol).isNotNull)
+      .write.mode("overwrite").parquet(s"$segPath/rows")
+    // one-row stats beside the rows — the metadata info()/compaction
+    // polls sum, resolved from parquet footers (no payload bytes read)
+    spark.read.parquet(s"$segPath/rows")
+      .agg(count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$segPath/stats")
+  }
+
+  private def handleFor(
+      spark: SparkSession, path: String, flavor: String): IndexManifest.Handle = {
+    val h = IndexManifest.handle(spark, path, s"side($flavor)")
+    IndexManifest.requireVersion(h, path, s"side($flavor)", FormatVersion)
+    require(h.flavor == flavor,
+      s"side index at $path is '${h.flavor}', not the requested '$flavor' — " +
+        "a gate reading the wrong table would emit silently-wrong verdicts")
+    h
+  }
+
+  /** The LIVE rows: every listed segment unioned, minus the sequenced
+    * tombstone mask — assembled off the Handle's per-generation memo,
+    * so repeated serve resolutions cost a filesystem fingerprint
+    * check, not a per-call listing.
+    */
+  def read(spark: SparkSession, path: String, idCol: String, flavor: String): DataFrame = {
+    val h = handleFor(spark, path, flavor)
+    IndexManifest.memo(spark, h, s"side-live/$idCol") {
+      IndexManifest.maskLive(
+        IndexManifest.segTableOrd(spark, h, "rows"),
+        IndexManifest.tombstoneRel(spark, h, idCol), idCol)
+    }
+  }
+
+  /** Merge an increment of NEW rows, publishing at `outPath` —
+    * O(increment) bytes: the base segments carry by reference, only
+    * the increment's rows land on disk. Ids already live fail loudly
+    * (delete first, then update — the document-update path all three
+    * index families share).
+    */
+  def update(
+      spark: SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      outPath: String): Unit = {
+    require(outPath != path,
+      "SideIndex.update: outPath must differ (the base keeps serving, referenced in place)")
+    val h = IndexManifest.handle(spark, path, "side")
+    IndexManifest.requireVersion(h, path, "side", FormatVersion)
+    val resubmitted = read(spark, path, idCol, h.flavor)
+      .join(broadcast(increment.select(col(idCol)).where(col(idCol).isNotNull).distinct()),
+        Seq(idCol), "left_semi")
+      .count()
+    require(resubmitted == 0L,
+      s"SideIndex.update: $resubmitted increment ids already live at $path — " +
+        "delete them first, then update (the re-keyed-row path)")
+    val seg = s"segments/${IndexManifest.nextSegmentName(h.segments)}"
+    IndexManifest.clear(spark, outPath)
+    writeSegment(increment, idCol, s"$outPath/$seg")
+    IndexManifest.write(spark, outPath, version = FormatVersion, flavor = h.flavor,
+      segments = IndexManifest.qualify(spark, h.segments) :+ seg,
+      tombstones = IndexManifest.qualify(spark, h.tombstones))
+  }
+
+  /** Tombstone `deletes`' ids, publishing at `outPath` — O(delta):
+    * no segment is rewritten; the new tombstone generation carries
+    * the segment-count horizon that keeps delete/re-add/delete chains
+    * sequenced. Every id must be currently live.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      deletes: DataFrame,
+      idCol: String,
+      outPath: String): Unit = {
+    require(outPath != path,
+      "SideIndex.delete: outPath must differ (the base keeps serving, referenced in place)")
+    val h = IndexManifest.handle(spark, path, "side")
+    IndexManifest.requireVersion(h, path, "side", FormatVersion)
+    val ids = deletes.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missing = ids
+        .join(read(spark, path, idCol, h.flavor).select(col(idCol)), Seq(idCol), "left_anti")
+        .count()
+      require(missing == 0L,
+        s"SideIndex.delete: $missing ids are not live at $path — every delete must " +
+          "name a currently-indexed, not-already-deleted row")
+      val ts = s"tombstones/${IndexManifest.nextTombstoneName(h.tombstones)}"
+      IndexManifest.clear(spark, outPath)
+      ids.withColumn("up_to", lit(h.segments.size))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/ids")
+      ids.agg(count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(s"$outPath/$ts/tsstats")
+      IndexManifest.write(spark, outPath, version = FormatVersion, flavor = h.flavor,
+        segments = IndexManifest.qualify(spark, h.segments),
+        tombstones = IndexManifest.qualify(spark, h.tombstones) :+ ts)
+    } finally ids.unpersist()
+  }
+
+  /** Re-home the live rows into ONE fresh segment at `outPath` and
+    * clear the tombstone debt — the explicit O(corpus) compaction the
+    * other two tiers share.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+    require(outPath != path,
+      "SideIndex.compact: outPath must differ (cannot overwrite an index being read)")
+    val h = IndexManifest.handle(spark, path, "side")
+    IndexManifest.requireVersion(h, path, "side", FormatVersion)
+    // the key column is whichever column the tombstones mask — but a
+    // tombstone-free index has no record of it, so compaction takes
+    // the id column from the caller via read()'s contract instead:
+    // rows are re-homed verbatim, the mask needs the id only when
+    // tombstones exist, and their ids table names exactly one column
+    val idCol =
+      if (h.tombstones.isEmpty) null
+      else spark.read.parquet(s"${h.tombstones.head}/ids").columns.filter(_ != "up_to").head
+    val live =
+      if (idCol == null) IndexManifest.segTableOrd(spark, h, "rows").drop("__seg")
+      else IndexManifest.maskLive(
+        IndexManifest.segTableOrd(spark, h, "rows"),
+        IndexManifest.tombstoneRel(spark, h, idCol), idCol)
+    IndexManifest.clear(spark, outPath)
+    val seg = "segments/seg-00000"
+    live.write.mode("overwrite").parquet(s"$outPath/$seg/rows")
+    spark.read.parquet(s"$outPath/$seg/rows")
+      .agg(count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
+    IndexManifest.write(spark, outPath, version = FormatVersion, flavor = h.flavor,
+      segments = Seq(seg))
+  }
+
+  /** The operational metadata row (n_segments, n_tombstone_gens,
+    * n_rows_indexed, n_rows_masked, n_rows_live) — footer-sized reads
+    * only, poll-safe, mirroring the other tiers' info surfaces.
+    */
+  def info(spark: SparkSession, path: String, flavor: String): DataFrame = {
+    val h = handleFor(spark, path, flavor)
+    val total = IndexManifest.segTable(spark, h, "stats")
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows_indexed"))
+    val masked =
+      if (h.tombstones.isEmpty) spark.range(1).select(lit(0L).as("n_rows_masked"))
+      else IndexManifest.tsStats(spark, h)
+        .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows_masked"))
+    total.crossJoin(broadcast(masked)).select(
+      lit(h.segments.size).as("n_segments"),
+      lit(h.tombstones.size).as("n_tombstone_gens"),
+      col("n_rows_indexed"),
+      col("n_rows_masked"),
+      (col("n_rows_indexed") - col("n_rows_masked")).as("n_rows_live"))
+  }
+}

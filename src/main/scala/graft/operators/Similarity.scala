@@ -659,6 +659,28 @@ object Similarity {
   private def pqFlavor(residual: Boolean): String =
     if (residual) "pq-residual" else "pq-direct"
 
+  /** The corpus embedding relation in the PUBLISHED side-index schema
+    * — (vec_id, vec) — normalized here so the publisher, the
+    * maintainer ([[SideIndex.update]]/[[SideIndex.delete]] over these
+    * rows), and the streaming gate
+    * ([[graft.streaming.Streams.annAdmission]]'s index overload) can
+    * never disagree on column names. Unlike the IVF-PQ index this
+    * table carries RAW vectors: the admission gate's contract is the
+    * EXACT cosine threshold (identical arithmetic to the batch
+    * [[semanticDuplicatePairs]]), not an ADC approximation.
+    */
+  def embeddingIndexRows(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+
+  /** Publish the corpus embedding relation as a segmented +
+    * tombstoned [[SideIndex]] (flavor `embedding`) — the batch half
+    * of the online semantic-admission story; the cell quantizer stays
+    * caller-side (the trained-model stance the PQ tier shares).
+    */
+  def publishEmbeddingIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    SideIndex.build(embeddingIndexRows(corpus, idCol, vecCol), "vec_id", "embedding", path)
+
   /** Format version 3 = segmented layout WITH per-segment `stats` and
     * per-tombstone `tsstats` one-row tables (the [[Retrieval]] index's
     * metadata stance, mirrored). Serve and maintenance paths require
@@ -698,14 +720,20 @@ object Similarity {
     // compaction) goes through here, so deleted vectors can never
     // serve, double-count, or survive a re-home.
     val tsPaths = h.tombstones
-    IndexManifest.tombstoneRel(spark, tsPaths, "neighbor_id") match {
-      case None =>
-        segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
-      case some =>
-        // the sequencing rule is IndexManifest's — shared verbatim with
-        // the BM25 tier, one implementation of the invariant
-        IndexManifest.maskLive(
-          IndexManifest.segTableOrd(spark, segs, "vectors"), some, "neighbor_id")
+    // the assembled (and, with deletes, masked) vector union comes off
+    // the Handle's per-generation memo: segments are immutable once
+    // published, and re-assembling the plan costs a driver listing +
+    // footer read per segment per serve call
+    IndexManifest.memo(spark, h, "vectors-live") {
+      IndexManifest.tombstoneRel(spark, h, "neighbor_id") match {
+        case None =>
+          segs.map(s => spark.read.parquet(s"$s/vectors")).reduce(_.unionByName(_))
+        case some =>
+          // the sequencing rule is IndexManifest's — shared verbatim with
+          // the BM25 tier, one implementation of the invariant
+          IndexManifest.maskLive(
+            IndexManifest.segTableOrd(spark, h, "vectors"), some, "neighbor_id")
+      }
     }
   }
 
@@ -903,11 +931,11 @@ object Similarity {
     val h = IndexManifest.handle(spark, indexPath, "IVF-PQ")
     IndexManifest.requireVersion(h, indexPath, "IVF-PQ", PqFormatVersion)
     val (segs, tsPaths, flavor) = (h.segments, h.tombstones, h.flavor)
-    val total = spark.read.parquet(segs.map(s => s"$s/stats"): _*)
+    val total = IndexManifest.segTable(spark, h, "stats")
       .agg(coalesce(sum("n_vecs"), lit(0L)).as("n_vecs_indexed"))
     val masked =
       if (tsPaths.isEmpty) spark.range(1).select(lit(0L).as("n_vecs_masked"))
-      else spark.read.parquet(tsPaths.map(t => s"$t/tsstats"): _*)
+      else IndexManifest.tsStats(spark, h)
         .agg(coalesce(sum("n_vecs"), lit(0L)).as("n_vecs_masked"))
     total.crossJoin(broadcast(masked)).select(
       lit(segs.size).as("n_segments"),

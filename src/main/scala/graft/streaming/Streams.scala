@@ -254,6 +254,44 @@ object Streams {
         min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
   }
 
+  /** [[nearDupAdmission]] served from a PUBLISHED fingerprint side
+    * index — the deployment shape: the batch tier maintains the
+    * corpus SimHash relation as a segmented + tombstoned
+    * [[graft.operators.SideIndex]] (nightly build, daily O(increment)
+    * segments, O(delta) delete tombstones), and the admission gate
+    * resolves it through the manifest handle at query (re)start. The
+    * masked-live read means DELETES ARE RESPECTED: a document whose
+    * only match was erased yesterday admits today — the
+    * right-to-erasure contract extended to the online gate. The index
+    * `flavor` must be `simhash-<bits>` (written by the batch
+    * publisher), so a gate probing with the wrong fingerprint width
+    * refuses loudly instead of emitting silently-wrong verdicts.
+    *
+    * Static-side resolution happens ONCE per streaming query start —
+    * Structured Streaming pins a static relation's file listing at
+    * plan time, so a nightly republish is picked up by the nightly
+    * gate restart (or a foreachBatch re-resolution), exactly the
+    * cadence the batch tier publishes at. The differential spec
+    * proves verdicts equal the batch Hamming scan of the masked live
+    * set across a delete + re-add republish between two query runs.
+    */
+  def nearDupAdmission(
+      incoming: DataFrame,
+      corpusIndexPath: String,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      watermark: String,
+      bits: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    val spark = incoming.sparkSession
+    val fps = graft.operators.SideIndex.read(
+      spark, corpusIndexPath, idCol = "doc_id", flavor = s"simhash-$bits")
+    nearDupAdmission(incoming, fps, idCol, tsCol, textCol,
+      corpusIdCol = "doc_id", corpusFpCol = "fp", watermark, bits, maxHamming)
+  }
+
   /** Streaming SEMANTIC admission gate — [[nearDupAdmission]]'s
     * embedding-tier sibling: a stream of incoming vectors checked
     * against a STATIC, already-embedded corpus for cosine duplicates
@@ -354,6 +392,36 @@ object Streams {
       .agg(
         max(col("graft_hit").cast("int")).as("is_dup"),
         min(when(col("graft_hit"), col("graft_cid"))).as("matched_id"))
+  }
+
+  /** [[annAdmission]] served from a PUBLISHED embedding side index —
+    * the semantic twin of the index-backed [[nearDupAdmission]]
+    * overload: the batch tier maintains the corpus (id, vector)
+    * relation as a segmented + tombstoned
+    * [[graft.operators.SideIndex]] (flavor `embedding`), the gate
+    * resolves the masked LIVE vectors through the manifest handle at
+    * query (re)start, and cells assign on both sides from the same
+    * frozen `cents` (the trained-model stance — the quantizer is
+    * part of the deployment, not the index). Deletes are respected:
+    * an erased corpus vector stops matching at the next gate
+    * restart, and a re-embedded one (delete + update) serves its new
+    * segment's row under the shared LSM sequencing.
+    */
+  def annAdmission(
+      incoming: DataFrame,
+      corpusIndexPath: String,
+      idCol: String,
+      tsCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      thresholdPct: Int,
+      watermark: String
+  ): DataFrame = {
+    val spark = incoming.sparkSession
+    val vecs = graft.operators.SideIndex.read(
+      spark, corpusIndexPath, idCol = "vec_id", flavor = "embedding")
+    annAdmission(incoming, vecs, idCol, tsCol, vecCol,
+      corpusIdCol = "vec_id", corpusVecCol = "vec", cents, thresholdPct, watermark)
   }
 
   /** Online drift monitor — the streaming sibling of

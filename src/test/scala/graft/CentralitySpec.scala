@@ -153,13 +153,19 @@ class CentralitySpec extends SparkTestBase {
     // the empty-seed require fires AFTER the edge and seed relations
     // persist — the finally must still release both, or a failed call
     // leaks executor storage for the rest of the session
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalArgumentException] {
       Centrality.pageRankPersonalized(
         Seq((1L, 2L)).toDF("a", "b"), "a", "b",
         Seq.empty[Long].toDF("id"), "id", iterations = 2)
     }
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after == before, s"leaked ${after - before} cached relation(s)")
+    // suites share one SparkContext and run in parallel: other tests'
+    // transient persists can appear in the global registry during this
+    // window. A relation THIS call leaked would never drain; foreign
+    // transients do — poll instead of snapshotting a racy count.
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis + 60000
+    while (leaked().nonEmpty && System.currentTimeMillis < deadline) Thread.sleep(200)
+    assert(leaked().isEmpty, s"leaked cached relation(s): ids ${leaked()}")
   }
 }

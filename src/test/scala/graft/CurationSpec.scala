@@ -493,6 +493,50 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet == Set("b"))
   }
 
+  test("maintainRelease ships a gated round in place; a drift-tripped round publishes NOTHING") {
+    import org.apache.spark.sql.functions.col
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    val prevReg = ((1L to 10L).map(i => (i, "en", 50)) ++
+      (101L to 112L).map(i => (i, "de", 50))).toDF("doc_id", "lang", "n_tokens")
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-maint").toString
+    Curation.publishRelease(mOf(prevReg), "lang", root)
+    def readBack() = Curation.readRelease(spark, root)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id"))
+      .collect().map(_.toSeq).toSet
+    // benign churn: one de doc retired — within the PSI gate, so the
+    // round publishes and the tree equals the from-scratch release
+    val newReg = prevReg.where(col("doc_id") =!= 101L)
+    val report = Curation.maintainRelease(spark, root, newReg,
+      "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2,
+      maxPsi = 0.5)
+    assert(report.collect().forall(_.getBoolean(2)), "benign churn must publish")
+    assert(readBack() == mOf(newReg)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
+      .collect().map(_.toSeq).toSet,
+      "maintained tree diverged from the from-scratch release")
+    assert(Curation.readRemoved(spark, root, "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(101L))
+    // drift: every de doc's token count explodes — the stratum's PSI
+    // trips the gate, and the round must refuse to touch the tree
+    val before = fileListing(root)
+    val drifted = newReg.select(col("doc_id"), col("lang"),
+      org.apache.spark.sql.functions.when(col("lang") === "de", col("n_tokens") * 40)
+        .otherwise(col("n_tokens")).as("n_tokens"))
+    val report2 = Curation.maintainRelease(spark, root, drifted,
+      "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2,
+      maxPsi = 0.5)
+    val rows2 = report2.collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows2.forall(!_._3), s"drifted round must refuse to publish: ${rows2.mkString}")
+    assert(rows2.exists { case (s, psi, _) => s == "de" && psi > 0.5 },
+      s"the drifted stratum must carry the tripping PSI: ${rows2.mkString}")
+    assert(fileListing(root) == before,
+      "a gated round must leave the release tree byte-identical")
+  }
+
   test("publishReleaseDelta rewrites ONLY the touched shard partitions on disk") {
     import org.apache.spark.sql.functions.col
     // same binding-stratum fixture as the delta test: en untouched, de churned

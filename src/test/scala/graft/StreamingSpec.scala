@@ -315,6 +315,165 @@ class StreamingSpec extends SparkTestBase {
     assert(got(5L) == ((0, -1L)), s"zero-norm vector must be admitted with a 0/1 verdict: $got")
   }
 
+  test("DIFFERENTIAL: nearDupAdmission against a PUBLISHED segmented+tombstoned index " +
+      "equals the batch Hamming scan of the masked live set, across a republish") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{bit_count, col, min, when => sqlWhen}
+    val root = java.nio.file.Files.createTempDirectory("graft-fp-index").toString
+    val gen0 = s"$root/gen0"; val gen1 = s"$root/gen1"; val gen2 = s"$root/gen2"
+    val corpus0 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different words about spark engines here")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.publishFingerprintIndex(corpus0, "doc_id", "text", bits = 16, gen0)
+
+    def runGate(indexPath: String, rows: Seq[(Long, Timestamp, String)]): Map[Long, (Int, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val incoming = input.toDF().toDF("doc_id", "ts", "text")
+      val out = Streams.nearDupAdmission(incoming, indexPath,
+        "doc_id", "ts", "text", watermark = "1 hour", bits = 16, maxHamming = 2)
+      val qn = s"fp_gate_${indexPath.hashCode.abs}"
+      val query = out.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(rows: _*)
+        query.processAllAvailable()
+        spark.table(qn).collect()
+          .map(r => r.getLong(0) -> (r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      } finally query.stop()
+    }
+
+    def batchVerdicts(
+        live: org.apache.spark.sql.DataFrame,
+        rows: Seq[(Long, Timestamp, String)]): Map[Long, (Int, Long)] = {
+      val inFps = graft.operators.Dedup.simhash(
+          rows.toDF("doc_id", "ts", "text"), "doc_id", "text", bits = 16)
+        .select(col("doc_id").as("in_id"), col("simhash").as("in_fp"))
+      val hits = inFps.crossJoin(live.select(col("doc_id").as("c_id"), col("fp").as("c_fp")))
+        .where(bit_count(col("in_fp").bitwiseXOR(col("c_fp"))) <= 2)
+        .groupBy("in_id").agg(min("c_id").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.map { case (id, _, _) =>
+        id -> (if (hits.contains(id)) (1, hits(id)) else (0, -1L)) }.toMap
+    }
+
+    val phase1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog"),
+      (2L, ts("2024-01-01 00:05:00"), "entirely novel sentences never ingested before today"))
+    val got1 = runGate(gen0, phase1)
+    assert(got1 == batchVerdicts(
+      graft.operators.SideIndex.read(spark, gen0, "doc_id", "simhash-16"), phase1),
+      s"phase-1 stream verdicts diverged from the batch scan: $got1")
+    assert(got1(1L)._1 == 1 && got1(2L)._1 == 0, s"fixture must exercise both verdicts: $got1")
+
+    // REPUBLISH between query runs — the nightly maintenance round:
+    // erase doc 100 (tombstone generation), ingest doc 104 (new
+    // segment). The restarted gate must see the masked live set:
+    // doc 100 stops matching (delete respected), doc 104 starts.
+    graft.operators.SideIndex.delete(spark, gen0,
+      Seq(100L).toDF("doc_id"), "doc_id", gen1)
+    graft.operators.SideIndex.update(spark, gen1,
+      graft.operators.Dedup.fingerprintIndexRows(
+        Seq((104L, "entirely novel sentences never ingested before today"))
+          .toDF("doc_id", "text"), "doc_id", "text", bits = 16),
+      "doc_id", gen2)
+    val phase2 = Seq(
+      (11L, ts("2024-01-01 01:00:00"), "the quick brown fox jumps over the lazy dog"),
+      (12L, ts("2024-01-01 01:05:00"), "entirely novel sentences never ingested before today"))
+    val got2 = runGate(gen2, phase2)
+    val live2 = graft.operators.SideIndex.read(spark, gen2, "doc_id", "simhash-16")
+    assert(got2 == batchVerdicts(live2, phase2),
+      s"phase-2 stream verdicts diverged from the batch scan of the masked live set: $got2")
+    assert(got2(11L)._1 == 0,
+      s"a doc whose ONLY match was tombstoned must now be admitted: $got2")
+    assert(got2(12L) == ((1, 104L)),
+      s"a doc matching the republished increment must be flagged to it: $got2")
+    // flavor guard: a gate probing with the wrong fingerprint width
+    // must refuse at resolution, not emit wrong verdicts
+    val e = intercept[IllegalArgumentException] {
+      Streams.nearDupAdmission(
+        spark.readStream.format("rate").load()
+          .selectExpr("value as doc_id", "timestamp as ts", "'x' as text"),
+        gen2, "doc_id", "ts", "text", watermark = "1 hour", bits = 32, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("simhash-32"), e.getMessage)
+  }
+
+  test("DIFFERENTIAL: annAdmission against a PUBLISHED embedding index equals batch " +
+      "semanticDuplicatePairs on the masked live set, across a republish") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val root = java.nio.file.Files.createTempDirectory("graft-emb-index").toString
+    val gen0 = s"$root/gen0"; val gen1 = s"$root/gen1"; val gen2 = s"$root/gen2"
+    graft.operators.Similarity.publishEmbeddingIndex(
+      Seq((100L, Array(0.9f, 0.1f, 0f, 0f)), (102L, Array(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", gen0)
+
+    def runGate(indexPath: String, rows: Seq[(Long, Timestamp, Array[Float])]): Map[Long, (Int, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, Array[Float])]
+      val incoming = input.toDF().toDF("vec_id", "ts", "embedding")
+      val out = Streams.annAdmission(incoming, indexPath,
+        "vec_id", "ts", "embedding", cents, thresholdPct = 95, watermark = "1 hour")
+      val qn = s"emb_gate_${indexPath.hashCode.abs}"
+      val query = out.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(rows: _*)
+        query.processAllAvailable()
+        spark.table(qn).collect()
+          .map(r => r.getLong(0) -> (r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      } finally query.stop()
+    }
+
+    def batchVerdicts(
+        live: org.apache.spark.sql.DataFrame,
+        rows: Seq[(Long, Timestamp, Array[Float])]): Map[Long, (Int, Long)] = {
+      val all = rows.map { case (id, _, v) => (id, v) }
+        .toDF("vec_id", "embedding")
+        .unionByName(live.select(col("vec_id"), col("vec").as("embedding")))
+      val pairs = graft.operators.Similarity.semanticDuplicatePairs(
+          all, "vec_id", "embedding", cents, thresholdPct = 95)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (in, c) => in < 100L && c >= 100L }
+      val matched = pairs.groupBy(_._1).map { case (in, ps) => in -> ps.map(_._2).min }
+      rows.map { case (id, _, _) =>
+        id -> (if (matched.contains(id)) (1, matched(id)) else (0, -1L)) }.toMap
+    }
+
+    val phase1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, ts("2024-01-01 00:05:00"), Array(0.05f, 0.04f, 1f, 0f)))
+    val got1 = runGate(gen0, phase1)
+    assert(got1 == batchVerdicts(
+      graft.operators.SideIndex.read(spark, gen0, "vec_id", "embedding"), phase1),
+      s"phase-1 stream verdicts diverged from the batch pairs: $got1")
+    assert(got1(1L) == ((1, 100L)) && got1(2L)._1 == 0, s"fixture must exercise both verdicts: $got1")
+
+    // republish: erase vector 100, re-embed it as a NEW document 104
+    // in a different direction — the delete must be respected and the
+    // new row must serve from its own segment (LSM sequencing)
+    graft.operators.SideIndex.delete(spark, gen0,
+      Seq(100L).toDF("vec_id"), "vec_id", gen1)
+    graft.operators.SideIndex.update(spark, gen1,
+      graft.operators.Similarity.embeddingIndexRows(
+        Seq((104L, Array(0.05f, 0.04f, 1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding"),
+      "vec_id", gen2)
+    val phase2 = Seq(
+      (11L, ts("2024-01-01 01:00:00"), Array(0.9f, 0.1f, 0f, 0f)),
+      (12L, ts("2024-01-01 01:05:00"), Array(0.05f, 0.04f, 1f, 0f)))
+    val got2 = runGate(gen2, phase2)
+    assert(got2 == batchVerdicts(
+      graft.operators.SideIndex.read(spark, gen2, "vec_id", "embedding"), phase2),
+      s"phase-2 stream verdicts diverged from the masked live set: $got2")
+    assert(got2(11L)._1 == 0,
+      s"a vector whose ONLY match was tombstoned must now be admitted: $got2")
+    assert(got2(12L)._1 == 1 && got2(12L)._2 == 104L,
+      s"a vector matching the republished increment must be flagged to it: $got2")
+  }
+
   test("dedupNearSignature drops signature-equal docs, keeps distinct and short ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

@@ -67,6 +67,11 @@ class IndexHandleSpec extends SparkTestBase {
     val saved = IndexManifest.handleCacheCap
     try {
       IndexManifest.handleCacheCap = 2
+      // suites share one JVM (and so one cache): lowering the cap does
+      // not shrink entries already present, and eviction is one-per-put
+      // — start from empty so the bound is observable (evicted foreign
+      // entries just reload on their next touch)
+      IndexManifest.handleCacheClear()
       val dirs = (1 to 3).map { i =>
         val d = tmp(s"handle-lru-$i")
         IndexManifest.write(spark, d, version = 3, segments = Seq("segments/a"))
