@@ -44,21 +44,7 @@ object ReleaseScaleSmoke {
 
   private def time[T](f: => T): (T, Double) = Sessions.timed(f)
 
-  import SmokeFiles.{duBytes, rmrf}
-
-  private def fileListing(root: String): Map[String, (Long, Long)] = {
-    val base = java.nio.file.Paths.get(root)
-    val walk = java.nio.file.Files.walk(base)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => base.relativize(p).toString ->
-          (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .toMap
-    } finally walk.close()
-  }
+  import SmokeFiles.{duBytes, fileListing, rmrf}
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -6,6 +6,26 @@ package graft
   */
 private[graft] object SmokeFiles {
 
+  /** Every regular file under `root`: relative path -> (size, mtime).
+    * The O(increment)/O(delta) maintenance assertions compare these
+    * snapshots — "the base was not touched" is exactly "its listing
+    * is identical". ONE definition (smokes and specs both delegate
+    * here), so every byte-identity claim asserts the same strength.
+    */
+  def fileListing(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    } finally walk.close()
+  }
+
   /** Recursive on-disk byte count of a directory tree (0 when absent)
     * — the O(delta) measurement: for a delete root, manifests +
     * tombstone id lists only, its segments carried by reference.

@@ -1320,7 +1320,10 @@ object SparkEntry {
       // the typed regexSplit surface (reference regex.rs:302) —
       // split each document on non-letter runs, then token frequencies
       // (a deterministic, order-free rendering of the split lists)
-      val texts = new PCollection(t(s, dir, "documents").select("text").as[String])
+      // null text would NPE the typed split; the oracle's
+      // string_split_regex(NULL) drops such rows — match it
+      val texts = new PCollection(
+        t(s, dir, "documents").where(col("text").isNotNull).select("text").as[String])
       texts.regexSplit("[^a-zA-Z]+").ds.toDF("toks")
         .select(explode(col("toks")).as("tok"))
         .where(col("tok") =!= "")

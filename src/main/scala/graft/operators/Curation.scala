@@ -748,8 +748,10 @@ object Curation {
     * wears the index tiers' crash posture: the commit marker is
     * deleted FIRST and re-written LAST — a crash anywhere in between
     * leaves a root [[readRelease]] loudly refuses (re-applying the
-    * same delta repairs it: all three mutations are idempotent),
-    * never a silently mixed state. Before the marker is touched the
+    * same delta repairs it — all three mutations are idempotent —
+    * and [[repairRelease]] does so from the staged snapshot without
+    * needing the caller's delta plan back), never a silently mixed
+    * state. Before the marker is touched the
     * delta is STAGED to parquet under `_staged/delta-<hash>` (same
     * filesystem as the release — underscore-hidden from readers) and
     * every mutation reads the STAGED copy, never the caller's plan.
@@ -784,9 +786,22 @@ object Curation {
         d0.write.mode("overwrite").parquet(s"$path/_staged/delta-$key")
         (key, if (fp.isNullAt(1)) 0L else fp.getLong(1))
       } finally d0.unpersist()
-    // from here on, read ONLY the staged snapshot: the caller's delta
-    // plan may read the very tree the mutations below rewrite
+    applyStagedDelta(spark, path, deltaKey, idCol, strataCol)
+  }
+
+  /** The mutation core, reading ONLY a staged snapshot (the caller's
+    * delta plan may read the very tree these mutations rewrite) —
+    * shared by [[publishReleaseDelta]] and the crash-recovery path
+    * [[repairRelease]], so "re-apply the staged delta" is one
+    * implementation wherever it runs from.
+    */
+  private def applyStagedDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaKey: String, idCol: String, strataCol: String): Unit = {
+    val fs = releaseCommitPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d = spark.read.parquet(s"$path/_staged/delta-$deltaKey")
+    val nTombstones = d.where(col("kind") === "tombstone").count()
     if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
     d.where(col("kind") === "shard").drop("kind")
       .write.partitionBy(strataCol, "shard_id")
@@ -825,6 +840,44 @@ object Curation {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staged"), true): Unit
   }
 
+  /** CRASH RECOVERY for a release root whose commit marker is gone —
+    * the operational answer to [[readRelease]]'s refusal that does
+    * NOT need the original delta plan (which, in the
+    * [[maintainRelease]] shape, derived from the very tree that is
+    * now inconsistent and so cannot be re-derived): every
+    * [[publishReleaseDelta]] stages its delta to parquet BEFORE the
+    * marker is touched and cleans it only AFTER the marker returns,
+    * so an unreadable root always holds the exact staged snapshot
+    * whose re-apply repairs it. Returns false untouched when the root
+    * is already consistent; repairs and returns true when exactly one
+    * staged delta sits under `_staged/`; refuses loudly when the
+    * state is ambiguous (no snapshot — the root predates staging, or
+    * was mutilated out-of-band; several — deltas were published
+    * WITHOUT repairing an already-broken root, and order is lost).
+    */
+  def repairRelease(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, strataCol: String): Boolean = {
+    val fs = releaseCommitPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(releaseCommitPath(path))) return false
+    val staged = new org.apache.hadoop.fs.Path(s"$path/_staged")
+    val dirs =
+      if (!fs.exists(staged)) Array.empty[String]
+      else fs.listStatus(staged).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("delta-"))
+        .map(_.getPath.getName)
+    require(dirs.length == 1,
+      s"repairRelease: release at $path has no commit marker and ${dirs.length} staged " +
+        "delta snapshot(s) — cannot repair " +
+        (if (dirs.isEmpty) "(no snapshot: the root predates delta staging or was cleaned " +
+          "out-of-band); republish from scratch"
+         else s"(${dirs.mkString(", ")}: deltas were applied over an already-inconsistent " +
+           "root and the order is lost); republish from scratch"))
+    applyStagedDelta(spark, path, dirs.head.stripPrefix("delta-"), idCol, strataCol)
+    true
+  }
+
   /** Read the removed-documents record a release accumulates — one
     * `delta-<hash>` subdir per applied [[publishReleaseDelta]] that
     * carried tombstones, unioned. A release with no removals yet
@@ -836,10 +889,21 @@ object Curation {
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$path/_removed")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("delta-")).map(_.getPath.toString)
+    val entries =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root)
+    // a pre-delta-subdir `_removed/` (tombstones appended flat under
+    // the root) must refuse loudly, not read back empty: silently
+    // dropping a right-to-erasure audit record is the one failure mode
+    // worse than crashing. One delta re-apply under the current layout
+    // migrates nothing — rewrite the flat files into a delta-<name>
+    // subdir by hand.
+    val flat = entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(flat.isEmpty,
+      s"readRemoved: $path/_removed holds ${flat.length} flat parquet file(s) from a " +
+        "pre-delta-subdir layout — move them under _removed/delta-legacy/ before reading")
+    val dirs = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("delta-")).map(_.getPath.toString)
     if (dirs.isEmpty) readRelease(spark, path).select(col(idCol)).limit(0)
     else spark.read.parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(dirs): _*)
   }
@@ -890,6 +954,12 @@ object Curation {
       psiBins: Int = 16
   ): DataFrame = {
     import spark.implicits._
+    // auto-heal first: a round that crashed mid-apply left the root
+    // refusing reads AND left the staged delta snapshot whose
+    // re-apply finishes the job — without this, the one-call entry
+    // point would dead-end on its own crash (readRelease refuses, and
+    // the delta cannot re-derive from an inconsistent tree)
+    repairRelease(spark, releasePath, idCol, strataCol): Unit
     val prevM = readRelease(spark, releasePath)
     val newM = releaseRegistryManifest(newRegistry, idCol, nTokensCol, strataCol,
         targetWeights, contextTokens, nShards)

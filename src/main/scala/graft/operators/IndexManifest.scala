@@ -42,12 +42,13 @@ private[operators] object IndexManifest {
       * a relation assembled once is valid for the Handle's lifetime.
       * Without this, every serve call pays a driver file-listing +
       * parquet-footer read per table per segment just to rebuild an
-      * identical plan. Keyed by session identity so a Handle touched
-      * from two sessions never serves one session's plan to the
-      * other.
+      * identical plan. Session isolation rides the handle cache's own
+      * per-(session, path) keying — a Handle is never shared across
+      * sessions — so entries here key by table alone and the key
+      * space is bounded by the tier's table count.
       */
     private[IndexManifest] val rels =
-      new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   }
 
   private def sid(spark: SparkSession): Int = System.identityHashCode(spark)
@@ -59,14 +60,13 @@ private[operators] object IndexManifest {
     * build is harmless — both sides assemble the identical immutable
     * plan and one wins the publish.
     */
-  private def cachedRel(spark: SparkSession, h: Handle, key: String)(
+  private def cachedRel(h: Handle, key: String)(
       mk: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val k = (sid(spark), key)
-    val cur = h.rels.get(k)
+    val cur = h.rels.get(key)
     if (cur != null) cur
     else {
       val v = mk
-      val prev = h.rels.putIfAbsent(k, v)
+      val prev = h.rels.putIfAbsent(key, v)
       if (prev != null) prev else v
     }
   }
@@ -76,25 +76,25 @@ private[operators] object IndexManifest {
     * reaches every segment's row groups).
     */
   def segTable(spark: SparkSession, h: Handle, table: String): org.apache.spark.sql.DataFrame =
-    cachedRel(spark, h, s"flat/$table")(
+    cachedRel(h, s"flat/$table")(
       spark.read.parquet(h.segments.map(s => s"$s/$table"): _*))
 
   /** [[Handle]]-memoized [[segTableOrd]]. */
   def segTableOrd(spark: SparkSession, h: Handle, table: String): org.apache.spark.sql.DataFrame =
-    cachedRel(spark, h, s"ord/$table")(segTableOrd(spark, h.segments, table))
+    cachedRel(h, s"ord/$table")(segTableOrd(spark, h.segments, table))
 
   /** [[Handle]]-memoized [[tombstoneRel]]. */
   def tombstoneRel(
       spark: SparkSession, h: Handle, idCol: String): Option[org.apache.spark.sql.DataFrame] =
     if (h.tombstones.isEmpty) None
-    else Some(cachedRel(spark, h, s"ts/$idCol")(
+    else Some(cachedRel(h, s"ts/$idCol")(
       tombstoneRel(spark, h.tombstones, idCol).get))
 
   /** [[Handle]]-memoized union of the per-tombstone `tsstats` one-row
     * tables (the delete-time mass each generation removed).
     */
   def tsStats(spark: SparkSession, h: Handle): org.apache.spark.sql.DataFrame =
-    cachedRel(spark, h, "tsstats")(
+    cachedRel(h, "tsstats")(
       spark.read.parquet(h.tombstones.map(t => s"$t/tsstats"): _*))
 
   /** Generic [[Handle]]-memoized relation for tier-specific assembled
@@ -104,7 +104,7 @@ private[operators] object IndexManifest {
     */
   def memo(spark: SparkSession, h: Handle, key: String)(
       mk: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cachedRel(spark, h, s"memo/$key")(mk)
+    cachedRel(h, s"memo/$key")(mk)
 
   /** Memoized [[Handle]] per index path. A cold serve call used to pay
     * 3–4 driver-blocking one-row parquet jobs (presence + version +
@@ -179,10 +179,26 @@ private[operators] object IndexManifest {
       .sorted.mkString("\n"))
   }
 
-  private def cacheKey(spark: SparkSession, path: String): String = {
+  private def qualifiedPath(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
   }
+
+  /** Cache entries are keyed per (session, path), not per path: a
+    * Handle memoizes assembled DataFrames ([[Handle.rels]]), and a
+    * DataFrame is bound to the session that built it — sharing a
+    * Handle across sessions would serve one session's plans to
+    * another. Per-session keying also makes the LRU cap bound the
+    * WHOLE footprint: a JVM that creates a session per scheduled run
+    * ages the dead sessions' entries (and the session objects their
+    * DataFrames pin) out of the cache instead of accreting them.
+    * Session identity is identityHashCode — not proof against a
+    * collision between two LIVE sessions, but at a ~2^-32 pair rate
+    * on a surface that is one session in every deployment shape this
+    * library targets.
+    */
+  private def cacheKey(spark: SparkSession, path: String): String =
+    s"${sid(spark)}|${qualifiedPath(spark, path)}"
 
   /** The loaded-and-current [[Handle]] for the index at `path`; fails
     * loudly (the [[requirePresent]] message) when no manifest exists.
@@ -407,7 +423,7 @@ private[operators] object IndexManifest {
   def requireDisjointRoot(
       spark: SparkSession, indexPath: String, outRoot: String, what: String): Unit = {
     val h = handle(spark, indexPath, what)
-    val out = cacheKey(spark, outRoot)
+    val out = qualifiedPath(spark, outRoot)
     val carried = qualify(spark, indexPath +: (h.segments ++ h.tombstones))
     carried.find(p => p == out || p.startsWith(out + "/")).foreach { p =>
       throw new IllegalArgumentException(

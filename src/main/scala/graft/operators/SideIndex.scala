@@ -50,16 +50,21 @@ object SideIndex {
       flavor = flavor, segments = Seq(seg))
   }
 
-  private def writeSegment(rows: DataFrame, idCol: String, segPath: String): Unit = {
+  /** The segment layout in ONE place — rows plus the one-row `stats`
+    * the metadata polls sum (resolved from parquet footers, no payload
+    * bytes read) — shared by build, update, and compact so the format
+    * cannot fork.
+    */
+  private def writeSegmentRaw(rows: DataFrame, segPath: String): Unit = {
     val spark = rows.sparkSession
-    rows.where(col(idCol).isNotNull)
-      .write.mode("overwrite").parquet(s"$segPath/rows")
-    // one-row stats beside the rows — the metadata info()/compaction
-    // polls sum, resolved from parquet footers (no payload bytes read)
+    rows.write.mode("overwrite").parquet(s"$segPath/rows")
     spark.read.parquet(s"$segPath/rows")
       .agg(count(lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(s"$segPath/stats")
   }
+
+  private def writeSegment(rows: DataFrame, idCol: String, segPath: String): Unit =
+    writeSegmentRaw(rows.where(col(idCol).isNotNull), segPath)
 
   private def handleFor(
       spark: SparkSession, path: String, flavor: String): IndexManifest.Handle = {
@@ -101,13 +106,39 @@ object SideIndex {
       "SideIndex.update: outPath must differ (the base keeps serving, referenced in place)")
     val h = IndexManifest.handle(spark, path, "side")
     IndexManifest.requireVersion(h, path, "side", FormatVersion)
-    val resubmitted = read(spark, path, idCol, h.flavor)
-      .join(broadcast(increment.select(col(idCol)).where(col(idCol).isNotNull).distinct()),
-        Seq(idCol), "left_semi")
-      .count()
-    require(resubmitted == 0L,
-      s"SideIndex.update: $resubmitted increment ids already live at $path — " +
-        "delete them first, then update (the re-keyed-row path)")
+    // the increment must speak the base segments' schema: readers
+    // union every segment, so a drifted column name or type would
+    // publish cleanly here and then fail (or silently coerce) at
+    // SERVE time on a "valid" index — refuse loudly at the write
+    // catalogString, not DataType equality: parquet reads arrays back
+    // with containsNull = true while a memory-built increment may say
+    // false — nullability variance unions fine and must not refuse
+    val baseSchema = spark.read.parquet(s"${h.segments.head}/rows").schema
+    val incSchema = increment.schema
+    require(
+      baseSchema.map(f => (f.name, f.dataType.catalogString)).toSet ==
+        incSchema.map(f => (f.name, f.dataType.catalogString)).toSet,
+      s"SideIndex.update: increment schema ${incSchema.simpleString} does not match the " +
+        s"index's rows schema ${baseSchema.simpleString} at $path")
+    // both guards in ONE bounded pass over the increment's ids: no id
+    // already live in the base (delete first — the re-keyed-row
+    // path), and no id twice WITHIN the increment (two live rows for
+    // one key would serve silently)
+    val incIds = increment.select(col(idCol)).where(col(idCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = incIds.agg(
+        count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd")).head()
+      require(counts.getLong(0) == counts.getLong(1),
+        s"SideIndex.update: increment carries ${counts.getLong(0) - counts.getLong(1)} " +
+          s"duplicate ids — one live row per key is the index's contract")
+      val resubmitted = read(spark, path, idCol, h.flavor)
+        .join(broadcast(incIds), Seq(idCol), "left_semi")
+        .count()
+      require(resubmitted == 0L,
+        s"SideIndex.update: $resubmitted increment ids already live at $path — " +
+          "delete them first, then update (the re-keyed-row path)")
+    } finally incIds.unpersist()
     val seg = s"segments/${IndexManifest.nextSegmentName(h.segments)}"
     IndexManifest.clear(spark, outPath)
     writeSegment(increment, idCol, s"$outPath/$seg")
@@ -176,10 +207,7 @@ object SideIndex {
         IndexManifest.tombstoneRel(spark, h, idCol), idCol)
     IndexManifest.clear(spark, outPath)
     val seg = "segments/seg-00000"
-    live.write.mode("overwrite").parquet(s"$outPath/$seg/rows")
-    spark.read.parquet(s"$outPath/$seg/rows")
-      .agg(count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$outPath/$seg/stats")
+    writeSegmentRaw(live, s"$outPath/$seg")
     IndexManifest.write(spark, outPath, version = FormatVersion, flavor = h.flavor,
       segments = Seq(seg))
   }

@@ -535,6 +535,52 @@ class CurationSpec extends SparkTestBase {
       s"the drifted stratum must carry the tripping PSI: ${rows2.mkString}")
     assert(fileListing(root) == before,
       "a gated round must leave the release tree byte-identical")
+    // CRASH DRILL through the one-call entry point: a round that died
+    // between the marker delete and the first mutation leaves (marker
+    // gone, delta staged, tree = previous state). The next
+    // maintainRelease must auto-heal from the STAGED snapshot — the
+    // delta plan itself derived from the now-refusing root and cannot
+    // be re-derived — and then run its own round normally.
+    val newReg2 = newReg.where(col("doc_id") =!= 102L)
+    val m2 = Curation.releaseDelta(
+      Curation.readRelease(spark, root), mOf(newReg2), "doc_id", "lang")
+    m2.write.mode("overwrite").parquet(s"$root/_staged/delta-simcrash")
+    val marker = java.nio.file.Paths.get(s"$root/_commit")
+    val w = java.nio.file.Files.walk(marker)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(java.nio.file.Files.delete(_))
+    finally w.close()
+    assert(intercept[IllegalArgumentException] { Curation.readRelease(spark, root) }
+      .getMessage.contains("commit marker missing"))
+    // a THIRD registry churn through maintainRelease: the entry point
+    // must first finish the crashed delta (tree -> newReg2's release),
+    // then ship its own round on top
+    val newReg3 = newReg2.where(col("doc_id") =!= 103L)
+    val report3 = Curation.maintainRelease(spark, root, newReg3,
+      "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2,
+      maxPsi = 0.5)
+    assert(report3.collect().forall(_.getBoolean(2)), "post-repair round must publish")
+    assert(readBack() == mOf(newReg3)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
+      .collect().map(_.toSeq).toSet,
+      "auto-healed tree diverged from the from-scratch release of the latest registry")
+    assert(!new java.io.File(s"$root/_staged").exists,
+      "repair + round must leave no staged residue")
+    // an unreadable root with NO staged snapshot cannot be repaired —
+    // the refusal must say so, not guess
+    val bare = java.nio.file.Files.createTempDirectory("graft-release-bare").toString
+    Curation.publishRelease(mOf(prevReg), "lang", bare)
+    val w2 = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$bare/_commit"))
+    try w2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(java.nio.file.Files.delete(_))
+    finally w2.close()
+    val e = intercept[IllegalArgumentException] {
+      Curation.repairRelease(spark, bare, "doc_id", "lang")
+    }
+    assert(e.getMessage.contains("republish from scratch"), e.getMessage)
+    // and a consistent root is a no-op
+    assert(!Curation.repairRelease(spark, root, "doc_id", "lang"))
   }
 
   test("publishReleaseDelta rewrites ONLY the touched shard partitions on disk") {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** The side-table index family's loud-refusal contracts — the value
+  * path (build / delete / re-add / masked read) is oracle-graded by
+  * `side_index_live` and exercised end-to-end by the StreamingSpec
+  * differentials; this spec pins the guards that keep a bad write
+  * from publishing a "valid" index that fails at serve time.
+  */
+class SideIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("update refuses a schema-drifted increment at WRITE time, not serve time") {
+    val root = tmp("side-schema")
+    SideIndex.build(Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    // wrong column name
+    val e1 = intercept[IllegalArgumentException] {
+      SideIndex.update(spark, s"$root/base",
+        Seq((3L, 30)).toDF("doc_id", "chars"), "doc_id", s"$root/u1")
+    }
+    assert(e1.getMessage.contains("does not match"), e1.getMessage)
+    // wrong column type
+    val e2 = intercept[IllegalArgumentException] {
+      SideIndex.update(spark, s"$root/base",
+        Seq((3L, "30")).toDF("doc_id", "n_chars"), "doc_id", s"$root/u2")
+    }
+    assert(e2.getMessage.contains("does not match"), e2.getMessage)
+    // matching schema still publishes
+    SideIndex.update(spark, s"$root/base",
+      Seq((3L, 30)).toDF("doc_id", "n_chars"), "doc_id", s"$root/u3")
+    assert(SideIndex.read(spark, s"$root/u3", "doc_id", "chars").count() == 3)
+  }
+
+  test("update refuses duplicate ids WITHIN the increment") {
+    val root = tmp("side-dup")
+    SideIndex.build(Seq((1L, 10)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.update(spark, s"$root/base",
+        Seq((2L, 20), (2L, 21)).toDF("doc_id", "n_chars"), "doc_id", s"$root/u1")
+    }
+    assert(e.getMessage.contains("duplicate ids"), e.getMessage)
+  }
+
+  test("read refuses the wrong flavor; compact re-homes live rows and clears tombstones") {
+    val root = tmp("side-compact")
+    SideIndex.build(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.read(spark, s"$root/base", "doc_id", "other")
+    }
+    assert(e.getMessage.contains("'chars'"), e.getMessage)
+    SideIndex.delete(spark, s"$root/base",
+      Seq(2L).toDF("doc_id"), "doc_id", s"$root/del")
+    SideIndex.compact(spark, s"$root/del", s"$root/compacted")
+    val live = SideIndex.read(spark, s"$root/compacted", "doc_id", "chars")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(live == Set((1L, 10), (3L, 30)), s"compacted live set wrong: $live")
+    val inf = SideIndex.info(spark, s"$root/compacted", "chars").head()
+    assert(inf.getInt(0) == 1 && inf.getInt(1) == 0 && inf.getLong(4) == 2L,
+      s"compacted info wrong: $inf")
+  }
+}

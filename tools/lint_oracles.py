@@ -129,6 +129,11 @@ def main():
     argv = [a for a in sys.argv if a != "--emit-snapshot"]
     sfdir, outdir = argv[1], argv[2]
     only = set(argv[3:])
+    if emit and only:
+        # a filtered emit would replace the committed full snapshot
+        # with a partial one and fail every other query's sbt-test lint
+        print("--emit-snapshot writes the FULL snapshot; drop the query filter")
+        sys.exit(2)
     con = connect(sfdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     bad = []
