@@ -602,6 +602,29 @@ object SparkEntry {
       s"$root/updated"
     })
 
+  /** Per-corpus memoized AUTO-MAINTAINED side index — the
+    * [[sideIndexRoot]] transformation (delete every seventh, re-add
+    * every fourteenth with payload+1) run through ONE
+    * `SideIndex.maintain` round whose maxSegments = 1 policy is
+    * guaranteed to trip, so the served root is the auto-compacted
+    * re-home — completing maintenance-round oracle parity across all
+    * three index families.
+    */
+  private val sideMaintainedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintainedSideIndex(s: SparkSession, dir: String): String =
+    sideMaintainedCache.computeIfAbsent(dir, _ => {
+      import graft.operators.SideIndex
+      val rows = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+      val root = java.nio.file.Files.createTempDirectory("graft-side-midx").toString
+      SideIndex.build(rows, "doc_id", "chars", s"$root/base")
+      SideIndex.maintain(s, s"$root/base",
+        deletes = Some(rows.where(col("doc_id") % 7 === 0).select("doc_id")),
+        increment = Some(rows.where(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
+        "doc_id", "chars", s"$root/round", maxSegments = 1)
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2550,6 +2573,36 @@ object SparkEntry {
       val inf = SideIndex.info(s, root, "chars")
         .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
+    }),
+    "side_index_maintained" -> ((s, dir) => {
+      // one SideIndex.maintain round (delete + re-key update + a
+      // maxSegments=1 policy that trips) — the side tier's scheduler
+      // entry point value-graded end to end like its BM25/IVF-PQ
+      // twins: the served live relation must equal the rule-replayed
+      // one, and the compacted flag proves the policy actually fired
+      import graft.operators.SideIndex
+      val path = maintainedSideIndex(s, dir)
+      val live = SideIndex.read(s, path, "doc_id", "chars")
+      val inf = SideIndex.info(s, path, "chars").select(
+        (col("n_segments") === 1 && col("n_tombstone_gens") === 0)
+          .cast("bigint").as("compacted"),
+        col("n_rows_live"))
+      live.crossJoin(broadcast(inf))
+    }),
+    "index_audit" -> ((s, dir) => {
+      // the cross-tier consistency audit: the BM25 index and the side
+      // index are maintained by the SAME %7-delete / %14-re-add round,
+      // so their live id sets must agree with each other — and each
+      // must "miss" exactly the deleted-not-re-added docs relative to
+      // the full registry. One row per tier, narrow id-relation joins
+      // only (doclen ids / side rows ids vs registry ids — never text)
+      import graft.operators.{IndexAudit, Retrieval, SideIndex}
+      val registry = t(s, dir, "documents")
+        .where(col("text").isNotNull).select(col("doc_id"))
+      IndexAudit.audit(registry, "doc_id", Seq(
+        "bm25" -> Retrieval.liveDocIds(s, maintainedBm25Index(s, dir)),
+        "side" -> SideIndex.read(s, sideIndexRoot(s, dir), "doc_id", "chars")
+          .select(col("doc_id"))))
     }),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
@@ -4562,6 +4615,37 @@ object SparkEntry {
                 2 AS n_segments, 1 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "side_index_maintained" ->
+      // same rule-replayed live set as side_index_live; the maintain
+      // round's tripped policy re-homes it into one segment with no
+      // tombstone debt, so compacted = 1
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         live AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0)
+         SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS compacted,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
+    "index_audit" ->
+      // the rule replayed as set arithmetic: both tiers live exactly
+      // {text non-null, doc_id %7<>0 or %14=0}; vs the full registry
+      // each misses the deleted-not-re-added docs and orphans nothing
+      """WITH base AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+         live AS (
+           SELECT doc_id FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id FROM base WHERE doc_id % 14 = 0),
+         counts AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_live,
+                  (SELECT CAST(count(*) AS BIGINT) FROM base
+                   WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0) AS n_missing)
+         SELECT t.tier, c.n_live, c.n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS in_sync
+         FROM counts c, (SELECT 'bm25' AS tier UNION ALL SELECT 'side') t""",
     "retrieval_batch_serve" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join'),
                                            (1, 'merge'), (1, 'sort'), (1, 'hash')),
@@ -6061,8 +6145,9 @@ object SparkEntry {
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
     "retrieval_index_info", "retrieval_index_maintained", "retrieval_batch_serve",
     // the third index family: the published admission side table the
-    // streaming gates serve from, read through its sequenced mask
-    "side_index_live",
+    // streaming gates serve from, read through its sequenced mask,
+    // its one-call maintenance round, and the cross-tier live-set audit
+    "side_index_live", "side_index_maintained", "index_audit",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -6102,5 +6187,6 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
-    "retrieval_batch_serve", "side_index_live", "release_maintained")
+    "retrieval_batch_serve", "side_index_live", "side_index_maintained",
+    "index_audit", "release_maintained")
 }

@@ -231,6 +231,19 @@ object Retrieval {
     maskLive(segTableOrd(spark, segs, "doclen"),
       tombstoneRel(spark, tsPaths, idCol), idCol).select(col(idCol))
 
+  /** The published index's live document-id relation (one column,
+    * named whatever the build used) — the narrow doclen ids through
+    * the sequenced tombstone mask, never postings or text. The
+    * [[IndexAudit]] input: what this index BELIEVES is live, to be
+    * reconciled against the registry and the other tiers.
+    */
+  def liveDocIds(spark: SparkSession, indexPath: String): DataFrame = {
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val idCol = segTable(spark, h.segments, "doclen").columns.filter(_ != "dl").head
+    liveIndexedIds(spark, h.segments, h.tombstones, idCol)
+  }
+
   /** Merge an INCREMENT of new documents into the index at `indexPath`,
     * publishing the merged index at `outPath` — the maintenance path a
     * growing corpus needs, mirroring [[Dedup]]'s incremental stance:

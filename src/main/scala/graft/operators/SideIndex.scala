@@ -212,6 +212,73 @@ object SideIndex {
       segments = Seq(seg))
   }
 
+  /** The compaction-policy trigger — the side tier's twin of
+    * [[Retrieval.needsCompaction]]: true when the segment list has
+    * grown past `maxSegments` (each live read unions one more pruned
+    * scan per segment) or when the tombstone-masked share of indexed
+    * rows passes `maxMaskedRatio` (masked rows still occupy disk and
+    * still flow through the serve mask until [[compact]] pays the
+    * debt). Metadata-only, like [[info]] — safe to poll from a
+    * scheduler.
+    */
+  def needsCompaction(
+      spark: SparkSession, path: String, flavor: String,
+      maxSegments: Int = 8, maxMaskedRatio: Double = 0.2): Boolean = {
+    require(maxSegments >= 1 && maxMaskedRatio >= 0.0,
+      s"needsCompaction: bad thresholds ($maxSegments, $maxMaskedRatio)")
+    val r = info(spark, path, flavor).head()
+    val indexed = r.getAs[Long]("n_rows_indexed")
+    r.getAs[Int]("n_segments") > maxSegments ||
+      (indexed > 0L && r.getAs[Long]("n_rows_masked").toDouble / indexed > maxMaskedRatio)
+  }
+
+  /** ONE maintenance round as a single entry point — the side tier's
+    * twin of [[Retrieval.maintainIndex]] / [[Similarity.maintainPqIndex]],
+    * completing the family: apply this round's [[delete]]s (if any),
+    * merge this round's [[update]] increment (if any), then poll
+    * [[needsCompaction]] with the given policy and [[compact]] if it
+    * trips. Returns the path to SERVE from after the round —
+    * `outRoot/deleted`, `outRoot/updated` or `outRoot/compacted`,
+    * whichever ran last; every intermediate root is itself a valid
+    * published index, so a crash mid-round leaves the last generation
+    * serving. A no-op round returns `indexPath` unchanged.
+    *
+    * Cost shape matches the siblings: delete and update stay O(delta);
+    * only a tripped policy pays the explicit O(corpus) re-home.
+    * `outRoot` must be FRESH each round (enforced by the shared
+    * carried-root check) — reusing one would let a later tripped
+    * compaction overwrite segments it is reading.
+    */
+  def maintain(
+      spark: SparkSession,
+      indexPath: String,
+      deletes: Option[DataFrame],
+      increment: Option[DataFrame],
+      idCol: String,
+      flavor: String,
+      outRoot: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2): String = {
+    require(outRoot != indexPath,
+      "SideIndex.maintain: outRoot must differ from indexPath (steps publish under it)")
+    IndexManifest.requireDisjointRoot(spark, indexPath, outRoot, s"side($flavor)")
+    handleFor(spark, indexPath, flavor)
+    var cur = indexPath
+    deletes.foreach { d =>
+      delete(spark, cur, d, idCol, s"$outRoot/deleted")
+      cur = s"$outRoot/deleted"
+    }
+    increment.foreach { inc =>
+      update(spark, cur, inc, idCol, s"$outRoot/updated")
+      cur = s"$outRoot/updated"
+    }
+    if (needsCompaction(spark, cur, flavor, maxSegments, maxMaskedRatio)) {
+      compact(spark, cur, s"$outRoot/compacted")
+      cur = s"$outRoot/compacted"
+    }
+    cur
+  }
+
   /** The operational metadata row (n_segments, n_tombstone_gens,
     * n_rows_indexed, n_rows_masked, n_rows_live) — footer-sized reads
     * only, poll-safe, mirroring the other tiers' info surfaces.

@@ -66,4 +66,42 @@ class SideIndexSpec extends SparkTestBase {
     assert(inf.getInt(0) == 1 && inf.getInt(1) == 0 && inf.getLong(4) == 2L,
       s"compacted info wrong: $inf")
   }
+
+  test("maintain runs delete + update + policy-gated compaction as one round") {
+    val root = tmp("side-maintain")
+    SideIndex.build(
+      Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    // a quiet-policy round: delete 2, re-add it re-keyed — two new
+    // generations, no compaction (maxSegments left high)
+    val served = SideIndex.maintain(spark, s"$root/base",
+      deletes = Some(Seq(2L).toDF("doc_id")),
+      increment = Some(Seq((2L, 21)).toDF("doc_id", "n_chars")),
+      "doc_id", "chars", s"$root/r1")
+    assert(served == s"$root/r1/updated", served)
+    val inf1 = SideIndex.info(spark, served, "chars").head()
+    assert(inf1.getInt(0) == 2 && inf1.getInt(1) == 1, s"round-1 info wrong: $inf1")
+    val live1 = SideIndex.read(spark, served, "doc_id", "chars")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(live1 == Set((1L, 10), (2L, 21), (3L, 30), (4L, 40)), live1.toString)
+    // a tripped-policy round: maxSegments = 1 forces the re-home;
+    // served root is one segment, zero tombstone generations, same
+    // live relation
+    val served2 = SideIndex.maintain(spark, served,
+      deletes = Some(Seq(3L).toDF("doc_id")), increment = None,
+      "doc_id", "chars", s"$root/r2", maxSegments = 1)
+    assert(served2 == s"$root/r2/compacted", served2)
+    val inf2 = SideIndex.info(spark, served2, "chars").head()
+    assert(inf2.getInt(0) == 1 && inf2.getInt(1) == 0 && inf2.getLong(4) == 3L,
+      s"round-2 info wrong: $inf2")
+    // a no-op round returns the input path unchanged
+    assert(SideIndex.maintain(spark, served2, None, None,
+      "doc_id", "chars", s"$root/r3") == served2)
+    // a reused outRoot refuses loudly — the carried-root overwrite hazard
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.maintain(spark, served2, Some(Seq(1L).toDF("doc_id")), None,
+        "doc_id", "chars", s"$root/r2")
+    }
+    assert(e.getMessage.contains("not fresh"), e.getMessage)
+  }
 }
