@@ -2604,6 +2604,17 @@ object SparkEntry {
         "side" -> SideIndex.read(s, sideIndexRoot(s, dir), "doc_id", "chars")
           .select(col("doc_id"))))
     }),
+    "index_audit_ann" -> ((s, dir) => {
+      // the vector tier through the same audit: the delete-chain
+      // IVF-PQ index's masked live ids reconciled against the full
+      // embeddings registry — completing audit coverage of all three
+      // index families (the doc-keyed tiers grade in index_audit)
+      import graft.operators.{IndexAudit, Similarity}
+      val didx = deletedAnnIndex(s, dir)
+      val registry = t(s, dir, "embeddings").select(col("vec_id"))
+      IndexAudit.audit(registry, "vec_id", Seq(
+        "ann" -> Similarity.readPqIndex(s, didx.path).select(col("neighbor_id"))))
+    }),
     "retrieval_batch_serve" -> ((s, dir) => {
       // the production serve pattern: a BATCH of queries answered from
       // ONE term-pruned postings scan (the union of all query terms
@@ -4646,6 +4657,17 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS n_orphaned,
                 CAST(0 AS BIGINT) AS in_sync
          FROM counts c, (SELECT 'bm25' AS tier UNION ALL SELECT 'side') t""",
+    "index_audit_ann" ->
+      // the vector tier's rule: every 7th deleted, every 14th
+      // re-embedded (serving its new segment's row) — one live row per
+      // surviving id; the deleted-not-re-added ids are the misses
+      """SELECT 'ann' AS tier,
+                (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                 WHERE vec_id % 7 <> 0 OR vec_id % 14 = 0) AS n_live,
+                (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                 WHERE vec_id % 7 = 0 AND vec_id % 14 <> 0) AS n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS in_sync""",
     "retrieval_batch_serve" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join'),
                                            (1, 'merge'), (1, 'sort'), (1, 'hash')),
@@ -6147,7 +6169,7 @@ object SparkEntry {
     // the third index family: the published admission side table the
     // streaming gates serve from, read through its sequenced mask,
     // its one-call maintenance round, and the cross-tier live-set audit
-    "side_index_live", "side_index_maintained", "index_audit",
+    "side_index_live", "side_index_maintained", "index_audit", "index_audit_ann",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -6188,5 +6210,5 @@ object SparkEntry {
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
-    "index_audit", "release_maintained")
+    "index_audit", "index_audit_ann", "release_maintained")
 }
