@@ -82,10 +82,13 @@ object SideIndexScaleSmoke {
       churn.count()
       val readds = churn.where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))
+      // explicitly quiet policy: the fixed deltaN masked share depends
+      // on corpus size, so the defaults could trip compaction on a
+      // small sfDir and corrupt the O(delta) measurement — pin it off
       val (served, roundSec) = time {
         SideIndex.maintain(spark, basePath,
           deletes = Some(churn.select("doc_id")), increment = Some(readds),
-          "doc_id", "chars", roundRoot)
+          "doc_id", "chars", roundRoot, maxMaskedRatio = 1.0)
       }
 
       // O(delta): the round root carries manifests, a deltaN tombstone

@@ -586,11 +586,18 @@ object SparkEntry {
     * `side_index_live` oracle value-grades the masked live read.
     */
   private val sideIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The side tier's payload projection, shared by BOTH memoized index
+    * chains and mirrored by the `side_index_*` / `index_audit` oracles
+    * — one definition so the chains (and the audit comparing them)
+    * cannot drift.
+    */
+  private def sideRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
   private def sideIndexRoot(s: SparkSession, dir: String): String =
     sideIndexCache.computeIfAbsent(dir, _ => {
       import graft.operators.SideIndex
-      val rows = t(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+      val rows = sideRows(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-side-idx").toString
       SideIndex.build(rows, "doc_id", "chars", s"$root/base")
       SideIndex.delete(s, s"$root/base",
@@ -614,8 +621,7 @@ object SparkEntry {
   private def maintainedSideIndex(s: SparkSession, dir: String): String =
     sideMaintainedCache.computeIfAbsent(dir, _ => {
       import graft.operators.SideIndex
-      val rows = t(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+      val rows = sideRows(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-side-midx").toString
       SideIndex.build(rows, "doc_id", "chars", s"$root/base")
       SideIndex.maintain(s, s"$root/base",
@@ -4655,6 +4661,7 @@ object SparkEntry {
                    WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0) AS n_missing)
          SELECT t.tier, c.n_live, c.n_missing,
                 CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
                 CAST(0 AS BIGINT) AS in_sync
          FROM counts c, (SELECT 'bm25' AS tier UNION ALL SELECT 'side') t""",
     "index_audit_ann" ->
@@ -4667,6 +4674,7 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT) FROM embeddings
                  WHERE vec_id % 7 = 0 AND vec_id % 14 <> 0) AS n_missing,
                 CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
                 CAST(0 AS BIGINT) AS in_sync""",
     "retrieval_batch_serve" ->
       """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join'),

@@ -29,14 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object IndexAudit {
 
-  /** One audit row per tier: `tier`, `n_live` (ids the tier serves),
-    * `n_missing` (registry ids the tier does NOT serve), `n_orphaned`
-    * (served ids the registry no longer lists — retention hazards),
-    * `in_sync` (1 iff both discrepancy counts are zero).
+  /** One audit row per tier: `tier`, `n_live` (distinct ids the tier
+    * serves), `n_missing` (registry ids the tier does NOT serve),
+    * `n_orphaned` (served ids the registry no longer lists — retention
+    * hazards), `n_dup_pairs` (joined rows beyond one per id — nonzero
+    * when a tier serves two live rows for one key, the classic lost-
+    * tombstone double-serve, or when the registry itself carries a
+    * duplicate id), `in_sync` (1 iff all three discrepancy counts are
+    * zero). The set counts are DISTINCT-id counts, so they stay exact
+    * even while duplication is being reported rather than assumed away.
     *
-    * `registry` must be unique on `idCol` (it is the release roster's
-    * contract); each tier relation is the tier's live-id column under
-    * any name — it is realigned to `idCol` positionally. Tiers audit
+    * Each tier relation is the tier's live-id column under any name —
+    * it is realigned to `idCol` positionally. Tiers audit
     * independently: one full-outer join each, no cross-tier shuffle.
     */
   def audit(
@@ -47,7 +51,8 @@ object IndexAudit {
     require(registry.columns.contains(idCol), s"IndexAudit.audit: registry has no '$idCol'")
     val reg = registry.select(col(idCol)).where(col(idCol).isNotNull)
       .withColumn("__reg", lit(1))
-    def cnt(c: Column): Column = coalesce(sum(c.cast("long")), lit(0L))
+    def distinctIds(pred: Column): Column =
+      coalesce(countDistinct(when(pred, col(idCol))), lit(0L))
     tiers.map { case (name, liveIds) =>
       require(liveIds.columns.length == 1,
         s"IndexAudit.audit: tier '$name' must be a one-column id relation, " +
@@ -56,16 +61,18 @@ object IndexAudit {
         .withColumn("__idx", lit(1))
       reg.join(idx, Seq(idCol), "full_outer")
         .agg(
-          cnt(col("__idx").isNotNull).as("n_live"),
-          cnt(col("__idx").isNull).as("n_missing"),
-          cnt(col("__reg").isNull).as("n_orphaned"))
+          distinctIds(col("__idx").isNotNull).as("n_live"),
+          distinctIds(col("__idx").isNull).as("n_missing"),
+          distinctIds(col("__reg").isNull).as("n_orphaned"),
+          (count(lit(1)) - countDistinct(col(idCol))).as("n_dup_pairs"))
         .select(
           lit(name).as("tier"),
           col("n_live"),
           col("n_missing"),
           col("n_orphaned"),
-          (col("n_missing") === 0L && col("n_orphaned") === 0L)
-            .cast("bigint").as("in_sync"))
+          col("n_dup_pairs"),
+          (col("n_missing") === 0L && col("n_orphaned") === 0L &&
+            col("n_dup_pairs") === 0L).cast("bigint").as("in_sync"))
     }.reduce(_.unionByName(_))
   }
 }

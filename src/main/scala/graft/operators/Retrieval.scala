@@ -235,13 +235,22 @@ object Retrieval {
     * named whatever the build used) — the narrow doclen ids through
     * the sequenced tombstone mask, never postings or text. The
     * [[IndexAudit]] input: what this index BELIEVES is live, to be
-    * reconciled against the registry and the other tiers.
+    * reconciled against the registry and the other tiers. The id
+    * column name sniffs off ONE segment's footer (segments share the
+    * build schema) and the assembled relation rides the Handle memo,
+    * so repeated audits pay a fingerprint check, not per-segment
+    * listings.
     */
   def liveDocIds(spark: SparkSession, indexPath: String): DataFrame = {
     val h = IndexManifest.handle(spark, indexPath, "BM25")
     IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
-    val idCol = segTable(spark, h.segments, "doclen").columns.filter(_ != "dl").head
-    liveIndexedIds(spark, h.segments, h.tombstones, idCol)
+    val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
+      .columns.filter(_ != "dl").head
+    IndexManifest.memo(spark, h, s"live-doc-ids/$idCol") {
+      IndexManifest.maskLive(
+        IndexManifest.segTableOrd(spark, h, "doclen"),
+        IndexManifest.tombstoneRel(spark, h, idCol), idCol).select(col(idCol))
+    }
   }
 
   /** Merge an INCREMENT of new documents into the index at `indexPath`,
