@@ -771,6 +771,15 @@ object Curation {
     val spark = delta.sparkSession
     val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // while the commit marker still stands, any `_staged` residue is
+    // by definition leftover from a COMPLETED apply whose final
+    // cleanup crashed (the marker returns before the staged snapshot
+    // is removed). Sweep it NOW: left in place, the next unreadable
+    // window would hold TWO snapshots and [[repairRelease]] would
+    // refuse a perfectly repairable root as ambiguous.
+    val stagedRoot = new org.apache.hadoop.fs.Path(s"$path/_staged")
+    if (fs.exists(releaseCommitPath(path)) && fs.exists(stagedRoot))
+      fs.delete(stagedRoot, true): Unit
     val d0 = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE bounded pass over the delta, run while the commit marker
     // still stands: an order-insensitive content hash (sum of per-row
@@ -786,7 +795,7 @@ object Curation {
         d0.write.mode("overwrite").parquet(s"$path/_staged/delta-$key")
         (key, if (fp.isNullAt(1)) 0L else fp.getLong(1))
       } finally d0.unpersist()
-    applyStagedDelta(spark, path, deltaKey, idCol, strataCol)
+    applyStagedDelta(spark, path, deltaKey, idCol, strataCol, Some(nTombstones))
   }
 
   /** The mutation core, reading ONLY a staged snapshot (the caller's
@@ -797,11 +806,16 @@ object Curation {
     */
   private def applyStagedDelta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, deltaKey: String, idCol: String, strataCol: String): Unit = {
+      path: String, deltaKey: String, idCol: String, strataCol: String,
+      nTombstonesKnown: Option[Long] = None): Unit = {
     val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d = spark.read.parquet(s"$path/_staged/delta-$deltaKey")
-    val nTombstones = d.where(col("kind") === "tombstone").count()
+    // the publish path already counted tombstones inside its
+    // fingerprint aggregation — reuse it; only the repair path (no
+    // caller-side pass) pays this count job
+    val nTombstones = nTombstonesKnown.getOrElse(
+      d.where(col("kind") === "tombstone").count())
     if (fs.exists(releaseCommitPath(path))) fs.delete(releaseCommitPath(path), true): Unit
     d.where(col("kind") === "shard").drop("kind")
       .write.partitionBy(strataCol, "shard_id")
@@ -860,7 +874,14 @@ object Curation {
       path: String, idCol: String, strataCol: String): Boolean = {
     val fs = releaseCommitPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(releaseCommitPath(path))) return false
+    if (fs.exists(releaseCommitPath(path))) {
+      // consistent root: any _staged residue is a completed apply's
+      // crashed cleanup — sweep it here too, so a later crash window
+      // never inherits a second snapshot
+      val residue = new org.apache.hadoop.fs.Path(s"$path/_staged")
+      if (fs.exists(residue)) fs.delete(residue, true): Unit
+      return false
+    }
     val staged = new org.apache.hadoop.fs.Path(s"$path/_staged")
     val dirs =
       if (!fs.exists(staged)) Array.empty[String]

@@ -136,17 +136,40 @@ private[operators] object IndexManifest {
     */
   private val RevalidateEvery = 64L
 
+  // recency is a monotonic ticker, not a clock — cheap, totally
+  // ordered, and immune to clock adjustments
+  private val cacheTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private final class CacheEntry(val fp: String, val h: Handle) {
     val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lastUsed = new java.util.concurrent.atomic.AtomicLong(cacheTick.incrementAndGet())
   }
 
-  private val handleCache: java.util.Map[String, CacheEntry] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, CacheEntry](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, CacheEntry]): Boolean =
-          size() > handleCacheCap
-      })
+  /** Lock-free on the hot path: handle() lookups hit a
+    * ConcurrentHashMap (a synchronized access-ordered LinkedHashMap
+    * would put one JVM-global mutex on every serve entry of every
+    * index family). LRU bookkeeping is a per-entry recency stamp set
+    * on hit; eviction is amortized onto the rare INSERT path
+    * ([[evictIfOver]]), where a linear scan over ≤ cap entries is
+    * noise next to the manifest parquet read that preceded it.
+    */
+  private val handleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
+
+  private def evictIfOver(): Unit =
+    while (handleCache.size() > handleCacheCap) {
+      var oldestKey: String = null
+      var oldest = Long.MaxValue
+      handleCache.forEach { (k: String, e: CacheEntry) =>
+        val lu = e.lastUsed.get()
+        if (lu < oldest) { oldest = lu; oldestKey = k }
+      }
+      // concurrent inserts may race two evictors over the same scan;
+      // the worst case is evicting one entry more than strictly needed
+      // — it reloads on next touch
+      if (oldestKey == null) return
+      handleCache.remove(oldestKey): Unit
+    }
 
   private[operators] def handleCacheSize: Int = handleCache.size()
 
@@ -213,6 +236,7 @@ private[operators] object IndexManifest {
     val key = cacheKey(spark, path)
     val cached = handleCache.get(key)
     if (cached != null && cached.fp == fp) {
+      cached.lastUsed.set(cacheTick.incrementAndGet())
       // periodic carried-root re-validation (see [[RevalidateEvery]]);
       // a tripped check drops the entry so every subsequent call pays
       // the reload path and refuses immediately
@@ -239,6 +263,7 @@ private[operators] object IndexManifest {
         tombstones = seqCol("tombstones").map(resolve(path, _)))
       validateRoots(spark, path, what, h)
       handleCache.put(key, new CacheEntry(fp, h))
+      evictIfOver()
       h
     }
   }

@@ -43,11 +43,36 @@ object SideIndex {
   def build(rows: DataFrame, idCol: String, flavor: String, path: String): Unit = {
     val spark = rows.sparkSession
     require(rows.columns.contains(idCol), s"SideIndex.build: no '$idCol' column")
+    // the one-live-row-per-key contract every later path (update's
+    // guards, delete's tsstats arithmetic, info's live count) depends
+    // on is enforced HERE, at the only door a base enters through —
+    // and null ids refuse loudly instead of silently vanishing from
+    // the published segment
+    requireKeyedRows(rows, idCol, "build")
     IndexManifest.clear(spark, path)
     val seg = "segments/seg-00000"
     writeSegment(rows, idCol, s"$path/$seg")
     IndexManifest.write(spark, path, version = FormatVersion,
       flavor = flavor, segments = Seq(seg))
+  }
+
+  /** One bounded pass asserting the tier's row contract: no null ids
+    * (a null-keyed row can never be deleted or re-keyed — it would
+    * just vanish from the write, silently) and no duplicate ids (two
+    * live rows for one key would serve silently and break the
+    * footer-stats live arithmetic). Shared by build and update.
+    */
+  private def requireKeyedRows(rows: DataFrame, idCol: String, what: String): Unit = {
+    val c = rows.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("nn"),
+      countDistinct(col(idCol)).as("nd")).head()
+    require(c.getLong(0) == c.getLong(1),
+      s"SideIndex.$what: ${c.getLong(0) - c.getLong(1)} rows carry a null '$idCol' — " +
+        "a null-keyed row cannot be deleted or re-keyed later; fix the input")
+    require(c.getLong(1) == c.getLong(2),
+      s"SideIndex.$what: ${c.getLong(1) - c.getLong(2)} duplicate ids — " +
+        "one live row per key is the index's contract")
   }
 
   /** The segment layout in ONE place — rows plus the one-row `stats`
@@ -120,20 +145,19 @@ object SideIndex {
         incSchema.map(f => (f.name, f.dataType.catalogString)).toSet,
       s"SideIndex.update: increment schema ${incSchema.simpleString} does not match the " +
         s"index's rows schema ${baseSchema.simpleString} at $path")
-    // both guards in ONE bounded pass over the increment's ids: no id
-    // already live in the base (delete first — the re-keyed-row
-    // path), and no id twice WITHIN the increment (two live rows for
-    // one key would serve silently)
-    val incIds = increment.select(col(idCol)).where(col(idCol).isNotNull)
+    // the row contract (no null ids, no duplicate ids) refuses loudly
+    // at the write, then: no increment id may already be live in the
+    // base (delete first — the re-keyed-row path). NO broadcast hint
+    // on the semi-join: a 100 TB deployment's daily increment can be
+    // GBs of ids, and a forced broadcast would collect it to the
+    // driver; Spark broadcasts small sides from stats on its own and
+    // hash-joins large ones (the maskLive stance).
+    requireKeyedRows(increment, idCol, "update")
+    val incIds = increment.select(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = incIds.agg(
-        count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd")).head()
-      require(counts.getLong(0) == counts.getLong(1),
-        s"SideIndex.update: increment carries ${counts.getLong(0) - counts.getLong(1)} " +
-          s"duplicate ids — one live row per key is the index's contract")
       val resubmitted = read(spark, path, idCol, h.flavor)
-        .join(broadcast(incIds), Seq(idCol), "left_semi")
+        .join(incIds, Seq(idCol), "left_semi")
         .count()
       require(resubmitted == 0L,
         s"SideIndex.update: $resubmitted increment ids already live at $path — " +
@@ -162,7 +186,13 @@ object SideIndex {
       "SideIndex.delete: outPath must differ (the base keeps serving, referenced in place)")
     val h = IndexManifest.handle(spark, path, "side")
     IndexManifest.requireVersion(h, path, "side", FormatVersion)
-    val ids = deletes.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+    // a null delete id names nothing — silently dropping it would hide
+    // an upstream bug behind an apparently-successful erasure
+    val nNull = deletes.where(col(idCol).isNull).count()
+    require(nNull == 0L,
+      s"SideIndex.delete: $nNull rows carry a null '$idCol' — every delete must " +
+        "name a currently-indexed row; fix the input")
+    val ids = deletes.select(col(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val missing = ids

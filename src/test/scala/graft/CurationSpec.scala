@@ -581,6 +581,30 @@ class CurationSpec extends SparkTestBase {
     assert(e.getMessage.contains("republish from scratch"), e.getMessage)
     // and a consistent root is a no-op
     assert(!Curation.repairRelease(spark, root, "doc_id", "lang"))
+    // STALE-RESIDUE drill: a completed apply whose FINAL cleanup
+    // crashed leaves (marker present, _staged residue). Both a repair
+    // probe and the next publish must sweep it — left behind, a later
+    // crash window would hold TWO snapshots and repairRelease would
+    // refuse a repairable root as ambiguous.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/_staged/delta-stale"))
+    assert(!Curation.repairRelease(spark, root, "doc_id", "lang"))
+    assert(!new java.io.File(s"$root/_staged").exists,
+      "repairRelease on a consistent root must sweep completed-apply residue")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/_staged/delta-stale2"))
+    val newReg4 = newReg3.where(col("doc_id") =!= 104L)
+    Curation.publishReleaseDelta(
+      Curation.releaseDelta(Curation.readRelease(spark, root), mOf(newReg4),
+        "doc_id", "lang"),
+      "doc_id", "lang", root)
+    assert(readBack() == mOf(newReg4)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
+      .collect().map(_.toSeq).toSet,
+      "post-sweep publish diverged from the from-scratch release")
+    assert(!new java.io.File(s"$root/_staged").exists,
+      "publishReleaseDelta must sweep completed-apply residue before staging")
   }
 
   test("publishReleaseDelta rewrites ONLY the touched shard partitions on disk") {

@@ -48,6 +48,36 @@ class SideIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate ids"), e.getMessage)
   }
 
+  test("build, update and delete refuse null and duplicate ids loudly, never silently") {
+    val root = tmp("side-keyguard")
+    // a duplicate-id base would double-serve one key and corrupt
+    // info's live arithmetic after a delete — refused at the door
+    val eDup = intercept[IllegalArgumentException] {
+      SideIndex.build(Seq((7L, 10), (7L, 11), (8L, 20)).toDF("doc_id", "n_chars"),
+        "doc_id", "chars", s"$root/dup")
+    }
+    assert(eDup.getMessage.contains("duplicate ids"), eDup.getMessage)
+    // null-keyed rows would just vanish from the write
+    val eNull = intercept[IllegalArgumentException] {
+      SideIndex.build(Seq((Some(1L), 10), (None, 20)).toDF("doc_id", "n_chars"),
+        "doc_id", "chars", s"$root/nul")
+    }
+    assert(eNull.getMessage.contains("null"), eNull.getMessage)
+    SideIndex.build(Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    val eUpd = intercept[IllegalArgumentException] {
+      SideIndex.update(spark, s"$root/base",
+        Seq((Some(3L), 30), (None, 40)).toDF("doc_id", "n_chars"),
+        "doc_id", s"$root/u1")
+    }
+    assert(eUpd.getMessage.contains("null"), eUpd.getMessage)
+    val eDel = intercept[IllegalArgumentException] {
+      SideIndex.delete(spark, s"$root/base",
+        Seq(Some(1L), None).toDF("doc_id"), "doc_id", s"$root/d1")
+    }
+    assert(eDel.getMessage.contains("null"), eDel.getMessage)
+  }
+
   test("read refuses the wrong flavor; compact re-homes live rows and clears tombstones") {
     val root = tmp("side-compact")
     SideIndex.build(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("doc_id", "n_chars"),
