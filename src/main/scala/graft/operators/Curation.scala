@@ -784,14 +784,40 @@ object Curation {
     // ONE bounded pass over the delta, run while the commit marker
     // still stands: an order-insensitive content hash (sum of per-row
     // xxhash64 in decimal — no overflow under ANSI) keying the staged
-    // and tombstone dirs, plus the tombstone row count.
+    // and tombstone dirs, plus the tombstone row count. The per-row
+    // hash folds a NULL BITMAP beside the values: Spark's hash fold
+    // SKIPS null columns, so two rows differing only in WHICH
+    // same-typed column is null would otherwise hash identically —
+    // and a cross-delta key collision overwrites an earlier delta's
+    // `_removed/delta-<key>` record (overwrite semantics), silently
+    // shrinking the right-to-erasure audit trail.
     val (deltaKey, nTombstones) =
       try {
+        val rowHash = xxhash64(
+          d0.columns.map(col) ++ d0.columns.map(c => col(c).isNull): _*)
         val fp = d0.agg(
-          coalesce(sum(xxhash64(d0.columns.map(col): _*).cast("decimal(38,0)")),
+          coalesce(sum(rowHash.cast("decimal(38,0)")),
             lit(0L).cast("decimal(38,0)")).as("h"),
           sum(when(col("kind") === "tombstone", 1L).otherwise(0L)).as("n_ts")).head()
         val key = fp.getDecimal(0).toBigInteger.toString(16).replace("-", "n")
+        // a root whose marker is ALREADY gone holds a crashed earlier
+        // apply; if the staged evidence belongs to a DIFFERENT delta,
+        // applying this one would rewrite the marker over a tree
+        // missing the crashed delta's tail mutations (laundering the
+        // inconsistency) and the residue sweep above would later
+        // destroy the only repair evidence. Re-staging the SAME key is
+        // the documented re-apply repair and proceeds.
+        if (!fs.exists(releaseCommitPath(path)) && fs.exists(stagedRoot)) {
+          val foreign = fs.listStatus(stagedRoot)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
+            .map(_.getPath.getName).filter(_ != s"delta-$key")
+          require(foreign.isEmpty,
+            s"publishReleaseDelta: release at $path has no commit marker and holds staged " +
+              s"snapshot(s) ${foreign.mkString(", ")} from a crashed EARLIER apply — " +
+              "applying a new delta over the half-mutated tree would certify it and sweep " +
+              "the repair evidence; run repairRelease first (maintainRelease does so " +
+              "automatically)")
+        }
         d0.write.mode("overwrite").parquet(s"$path/_staged/delta-$key")
         (key, if (fp.isNullAt(1)) 0L else fp.getLong(1))
       } finally d0.unpersist()
@@ -948,6 +974,11 @@ object Curation {
     *     brand-new stratum, whose baseline is empty and whose PSI is
     *     therefore large — REFUSES the round: nothing is written,
     *     the previous release keeps serving, and the report says why.
+    *     A stratum with ZERO in-grid mass in both snapshots (every
+    *     token count outside [0, psiHi)) reports `psi = NaN` and also
+    *     refuses — a smoothed-zero grid scores 0 regardless of drift,
+    *     so "can't see the stratum" must gate, not pass; raise psiHi
+    *     to cover the stratum's length range.
     *  4. a passed gate ships [[releaseDelta]] via
     *     [[publishReleaseDelta]] — O(changed shards) bytes, in place.
     *
@@ -986,14 +1017,24 @@ object Curation {
         targetWeights, contextTokens, nShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a stratum whose token counts sit ENTIRELY outside [0, psiHi)
+      // in BOTH snapshots has all-smoothed-zero bins and a PSI of 0 —
+      // the gate would be blind to arbitrary drift in long-document
+      // strata. Zero in-grid mass on both sides scores NaN instead
+      // (NaN <= maxPsi is false, so the round refuses and the report
+      // carries the why): the caller must raise psiHi to cover the
+      // stratum, not silently skip it.
       val psiRows = Stats.populationStabilityBy(
           prevM.select(col(strataCol), col("n_tokens")),
           newM.select(col(strataCol), col("n_tokens")),
           "n_tokens", strataCol, lo = 0, hi = psiHi, bins = psiBins)
         .groupBy(col(strataCol))
-        .agg(sum("psi_term").as("psi"))
+        .agg(sum("psi_term").as("psi"),
+          sum("n_base").as("__nb"), sum("n_cur").as("__nc"))
         .collect()
-        .map(r => (r.getString(0), r.getDouble(1)))
+        .map(r => (r.getString(0),
+          if (r.getLong(2) == 0L && r.getLong(3) == 0L) Double.NaN
+          else r.getDouble(1)))
         .sortBy(_._1).toSeq
       val publish = psiRows.forall(_._2 <= maxPsi)
       if (publish)

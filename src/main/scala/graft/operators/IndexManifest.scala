@@ -51,7 +51,19 @@ private[operators] object IndexManifest {
       new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   }
 
-  private def sid(spark: SparkSession): Int = System.identityHashCode(spark)
+  // stable per-session identity for cache keying: identityHashCode is
+  // NOT enough — beyond live-pair collisions, a hash can be REUSED by
+  // a brand-new session after an old one is GC'd, which would serve
+  // the dead session's cached Handle (whose memoized DataFrames are
+  // bound to the stopped session) to the new one at the same path.
+  // Classic sessions carry a per-instance UUID; any other
+  // implementation gets one assigned via a weak map (weak keys: the
+  // map must not pin a stopped session in memory).
+  private val assignedSids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sid(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark).getOrElse(
+      assignedSids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString))
 
   /** get-then-putIfAbsent rather than computeIfAbsent: a memoized
     * assembly (e.g. the PQ tier's masked vector union) composes the
@@ -215,10 +227,9 @@ private[operators] object IndexManifest {
     * WHOLE footprint: a JVM that creates a session per scheduled run
     * ages the dead sessions' entries (and the session objects their
     * DataFrames pin) out of the cache instead of accreting them.
-    * Session identity is identityHashCode — not proof against a
-    * collision between two LIVE sessions, but at a ~2^-32 pair rate
-    * on a surface that is one session in every deployment shape this
-    * library targets.
+    * Session identity is the session's own UUID (see [[sid]]), never
+    * identityHashCode — a recycled identity hash after a GC'd session
+    * would alias a dead session's cached plans onto a live one.
     */
   private def cacheKey(spark: SparkSession, path: String): String =
     s"${sid(spark)}|${qualifiedPath(spark, path)}"

@@ -692,4 +692,145 @@ class CurationSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] { Curation.readRelease(spark, root) }
     assert(e.getMessage.contains("commit marker missing"), e.getMessage)
   }
+
+  test("publishReleaseDelta refuses a broken root holding ANOTHER delta's staged snapshot") {
+    import org.apache.spark.sql.functions.col
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    val prevReg = ((1L to 10L).map(i => (i, "en", 50)) ++
+      (101L to 112L).map(i => (i, "de", 50))).toDF("doc_id", "lang", "n_tokens")
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-foreign").toString
+    Curation.publishRelease(mOf(prevReg), "lang", root)
+    // simulate delta A crashing mid-apply: its snapshot staged, marker gone
+    val regA = prevReg.where(col("doc_id") =!= 101L)
+    Curation.releaseDelta(Curation.readRelease(spark, root), mOf(regA), "doc_id", "lang")
+      .write.parquet(s"$root/_staged/delta-crashedA")
+    val m = java.nio.file.Paths.get(s"$root/_commit")
+    val w = java.nio.file.Files.walk(m)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(java.nio.file.Files.delete(_))
+    finally w.close()
+    // a DIFFERENT delta pushed at the broken root must refuse (applying
+    // it would certify a tree missing A's tail mutations and later
+    // sweep A's snapshot — the only repair evidence) ...
+    val regB = prevReg.where(col("doc_id") =!= 102L)
+    val dB = Curation.releaseDelta(
+      spark.read.parquet(root), mOf(regB), "doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Curation.publishReleaseDelta(dB, "doc_id", "lang", root)
+    }
+    assert(e.getMessage.contains("repairRelease"), e.getMessage)
+    assert(new java.io.File(s"$root/_staged/delta-crashedA").exists,
+      "the refusal must leave the crashed delta's snapshot in place")
+    // ... and after repairing, the same delta applies cleanly
+    def treeRows() = Curation.readRelease(spark, root)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id").cast("int").as("shard_id"))
+      .collect().map(_.toSeq).toSet
+    def mRows(r: org.apache.spark.sql.DataFrame) = mOf(r)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"),
+        col("offset_in_bin"), col("len_in_bin"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(Curation.repairRelease(spark, root, "doc_id", "lang"))
+    assert(treeRows() == mRows(regA),
+      "repair must finish the crashed delta: tree == regA's from-scratch release")
+    Curation.publishReleaseDelta(
+      Curation.releaseDelta(Curation.readRelease(spark, root), mOf(regB), "doc_id", "lang"),
+      "doc_id", "lang", root)
+    assert(treeRows() == mRows(regB),
+      "post-repair publish must land regB's from-scratch release")
+  }
+
+  test("delta content keys fold the null bitmap: null-position variants don't collide") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val weights = Map("en" -> 1.0)
+    val prevReg = (1L to 6L).map(i => (i, "en", 50)).toDF("doc_id", "lang", "n_tokens")
+    val m = Curation.releaseRegistryManifest(
+      prevReg, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-nullkey").toString
+    Curation.publishRelease(m, "lang", root)
+    // two deltas whose rows differ ONLY in which same-typed column is
+    // null (bin_id vs offset_in_bin, both long): a value-only row hash
+    // sees the identical non-null chain for both, collides the content
+    // key, and the second apply's _removed overwrite would ERASE the
+    // first delta's tombstone record. With the null bitmap folded in,
+    // the keys are distinct and both erasure records survive.
+    def deltaOf(tombId: Long, binNull: Boolean) = {
+      val shard = m.limit(1).select(lit("shard").as("kind"), col("lang"),
+        col("shard_id"), col("doc_id"), col("n_tokens"),
+        (if (binNull) lit(null).cast("bigint") else lit(7L)).as("bin_id"),
+        (if (binNull) lit(7L) else lit(null).cast("bigint")).as("offset_in_bin"),
+        col("len_in_bin"))
+      val ts = m.limit(1).select(lit("tombstone").as("kind"),
+        lit(null).cast("string").as("lang"), lit(null).cast("bigint").as("shard_id"),
+        lit(tombId).as("doc_id"), lit(null).cast("int").as("n_tokens"),
+        lit(null).cast("bigint").as("bin_id"), lit(null).cast("bigint").as("offset_in_bin"),
+        lit(null).cast("bigint").as("len_in_bin"))
+      shard.unionByName(ts)
+    }
+    // align both deltas' shard row on everything except the null slot:
+    // same tombstone SHAPE, different id so the two erasure records are
+    // distinguishable in the read-back
+    Curation.publishReleaseDelta(deltaOf(11L, binNull = true), "doc_id", "lang", root)
+    Curation.publishReleaseDelta(deltaOf(11L, binNull = false), "doc_id", "lang", root)
+    val removed = Curation.readRemoved(spark, root, "doc_id").collect().map(_.getLong(0))
+    assert(removed.length == 2 && removed.toSet == Set(11L),
+      s"both null-position variants must keep their own _removed record, got ${removed.toSeq}")
+  }
+
+  test("maintainRelease refuses a round it cannot SEE: all token mass beyond psiHi scores NaN") {
+    import org.apache.spark.sql.functions.col
+    val weights = Map("en" -> 1.0)
+    // every doc's token count sits far above the tiny grid below
+    val prevReg = (1L to 8L).map(i => (i, "en", 50)).toDF("doc_id", "lang", "n_tokens")
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-blind").toString
+    Curation.publishRelease(mOf(prevReg), "lang", root)
+    val before = fileListing(root)
+    // arbitrary drift (every count doubled) that a [0, 4) grid cannot
+    // see: a smoothed-zero PSI of 0 would silently publish — the gate
+    // must instead report NaN and refuse the round untouched
+    val drifted = prevReg.select(col("doc_id"), col("lang"),
+      (col("n_tokens") * 2).as("n_tokens"))
+    val report = Curation.maintainRelease(spark, root, drifted,
+      "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2,
+      maxPsi = 0.5, psiHi = 4)
+    val rows = report.collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.forall(!_._3), s"a grid-blind round must refuse: ${rows.mkString}")
+    assert(rows.exists { case (_, psi, _) => psi.isNaN },
+      s"the blind stratum must report NaN, not 0: ${rows.mkString}")
+    assert(fileListing(root) == before, "a refused round must leave the tree byte-identical")
+  }
+
+  test("MIXED drift: one drifting stratum refuses the WHOLE round — no partial publish") {
+    import org.apache.spark.sql.functions.{col, when}
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    val prevReg = ((1L to 10L).map(i => (i, "en", 50)) ++
+      (101L to 112L).map(i => (i, "de", 50))).toDF("doc_id", "lang", "n_tokens")
+    def mOf(r: org.apache.spark.sql.DataFrame) = Curation.releaseRegistryManifest(
+      r, "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-release-mixed").toString
+    Curation.publishRelease(mOf(prevReg), "lang", root)
+    val before = fileListing(root)
+    // en churns BENIGNLY (one doc retired — well inside the gate on its
+    // own) while de drifts wildly: the round must refuse EVERYTHING,
+    // including en's otherwise-publishable shard changes — a partial
+    // publish would ship a release no registry ever described
+    val mixed = prevReg.where(col("doc_id") =!= 1L)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "de", col("n_tokens") * 40)
+          .otherwise(col("n_tokens")).as("n_tokens"))
+    val report = Curation.maintainRelease(spark, root, mixed,
+      "doc_id", "n_tokens", "lang", weights, contextTokens = 64, nShards = 2,
+      maxPsi = 0.5)
+    val rows = report.collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.forall(!_._3), s"mixed-drift round must refuse on every row: ${rows.mkString}")
+    assert(rows.exists { case (s, psi, _) => s == "en" && psi <= 0.5 },
+      s"the benign stratum's own PSI must be under the gate (proving the refusal is " +
+        s"round-wide, not per-stratum): ${rows.mkString}")
+    assert(fileListing(root) == before,
+      "a mixed-drift round must leave the ENTIRE tree byte-identical — en shards included")
+  }
 }
