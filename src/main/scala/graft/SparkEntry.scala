@@ -631,6 +631,61 @@ object SparkEntry {
         "doc_id", "chars", s"$root/round", maxSegments = 1)
     })
 
+  /** Per-corpus memoized VACUUMED serve-pointer chain — the deployment
+    * lifecycle end to end: build the side index, maintain round 1 (the
+    * %7-delete / %14-re-add rule, policy quiet so round-1 segments
+    * carry the base BY REFERENCE), flip the serve pointer, maintain
+    * round 2 (%5-delete / %10-re-add with a maxSegments = 1 policy
+    * that trips, re-homing everything into ONE self-contained
+    * generation), flip again, then `ServePointer.vacuum` every
+    * superseded root. The fixture REQUIRES the vacuum to have
+    * physically deleted all five retired roots (files > 0, dirs gone);
+    * the `index_vacuumed` query then value-grades what the pointer
+    * serves AFTER the deletion — proving reachability was computed
+    * right, because a wrongly-deleted carried segment would fail the
+    * masked live read outright.
+    */
+  private val vacuumedPointerCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vacuumedPointer(s: SparkSession, dir: String): String =
+    vacuumedPointerCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{ServePointer, SideIndex}
+      val rows = sideRows(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+      val ptr = s"$root/CURRENT"
+      SideIndex.build(rows, "doc_id", "chars", s"$root/base")
+      val r1 = SideIndex.maintain(s, s"$root/base",
+        deletes = Some(rows.where(col("doc_id") % 7 === 0).select("doc_id")),
+        increment = Some(rows.where(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
+        "doc_id", "chars", s"$root/r1", maxSegments = 8, maxMaskedRatio = 1.0)
+      require(r1 == s"$root/r1/updated", s"round 1 must stay uncompacted, got $r1")
+      ServePointer.publish(s, ptr, r1)
+      // while round-1 serves, the base root is still reached — the
+      // refusal IS the safety contract, assert it holds here too
+      val refused = try { ServePointer.vacuum(s, ptr, Seq(s"$root/base")); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "vacuum must refuse the still-referenced base root")
+      // round 2: every %10 doc is live after round 1 (a %10 ∩ %7 id is
+      // %70 and so %14-re-added), so the %5 deletes cover them and the
+      // %10 re-add is the LSM delete + update path again
+      val live1 = SideIndex.read(s, r1, "doc_id", "chars")
+      val r2 = SideIndex.maintain(s, r1,
+        deletes = Some(live1.where(col("doc_id") % 5 === 0).select("doc_id")),
+        increment = Some(rows.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("n_chars") + 2).as("n_chars"))),
+        "doc_id", "chars", s"$root/r2", maxSegments = 1)
+      require(r2 == s"$root/r2/compacted", s"round 2 must compact, got $r2")
+      ServePointer.publish(s, ptr, r2)
+      val retired = Seq(s"$root/base", s"$root/r1/deleted", s"$root/r1/updated",
+        s"$root/r2/deleted", s"$root/r2/updated")
+      val report = ServePointer.vacuum(s, ptr, retired).collect()
+      require(report.length == 5 && report.forall(_.getLong(1) > 0L),
+        s"vacuum must delete files from every retired root: ${report.mkString(", ")}")
+      retired.foreach(r =>
+        require(!new java.io.File(r).exists, s"retired root $r survived the vacuum"))
+      ptr
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2593,6 +2648,20 @@ object SparkEntry {
         (col("n_segments") === 1 && col("n_tombstone_gens") === 0)
           .cast("bigint").as("compacted"),
         col("n_rows_live"))
+      live.crossJoin(broadcast(inf))
+    }),
+    "index_vacuumed" -> ((s, dir) => {
+      // the serve pointer + reachability-aware GC, value-graded AFTER
+      // the deletion: two maintenance rounds (the second compacts),
+      // two pointer flips, then vacuum of every superseded root — the
+      // read below resolves THROUGH the pointer and must equal the
+      // two-round rule replay, which it can only do if the vacuum
+      // deleted exactly the unreachable directories
+      import graft.operators.{ServePointer, SideIndex}
+      val served = ServePointer.read(s, vacuumedPointer(s, dir))
+      val live = SideIndex.read(s, served, "doc_id", "chars")
+      val inf = SideIndex.info(s, served, "chars")
+        .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
     }),
     "index_audit" -> ((s, dir) => {
@@ -4646,6 +4715,27 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS compacted,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "index_vacuumed" ->
+      // the two-round rule replay: round 1 = %7 deleted / %14 re-added
+      // (+1), round 2 over THAT live set = %5 deleted / %10 re-added
+      // (+2); the served generation is the round-2 compaction (one
+      // segment, no tombstone debt), read through the serve pointer
+      // after every superseded root was vacuumed
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         l1 AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0),
+         live AS (
+           SELECT doc_id, n_chars FROM l1 WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 2 AS n_chars FROM base WHERE doc_id % 10 = 0)
+         SELECT doc_id, n_chars,
+                1 AS n_segments, 0 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
     "index_audit" ->
       // the rule replayed as set arithmetic: both tiers live exactly
       // {text non-null, doc_id %7<>0 or %14=0}; vs the full registry
@@ -6178,6 +6268,10 @@ object SparkEntry {
     // streaming gates serve from, read through its sequenced mask,
     // its one-call maintenance round, and the cross-tier live-set audit
     "side_index_live", "side_index_maintained", "index_audit", "index_audit_ann",
+    // the deployment lifecycle: serve-pointer read of the two-round
+    // maintained + vacuumed generation (build/rounds/vacuum bill to
+    // the memoized first call, the *_index_update stance)
+    "index_vacuumed",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -6218,5 +6312,5 @@ object SparkEntry {
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
-    "index_audit", "index_audit_ann", "release_maintained")
+    "index_audit", "index_audit_ann", "index_vacuumed", "release_maintained")
 }

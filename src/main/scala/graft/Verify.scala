@@ -34,9 +34,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
+    // GRAFT_VERIFY_ONLY=name1,name2 restricts the dump to a subset —
+    // for iterating on a new query without paying the full sweep.
+    // Unknown names fail loudly (the Bench GRAFT_BENCH_ONLY stance).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names not in queries: ${unknown.mkString(", ")}")
+    }
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         catch { case e: Throwable =>

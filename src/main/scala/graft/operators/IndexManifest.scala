@@ -477,4 +477,114 @@ private[operators] object IndexManifest {
           s">= $minVersion — rebuild the index with the current builder")
     }
 
+  // ==================== serve pointer + generation GC ====================
+
+  /** Atomically flip the SERVE POINTER at `pointerPath` to the index
+    * at `indexRoot` — the missing handoff in the maintenance story:
+    * every maintain round mints a FRESH root, so without a published
+    * "current" location each consumer needs out-of-band coordination
+    * to learn where tonight's generation landed. The pointer is a
+    * one-line plain-text file holding the QUALIFIED index root
+    * (cat-able from a shell), written to a temp name and renamed over
+    * the destination in ONE filesystem metadata operation
+    * (Options.Rename.OVERWRITE — atomic on POSIX and HDFS), so a
+    * reader never observes a half-written pointer: it sees yesterday's
+    * root or today's, nothing in between. The target index is resolved
+    * through [[handle]] FIRST, so a pointer can never be flipped onto
+    * a root that refuses to serve (missing manifest, severed carried
+    * generation).
+    */
+  def publishPointer(
+      spark: SparkSession, pointerPath: String, indexRoot: String,
+      what: String = "segmented"): Unit = {
+    handle(spark, indexRoot, what): Unit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(pointerPath)
+    val fs = dst.getFileSystem(conf)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      pointerPath + ".tmp-" + java.util.UUID.randomUUID()))
+    val out = fs.create(tmp, true)
+    try out.write(qualifiedPath(spark, indexRoot)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      .rename(tmp, fs.makeQualified(dst), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The index root the pointer currently serves; refuses loudly when
+    * no pointer has ever been published. Compose with the tier's read
+    * entry points: `SideIndex.read(spark, readPointer(...), ...)`.
+    */
+  def readPointer(spark: SparkSession, pointerPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pointerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no serve pointer at $pointerPath — publishPointer has never run (or the " +
+        "pointer was deleted out-of-band)")
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    s.trim
+  }
+
+  /** REACHABILITY-AWARE generation GC — the only safe way to reclaim
+    * superseded maintenance roots: segments and tombstones are carried
+    * BY REFERENCE across roots (an updated index's manifest points
+    * back at the base generation's directories), so deleting a retired
+    * root wholesale can sever data the CURRENT index still lists —
+    * root-level cleanup is wrong by construction, which is why nothing
+    * short of this entry point should ever delete one.
+    *
+    * The reachable set is computed from the pointer's current handle:
+    * the served root itself plus every segment/tombstone directory its
+    * manifest lists (qualified). Each retired root is then either
+    *  - FULLY UNREACHABLE: no reachable path lives under it — deleted
+    *    wholesale (a root owns at most one data directory plus its
+    *    manifest, so partial-root garbage does not exist);
+    *  - still holding referenced data (or the served root itself, or
+    *    an ancestor/descendant of it): REFUSED loudly, with the
+    *    pointer into it named — run the tier's compaction to re-home
+    *    the data into a self-contained generation first;
+    *  - already absent: skipped (a re-run after a crash mid-vacuum is
+    *    a no-op, not an error).
+    *
+    * Returns one row per retired root: (root, n_files_deleted,
+    * bytes_deleted) — zeros for the already-absent. Pure filesystem
+    * metadata plus the deletes; nothing scans data. Assumes the single
+    * maintenance scheduler owns the pointer (the deployment shape of
+    * every maintain entry point here): a concurrent pointer flip
+    * during a vacuum is out of contract.
+    */
+  def vacuum(
+      spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
+      what: String = "segmented"): org.apache.spark.sql.DataFrame = {
+    val current = readPointer(spark, pointerPath)
+    val h = handle(spark, current, what)
+    val currentQ = qualifiedPath(spark, current)
+    val reachable = qualify(spark, current +: (h.segments ++ h.tombstones))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = retiredRoots.map { r =>
+      val rq = qualifiedPath(spark, r)
+      require(rq != currentQ && !currentQ.startsWith(rq + "/") && !rq.startsWith(currentQ + "/"),
+        s"vacuum: $r is (or contains, or sits inside) the SERVED root $current — " +
+          "flip the pointer to a newer generation before retiring it")
+      val held = reachable.filter(p => p == rq || p.startsWith(rq + "/"))
+      require(held.isEmpty,
+        s"vacuum: retired root $r still holds generation data the current index at " +
+          s"$current carries by reference (${held.take(3).mkString(", ")}) — compact the " +
+          "index to re-home the data into a self-contained generation before retiring " +
+          "this root")
+      val rp = new org.apache.hadoop.fs.Path(rq)
+      val fs = rp.getFileSystem(conf)
+      if (!fs.exists(rp)) (rq, 0L, 0L)
+      else {
+        val summary = fs.getContentSummary(rp)
+        require(fs.delete(rp, true), s"vacuum: failed to delete $rq")
+        invalidate(spark, rq)
+        (rq, summary.getFileCount, summary.getLength)
+      }
+    }
+    spark.createDataFrame(rows).toDF("root", "n_files_deleted", "bytes_deleted")
+  }
+
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The PUBLIC deployment-lifecycle surface over the three segmented
+  * index families ([[Retrieval]] BM25, [[Similarity]] IVF-PQ,
+  * [[SideIndex]]): an atomic SERVE POINTER plus reachability-aware
+  * generation GC. Every maintain round publishes under a fresh root
+  * and carries prior generations' segments by reference, which leaves
+  * two operational gaps this object closes:
+  *
+  *  1. consumers need a published "current" location — a one-line
+  *     pointer file flipped atomically (readers see yesterday's root
+  *     or today's, never a torn write), so a scheduler's handoff is
+  *     `maintain → publish(pointer, newRoot)` and every serve path
+  *     resolves `read(pointer)`;
+  *  2. superseded roots accumulate forever, and deleting one by hand
+  *     can sever segments the CURRENT index still lists — [[vacuum]]
+  *     computes the reachable directory set from the pointer's own
+  *     handle and deletes ONLY fully-unreachable retired roots,
+  *     refusing loudly otherwise.
+  *
+  * Reference counterpart: none — ironbeam's runs are ephemeral; this
+  * is the durable-index lifecycle a 100 TB always-on deployment needs,
+  * the same stance as the LSM tiers themselves (a lakehouse-table
+  * commonplace: Delta/Iceberg's snapshot pointer + expire/vacuum).
+  */
+object ServePointer {
+
+  /** Atomically flip the pointer at `pointerPath` to `indexRoot`,
+    * refusing a target that cannot serve (missing manifest, severed
+    * carried generation). `what` names the index family in errors.
+    */
+  def publish(
+      spark: SparkSession, pointerPath: String, indexRoot: String,
+      what: String = "segmented"): Unit =
+    IndexManifest.publishPointer(spark, pointerPath, indexRoot, what)
+
+  /** The index root the pointer currently serves — compose with the
+    * tier's own read entry point (e.g. `SideIndex.read(spark,
+    * ServePointer.read(spark, ptr), ...)`). Refuses when no pointer
+    * was ever published.
+    */
+  def read(spark: SparkSession, pointerPath: String): String =
+    IndexManifest.readPointer(spark, pointerPath)
+
+  /** Delete retired maintenance roots that hold NOTHING the pointer's
+    * current index reaches (root, segments, tombstones — carried
+    * references included). A root still referenced refuses loudly
+    * (compact first); an already-absent root is a no-op (crash-safe
+    * re-runs). Returns (root, n_files_deleted, bytes_deleted) per
+    * retired root.
+    */
+  def vacuum(
+      spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
+      what: String = "segmented"): DataFrame =
+    IndexManifest.vacuum(spark, pointerPath, retiredRoots, what)
+}

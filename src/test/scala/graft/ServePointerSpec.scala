@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{IndexManifest, ServePointer, SideIndex}
+import org.apache.spark.sql.functions._
+
+/** Serve pointer + reachability-aware generation GC — the deployment
+  * lifecycle over the segmented index families.
+  */
+class ServePointerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rowsDf = (1L to 20L).map(i => (i, i * 10)).toDF("doc_id", "payload")
+
+  test("pointer flips atomically, reads back, and refuses unservable targets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ptr").toString
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    val ptr = s"$root/CURRENT"
+    // no pointer yet: read refuses
+    assert(intercept[IllegalArgumentException] { ServePointer.read(spark, ptr) }
+      .getMessage.contains("publishPointer has never run"))
+    // a target with no manifest can never be pointed at
+    assert(intercept[IllegalArgumentException] {
+      ServePointer.publish(spark, ptr, s"$root/nowhere")
+    }.getMessage.contains("manifest missing"))
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    val served = ServePointer.read(spark, ptr)
+    assert(served.endsWith("/gen0"), served)
+    // the pointer composes with the tier's read entry point
+    assert(SideIndex.read(spark, served, "doc_id", "t").count() == 20L)
+    // re-publish flips to the new root (overwrite rename, no residue)
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen1")
+    ServePointer.publish(spark, ptr, s"$root/gen1")
+    assert(ServePointer.read(spark, ptr).endsWith("/gen1"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("CURRENT.tmp"))
+    assert(residue.isEmpty, s"temp pointer residue: ${residue.mkString(", ")}")
+  }
+
+  test("vacuum deletes only fully-unreachable roots and the served relation survives byte-for-byte") {
+    val b = java.nio.file.Files.createTempDirectory("graft-vac-b").toString
+    val o1 = java.nio.file.Files.createTempDirectory("graft-vac-o1").toString
+    val o2 = java.nio.file.Files.createTempDirectory("graft-vac-o2").toString
+    val ptr = s"$b/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$b/base")
+    // round 1: delete + re-key, NO compaction — o1/updated carries
+    // b/base's segment by reference
+    val served1 = SideIndex.maintain(spark, s"$b/base",
+      deletes = Some(rowsDf.where(col("doc_id") % 4 === 0).select("doc_id")),
+      increment = Some(rowsDf.where(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), (col("payload") + 1).as("payload"))),
+      "doc_id", "t", o1, maxSegments = 8, maxMaskedRatio = 1.0)
+    assert(served1 == s"$o1/updated")
+    ServePointer.publish(spark, ptr, served1)
+    // the base root is still REACHED (its segment is carried): refuse
+    val e1 = intercept[IllegalArgumentException] {
+      ServePointer.vacuum(spark, ptr, Seq(s"$b/base"))
+    }
+    assert(e1.getMessage.contains("carries by reference"), e1.getMessage)
+    // the served root itself, and anything containing it, refuses
+    assert(intercept[IllegalArgumentException] {
+      ServePointer.vacuum(spark, ptr, Seq(served1))
+    }.getMessage.contains("SERVED root"))
+    assert(intercept[IllegalArgumentException] {
+      ServePointer.vacuum(spark, ptr, Seq(o1))
+    }.getMessage.contains("SERVED root"))
+    // a refused vacuum deletes NOTHING: the served read is intact
+    assert(SideIndex.read(spark, served1, "doc_id", "t").count() == 17L)
+    // round 2: another churn, compaction FORCED — o2/compacted is
+    // self-contained, so every prior root becomes fully unreachable
+    val served2 = SideIndex.maintain(spark, served1,
+      deletes = Some(rowsDf.where(col("doc_id") === 1L).select("doc_id")),
+      increment = Some(Seq((101L, 5L)).toDF("doc_id", "payload")),
+      "doc_id", "t", o2, maxSegments = 1)
+    assert(served2 == s"$o2/compacted")
+    ServePointer.publish(spark, ptr, served2)
+    val pre = SideIndex.read(spark, served2, "doc_id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val retired = Seq(s"$b/base", s"$o1/deleted", s"$o1/updated",
+      s"$o2/deleted", s"$o2/updated")
+    val report = ServePointer.vacuum(spark, ptr, retired)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.length == 5 && report.forall(_._2 > 0L),
+      s"every retired root held files to delete: ${report.mkString(", ")}")
+    retired.foreach { r =>
+      assert(!new java.io.File(r).exists, s"retired root $r must be gone")
+    }
+    // the compacted generation is untouched and serves hash-identically
+    assert(new java.io.File(s"$o2/compacted").exists)
+    val post = SideIndex.read(spark, served2, "doc_id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(post == pre, "vacuum changed the served relation")
+    // and through the pointer, end to end
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == pre.length.toLong)
+    // crash-safe re-run: an already-absent root is a zero-row no-op
+    val again = ServePointer.vacuum(spark, ptr, retired)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(again.forall(_ == (0L, 0L)), s"re-vacuum must be a no-op: ${again.mkString(", ")}")
+    // disk now holds ONLY the reachable generation (plus the pointer):
+    // o1 and o2 contain nothing but the served root's tree
+    val fs = new org.apache.hadoop.fs.Path(o2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(o2)).map(_.getPath.getName)
+    assert(leftover.toSet == Set("compacted"), leftover.mkString(", "))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(o1)).isEmpty)
+  }
+}
