@@ -2679,6 +2679,17 @@ object SparkEntry {
         "side" -> SideIndex.read(s, sideIndexRoot(s, dir), "doc_id", "chars")
           .select(col("doc_id"))))
     }),
+    "index_audit_content" -> ((s, dir) => {
+      // the stale-payload class the id-set audit cannot see: the side
+      // index re-added every %14 doc with payload n_chars+1, so
+      // against the CURRENT upstream content (n_chars as the "hash")
+      // those ids carry the right key and the wrong bytes — n_stale
+      // must count exactly them, and in_sync must trip
+      import graft.operators.{IndexAudit, SideIndex}
+      val live = SideIndex.read(s, sideIndexRoot(s, dir), "doc_id", "chars")
+      IndexAudit.auditContent(sideRows(s, dir), "doc_id", "n_chars",
+        Seq("side" -> live.select(col("doc_id"), col("n_chars"))))
+    }),
     "index_audit_ann" -> ((s, dir) => {
       // the vector tier through the same audit: the delete-chain
       // IVF-PQ index's masked live ids reconciled against the full
@@ -4754,6 +4765,22 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS n_dup_pairs,
                 CAST(0 AS BIGINT) AS in_sync
          FROM counts c, (SELECT 'bm25' AS tier UNION ALL SELECT 'side') t""",
+    "index_audit_content" ->
+      // the stale replay: live = (%7<>0) ∪ (%14=0), the %14 re-adds
+      // carry payload n_chars+1 against a registry that says n_chars —
+      // exactly they are stale; the %7-not-%14 deletions are missing;
+      // both trip in_sync
+      """WITH base AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+         SELECT 'side' AS tier,
+                (SELECT CAST(count(*) AS BIGINT) FROM base
+                 WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0) AS n_live,
+                (SELECT CAST(count(*) AS BIGINT) FROM base
+                 WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0) AS n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM base
+                 WHERE doc_id % 14 = 0) AS n_stale,
+                CAST(0 AS BIGINT) AS in_sync""",
     "index_audit_ann" ->
       // the vector tier's rule: every 7th deleted, every 14th
       // re-embedded (serving its new segment's row) — one live row per
@@ -6268,6 +6295,9 @@ object SparkEntry {
     // streaming gates serve from, read through its sequenced mask,
     // its one-call maintenance round, and the cross-tier live-set audit
     "side_index_live", "side_index_maintained", "index_audit", "index_audit_ann",
+    // the content audit: same narrow joins plus the payload-hash
+    // disagreement count the id-set audit cannot see
+    "index_audit_content",
     // the deployment lifecycle: serve-pointer read of the two-round
     // maintained + vacuumed generation (build/rounds/vacuum bill to
     // the memoized first call, the *_index_update stance)
@@ -6312,5 +6342,6 @@ object SparkEntry {
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
-    "index_audit", "index_audit_ann", "index_vacuumed", "release_maintained")
+    "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
+    "release_maintained")
 }

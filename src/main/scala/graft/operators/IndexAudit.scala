@@ -51,28 +51,81 @@ object IndexAudit {
     require(registry.columns.contains(idCol), s"IndexAudit.audit: registry has no '$idCol'")
     val reg = registry.select(col(idCol)).where(col(idCol).isNotNull)
       .withColumn("__reg", lit(1))
-    def distinctIds(pred: Column): Column =
-      coalesce(countDistinct(when(pred, col(idCol))), lit(0L))
     tiers.map { case (name, liveIds) =>
       require(liveIds.columns.length == 1,
         s"IndexAudit.audit: tier '$name' must be a one-column id relation, " +
           s"got ${liveIds.columns.mkString(", ")}")
       val idx = liveIds.toDF(idCol).where(col(idCol).isNotNull)
         .withColumn("__idx", lit(1))
-      reg.join(idx, Seq(idCol), "full_outer")
-        .agg(
-          distinctIds(col("__idx").isNotNull).as("n_live"),
-          distinctIds(col("__idx").isNull).as("n_missing"),
-          distinctIds(col("__reg").isNull).as("n_orphaned"),
-          (count(lit(1)) - countDistinct(col(idCol))).as("n_dup_pairs"))
-        .select(
-          lit(name).as("tier"),
-          col("n_live"),
-          col("n_missing"),
-          col("n_orphaned"),
-          col("n_dup_pairs"),
-          (col("n_missing") === 0L && col("n_orphaned") === 0L &&
-            col("n_dup_pairs") === 0L).cast("bigint").as("in_sync"))
+      tierRow(reg.join(idx, Seq(idCol), "full_outer"), idCol, name, stale = None)
     }.reduce(_.unionByName(_))
+  }
+
+  /** [[audit]] extended with a CONTENT check — the stale-payload class
+    * the id-set audit cannot see: a document deleted and re-added on
+    * one tier whose payload (fingerprint, vector, side row) was never
+    * refreshed carries the right id and the wrong bytes, and serves
+    * `in_sync = 1` under the set audit forever. Here the registry
+    * carries a content hash (`hashCol` — any comparable type: an
+    * xxhash64 of the canonical payload, a version counter, the payload
+    * itself when narrow) and each tier relation is TWO columns
+    * (id, content_hash); `n_stale` counts ids present on BOTH sides
+    * whose hashes are non-null and DISAGREE, and `in_sync` requires it
+    * zero alongside the set counts.
+    *
+    * NULL-hash semantics (pinned by spec): a null hash on EITHER side
+    * is "content unknown", never stale — a tier that cannot hash a row
+    * (or a registry entry without a recorded version) must not fail
+    * the audit on absence of evidence; the set counts still cover it.
+    * Same scale shape as [[audit]]: narrow (id, hash) relations, one
+    * full-outer join per tier, nothing touches payloads beyond the
+    * hash column the caller already maintains.
+    */
+  def auditContent(
+      registry: DataFrame,
+      idCol: String,
+      hashCol: String,
+      tiers: Seq[(String, DataFrame)]): DataFrame = {
+    require(tiers.nonEmpty, "IndexAudit.auditContent: no tiers to audit")
+    require(registry.columns.contains(idCol),
+      s"IndexAudit.auditContent: registry has no '$idCol'")
+    require(registry.columns.contains(hashCol),
+      s"IndexAudit.auditContent: registry has no '$hashCol'")
+    val reg = registry.select(col(idCol), col(hashCol).as("__reg_h"))
+      .where(col(idCol).isNotNull)
+      .withColumn("__reg", lit(1))
+    tiers.map { case (name, liveRows) =>
+      require(liveRows.columns.length == 2,
+        s"IndexAudit.auditContent: tier '$name' must be an (id, content_hash) relation, " +
+          s"got ${liveRows.columns.mkString(", ")}")
+      val idx = liveRows.toDF(idCol, "__idx_h").where(col(idCol).isNotNull)
+        .withColumn("__idx", lit(1))
+      val stale = col("__reg").isNotNull && col("__idx").isNotNull &&
+        col("__reg_h").isNotNull && col("__idx_h").isNotNull &&
+        col("__reg_h") =!= col("__idx_h")
+      tierRow(reg.join(idx, Seq(idCol), "full_outer"), idCol, name, Some(stale))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The shared per-tier aggregate over the full-outer id join: set
+    * counts (+ the optional stale predicate), then the verdict column.
+    */
+  private def tierRow(
+      joined: DataFrame, idCol: String, name: String, stale: Option[Column]): DataFrame = {
+    def distinctIds(pred: Column): Column =
+      coalesce(countDistinct(when(pred, col(idCol))), lit(0L))
+    val aggs = Seq(
+      distinctIds(col("__idx").isNotNull).as("n_live"),
+      distinctIds(col("__idx").isNull).as("n_missing"),
+      distinctIds(col("__reg").isNull).as("n_orphaned"),
+      (count(lit(1)) - countDistinct(col(idCol))).as("n_dup_pairs")) ++
+      stale.map(s => distinctIds(s).as("n_stale"))
+    val discrepancies =
+      col("n_missing") === 0L && col("n_orphaned") === 0L && col("n_dup_pairs") === 0L
+    val verdict = stale.fold(discrepancies)(_ => discrepancies && col("n_stale") === 0L)
+    val out = Seq(lit(name).as("tier"), col("n_live"), col("n_missing"),
+      col("n_orphaned"), col("n_dup_pairs")) ++
+      stale.map(_ => col("n_stale")) :+ verdict.cast("bigint").as("in_sync")
+    joined.agg(aggs.head, aggs.tail: _*).select(out: _*)
   }
 }

@@ -855,6 +855,56 @@ object Retrieval {
       .select(col(idCol), round(score, 6).as("score"))
   }
 
+  /** The [[scoreAgainstQuery]] constants of ONE fixed query resolved
+    * from the PUBLISHED index at `indexPath` — (per-term df, n_docs,
+    * total_len) through the manifest handle, with the SAME tombstone
+    * corrections as [[searchTopKIndexedBatch]]: per-term df minus the
+    * masked posting counts, stats minus the delete-time tsstats. The
+    * index-backed streaming scorer resolves these once per query
+    * (re)start (the trained-model stance — the collects are |terms|
+    * rows plus one), so deletes are respected at the next restart and
+    * a re-added document's new postings count from its new segment.
+    * Terms whose live df reaches 0 are dropped: every posting they
+    * had is masked, which is exactly "absent from the corpus" in the
+    * direct path's join.
+    */
+  def queryConstants(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String]): (Map[String, Long], Long, Long) = {
+    require(terms.nonEmpty, "queryConstants: empty query")
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val distinctTerms = terms.distinct
+    val dfSummed = IndexManifest.segTable(spark, h, "termdf")
+      .where(col("term").isin(distinctTerms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val statSummed = IndexManifest.segTable(spark, h, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    val (dfs, stats) = IndexManifest.tombstoneRel(spark, h,
+        spark.read.parquet(s"${h.segments.head}/doclen").columns.filter(_ != "dl").head) match {
+      case None => (dfSummed, statSummed)
+      case Some(ts) =>
+        val idCol = ts.columns.filter(_ != "__ts_up").head
+        val prunedOrd = IndexManifest.segTableOrd(spark, h, "postings")
+          .where(col("term").isin(distinctTerms: _*))
+        val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
+          .where(col("__seg") < col("__ts_up"))
+          .groupBy("term").agg(count(lit(1)).as("df_del"))
+        val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
+          .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        val statLive = IndexManifest.segTable(spark, h, "stats")
+          .unionByName(IndexManifest.tsStats(spark, h)
+            .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
+          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+        (dfLive, statLive)
+    }
+    val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L).toMap
+    val st = stats.head()
+    (dfMap, st.getLong(0), st.getLong(1))
+  }
+
   /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
     * combiner (Cormack/Clarke/Buettcher 2009): fused(d) =
     * sum over rankings of 1 / (c + rank(d)), c = 60 by default, with a

@@ -424,6 +424,44 @@ object Streams {
       corpusIdCol = "vec_id", corpusVecCol = "vec", cents, thresholdPct, watermark)
   }
 
+  /** Streaming BM25 scorer served from a PUBLISHED segmented +
+    * tombstoned index — the third index-backed gate family, completing
+    * the set ([[nearDupAdmission]] lexical-fingerprint,
+    * [[annAdmission]] embedding, this one relevance): each incoming
+    * document is scored against ONE fixed query whose df / n_docs /
+    * total_len constants resolve from the BM25 index at `indexPath`
+    * through the manifest handle, with the sequenced tombstone mask
+    * applied ([[graft.operators.Retrieval.queryConstants]]) — so an
+    * erased document's term statistics stop counting at the next gate
+    * restart, and a re-added one's count from its new segment. The
+    * scoring itself is [[graft.operators.Retrieval.scoreAgainstQuery]]
+    * — a pure codegen'd projection (native token-walk tf, no join, no
+    * shuffle, no state), so it composes with any upstream watermark
+    * and emits one (idCol, score) row per matching document.
+    *
+    * Static-side resolution happens ONCE per streaming query start —
+    * the constants are plan literals, so a nightly republish is picked
+    * up by the nightly gate restart, exactly the cadence the batch
+    * tier publishes at (the shared stance of all three gate families).
+    * The differential spec pins stream scores equal to the batch
+    * scorer over the masked live corpus across a delete + re-add
+    * republish.
+    */
+  def bm25Score(
+      incoming: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val (df, nDocs, totalLen) = graft.operators.Retrieval.queryConstants(
+      incoming.sparkSession, indexPath, terms)
+    graft.operators.Retrieval.scoreAgainstQuery(
+      incoming, idCol, textCol, terms, df, nDocs, totalLen, k1, b)
+  }
+
   /** Online drift monitor — the streaming sibling of
     * [[graft.operators.Stats.populationStability]]: each event-time
     * tumbling window's value distribution is scored against a STATIC

@@ -799,6 +799,74 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("DIFFERENTIAL: bm25Score against a PUBLISHED segmented+tombstoned index equals " +
+      "the batch scorer on the masked live corpus, across a republish") {
+    // the third index-backed gate family: df / N / total-length resolve
+    // from the published index THROUGH the handle (tombstone-corrected),
+    // not from hand-carried constants — deletes are respected at the
+    // next gate restart, re-adds count from their new segment
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-gate").toString
+    val gen0 = s"$root/gen0"; val gen1 = s"$root/gen1"; val gen2 = s"$root/gen2"
+    val corpus0 = Seq(
+      (100L, "rare common alpha beta"),
+      (101L, "common alpha beta gamma delta epsilon zeta"),
+      (102L, "common alpha"),
+      (103L, "common beta gamma"),
+      (104L, "alpha beta gamma delta"))
+    graft.operators.Retrieval.buildIndex(
+      corpus0.toDF("doc_id", "text"), "doc_id", "text", gen0)
+    // duplicate query term: re-scores per occurrence, like the batch path
+    val terms = Seq("rare", "common", "common")
+
+    def runStream(indexPath: String, rows: Seq[(Long, String)]): Map[Long, Double] = {
+      val input = MemoryStream[(Long, String)]
+      val out = Streams.bm25Score(
+        input.toDF().toDF("doc_id", "text"), indexPath, "doc_id", "text", terms)
+      val qn = s"bm25_gate_${indexPath.hashCode.abs}"
+      val query = out.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(rows: _*)
+        query.processAllAvailable()
+        spark.table(qn).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      } finally query.stop()
+    }
+    def batchScores(live: Seq[(Long, String)]): Map[Long, Double] = {
+      val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+      graft.operators.Retrieval.bm25(live.toDF("doc_id", "text"), "doc_id", "text", q)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    }
+
+    // phase 1: fresh index, live = the whole corpus
+    val got1 = runStream(gen0, corpus0)
+    assert(got1 == batchScores(corpus0), s"phase-1 diverged: $got1 vs ${batchScores(corpus0)}")
+    assert(!got1.contains(104L), "a doc sharing no query term must emit no row")
+
+    // republish: erase doc 100 — the ONLY doc carrying 'rare', so the
+    // term's live df reaches 0 and it must stop contributing entirely
+    graft.operators.Retrieval.deleteFromIndex(spark, gen0,
+      Seq(100L).toDF("doc_id"), "doc_id", gen1)
+    val live1 = corpus0.filterNot(_._1 == 100L)
+    val got2 = runStream(gen1, live1 :+ (200L, "rare rare rare"))
+    assert(got2 == batchScores(live1),
+      s"phase-2 diverged from the batch scan of the masked live set: $got2")
+    assert(!got2.contains(200L),
+      s"a doc matching only a fully-tombstoned term must emit no row: $got2")
+
+    // re-add doc 100 with CHANGED text (delete + update, the LSM
+    // re-key) — the restarted gate scores with the new segment's stats
+    graft.operators.Retrieval.updateIndex(spark, gen1,
+      Seq((100L, "rare rare common alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", gen2)
+    val live2 = (100L, "rare rare common alpha") +: live1
+    val got3 = runStream(gen2, live2)
+    assert(got3 == batchScores(live2),
+      s"phase-3 diverged after the re-add republish: $got3")
+    assert(got3(100L) != got1(100L),
+      "the re-keyed doc must score under its NEW text and the new constants")
+  }
+
   test("DIFFERENTIAL: LM perplexity scores a stream against batch-trained count tables") {
     // the CCNet deployment shape: count tables train OFFLINE on the
     // reference corpus (batch), the live ingest scores against them as
