@@ -686,6 +686,83 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized NIGHTLY all-tier round — the composed
+    * deployment capstone: the BM25, side-table, and IVF-PQ families
+    * each run ONE maintenance round from the SAME churn rule (%7
+    * retired, %14 re-keyed — the rule every per-tier oracle replays),
+    * the cross-tier [[graft.operators.IndexAudit]] reconciles each new
+    * generation against tonight's registry, and only the fully-in-sync
+    * verdict flips the three serve pointers and lets the release tier
+    * publish under its own drift gate. The fixture REQUIRES the gate
+    * to pass, every pointer to have flipped off `base`, and the
+    * release report to read published; the query value-grades the
+    * tier report (live counts = the rule replay, zero discrepancies,
+    * published on every row).
+    */
+  private val nightlyCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nightlyReportPath(s: SparkSession, dir: String): String =
+    nightlyCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Nightly, ServePointer, SideIndex}
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val ann = builtAnnIndex(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-nightly").toString
+      // yesterday's generations + pointers
+      Retrieval.buildIndex(docs, "doc_id", "text", s"$root/bm25/base")
+      SideIndex.build(sideRows(s, dir), "doc_id", "chars", s"$root/side/base")
+      Similarity.writePqIndex(emb, "vec_id", "embedding", ann.coarse, ann.cb,
+        s"$root/ann/base")
+      ServePointer.publish(s, s"$root/BM25", s"$root/bm25/base", "BM25")
+      ServePointer.publish(s, s"$root/SIDE", s"$root/side/base", "side")
+      ServePointer.publish(s, s"$root/ANN", s"$root/ann/base", "IVF-PQ")
+      // tonight's registries: the post-churn truth each tier must serve
+      val docReg = docs.where(col("text").isNotNull)
+        .where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0).select("doc_id")
+      val annReg = emb.where(col("vec_id") % 7 =!= 0 || col("vec_id") % 14 === 0)
+        .select("vec_id")
+      val relRoot = java.nio.file.Files.createTempDirectory("graft-nightly-rel").toString
+      Curation.publishRelease(
+        s.read.parquet(releaseManifests(s, dir).prevPath), "lang_pred", relRoot)
+      val (report, rel) = Nightly.run(s, Seq(
+        Nightly.Tier("bm25", docReg, "doc_id", s"$root/BM25",
+          () => Retrieval.maintainIndex(s, s"$root/bm25/base",
+            deletes = Some(docs.where(col("doc_id") % 7 === 0 && col("text").isNotNull)
+              .select("doc_id")),
+            increment = Some(docs.where(col("doc_id") % 14 === 0 && col("text").isNotNull)
+              .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))),
+            "doc_id", "text", s"$root/bm25/round"),
+          p => Retrieval.liveDocIds(s, p)),
+        Nightly.Tier("side", docReg, "doc_id", s"$root/SIDE",
+          () => SideIndex.maintain(s, s"$root/side/base",
+            deletes = Some(sideRows(s, dir).where(col("doc_id") % 7 === 0)
+              .select("doc_id")),
+            increment = Some(sideRows(s, dir).where(col("doc_id") % 14 === 0)
+              .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
+            "doc_id", "chars", s"$root/side/round"),
+          p => SideIndex.read(s, p, "doc_id", "chars").select(col("doc_id"))),
+        Nightly.Tier("ann", annReg, "vec_id", s"$root/ANN",
+          () => Similarity.maintainPqIndex(s, s"$root/ann/base",
+            deletes = Some(emb.where(col("vec_id") % 7 === 0).select("vec_id")),
+            increment = Some(emb.where(col("vec_id") % 14 === 0)),
+            "vec_id", "embedding", ann.coarse, ann.cb, s"$root/ann/round"),
+          p => Similarity.readPqIndex(s, p).select(col("neighbor_id")))),
+        release = Some(() => Curation.maintainRelease(s, relRoot,
+          churnedRegistry(releaseRegistry(s, dir)),
+          "doc_id", "n_tokens", "lang_pred", releaseMixWeights,
+          contextTokens = 256, nShards = 4, maxPsi = 0.5)))
+      require(rel.isDefined && rel.get.collect().forall(_.getBoolean(2)),
+        "pipeline_nightly setup: the audit gate or the release drift gate refused " +
+          "the benign round")
+      Seq("BM25", "SIDE", "ANN").foreach { p =>
+        require(!ServePointer.read(s, s"$root/$p").endsWith("/base"),
+          s"pipeline_nightly setup: the $p pointer did not flip")
+      }
+      val out = s"$root/report"
+      report.withColumn("published", col("published").cast("bigint"))
+        .write.parquet(out)
+      out
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2649,6 +2726,14 @@ object SparkEntry {
           .cast("bigint").as("compacted"),
         col("n_rows_live"))
       live.crossJoin(broadcast(inf))
+    }),
+    "pipeline_nightly" -> ((s, dir) => {
+      // the audit-gated nightly: all three index families maintained
+      // from ONE churn rule, cross-tier audit in_sync on every row,
+      // pointers flipped, release published — the report value-grades
+      // the whole composition (the fixture additionally requires the
+      // pointer flips and the release verdict before writing it)
+      s.read.parquet(nightlyReportPath(s, dir))
     }),
     "index_vacuumed" -> ((s, dir) => {
       // the serve pointer + reachability-aware GC, value-graded AFTER
@@ -4726,6 +4811,24 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS compacted,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "pipeline_nightly" ->
+      // the rule replay per tier: doc tiers live exactly {text
+      // non-null, %7<>0 or %14=0}, the vector tier the same over
+      // embeddings; a clean round has zero discrepancies everywhere
+      // and the round verdict on every row
+      """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                    WHERE text IS NOT NULL AND (doc_id % 7 <> 0 OR doc_id % 14 = 0)),
+              e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+                    WHERE vec_id % 7 <> 0 OR vec_id % 14 = 0)
+         SELECT t.tier,
+                CASE WHEN t.tier = 'ann' THEN e.n ELSE d.n END AS n_live,
+                CAST(0 AS BIGINT) AS n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
+                CAST(1 AS BIGINT) AS in_sync,
+                CAST(1 AS BIGINT) AS published
+         FROM (SELECT 'bm25' AS tier UNION ALL SELECT 'side' UNION ALL SELECT 'ann') t,
+              d, e""",
     "index_vacuumed" ->
       // the two-round rule replay: round 1 = %7 deleted / %14 re-added
       // (+1), round 2 over THAT live set = %5 deleted / %10 re-added
@@ -6191,6 +6294,9 @@ object SparkEntry {
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph
     "multimodal_cross_dedup", "multimodal_cross_survivors",
+    // the audit-gated nightly: all three index families maintained
+    // from one churn rule, cross-tier audit, pointer swap, release
+    "pipeline_nightly",
     "pipeline_curated", "dedup_near_collapsed", "dedup_clusters",
     "dedup_embedding_survivors", "dedup_lsh_skewsafe", "curation_pack",
     // heuristic gate -> LM training on the keep split -> perplexity gate:

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The NIGHTLY all-tier maintenance round, audit-gated — the
+  * composition a multi-index deployment actually schedules: every
+  * index family's maintain round runs from ONE churned registry, the
+  * cross-tier [[IndexAudit]] reconciles what each new generation
+  * believes is live against that registry, and ONLY a fully-consistent
+  * round flips the serve pointers (and lets the release tier publish).
+  * A tier that slipped the round — a lost tombstone, a dropped
+  * increment — leaves EVERY pointer on yesterday's generation: a
+  * mixed swap would serve a document from one tier and not another,
+  * the inconsistency class nothing inside a single tier can see.
+  *
+  * Tiers plug in as [[Nightly.Tier]] values (name, tonight's expected
+  * id roster, the maintain round, the live-id reader, the pointer to
+  * flip) so the three index families — and any future one speaking
+  * the manifest protocol — compose without this object knowing their
+  * table shapes. The release tier rides behind the gate as an optional
+  * closure: it publishes IN PLACE under its own drift gate
+  * ([[Curation.maintainRelease]]), so it must not run at all when the
+  * index tiers' round is refused.
+  *
+  * Cost shape: the maintain rounds are the tiers' own O(delta) paths;
+  * the audit is one narrow full-outer id join per tier; the verdict is
+  * a tiers-count driver collect. A refused round leaves tonight's
+  * (valid, unserved) generations on disk for diagnosis — fix the tier,
+  * re-run, and [[ServePointer.vacuum]] the abandoned roots afterwards.
+  *
+  * Reference counterpart: none (ironbeam runs are ephemeral) — this is
+  * the scheduler composition over the repo's own index lifecycle, the
+  * same stance as [[ServePointer]].
+  */
+object Nightly {
+
+  /** One index family's hookup into the nightly round.
+    *
+    * @param name      tier label in the report (and pointer errors)
+    * @param registry  tonight's EXPECTED id roster (one id column —
+    *                  what the tier must serve after its round)
+    * @param idCol     the registry's id column
+    * @param pointerPath  the tier's serve pointer, flipped only when
+    *                  the WHOLE round audits clean
+    * @param maintain  the tier's maintenance round (its own
+    *                  maintainIndex / maintainPqIndex / maintain call
+    *                  under a fresh outRoot), returning the new root
+    * @param liveIds   the tier's one-column live-id relation at a
+    *                  given root (e.g. `Retrieval.liveDocIds`)
+    */
+  final case class Tier(
+      name: String,
+      registry: DataFrame,
+      idCol: String,
+      pointerPath: String,
+      maintain: () => String,
+      liveIds: String => DataFrame)
+
+  /** Run the round: maintain every tier, audit all of them, then —
+    * only if every tier reports `in_sync = 1` — flip every pointer and
+    * run the optional release round. Returns (report, releaseReport):
+    * the report is one row per tier, the audit columns plus
+    * `published` (the ROUND verdict — true on every row or false on
+    * every row, the [[Curation.maintainRelease]] report convention);
+    * releaseReport is the release closure's own report when it ran,
+    * None when the gate refused or no release was supplied.
+    */
+  def run(
+      spark: SparkSession,
+      tiers: Seq[Tier],
+      release: Option[() => DataFrame] = None): (DataFrame, Option[DataFrame]) = {
+    require(tiers.nonEmpty, "Nightly.run: no tiers to maintain")
+    require(tiers.map(_.name).distinct.size == tiers.size,
+      s"Nightly.run: duplicate tier names in ${tiers.map(_.name).mkString(", ")}")
+    // 1. every maintain round completes BEFORE anything is judged:
+    // each publishes valid (manifest-committed) generations that
+    // nothing serves until the swap, so a mid-round crash leaves
+    // yesterday's pointers intact by construction
+    val newRoots = tiers.map(t => t -> t.maintain())
+    // 2. the cross-tier audit — per-tier registries (the families key
+    // by different ids), one narrow full-outer join each
+    val auditRows = newRoots.map { case (t, root) =>
+      IndexAudit.audit(t.registry, t.idCol, Seq(t.name -> t.liveIds(root)))
+    }.reduce(_.unionByName(_))
+      .collect() // bounded: one row per tier
+    val inSync = auditRows.forall(_.getAs[Long]("in_sync") == 1L)
+    // 3. all-or-nothing: the pointer swap and the release publish both
+    // sit behind the gate — a partial swap is the failure mode this
+    // composition exists to prevent
+    val releaseReport =
+      if (!inSync) None
+      else {
+        newRoots.foreach { case (t, root) =>
+          ServePointer.publish(spark, t.pointerPath, root, t.name)
+        }
+        release.map(_.apply())
+      }
+    import spark.implicits._
+    val report = auditRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), inSync))
+      .toDF("tier", "n_live", "n_missing", "n_orphaned", "n_dup_pairs", "in_sync",
+        "published")
+    (report, releaseReport)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Nightly, ServePointer, SideIndex}
+import org.apache.spark.sql.functions._
+
+/** The audit-gated nightly composition: all tiers maintain, the
+  * cross-tier audit decides, pointers flip all-or-nothing.
+  */
+class NightlySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rowsDf = (1L to 10L).map(i => (i, i * 2)).toDF("doc_id", "v")
+
+  private def tier(
+      name: String, reg: org.apache.spark.sql.DataFrame, ptr: String,
+      maintain: () => String): Nightly.Tier =
+    Nightly.Tier(name, reg, "doc_id", ptr, maintain,
+      p => SideIndex.read(spark, p, "doc_id", name).select(col("doc_id")))
+
+  test("a clean round audits in_sync, flips every pointer, and runs the release") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-ok").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0")
+    ServePointer.publish(spark, ptrB, s"$root/b0")
+    // tonight: doc 2 retired everywhere
+    val registry = rowsDf.where(col("doc_id") =!= 2L).select("doc_id")
+    var releaseRan = false
+    val (report, rel) = Nightly.run(spark, Seq(
+      tier("a", registry, ptrA, () => SideIndex.maintain(spark, s"$root/a0",
+        Some(Seq(2L).toDF("doc_id")), None, "doc_id", "a", s"$root/a1",
+        maxMaskedRatio = 1.0)),
+      tier("b", registry, ptrB, () => SideIndex.maintain(spark, s"$root/b0",
+        Some(Seq(2L).toDF("doc_id")), None, "doc_id", "b", s"$root/b1",
+        maxMaskedRatio = 1.0))),
+      release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }))
+    val rows = report.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5), r.getBoolean(6)))
+    assert(rows.toSet == Set(("a", 9L, 1L, true), ("b", 9L, 1L, true)), rows.mkString(", "))
+    assert(releaseRan && rel.isDefined, "the release must run behind a passed gate")
+    assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted"))
+    assert(ServePointer.read(spark, ptrB).endsWith("/b1/deleted"))
+  }
+
+  test("one slipped tier refuses the WHOLE swap: yesterday's pointers serve, no release") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-bad").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0")
+    ServePointer.publish(spark, ptrB, s"$root/b0")
+    val registry = rowsDf.where(col("doc_id") =!= 2L).select("doc_id")
+    var releaseRan = false
+    // tier b LOSES the tombstone (its round forgets the delete and
+    // republishes a compaction instead): doc 2 still serves there —
+    // the audit's n_orphaned row, which must refuse the round for
+    // BOTH tiers even though a's own round was clean
+    val (report, rel) = Nightly.run(spark, Seq(
+      tier("a", registry, ptrA, () => SideIndex.maintain(spark, s"$root/a0",
+        Some(Seq(2L).toDF("doc_id")), None, "doc_id", "a", s"$root/a1",
+        maxMaskedRatio = 1.0)),
+      tier("b", registry, ptrB, () => {
+        SideIndex.compact(spark, s"$root/b0", s"$root/b1"); s"$root/b1"
+      })),
+      release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }))
+    val byTier = report.collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5), r.getBoolean(6))).toMap
+    assert(byTier("b") == ((1L, 0L, false)), s"the lost tombstone must orphan: $byTier")
+    assert(byTier("a") == ((0L, 1L, false)),
+      s"the clean tier's row must still read published=false — the verdict is round-wide: $byTier")
+    assert(!releaseRan && rel.isEmpty, "the release must NOT run behind a refused gate")
+    // yesterday keeps serving on EVERY tier — including the clean one
+    assert(ServePointer.read(spark, ptrA).endsWith("/a0"),
+      "a refused round must not flip even the clean tier's pointer")
+    assert(ServePointer.read(spark, ptrB).endsWith("/b0"))
+    // tonight's clean generation is on disk for diagnosis, unserved
+    assert(new java.io.File(s"$root/a1/deleted").exists)
+  }
+}
