@@ -80,9 +80,12 @@ object Bench {
       // Iterative (CC/PageRank loop) and sub-second serve queries are the
       // sweep's most environment-sensitive timings — r12 and r13 both
       // produced apparent ~2x "regressions" there that were pure box
-      // noise. Median-of-5 (at least) for those; default elsewhere.
+      // noise. Median-of-5 (at least) for those, median-of-7 for the
+      // queries whose spread exceeded ~1.5x even then; default elsewhere.
       val effRuns =
-        if (SparkEntry.jitterProneBenchQueries(name)) runs.max(5) else runs
+        if (SparkEntry.highSpreadBenchQueries(name)) runs.max(7)
+        else if (SparkEntry.jitterProneBenchQueries(name)) runs.max(5)
+        else runs
       // Collect garbage outside the timed window so a prior query's heap
       // isn't billed to this one.
       System.gc()
@@ -108,15 +111,29 @@ object Bench {
       (name, sec, lo, hi)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    // per-query [min,max] across the timed runs: a reported median whose
-    // baseline sits INSIDE the spread is jitter, not plan drift — the
-    // guard a noisy driver box needs. Emitted BEFORE "queries" so
-    // parseBaseline's scan-from-"queries" extractor never reads a spread
-    // bound as a median.
-    val spreads = results.map { case (k, _, lo, hi) =>
-      "\"" + k + "\":[" + f"$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","spreads":$spreads,"queries":$qs,"sf":"$sfDir"}""")
+    // The FULL artifact — per-query medians AND [min,max] spreads, one
+    // query per line — persists to a file: the driver's stdout capture
+    // tail-truncates a single giant line (every round before r17 lost
+    // ~40% of the per-query numbers and parsed as null), and the repo
+    // controls its own output. A spread containing the baseline is
+    // jitter, not plan drift — the guard a noisy shared box needs.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", "target/bench.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent): Unit
+    val fullLines = results.map { case (k, v, lo, hi) =>
+      f"""    "$k%s": {"sec": $v%.3f, "spread": [$lo%.3f, $hi%.3f]}""" }
+    java.nio.file.Files.writeString(outPath,
+      f"""{
+  "metric": "total", "value": $total%.3f, "unit": "sec", "sf": "$sfDir",
+  "queries": {
+${fullLines.mkString(",\n")}
+  }
+}
+"""): Unit
+    // stdout keeps the driver's one-line contract, but spreads now live
+    // only in the file — halving the line so a tail capture holds it
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_json":"${outPath.toAbsolutePath}","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
 
     sys.env.get("GRAFT_BENCH_BASELINE").foreach { path =>
@@ -140,11 +157,20 @@ object Bench {
   private[graft] def parseBaseline(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
     val raw = try text.mkString finally text.close()
-    val qsec = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
     val inQueries = raw.indexOf("\"queries\"") match {
       case -1 => raw
       case i  => raw.substring(i)
     }
-    qsec.findAllMatchIn(inQueries).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // the persisted target/bench.json nests per-query objects
+    // ("name": {"sec": N, ...}); a driver-captured one-liner maps
+    // names straight to numbers — accept either
+    val nested = """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"sec"\s*:\s*([0-9]+\.[0-9]+)""".r
+    val nestedHits = nested.findAllMatchIn(inQueries)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    if (nestedHits.nonEmpty) nestedHits
+    else {
+      val flat = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+      flat.findAllMatchIn(inQueries).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 }

@@ -6449,5 +6449,15 @@ object SparkEntry {
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
-    "release_maintained")
+    "curation_lm_gate", "release_maintained")
+
+  /** The worst offenders of [[jitterProneBenchQueries]]: queries whose
+    * r16 within-run spreads exceeded ~1.5x even under median-of-5
+    * (FS-heavy index-lifecycle plans and the longest iterative loop).
+    * [[Bench]] times these with at least 7 runs so the reported median
+    * is stable enough for round-over-round comparison.
+    */
+  def highSpreadBenchQueries: Set[String] = Set(
+    "retrieval_index_deleted", "retrieval_index_compacted",
+    "graph_pagerank_weighted", "curation_lm_gate")
 }

@@ -52,6 +52,25 @@ class BenchGuardSpec extends AnyFunSuite {
   test("every jitter-prone query is a real bench entry") {
     val unknown = SparkEntry.jitterProneBenchQueries -- SparkEntry.benchQueries.toSet
     assert(unknown.isEmpty, s"jitterProneBenchQueries not in benchQueries: $unknown")
+    // the median-of-7 set is the worst-offender subset of jitter-prone
+    val notProne = SparkEntry.highSpreadBenchQueries -- SparkEntry.jitterProneBenchQueries
+    assert(notProne.isEmpty, s"highSpreadBenchQueries not jitter-prone: $notProne")
+  }
+
+  test("parseBaseline reads medians from the persisted target/bench.json nested format") {
+    // round 17: Bench writes the full artifact (median + spread per
+    // query, one line each) to target/bench.json — the parser must
+    // read the "sec" medians and never a spread bound
+    val p = write(
+      """{
+        |  "metric": "total", "value": 10.144, "unit": "sec", "sf": "/root/testdata/sf0.1",
+        |  "queries": {
+        |    "q1_agg": {"sec": 0.472, "spread": [0.101, 9.999]},
+        |    "sum_per_key": {"sec": 0.853, "spread": [0.700, 0.901]}
+        |  }
+        |}""".stripMargin)
+    val m = Bench.parseBaseline(p)
+    assert(m == Map("q1_agg" -> 0.472, "sum_per_key" -> 0.853), m.toString)
   }
 
   test("parseBaseline tolerates a file with no queries block") {
