@@ -156,7 +156,10 @@ ${fullLines.mkString(",\n")}
     */
   private[graft] def parseBaseline(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
-    val raw = try text.mkString finally text.close()
+    // the driver's recording embeds the bench line as a JSON STRING
+    // ("tail": "...\"q1_agg\":0.472,...") — unescape so the per-query
+    // extractor sees real quotes; a plain file is unaffected
+    val raw = (try text.mkString finally text.close()).replace("\\\"", "\"")
     val inQueries = raw.indexOf("\"queries\"") match {
       case -1 => raw
       case i  => raw.substring(i)

@@ -751,7 +751,10 @@ object Curation {
     * same delta repairs it — all three mutations are idempotent —
     * and [[repairRelease]] does so from the staged snapshot without
     * needing the caller's delta plan back), never a silently mixed
-    * state. Before the marker is touched the
+    * state. A markerless root whose staged snapshot belongs to a
+    * DIFFERENT delta — or that has none at all (an interrupted
+    * [[publishRelease]] never stages) — refuses up front: certifying
+    * either tree would launder its inconsistency. Before the marker is touched the
     * delta is STAGED to parquet under `_staged/delta-<hash>` (same
     * filesystem as the release — underscore-hidden from readers) and
     * every mutation reads the STAGED copy, never the caller's plan.
@@ -800,17 +803,30 @@ object Curation {
             lit(0L).cast("decimal(38,0)")).as("h"),
           sum(when(col("kind") === "tombstone", 1L).otherwise(0L)).as("n_ts")).head()
         val key = fp.getDecimal(0).toBigInteger.toString(16).replace("-", "n")
-        // a root whose marker is ALREADY gone holds a crashed earlier
-        // apply; if the staged evidence belongs to a DIFFERENT delta,
-        // applying this one would rewrite the marker over a tree
-        // missing the crashed delta's tail mutations (laundering the
-        // inconsistency) and the residue sweep above would later
-        // destroy the only repair evidence. Re-staging the SAME key is
-        // the documented re-apply repair and proceeds.
-        if (!fs.exists(releaseCommitPath(path)) && fs.exists(stagedRoot)) {
-          val foreign = fs.listStatus(stagedRoot)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
-            .map(_.getPath.getName).filter(_ != s"delta-$key")
+        // a root whose marker is ALREADY gone is broken in one of two
+        // ways, and only one is repairable here: (a) a crashed earlier
+        // DELTA apply left its staged snapshot — re-staging the SAME
+        // key is the documented re-apply repair and proceeds; a
+        // DIFFERENT key refuses (applying a new delta would rewrite
+        // the marker over a tree missing the crashed delta's tail
+        // mutations and the residue sweep would later destroy the only
+        // repair evidence); (b) NO snapshot at all — an interrupted
+        // publishRelease (which deletes the marker first and never
+        // stages) or out-of-band mutilation: certifying THAT tree
+        // would silently serve a half-written release, so it refuses
+        // exactly as repairRelease does.
+        if (!fs.exists(releaseCommitPath(path))) {
+          val stagedDirs =
+            if (!fs.exists(stagedRoot)) Array.empty[String]
+            else fs.listStatus(stagedRoot)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
+              .map(_.getPath.getName)
+          require(stagedDirs.nonEmpty,
+            s"publishReleaseDelta: release at $path has no commit marker and no staged " +
+              "snapshot — an interrupted publishRelease (or an out-of-band mutation), " +
+              "not a crashed delta apply; applying a delta would certify the broken " +
+              "tree. Republish from scratch")
+          val foreign = stagedDirs.filter(_ != s"delta-$key")
           require(foreign.isEmpty,
             s"publishReleaseDelta: release at $path has no commit marker and holds staged " +
               s"snapshot(s) ${foreign.mkString(", ")} from a crashed EARLIER apply — " +

@@ -503,12 +503,22 @@ private[operators] object IndexManifest {
     val fs = dst.getFileSystem(conf)
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
       pointerPath + ".tmp-" + java.util.UUID.randomUUID()))
-    val out = fs.create(tmp, true)
-    try out.write(qualifiedPath(spark, indexRoot)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-      .rename(tmp, fs.makeQualified(dst), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // a failed write or rename must not leave .tmp residue beside the
+    // pointer — a retrying nightly scheduler would accrete one orphan
+    // per attempt, and nothing else (vacuum included) cleans them
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(qualifiedPath(spark, indexRoot)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        .rename(tmp, fs.makeQualified(dst), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        try { if (fs.exists(tmp)) fs.delete(tmp, false): Unit }
+        catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** The index root the pointer currently serves; refuses loudly when
@@ -563,7 +573,11 @@ private[operators] object IndexManifest {
     val currentQ = qualifiedPath(spark, current)
     val reachable = qualify(spark, current +: (h.segments ++ h.tombstones))
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = retiredRoots.map { r =>
+    // validate EVERY root before deleting ANY: a refusal on the last
+    // root after the first was already deleted would report nothing
+    // about the bytes it removed — "a refused vacuum deletes NOTHING"
+    // must hold regardless of argument order
+    val qualified = retiredRoots.map { r =>
       val rq = qualifiedPath(spark, r)
       require(rq != currentQ && !currentQ.startsWith(rq + "/") && !rq.startsWith(currentQ + "/"),
         s"vacuum: $r is (or contains, or sits inside) the SERVED root $current — " +
@@ -574,6 +588,9 @@ private[operators] object IndexManifest {
           s"$current carries by reference (${held.take(3).mkString(", ")}) — compact the " +
           "index to re-home the data into a self-contained generation before retiring " +
           "this root")
+      rq
+    }
+    val rows = qualified.map { rq =>
       val rp = new org.apache.hadoop.fs.Path(rq)
       val fs = rp.getFileSystem(conf)
       if (!fs.exists(rp)) (rq, 0L, 0L)

@@ -86,12 +86,43 @@ object Nightly {
     val inSync = auditRows.forall(_.getAs[Long]("in_sync") == 1L)
     // 3. all-or-nothing: the pointer swap and the release publish both
     // sit behind the gate — a partial swap is the failure mode this
-    // composition exists to prevent
+    // composition exists to prevent. The swap loop itself can fail
+    // midway (a transient FS error on one tier's rename), which would
+    // otherwise leave tonight's generation serving on some tiers and
+    // yesterday's on the rest: on any failure, best-effort re-publish
+    // the PRE-ROUND pointer value (or delete a pointer that did not
+    // exist before) on every tier already flipped, then rethrow —
+    // the round refuses loudly from a consistent state. A release
+    // failure AFTER the swap does not roll back: the index tiers are
+    // consistent among themselves, and the release tier's own gate
+    // left yesterday's release serving.
     val releaseReport =
       if (!inSync) None
       else {
-        newRoots.foreach { case (t, root) =>
-          ServePointer.publish(spark, t.pointerPath, root, t.name)
+        val prev = tiers.map { t =>
+          t -> (try Some(IndexManifest.readPointer(spark, t.pointerPath))
+            catch { case _: IllegalArgumentException => None })
+        }.toMap
+        val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
+        try {
+          newRoots.foreach { case (t, root) =>
+            ServePointer.publish(spark, t.pointerPath, root, t.name)
+            flipped += t
+          }
+        } catch {
+          case e: Throwable =>
+            flipped.foreach { t =>
+              try {
+                prev(t) match {
+                  case Some(old) => ServePointer.publish(spark, t.pointerPath, old, t.name)
+                  case None =>
+                    val p = new org.apache.hadoop.fs.Path(t.pointerPath)
+                    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                      .delete(p, false): Unit
+                }
+              } catch { case _: Throwable => () } // best effort; rethrow the cause
+            }
+            throw e
         }
         release.map(_.apply())
       }

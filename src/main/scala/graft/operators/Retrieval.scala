@@ -653,41 +653,17 @@ object Retrieval {
     // segments are immutable
     val pruned = IndexManifest.segTable(spark, h, "postings")
       .where(col("term").isin(terms: _*))
-    // restrict df to the query terms BEFORE broadcasting (the term-df
-    // union is vocabulary-sized, the restriction is |terms| x segments
-    // rows), then SUM across segments — each segment counted only its
-    // own documents' df
-    val dfSummed = IndexManifest.segTable(spark, h, "termdf")
-      .where(col("term").isin(terms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-    // global stats ADD across segments: one tiny row per segment
-    val statSummed = IndexManifest.segTable(spark, h, "stats")
-      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    // tombstone subtraction — only when deletes exist, so the common
-    // no-deletes plan is untouched: live postings by the sequenced
-    // mask (a row dies iff its id is tombstoned AND its segment
-    // predates the tombstone's horizon — a re-added doc's new rows
-    // serve); per-term df minus the MASKED posting counts (derived
-    // from the same term-pruned scan, so the correction costs a
-    // pruned re-scan, never a vocabulary pass); stats minus the
-    // delete-time tsstats rows (negated union — no corpus doclen scan
-    // at serve time)
-    val (postings, dfs, stats) = IndexManifest.tombstoneRel(spark, h, idCol) match {
-      case None => (pruned, dfSummed, statSummed)
+    // live query-term df and corpus stats — ONE implementation of the
+    // tombstone corrections, shared with the streaming gate's
+    // [[queryConstants]] so the two serve surfaces cannot drift
+    val (dfs, stats) = liveTermStats(spark, h, terms, idCol)
+    // live postings by the sequenced mask — only when deletes exist,
+    // so the common no-deletes plan is untouched
+    val postings = IndexManifest.tombstoneRel(spark, h, idCol) match {
+      case None => pruned
       case Some(ts) =>
-        val prunedOrd = IndexManifest.segTableOrd(spark, h, "postings")
-          .where(col("term").isin(terms: _*))
-        val live = maskLive(prunedOrd, Some(ts), idCol)
-        val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
-          .where(col("__seg") < col("__ts_up"))
-          .groupBy("term").agg(count(lit(1)).as("df_del"))
-        val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
-          .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
-        val statLive = IndexManifest.segTable(spark, h, "stats")
-          .unionByName(IndexManifest.tsStats(spark, h)
-            .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
-          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-        (live, dfLive, statLive)
+        maskLive(IndexManifest.segTableOrd(spark, h, "postings")
+          .where(col("term").isin(terms: _*)), Some(ts), idCol)
     }
     postings
       .join(broadcast(dfs), Seq("term"))
@@ -855,6 +831,44 @@ object Retrieval {
       .select(col(idCol), round(score, 6).as("score"))
   }
 
+  /** The LIVE per-term df and corpus stats of a term-restricted query
+    * against a loaded index handle — the ONE implementation of the
+    * serve-time tombstone corrections, shared by
+    * [[searchTopKIndexedBatch]] and [[queryConstants]] so the batch
+    * serve path and the streaming gate constants cannot drift apart:
+    * df restricted to the query terms BEFORE broadcasting and SUMMED
+    * across segments, minus the sequenced-mask posting counts (derived
+    * from the same term-pruned scan — a pruned re-scan, never a
+    * vocabulary pass); stats add across segments minus the delete-time
+    * tsstats rows (negated union — no corpus doclen scan at serve
+    * time). The no-deletes plan carries zero extra operators.
+    */
+  private def liveTermStats(
+      spark: SparkSession, h: IndexManifest.Handle,
+      terms: Seq[String], idCol: String): (DataFrame, DataFrame) = {
+    val dfSummed = IndexManifest.segTable(spark, h, "termdf")
+      .where(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val statSummed = IndexManifest.segTable(spark, h, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    IndexManifest.tombstoneRel(spark, h, idCol) match {
+      case None => (dfSummed, statSummed)
+      case Some(ts) =>
+        val prunedOrd = IndexManifest.segTableOrd(spark, h, "postings")
+          .where(col("term").isin(terms: _*))
+        val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
+          .where(col("__seg") < col("__ts_up"))
+          .groupBy("term").agg(count(lit(1)).as("df_del"))
+        val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
+          .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        val statLive = IndexManifest.segTable(spark, h, "stats")
+          .unionByName(IndexManifest.tsStats(spark, h)
+            .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
+          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+        (dfLive, statLive)
+    }
+  }
+
   /** The [[scoreAgainstQuery]] constants of ONE fixed query resolved
     * from the PUBLISHED index at `indexPath` — (per-term df, n_docs,
     * total_len) through the manifest handle, with the SAME tombstone
@@ -875,30 +889,9 @@ object Retrieval {
     require(terms.nonEmpty, "queryConstants: empty query")
     val h = IndexManifest.handle(spark, indexPath, "BM25")
     IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
-    val distinctTerms = terms.distinct
-    val dfSummed = IndexManifest.segTable(spark, h, "termdf")
-      .where(col("term").isin(distinctTerms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-    val statSummed = IndexManifest.segTable(spark, h, "stats")
-      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    val (dfs, stats) = IndexManifest.tombstoneRel(spark, h,
-        spark.read.parquet(s"${h.segments.head}/doclen").columns.filter(_ != "dl").head) match {
-      case None => (dfSummed, statSummed)
-      case Some(ts) =>
-        val idCol = ts.columns.filter(_ != "__ts_up").head
-        val prunedOrd = IndexManifest.segTableOrd(spark, h, "postings")
-          .where(col("term").isin(distinctTerms: _*))
-        val dfDel = prunedOrd.join(ts, Seq(idCol), "inner")
-          .where(col("__seg") < col("__ts_up"))
-          .groupBy("term").agg(count(lit(1)).as("df_del"))
-        val dfLive = dfSummed.join(dfDel, Seq("term"), "left_outer")
-          .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
-        val statLive = IndexManifest.segTable(spark, h, "stats")
-          .unionByName(IndexManifest.tsStats(spark, h)
-            .select((-col("n_docs")).as("n_docs"), (-col("total_len")).as("total_len")))
-          .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-        (dfLive, statLive)
-    }
+    val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
+      .columns.filter(_ != "dl").head
+    val (dfs, stats) = liveTermStats(spark, h, terms.distinct, idCol)
     val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1))
       .filter(_._2 > 0L).toMap
     val st = stats.head()

@@ -57,6 +57,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(notProne.isEmpty, s"highSpreadBenchQueries not jitter-prone: $notProne")
   }
 
+  test("parseBaseline reads a driver recording whose tail embeds the line as an ESCAPED string") {
+    // the driver's BENCH_rN.json wraps (a truncated tail of) the bench
+    // line inside a JSON string — quotes arrive as \" and the r16
+    // guard silently matched NOTHING against it (vacuous pass)
+    val p = write(
+      """{
+        |  "n": 16, "rc": 0, "cpus": 32, "sf": 0.1,
+        |  "tail": "sters_distributed\":2.740,\"q1_agg\":0.472,\"sum_per_key\":0.853}"
+        |}""".stripMargin)
+    val m = Bench.parseBaseline(p)
+    assert(m("q1_agg") == 0.472 && m("sum_per_key") == 0.853, m.toString)
+  }
+
   test("parseBaseline reads medians from the persisted target/bench.json nested format") {
     // round 17: Bench writes the full artifact (median + spread per
     // query, one line each) to target/bench.json — the parser must

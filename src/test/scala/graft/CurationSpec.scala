@@ -656,10 +656,13 @@ class CurationSpec extends SparkTestBase {
       s"re-applying a delta changed the removed-doc record: ${removedIds()} vs $removedOnce")
     assert(rows(readBack()) == rows(mOf(newReg)),
       "re-applying a delta changed the release content")
-    // crash drill: kill the commit marker mid-state (a crash between
-    // the marker delete and the final rewrite), confirm the root
-    // refuses, then re-apply the delta and confirm FULL repair —
-    // readable again, content right, removed record not inflated
+    // crash drill: kill the commit marker with NO staged snapshot in
+    // place — indistinguishable from an interrupted publishRelease
+    // (which deletes the marker first and never stages), so BOTH
+    // readRelease and a delta apply must refuse; the operational
+    // answer is a full republish, not a delta that would certify a
+    // possibly half-written tree (r17 — previously the apply
+    // silently "repaired" this state)
     def dropMarker(): Unit = {
       val m = java.nio.file.Paths.get(s"$root/_commit")
       val w = java.nio.file.Files.walk(m)
@@ -670,10 +673,12 @@ class CurationSpec extends SparkTestBase {
     dropMarker()
     assert(intercept[IllegalArgumentException] { Curation.readRelease(spark, root) }
       .getMessage.contains("commit marker missing"))
-    Curation.publishReleaseDelta(d1, "doc_id", "lang", root)
-    assert(rows(readBack()) == rows(mOf(newReg)), "crash re-apply diverged")
-    assert(removedIds() == removedOnce,
-      "crash re-apply inflated the removed-doc record")
+    val eNoSnap = intercept[IllegalArgumentException] {
+      Curation.publishReleaseDelta(d1, "doc_id", "lang", root)
+    }
+    assert(eNoSnap.getMessage.contains("Republish from scratch"), eNoSnap.getMessage)
+    Curation.publishRelease(mOf(newReg), "lang", root)
+    assert(rows(readBack()) == rows(mOf(newReg)), "full republish diverged")
     // a second delta that retires the whole de stratum drops its
     // partition directories physically
     val noDe = newReg.where(col("lang") =!= "de")

@@ -65,7 +65,18 @@ class ServePointerSpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       ServePointer.vacuum(spark, ptr, Seq(o1))
     }.getMessage.contains("SERVED root"))
-    // a refused vacuum deletes NOTHING: the served read is intact
+    // a refused vacuum deletes NOTHING — regardless of argument order:
+    // validation runs over EVERY root before any deletion, so a
+    // deletable root listed before a still-referenced one survives
+    val disposable = s"$o1/disposable"
+    SideIndex.build(rowsDf, "doc_id", "t2", disposable)
+    assert(intercept[IllegalArgumentException] {
+      ServePointer.vacuum(spark, ptr, Seq(disposable, s"$b/base"))
+    }.getMessage.contains("carries by reference"))
+    assert(new java.io.File(disposable).exists,
+      "a refusal on a LATER root must not have deleted an earlier one")
+    ServePointer.vacuum(spark, ptr, Seq(disposable)): Unit
+    assert(!new java.io.File(disposable).exists)
     assert(SideIndex.read(spark, served1, "doc_id", "t").count() == 17L)
     // round 2: another churn, compaction FORCED — o2/compacted is
     // self-contained, so every prior root becomes fully unreachable
