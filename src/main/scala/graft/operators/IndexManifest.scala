@@ -498,18 +498,44 @@ private[operators] object IndexManifest {
       spark: SparkSession, pointerPath: String, indexRoot: String,
       what: String = "segmented"): Unit = {
     handle(spark, indexRoot, what): Unit
-    val conf = spark.sparkContext.hadoopConfiguration
+    val newQ = qualifiedPath(spark, indexRoot)
     val dst = new org.apache.hadoop.fs.Path(pointerPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // record the superseded root in the GENERATION HISTORY before the
+    // flip: history is what [[rollbackPointer]] rolls back onto and
+    // what [[retainGenerations]] retires, so it must never miss a
+    // generation that actually served. Crash window (history written,
+    // pointer not yet flipped): the still-current root appears in its
+    // own history — every history consumer filters entries equal to
+    // the current pointer, and the dedupe below removes the residue on
+    // the next successful publish. Entries are distinct, oldest first;
+    // re-publishing a root already in history (a roll-forward) removes
+    // its old position so the current root never lingers as "previous".
+    val prev = if (fs.exists(dst)) Some(readPointer(spark, pointerPath)) else None
+    prev.filter(_ != newQ).foreach { p =>
+      val hist = readHistory(spark, pointerPath)
+      writeAtomic(spark, historyPath(pointerPath),
+        (hist.filterNot(r => r == p || r == newQ) :+ p).mkString("\n"))
+    }
+    writeAtomic(spark, pointerPath, newQ)
+  }
+
+  /** Write a small metadata file atomically: temp name, then ONE
+    * rename over the destination (Options.Rename.OVERWRITE — atomic on
+    * POSIX and HDFS), so a reader sees the old content or the new,
+    * never a torn write. A failed write or rename deletes its temp —
+    * a retrying scheduler must not accrete one orphan per attempt,
+    * and nothing else (vacuum included) cleans them.
+    */
+  private def writeAtomic(spark: SparkSession, path: String, content: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
-      pointerPath + ".tmp-" + java.util.UUID.randomUUID()))
-    // a failed write or rename must not leave .tmp residue beside the
-    // pointer — a retrying nightly scheduler would accrete one orphan
-    // per attempt, and nothing else (vacuum included) cleans them
+      path + ".tmp-" + java.util.UUID.randomUUID()))
     try {
       val out = fs.create(tmp, true)
-      try out.write(qualifiedPath(spark, indexRoot)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
         .rename(tmp, fs.makeQualified(dst), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -519,6 +545,50 @@ private[operators] object IndexManifest {
         catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  private def historyPath(pointerPath: String): String = pointerPath + ".history"
+
+  /** The pointer's GENERATION HISTORY: the distinct roots this pointer
+    * previously served, oldest first, current root excluded. Written
+    * beside the pointer as `<pointerPath>.history` (one qualified root
+    * per line, cat-able); empty when the pointer has never been
+    * superseded. Entries stay until [[retainGenerations]] retires them
+    * or [[rollbackPointer]] rolls back onto them.
+    */
+  def readHistory(spark: SparkSession, pointerPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(historyPath(pointerPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Flip the pointer BACK onto the most recent previous generation —
+    * the bad-round escape hatch: tonight's generation misbehaves in
+    * ways the audit gate cannot see (a ranking regression, a bad
+    * codebook), and yesterday's root is still on disk because
+    * [[retainGenerations]] keeps a rollback window. The abandoned
+    * (rolled-back-from) root moves into the history like any
+    * superseded generation — roll forward by re-publishing it, or let
+    * the next retention round vacuum it. Refuses when the history
+    * holds no previous generation; the target is handle-validated by
+    * the publish, so a rollback can never land on a root that refuses
+    * to serve. Returns the root now serving.
+    */
+  def rollbackPointer(
+      spark: SparkSession, pointerPath: String, what: String = "segmented"): String = {
+    val current = readPointer(spark, pointerPath)
+    val prev = readHistory(spark, pointerPath).filterNot(_ == current)
+    require(prev.nonEmpty,
+      s"rollbackPointer: the pointer at $pointerPath has no previous generation in its " +
+        "history — nothing to roll back onto (retention may have vacuumed it)")
+    publishPointer(spark, pointerPath, prev.last, what)
+    prev.last
   }
 
   /** The index root the pointer currently serves; refuses loudly when
@@ -567,11 +637,20 @@ private[operators] object IndexManifest {
     */
   def vacuum(
       spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
-      what: String = "segmented"): org.apache.spark.sql.DataFrame = {
+      what: String = "segmented", alsoServing: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val current = readPointer(spark, pointerPath)
-    val h = handle(spark, current, what)
-    val currentQ = qualifiedPath(spark, current)
-    val reachable = qualify(spark, current +: (h.segments ++ h.tombstones))
+    // `alsoServing` extends the reachable set with generations that
+    // must SURVIVE the vacuum even though nothing points at them —
+    // [[retainGenerations]]'s rollback window: each is loaded like the
+    // served root (a kept generation that cannot serve is a refusal,
+    // not a skip) and contributes its root + carried directories
+    val serving = (current +: alsoServing).map { root =>
+      val h = handle(spark, root, what)
+      (qualifiedPath(spark, root), root, h)
+    }
+    val reachable = serving.flatMap { case (_, root, h) =>
+      qualify(spark, root +: (h.segments ++ h.tombstones))
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     // validate EVERY root before deleting ANY: a refusal on the last
     // root after the first was already deleted would report nothing
@@ -579,13 +658,17 @@ private[operators] object IndexManifest {
     // must hold regardless of argument order
     val qualified = retiredRoots.map { r =>
       val rq = qualifiedPath(spark, r)
-      require(rq != currentQ && !currentQ.startsWith(rq + "/") && !rq.startsWith(currentQ + "/"),
-        s"vacuum: $r is (or contains, or sits inside) the SERVED root $current — " +
-          "flip the pointer to a newer generation before retiring it")
+      serving.foreach { case (sq, root, _) =>
+        require(rq != sq && !sq.startsWith(rq + "/") && !rq.startsWith(sq + "/"),
+          s"vacuum: $r is (or contains, or sits inside) the ${
+            if (root == current) s"SERVED root $current"
+            else s"RETAINED rollback generation $root"} — " +
+            "flip the pointer (or shrink the retention window) before retiring it")
+      }
       val held = reachable.filter(p => p == rq || p.startsWith(rq + "/"))
       require(held.isEmpty,
-        s"vacuum: retired root $r still holds generation data the current index at " +
-          s"$current carries by reference (${held.take(3).mkString(", ")}) — compact the " +
+        s"vacuum: retired root $r still holds generation data a serving or retained " +
+          s"index carries by reference (${held.take(3).mkString(", ")}) — compact the " +
           "index to re-home the data into a self-contained generation before retiring " +
           "this root")
       rq
@@ -602,6 +685,114 @@ private[operators] object IndexManifest {
       }
     }
     spark.createDataFrame(rows).toDF("root", "n_files_deleted", "bytes_deleted")
+  }
+
+  /** RETENTION-POLICY GC over the pointer's own generation history —
+    * the one-call form a scheduler actually runs nightly: keep the
+    * `keep` most recent superseded generations as a [[rollbackPointer]]
+    * window and [[vacuum]] older history entries, HOLDING (not
+    * refusing) any that something surviving still carries by
+    * reference — the normal LSM state between compactions, so
+    * retention composes with every maintain round, not just
+    * compaction nights. Reachability is transitive the way survival
+    * needs it to be: the served root and the kept window must stay
+    * valid indexes, so what THEY reference survives; a held
+    * generation must stay deletable-later-as-a-unit, so what IT
+    * references survives too (newest-first accumulation). Held
+    * entries stay in the history and fall out on a later round once a
+    * compaction re-homes the data that pinned them.
+    *
+    * Crash-safe: deletes go through [[vacuum]] (which re-validates
+    * every retired root against the surviving set — belt and
+    * suspenders) and the history file is rewritten only after they
+    * succeed; a crash between the two leaves retired roots listed but
+    * absent, which the next round reports as `absent` and drops.
+    * Returns one row per history entry outside the window:
+    * (root, status = vacuumed | held | absent, n_files_deleted,
+    * bytes_deleted).
+    */
+  /** A maintain round mints its steps under ONE outRoot
+    * (`outRoot/deleted|updated|compacted` — the only roots the
+    * maintain entry points publish), and the pointer history records
+    * the SERVED step; retiring that step by name would leak the
+    * round's intermediate roots (an uncompacted round's tombstone dir
+    * lives under `outRoot/deleted`, a sibling of the served
+    * `outRoot/updated`). When a history entry is a step root whose
+    * parent holds ONLY step roots, retention operates on the whole
+    * round root — unless a serving generation sits inside that parent
+    * (never true under the fresh-outRoot contract, refused into the
+    * narrow form anyway) or anything else was placed there (a stray
+    * file or foreign directory falls back to the entry itself:
+    * retention must never delete what it cannot attribute to the
+    * round).
+    */
+  private def expandRoundRoot(
+      spark: SparkSession, entry: String, servingQ: Seq[String]): String = {
+    val steps = Set("deleted", "updated", "compacted")
+    val p = new org.apache.hadoop.fs.Path(entry)
+    val parent = p.getParent
+    if (parent == null || !steps.contains(p.getName)) entry
+    else {
+      val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(parent)) entry
+      else {
+        val kids = fs.listStatus(parent)
+        val pq = qualifiedPath(spark, parent.toString)
+        val servingInside = servingQ.exists(s => s == pq || s.startsWith(pq + "/"))
+        if (kids.nonEmpty && !servingInside &&
+          kids.forall(st => st.isDirectory && steps.contains(st.getPath.getName)))
+          parent.toString
+        else entry
+      }
+    }
+  }
+
+  def retainGenerations(
+      spark: SparkSession, pointerPath: String, keep: Int,
+      what: String = "segmented"): org.apache.spark.sql.DataFrame = {
+    require(keep >= 0, s"retainGenerations: keep must be >= 0, got $keep")
+    val current = readPointer(spark, pointerPath)
+    val hist = readHistory(spark, pointerPath).filterNot(_ == current)
+    val kept = hist.takeRight(keep)
+    val candidates = hist.dropRight(keep)
+    var reachable = (current +: kept).flatMap { r =>
+      val h = handle(spark, r, what)
+      qualify(spark, r +: (h.segments ++ h.tombstones))
+    }.toSet
+    val servingQ = (current +: kept).map(qualifiedPath(spark, _))
+    // newest-first: a candidate referenced by anything that survives
+    // is HELD, and what it references must then survive as well — the
+    // hold test runs over the candidate's whole ROUND root, so a
+    // reference into a sibling step (the round's tombstone dir) pins
+    // it too. An ABSENT candidate (a prior round crashed between
+    // delete and history rewrite) can never be held — a surviving
+    // index referencing an absent root would have refused its handle
+    // load
+    val held = scala.collection.mutable.LinkedHashSet.empty[String]
+    candidates.reverse.foreach { r =>
+      val rq = qualifiedPath(spark, expandRoundRoot(spark, r, servingQ))
+      if (reachable.exists(p => p == rq || p.startsWith(rq + "/"))) {
+        held += r
+        val h = handle(spark, r, what)
+        reachable ++= qualify(spark, r +: (h.segments ++ h.tombstones))
+      }
+    }
+    val retired = candidates.filterNot(held.contains)
+    val report = vacuum(spark, pointerPath,
+      retired.map(expandRoundRoot(spark, _, servingQ)), what,
+      alsoServing = kept ++ held.toSeq)
+    if (retired.nonEmpty)
+      writeAtomic(spark, historyPath(pointerPath),
+        hist.filterNot(retired.contains).mkString("\n"))
+    import org.apache.spark.sql.functions.{col, lit, when}
+    report
+      .withColumn("status",
+        when(col("n_files_deleted") > 0L, lit("vacuumed")).otherwise(lit("absent")))
+      .unionByName(
+        spark.createDataFrame(held.toSeq.map(r => (qualifiedPath(spark, r), 0L, 0L)))
+          .toDF("root", "n_files_deleted", "bytes_deleted")
+          .withColumn("status", lit("held")))
+      .select(col("root"), col("status"), col("n_files_deleted"), col("bytes_deleted"))
   }
 
 }

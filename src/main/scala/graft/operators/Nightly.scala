@@ -68,7 +68,8 @@ object Nightly {
   def run(
       spark: SparkSession,
       tiers: Seq[Tier],
-      release: Option[() => DataFrame] = None): (DataFrame, Option[DataFrame]) = {
+      release: Option[() => DataFrame] = None,
+      keepGenerations: Option[Int] = None): (DataFrame, Option[DataFrame]) = {
     require(tiers.nonEmpty, "Nightly.run: no tiers to maintain")
     require(tiers.map(_.name).distinct.size == tiers.size,
       s"Nightly.run: duplicate tier names in ${tiers.map(_.name).mkString(", ")}")
@@ -124,7 +125,19 @@ object Nightly {
             }
             throw e
         }
-        release.map(_.apply())
+        val rel = release.map(_.apply())
+        // retention runs LAST, only on a fully-swapped round: keep the
+        // `keep` most recent superseded generations per tier as a
+        // rollback window and vacuum older ones through the pointer's
+        // own history ([[ServePointer.retain]] — reachability-aware,
+        // so a generation tonight's index still carries by reference
+        // refuses and stays). A retention failure propagates AFTER the
+        // swap and release completed: the round is consistent, disk
+        // just holds more than the window — re-run retain to heal.
+        keepGenerations.foreach { keep =>
+          tiers.foreach(t => ServePointer.retain(spark, t.pointerPath, keep, t.name): Unit)
+        }
+        rel
       }
     import spark.implicits._
     val report = auditRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),

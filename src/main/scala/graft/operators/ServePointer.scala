@@ -55,4 +55,37 @@ object ServePointer {
       spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
       what: String = "segmented"): DataFrame =
     IndexManifest.vacuum(spark, pointerPath, retiredRoots, what)
+
+  /** The pointer's generation history: the distinct roots it
+    * previously served, oldest first, current excluded — what
+    * [[rollback]] rolls back onto and [[retain]] retires. Maintained
+    * automatically by [[publish]] in `<pointerPath>.history`.
+    */
+  def history(spark: SparkSession, pointerPath: String): Seq[String] =
+    IndexManifest.readHistory(spark, pointerPath)
+
+  /** Flip the pointer back onto the most recent previous generation —
+    * the bad-round escape hatch for regressions the audit gate cannot
+    * see (a ranking regression, a bad codebook). The abandoned root
+    * moves into the history (roll forward by re-publishing it, or let
+    * the next [[retain]] round vacuum it); refuses when no previous
+    * generation survives. Returns the root now serving.
+    */
+  def rollback(spark: SparkSession, pointerPath: String, what: String = "segmented"): String =
+    IndexManifest.rollbackPointer(spark, pointerPath, what)
+
+  /** Retention-policy GC over the pointer's own history: keep the
+    * `keep` most recent superseded generations as a rollback window,
+    * HOLD older entries that anything surviving still carries by
+    * reference (the normal LSM state between compactions — held
+    * entries fall out on a later round once compaction re-homes the
+    * data), and [[vacuum]] the rest. Re-running after a crash heals
+    * (absent retired roots report `absent` and drop). Returns one row
+    * per history entry outside the window: (root, status = vacuumed |
+    * held | absent, n_files_deleted, bytes_deleted).
+    */
+  def retain(
+      spark: SparkSession, pointerPath: String, keep: Int,
+      what: String = "segmented"): DataFrame =
+    IndexManifest.retainGenerations(spark, pointerPath, keep, what)
 }

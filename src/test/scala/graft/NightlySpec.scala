@@ -34,13 +34,22 @@ class NightlySpec extends SparkTestBase {
       tier("b", registry, ptrB, () => SideIndex.maintain(spark, s"$root/b0",
         Some(Seq(2L).toDF("doc_id")), None, "doc_id", "b", s"$root/b1",
         maxMaskedRatio = 1.0))),
-      release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }))
+      release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }),
+      keepGenerations = Some(0))
     val rows = report.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(5), r.getBoolean(6)))
     assert(rows.toSet == Set(("a", 9L, 1L, true), ("b", 9L, 1L, true)), rows.mkString(", "))
     assert(releaseRan && rel.isDefined, "the release must run behind a passed gate")
     assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted"))
     assert(ServePointer.read(spark, ptrB).endsWith("/b1/deleted"))
+    // retention ran post-swap with keep=0, but tonight's delete round
+    // CARRIES yesterday's segment by reference — the superseded roots
+    // are HELD, not refused and not deleted: retention composes with
+    // an uncompacted nightly round
+    assert(new java.io.File(s"$root/a0").exists && new java.io.File(s"$root/b0").exists,
+      "carried generations must survive keep=0 retention")
+    assert(ServePointer.history(spark, ptrA).exists(_.endsWith("/a0")),
+      "a held generation stays in the pointer history")
   }
 
   test("one slipped tier refuses the WHOLE swap: yesterday's pointers serve, no release") {

@@ -117,4 +117,98 @@ class ServePointerSpec extends SparkTestBase {
     assert(leftover.toSet == Set("compacted"), leftover.mkString(", "))
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(o1)).isEmpty)
   }
+
+  test("publish records the generation history; rollback flips onto the previous generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    assert(ServePointer.history(spark, ptr).isEmpty,
+      "a first publish supersedes nothing")
+    // nothing to roll back onto yet
+    assert(intercept[IllegalArgumentException] { ServePointer.rollback(spark, ptr) }
+      .getMessage.contains("no previous generation"))
+    val g1 = SideIndex.maintain(spark, s"$root/gen0",
+      deletes = Some(rowsDf.where(col("doc_id") % 4 === 0).select("doc_id")),
+      increment = None, "doc_id", "t", s"$root/o1", maxMaskedRatio = 1.0)
+    ServePointer.publish(spark, ptr, g1)
+    val h1 = ServePointer.history(spark, ptr)
+    assert(h1.length == 1 && h1.head.endsWith("/gen0"), h1.mkString(", "))
+    // tonight's generation "misbehaves": roll back — gen0 serves again
+    // (all 20 rows), and the abandoned g1 moves into the history
+    val back = ServePointer.rollback(spark, ptr)
+    assert(back.endsWith("/gen0") && ServePointer.read(spark, ptr) == back)
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 20L)
+    val h2 = ServePointer.history(spark, ptr)
+    assert(h2.length == 1 && h2.head.endsWith("/o1/deleted"), h2.mkString(", "))
+    // roll FORWARD by re-publishing the abandoned generation: history
+    // swaps back, never accretes duplicates or the current root
+    ServePointer.publish(spark, ptr, g1)
+    val h3 = ServePointer.history(spark, ptr)
+    assert(h3.length == 1 && h3.head.endsWith("/gen0"), h3.mkString(", "))
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 15L)
+  }
+
+  test("retain vacuums unreachable history, HOLDS carried generations, and is transitive both ways") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base")
+    // round A compacts: gA is self-contained, so base becomes garbage
+    val gA = SideIndex.maintain(spark, s"$root/base",
+      deletes = Some(rowsDf.where(col("doc_id") % 4 === 0).select("doc_id")),
+      increment = None, "doc_id", "t", s"$root/oA", maxSegments = 1)
+    assert(gA == s"$root/oA/compacted")
+    ServePointer.publish(spark, ptr, gA)
+    // round B does NOT compact: gB carries gA's segment by reference
+    val gB = SideIndex.maintain(spark, gA,
+      deletes = Some(Seq(1L).toDF("doc_id")), increment = None,
+      "doc_id", "t", s"$root/oB", maxMaskedRatio = 1.0)
+    assert(gB == s"$root/oB/deleted")
+    ServePointer.publish(spark, ptr, gB)
+    val pre = SideIndex.read(spark, gB, "doc_id", "t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // keep=0: base is unreachable → vacuumed; gA is carried by the
+    // SERVED generation → held, not refused — retention composes with
+    // an uncompacted round
+    val r1 = ServePointer.retain(spark, ptr, keep = 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(r1.exists(r => r._1.endsWith("/base") && r._2 == "vacuumed" && r._3 > 0L), r1.mkString(", "))
+    assert(r1.exists(r => r._1.endsWith("/oA/compacted") && r._2 == "held"), r1.mkString(", "))
+    assert(!new java.io.File(s"$root/base").exists, "base must be vacuumed")
+    assert(new java.io.File(gA).exists, "a held generation must survive")
+    val hAfter = ServePointer.history(spark, ptr)
+    assert(hAfter.length == 1 && hAfter.head.endsWith("/oA/compacted"),
+      s"held entries stay in history: ${hAfter.mkString(", ")}")
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .collect().map(_.getLong(0)).sorted.toSeq == pre)
+    // round C compacts: gC self-contained; history = [gA, gB]
+    val gC = SideIndex.maintain(spark, gB,
+      deletes = Some(Seq(2L).toDF("doc_id")), increment = None,
+      "doc_id", "t", s"$root/oC", maxSegments = 1, maxMaskedRatio = 0.0)
+    assert(gC == s"$root/oC/compacted")
+    ServePointer.publish(spark, ptr, gC)
+    // keep=1: the rollback window keeps gB, and gB still carries gA —
+    // the KEPT generation's references hold gA alive (transitivity
+    // through the window, not just the served root)
+    val r2 = ServePointer.retain(spark, ptr, keep = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(r2.length == 1 && r2.head._1.endsWith("/oA/compacted") && r2.head._2 == "held",
+      r2.mkString(", "))
+    assert(new java.io.File(gA).exists && new java.io.File(gB).exists)
+    // keep=0: nothing surviving references gB or gA any more — BOTH
+    // fall in one round (newest-first: gB retired, so gA unpinned)
+    val r3 = ServePointer.retain(spark, ptr, keep = 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(r3.length == 2 && r3.forall(r => r._2 == "vacuumed" && r._3 > 0L), r3.mkString(", "))
+    assert(!new java.io.File(gA).exists && !new java.io.File(gB).exists)
+    assert(ServePointer.history(spark, ptr).isEmpty)
+    // the served generation is untouched; rollback now refuses
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == pre.length - 1L)
+    assert(intercept[IllegalArgumentException] { ServePointer.rollback(spark, ptr) }
+      .getMessage.contains("no previous generation"))
+  }
 }
