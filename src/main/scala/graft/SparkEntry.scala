@@ -686,6 +686,86 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized RETENTION + ROLLBACK lifecycle — the
+    * generation-history half of the serve-pointer story, end to end:
+    * build, a COMPACTING round A (%7-delete / %14-re-add +1, so the
+    * base root becomes garbage), an UNCOMPACTED round B (%5-delete /
+    * %10-re-add +2 over round A's live set, carrying round A by
+    * reference), then `ServePointer.retain(keep = 1)` — which must
+    * vacuum exactly the base root while KEEPING round A as the
+    * rollback window — and `ServePointer.rollback()`, which must land
+    * the pointer back on round A. What the pointer serves after each
+    * step is materialized to parquet and value-graded by the
+    * `index_retained` / `index_rolled_back` oracles (the two-round and
+    * one-round rule replays); a final `retain(keep = 0)` must reclaim
+    * the abandoned round-B generation WHOLE (tombstone intermediates
+    * included — the round-root expansion) while the served round-A
+    * root survives.
+    */
+  private val lifecycleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def lifecyclePaths(s: SparkSession, dir: String): (String, String) =
+    lifecycleCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{ServePointer, SideIndex}
+      val rows = sideRows(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+      val ptr = s"$root/CURRENT"
+      SideIndex.build(rows, "doc_id", "chars", s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base")
+      val gA = SideIndex.maintain(s, s"$root/base",
+        deletes = Some(rows.where(col("doc_id") % 7 === 0).select("doc_id")),
+        increment = Some(rows.where(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
+        "doc_id", "chars", s"$root/oA", maxSegments = 1)
+      require(gA == s"$root/oA/compacted", s"round A must compact, got $gA")
+      ServePointer.publish(s, ptr, gA)
+      val live1 = SideIndex.read(s, gA, "doc_id", "chars")
+      val gB = SideIndex.maintain(s, gA,
+        deletes = Some(live1.where(col("doc_id") % 5 === 0).select("doc_id")),
+        increment = Some(rows.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("n_chars") + 2).as("n_chars"))),
+        "doc_id", "chars", s"$root/oB", maxSegments = 8, maxMaskedRatio = 1.0)
+      require(gB == s"$root/oB/updated", s"round B must stay uncompacted, got $gB")
+      ServePointer.publish(s, ptr, gB)
+      // retention keep=1: base (unreferenced — round A compacted) is
+      // vacuumed; round A survives as the rollback window
+      val rep = ServePointer.retain(s, ptr, keep = 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(rep.length == 1 && rep.head._1.endsWith("/base") &&
+        rep.head._2 == "vacuumed" && rep.head._3 > 0L,
+        s"retention must vacuum exactly the base root: ${rep.mkString(", ")}")
+      require(!new java.io.File(s"$root/base").exists, "base must be gone")
+      val hist = ServePointer.history(s, ptr)
+      require(hist.length == 1 && hist.head.endsWith("/oA/compacted"),
+        s"history must hold only the rollback window: ${hist.mkString(", ")}")
+      def snapshot(out: String): String = {
+        val served = ServePointer.read(s, ptr)
+        val live = SideIndex.read(s, served, "doc_id", "chars")
+        val inf = SideIndex.info(s, served, "chars")
+          .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
+        live.crossJoin(broadcast(inf)).write.parquet(out)
+        out
+      }
+      val retainedOut = snapshot(s"$root/retained")
+      // round B "misbehaves": one call flips back onto the window
+      val back = ServePointer.rollback(s, ptr)
+      require(back.endsWith("/oA/compacted") && ServePointer.read(s, ptr) == back,
+        s"rollback must land on the retained generation, got $back")
+      val rolledBackOut = snapshot(s"$root/rolledback")
+      // the abandoned generation is history now; keep=0 reclaims its
+      // WHOLE round root (oB/deleted's tombstones included) while the
+      // served round-A root survives
+      val rep2 = ServePointer.retain(s, ptr, keep = 0).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      require(rep2.length == 1 && rep2.head._1.endsWith("/oB") &&
+        rep2.head._2 == "vacuumed",
+        s"post-rollback retention must reclaim the abandoned ROUND root: ${rep2.mkString(", ")}")
+      require(!new java.io.File(s"$root/oB").exists,
+        "the abandoned round's intermediates must not leak")
+      require(new java.io.File(gA).exists, "the served generation must survive")
+      (retainedOut, rolledBackOut)
+    })
+
   /** Per-corpus memoized NIGHTLY all-tier round — the composed
     * deployment capstone: the BM25, side-table, and IVF-PQ families
     * each run ONE maintenance round from the SAME churn rule (%7
@@ -761,6 +841,50 @@ object SparkEntry {
       report.withColumn("published", col("published").cast("bigint"))
         .write.parquet(out)
       out
+    })
+
+  /** Per-corpus memoized STREAMED BM25 index — the continuous-ingest
+    * write path end to end: a third of the corpus builds yesterday's
+    * base generation, the remaining two thirds arrive as TWO
+    * Structured Streaming micro-batches through
+    * `Streams.bm25IndexIngest` (each committing an O(batch) increment
+    * generation under `gen/batch-<id>` and flipping the serve pointer,
+    * with `keepGenerations = 1` retention running per round), and the
+    * `retrieval_index_streamed` query then serves the pointer's final
+    * generation — which must rank EXACTLY like the direct full-corpus
+    * scan (the `retrieval_search_topk` oracle, reused by construction,
+    * the same bar the update/compaction tiers meet).
+    */
+  private val streamedBm25Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedBm25Pointer(s: SparkSession, dir: String): String =
+    streamedBm25Cache.computeIfAbsent(dir, _ => {
+      import graft.operators.ServePointer
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val root = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
+      val ptr = s"$root/CURRENT"
+      Retrieval.buildIndex(docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+        s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "BM25")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.bm25IndexIngest(
+        input.toDF().toDF("doc_id", "text"), ptr, s"$root/gen", "doc_id", "text",
+        s"$root/ckpt", maxSegments = 8, keepGenerations = Some(1))
+      try {
+        def rowsOf(m: Long) = docs.where(col("doc_id") % 3 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(rowsOf(1L): _*)
+        q.processAllAvailable()
+        input.addData(rowsOf(2L): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val served = ServePointer.read(s, ptr)
+      require(served.contains("/gen/batch-1/"),
+        s"the stream must have flipped the pointer to batch 1's generation, got $served")
+      ptr
     })
 
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
@@ -2682,6 +2806,16 @@ object SparkEntry {
       // refreshed re-adds), so the delete-time tsstats bookkeeping is
       // value-graded too.
       Retrieval.indexInfo(s, deletedBm25Index(s, dir))),
+    "retrieval_index_streamed" -> ((s, dir) => {
+      // the CONTINUOUS-INGEST write path: two-thirds of the corpus
+      // arrived as streaming micro-batch increment generations on top
+      // of a one-third base, each batch flipping the serve pointer —
+      // the final generation must rank the standard query EXACTLY like
+      // the direct full-corpus scan (one oracle by construction)
+      val ptr = streamedBm25Pointer(s, dir)
+      Retrieval.searchTopKIndexed(s, graft.operators.ServePointer.read(s, ptr),
+        "doc_id", Seq("spark", "fast", "join"), k = 10)
+    }),
     "retrieval_index_maintained" -> ((s, dir) => {
       // the AUTO-MAINTENANCE entry point: one maintainIndex round
       // (deletes + increment + a maxSegments=1 policy that trips into
@@ -2748,6 +2882,19 @@ object SparkEntry {
       val inf = SideIndex.info(s, served, "chars")
         .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
+    }),
+    "index_retained" -> ((s, dir) => {
+      // what the pointer serves AFTER `retain(keep = 1)` vacuumed the
+      // unreachable base root: round B's masked live read, unchanged —
+      // the retention can only pass this value grade if it deleted
+      // nothing the generation (or its rollback window) references
+      s.read.parquet(lifecyclePaths(s, dir)._1)
+    }),
+    "index_rolled_back" -> ((s, dir) => {
+      // what the pointer serves AFTER `rollback()`: round A's compacted
+      // relation (the one-round rule replay), proving the retained
+      // window is a usable rollback target with its full info row
+      s.read.parquet(lifecyclePaths(s, dir)._2)
     }),
     "index_audit" -> ((s, dir) => {
       // the cross-tier consistency audit: the BM25 index and the side
@@ -4850,6 +4997,42 @@ object SparkEntry {
                 1 AS n_segments, 0 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "index_retained" ->
+      // the same two-round replay as index_vacuumed, but the served
+      // generation is round B UNCOMPACTED after retention: round A's
+      // compacted segment + round B's increment segment (2 segments)
+      // and round B's tombstone generation (1) — retention deleted the
+      // base root and nothing else
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         l1 AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0),
+         live AS (
+           SELECT doc_id, n_chars FROM l1 WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 2 AS n_chars FROM base WHERE doc_id % 10 = 0)
+         SELECT doc_id, n_chars,
+                2 AS n_segments, 1 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
+    "index_rolled_back" ->
+      // the ONE-round replay: after rollback the pointer serves round
+      // A's compacted generation again (1 self-contained segment, no
+      // tombstone debt) — the retained window is a live, usable target
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         live AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0)
+         SELECT doc_id, n_chars,
+                1 AS n_segments, 0 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
     "index_audit" ->
       // the rule replayed as set arithmetic: both tiers live exactly
       // {text non-null, doc_id %7<>0 or %14=0}; vs the full registry
@@ -6261,7 +6444,11 @@ object SparkEntry {
       ("retrieval_index_update" -> pipelineTierOracle("retrieval_search_topk")) +
       // and so must the COMPACTED form of that same segmented index —
       // compaction is a storage re-home, never a semantics change
-      ("retrieval_index_compacted" -> pipelineTierOracle("retrieval_search_topk"))
+      ("retrieval_index_compacted" -> pipelineTierOracle("retrieval_search_topk")) +
+      // and the STREAMED form: per-micro-batch increment generations
+      // behind the serve pointer are the same LSM arithmetic — the
+      // final generation serves the full corpus identically
+      ("retrieval_index_streamed" -> pipelineTierOracle("retrieval_search_topk"))
 
   /** The most-composed end-to-end chains — the plans where a silent
     * regression would hurt a real pipeline most. Kept as a named set so
@@ -6396,7 +6583,8 @@ object SparkEntry {
     // from its compacted re-home, and the multi-query batch serve (one
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
-    "retrieval_index_info", "retrieval_index_maintained", "retrieval_batch_serve",
+    "retrieval_index_info", "retrieval_index_maintained", "retrieval_index_streamed",
+    "retrieval_batch_serve",
     // the third index family: the published admission side table the
     // streaming gates serve from, read through its sequenced mask,
     // its one-call maintenance round, and the cross-tier live-set audit
@@ -6406,8 +6594,9 @@ object SparkEntry {
     "index_audit_content",
     // the deployment lifecycle: serve-pointer read of the two-round
     // maintained + vacuumed generation (build/rounds/vacuum bill to
-    // the memoized first call, the *_index_update stance)
-    "index_vacuumed",
+    // the memoized first call, the *_index_update stance), plus the
+    // retention + rollback chain's materialized serve reads
+    "index_vacuumed", "index_retained", "index_rolled_back",
     // deletion-neighborhood fuzzy matching (blocked, never all-pairs)
     // and its full entity-resolution composition
     "fuzzy_name_pairs", "fuzzy_name_pairs2", "fuzzy_entities", "fuzzy_golden_records",
@@ -6447,8 +6636,10 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
+    "retrieval_index_streamed",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
+    "index_retained", "index_rolled_back",
     "curation_lm_gate", "release_maintained")
 
   /** The worst offenders of [[jitterProneBenchQueries]]: queries whose

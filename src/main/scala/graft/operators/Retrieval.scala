@@ -569,6 +569,96 @@ object Retrieval {
     cur
   }
 
+  /** ONE streaming micro-batch's index-ingest round — the
+    * EXACTLY-ONCE unit [[graft.streaming.Streams.bm25IndexIngest]]
+    * replays through `foreachBatch`: append this batch's new documents
+    * as an O(batch) increment on top of whatever the serve pointer
+    * currently publishes, let the compaction policy amortize the
+    * segment debt, and flip the pointer to the new generation. Keyed
+    * by `batchId` (`ingestRoot/batch-<id>`), the round is IDEMPOTENT
+    * under Structured Streaming's replay contract — a batch
+    * re-executed after a crash lands in exactly one of three states,
+    * each healed without re-indexing:
+    *
+    *  - COMMITTED (a manifest stands under the batch root): the crash
+    *    fell between commit and pointer flip — re-publish the pointer
+    *    at the committed step and stop. A compaction that crashed
+    *    AFTER its update step committed leaves uncommitted `compacted`
+    *    residue beside a valid `updated` chain: the residue is deleted
+    *    (nothing references an uncommitted root) and the valid chain
+    *    serves — the policy re-evaluates next batch.
+    *  - HALF-WRITTEN (the batch root exists, no manifest): delete the
+    *    residue wholesale and re-run — the manifest-last protocol
+    *    means nothing serves it.
+    *  - FRESH: run the round.
+    *
+    * An empty batch publishes NOTHING (no generation, no pointer
+    * movement) — the next batch chains from the pointer unchanged.
+    * With `keepGenerations` set, every committed round ends with
+    * [[IndexManifest.retainGenerations]] on the pointer's own history:
+    * superseded per-batch generations are vacuumed as soon as a
+    * compaction re-homes the segments they carried, so a long-running
+    * ingest's disk footprint is (current chain + rollback window +
+    * still-carried generations), not one root per batch forever.
+    *
+    * Scale shape: the stream side does no shuffle and holds no state —
+    * each round is [[updateIndex]]'s O(batch) tokenize + segment write
+    * (plus the liveness guard's id-column scan), and only a tripped
+    * policy pays the O(corpus) compaction. Readers resolve the pointer
+    * per query and always see a complete generation (manifest-last +
+    * atomic pointer rename). Reference counterpart: none — ironbeam
+    * is batch-only; this is the continuous-ingest sibling of
+    * [[maintainIndex]].
+    */
+  def ingestIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      textCol: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit = {
+    val outRoot = s"$ingestRoot/batch-$batchId"
+    val rootP = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedIngestStep(spark, outRoot) match {
+      case Some(root) =>
+        if (root == s"$outRoot/updated") {
+          val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
+          if (fs.exists(residue)) fs.delete(residue, true): Unit
+        }
+        IndexManifest.publishPointer(spark, pointerPath, root, "BM25")
+      case None =>
+        val rows = batch.where(col(textCol).isNotNull)
+        if (!rows.isEmpty) {
+          if (fs.exists(rootP))
+            require(fs.delete(rootP, true),
+              s"ingestIndexBatch: failed to clear half-written residue at $outRoot")
+          val cur = IndexManifest.readPointer(spark, pointerPath)
+          val newRoot = maintainIndex(spark, cur, None, Some(rows),
+            idCol, textCol, outRoot, maxSegments, maxMaskedRatio)
+          IndexManifest.publishPointer(spark, pointerPath, newRoot, "BM25")
+        }
+    }
+    keepGenerations.foreach(k =>
+      IndexManifest.retainGenerations(spark, pointerPath, k, "BM25").collect(): Unit)
+  }
+
+  /** The committed step of an ingest round's chain, newest first —
+    * ingest never deletes, so only `updated` / `compacted` can stand.
+    * A step is committed iff its manifest loads; anything else under
+    * the batch root is crash residue.
+    */
+  private def committedIngestStep(
+      spark: SparkSession, outRoot: String): Option[String] =
+    Seq(s"$outRoot/compacted", s"$outRoot/updated").find { p =>
+      try { IndexManifest.handle(spark, p, "BM25"); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All
     * paths — serve and maintenance — require it, so an index

@@ -462,6 +462,50 @@ object Streams {
       incoming, idCol, textCol, terms, df, nDocs, totalLen, k1, b)
   }
 
+  /** CONTINUOUS BM25 index ingest — the write-side counterpart of the
+    * index-backed gates: each micro-batch of new documents lands as an
+    * O(batch) increment generation on the segmented index (compaction
+    * policy amortizing the segment debt), and the SERVE POINTER flips
+    * to the new generation after each commit, so batch consumers and
+    * gate restarts pick up the stream's progress at whatever cadence
+    * they re-resolve the pointer. Exactly-once rides on
+    * [[graft.operators.Retrieval.ingestIndexBatch]]'s batchId-keyed
+    * idempotence under `foreachBatch`'s replay contract: a re-executed
+    * batch heals the pointer instead of double-indexing (the
+    * re-submission guard would otherwise refuse loudly — corruption is
+    * impossible either way). With `keepGenerations` set, every round
+    * retains the pointer's history down to the rollback window plus
+    * whatever newer generations still carry by reference — the
+    * long-running ingest's disk footprint stays bounded by the
+    * compaction cadence, not the batch count.
+    *
+    * The returned query is started; callers own its lifecycle
+    * (`processAllAvailable` in tests, `awaitTermination` in a
+    * deployment). The pointer must already publish a base generation
+    * — build one with [[graft.operators.Retrieval.buildIndex]] (an
+    * empty corpus is a valid base) and
+    * [[graft.operators.ServePointer.publish]].
+    */
+  def bm25IndexIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Retrieval.ingestIndexBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
   /** Online drift monitor — the streaming sibling of
     * [[graft.operators.Stats.populationStability]]: each event-time
     * tumbling window's value distribution is scored against a STATIC

@@ -984,4 +984,97 @@ class StreamingSpec extends SparkTestBase {
       assert(last == Map("x" -> 3L, "y" -> 1L))
     } finally query.stop()
   }
+
+  private def ingestDocs: Seq[(Long, String)] = Seq(
+    (1L, "spark joins data fast"), (2L, "fast spark shuffle"),
+    (3L, "slow scans all data"), (4L, "join the spark stream"),
+    (5L, "fast fast join"), (6L, "unrelated words entirely"),
+    (7L, "spark spark spark"), (8L, "data stream join fast"),
+    (9L, "one more spark doc"), (10L, "joins and scans"))
+
+  test("bm25IndexIngest: streamed batches serve identically to a from-scratch build, pointer flips per batch") {
+    import graft.operators.{Retrieval, ServePointer}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    // yesterday's base: docs 1-4; the stream lands 5-7 then 8-10
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.bm25IndexIngest(
+      input.toDF().toDF("doc_id", "text"), ptr, s"$root/gen",
+      "doc_id", "text", s"$root/ckpt", maxSegments = 8,
+      keepGenerations = Some(1))
+    try {
+      input.addData(ingestDocs.filter(d => d._1 >= 5 && d._1 <= 7): _*)
+      query.processAllAvailable()
+      val mid = ServePointer.read(spark, ptr)
+      assert(mid.contains("/gen/batch-0/"), s"pointer must flip to batch 0's generation: $mid")
+      // mid-stream serve: the 7-doc corpus answers like a fresh build
+      Retrieval.buildIndex(all.where($"doc_id" <= 7), "doc_id", "text", s"$root/ref7")
+      val midGot = Retrieval.searchTopKIndexed(spark, mid, "doc_id", Seq("spark", "join"), 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val midWant = Retrieval.searchTopKIndexed(spark, s"$root/ref7", "doc_id", Seq("spark", "join"), 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(midGot == midWant, s"mid-stream serve diverged:\n$midGot\n$midWant")
+      input.addData(ingestDocs.filter(_._1 >= 8): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val fin = ServePointer.read(spark, ptr)
+    assert(fin.contains("/gen/batch-1/"), s"pointer must flip to batch 1's generation: $fin")
+    Retrieval.buildIndex(all, "doc_id", "text", s"$root/ref10")
+    val got = Retrieval.searchTopKIndexed(spark, fin, "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Retrieval.searchTopKIndexed(spark, s"$root/ref10", "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"final serve diverged:\n$got\n$want")
+    // retention kept at most the rollback window + carried generations:
+    // the base root must still exist only if something carries it
+    val hist = ServePointer.history(spark, ptr)
+    assert(hist.nonEmpty, "the ingest must be recording generation history")
+  }
+
+  test("ingestIndexBatch: committed replay heals the pointer without re-indexing; residue is cleaned") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    val b0 = all.where($"doc_id" >= 5 && $"doc_id" <= 7)
+    Retrieval.ingestIndexBatch(spark, b0, 0L, ptr, s"$root/gen", "doc_id", "text")
+    val after = ServePointer.read(spark, ptr)
+    val served = Retrieval.searchTopKIndexed(spark, after, "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exactly-once: the replayed batch is a pointer heal, NOT a second
+    // increment (which the re-submission guard would refuse loudly)
+    Retrieval.ingestIndexBatch(spark, b0, 0L, ptr, s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr) == after, "replay must not mint a new generation")
+    val served2 = Retrieval.searchTopKIndexed(spark, after, "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served2 == served)
+    // a half-written attempt (no manifest) is residue: the re-run
+    // clears it and commits cleanly
+    val half = new java.io.File(s"$root/gen/batch-1/updated/segments/junk")
+    assert(half.mkdirs())
+    java.nio.file.Files.writeString(half.toPath.resolve("garbage.txt"), "not an index")
+    Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 8), 1L, ptr,
+      s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr).contains("/gen/batch-1/"))
+    assert(!half.exists, "crash residue must have been cleared before the re-run")
+    val fin = Retrieval.searchTopKIndexed(spark, ServePointer.read(spark, ptr),
+      "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    Retrieval.buildIndex(all, "doc_id", "text", s"$root/ref10")
+    val want = Retrieval.searchTopKIndexed(spark, s"$root/ref10", "doc_id", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fin == want, s"post-residue serve diverged:\n$fin\n$want")
+    // an EMPTY batch publishes nothing and moves no pointer
+    val before = ServePointer.read(spark, ptr)
+    Retrieval.ingestIndexBatch(spark, all.where($"doc_id" > 100), 2L, ptr,
+      s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr) == before)
+    assert(!new java.io.File(s"$root/gen/batch-2").exists)
+  }
 }
