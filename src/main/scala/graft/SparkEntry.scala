@@ -887,6 +887,95 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized STREAMED IVF-PQ index — the vector tier's
+    * continuous-ingest sibling of [[streamedBm25Pointer]]: models
+    * trained and FROZEN on the one-third base, the remaining two
+    * thirds arriving as two streaming micro-batches through
+    * `Streams.pqIndexIngest` (each an O(batch) PQ-encode increment
+    * generation behind the serve pointer, retention per round), plus
+    * the one-pass full-corpus comparison index under the SAME models —
+    * the `ann_index_streamed` query serves both and flags
+    * neighbor-for-neighbor identity, the update-tier bar.
+    */
+  private case class StreamedAnnIndex(
+      ptr: String, scratchPath: String,
+      coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+  private val annStreamedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamedAnnIndex]()
+  private def streamedAnnIndex(s: SparkSession, dir: String): StreamedAnnIndex =
+    annStreamedCache.computeIfAbsent(dir, _ => {
+      import graft.operators.ServePointer
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val baseCorpus = emb.where(col("vec_id") % 3 === 0)
+      val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 8)
+      val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding",
+        numSub = 16, nCentroids = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+      val ptr = s"$root/CURRENT"
+      Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "IVF-PQ")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.pqIndexIngest(
+        input.toDF().toDF("vec_id", "embedding"), ptr, s"$root/gen",
+        "vec_id", "embedding", coarse, cb, s"$root/ckpt",
+        keepGenerations = Some(1))
+      try {
+        def rowsOf(m: Long) = emb.where(col("vec_id") % 3 === m)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        input.addData(rowsOf(1L): _*)
+        q.processAllAvailable()
+        input.addData(rowsOf(2L): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(ServePointer.read(s, ptr).contains("/gen/batch-1/"),
+        s"the vector stream must have flipped the pointer to batch 1, got " +
+          ServePointer.read(s, ptr))
+      val scratch = s"$root/scratch"
+      Similarity.writePqIndex(emb, "vec_id", "embedding", coarse, cb, scratch)
+      StreamedAnnIndex(ptr, scratch, coarse, cb)
+    })
+
+  /** Per-corpus memoized STREAMED side index — the third family's
+    * continuous-ingest form: one-third base build, two thirds streamed
+    * through `Streams.sideIndexIngest`; the `side_index_streamed`
+    * query reads the pointer's final generation, which must hold the
+    * FULL side relation (ingest is additive) across three segments
+    * with zero tombstone debt.
+    */
+  private val sideStreamedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedSidePointer(s: SparkSession, dir: String): String =
+    sideStreamedCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{ServePointer, SideIndex}
+      import s.implicits._
+      val rows = sideRows(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-side-stream").toString
+      val ptr = s"$root/CURRENT"
+      SideIndex.build(rows.where(col("doc_id") % 3 === 0), "doc_id", "chars", s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "side(chars)")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int)]
+      val q = graft.streaming.Streams.sideIndexIngest(
+        input.toDF().toDF("doc_id", "n_chars"), ptr, s"$root/gen",
+        "doc_id", "chars", s"$root/ckpt", keepGenerations = Some(1))
+      try {
+        def rowsOf(m: Long) = rows.where(col("doc_id") % 3 === m)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        input.addData(rowsOf(1L): _*)
+        q.processAllAvailable()
+        input.addData(rowsOf(2L): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(ServePointer.read(s, ptr).contains("/gen/batch-1/"),
+        s"the side stream must have flipped the pointer to batch 1, got " +
+          ServePointer.read(s, ptr))
+      ptr
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2846,6 +2935,19 @@ object SparkEntry {
         .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
     }),
+    "side_index_streamed" -> ((s, dir) => {
+      // the side tier's CONTINUOUS-INGEST write path: two thirds of
+      // the side rows arrived as streaming micro-batch increment
+      // generations behind the serve pointer — the final generation
+      // must hold the FULL relation (ingest is additive) across three
+      // segments with zero tombstone debt
+      import graft.operators.{ServePointer, SideIndex}
+      val served = ServePointer.read(s, streamedSidePointer(s, dir))
+      val live = SideIndex.read(s, served, "doc_id", "chars")
+      val inf = SideIndex.info(s, served, "chars")
+        .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
+      live.crossJoin(broadcast(inf))
+    }),
     "side_index_maintained" -> ((s, dir) => {
       // one SideIndex.maintain round (delete + re-key update + a
       // maxSegments=1 policy that trips) — the side tier's scheduler
@@ -3246,6 +3348,31 @@ object SparkEntry {
         q, Similarity.readPqIndex(s, upd.scratchPath),
         "vec_id", "embedding", k = 5, upd.coarse, nprobe = 4, upd.cb)
       fromUpdated.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
+    }),
+    "ann_index_streamed" -> ((s, dir) => {
+      // the vector tier's CONTINUOUS-INGEST write path: two thirds of
+      // the embeddings arrived as streaming micro-batch increment
+      // generations (frozen models) behind the serve pointer — serving
+      // from the pointer's final generation must be
+      // neighbor-for-neighbor identical to a one-pass encode of the
+      // full corpus under the same models, the update-tier bar
+      import graft.operators.ServePointer
+      val st = streamedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromStreamed = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, ServePointer.read(s, st.ptr)),
+        "vec_id", "embedding", k = 5, st.coarse, nprobe = 4, st.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, st.scratchPath),
+        "vec_id", "embedding", k = 5, st.coarse, nprobe = 4, st.cb)
+      fromStreamed.as("u")
         .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
         .groupBy("query_id")
         .agg(
@@ -4944,6 +5071,17 @@ object SparkEntry {
                 2 AS n_segments, 1 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "side_index_streamed" ->
+      // ingest is additive, so the streamed pointer's final generation
+      // holds the FULL side relation: one base segment plus one per
+      // micro-batch (3), no tombstone debt
+      """WITH live AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, n_chars,
+                3 AS n_segments, 0 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
     "side_index_maintained" ->
       // same rule-replayed live set as side_index_live; the maintain
       // round's tripped policy re-homes it into one segment with no
@@ -5253,6 +5391,13 @@ object SparkEntry {
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
     "ann_index_deleted" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical
+         FROM embeddings WHERE vec_id < 20""",
+    "ann_index_streamed" ->
+      // the streamed per-batch generations must serve neighbor-for-
+      // neighbor like the one-pass encode — every query row flags
+      // complete and identical
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
          CAST(1 AS BIGINT) AS identical
          FROM embeddings WHERE vec_id < 20""",
@@ -6541,6 +6686,9 @@ object SparkEntry {
     // one auto-maintenance round (delete + re-embed + tripped policy
     // -> compaction) billed against the memoized chain
     "ann_index_maintained",
+    // the streamed vector-tier ingest's final-generation serve (the
+    // stream itself bills to the memoized fixture)
+    "ann_index_streamed",
     // the forced-distributed clustering variant keeps the delta-iteration
     // loop's cost measured even where the capstone takes the driver path
     "dedup_clusters_distributed",
@@ -6588,7 +6736,8 @@ object SparkEntry {
     // the third index family: the published admission side table the
     // streaming gates serve from, read through its sequenced mask,
     // its one-call maintenance round, and the cross-tier live-set audit
-    "side_index_live", "side_index_maintained", "index_audit", "index_audit_ann",
+    "side_index_live", "side_index_maintained", "side_index_streamed",
+    "index_audit", "index_audit_ann",
     // the content audit: same narrow joins plus the payload-hash
     // disagreement count the id-set audit cannot see
     "index_audit_content",
@@ -6631,14 +6780,14 @@ object SparkEntry {
     "dedup_clusters", "dedup_clusters_distributed", "dedup_clusters_incremental",
     "dedup_clusters_removed",
     "ann_query_serve", "ann_index_update", "ann_index_compacted", "ann_index_deleted",
-    "ann_index_info", "ann_index_maintained",
+    "ann_index_info", "ann_index_maintained", "ann_index_streamed",
     "ann_serve_reranked",
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_index_streamed",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
-    "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
+    "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",
     "curation_lm_gate", "release_maintained")
 

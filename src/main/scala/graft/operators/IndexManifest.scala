@@ -711,6 +711,72 @@ private[operators] object IndexManifest {
     * (root, status = vacuumed | held | absent, n_files_deleted,
     * bytes_deleted).
     */
+  // ==================== streaming ingest round ====================
+
+  /** ONE streaming micro-batch's ingest round, shared by every index
+    * family (the tier wrappers — [[Retrieval.ingestIndexBatch]],
+    * [[Similarity.ingestPqIndexBatch]], [[SideIndex.ingestBatch]] —
+    * supply only the filtered rows and the maintain closure): append
+    * the batch as an O(batch) increment generation on whatever the
+    * serve pointer currently publishes and flip the pointer.
+    * Idempotent under Structured Streaming's `foreachBatch` replay
+    * contract via the batchId-keyed root (`ingestRoot/batch-<id>`):
+    *
+    *  - COMMITTED (a manifest stands under the batch root): the crash
+    *    fell between commit and pointer flip — re-publish the pointer
+    *    and stop. A compaction that crashed after its update step
+    *    committed leaves uncommitted `compacted` residue beside a
+    *    valid `updated` chain: delete the residue (nothing references
+    *    an uncommitted root), serve the valid chain, and let the
+    *    policy re-evaluate next batch.
+    *  - HALF-WRITTEN (the batch root exists, no manifest): delete the
+    *    residue wholesale and re-run — manifest-last means nothing
+    *    serves it.
+    *  - FRESH: run the round.
+    *
+    * An EMPTY batch publishes nothing. With `keepGenerations` set,
+    * every round ends with [[retainGenerations]], so a long-running
+    * ingest's disk footprint is bounded by the compaction cadence,
+    * not the batch count.
+    */
+  private[operators] def ingestRound(
+      spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      what: String,
+      maintain: (org.apache.spark.sql.DataFrame, String, String) => String,
+      keepGenerations: Option[Int]): Unit = {
+    val outRoot = s"$ingestRoot/batch-$batchId"
+    val rootP = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committed step of the round's chain, newest first — ingest
+    // never deletes, so only updated / compacted can stand
+    val committed = Seq(s"$outRoot/compacted", s"$outRoot/updated").find { p =>
+      try { handle(spark, p, what); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    committed match {
+      case Some(root) =>
+        if (root == s"$outRoot/updated") {
+          val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
+          if (fs.exists(residue)) fs.delete(residue, true): Unit
+        }
+        publishPointer(spark, pointerPath, root, what)
+      case None =>
+        if (!rows.isEmpty) {
+          if (fs.exists(rootP))
+            require(fs.delete(rootP, true),
+              s"ingestRound: failed to clear half-written residue at $outRoot")
+          val cur = readPointer(spark, pointerPath)
+          publishPointer(spark, pointerPath, maintain(rows, cur, outRoot), what)
+        }
+    }
+    keepGenerations.foreach(k =>
+      retainGenerations(spark, pointerPath, k, what).collect(): Unit)
+  }
+
   /** A maintain round mints its steps under ONE outRoot
     * (`outRoot/deleted|updated|compacted` — the only roots the
     * maintain entry points publish), and the pointer history records

@@ -620,44 +620,12 @@ object Retrieval {
       textCol: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit = {
-    val outRoot = s"$ingestRoot/batch-$batchId"
-    val rootP = new org.apache.hadoop.fs.Path(outRoot)
-    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedIngestStep(spark, outRoot) match {
-      case Some(root) =>
-        if (root == s"$outRoot/updated") {
-          val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
-          if (fs.exists(residue)) fs.delete(residue, true): Unit
-        }
-        IndexManifest.publishPointer(spark, pointerPath, root, "BM25")
-      case None =>
-        val rows = batch.where(col(textCol).isNotNull)
-        if (!rows.isEmpty) {
-          if (fs.exists(rootP))
-            require(fs.delete(rootP, true),
-              s"ingestIndexBatch: failed to clear half-written residue at $outRoot")
-          val cur = IndexManifest.readPointer(spark, pointerPath)
-          val newRoot = maintainIndex(spark, cur, None, Some(rows),
-            idCol, textCol, outRoot, maxSegments, maxMaskedRatio)
-          IndexManifest.publishPointer(spark, pointerPath, newRoot, "BM25")
-        }
-    }
-    keepGenerations.foreach(k =>
-      IndexManifest.retainGenerations(spark, pointerPath, k, "BM25").collect(): Unit)
-  }
-
-  /** The committed step of an ingest round's chain, newest first —
-    * ingest never deletes, so only `updated` / `compacted` can stand.
-    * A step is committed iff its manifest loads; anything else under
-    * the batch root is crash residue.
-    */
-  private def committedIngestStep(
-      spark: SparkSession, outRoot: String): Option[String] =
-    Seq(s"$outRoot/compacted", s"$outRoot/updated").find { p =>
-      try { IndexManifest.handle(spark, p, "BM25"); true }
-      catch { case _: IllegalArgumentException => false }
-    }
+      keepGenerations: Option[Int] = None): Unit =
+    IndexManifest.ingestRound(spark, batch.where(col(textCol).isNotNull),
+      batchId, pointerPath, ingestRoot, "BM25",
+      (rows, cur, outRoot) => maintainIndex(spark, cur, None, Some(rows),
+        idCol, textCol, outRoot, maxSegments, maxMaskedRatio),
+      keepGenerations)
 
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All

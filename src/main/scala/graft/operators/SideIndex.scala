@@ -309,6 +309,33 @@ object SideIndex {
     cur
   }
 
+  /** ONE streaming micro-batch's SIDE-TABLE ingest round — the third
+    * family on the shared [[IndexManifest.ingestRound]] engine
+    * ([[Retrieval.ingestIndexBatch]] /
+    * [[Similarity.ingestPqIndexBatch]] siblings): the batch's new
+    * side rows land as an O(batch) increment generation behind the
+    * serve pointer, with the same idempotent replay, residue cleanup,
+    * empty-batch no-op, and optional retention. Null-id rows are
+    * dropped before the empty-batch check, mirroring what the write
+    * guard would refuse.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      flavor: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit =
+    IndexManifest.ingestRound(spark, batch.where(col(idCol).isNotNull),
+      batchId, pointerPath, ingestRoot, s"side($flavor)",
+      (rows, cur, outRoot) => maintain(spark, cur, None, Some(rows),
+        idCol, flavor, outRoot, maxSegments, maxMaskedRatio),
+      keepGenerations)
+
   /** The operational metadata row (n_segments, n_tombstone_gens,
     * n_rows_indexed, n_rows_masked, n_rows_live) — footer-sized reads
     * only, poll-safe, mirroring the other tiers' info surfaces.

@@ -1014,6 +1014,40 @@ object Similarity {
     cur
   }
 
+  /** ONE streaming micro-batch's VECTOR-TIER ingest round — the
+    * IVF-PQ sibling of [[Retrieval.ingestIndexBatch]], on the shared
+    * [[IndexManifest.ingestRound]] engine: the batch's new vectors are
+    * encoded under the FROZEN quantizer models (the trained-model
+    * stance of every incremental path here — retrain and rebuild when
+    * drift demands it) and land as an O(batch) increment generation;
+    * the serve pointer flips after each commit; replayed batches heal
+    * instead of double-encoding; `keepGenerations` retention bounds
+    * the footprint. Rows with a null id or vector are dropped before
+    * the empty-batch check, mirroring what [[writePqIndex]] would
+    * refuse.
+    */
+  def ingestPqIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      residual: Boolean = false,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit =
+    IndexManifest.ingestRound(spark,
+      batch.where(col(idCol).isNotNull && col(vecCol).isNotNull),
+      batchId, pointerPath, ingestRoot, "IVF-PQ",
+      (rows, cur, outRoot) => maintainPqIndex(spark, cur, None, Some(rows),
+        idCol, vecCol, coarseCents, codebooks, outRoot, residual,
+        maxSegments, maxMaskedRatio),
+      keepGenerations)
+
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse
     * centroid (FAISS `by_residual=true` training). The coarse quantizer

@@ -506,6 +506,64 @@ object Streams {
       }
       .start()
 
+  /** [[bm25IndexIngest]]'s VECTOR-TIER sibling: each micro-batch of
+    * new embeddings is PQ-encoded under the FROZEN quantizer models
+    * and lands as an O(batch) increment generation on the IVF-PQ
+    * index behind the serve pointer — same exactly-once replay story,
+    * same optional retention ([[graft.operators.Similarity
+    * .ingestPqIndexBatch]]). Retrain-and-rebuild remains the batch
+    * tier's job when embedding drift demands new models.
+    */
+  def pqIndexIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      checkpointDir: String,
+      residual: Boolean = false,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ingestPqIndexBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, vecCol, coarseCents, codebooks, residual,
+          maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
+  /** [[bm25IndexIngest]]'s SIDE-TABLE sibling: each micro-batch of
+    * new (id, payload) side rows lands as an O(batch) increment
+    * generation behind the serve pointer
+    * ([[graft.operators.SideIndex.ingestBatch]]) — the continuously-
+    * fed admission table the index-backed gates read at restart.
+    */
+  def sideIndexIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      flavor: String,
+      checkpointDir: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SideIndex.ingestBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
   /** Online drift monitor — the streaming sibling of
     * [[graft.operators.Stats.populationStability]]: each event-time
     * tumbling window's value distribution is scored against a STATIC

@@ -755,6 +755,41 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(merged.nonEmpty)
   }
 
+  test("ingestPqIndexBatch: streamed vector batches behind the pointer equal a one-pass encode; replay heals") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ServePointer
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val baseCorpus = emb.where(col("vec_id") % 3 === 0)
+    val coarse = Similarity.trainCentroids(baseCorpus, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(baseCorpus, "vec_id", "embedding", 8, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_ingest").toString
+    val ptr = s"$root/CURRENT"
+    Similarity.writePqIndex(baseCorpus, "vec_id", "embedding", coarse, cb, s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "IVF-PQ")
+    Similarity.ingestPqIndexBatch(spark, emb.where(col("vec_id") % 3 === 1), 0L,
+      ptr, s"$root/gen", "vec_id", "embedding", coarse, cb)
+    Similarity.ingestPqIndexBatch(spark, emb.where(col("vec_id") % 3 === 2), 1L,
+      ptr, s"$root/gen", "vec_id", "embedding", coarse, cb)
+    val served = ServePointer.read(spark, ptr)
+    assert(served.contains("/gen/batch-1/"), served)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("cell").cast("int"),
+        col("codes").cast("string"), col("c_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val streamed = rows(Similarity.readPqIndex(spark, served))
+    val scratch = rows(Similarity.pqIndex(emb, "vec_id", "embedding", coarse, cb))
+    assert(streamed == scratch,
+      "streamed per-batch generations diverged from the one-pass encode")
+    assert(streamed.nonEmpty)
+    // exactly-once: a replayed committed batch heals the pointer
+    // instead of double-encoding (the re-submission guard would
+    // refuse loudly otherwise)
+    Similarity.ingestPqIndexBatch(spark, emb.where(col("vec_id") % 3 === 2), 1L,
+      ptr, s"$root/gen", "vec_id", "embedding", coarse, cb)
+    assert(ServePointer.read(spark, ptr) == served)
+    assert(rows(Similarity.readPqIndex(spark, served)) == scratch)
+  }
+
   test("updatePqIndex chains: a second-generation update serves like a one-pass encode (both flavors)") {
     import org.apache.spark.sql.functions.col
     // the daily-delta contract is closed under itself: the output of

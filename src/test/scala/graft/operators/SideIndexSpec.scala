@@ -134,4 +134,32 @@ class SideIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not fresh"), e.getMessage)
   }
+
+  test("ingestBatch chains increments behind the pointer; replay heals; empty batch is a no-op") {
+    val root = tmp("side-ingest")
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars"),
+      "doc_id", "chars", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "side(chars)")
+    SideIndex.ingestBatch(spark, Seq((3L, 30), (4L, 40)).toDF("doc_id", "n_chars"),
+      0L, ptr, s"$root/gen", "doc_id", "chars")
+    SideIndex.ingestBatch(spark, Seq((5L, 50)).toDF("doc_id", "n_chars"),
+      1L, ptr, s"$root/gen", "doc_id", "chars")
+    val served = ServePointer.read(spark, ptr)
+    assert(served.contains("/gen/batch-1/"), served)
+    def live = SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "chars")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val want = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40), (5L, 50))
+    assert(live == want, live.mkString(", "))
+    // a replayed committed batch heals the pointer, never re-submits
+    // (the live-resubmission guard would refuse loudly otherwise)
+    SideIndex.ingestBatch(spark, Seq((5L, 50)).toDF("doc_id", "n_chars"),
+      1L, ptr, s"$root/gen", "doc_id", "chars")
+    assert(ServePointer.read(spark, ptr) == served && live == want)
+    // an empty batch publishes nothing
+    SideIndex.ingestBatch(spark, Seq.empty[(Long, Int)].toDF("doc_id", "n_chars"),
+      2L, ptr, s"$root/gen", "doc_id", "chars")
+    assert(ServePointer.read(spark, ptr) == served)
+    assert(!new java.io.File(s"$root/gen/batch-2").exists)
+  }
 }
