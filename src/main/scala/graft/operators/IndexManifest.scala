@@ -504,20 +504,29 @@ private[operators] object IndexManifest {
     // record the superseded root in the GENERATION HISTORY before the
     // flip: history is what [[rollbackPointer]] rolls back onto and
     // what [[retainGenerations]] retires, so it must never miss a
-    // generation that actually served. Crash window (history written,
-    // pointer not yet flipped): the still-current root appears in its
-    // own history — every history consumer filters entries equal to
-    // the current pointer, and the dedupe below removes the residue on
-    // the next successful publish. Entries are distinct, oldest first;
-    // re-publishing a root already in history (a roll-forward) removes
-    // its old position so the current root never lingers as "previous".
+    // generation that actually served — and it must never DROP one in
+    // a crash window either, which is why the write is two-phase. The
+    // pre-flip write appends the about-to-be-superseded root but KEEPS
+    // the publish target if history already holds it (the rollback /
+    // roll-forward case): pruning the target before the flip would
+    // orphan its generation if the flip crashes — pointer still
+    // serving the old root, target in neither pointer nor history, so
+    // retention could never reclaim it and rollback could not find it.
+    // The prune runs AFTER the flip instead. Either crash window
+    // leaves at worst the CURRENT root listed in its own history —
+    // benign: every consumer filters entries equal to the current
+    // pointer, and the next successful publish prunes the residue.
     val prev = if (fs.exists(dst)) Some(readPointer(spark, pointerPath)) else None
     prev.filter(_ != newQ).foreach { p =>
       val hist = readHistory(spark, pointerPath)
       writeAtomic(spark, historyPath(pointerPath),
-        (hist.filterNot(r => r == p || r == newQ) :+ p).mkString("\n"))
+        (hist.filterNot(_ == p) :+ p).mkString("\n"))
     }
     writeAtomic(spark, pointerPath, newQ)
+    val hist = readHistory(spark, pointerPath)
+    if (hist.contains(newQ))
+      writeAtomic(spark, historyPath(pointerPath),
+        hist.filterNot(_ == newQ).mkString("\n"))
   }
 
   /** Write a small metadata file atomically: temp name, then ONE
@@ -711,72 +720,6 @@ private[operators] object IndexManifest {
     * (root, status = vacuumed | held | absent, n_files_deleted,
     * bytes_deleted).
     */
-  // ==================== streaming ingest round ====================
-
-  /** ONE streaming micro-batch's ingest round, shared by every index
-    * family (the tier wrappers — [[Retrieval.ingestIndexBatch]],
-    * [[Similarity.ingestPqIndexBatch]], [[SideIndex.ingestBatch]] —
-    * supply only the filtered rows and the maintain closure): append
-    * the batch as an O(batch) increment generation on whatever the
-    * serve pointer currently publishes and flip the pointer.
-    * Idempotent under Structured Streaming's `foreachBatch` replay
-    * contract via the batchId-keyed root (`ingestRoot/batch-<id>`):
-    *
-    *  - COMMITTED (a manifest stands under the batch root): the crash
-    *    fell between commit and pointer flip — re-publish the pointer
-    *    and stop. A compaction that crashed after its update step
-    *    committed leaves uncommitted `compacted` residue beside a
-    *    valid `updated` chain: delete the residue (nothing references
-    *    an uncommitted root), serve the valid chain, and let the
-    *    policy re-evaluate next batch.
-    *  - HALF-WRITTEN (the batch root exists, no manifest): delete the
-    *    residue wholesale and re-run — manifest-last means nothing
-    *    serves it.
-    *  - FRESH: run the round.
-    *
-    * An EMPTY batch publishes nothing. With `keepGenerations` set,
-    * every round ends with [[retainGenerations]], so a long-running
-    * ingest's disk footprint is bounded by the compaction cadence,
-    * not the batch count.
-    */
-  private[operators] def ingestRound(
-      spark: SparkSession,
-      rows: org.apache.spark.sql.DataFrame,
-      batchId: Long,
-      pointerPath: String,
-      ingestRoot: String,
-      what: String,
-      maintain: (org.apache.spark.sql.DataFrame, String, String) => String,
-      keepGenerations: Option[Int]): Unit = {
-    val outRoot = s"$ingestRoot/batch-$batchId"
-    val rootP = new org.apache.hadoop.fs.Path(outRoot)
-    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the committed step of the round's chain, newest first — ingest
-    // never deletes, so only updated / compacted can stand
-    val committed = Seq(s"$outRoot/compacted", s"$outRoot/updated").find { p =>
-      try { handle(spark, p, what); true }
-      catch { case _: IllegalArgumentException => false }
-    }
-    committed match {
-      case Some(root) =>
-        if (root == s"$outRoot/updated") {
-          val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
-          if (fs.exists(residue)) fs.delete(residue, true): Unit
-        }
-        publishPointer(spark, pointerPath, root, what)
-      case None =>
-        if (!rows.isEmpty) {
-          if (fs.exists(rootP))
-            require(fs.delete(rootP, true),
-              s"ingestRound: failed to clear half-written residue at $outRoot")
-          val cur = readPointer(spark, pointerPath)
-          publishPointer(spark, pointerPath, maintain(rows, cur, outRoot), what)
-        }
-    }
-    keepGenerations.foreach(k =>
-      retainGenerations(spark, pointerPath, k, what).collect(): Unit)
-  }
-
   /** A maintain round mints its steps under ONE outRoot
     * (`outRoot/deleted|updated|compacted` — the only roots the
     * maintain entry points publish), and the pointer history records
@@ -859,6 +802,97 @@ private[operators] object IndexManifest {
           .toDF("root", "n_files_deleted", "bytes_deleted")
           .withColumn("status", lit("held")))
       .select(col("root"), col("status"), col("n_files_deleted"), col("bytes_deleted"))
+  }
+
+  // ==================== streaming ingest round ====================
+
+  /** ONE streaming micro-batch's ingest round, shared by every index
+    * family (the tier wrappers — [[Retrieval.ingestIndexBatch]],
+    * [[Similarity.ingestPqIndexBatch]], [[SideIndex.ingestBatch]] —
+    * supply only the filtered rows and the maintain closure): append
+    * the batch as an O(batch) increment generation on whatever the
+    * serve pointer currently publishes and flip the pointer.
+    * Idempotent under Structured Streaming's `foreachBatch` replay
+    * contract via the batchId-keyed root (`ingestRoot/batch-<id>`):
+    *
+    *  - COMMITTED (a manifest stands under the batch root): the crash
+    *    fell between commit and pointer flip — re-publish the pointer
+    *    and stop. A compaction that crashed after its update step
+    *    committed leaves uncommitted `compacted` residue beside a
+    *    valid `updated` chain: delete the residue (nothing references
+    *    an uncommitted root), serve the valid chain, and let the
+    *    policy re-evaluate next batch.
+    *  - HALF-WRITTEN (the batch root exists, no readable manifest —
+    *    absent OR torn mid-write): delete the residue wholesale and
+    *    re-run — manifest-last means nothing serves it. Exception: an
+    *    unreadable manifest under the root the pointer SERVES is
+    *    out-of-band corruption and refuses loudly instead of being
+    *    auto-deleted by a retrying stream.
+    *  - FRESH: run the round.
+    *
+    * An EMPTY batch publishes nothing. With `keepGenerations` set,
+    * every round ends with [[retainGenerations]], so a long-running
+    * ingest's disk footprint is bounded by the compaction cadence,
+    * not the batch count.
+    */
+  private[operators] def ingestRound(
+      spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      what: String,
+      maintain: (org.apache.spark.sql.DataFrame, String, String) => String,
+      keepGenerations: Option[Int]): Unit = {
+    val outRoot = s"$ingestRoot/batch-$batchId"
+    val rootP = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committed step of the round's chain, newest first — ingest
+    // never deletes, so only updated / compacted can stand. A step is
+    // classified by EVIDENCE, not exception class: manifest dir absent
+    // = uncommitted (the normal fresh / half-written states); present
+    // and loading = committed; present but UNREADABLE (a crash
+    // mid-manifest-write tore it — read failures here surface as
+    // AnalysisException, not the missing-manifest refusal) = torn
+    // residue, deletable like any half-written root — but ONLY when
+    // the pointer does not reference into this round: a torn manifest
+    // under the SERVING root is out-of-band corruption that must
+    // refuse loudly, never be auto-deleted by a retrying stream.
+    var torn = false
+    val committed = Seq(s"$outRoot/compacted", s"$outRoot/updated").find { p =>
+      val mp = new org.apache.hadoop.fs.Path(s"$p/manifest")
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp) && {
+        try { handle(spark, p, what); true }
+        catch { case scala.util.control.NonFatal(_) => torn = true; false }
+      }
+    }
+    committed match {
+      case Some(root) =>
+        if (root == s"$outRoot/updated") {
+          val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
+          if (fs.exists(residue)) fs.delete(residue, true): Unit
+        }
+        publishPointer(spark, pointerPath, root, what)
+      case None =>
+        val outQ = qualifiedPath(spark, outRoot)
+        if (torn) {
+          val curQ = qualifiedPath(spark, readPointer(spark, pointerPath))
+          require(curQ != outQ && !curQ.startsWith(outQ + "/"),
+            s"ingestRound: the serving root $curQ has an unreadable manifest — " +
+              "out-of-band corruption, not replayable crash residue; refusing to " +
+              "auto-delete it. Restore the generation (or republish the pointer " +
+              "onto a valid one) before resuming the ingest")
+        }
+        if (!rows.isEmpty) {
+          if (fs.exists(rootP))
+            require(fs.delete(rootP, true),
+              s"ingestRound: failed to clear half-written residue at $outRoot")
+          val cur = readPointer(spark, pointerPath)
+          publishPointer(spark, pointerPath, maintain(rows, cur, outRoot), what)
+        }
+    }
+    keepGenerations.foreach(k =>
+      retainGenerations(spark, pointerPath, k, what).collect(): Unit)
   }
 
 }
