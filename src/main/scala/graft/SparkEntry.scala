@@ -976,6 +976,67 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized DAY-NIGHT lifecycle pointer — the deployment
+    * loop every component this round exists for, composed end to end
+    * on ONE serve pointer: day 1 streams two thirds of the corpus onto
+    * a one-third base as ingest batches (O(batch) increments, pointer
+    * flip per commit, keep-1 retention); the NIGHTLY round then churns
+    * from the pointer's CURRENT generation (%7 deleted, %14 re-added
+    * refreshed), audits the new generation against the post-churn
+    * registry, and swaps the pointer all-or-nothing with retention;
+    * day 2 resumes ingest ON TOP of the night's generation with a
+    * batch of brand-new documents (shifted ids, suffixed text). The
+    * `pipeline_day_night` query serves the final pointer and must rank
+    * EXACTLY like a direct scan of the replayed corpus (survivors +
+    * refreshed re-adds + day-2 arrivals) — every handoff in the chain
+    * (ingest -> nightly -> ingest) is value-graded through one BM25
+    * ranking.
+    */
+  private val dayNightCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dayNightPointer(s: SparkSession, dir: String): String =
+    dayNightCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Nightly, ServePointer}
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val root = java.nio.file.Files.createTempDirectory("graft-daynight").toString
+      val ptr = s"$root/CURRENT"
+      Retrieval.buildIndex(docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+        s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "BM25")
+      // day 1: the remaining two thirds arrive as ingest batches
+      Retrieval.ingestIndexBatch(s, docs.where(col("doc_id") % 3 === 1), 0L,
+        ptr, s"$root/day1", "doc_id", "text", keepGenerations = Some(1))
+      Retrieval.ingestIndexBatch(s, docs.where(col("doc_id") % 3 === 2), 1L,
+        ptr, s"$root/day1", "doc_id", "text", keepGenerations = Some(1))
+      // night: churn FROM THE POINTER's current generation, audit
+      // against the post-churn registry, swap all-or-nothing
+      val registry = docs.where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0)
+        .select("doc_id")
+      val (report, _) = Nightly.run(s, Seq(
+        Nightly.Tier("bm25", registry, "doc_id", ptr,
+          () => Retrieval.maintainIndex(s, ServePointer.read(s, ptr),
+            deletes = Some(docs.where(col("doc_id") % 7 === 0).select("doc_id")),
+            increment = Some(docs.where(col("doc_id") % 14 === 0)
+              .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))),
+            "doc_id", "text", s"$root/night1"),
+          p => Retrieval.liveDocIds(s, p))),
+        keepGenerations = Some(1))
+      require(report.collect().forall(r =>
+          r.getAs[Long]("in_sync") == 1L && r.getAs[Boolean]("published")),
+        "pipeline_day_night setup: the nightly audit gate refused the benign round")
+      require(ServePointer.read(s, ptr).contains("/night1/"),
+        "pipeline_day_night setup: the nightly swap did not land")
+      // day 2: brand-new documents resume ingest ON the night's
+      // generation (shifted ids cannot collide with the registry)
+      val day2 = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" day2")).as("text"))
+      Retrieval.ingestIndexBatch(s, day2, 0L, ptr, s"$root/day2",
+        "doc_id", "text", keepGenerations = Some(1))
+      require(ServePointer.read(s, ptr).contains("/day2/batch-0/"),
+        "pipeline_day_night setup: day 2's ingest did not flip the pointer")
+      ptr
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2984,6 +3045,16 @@ object SparkEntry {
       val inf = SideIndex.info(s, served, "chars")
         .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
+    }),
+    "pipeline_day_night" -> ((s, dir) => {
+      // the composed deployment loop on ONE serve pointer: day-1
+      // streaming ingest -> audit-gated nightly churn + swap -> day-2
+      // ingest on the night's generation; the final serve must rank
+      // exactly like a direct scan of the replayed corpus
+      import graft.operators.ServePointer
+      Retrieval.searchTopKIndexed(s,
+        ServePointer.read(s, dayNightPointer(s, dir)),
+        "doc_id", Seq("spark", "fast", "join"), k = 10)
     }),
     "index_retained" -> ((s, dir) => {
       // what the pointer serves AFTER `retain(keep = 1)` vacuumed the
@@ -5135,6 +5206,38 @@ object SparkEntry {
                 1 AS n_segments, 0 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "pipeline_day_night" ->
+      // the replayed day-night corpus: nightly survivors (%7 deleted,
+      // %14 re-added refreshed) of the full day-1 corpus, plus day 2's
+      // shifted-id arrivals — BM25 over it, the standard query
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' refreshed' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' day2' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 5 = 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
+         WHERE rk <= 10""",
     "index_retained" ->
       // the same two-round replay as index_vacuumed, but the served
       // generation is round B UNCOMPACTED after retention: round A's
@@ -6622,6 +6725,10 @@ object SparkEntry {
     // delta applied physically in place, tree read back through the
     // commit-marker gate
     "release_maintained",
+    // the composed DEPLOYMENT loop on one serve pointer: day-1
+    // streaming ingest -> audit-gated nightly churn + swap -> day-2
+    // ingest on the night's generation, value-graded through one serve
+    "pipeline_day_night",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph
@@ -6785,7 +6892,7 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
-    "retrieval_index_streamed",
+    "retrieval_index_streamed", "pipeline_day_night",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",
