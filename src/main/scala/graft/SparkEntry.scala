@@ -1037,6 +1037,49 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized UPSERTED BM25 pointer — the CDC write shape:
+    * the FULL corpus serves as the base generation, then ONE streamed
+    * upsert batch carries both kinds of "current version" rows — every
+    * %14 document with refreshed text (replacing its live postings)
+    * and a shifted-id set of brand-new documents — through
+    * `Streams.bm25UpsertIngest`. The `retrieval_index_upserted` query
+    * serves the pointer and must rank exactly like a direct scan of
+    * the post-upsert corpus: a replacement that leaked its OLD
+    * postings (the lost-tombstone class) or dropped its new text
+    * breaks the oracle.
+    */
+  private val upsertedBm25Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def upsertedBm25Pointer(s: SparkSession, dir: String): String =
+    upsertedBm25Cache.computeIfAbsent(dir, _ => {
+      import graft.operators.ServePointer
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val root = java.nio.file.Files.createTempDirectory("graft-bm25-upsert").toString
+      val ptr = s"$root/CURRENT"
+      Retrieval.buildIndex(docs, "doc_id", "text", s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "BM25")
+      val batch = docs.where(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.bm25UpsertIngest(
+        input.toDF().toDF("doc_id", "text"), ptr, s"$root/gen", "doc_id", "text",
+        s"$root/ckpt", keepGenerations = Some(1))
+      try {
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(ServePointer.read(s, ptr).contains("/gen/batch-0/"),
+        s"the upsert stream must have flipped the pointer, got " +
+          ServePointer.read(s, ptr))
+      ptr
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -2964,6 +3007,16 @@ object SparkEntry {
       // the direct full-corpus scan (one oracle by construction)
       val ptr = streamedBm25Pointer(s, dir)
       Retrieval.searchTopKIndexed(s, graft.operators.ServePointer.read(s, ptr),
+        "doc_id", Seq("spark", "fast", "join"), k = 10)
+    }),
+    "retrieval_index_upserted" -> ((s, dir) => {
+      // the CDC write shape: one streamed upsert batch replaces every
+      // %14 doc's text and adds a shifted-id set of new docs; the
+      // served generation must rank exactly like a direct scan of the
+      // post-upsert corpus (old postings dead, new text live)
+      import graft.operators.ServePointer
+      Retrieval.searchTopKIndexed(s,
+        ServePointer.read(s, upsertedBm25Pointer(s, dir)),
         "doc_id", Seq("spark", "fast", "join"), k = 10)
     }),
     "retrieval_index_maintained" -> ((s, dir) => {
@@ -5238,6 +5291,38 @@ object SparkEntry {
          SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
            SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
          WHERE rk <= 10""",
+    "retrieval_index_upserted" ->
+      // the post-upsert corpus: originals minus the %14 replacements,
+      // plus the refreshed %14 texts, plus the shifted-id arrivals —
+      // BM25 over it, the standard query
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'fast'), (0, 'join')),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 14 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' refreshed' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 5 = 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         terms AS (SELECT doc_id, t AS term FROM toks, unnest(tk) AS u(t) WHERE len(t) > 0),
+         dl AS (SELECT doc_id, len(list_filter(tk, t -> len(t) > 0)) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT query_id, doc_id,
+             (log2(2 * n_docs - 2 * df + 1) - log2(2 * df + 1))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl * n_docs / total_len)) AS c
+           FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (doc_id), stats),
+         w AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id)
+         SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
+           SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
+         WHERE rk <= 10""",
     "index_retained" ->
       // the same two-round replay as index_vacuumed, but the served
       // generation is round B UNCOMPACTED after retention: round A's
@@ -6839,6 +6924,7 @@ object SparkEntry {
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
     "retrieval_index_info", "retrieval_index_maintained", "retrieval_index_streamed",
+    "retrieval_index_upserted",
     "retrieval_batch_serve",
     // the third index family: the published admission side table the
     // streaming gates serve from, read through its sequenced mask,
@@ -6892,7 +6978,7 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
-    "retrieval_index_streamed", "pipeline_day_night",
+    "retrieval_index_streamed", "retrieval_index_upserted", "pipeline_day_night",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",

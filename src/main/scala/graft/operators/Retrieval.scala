@@ -627,6 +627,60 @@ object Retrieval {
         idCol, textCol, outRoot, maxSegments, maxMaskedRatio),
       keepGenerations)
 
+  /** [[ingestIndexBatch]]'s UPSERT form — the CDC-shaped stream where
+    * a batch row is "the current version of this document", new or
+    * not: ids already live in the pointer's generation are tombstoned
+    * first and every batch row then lands as the increment, so a
+    * replaced document's old postings stop serving in the SAME
+    * generation its new text starts (the LSM delete + re-add update
+    * path, one maintain round, one pointer flip). Additive batches pay
+    * one extra id-column semi-join against the live set (the split is
+    * the same footer-pruned scan as the write guards — the price of
+    * knowing which rows replace); brand-new-only streams should prefer
+    * [[ingestIndexBatch]], which skips it.
+    *
+    * A batch carrying TWO rows for one id refuses loudly: this surface
+    * has no version column to order them, so "last write wins" would
+    * be a nondeterministic lie under Spark's unordered batches —
+    * collapse versions upstream (or carry a version column through a
+    * `latest_per_key` step) before the sink. Same exactly-once replay
+    * story as the engine: the batchId-keyed root heals instead of
+    * double-applying.
+    */
+  def ingestUpsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      textCol: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit =
+    IndexManifest.ingestRound(spark, batch.where(col(textCol).isNotNull),
+      batchId, pointerPath, ingestRoot, "BM25",
+      (rows, cur, outRoot) => {
+        val ids = rows.select(col(idCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (nRows, nIds) = {
+            val r = ids.agg(count(lit(1)), countDistinct(col(idCol))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          require(nRows == nIds,
+            s"ingestUpsertBatch: batch $batchId carries ${nRows - nIds} duplicate " +
+              s"'$idCol' rows — no version column orders them, so last-write-wins " +
+              "would be nondeterministic; collapse versions upstream first")
+          val replaced = ids
+            .join(liveDocIds(spark, cur), Seq(idCol), "left_semi")
+          val deletes = if (replaced.isEmpty) None else Some(replaced)
+          maintainIndex(spark, cur, deletes, Some(rows),
+            idCol, textCol, outRoot, maxSegments, maxMaskedRatio)
+        } finally ids.unpersist()
+      },
+      keepGenerations)
+
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All
     * paths — serve and maintenance — require it, so an index

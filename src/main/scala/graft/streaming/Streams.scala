@@ -506,6 +506,35 @@ object Streams {
       }
       .start()
 
+  /** [[bm25IndexIngest]]'s UPSERT form — the CDC-shaped stream where a
+    * batch row is "the current version of this document", new or not:
+    * already-live ids are tombstoned and re-added in the SAME
+    * generation ([[graft.operators.Retrieval.ingestUpsertBatch]] —
+    * the LSM delete + re-add update path per micro-batch), so a
+    * replaced document's old postings stop serving exactly when its
+    * new text starts. Duplicate-id batches refuse loudly (no version
+    * column orders them); collapse versions upstream first.
+    */
+  def bm25UpsertIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Retrieval.ingestUpsertBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
   /** [[bm25IndexIngest]]'s VECTOR-TIER sibling: each micro-batch of
     * new embeddings is PQ-encoded under the FROZEN quantizer models
     * and lands as an O(batch) increment generation on the IVF-PQ

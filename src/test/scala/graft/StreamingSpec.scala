@@ -1035,6 +1035,44 @@ class StreamingSpec extends SparkTestBase {
     assert(hist.nonEmpty, "the ingest must be recording generation history")
   }
 
+  test("ingestUpsertBatch: replaced docs stop serving when their new text starts; new docs just add") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 6), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    // one CDC batch: docs 2 and 5 replaced, docs 7 and 8 brand new
+    val upsert = Seq(
+      (2L, "replacement text for doc two"), (5L, "spark join replacement"),
+      (7L, "spark spark spark"), (8L, "data stream join fast")).toDF("doc_id", "text")
+    Retrieval.ingestUpsertBatch(spark, upsert, 0L, ptr, s"$root/gen", "doc_id", "text")
+    val served = ServePointer.read(spark, ptr)
+    assert(served.contains("/gen/batch-0/"), served)
+    // the equivalent corpus, built from scratch: originals 1,3,4,6 +
+    // the four upsert rows
+    val want = all.where($"doc_id".isin(1L, 3L, 4L, 6L)).unionByName(upsert)
+    Retrieval.buildIndex(want, "doc_id", "text", s"$root/ref")
+    def top(path: String) = Retrieval.searchTopKIndexed(spark, path, "doc_id",
+      Seq("spark", "join", "replacement"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top(served) == top(s"$root/ref"),
+      "upserted index diverged from the from-scratch build of the replaced corpus")
+    assert(Retrieval.liveDocIds(spark, served).count() == 8L)
+    // exactly-once: the replayed batch heals, never re-applies (a
+    // second tombstone round would trip the delete liveness guard)
+    Retrieval.ingestUpsertBatch(spark, upsert, 0L, ptr, s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr) == served)
+    assert(top(served) == top(s"$root/ref"))
+    // duplicate ids in one batch refuse loudly — nothing orders them
+    val dup = Seq((9L, "v1"), (9L, "v2")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.ingestUpsertBatch(spark, dup, 1L, ptr, s"$root/gen", "doc_id", "text")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(ServePointer.read(spark, ptr) == served, "a refused batch must not publish")
+  }
+
   test("ingestIndexBatch: committed replay heals the pointer without re-indexing; residue is cleaned") {
     import graft.operators.{Retrieval, ServePointer}
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
