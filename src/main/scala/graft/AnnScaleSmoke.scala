@@ -49,8 +49,8 @@ object AnnScaleSmoke {
     val stride = base.agg(max("vec_id")).head().getLong(0) + 1L
     val nBase = base.count()
 
-    def corpusOf(n: Int): DataFrame = {
-      val corpus = (0 until n).map { r =>
+    def corpusOf(n: Int): DataFrame =
+      SmokeFiles.replicated(spark, n, s"/tmp/graft_ann_scale_${n}x")(r =>
         if (r == 0) base
         else base.select(
           (col("vec_id") + lit(r.toLong * stride)).as("vec_id"),
@@ -59,12 +59,7 @@ object AnnScaleSmoke {
           // that still inhabit the same region — the realistic shape of
           // a growing embedding corpus
           expr(s"transform(embedding, (x, i) -> x + CAST(0.01 * $r AS FLOAT) * CAST(1 + pmod(i, 3) AS FLOAT))")
-            .cast("array<float>").as("embedding"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_ann_scale_${n}x"
-      corpus.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+            .cast("array<float>").as("embedding")))
 
     println(s"[ann-scale] base: $nBase vectors; comparing exact vs IVF-PQ at x1 and x$replicas (cells=$nCells, nprobe=$nprobe, k=$k)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

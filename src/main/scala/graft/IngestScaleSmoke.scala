@@ -51,17 +51,11 @@ object IngestScaleSmoke {
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
     val nBase = docs.count()
 
-    def corpusOf(n: Int): DataFrame = {
-      val corpus = (0 until n).map { r =>
+    def corpusOf(n: Int): DataFrame =
+      SmokeFiles.replicated(spark, n, s"/tmp/graft_ingest_scale_${n}x")(r =>
         if (r == 0) docs
         else docs.select((col("doc_id") + lit(r.toLong * stride)).as("doc_id"),
-          col("text"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_ingest_scale_${n}x"
-      rmrf(path)
-      corpus.write.parquet(path)
-      spark.read.parquet(path)
-    }
+          col("text")))
 
     // the FIXED batches: the same absolute rows at every scale (drawn
     // from replica 0 by original id), so "O(batch)" compares equal work

@@ -51,15 +51,10 @@ object RetrievalScaleSmoke {
     val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val nBase = base.count()
 
-    def corpusOf(n: Int): DataFrame = {
-      val corpus = (0 until n).map { r =>
+    def corpusOf(n: Int): DataFrame =
+      SmokeFiles.replicated(spark, n, s"/tmp/graft_retrieval_scale_${n}x")(r =>
         if (r == 0) base
-        else base.select((col("doc_id") + lit(r.toLong * stride)).as("doc_id"), col("text"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_retrieval_scale_${n}x"
-      corpus.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+        else base.select((col("doc_id") + lit(r.toLong * stride)).as("doc_id"), col("text")))
 
     println(s"[retrieval-scale] base: $nBase docs; direct scan vs indexed serve at x1 and x$replicas (terms=${terms.mkString(",")}, k=$k)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -206,8 +206,8 @@ object ScaleSmoke {
     val benchmark = base.where(col("doc_id") % 97 === 0)
       .orderBy(col("doc_id")).limit(50).select(col("text"))
 
-    def corpusOf(n: Int): DataFrame = {
-      val corpus = (0 until n).map { r =>
+    def corpusOf(n: Int): DataFrame =
+      SmokeFiles.replicated(spark, n, s"/tmp/graft_scale_${n}x") { r =>
         val fam = if (clusterCap > 0) r / clusterCap else 0
         val famText = if (fam == 0) col("text") else familyText(col("text"), fam)
         if (r == 0) base
@@ -215,11 +215,7 @@ object ScaleSmoke {
           (col("doc_id") + lit(r.toLong * stride)).as("doc_id"),
           concat(famText, lit(s" replica$r")).as("text"),
           col("lang"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_scale_${n}x"
-      corpus.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+      }
 
     val modeDesc = if (clusterCap > 0) s"bounded duplication (cluster cap $clusterCap, $families families)"
                    else "all-dup (every replica near-dups its base)"

@@ -48,17 +48,11 @@ object SideIndexScaleSmoke {
     val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val nBase = base.count()
 
-    def corpusOf(n: Int): DataFrame = {
-      val corpus = (0 until n).map { r =>
+    def corpusOf(n: Int): DataFrame =
+      SmokeFiles.replicated(spark, n, s"/tmp/graft_side_scale_${n}x")(r =>
         if (r == 0) base
         else base.select((col("doc_id") + lit(r.toLong * stride)).as("doc_id"),
-          (col("n_chars") + lit(r)).as("n_chars"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_side_scale_${n}x"
-      rmrf(path)
-      corpus.write.parquet(path)
-      spark.read.parquet(path)
-    }
+          (col("n_chars") + lit(r)).as("n_chars")))
 
     println(s"[side-scale] base: $nBase rows; one fixed-delta maintenance round at x1 and x$replicas")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -26,6 +26,20 @@ private[graft] object SmokeFiles {
     } finally walk.close()
   }
 
+  /** Materialize an N-replica scale corpus: one frame per replica from
+    * `mk` (replica 0 = the base, others the smoke's own id-shift +
+    * content transform), unioned and written to `path` so every
+    * downstream measurement reads real parquet instead of an in-memory
+    * union. ONE definition of the replication plumbing — the smokes
+    * differ only in the per-replica transform they pass.
+    */
+  def replicated(spark: org.apache.spark.sql.SparkSession, n: Int, path: String)(
+      mk: Int => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    (0 until n).map(mk).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Recursive on-disk byte count of a directory tree (0 when absent)
     * — the O(delta) measurement: for a delete root, manifests +
     * tombstone id lists only, its segments carried by reference.

@@ -639,13 +639,18 @@ object Retrieval {
     * knowing which rows replace); brand-new-only streams should prefer
     * [[ingestIndexBatch]], which skips it.
     *
-    * A batch carrying TWO rows for one id refuses loudly: this surface
-    * has no version column to order them, so "last write wins" would
-    * be a nondeterministic lie under Spark's unordered batches —
-    * collapse versions upstream (or carry a version column through a
-    * `latest_per_key` step) before the sink. Same exactly-once replay
-    * story as the engine: the batchId-keyed root heals instead of
-    * double-applying.
+    * Malformed rows refuse LOUDLY instead of silently narrowing the
+    * batch — each is an ambiguity this surface has no way to resolve:
+    * two rows for one id have no version column to order them
+    * (last-write-wins would be a nondeterministic lie under Spark's
+    * unordered batches — collapse versions upstream, e.g. through a
+    * `latest_per_key` step); a null id names no document; a null text
+    * looks like a deletion, but silently skipping it would leave the
+    * STALE version serving — route real deletions through the nightly
+    * tier. (The additive [[ingestIndexBatch]] keeps its drop-null-text
+    * behavior: there "null text" is just "nothing to index", with no
+    * stale version to betray.) Same exactly-once replay story as the
+    * engine: the batchId-keyed root heals instead of double-applying.
     */
   def ingestUpsertBatch(
       spark: SparkSession,
@@ -657,29 +662,45 @@ object Retrieval {
       textCol: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit =
-    IndexManifest.ingestRound(spark, batch.where(col(textCol).isNotNull),
+      keepGenerations: Option[Int] = None): Unit = {
+    // ONE bounded aggregate validates the whole batch BEFORE any state
+    // changes (and before any filtering could hide a malformed row
+    // from the checks)
+    val chk = batch.agg(
+      count(lit(1)).as("n"),
+      count(when(col(idCol).isNull, 1)).as("n_null_id"),
+      count(when(col(textCol).isNull, 1)).as("n_null_text"),
+      countDistinct(col(idCol)).as("n_ids")).head()
+    val (n, nNullId, nNullText, nIds) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getLong(3))
+    require(nNullId == 0L,
+      s"ingestUpsertBatch: batch $batchId carries $nNullId rows with a null " +
+        s"'$idCol' — an upsert row must name the document it replaces")
+    require(nNullText == 0L,
+      s"ingestUpsertBatch: batch $batchId carries $nNullText rows with a null " +
+        s"'$textCol' — skipping them would leave the stale version serving; route " +
+        "deletions through the maintenance tier, not null-text upserts")
+    require(n == nIds,
+      s"ingestUpsertBatch: batch $batchId carries ${n - nIds} duplicate '$idCol' " +
+        "rows — no version column orders them, so last-write-wins would be " +
+        "nondeterministic; collapse versions upstream first")
+    IndexManifest.ingestRound(spark, batch,
       batchId, pointerPath, ingestRoot, "BM25",
       (rows, cur, outRoot) => {
-        val ids = rows.select(col(idCol))
+        // persist the replaced-id split so the live-set scan runs ONCE:
+        // the emptiness branch and deleteFromIndex's own ids read both
+        // hit the cached result, not a re-materialized semi-join
+        val replaced = rows.select(col(idCol))
+          .join(liveDocIds(spark, cur), Seq(idCol), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val (nRows, nIds) = {
-            val r = ids.agg(count(lit(1)), countDistinct(col(idCol))).head()
-            (r.getLong(0), r.getLong(1))
-          }
-          require(nRows == nIds,
-            s"ingestUpsertBatch: batch $batchId carries ${nRows - nIds} duplicate " +
-              s"'$idCol' rows — no version column orders them, so last-write-wins " +
-              "would be nondeterministic; collapse versions upstream first")
-          val replaced = ids
-            .join(liveDocIds(spark, cur), Seq(idCol), "left_semi")
-          val deletes = if (replaced.isEmpty) None else Some(replaced)
+          val deletes = if (replaced.count() == 0L) None else Some(replaced)
           maintainIndex(spark, cur, deletes, Some(rows),
             idCol, textCol, outRoot, maxSegments, maxMaskedRatio)
-        } finally ids.unpersist()
+        } finally replaced.unpersist()
       },
       keepGenerations)
+  }
 
   /** Format version 3 = segmented layout (manifest carries the
     * segment list; every table sits under `segments/<name>/`). All
