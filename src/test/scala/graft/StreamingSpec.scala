@@ -1071,6 +1071,24 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("duplicate"), e.getMessage)
     assert(ServePointer.read(spark, ptr) == served, "a refused batch must not publish")
+    // a null-text "current version" looks like a deletion — silently
+    // skipping it would leave the stale version serving, so it refuses
+    // (and is NOT misdiagnosed as a duplicate)
+    val nullText = Seq((2L, null: String), (9L, "fine")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.ingestUpsertBatch(spark, nullText, 1L, ptr, s"$root/gen", "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("null 'text'") && !e2.getMessage.contains("duplicate"),
+      e2.getMessage)
+    // a null id names no document: its own refusal, not "duplicate"
+    val nullId = Seq((java.lang.Long.valueOf(9L), "v"), (null: java.lang.Long, "w"))
+      .toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Retrieval.ingestUpsertBatch(spark, nullId, 1L, ptr, s"$root/gen", "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("null 'doc_id'") && !e3.getMessage.contains("duplicate"),
+      e3.getMessage)
+    assert(ServePointer.read(spark, ptr) == served)
   }
 
   test("ingestIndexBatch: committed replay heals the pointer without re-indexing; residue is cleaned") {
