@@ -151,6 +151,54 @@ class ServePointerSpec extends SparkTestBase {
       .count() == 15L)
   }
 
+  test("a history crash window (current root listed in its own history) is benign and self-heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hist-crash").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    val g1 = SideIndex.maintain(spark, s"$root/gen0",
+      deletes = Some(rowsDf.where(col("doc_id") % 4 === 0).select("doc_id")),
+      increment = None, "doc_id", "t", s"$root/o1", maxMaskedRatio = 1.0)
+    ServePointer.publish(spark, ptr, g1)
+    val current = ServePointer.read(spark, ptr)
+    val gen0Q = ServePointer.history(spark, ptr).head
+    // out-of-band history writes go through the Hadoop FS (the local
+    // FS keeps checksum sidecars a raw java.nio write would corrupt)
+    def injectHistory(content: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(s"$ptr.history")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // simulate the two-phase write's crash window: the CURRENT root
+    // appears in its own history (pre-flip append landed, post-flip
+    // prune did not)
+    injectHistory(s"$gen0Q\n$current")
+    // every consumer filters the current root: rollback still targets
+    // the real previous generation, never a self-flip
+    val back = ServePointer.rollback(spark, ptr)
+    assert(back == gen0Q, s"rollback must skip the crash residue, got $back")
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 20L)
+    // roll forward; then re-inject the residue and let a publish of
+    // the CURRENT root prune it (the documented self-heal)
+    ServePointer.publish(spark, ptr, g1)
+    injectHistory(s"$gen0Q\n${ServePointer.read(spark, ptr)}")
+    ServePointer.publish(spark, ptr, g1)
+    val healed = ServePointer.history(spark, ptr)
+    assert(healed.length == 1 && healed.head == gen0Q,
+      s"re-publishing the current root must prune the residue: ${healed.mkString(", ")}")
+    // retention with residue present also stays safe: the current root
+    // is filtered, the carried gen0 is HELD, nothing is deleted
+    injectHistory(s"$gen0Q\n${ServePointer.read(spark, ptr)}")
+    val rep = ServePointer.retain(spark, ptr, keep = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rep == Seq((gen0Q, "held")), rep.mkString(", "))
+    assert(new java.io.File(g1).exists && SideIndex.read(spark, g1, "doc_id", "t")
+      .count() == 15L)
+  }
+
   test("retain vacuums unreachable history, HOLDS carried generations, and is transitive both ways") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     val ptr = s"$root/CURRENT"

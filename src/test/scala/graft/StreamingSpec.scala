@@ -1035,6 +1035,43 @@ class StreamingSpec extends SparkTestBase {
     assert(hist.nonEmpty, "the ingest must be recording generation history")
   }
 
+  test("ingestIndexBatch: a TORN manifest is crash residue on an unserved root, a loud refusal on the serving one") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    // a crash mid-manifest-write: the manifest DIRECTORY exists but its
+    // parquet is unreadable — the exception class differs from the
+    // missing-manifest refusal, and the round must still classify it
+    // as residue (delete + re-run), not wedge the stream forever
+    val tornDir = new java.io.File(s"$root/gen/batch-0/updated/manifest")
+    assert(tornDir.mkdirs())
+    java.nio.file.Files.writeString(
+      tornDir.toPath.resolve("part-00000.parquet"), "not parquet at all")
+    Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+      0L, ptr, s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr).contains("/gen/batch-0/"),
+      "the torn residue must have been cleaned and the batch committed")
+    assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 7L)
+    // now tear the SERVING generation's manifest out-of-band: the
+    // replay must refuse loudly instead of auto-deleting a root the
+    // pointer still names
+    val servedManifest = new java.io.File(
+      ServePointer.read(spark, ptr).stripPrefix("file:") + "/manifest")
+    servedManifest.listFiles().foreach(f => assert(f.delete()))
+    java.nio.file.Files.writeString(
+      servedManifest.toPath.resolve("part-00000.parquet"), "garbage")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+        0L, ptr, s"$root/gen", "doc_id", "text")
+    }
+    assert(e.getMessage.contains("out-of-band corruption"), e.getMessage)
+    assert(new java.io.File(ServePointer.read(spark, ptr).stripPrefix("file:")).exists,
+      "the refusal must not have deleted the serving root")
+  }
+
   test("ingestUpsertBatch: replaced docs stop serving when their new text starts; new docs just add") {
     import graft.operators.{Retrieval, ServePointer}
     val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
