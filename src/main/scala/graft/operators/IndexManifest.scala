@@ -479,6 +479,65 @@ private[operators] object IndexManifest {
 
   // ==================== serve pointer + generation GC ====================
 
+  /** The pointer's FENCING EPOCH lives beside it as `<pointer>.epoch`
+    * (a plain-text counter, written through the same atomic-rename
+    * path as the pointer itself). The pointer lifecycle is
+    * SINGLE-WRITER — one maintenance scheduler owns publish /
+    * rollback / vacuum / retention on a pointer — and the epoch is
+    * what turns a violation into a refusal instead of a lost update
+    * or a deleted serving root: every mutating lifecycle operation
+    * reads the epoch AT ENTRY (before it reads the pointer state its
+    * decisions derive from) and CHECK-AND-BUMPS it at its commit
+    * point, immediately before the first visible mutation. A
+    * concurrent scheduler — or the classic zombie, stalled past its
+    * schedule and resumed after its replacement took over — finds the
+    * epoch moved and refuses, having changed NOTHING; the committed
+    * winner's state stands. The residual window (between the bump and
+    * the mutation it guards) is one metadata write wide — the
+    * filesystem offers no compare-and-swap, so this is fencing, not a
+    * lock — and closing it entirely would need an external
+    * coordination service; within the documented single-scheduler
+    * deployment the fence exists purely to catch misconfiguration.
+    */
+  private def epochPath(pointerPath: String): String = pointerPath + ".epoch"
+
+  /** The pointer's current fencing epoch — 0 before any lifecycle
+    * operation ever committed. Monotonic: every committed publish /
+    * rollback / vacuum / retention round bumps it by one.
+    */
+  def readEpoch(spark: SparkSession, pointerPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(epochPath(pointerPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      s.trim.toLong
+    }
+  }
+
+  /** Test seam: invoked with the pointer path immediately before every
+    * fence check reads the epoch — the only way a deterministic spec
+    * can interleave a racing publish at exactly the commit point.
+    * Production never sets it.
+    */
+  private[graft] var onFenceCheck: String => Unit = _ => ()
+
+  private def checkAndBumpEpoch(
+      spark: SparkSession, pointerPath: String, entryEpoch: Long, who: String): Unit = {
+    onFenceCheck(pointerPath)
+    val cur = readEpoch(spark, pointerPath)
+    require(cur == entryEpoch,
+      s"$who lost the pointer fence at $pointerPath: epoch moved $entryEpoch -> $cur — " +
+        "a concurrent (or stalled-and-resumed) scheduler committed its own lifecycle " +
+        "operation on this pointer after this one read its state, so this operation's " +
+        "reads are stale. The pointer lifecycle is single-writer per pointer; the " +
+        "losing side changed NOTHING — re-read the pointer and retry from the " +
+        "current state")
+    writeAtomic(spark, epochPath(pointerPath), (entryEpoch + 1).toString)
+  }
+
   /** Atomically flip the SERVE POINTER at `pointerPath` to the index
     * at `indexRoot` — the missing handoff in the maintenance story:
     * every maintain round mints a FRESH root, so without a published
@@ -492,11 +551,27 @@ private[operators] object IndexManifest {
     * root or today's, nothing in between. The target index is resolved
     * through [[handle]] FIRST, so a pointer can never be flipped onto
     * a root that refuses to serve (missing manifest, severed carried
-    * generation).
+    * generation). Fenced: the publish check-and-bumps the pointer's
+    * epoch before its first visible write, so a publisher racing
+    * another lifecycle operation refuses instead of interleaving (see
+    * [[readEpoch]]).
     */
   def publishPointer(
       spark: SparkSession, pointerPath: String, indexRoot: String,
-      what: String = "segmented"): Unit = {
+      what: String = "segmented"): Unit =
+    publishPointerFenced(spark, pointerPath, indexRoot, what,
+      readEpoch(spark, pointerPath))
+
+  /** [[publishPointer]] with the fence epoch read EARLIER by the
+    * caller — how a long-running operation (an ingest round's
+    * maintain, a rollback's history read) extends the fence across
+    * its whole read-decide-write span instead of just the final flip:
+    * a pointer movement anywhere inside the span moves the epoch and
+    * the publish refuses.
+    */
+  private[operators] def publishPointerFenced(
+      spark: SparkSession, pointerPath: String, indexRoot: String,
+      what: String, entryEpoch: Long): Unit = {
     handle(spark, indexRoot, what): Unit
     val newQ = qualifiedPath(spark, indexRoot)
     val dst = new org.apache.hadoop.fs.Path(pointerPath)
@@ -517,6 +592,9 @@ private[operators] object IndexManifest {
     // benign: every consumer filters entries equal to the current
     // pointer, and the next successful publish prunes the residue.
     val prev = if (fs.exists(dst)) Some(readPointer(spark, pointerPath)) else None
+    // commit point: everything above is reads and target validation;
+    // the history append below is the first visible mutation
+    checkAndBumpEpoch(spark, pointerPath, entryEpoch, "publishPointer")
     prev.filter(_ != newQ).foreach { p =>
       val hist = readHistory(spark, pointerPath)
       writeAtomic(spark, historyPath(pointerPath),
@@ -536,7 +614,7 @@ private[operators] object IndexManifest {
     * a retrying scheduler must not accrete one orphan per attempt,
     * and nothing else (vacuum included) cleans them.
     */
-  private def writeAtomic(spark: SparkSession, path: String, content: String): Unit = {
+  private[operators] def writeAtomic(spark: SparkSession, path: String, content: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
@@ -591,12 +669,15 @@ private[operators] object IndexManifest {
     */
   def rollbackPointer(
       spark: SparkSession, pointerPath: String, what: String = "segmented"): String = {
+    // the fence spans the history read too: a publish landing between
+    // the read and the flip would make prev.last a stale target
+    val fence = readEpoch(spark, pointerPath)
     val current = readPointer(spark, pointerPath)
     val prev = readHistory(spark, pointerPath).filterNot(_ == current)
     require(prev.nonEmpty,
       s"rollbackPointer: the pointer at $pointerPath has no previous generation in its " +
         "history — nothing to roll back onto (retention may have vacuumed it)")
-    publishPointer(spark, pointerPath, prev.last, what)
+    publishPointerFenced(spark, pointerPath, prev.last, what, fence)
     prev.last
   }
 
@@ -639,14 +720,29 @@ private[operators] object IndexManifest {
     *
     * Returns one row per retired root: (root, n_files_deleted,
     * bytes_deleted) — zeros for the already-absent. Pure filesystem
-    * metadata plus the deletes; nothing scans data. Assumes the single
-    * maintenance scheduler owns the pointer (the deployment shape of
-    * every maintain entry point here): a concurrent pointer flip
-    * during a vacuum is out of contract.
+    * metadata plus the deletes; nothing scans data. Fenced: the
+    * reachable set is computed from a pointer read the epoch fence
+    * guards — a concurrent flip between that read and the deletes
+    * moves the epoch, and the vacuum refuses having deleted NOTHING
+    * (the alternative is deleting a root the new pointer serves; see
+    * [[readEpoch]]).
     */
   def vacuum(
       spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
-      what: String = "segmented", alsoServing: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      what: String = "segmented", alsoServing: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    vacuumFenced(spark, pointerPath, retiredRoots, what, alsoServing,
+      Some(readEpoch(spark, pointerPath)))
+
+  /** [[vacuum]] with the fence already read (or owned) by the caller:
+    * `fence = Some(e)` check-and-bumps after validation, immediately
+    * before the first delete; `fence = None` means the caller already
+    * bumped the epoch this round ([[retainGenerations]]) and owns the
+    * commit.
+    */
+  private def vacuumFenced(
+      spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
+      what: String, alsoServing: Seq[String],
+      fence: Option[Long]): org.apache.spark.sql.DataFrame = {
     val current = readPointer(spark, pointerPath)
     // `alsoServing` extends the reachable set with generations that
     // must SURVIVE the vacuum even though nothing points at them —
@@ -682,6 +778,11 @@ private[operators] object IndexManifest {
           "this root")
       rq
     }
+    // commit point: validation is complete, deletes follow — a racing
+    // pointer flip since the entry read invalidates the reachable set
+    // this vacuum derived its verdicts from
+    if (qualified.nonEmpty)
+      fence.foreach(f => checkAndBumpEpoch(spark, pointerPath, f, "vacuum"))
     val rows = qualified.map { rq =>
       val rp = new org.apache.hadoop.fs.Path(rq)
       val fs = rp.getFileSystem(conf)
@@ -715,8 +816,12 @@ private[operators] object IndexManifest {
     * every retired root against the surviving set — belt and
     * suspenders) and the history file is rewritten only after they
     * succeed; a crash between the two leaves retired roots listed but
-    * absent, which the next round reports as `absent` and drops.
-    * Returns one row per history entry outside the window:
+    * absent, which the next round reports as `absent` and drops —
+    * WHEREVER they land: an absent entry that `keep` was raised over
+    * since the crash (now inside the kept window) heals the same way
+    * instead of wedging the round on a missing-manifest load. Fenced
+    * like [[vacuum]]. Returns one row per history entry outside the
+    * window (plus one per healed absent entry anywhere):
     * (root, status = vacuumed | held | absent, n_files_deleted,
     * bytes_deleted).
     */
@@ -760,8 +865,21 @@ private[operators] object IndexManifest {
       spark: SparkSession, pointerPath: String, keep: Int,
       what: String = "segmented"): org.apache.spark.sql.DataFrame = {
     require(keep >= 0, s"retainGenerations: keep must be >= 0, got $keep")
+    val fence = readEpoch(spark, pointerPath)
     val current = readPointer(spark, pointerPath)
-    val hist = readHistory(spark, pointerPath).filterNot(_ == current)
+    val histAll = readHistory(spark, pointerPath).filterNot(_ == current)
+    // heal ABSENT entries first, wherever they land: a prior round's
+    // crash between vacuum and history rewrite leaves entries whose
+    // roots are gone, and a raised `keep` can pull one INSIDE the kept
+    // window — where a handle load would wedge retention with a raw
+    // missing-manifest error until keep is shrunk again. An absent
+    // root can never be held, vacuumed, or rolled back onto: report
+    // it `absent` and drop it from the history below.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val (hist, absent) = histAll.partition { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(hadoopConf).exists(p)
+    }
     val kept = hist.takeRight(keep)
     val candidates = hist.dropRight(keep)
     var reachable = (current +: kept).flatMap { r =>
@@ -787,21 +905,30 @@ private[operators] object IndexManifest {
       }
     }
     val retired = candidates.filterNot(held.contains)
-    val report = vacuum(spark, pointerPath,
+    // the vacuum carries this round's fence and bumps it before its
+    // deletes; an absent-only healing round has no deletes, so it
+    // commits its history rewrite under its own bump
+    val report = vacuumFenced(spark, pointerPath,
       retired.map(expandRoundRoot(spark, _, servingQ)), what,
-      alsoServing = kept ++ held.toSeq)
-    if (retired.nonEmpty)
+      alsoServing = kept ++ held.toSeq,
+      fence = if (retired.nonEmpty) Some(fence) else None)
+    if (retired.nonEmpty || absent.nonEmpty) {
+      if (retired.isEmpty)
+        checkAndBumpEpoch(spark, pointerPath, fence, "retainGenerations")
       writeAtomic(spark, historyPath(pointerPath),
         hist.filterNot(retired.contains).mkString("\n"))
+    }
     import org.apache.spark.sql.functions.{col, lit, when}
+    val extraRows =
+      held.toSeq.map(r => (qualifiedPath(spark, r), "held", 0L, 0L)) ++
+        absent.map(r => (qualifiedPath(spark, r), "absent", 0L, 0L))
     report
       .withColumn("status",
         when(col("n_files_deleted") > 0L, lit("vacuumed")).otherwise(lit("absent")))
-      .unionByName(
-        spark.createDataFrame(held.toSeq.map(r => (qualifiedPath(spark, r), 0L, 0L)))
-          .toDF("root", "n_files_deleted", "bytes_deleted")
-          .withColumn("status", lit("held")))
       .select(col("root"), col("status"), col("n_files_deleted"), col("bytes_deleted"))
+      .unionByName(
+        spark.createDataFrame(extraRows)
+          .toDF("root", "status", "n_files_deleted", "bytes_deleted"))
   }
 
   // ==================== streaming ingest round ====================
@@ -847,6 +974,16 @@ private[operators] object IndexManifest {
     val outRoot = s"$ingestRoot/batch-$batchId"
     val rootP = new org.apache.hadoop.fs.Path(outRoot)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the fence spans the WHOLE round — pointer read, maintain, flip:
+    // a pointer movement during the maintain (a nightly scheduler
+    // racing this stream, out of the single-writer contract) moves
+    // the epoch and the round's publish refuses, instead of flipping
+    // onto a chain built from the superseded base. NOTE the refusal
+    // lands AFTER the batch root committed; a foreachBatch replay
+    // would classify it COMMITTED and re-flip a stale-based chain, so
+    // a refused round means the operator must delete the batch root
+    // (and resolve who owns the pointer) before resuming the stream.
+    val fence = readEpoch(spark, pointerPath)
     // the committed step of the round's chain, newest first — ingest
     // never deletes, so only updated / compacted can stand. A step is
     // classified by EVIDENCE, not exception class: manifest dir absent
@@ -870,9 +1007,25 @@ private[operators] object IndexManifest {
       case Some(root) =>
         if (root == s"$outRoot/updated") {
           val residue = new org.apache.hadoop.fs.Path(s"$outRoot/compacted")
-          if (fs.exists(residue)) fs.delete(residue, true): Unit
+          if (fs.exists(residue)) {
+            // the residue is only deletable while NOTHING serves it: if
+            // the pointer was flipped to this round's compacted step
+            // and that manifest was later torn OUT-OF-BAND, the replay
+            // classifies it unreadable and lands here — deleting it
+            // would destroy the SERVING root and silently roll the
+            // pointer back onto the updated step. Same refusal as the
+            // torn-serving-root case below.
+            val resQ = qualifiedPath(spark, s"$outRoot/compacted")
+            val curQ = qualifiedPath(spark, readPointer(spark, pointerPath))
+            require(curQ != resQ && !curQ.startsWith(resQ + "/"),
+              s"ingestRound: the serving root $curQ has an unreadable manifest — " +
+                "out-of-band corruption, not replayable crash residue; refusing to " +
+                "auto-delete it. Restore the generation (or republish the pointer " +
+                "onto a valid one) before resuming the ingest")
+            fs.delete(residue, true): Unit
+          }
         }
-        publishPointer(spark, pointerPath, root, what)
+        publishPointerFenced(spark, pointerPath, root, what, fence)
       case None =>
         val outQ = qualifiedPath(spark, outRoot)
         if (torn) {
@@ -888,7 +1041,8 @@ private[operators] object IndexManifest {
             require(fs.delete(rootP, true),
               s"ingestRound: failed to clear half-written residue at $outRoot")
           val cur = readPointer(spark, pointerPath)
-          publishPointer(spark, pointerPath, maintain(rows, cur, outRoot), what)
+          publishPointerFenced(spark, pointerPath, maintain(rows, cur, outRoot), what,
+            fence)
         }
     }
     keepGenerations.foreach(k =>

@@ -56,6 +56,83 @@ object Nightly {
       maintain: () => String,
       liveIds: String => DataFrame)
 
+  // ==================== crash-atomic swap marker ====================
+
+  /** The all-or-nothing pointer swap survives an in-process EXCEPTION
+    * (the rollback path in [[run]]) but a process CRASH between two
+    * tiers' flips would otherwise leave tier A on tonight and tier B
+    * on yesterday — the exact mixed state the gate exists to prevent,
+    * healed by nothing. The ROUND MARKER closes it: immediately before
+    * the first flip, [[run]] writes the round's full intent — one
+    * `(tier, pointerPath, newRoot)` line per tier, through the same
+    * atomic-rename write as the pointers themselves — and deletes it
+    * once the swap completed (or was rolled back). A surviving marker
+    * therefore means a crash INSIDE the swap window, and because the
+    * marker is only ever written AFTER the audit gate passed, the heal
+    * direction is unambiguous: ROLL FORWARD. [[recover]] re-applies
+    * every entry whose pointer is not already on its intended root,
+    * then clears the marker; [[run]] invokes it at entry, so the next
+    * scheduled night heals before maintaining on top of a mixed state.
+    * Same classification stance as the ingest round's batchId-keyed
+    * residue (IndexManifest.ingestRound): evidence on disk, not
+    * in-memory state, decides the replay.
+    */
+  private[graft] def writeMarker(
+      spark: SparkSession, markerPath: String,
+      entries: Seq[(String, String, String)]): Unit =
+    IndexManifest.writeAtomic(spark, markerPath,
+      entries.map { case (n, p, r) => s"$n\t$p\t$r" }.mkString("\n"))
+
+  private[graft] def readMarker(
+      spark: SparkSession, markerPath: String): Seq[(String, String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      s.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t") match {
+          case Array(n, ptr, root) => (n, ptr, root)
+          case _ => throw new IllegalArgumentException(
+            s"Nightly.recover: malformed round marker line at $markerPath: '$line'")
+        }
+      }.toSeq
+    }
+  }
+
+  private def deleteMarker(spark: SparkSession, markerPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false): Unit
+  }
+
+  /** Heal a crashed swap from its round marker: every entry whose
+    * pointer is not already serving the intended root is re-published
+    * (roll FORWARD — the marker is written only after the audit gate
+    * passed, so the intended roots are the consistent state), then the
+    * marker is cleared. No marker = nothing to heal (empty result).
+    * Returns (tier, action = completed | already-current) per entry.
+    * Idempotent: a crash mid-recover leaves the marker standing and
+    * the next call finishes the remainder.
+    */
+  def recover(spark: SparkSession, markerPath: String): Seq[(String, String)] = {
+    val entries = readMarker(spark, markerPath)
+    val healed = entries.map { case (name, ptr, root) =>
+      val rootQ = IndexManifest.qualify(spark, Seq(root)).head
+      val cur = try Some(IndexManifest.readPointer(spark, ptr))
+        catch { case _: IllegalArgumentException => None }
+      if (cur.contains(rootQ)) name -> "already-current"
+      else {
+        ServePointer.publish(spark, ptr, root, name)
+        name -> "completed"
+      }
+    }
+    if (entries.nonEmpty) deleteMarker(spark, markerPath)
+    healed
+  }
+
   /** Run the round: maintain every tier, audit all of them, then —
     * only if every tier reports `in_sync = 1` — flip every pointer and
     * run the optional release round. Returns (report, releaseReport):
@@ -69,10 +146,14 @@ object Nightly {
       spark: SparkSession,
       tiers: Seq[Tier],
       release: Option[() => DataFrame] = None,
-      keepGenerations: Option[Int] = None): (DataFrame, Option[DataFrame]) = {
+      keepGenerations: Option[Int] = None,
+      markerPath: Option[String] = None): (DataFrame, Option[DataFrame]) = {
     require(tiers.nonEmpty, "Nightly.run: no tiers to maintain")
     require(tiers.map(_.name).distinct.size == tiers.size,
       s"Nightly.run: duplicate tier names in ${tiers.map(_.name).mkString(", ")}")
+    // 0. heal a prior round's crashed swap FIRST: tonight's maintain
+    // rounds must chain from consistent pointers, not a mixed state
+    markerPath.foreach(m => recover(spark, m): Unit)
     // 1. every maintain round completes BEFORE anything is judged:
     // each publishes valid (manifest-committed) generations that
     // nothing serves until the swap, so a mid-round crash leaves
@@ -104,12 +185,24 @@ object Nightly {
           t -> (try Some(IndexManifest.readPointer(spark, t.pointerPath))
             catch { case _: IllegalArgumentException => None })
         }.toMap
+        // the round marker lands BEFORE the first flip — a process
+        // crash anywhere inside the swap window leaves it on disk, and
+        // the next run's recover() rolls the remaining tiers FORWARD
+        // (the gate already passed; the intended roots are the
+        // consistent state). Deleted on completion AND on the
+        // exception path below (which restores yesterday's pointers —
+        // also a consistent state, so nothing remains to heal).
+        markerPath.foreach(m => writeMarker(spark, m,
+          newRoots.map { case (t, root) =>
+            (t.name, t.pointerPath, IndexManifest.qualify(spark, Seq(root)).head)
+          }))
         val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
         try {
           newRoots.foreach { case (t, root) =>
             ServePointer.publish(spark, t.pointerPath, root, t.name)
             flipped += t
           }
+          markerPath.foreach(m => deleteMarker(spark, m))
         } catch {
           case e: Throwable =>
             flipped.foreach { t =>
@@ -123,6 +216,11 @@ object Nightly {
                 }
               } catch { case _: Throwable => () } // best effort; rethrow the cause
             }
+            // pointers are back on yesterday — consistent, nothing to
+            // heal; a standing marker would wrongly roll FORWARD next
+            // run. Only an outright crash leaves it, by design.
+            markerPath.foreach(m =>
+              try deleteMarker(spark, m) catch { case _: Throwable => () })
             throw e
         }
         val rel = release.map(_.apply())

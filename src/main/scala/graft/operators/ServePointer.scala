@@ -20,12 +20,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     handle and deletes ONLY fully-unreachable retired roots,
   *     refusing loudly otherwise.
   *
+  * The lifecycle is SINGLE-WRITER per pointer — one maintenance
+  * scheduler owns publish / rollback / vacuum / retain — and the
+  * contract is ENFORCED, not just documented: a fencing epoch beside
+  * the pointer (`<pointer>.epoch`) is read at entry and
+  * check-and-bumped at each operation's commit point, so a concurrent
+  * or stalled-and-resumed scheduler refuses loudly having changed
+  * nothing, instead of e.g. a vacuum deleting a root a racing publish
+  * just started serving. Readers need no fence — the pointer rename
+  * is atomic either way.
+  *
   * Reference counterpart: none — ironbeam's runs are ephemeral; this
   * is the durable-index lifecycle a 100 TB always-on deployment needs,
   * the same stance as the LSM tiers themselves (a lakehouse-table
-  * commonplace: Delta/Iceberg's snapshot pointer + expire/vacuum).
+  * commonplace: Delta/Iceberg's snapshot pointer + expire/vacuum, and
+  * the fencing-token stance of single-writer log stores).
   */
 object ServePointer {
+
+  /** The pointer's fencing epoch — 0 before any lifecycle operation
+    * ever committed; every committed publish / rollback / vacuum /
+    * retain bumps it by one. Observability surface: a scheduler can
+    * log it per round, and a gap of more than one per round means
+    * another writer is violating the single-writer contract.
+    */
+  def epoch(spark: SparkSession, pointerPath: String): Long =
+    IndexManifest.readEpoch(spark, pointerPath)
+
+  /** Test seam: interleave an action at the fence's commit point (see
+    * IndexManifest.onFenceCheck) — the only way a deterministic spec
+    * can race two lifecycle operations. Production never sets it.
+    */
+  private[graft] def setFenceCheckHook(f: String => Unit): Unit =
+    IndexManifest.onFenceCheck = f
 
   /** Atomically flip the pointer at `pointerPath` to `indexRoot`,
     * refusing a target that cannot serve (missing manifest, severed

@@ -52,6 +52,63 @@ class NightlySpec extends SparkTestBase {
       "a held generation stays in the pointer history")
   }
 
+  test("a crash between two tiers' flips heals to the consistent state via the round marker") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-crash").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    // tonight's generations, both committed (the marker is only ever
+    // written after the audit gate passed, so both roots are valid)
+    val a1 = SideIndex.maintain(spark, s"$root/a0", Some(Seq(2L).toDF("doc_id")), None,
+      "doc_id", "a", s"$root/a1", maxMaskedRatio = 1.0)
+    val b1 = SideIndex.maintain(spark, s"$root/b0", Some(Seq(2L).toDF("doc_id")), None,
+      "doc_id", "b", s"$root/b1", maxMaskedRatio = 1.0)
+    // simulate kill -9 INSIDE the swap window: marker written, tier a
+    // flipped, tier b not — the mixed state nothing inside one tier
+    // can see
+    val marker = s"$root/nightly.round"
+    Nightly.writeMarker(spark, marker, Seq(("a", ptrA, a1), ("b", ptrB, b1)))
+    ServePointer.publish(spark, ptrA, a1, "a")
+    assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted") &&
+      ServePointer.read(spark, ptrB).endsWith("/b0"), "precondition: mixed pointers")
+    // recover rolls FORWARD: the gate had passed, so tonight is the
+    // consistent state — never a mix
+    val healed = Nightly.recover(spark, marker)
+    assert(healed.toSet == Set("a" -> "already-current", "b" -> "completed"),
+      healed.mkString(", "))
+    assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted"))
+    assert(ServePointer.read(spark, ptrB).endsWith("/b1/deleted"))
+    assert(!new java.io.File(marker).exists, "the healed marker must be cleared")
+    // both tiers serve the SAME post-round relation — the consistency
+    // the marker exists to guarantee
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptrA), "doc_id", "a")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      SideIndex.read(spark, ServePointer.read(spark, ptrB), "doc_id", "b")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    // no marker left = recover is a no-op
+    assert(Nightly.recover(spark, marker).isEmpty)
+    // and a FULL run with markerPath set heals at entry, completes, and
+    // leaves no marker behind
+    val registry = rowsDf.where(col("doc_id") =!= 2L && col("doc_id") =!= 3L)
+      .select("doc_id")
+    val (report, _) = Nightly.run(spark, Seq(
+      tier("a", registry, ptrA, () => SideIndex.maintain(spark,
+        ServePointer.read(spark, ptrA),
+        Some(Seq(3L).toDF("doc_id")), None, "doc_id", "a", s"$root/a2",
+        maxMaskedRatio = 1.0)),
+      tier("b", registry, ptrB, () => SideIndex.maintain(spark,
+        ServePointer.read(spark, ptrB),
+        Some(Seq(3L).toDF("doc_id")), None, "doc_id", "b", s"$root/b2",
+        maxMaskedRatio = 1.0))),
+      markerPath = Some(marker))
+    assert(report.collect().forall(_.getBoolean(6)), "the clean round must publish")
+    assert(!new java.io.File(marker).exists,
+      "a completed swap must not leave its marker behind")
+    assert(ServePointer.read(spark, ptrA).endsWith("/a2/deleted"))
+  }
+
   test("one slipped tier refuses the WHOLE swap: yesterday's pointers serve, no release") {
     val root = java.nio.file.Files.createTempDirectory("graft-nightly-bad").toString
     SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")

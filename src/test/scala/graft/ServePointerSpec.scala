@@ -199,6 +199,89 @@ class ServePointerSpec extends SparkTestBase {
       .count() == 15L)
   }
 
+  test("the epoch fence: a racing publish makes an in-flight vacuum refuse and delete nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    assert(ServePointer.epoch(spark, ptr) == 0L, "no lifecycle op has committed yet")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    assert(ServePointer.epoch(spark, ptr) == 1L, "every committed publish bumps the epoch")
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen1")
+    ServePointer.publish(spark, ptr, s"$root/gen1")
+    assert(ServePointer.epoch(spark, ptr) == 2L)
+    // a SECOND scheduler's round, built from the old base: it carries
+    // gen0's segment by reference (no compaction)
+    val gen2 = SideIndex.maintain(spark, s"$root/gen0",
+      deletes = Some(Seq(1L).toDF("doc_id")), increment = None,
+      "doc_id", "t", s"$root/o2", maxMaskedRatio = 1.0)
+    // interleave the race at exactly the vacuum's commit point: the
+    // vacuum validated gen0 as unreachable (the served gen1 is
+    // self-contained), and then the racing publish flips the pointer
+    // onto gen2 — which SERVES THROUGH gen0
+    ServePointer.setFenceCheckHook { _ =>
+      ServePointer.setFenceCheckHook(_ => ()) // the racer itself must not recurse
+      ServePointer.publish(spark, ptr, gen2)
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ServePointer.vacuum(spark, ptr, Seq(s"$root/gen0"))
+      }
+      assert(e.getMessage.contains("lost the pointer fence"), e.getMessage)
+    } finally ServePointer.setFenceCheckHook(_ => ())
+    // the loser deleted NOTHING: gen0 survives, and the relation the
+    // winning publish serves reads back whole through it
+    assert(new java.io.File(s"$root/gen0").exists,
+      "the fenced-out vacuum must not have deleted the root the new pointer serves through")
+    assert(ServePointer.read(spark, ptr).endsWith("/o2/deleted"))
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 19L)
+    // a FRESH vacuum attempt now sees the new reachability and refuses
+    // on the merits, not the fence
+    assert(intercept[IllegalArgumentException] {
+      ServePointer.vacuum(spark, ptr, Seq(s"$root/gen0"))
+    }.getMessage.contains("carries by reference"))
+    // rollback is fenced-and-bumping too
+    val eBefore = ServePointer.epoch(spark, ptr)
+    ServePointer.rollback(spark, ptr): Unit
+    assert(ServePointer.epoch(spark, ptr) == eBefore + 1)
+  }
+
+  test("retention heals an absent history entry even when a raised keep pulls it inside the window") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retain-heal").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen1")
+    ServePointer.publish(spark, ptr, s"$root/gen1")
+    SideIndex.compact(spark, s"$root/gen1", s"$root/gen2")
+    ServePointer.publish(spark, ptr, s"$root/gen2")
+    val hist = ServePointer.history(spark, ptr)
+    assert(hist.length == 2 && hist.last.endsWith("/gen1"), hist.mkString(", "))
+    // simulate a prior round's crash between vacuum and history
+    // rewrite: gen1's root is gone but its entry still stands — and a
+    // RAISED keep now pulls the dangling entry inside the kept window,
+    // where loading its handle used to wedge retention outright
+    val g1 = new org.apache.hadoop.fs.Path(s"$root/gen1")
+    assert(g1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(g1, true))
+    val rep = ServePointer.retain(spark, ptr, keep = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rep == Seq((hist.last, "absent", 0L)),
+      s"the dangling entry must report absent, not wedge: ${rep.mkString(", ")}")
+    val healed = ServePointer.history(spark, ptr)
+    assert(healed.length == 1 && healed.head.endsWith("/gen0"),
+      s"the absent entry must leave the history: ${healed.mkString(", ")}")
+    // nothing else moved: gen0 is still the (kept) rollback window and
+    // the served generation is untouched
+    assert(new java.io.File(s"$root/gen0").exists)
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 20L)
+    // the next shrink reclaims the survivor normally
+    val rep2 = ServePointer.retain(spark, ptr, keep = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rep2.length == 1 && rep2.head._1.endsWith("/gen0") && rep2.head._2 == "vacuumed")
+    assert(!new java.io.File(s"$root/gen0").exists)
+  }
+
   test("retain vacuums unreachable history, HOLDS carried generations, and is transitive both ways") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     val ptr = s"$root/CURRENT"

@@ -1128,6 +1128,40 @@ class StreamingSpec extends SparkTestBase {
     assert(ServePointer.read(spark, ptr) == served)
   }
 
+  test("ingestIndexBatch: a replay never deletes a SERVING compacted step whose manifest was torn out-of-band") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-torn-compact").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    // maxSegments = 1 trips compaction: the batch root commits BOTH an
+    // updated step and the compacted step the pointer then serves
+    Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+      0L, ptr, s"$root/gen", "doc_id", "text", maxSegments = 1)
+    val served = ServePointer.read(spark, ptr)
+    assert(served.contains("/gen/batch-0/compacted"), served)
+    // tear the SERVING compacted manifest out-of-band: the replay's
+    // classifier finds a valid `updated` chain beside unreadable
+    // `compacted` residue — the exact shape of a crash between the
+    // compaction commit and the flip, EXCEPT the pointer says the
+    // compacted step serves. Deleting the "residue" here would destroy
+    // the serving root and silently roll the pointer back.
+    val servedManifest = new java.io.File(served.stripPrefix("file:") + "/manifest")
+    servedManifest.listFiles().foreach(f => assert(f.delete()))
+    java.nio.file.Files.writeString(
+      servedManifest.toPath.resolve("part-00000.parquet"), "garbage")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+        0L, ptr, s"$root/gen", "doc_id", "text", maxSegments = 1)
+    }
+    assert(e.getMessage.contains("out-of-band corruption"), e.getMessage)
+    assert(new java.io.File(served.stripPrefix("file:")).exists,
+      "the refusal must not have deleted the serving compacted root")
+    assert(ServePointer.read(spark, ptr) == served,
+      "the refusal must not have moved the pointer")
+  }
+
   test("ingestIndexBatch: committed replay heals the pointer without re-indexing; residue is cleaned") {
     import graft.operators.{Retrieval, ServePointer}
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
