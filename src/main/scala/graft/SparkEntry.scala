@@ -1080,6 +1080,95 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized UPSERTED IVF-PQ pointer — the vector tier's
+    * CDC write shape, the [[upsertedBm25Pointer]] twin: the FULL
+    * corpus serves as the base generation (frozen full-corpus models),
+    * then ONE streamed upsert batch carries both kinds of "current
+    * version" rows — every %14 vector RE-EMBEDDED (components doubled;
+    * the frozen models re-encode the new embedding) and a shifted-id
+    * set of brand-new vectors — through `Streams.pqUpsertIngest`. The
+    * comparison index encodes the post-upsert corpus one-pass under
+    * the SAME models; `ann_index_upserted` must serve
+    * neighbor-for-neighbor identically, so a replacement that leaked
+    * its OLD codes (the lost-tombstone class) breaks the oracle.
+    */
+  private case class UpsertedAnnIndex(
+      ptr: String, scratchPath: String,
+      coarse: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+  private val upsertedAnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, UpsertedAnnIndex]()
+  private def upsertedAnnIndex(s: SparkSession, dir: String): UpsertedAnnIndex =
+    upsertedAnnCache.computeIfAbsent(dir, _ => {
+      import graft.operators.ServePointer
+      import s.implicits._
+      val b = builtAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-upsert").toString
+      val ptr = s"$root/CURRENT"
+      Similarity.writePqIndex(emb, "vec_id", "embedding", b.coarse, b.cb, s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "IVF-PQ")
+      def reembedded = emb.where(col("vec_id") % 14 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      def arrivals = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val batch = reembedded.unionByName(arrivals)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.pqUpsertIngest(
+        input.toDF().toDF("vec_id", "embedding"), ptr, s"$root/gen",
+        "vec_id", "embedding", b.coarse, b.cb, s"$root/ckpt",
+        keepGenerations = Some(1))
+      try { input.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+      require(ServePointer.read(s, ptr).contains("/gen/batch-0/"),
+        "the vector upsert stream must have flipped the pointer, got " +
+          ServePointer.read(s, ptr))
+      val post = emb.where(col("vec_id") % 14 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(reembedded).unionByName(arrivals)
+      val scratch = s"$root/scratch"
+      Similarity.writePqIndex(post, "vec_id", "embedding", b.coarse, b.cb, scratch)
+      UpsertedAnnIndex(ptr, scratch, b.coarse, b.cb)
+    })
+
+  /** Per-corpus memoized UPSERTED side-table pointer — the third
+    * family's CDC write shape: full base generation, then ONE streamed
+    * upsert batch refreshing every %14 payload (n_chars+1) and adding
+    * shifted-id rows (n_chars+100) through `Streams.sideUpsertIngest`.
+    * The `side_index_upserted` oracle replays the replace rule over
+    * the served live relation.
+    */
+  private val upsertedSideCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def upsertedSidePointer(s: SparkSession, dir: String): String =
+    upsertedSideCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{ServePointer, SideIndex}
+      import s.implicits._
+      val rows = sideRows(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-side-upsert").toString
+      val ptr = s"$root/CURRENT"
+      SideIndex.build(rows, "doc_id", "chars", s"$root/base")
+      ServePointer.publish(s, ptr, s"$root/base", "side(chars)")
+      val batch = rows.where(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))
+        .unionByName(rows.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            (col("n_chars") + 100).as("n_chars")))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int)]
+      val q = graft.streaming.Streams.sideUpsertIngest(
+        input.toDF().toDF("doc_id", "n_chars"), ptr, s"$root/gen",
+        "doc_id", "chars", s"$root/ckpt", keepGenerations = Some(1))
+      try { input.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+      require(ServePointer.read(s, ptr).contains("/gen/batch-0/"),
+        "the side upsert stream must have flipped the pointer, got " +
+          ServePointer.read(s, ptr))
+      ptr
+    })
+
   private def maintainedBm25Index(s: SparkSession, dir: String): String =
     bm25MaintainedIndexCache.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -3062,6 +3151,19 @@ object SparkEntry {
         .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
       live.crossJoin(broadcast(inf))
     }),
+    "side_index_upserted" -> ((s, dir) => {
+      // the side tier's CDC write shape: one streamed upsert batch
+      // refreshes every %14 payload (n_chars+1) and adds shifted-id
+      // rows (n_chars+100); the served live relation must equal the
+      // rule replay — a refreshed row that leaked its OLD payload
+      // (the lost-tombstone class) double-serves and breaks it
+      import graft.operators.{ServePointer, SideIndex}
+      val served = ServePointer.read(s, upsertedSidePointer(s, dir))
+      val live = SideIndex.read(s, served, "doc_id", "chars")
+      val inf = SideIndex.info(s, served, "chars")
+        .select(col("n_segments"), col("n_tombstone_gens"), col("n_rows_live"))
+      live.crossJoin(broadcast(inf))
+    }),
     "side_index_maintained" -> ((s, dir) => {
       // one SideIndex.maintain round (delete + re-key update + a
       // maxSegments=1 policy that trips) — the side tier's scheduler
@@ -3497,6 +3599,32 @@ object SparkEntry {
         q, Similarity.readPqIndex(s, st.scratchPath),
         "vec_id", "embedding", k = 5, st.coarse, nprobe = 4, st.cb)
       fromStreamed.as("u")
+        .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
+        .groupBy("query_id")
+        .agg(
+          (count(lit(1)) === 5).cast("bigint").as("k_complete"),
+          min(coalesce(col("u.neighbor_id") === col("f.neighbor_id"), lit(false)).cast("int"))
+            .cast("bigint").as("identical"))
+    }),
+    "ann_index_upserted" -> ((s, dir) => {
+      // the vector tier's CDC write shape: one streamed upsert batch
+      // re-embeds every %14 vector (components doubled — the frozen
+      // models re-encode the new embedding) and adds shifted-id
+      // arrivals; serving from the pointer must be
+      // neighbor-for-neighbor identical to a one-pass encode of the
+      // post-upsert corpus under the SAME models — a replacement that
+      // leaked its OLD codes breaks the flags
+      import graft.operators.ServePointer
+      val u = upsertedAnnIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val fromUpserted = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, ServePointer.read(s, u.ptr)),
+        "vec_id", "embedding", k = 5, u.coarse, nprobe = 4, u.cb)
+      val fromScratch = Similarity.ivfPqTopKIndexed(
+        q, Similarity.readPqIndex(s, u.scratchPath),
+        "vec_id", "embedding", k = 5, u.coarse, nprobe = 4, u.cb)
+      fromUpserted.as("u")
         .join(fromScratch.as("f"), Seq("query_id", "rank"), "full")
         .groupBy("query_id")
         .agg(
@@ -5206,6 +5334,32 @@ object SparkEntry {
                 3 AS n_segments, 0 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "side_index_upserted" ->
+      // the post-upsert live set: originals minus the %14 refreshes,
+      // plus refreshed payloads (+1), plus the shifted-id arrivals
+      // (+100); base segment + one increment segment, one tombstone
+      // generation (the replaced ids)
+      """WITH base AS (
+           SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         live AS (
+           SELECT doc_id, n_chars FROM base WHERE doc_id % 14 <> 0
+           UNION ALL
+           SELECT doc_id, n_chars + 1 AS n_chars FROM base WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, n_chars + 100 AS n_chars
+           FROM base WHERE doc_id % 5 = 0)
+         SELECT doc_id, n_chars,
+                2 AS n_segments, 1 AS n_tombstone_gens,
+                (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
+         FROM live""",
+    "ann_index_upserted" ->
+      // the upserted per-batch generation must serve neighbor-for-
+      // neighbor like the one-pass encode of the post-upsert corpus —
+      // every query row flags complete and identical
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS k_complete,
+         CAST(1 AS BIGINT) AS identical
+         FROM embeddings WHERE vec_id < 20""",
     "side_index_maintained" ->
       // same rule-replayed live set as side_index_live; the maintain
       // round's tripped policy re-homes it into one segment with no
@@ -6924,7 +7078,7 @@ object SparkEntry {
     // postings scan for the batch)
     "retrieval_index_update", "retrieval_index_compacted", "retrieval_index_deleted",
     "retrieval_index_info", "retrieval_index_maintained", "retrieval_index_streamed",
-    "retrieval_index_upserted",
+    "retrieval_index_upserted", "ann_index_upserted", "side_index_upserted",
     "retrieval_batch_serve",
     // the third index family: the published admission side table the
     // streaming gates serve from, read through its sequenced mask,
@@ -6978,7 +7132,8 @@ object SparkEntry {
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
-    "retrieval_index_streamed", "retrieval_index_upserted", "pipeline_day_night",
+    "retrieval_index_streamed", "retrieval_index_upserted", "ann_index_upserted",
+    "side_index_upserted", "pipeline_day_night",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",

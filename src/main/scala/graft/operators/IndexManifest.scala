@@ -933,6 +933,45 @@ private[operators] object IndexManifest {
 
   // ==================== streaming ingest round ====================
 
+  /** The upsert-batch validation shared by every family's CDC ingest
+    * ([[Retrieval.ingestUpsertBatch]] and its vector/side siblings):
+    * ONE bounded aggregate over the batch refuses — BEFORE any state
+    * change or filtering that could hide a malformed row — null ids
+    * (an upsert row must name what it replaces), null payloads when
+    * the family has a single payload column (a null payload looks
+    * like a deletion, and silently skipping it would leave the STALE
+    * version serving — deletions belong to the maintenance tier), and
+    * duplicate ids (no version column orders them; last-write-wins
+    * under Spark's unordered batches would be a nondeterministic lie
+    * — collapse versions upstream, e.g. through a `latest_per_key`
+    * step). `who` names the entry point in the error.
+    */
+  private[operators] def requireUpsertBatch(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      idCol: String, payloadCol: Option[String], who: String): Unit = {
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      count(when(col(idCol).isNull, 1)).as("n_null_id"),
+      countDistinct(col(idCol)).as("n_ids")) ++
+      payloadCol.map(p => count(when(col(p).isNull, 1)).as("n_null_payload"))
+    val chk = batch.agg(aggs.head, aggs.tail: _*).head()
+    val (n, nNullId, nIds) = (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+    require(nNullId == 0L,
+      s"$who: batch $batchId carries $nNullId rows with a null '$idCol' — an upsert " +
+        "row must name the row it replaces")
+    payloadCol.foreach { p =>
+      val nNullPayload = chk.getLong(3)
+      require(nNullPayload == 0L,
+        s"$who: batch $batchId carries $nNullPayload rows with a null '$p' — " +
+          "skipping them would leave the stale version serving; route deletions " +
+          s"through the maintenance tier, not null-'$p' upserts")
+    }
+    require(n == nIds,
+      s"$who: batch $batchId carries ${n - nIds} duplicate '$idCol' rows — no version " +
+        "column orders them, so last-write-wins would be nondeterministic; collapse " +
+        "versions upstream first")
+  }
+
   /** ONE streaming micro-batch's ingest round, shared by every index
     * family (the tier wrappers — [[Retrieval.ingestIndexBatch]],
     * [[Similarity.ingestPqIndexBatch]], [[SideIndex.ingestBatch]] —

@@ -665,25 +665,10 @@ object Retrieval {
       keepGenerations: Option[Int] = None): Unit = {
     // ONE bounded aggregate validates the whole batch BEFORE any state
     // changes (and before any filtering could hide a malformed row
-    // from the checks)
-    val chk = batch.agg(
-      count(lit(1)).as("n"),
-      count(when(col(idCol).isNull, 1)).as("n_null_id"),
-      count(when(col(textCol).isNull, 1)).as("n_null_text"),
-      countDistinct(col(idCol)).as("n_ids")).head()
-    val (n, nNullId, nNullText, nIds) =
-      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getLong(3))
-    require(nNullId == 0L,
-      s"ingestUpsertBatch: batch $batchId carries $nNullId rows with a null " +
-        s"'$idCol' — an upsert row must name the document it replaces")
-    require(nNullText == 0L,
-      s"ingestUpsertBatch: batch $batchId carries $nNullText rows with a null " +
-        s"'$textCol' — skipping them would leave the stale version serving; route " +
-        "deletions through the maintenance tier, not null-text upserts")
-    require(n == nIds,
-      s"ingestUpsertBatch: batch $batchId carries ${n - nIds} duplicate '$idCol' " +
-        "rows — no version column orders them, so last-write-wins would be " +
-        "nondeterministic; collapse versions upstream first")
+    // from the checks) — shared verbatim with the vector/side upserts
+    // so the three families' refusal contracts cannot drift
+    IndexManifest.requireUpsertBatch(batch, batchId, idCol, Some(textCol),
+      "ingestUpsertBatch")
     IndexManifest.ingestRound(spark, batch,
       batchId, pointerPath, ingestRoot, "BM25",
       (rows, cur, outRoot) => {

@@ -336,6 +336,51 @@ object SideIndex {
         idCol, flavor, outRoot, maxSegments, maxMaskedRatio),
       keepGenerations)
 
+  /** [[ingestBatch]]'s UPSERT form — the CDC-shaped side-table stream
+    * where a batch row is "the current payload of this id", refreshed
+    * or brand new: ids already live in the pointer's generation are
+    * tombstoned first and every batch row then lands as the increment,
+    * so a refreshed row's old payload stops serving in the SAME
+    * generation its new payload starts. Third sibling of
+    * [[Retrieval.ingestUpsertBatch]] on the shared engine, with the
+    * same refusal contract (IndexManifest.requireUpsertBatch) — minus
+    * the null-payload check, which has no single-column meaning on an
+    * arbitrary-schema side row (a tier with a canonical payload column
+    * should validate it upstream). Additive-only streams should prefer
+    * [[ingestBatch]], which skips the live-set semi-join.
+    */
+  def ingestUpsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      flavor: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit = {
+    IndexManifest.requireUpsertBatch(batch, batchId, idCol, None,
+      "SideIndex.ingestUpsertBatch")
+    IndexManifest.ingestRound(spark, batch,
+      batchId, pointerPath, ingestRoot, s"side($flavor)",
+      (rows, cur, outRoot) => {
+        // persist the replaced-id split so the masked live scan runs
+        // ONCE (the emptiness probe and delete's own guard read both
+        // hit the cached result)
+        val replaced = rows.select(col(idCol))
+          .join(read(spark, cur, idCol, flavor).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val deletes = if (replaced.count() == 0L) None else Some(replaced)
+          maintain(spark, cur, deletes, Some(rows), idCol, flavor, outRoot,
+            maxSegments, maxMaskedRatio)
+        } finally replaced.unpersist()
+      },
+      keepGenerations)
+  }
+
   /** The operational metadata row (n_segments, n_tombstone_gens,
     * n_rows_indexed, n_rows_masked, n_rows_live) — footer-sized reads
     * only, poll-safe, mirroring the other tiers' info surfaces.

@@ -1048,6 +1048,57 @@ object Similarity {
         maxSegments, maxMaskedRatio),
       keepGenerations)
 
+  /** [[ingestPqIndexBatch]]'s UPSERT form — the CDC-shaped vector
+    * stream where a batch row is "the current embedding of this id",
+    * re-embedded or brand new: ids already live in the pointer's
+    * generation are tombstoned first and every batch row then lands
+    * as the increment, encoded under the FROZEN models — so a
+    * re-embedded document's old codes stop serving in the SAME
+    * generation its new codes start (the LSM delete + re-add update
+    * path, one maintain round, one pointer flip). The sibling of
+    * [[Retrieval.ingestUpsertBatch]] on the shared engine, with the
+    * SAME refusal contract (IndexManifest.requireUpsertBatch): null
+    * ids, null vectors (a deletion in disguise — routing it through
+    * here would leave the stale embedding serving), and duplicate ids
+    * refuse loudly before any state changes. Additive-only vector
+    * streams should prefer [[ingestPqIndexBatch]], which skips the
+    * live-set semi-join.
+    */
+  def ingestPqUpsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      residual: Boolean = false,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None): Unit = {
+    IndexManifest.requireUpsertBatch(batch, batchId, idCol, Some(vecCol),
+      "ingestPqUpsertBatch")
+    IndexManifest.ingestRound(spark, batch,
+      batchId, pointerPath, ingestRoot, "IVF-PQ",
+      (rows, cur, outRoot) => {
+        // persist the replaced-id split so the masked live scan runs
+        // ONCE (the emptiness probe and deleteFromPqIndex's own guard
+        // read both hit the cached result)
+        val replaced = rows.select(col(idCol))
+          .join(readPqIndex(spark, cur).select(col("neighbor_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val deletes = if (replaced.count() == 0L) None else Some(replaced)
+          maintainPqIndex(spark, cur, deletes, Some(rows), idCol, vecCol,
+            coarseCents, codebooks, outRoot, residual, maxSegments, maxMaskedRatio)
+        } finally replaced.unpersist()
+      },
+      keepGenerations)
+  }
+
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse
     * centroid (FAISS `by_residual=true` training). The coarse quantizer

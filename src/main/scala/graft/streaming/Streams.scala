@@ -567,6 +567,63 @@ object Streams {
       }
       .start()
 
+  /** [[pqIndexIngest]]'s UPSERT form — the CDC-shaped vector stream
+    * where a batch row is "the current embedding of this id":
+    * already-live ids are tombstoned and re-encoded in the SAME
+    * generation ([[graft.operators.Similarity.ingestPqUpsertBatch]]),
+    * so a re-embedded document's old codes stop serving exactly when
+    * its new codes start. Null-id / null-vector / duplicate-id batches
+    * refuse loudly (the shared upsert contract).
+    */
+  def pqUpsertIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      vecCol: String,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      checkpointDir: String,
+      residual: Boolean = false,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ingestPqUpsertBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, vecCol, coarseCents, codebooks, residual,
+          maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
+  /** [[sideIndexIngest]]'s UPSERT form — refreshed side rows replace
+    * their live predecessors in the same generation
+    * ([[graft.operators.SideIndex.ingestUpsertBatch]]); null-id /
+    * duplicate-id batches refuse loudly.
+    */
+  def sideUpsertIngest(
+      incoming: DataFrame,
+      pointerPath: String,
+      ingestRoot: String,
+      idCol: String,
+      flavor: String,
+      checkpointDir: String,
+      maxSegments: Int = 8,
+      maxMaskedRatio: Double = 0.2,
+      keepGenerations: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SideIndex.ingestUpsertBatch(
+          batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
+          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations)
+      }
+      .start()
+
   /** [[bm25IndexIngest]]'s SIDE-TABLE sibling: each micro-batch of
     * new (id, payload) side rows lands as an O(batch) increment
     * generation behind the serve pointer

@@ -1162,6 +1162,92 @@ class StreamingSpec extends SparkTestBase {
       "the refusal must not have moved the pointer")
   }
 
+  test("ingestPqUpsertBatch: re-embedded vectors stop serving their old codes; refusals match the shared contract") {
+    import graft.operators.{ServePointer, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-upsert").toString
+    val vecs = (1L to 40L).map(i => (i, Array.tabulate(8)(d => i * 0.1f + d)))
+      .toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCentroids(vecs, "vec_id", "embedding", 4)
+    val cb = Similarity.trainProductCodebooks(vecs, "vec_id", "embedding",
+      numSub = 4, nCentroids = 8)
+    Similarity.writePqIndex(vecs, "vec_id", "embedding", coarse, cb, s"$root/base")
+    val ptr = s"$root/CURRENT"
+    ServePointer.publish(spark, ptr, s"$root/base", "IVF-PQ")
+    // the CDC batch: ids 1..5 re-embedded (components doubled), three
+    // brand-new arrivals — one round, one flip
+    val newVec = (i: Long) => Array.tabulate(8)(d => 2f * (i * 0.1f + d))
+    val batch = ((1L to 5L).map(i => (i, newVec(i))) ++
+      (101L to 103L).map(i => (i, Array.tabulate(8)(d => i * 0.1f + d))))
+      .toDF("vec_id", "embedding")
+    Similarity.ingestPqUpsertBatch(spark, batch, 0L, ptr, s"$root/gen",
+      "vec_id", "embedding", coarse, cb)
+    assert(ServePointer.read(spark, ptr).contains("/gen/batch-0/"))
+    val served = Similarity.readPqIndex(spark, ServePointer.read(spark, ptr))
+    assert(served.count() == 43L, "40 base + 3 arrivals, replaced ids exactly once")
+    assert(served.groupBy("neighbor_id").count().where($"count" > 1).count() == 0L,
+      "a replaced id must serve exactly one row — the old codes are dead")
+    // the served rows for the replaced ids carry the NEW vectors' codes:
+    // identical to a direct encode of the new embeddings under the same
+    // frozen models (c_norm rides along — exact same arithmetic)
+    val want = Similarity.pqIndex(batch.where($"vec_id" <= 5), "vec_id", "embedding",
+      coarse, cb)
+    val diff = served.where($"neighbor_id" <= 5).as("s")
+      .join(want.as("w"), Seq("neighbor_id"))
+      .where(!($"s.codes" === $"w.codes") || $"s.c_norm" =!= $"w.c_norm")
+    assert(diff.count() == 0L, "replaced ids must serve the re-embedded codes")
+    // the shared refusal contract, at this tier
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ingestPqUpsertBatch(spark,
+        Seq((1L, newVec(1L)), (1L, newVec(1L))).toDF("vec_id", "embedding"),
+        1L, ptr, s"$root/gen", "vec_id", "embedding", coarse, cb)
+    }.getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ingestPqUpsertBatch(spark,
+        Seq((1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"),
+        1L, ptr, s"$root/gen", "vec_id", "embedding", coarse, cb)
+    }.getMessage.contains("null 'embedding'"))
+  }
+
+  test("SideIndex.ingestUpsertBatch: refreshed rows replace their live payloads in one generation") {
+    import graft.operators.{ServePointer, SideIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-side-upsert-spec").toString
+    val rows = (1L to 20L).map(i => (i, i * 10)).toDF("doc_id", "payload")
+    SideIndex.build(rows, "doc_id", "t", s"$root/base")
+    val ptr = s"$root/CURRENT"
+    ServePointer.publish(spark, ptr, s"$root/base", "side(t)")
+    val batch = ((1L to 5L).map(i => (i, i * 10 + 1)) ++
+      Seq((101L, 7L), (102L, 8L))).toDF("doc_id", "payload")
+    SideIndex.ingestUpsertBatch(spark, batch, 0L, ptr, s"$root/gen", "doc_id", "t")
+    assert(ServePointer.read(spark, ptr).contains("/gen/batch-0/"))
+    val got = SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = ((1L to 5L).map(i => (i, i * 10 + 1)) ++
+      (6L to 20L).map(i => (i, i * 10)) ++ Seq((101L, 7L), (102L, 8L)))
+      .sortBy(_._1)
+    assert(got == want, s"served relation diverged:\n$got\n$want")
+    // null ids and duplicate ids refuse (no payload-column check: side
+    // rows have no single canonical payload)
+    assert(intercept[IllegalArgumentException] {
+      SideIndex.ingestUpsertBatch(spark, Seq((1L, 1L), (1L, 2L)).toDF("doc_id", "payload"),
+        1L, ptr, s"$root/gen", "doc_id", "t")
+    }.getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException] {
+      SideIndex.ingestUpsertBatch(spark,
+        Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+          .toDF("doc_id", "payload"),
+        1L, ptr, s"$root/gen", "doc_id", "t")
+    }.getMessage.contains("null 'doc_id'"))
+    // an upsert batch of ONLY brand-new rows degrades to a plain ingest
+    // round (no tombstone generation minted)
+    SideIndex.ingestUpsertBatch(spark, Seq((201L, 9L)).toDF("doc_id", "payload"),
+      1L, ptr, s"$root/gen", "doc_id", "t")
+    val inf = SideIndex.info(spark, ServePointer.read(spark, ptr), "t").head()
+    assert(inf.getInt(1) == 1,
+      s"only batch 0 minted a tombstone generation, got ${inf.getInt(1)}")
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptr), "doc_id", "t")
+      .count() == 23L)
+  }
+
   test("ingestIndexBatch: committed replay heals the pointer without re-indexing; residue is cleaned") {
     import graft.operators.{Retrieval, ServePointer}
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
