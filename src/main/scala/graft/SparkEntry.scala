@@ -795,11 +795,25 @@ object SparkEntry {
       ServePointer.publish(s, s"$root/BM25", s"$root/bm25/base", "BM25")
       ServePointer.publish(s, s"$root/SIDE", s"$root/side/base", "side")
       ServePointer.publish(s, s"$root/ANN", s"$root/ann/base", "IVF-PQ")
-      // tonight's registries: the post-churn truth each tier must serve
+      // tonight's registries: the post-churn truth each tier must
+      // serve — id rosters PLUS the expected content hash per id
+      // (refreshed text / unchanged embedding / bumped n_chars), so
+      // every tier rides the CONTENT audit: a stale payload refuses
+      // the swap exactly like a lost tombstone
       val docReg = docs.where(col("text").isNotNull)
-        .where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0).select("doc_id")
+        .where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0)
+        .select(col("doc_id"), Retrieval.contentHash(
+          when(col("doc_id") % 14 === 0, concat(col("text"), lit(" refreshed")))
+            .otherwise(col("text"))).as("content_hash"))
       val annReg = emb.where(col("vec_id") % 7 =!= 0 || col("vec_id") % 14 === 0)
-        .select("vec_id")
+        .select(col("vec_id"),
+          Similarity.pqContentHash(col("embedding"), ann.coarse, ann.cb)
+            .as("content_hash"))
+      val sideReg = sideRows(s, dir)
+        .where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 14 === 0, col("n_chars") + 1).otherwise(col("n_chars"))
+            .as("content_hash"))
       val relRoot = java.nio.file.Files.createTempDirectory("graft-nightly-rel").toString
       Curation.publishRelease(
         s.read.parquet(releaseManifests(s, dir).prevPath), "lang_pred", relRoot)
@@ -811,21 +825,27 @@ object SparkEntry {
             increment = Some(docs.where(col("doc_id") % 14 === 0 && col("text").isNotNull)
               .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))),
             "doc_id", "text", s"$root/bm25/round"),
-          p => Retrieval.liveDocIds(s, p)),
-        Nightly.Tier("side", docReg, "doc_id", s"$root/SIDE",
+          p => Retrieval.liveDocIds(s, p),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => Retrieval.liveDocHashes(s, p))),
+        Nightly.Tier("side", sideReg, "doc_id", s"$root/SIDE",
           () => SideIndex.maintain(s, s"$root/side/base",
             deletes = Some(sideRows(s, dir).where(col("doc_id") % 7 === 0)
               .select("doc_id")),
             increment = Some(sideRows(s, dir).where(col("doc_id") % 14 === 0)
               .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
             "doc_id", "chars", s"$root/side/round"),
-          p => SideIndex.read(s, p, "doc_id", "chars").select(col("doc_id"))),
+          p => SideIndex.read(s, p, "doc_id", "chars").select(col("doc_id")),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => SideIndex.read(s, p, "doc_id", "chars"))),
         Nightly.Tier("ann", annReg, "vec_id", s"$root/ANN",
           () => Similarity.maintainPqIndex(s, s"$root/ann/base",
             deletes = Some(emb.where(col("vec_id") % 7 === 0).select("vec_id")),
             increment = Some(emb.where(col("vec_id") % 14 === 0)),
             "vec_id", "embedding", ann.coarse, ann.cb, s"$root/ann/round"),
-          p => Similarity.readPqIndex(s, p).select(col("neighbor_id")))),
+          p => Similarity.readPqIndex(s, p).select(col("neighbor_id")),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => Similarity.livePqHashes(s, p)))),
         release = Some(() => Curation.maintainRelease(s, relRoot,
           churnedRegistry(releaseRegistry(s, dir)),
           "doc_id", "n_tokens", "lang_pred", releaseMixWeights,
@@ -3250,6 +3270,30 @@ object SparkEntry {
       IndexAudit.auditContent(sideRows(s, dir), "doc_id", "n_chars",
         Seq("side" -> live.select(col("doc_id"), col("n_chars"))))
     }),
+    "index_audit_content_all" -> ((s, dir) => {
+      // the CONTENT audit across ALL THREE index families — the
+      // stale-payload class (right id, wrong bytes) per tier: the
+      // maintained BM25 index re-added every %14 doc refreshed, the
+      // upserted IVF-PQ index re-embedded every %14 vector (doubled)
+      // and added shifted-id arrivals, the side index re-keyed every
+      // %14 payload +1 — each reconciled against the CURRENT upstream
+      // content, so exactly the %14 sets read stale (and the ANN
+      // arrivals orphaned), a class no id-set audit can see
+      import graft.operators.{IndexAudit, Retrieval, ServePointer, SideIndex, Similarity}
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val docReg = docs.select(col("doc_id"),
+        Retrieval.contentHash(col("text")).as("content_hash"))
+      val bm25 = IndexAudit.auditContent(docReg, "doc_id", "content_hash",
+        Seq("bm25" -> Retrieval.liveDocHashes(s, maintainedBm25Index(s, dir))))
+      val u = upsertedAnnIndex(s, dir)
+      val annReg = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.pqContentHash(col("embedding"), u.coarse, u.cb).as("content_hash"))
+      val ann = IndexAudit.auditContent(annReg, "vec_id", "content_hash",
+        Seq("ann" -> Similarity.livePqHashes(s, ServePointer.read(s, u.ptr))))
+      val side = IndexAudit.auditContent(sideRows(s, dir), "doc_id", "n_chars",
+        Seq("side" -> SideIndex.read(s, sideIndexRoot(s, dir), "doc_id", "chars")))
+      bm25.unionByName(ann).unionByName(side)
+    }),
     "index_audit_ann" -> ((s, dir) => {
       // the vector tier through the same audit: the delete-chain
       // IVF-PQ index's masked live ids reconciled against the full
@@ -5377,8 +5421,10 @@ object SparkEntry {
     "pipeline_nightly" ->
       // the rule replay per tier: doc tiers live exactly {text
       // non-null, %7<>0 or %14=0}, the vector tier the same over
-      // embeddings; a clean round has zero discrepancies everywhere
-      // and the round verdict on every row
+      // embeddings; a clean round has zero discrepancies everywhere —
+      // n_stale included, every tier riding the CONTENT audit against
+      // tonight's expected payload hashes — and the round verdict on
+      // every row
       """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                     WHERE text IS NOT NULL AND (doc_id % 7 <> 0 OR doc_id % 14 = 0)),
               e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
@@ -5388,6 +5434,7 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS n_missing,
                 CAST(0 AS BIGINT) AS n_orphaned,
                 CAST(0 AS BIGINT) AS n_dup_pairs,
+                CAST(0 AS BIGINT) AS n_stale,
                 CAST(1 AS BIGINT) AS in_sync,
                 CAST(1 AS BIGINT) AS published
          FROM (SELECT 'bm25' AS tier UNION ALL SELECT 'side' UNION ALL SELECT 'ann') t,
@@ -5545,6 +5592,44 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS n_orphaned,
                 CAST(0 AS BIGINT) AS n_dup_pairs,
                 (SELECT CAST(count(*) AS BIGINT) FROM base
+                 WHERE doc_id % 14 = 0) AS n_stale,
+                CAST(0 AS BIGINT) AS in_sync""",
+    "index_audit_content_all" ->
+      // the per-tier rule replay: BM25 lives (%7<>0 or %14=0) with the
+      // %14 refreshes stale and the %7-not-%14 deletions missing; ANN
+      // (the upserted fixture) serves every original id plus the
+      // shifted %5 arrivals (orphaned vs the registry) with the %14
+      // re-embeds stale; side mirrors BM25 with n_chars payloads
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+              e AS (SELECT vec_id FROM embeddings)
+         SELECT 'bm25' AS tier,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
+                 WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0) AS n_live,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
+                 WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0) AS n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
+                 WHERE doc_id % 14 = 0) AS n_stale,
+                CAST(0 AS BIGINT) AS in_sync
+         UNION ALL
+         SELECT 'ann' AS tier,
+                (SELECT CAST(count(*) AS BIGINT) FROM e)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 5 = 0) AS n_live,
+                CAST(0 AS BIGINT) AS n_missing,
+                (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 5 = 0) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 14 = 0) AS n_stale,
+                CAST(0 AS BIGINT) AS in_sync
+         UNION ALL
+         SELECT 'side' AS tier,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
+                 WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0) AS n_live,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
+                 WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0) AS n_missing,
+                CAST(0 AS BIGINT) AS n_orphaned,
+                CAST(0 AS BIGINT) AS n_dup_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM d
                  WHERE doc_id % 14 = 0) AS n_stale,
                 CAST(0 AS BIGINT) AS in_sync""",
     "index_audit_ann" ->
@@ -7087,7 +7172,7 @@ object SparkEntry {
     "index_audit", "index_audit_ann",
     // the content audit: same narrow joins plus the payload-hash
     // disagreement count the id-set audit cannot see
-    "index_audit_content",
+    "index_audit_content", "index_audit_content_all",
     // the deployment lifecycle: serve-pointer read of the two-round
     // maintained + vacuumed generation (build/rounds/vacuum bill to
     // the memoized first call, the *_index_update stance), plus the
@@ -7133,7 +7218,7 @@ object SparkEntry {
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_index_streamed", "retrieval_index_upserted", "ann_index_upserted",
-    "side_index_upserted", "pipeline_day_night",
+    "side_index_upserted", "pipeline_day_night", "index_audit_content_all",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",

@@ -386,7 +386,13 @@ private[operators] object IndexManifest {
       spark: SparkSession, segs: Seq[String], table: String): org.apache.spark.sql.DataFrame =
     segs.zipWithIndex.map { case (s, i) =>
       spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
-    }.reduce(_.unionByName(_))
+    // allowMissingColumns: a column one segment generation lacks reads
+    // as null rather than refusing the union — the format-evolution
+    // path (e.g. doclen's content_hash fingerprint: an index built
+    // before the column existed and updated after carries both segment
+    // shapes, and null = "unknown" is exactly the audit's pinned
+    // semantics for a fingerprint that was never recorded)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** `rows` (a [[segTableOrd]] relation) minus the tombstone-masked
     * ones: a row dies iff its id is tombstoned AND its segment

@@ -47,6 +47,17 @@ object Nightly {
     *                  under a fresh outRoot), returning the new root
     * @param liveIds   the tier's one-column live-id relation at a
     *                  given root (e.g. `Retrieval.liveDocIds`)
+    * @param hashCol   optional registry column carrying tonight's
+    *                  EXPECTED content hash per id — supply together
+    *                  with `liveHashes` to upgrade this tier's audit
+    *                  to [[IndexAudit.auditContent]]: a stale payload
+    *                  (right id, wrong bytes — a re-add whose
+    *                  fingerprint was never refreshed) then refuses
+    *                  the swap exactly like a lost tombstone, the
+    *                  class the id-set audit cannot see
+    * @param liveHashes  the tier's (id, content_hash) live relation at
+    *                  a given root (e.g. `Retrieval.liveDocHashes`,
+    *                  `Similarity.livePqHashes`)
     */
   final case class Tier(
       name: String,
@@ -54,7 +65,9 @@ object Nightly {
       idCol: String,
       pointerPath: String,
       maintain: () => String,
-      liveIds: String => DataFrame)
+      liveIds: String => DataFrame,
+      hashCol: Option[String] = None,
+      liveHashes: Option[String => DataFrame] = None)
 
   // ==================== crash-atomic swap marker ====================
 
@@ -160,9 +173,24 @@ object Nightly {
     // yesterday's pointers intact by construction
     val newRoots = tiers.map(t => t -> t.maintain())
     // 2. the cross-tier audit — per-tier registries (the families key
-    // by different ids), one narrow full-outer join each
+    // by different ids), one narrow full-outer join each. A tier with
+    // content-hash hookups audits through auditContent (id sets PLUS
+    // the stale-payload count); set-only tiers report n_stale = 0 so
+    // the round's report is one uniform relation either way
+    val reportCols = Seq("tier", "n_live", "n_missing", "n_orphaned",
+      "n_dup_pairs", "n_stale", "in_sync").map(org.apache.spark.sql.functions.col)
     val auditRows = newRoots.map { case (t, root) =>
-      IndexAudit.audit(t.registry, t.idCol, Seq(t.name -> t.liveIds(root)))
+      (t.hashCol, t.liveHashes) match {
+        case (Some(hc), Some(lh)) =>
+          IndexAudit.auditContent(t.registry, t.idCol, hc,
+            Seq(t.name -> lh(root))).select(reportCols: _*)
+        case (None, None) =>
+          IndexAudit.audit(t.registry, t.idCol, Seq(t.name -> t.liveIds(root)))
+            .withColumn("n_stale", org.apache.spark.sql.functions.lit(0L))
+            .select(reportCols: _*)
+        case _ => throw new IllegalArgumentException(
+          s"Nightly tier '${t.name}': hashCol and liveHashes must be supplied together")
+      }
     }.reduce(_.unionByName(_))
       .collect() // bounded: one row per tier
     val inSync = auditRows.forall(_.getAs[Long]("in_sync") == 1L)
@@ -239,9 +267,9 @@ object Nightly {
       }
     import spark.implicits._
     val report = auditRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), inSync))
-      .toDF("tier", "n_live", "n_missing", "n_orphaned", "n_dup_pairs", "in_sync",
-        "published")
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), inSync))
+      .toDF("tier", "n_live", "n_missing", "n_orphaned", "n_dup_pairs", "n_stale",
+        "in_sync", "published")
     (report, releaseReport)
   }
 }

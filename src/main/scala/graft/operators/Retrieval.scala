@@ -187,8 +187,16 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$segPath/termdf")
     // stats and doclen must come from the DOCS (zero-token docs have
     // no posting but still count toward N) — one light sizes-only
-    // scan feeds both
-    val dl = docLengths(docs, idCol, textCol)
+    // scan feeds both. doclen additionally records content_hash =
+    // [[contentHash]] of the raw text: the per-doc payload fingerprint
+    // [[liveDocHashes]] serves to the cross-tier content audit,
+    // written at index time so the audit never re-reads text (the
+    // index does not store text, so a post-hoc hash is impossible)
+    val dl = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("dl"),
+        contentHash(col(textCol)).as("content_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
@@ -196,6 +204,17 @@ object Retrieval {
       dl.write.mode("overwrite").parquet(s"$segPath/doclen")
     } finally dl.unpersist()
   }
+
+  /** The canonical per-document payload fingerprint — xxhash64 of the
+    * raw text, codegen'd. The ONE hash both sides of the content audit
+    * must use: [[buildIndex]]/[[updateIndex]] stamp it into each
+    * segment's doclen rows, [[liveDocHashes]] serves it back, and the
+    * registry side computes it from the current upstream text — so a
+    * document whose index entry predates its latest edit disagrees,
+    * and [[IndexAudit.auditContent]]'s `n_stale` sees the class the
+    * id-set audit cannot: right id, wrong bytes.
+    */
+  def contentHash(text: Column): Column = xxhash64(text)
 
   /** One index table unioned across every listed segment — the serve
     * paths' read shape. Parquet takes the segment roots as a
@@ -245,11 +264,38 @@ object Retrieval {
     val h = IndexManifest.handle(spark, indexPath, "BM25")
     IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
     val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
-      .columns.filter(_ != "dl").head
+      .columns.filter(c => c != "dl" && c != "content_hash").head
     IndexManifest.memo(spark, h, s"live-doc-ids/$idCol") {
       IndexManifest.maskLive(
         IndexManifest.segTableOrd(spark, h, "doclen"),
         IndexManifest.tombstoneRel(spark, h, idCol), idCol).select(col(idCol))
+    }
+  }
+
+  /** The published index's live (id, content_hash) relation — the
+    * [[IndexAudit.auditContent]] input for this tier: doclen's
+    * index-time [[contentHash]] fingerprints through the sequenced
+    * tombstone mask, never postings or text. A segment written before
+    * the fingerprint column existed reads as a null hash = "content
+    * unknown" (the audit's pinned null-hash semantics: absence of
+    * evidence never counts stale — the id-set counts still cover the
+    * doc), so an old index audits instead of refusing. Same Handle
+    * memo + narrow-scan shape as [[liveDocIds]].
+    */
+  def liveDocHashes(spark: SparkSession, indexPath: String): DataFrame = {
+    val h = IndexManifest.handle(spark, indexPath, "BM25")
+    IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
+    val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
+      .columns.filter(c => c != "dl" && c != "content_hash").head
+    IndexManifest.memo(spark, h, s"live-doc-hashes/$idCol") {
+      val ord = h.segments.zipWithIndex.map { case (sp, i) =>
+        val df = spark.read.parquet(s"$sp/doclen")
+        val hashed =
+          if (df.columns.contains("content_hash")) df
+          else df.withColumn("content_hash", lit(null).cast("long"))
+        hashed.select(col(idCol), col("content_hash"), lit(i).as("__seg"))
+      }.reduce(_.unionByName(_))
+      IndexManifest.maskLive(ord, IndexManifest.tombstoneRel(spark, h, idCol), idCol)
     }
   }
 
@@ -415,8 +461,8 @@ object Retrieval {
     val seg = "segments/seg-00000"
     clearManifest(spark, outPath)
     // the id column name is whatever the build used — read it off the
-    // doclen schema (doclen is (id, dl))
-    val idCol = segTable(spark, segs, "doclen").columns.filter(_ != "dl").head
+    // doclen schema (doclen is (id, dl, content_hash))
+    val idCol = segTable(spark, segs, "doclen").columns.filter(c => c != "dl" && c != "content_hash").head
     val tsRel = tombstoneRel(spark, tsPaths, idCol)
     // the masked relations feed TWO writes each (postings -> postings +
     // termdf recompute; doclen -> stats + doclen) — persist them so the
@@ -1008,7 +1054,7 @@ object Retrieval {
     val h = IndexManifest.handle(spark, indexPath, "BM25")
     IndexManifest.requireVersion(h, indexPath, "BM25", FormatVersion)
     val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
-      .columns.filter(_ != "dl").head
+      .columns.filter(c => c != "dl" && c != "content_hash").head
     val (dfs, stats) = liveTermStats(spark, h, terms.distinct, idCol)
     val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1))
       .filter(_._2 > 0L).toMap

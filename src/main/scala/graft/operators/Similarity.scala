@@ -1099,6 +1099,47 @@ object Similarity {
       keepGenerations)
   }
 
+  /** The canonical per-vector payload fingerprint under an index's
+    * FROZEN models: xxhash64 over (codes, c_norm) — exactly the two
+    * payload columns a published segment stores — computed from a RAW
+    * vector by the same encode expressions the write path uses
+    * ([[pqCodes]] / residual codes + [[l2Norm]]), so the registry side
+    * of [[IndexAudit.auditContent]] and the served side
+    * ([[livePqHashes]]) can never hash differently on the same
+    * embedding. A re-embedded vector the index never re-encoded
+    * disagrees — the corpus embeddings being unit-norm, even a pure
+    * rescale moves c_norm — and `n_stale` sees the class the id-set
+    * audit cannot: right id, stale codes.
+    */
+  def pqContentHash(
+      vec: Column,
+      coarseCents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      residual: Boolean = false): Column = {
+    val codes =
+      if (residual) {
+        val cellCol = assignCell(vec, coarseCents)
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.PQEncodeResidualCodes(
+            org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+            org.apache.spark.sql.graftbridge.Bridge.expression(cellCol),
+            coarseCents, codebooks))
+      } else pqCodes(vec, codebooks)
+    xxhash64(codes, l2Norm(vec))
+  }
+
+  /** The published index's live (id, content_hash) relation — the
+    * [[IndexAudit.auditContent]] input for the vector tier: xxhash64
+    * over each SERVED row's stored (codes, c_norm), through the
+    * sequenced tombstone mask via [[readPqIndex]] (codes are
+    * array[byte] and c_norm a double — both parquet-exact, so the
+    * round trip can never perturb the hash). Pair the registry side
+    * with [[pqContentHash]] under the same models.
+    */
+  def livePqHashes(spark: SparkSession, indexPath: String): DataFrame =
+    readPqIndex(spark, indexPath).select(col("neighbor_id"),
+      xxhash64(col("codes"), col("c_norm")).as("content_hash"))
+
   /** Per-subspace PQ codebooks fit on the RESIDUALS of a bounded
     * id-ordered sample — each sample vector minus its nearest coarse
     * centroid (FAISS `by_residual=true` training). The coarse quantizer

@@ -37,7 +37,7 @@ class NightlySpec extends SparkTestBase {
       release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }),
       keepGenerations = Some(0))
     val rows = report.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(5), r.getBoolean(6)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(6), r.getBoolean(7)))
     assert(rows.toSet == Set(("a", 9L, 1L, true), ("b", 9L, 1L, true)), rows.mkString(", "))
     assert(releaseRan && rel.isDefined, "the release must run behind a passed gate")
     assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted"))
@@ -103,10 +103,44 @@ class NightlySpec extends SparkTestBase {
         Some(Seq(3L).toDF("doc_id")), None, "doc_id", "b", s"$root/b2",
         maxMaskedRatio = 1.0))),
       markerPath = Some(marker))
-    assert(report.collect().forall(_.getBoolean(6)), "the clean round must publish")
+    assert(report.collect().forall(_.getAs[Boolean]("published")), "the clean round must publish")
     assert(!new java.io.File(marker).exists,
       "a completed swap must not leave its marker behind")
     assert(ServePointer.read(spark, ptrA).endsWith("/a2/deleted"))
+  }
+
+  test("a STALE payload refuses the swap like a lost tombstone (the content-audit gate)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-stale").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    val ptrA = s"$root/A"
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    // tonight's truth: doc 3's payload was refreshed upstream to v+1 —
+    // the id set is UNCHANGED, so the id-only audit would wave the
+    // round through; only the content hashes can see it
+    val registry = rowsDf.select(col("doc_id"),
+      when(col("doc_id") === 3L, col("v") + 1).otherwise(col("v")).as("v"))
+    def tierH(maintain: () => String): Nightly.Tier =
+      Nightly.Tier("a", registry, "doc_id", ptrA, maintain,
+        p => SideIndex.read(spark, p, "doc_id", "a").select(col("doc_id")),
+        hashCol = Some("v"),
+        liveHashes = Some(p => SideIndex.read(spark, p, "doc_id", "a")))
+    // the round FORGETS the refresh (republishes a compaction): stale
+    val (r1, _) = Nightly.run(spark, Seq(tierH(() => {
+      SideIndex.compact(spark, s"$root/a0", s"$root/a1"); s"$root/a1"
+    })))
+    val row1 = r1.head()
+    assert(row1.getAs[Long]("n_stale") == 1L && row1.getAs[Long]("n_missing") == 0L,
+      s"exactly the unrefreshed doc is stale: $row1")
+    assert(!row1.getAs[Boolean]("published"), "a stale payload must refuse the swap")
+    assert(ServePointer.read(spark, ptrA).endsWith("/a0"),
+      "yesterday keeps serving behind a stale-refused round")
+    // the round that actually applies the refresh passes the same gate
+    val (r2, _) = Nightly.run(spark, Seq(tierH(() => SideIndex.maintain(spark, s"$root/a0",
+      Some(Seq(3L).toDF("doc_id")), Some(Seq((3L, 7L)).toDF("doc_id", "v")),
+      "doc_id", "a", s"$root/a2", maxMaskedRatio = 1.0))))
+    val row2 = r2.head()
+    assert(row2.getAs[Long]("n_stale") == 0L && row2.getAs[Boolean]("published"), s"$row2")
+    assert(ServePointer.read(spark, ptrA).endsWith("/a2/updated"))
   }
 
   test("one slipped tier refuses the WHOLE swap: yesterday's pointers serve, no release") {
@@ -131,7 +165,7 @@ class NightlySpec extends SparkTestBase {
       })),
       release = Some(() => { releaseRan = true; Seq(("en", true)).toDF("s", "published") }))
     val byTier = report.collect()
-      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5), r.getBoolean(6))).toMap
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(6), r.getBoolean(7))).toMap
     assert(byTier("b") == ((1L, 0L, false)), s"the lost tombstone must orphan: $byTier")
     assert(byTier("a") == ((0L, 1L, false)),
       s"the clean tier's row must still read published=false — the verdict is round-wide: $byTier")
