@@ -1057,6 +1057,122 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized ALL-TIER day-night lifecycle — the full
+    * deployment story in one fixture: the THREE index families'
+    * pointers driven through the SAME two-day loop. Day 1 streams two
+    * thirds of each tier's rows onto a one-third base as ingest
+    * batches (O(batch) increments, pointer flip per commit, keep-1
+    * retention); the NIGHTLY round then churns every tier from its
+    * pointer's CURRENT generation (%7 deleted, %14 re-added — text
+    * refreshed / embedding re-encoded / payload bumped), audits each
+    * new generation against a CONTENT-HASHED registry, and swaps all
+    * three pointers behind one crash-atomic round marker; day 2
+    * resumes ingest per tier with brand-new rows (shifted ids) on the
+    * night's generations. The `pipeline_day_night_all` query grades
+    * each tier's served live-id relation against a DuckDB replay of
+    * the whole evolution.
+    */
+  private val dayNightAllCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def dayNightAllPointers(s: SparkSession, dir: String): (String, String, String) =
+    dayNightAllCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Nightly, ServePointer, SideIndex}
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val srows = sideRows(s, dir)
+      val ann = builtAnnIndex(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-daynight-all").toString
+      val (pB, pA, pS) = (s"$root/BM25", s"$root/ANN", s"$root/SIDE")
+      Retrieval.buildIndex(docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+        s"$root/bm25/base")
+      Similarity.writePqIndex(emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        ann.coarse, ann.cb, s"$root/ann/base")
+      SideIndex.build(srows.where(col("doc_id") % 3 === 0), "doc_id", "chars",
+        s"$root/side/base")
+      ServePointer.publish(s, pB, s"$root/bm25/base", "BM25")
+      ServePointer.publish(s, pA, s"$root/ann/base", "IVF-PQ")
+      ServePointer.publish(s, pS, s"$root/side/base", "side(chars)")
+      // day 1: the remaining two thirds arrive as ingest batches
+      Seq(1L, 2L).foreach { m =>
+        Retrieval.ingestIndexBatch(s, docs.where(col("doc_id") % 3 === m), m - 1,
+          pB, s"$root/bm25/day1", "doc_id", "text", keepGenerations = Some(1))
+        Similarity.ingestPqIndexBatch(s, emb.where(col("vec_id") % 3 === m), m - 1,
+          pA, s"$root/ann/day1", "vec_id", "embedding", ann.coarse, ann.cb,
+          keepGenerations = Some(1))
+        SideIndex.ingestBatch(s, srows.where(col("doc_id") % 3 === m), m - 1,
+          pS, s"$root/side/day1", "doc_id", "chars", keepGenerations = Some(1))
+      }
+      // night: churn from each pointer's CURRENT generation, audited
+      // against content-hashed registries, swapped behind one marker
+      val docReg = docs.where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0)
+        .select(col("doc_id"), Retrieval.contentHash(
+          when(col("doc_id") % 14 === 0, concat(col("text"), lit(" refreshed")))
+            .otherwise(col("text"))).as("content_hash"))
+      val annReg = emb.where(col("vec_id") % 7 =!= 0 || col("vec_id") % 14 === 0)
+        .select(col("vec_id"),
+          Similarity.pqContentHash(col("embedding"), ann.coarse, ann.cb)
+            .as("content_hash"))
+      val sideReg = srows.where(col("doc_id") % 7 =!= 0 || col("doc_id") % 14 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 14 === 0, col("n_chars") + 1).otherwise(col("n_chars"))
+            .as("content_hash"))
+      val marker = s"$root/night.marker"
+      val (report, _) = Nightly.run(s, Seq(
+        Nightly.Tier("bm25", docReg, "doc_id", pB,
+          () => Retrieval.maintainIndex(s, ServePointer.read(s, pB),
+            deletes = Some(docs.where(col("doc_id") % 7 === 0).select("doc_id")),
+            increment = Some(docs.where(col("doc_id") % 14 === 0)
+              .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))),
+            "doc_id", "text", s"$root/bm25/night"),
+          p => Retrieval.liveDocIds(s, p),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => Retrieval.liveDocHashes(s, p))),
+        Nightly.Tier("ann", annReg, "vec_id", pA,
+          () => Similarity.maintainPqIndex(s, ServePointer.read(s, pA),
+            deletes = Some(emb.where(col("vec_id") % 7 === 0).select("vec_id")),
+            increment = Some(emb.where(col("vec_id") % 14 === 0)),
+            "vec_id", "embedding", ann.coarse, ann.cb, s"$root/ann/night"),
+          p => Similarity.readPqIndex(s, p).select(col("neighbor_id")),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => Similarity.livePqHashes(s, p))),
+        Nightly.Tier("side", sideReg, "doc_id", pS,
+          () => SideIndex.maintain(s, ServePointer.read(s, pS),
+            deletes = Some(srows.where(col("doc_id") % 7 === 0).select("doc_id")),
+            increment = Some(srows.where(col("doc_id") % 14 === 0)
+              .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))),
+            "doc_id", "chars", s"$root/side/night"),
+          p => SideIndex.read(s, p, "doc_id", "chars").select(col("doc_id")),
+          hashCol = Some("content_hash"),
+          liveHashes = Some(p => SideIndex.read(s, p, "doc_id", "chars")))),
+        keepGenerations = Some(1), markerPath = Some(marker))
+      require(report.collect().forall(r =>
+          r.getAs[Long]("in_sync") == 1L && r.getAs[Boolean]("published")),
+        "pipeline_day_night_all setup: the nightly gate refused the benign round")
+      require(!new java.io.File(marker).exists,
+        "pipeline_day_night_all setup: the completed swap left its round marker")
+      Seq(pB, pA, pS).foreach { p =>
+        require(ServePointer.read(s, p).contains("/night/"),
+          s"pipeline_day_night_all setup: the $p swap did not land")
+      }
+      // day 2: brand-new rows resume ingest on the night's generations
+      Retrieval.ingestIndexBatch(s, docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" day2")).as("text")),
+        0L, pB, s"$root/bm25/day2", "doc_id", "text", keepGenerations = Some(1))
+      Similarity.ingestPqIndexBatch(s, emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        0L, pA, s"$root/ann/day2", "vec_id", "embedding", ann.coarse, ann.cb,
+        keepGenerations = Some(1))
+      SideIndex.ingestBatch(s, srows.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")),
+        0L, pS, s"$root/side/day2", "doc_id", "chars", keepGenerations = Some(1))
+      Seq(pB, pA, pS).foreach { p =>
+        require(ServePointer.read(s, p).contains("/day2/batch-0/"),
+          s"pipeline_day_night_all setup: day 2's ingest did not flip $p")
+      }
+      (pB, pA, pS)
+    })
+
   /** Per-corpus memoized UPSERTED BM25 pointer — the CDC write shape:
     * the FULL corpus serves as the base generation, then ONE streamed
     * upsert batch carries both kinds of "current version" rows — every
@@ -3230,6 +3346,26 @@ object SparkEntry {
       Retrieval.searchTopKIndexed(s,
         ServePointer.read(s, dayNightPointer(s, dir)),
         "doc_id", Seq("spark", "fast", "join"), k = 10)
+    }),
+    "pipeline_day_night_all" -> ((s, dir) => {
+      // the deployment loop over ALL THREE index families on their own
+      // pointers — day-1 ingest, content-gated marker-protected
+      // nightly churn + swap, day-2 ingest — each tier's served
+      // live-id relation value-graded against the DuckDB replay of the
+      // whole two-day evolution (survivors + re-adds + day-2 arrivals)
+      import graft.operators.{ServePointer, SideIndex}
+      val (pB, pA, pS) = dayNightAllPointers(s, dir)
+      def row(tier: String, ids: DataFrame): DataFrame =
+        ids.toDF("id").agg(
+          count(lit(1)).as("n_live"),
+          coalesce(sum("id"), lit(0L)).as("id_sum"))
+          .select(lit(tier).as("tier"), col("n_live"), col("id_sum"))
+      row("bm25", Retrieval.liveDocIds(s, ServePointer.read(s, pB)))
+        .unionByName(row("ann",
+          Similarity.readPqIndex(s, ServePointer.read(s, pA)).select(col("neighbor_id"))))
+        .unionByName(row("side",
+          SideIndex.read(s, ServePointer.read(s, pS), "doc_id", "chars")
+            .select(col("doc_id"))))
     }),
     "index_retained" -> ((s, dir) => {
       // what the pointer serves AFTER `retain(keep = 1)` vacuumed the
@@ -5524,6 +5660,26 @@ object SparkEntry {
          SELECT CAST(rk AS INTEGER) AS rank, doc_id, score FROM (
            SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM w)
          WHERE rk <= 10""",
+    "pipeline_day_night_all" ->
+      // per tier, the two-day evolution's live ids: every day-1 row
+      // survives unless %7-retired-not-%14-re-added by the night, plus
+      // the shifted day-2 arrivals; side shares the doc domain
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+              e AS (SELECT vec_id FROM embeddings),
+              bl AS (SELECT doc_id AS id FROM d WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+                     UNION ALL
+                     SELECT doc_id + 1000000 AS id FROM d WHERE doc_id % 5 = 0),
+              al AS (SELECT vec_id AS id FROM e WHERE vec_id % 7 <> 0 OR vec_id % 14 = 0
+                     UNION ALL
+                     SELECT vec_id + 1000000 AS id FROM e WHERE vec_id % 5 = 0)
+         SELECT 'bm25' AS tier, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(id) AS BIGINT) AS id_sum FROM bl
+         UNION ALL
+         SELECT 'ann' AS tier, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(id) AS BIGINT) AS id_sum FROM al
+         UNION ALL
+         SELECT 'side' AS tier, CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(id) AS BIGINT) AS id_sum FROM bl""",
     "index_retained" ->
       // the same two-round replay as index_vacuumed, but the served
       // generation is round B UNCOMPACTED after retention: round A's
@@ -7052,7 +7208,7 @@ object SparkEntry {
     // the composed DEPLOYMENT loop on one serve pointer: day-1
     // streaming ingest -> audit-gated nightly churn + swap -> day-2
     // ingest on the night's generation, value-graded through one serve
-    "pipeline_day_night",
+    "pipeline_day_night", "pipeline_day_night_all",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph
@@ -7218,7 +7374,8 @@ object SparkEntry {
     "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_index_streamed", "retrieval_index_upserted", "ann_index_upserted",
-    "side_index_upserted", "pipeline_day_night", "index_audit_content_all",
+    "side_index_upserted", "pipeline_day_night", "pipeline_day_night_all",
+    "index_audit_content_all",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",
