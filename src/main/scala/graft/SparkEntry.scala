@@ -7371,7 +7371,8 @@ object SparkEntry {
     "ann_index_info", "ann_index_maintained", "ann_index_streamed",
     "ann_serve_reranked",
     "similarity_ivf", "dedup_near_skewsafe", "dedup_incremental",
-    "retrieval_query_serve", "retrieval_index_update", "retrieval_index_compacted",
+    "retrieval_query_serve", "retrieval_hybrid",
+    "retrieval_index_update", "retrieval_index_compacted",
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_index_streamed", "retrieval_index_upserted", "ann_index_upserted",
     "side_index_upserted", "pipeline_day_night", "pipeline_day_night_all",
