@@ -28,6 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (valid, unserved) generations on disk for diagnosis — fix the tier,
   * re-run, and [[ServePointer.vacuum]] the abandoned roots afterwards.
   *
+  * Two hardenings close the gaps the gate alone cannot: a tier with
+  * content-hash hookups ([[Tier.hashCol]]/[[Tier.liveHashes]]) audits
+  * through [[IndexAudit.auditContent]], so a STALE payload — right id,
+  * bytes that predate tonight's registry — refuses the swap exactly
+  * like a lost tombstone; and with `markerPath` set the swap itself is
+  * CRASH-ATOMIC: the round's intent lands on disk before the first
+  * flip and [[recover]] rolls a killed-mid-swap round forward on the
+  * next run, so mixed pointers cannot outlive one scheduling cycle.
+  *
   * Reference counterpart: none (ironbeam runs are ephemeral) — this is
   * the scheduler composition over the repo's own index lifecycle, the
   * same stance as [[ServePointer]].

@@ -485,6 +485,19 @@ object Streams {
     * — build one with [[graft.operators.Retrieval.buildIndex]] (an
     * empty corpus is a valid base) and
     * [[graft.operators.ServePointer.publish]].
+    *
+    * SINGLE WRITER PER POINTER — this stream (and each of its
+    * upsert/vector/side siblings below) is a pointer-lifecycle WRITER:
+    * while it runs, nothing else may publish, roll back, vacuum, or
+    * retain on `pointerPath` (schedule nightly maintenance on a
+    * different pointer, or stop the stream for the window). The
+    * contract is enforced, not just stated: every round carries the
+    * pointer's fencing epoch across its whole read-maintain-flip span,
+    * so a concurrent flip makes the round REFUSE after its batch root
+    * committed — the stream stops, and the operator must delete that
+    * batch root (and resolve pointer ownership) before resuming,
+    * because a foreachBatch replay would otherwise re-flip a chain
+    * built from the superseded base.
     */
   def bm25IndexIngest(
       incoming: DataFrame,

@@ -1162,6 +1162,40 @@ class StreamingSpec extends SparkTestBase {
       "the refusal must not have moved the pointer")
   }
 
+  test("ingestIndexBatch: a pointer flip during the round's maintain fences the ingest publish out") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-fence").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    // the racing actor: a nightly-style maintenance that flips the
+    // pointer onto ITS generation while the ingest round is still
+    // maintaining — the zombie-vs-scheduler interleave the fence
+    // exists to catch. Injected at the ingest publish's commit point:
+    // everything the ingest read (its chain base) is stale by then.
+    val night = Retrieval.maintainIndex(spark, s"$root/base",
+      deletes = None,
+      increment = Some(all.where($"doc_id" === 9)),
+      "doc_id", "text", s"$root/night")
+    ServePointer.setFenceCheckHook { _ =>
+      ServePointer.setFenceCheckHook(_ => ())
+      ServePointer.publish(spark, ptr, night, "BM25")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+          0L, ptr, s"$root/gen", "doc_id", "text")
+      }
+      assert(e.getMessage.contains("lost the pointer fence"), e.getMessage)
+    } finally ServePointer.setFenceCheckHook(_ => ())
+    // the winner's generation serves; the fenced-out ingest moved
+    // nothing (its committed batch root is crash residue the operator
+    // must clear before resuming — documented on ingestRound)
+    assert(ServePointer.read(spark, ptr).endsWith("/night/updated"))
+    assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 5L)
+  }
+
   test("ingestPqUpsertBatch: re-embedded vectors stop serving their old codes; refusals match the shared contract") {
     import graft.operators.{ServePointer, Similarity}
     val root = java.nio.file.Files.createTempDirectory("graft-pq-upsert").toString
