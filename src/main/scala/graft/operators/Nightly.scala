@@ -179,7 +179,15 @@ object Nightly {
     // 1. every maintain round completes BEFORE anything is judged:
     // each publishes valid (manifest-committed) generations that
     // nothing serves until the swap, so a mid-round crash leaves
-    // yesterday's pointers intact by construction
+    // yesterday's pointers intact by construction. Each tier's fence
+    // epoch is read HERE — before its maintain chains from the
+    // pointer's current generation — and carried through to the swap,
+    // so a pointer movement anywhere inside the hours-long round (a
+    // misconfigured ingest stream sharing the pointer, a second
+    // scheduler) makes that tier's flip refuse instead of silently
+    // clobbering the concurrent writer's generation with a chain built
+    // from the superseded base (the ingestRound treatment).
+    val fences = tiers.map(t => t.name -> IndexManifest.readEpoch(spark, t.pointerPath)).toMap
     val newRoots = tiers.map(t => t -> t.maintain())
     // 2. the cross-tier audit — per-tier registries (the families key
     // by different ids), one narrow full-outer join each. A tier with
@@ -236,7 +244,8 @@ object Nightly {
         val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
         try {
           newRoots.foreach { case (t, root) =>
-            ServePointer.publish(spark, t.pointerPath, root, t.name)
+            IndexManifest.publishPointerFenced(spark, t.pointerPath, root, t.name,
+              fences(t.name))
             flipped += t
           }
           markerPath.foreach(m => deleteMarker(spark, m))

@@ -109,6 +109,53 @@ class NightlySpec extends SparkTestBase {
     assert(ServePointer.read(spark, ptrA).endsWith("/a2/deleted"))
   }
 
+  test("a pointer flip during the round fences that tier's swap out; the round rolls back consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-fence").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    // the racing writer's generation on tier b (an out-of-contract
+    // second scheduler — or an ingest stream sharing the pointer)
+    val intrude = SideIndex.maintain(spark, s"$root/b0", Some(Seq(5L).toDF("doc_id")),
+      None, "doc_id", "b", s"$root/intrude", maxMaskedRatio = 1.0)
+    val registry = rowsDf.where(col("doc_id") =!= 2L).select("doc_id")
+    val marker = s"$root/round.marker"
+    // fire the race at exactly tier b's flip commit point — AFTER the
+    // audit passed and tier a already flipped
+    ServePointer.setFenceCheckHook { p =>
+      if (p == ptrB) {
+        ServePointer.setFenceCheckHook(_ => ())
+        ServePointer.publish(spark, ptrB, intrude, "b")
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Nightly.run(spark, Seq(
+          tier("a", registry, ptrA, () => SideIndex.maintain(spark, s"$root/a0",
+            Some(Seq(2L).toDF("doc_id")), None, "doc_id", "a", s"$root/a1",
+            maxMaskedRatio = 1.0)),
+          tier("b", registry, ptrB, () => SideIndex.maintain(spark, s"$root/b0",
+            Some(Seq(2L).toDF("doc_id")), None, "doc_id", "b", s"$root/b1",
+            maxMaskedRatio = 1.0))),
+          markerPath = Some(marker))
+      }
+      assert(e.getMessage.contains("lost the pointer fence"), e.getMessage)
+    } finally ServePointer.setFenceCheckHook(_ => ())
+    // the refused round rolled tier a BACK to yesterday, never touched
+    // the racing writer's generation, and left no marker (the rollback
+    // restored a consistent state — a standing marker would wrongly
+    // roll FORWARD next run, clobbering the racer again)
+    assert(ServePointer.read(spark, ptrA).endsWith("/a0"),
+      "the fenced-out round must restore the tiers it already flipped")
+    assert(ServePointer.read(spark, ptrB).endsWith("/intrude/deleted"),
+      "the racing writer's generation must keep serving")
+    assert(!new java.io.File(marker).exists)
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptrB), "doc_id", "b")
+      .count() == 9L)
+  }
+
   test("a STALE payload refuses the swap like a lost tombstone (the content-audit gate)") {
     val root = java.nio.file.Files.createTempDirectory("graft-nightly-stale").toString
     SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")

@@ -535,6 +535,36 @@ class RetrievalSpec extends SparkTestBase {
     assert(projected == batched, s"projected $projected != batched $batched")
   }
 
+  test("liveDocHashes: a pre-fingerprint segment reads unknown, and the content audit degrades to the set check") {
+    import graft.operators.IndexAudit
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-prehash").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", s"$root/idx")
+    // strip the fingerprint column from the published segment's doclen
+    // in place — simulating an index built before the column existed
+    // (the manifest is untouched, so the handle still loads)
+    val dlPath = s"$root/idx/segments/seg-00000/doclen"
+    spark.read.parquet(dlPath).select("doc_id", "dl")
+      .write.parquet(s"$root/tmp-doclen")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dlPath), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/tmp-doclen"),
+      new org.apache.hadoop.fs.Path(dlPath)))
+    val hashes = Retrieval.liveDocHashes(spark, s"$root/idx")
+    assert(hashes.count() == docs.count())
+    assert(hashes.where(col("content_hash").isNotNull).count() == 0L,
+      "a pre-fingerprint segment must read unknown, not fail")
+    // null = "content unknown" is NEVER stale: the audit reports the id
+    // sets in sync instead of failing the tier on absent evidence
+    val registry = docs.select(col("doc_id"),
+      Retrieval.contentHash(col("text")).as("h"))
+    val rep = IndexAudit.auditContent(registry, "doc_id", "h",
+      Seq("bm25" -> hashes)).head()
+    assert(rep.getAs[Long]("n_stale") == 0L && rep.getAs[Long]("in_sync") == 1L,
+      s"null hashes are never stale — the audit degrades to the set check: $rep")
+  }
+
   test("unknown query terms score nothing rather than failing") {
     val got = Retrieval.searchTopK(docs, "doc_id", "text", Seq("nonexistent"), k = 5)
     assert(got.collect().isEmpty)
