@@ -859,8 +859,13 @@ private[operators] object IndexManifest {
         val kids = fs.listStatus(parent)
         val pq = qualifiedPath(spark, parent.toString)
         val servingInside = servingQ.exists(s => s == pq || s.startsWith(pq + "/"))
+        // the round's own artifacts: step directories plus the ingest
+        // round's `chainbase` record (a file) — anything else is
+        // foreign and blocks the expansion
         if (kids.nonEmpty && !servingInside &&
-          kids.forall(st => st.isDirectory && steps.contains(st.getPath.getName)))
+          kids.forall(st =>
+            (st.isDirectory && steps.contains(st.getPath.getName)) ||
+              (st.isFile && st.getPath.getName == "chainbase")))
           parent.toString
         else entry
       }
@@ -1070,6 +1075,35 @@ private[operators] object IndexManifest {
             fs.delete(residue, true): Unit
           }
         }
+        // a committed chain extends the pointer value it was BUILT
+        // from, recorded in the batch root (`chainbase`) before the
+        // maintain ran. A replay may re-flip only while the pointer
+        // still serves that base — or already serves this batch's own
+        // committed step (the normal crash-after-flip heal). Any OTHER
+        // pointer value means a different writer moved it after this
+        // round committed — the fence-refusal-then-restart footgun: a
+        // restarted stream would otherwise re-flip a chain built from
+        // the superseded base and silently un-serve the other writer's
+        // generation. Refuse; the operator deletes the batch root (or
+        // republishes deliberately) before resuming. Batch roots
+        // without the record (pre-chainbase residue) keep the old
+        // re-flip behavior.
+        val baseRec = new org.apache.hadoop.fs.Path(s"$outRoot/chainbase")
+        if (baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(baseRec)) {
+          val bfs = baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val in = bfs.open(baseRec)
+          val recordedBase = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+          val curQ = qualifiedPath(spark, readPointer(spark, pointerPath))
+          val rootQ = qualifiedPath(spark, root)
+          require(curQ == recordedBase || curQ == rootQ,
+            s"ingestRound: batch $batchId committed at $root chaining from " +
+              s"$recordedBase, but the pointer now serves $curQ — another writer " +
+              "moved the pointer after this round committed (out of the " +
+              "single-writer contract), and re-flipping would silently un-serve " +
+              "its generation. Delete the batch root (or republish deliberately) " +
+              "before resuming the ingest")
+        }
         publishPointerFenced(spark, pointerPath, root, what, fence)
       case None =>
         val outQ = qualifiedPath(spark, outRoot)
@@ -1086,6 +1120,10 @@ private[operators] object IndexManifest {
             require(fs.delete(rootP, true),
               s"ingestRound: failed to clear half-written residue at $outRoot")
           val cur = readPointer(spark, pointerPath)
+          // record the chain base FIRST (see the COMMITTED branch): a
+          // replay of this batch may only re-flip while the pointer
+          // still serves what this round built on
+          writeAtomic(spark, s"$outRoot/chainbase", cur)
           publishPointerFenced(spark, pointerPath, maintain(rows, cur, outRoot), what,
             fence)
         }

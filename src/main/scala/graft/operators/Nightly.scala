@@ -99,14 +99,23 @@ object Nightly {
     * residue (IndexManifest.ingestRound): evidence on disk, not
     * in-memory state, decides the replay.
     */
+  /** Marker lines are `(tier, pointerPath, newRoot, expectedEpoch)`:
+    * the epoch each pointer will hold AFTER its (fenced) flip commits.
+    * The epoch is what lets [[recover]] distinguish the two healable
+    * crash states from FOREIGN writes that arrived between the crash
+    * and the next run — an unflipped tier sits at `expected - 1`, a
+    * flipped one at `expected` with the pointer on the intended root;
+    * anything else means another lifecycle operation acted on the
+    * pointer since, and rolling forward would clobber it.
+    */
   private[graft] def writeMarker(
       spark: SparkSession, markerPath: String,
-      entries: Seq[(String, String, String)]): Unit =
+      entries: Seq[(String, String, String, Long)]): Unit =
     IndexManifest.writeAtomic(spark, markerPath,
-      entries.map { case (n, p, r) => s"$n\t$p\t$r" }.mkString("\n"))
+      entries.map { case (n, p, r, ep) => s"$n\t$p\t$r\t$ep" }.mkString("\n"))
 
   private[graft] def readMarker(
-      spark: SparkSession, markerPath: String): Seq[(String, String, String)] = {
+      spark: SparkSession, markerPath: String): Seq[(String, String, String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(markerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -116,7 +125,7 @@ object Nightly {
         finally in.close()
       s.linesIterator.filter(_.nonEmpty).map { line =>
         line.split("\t") match {
-          case Array(n, ptr, root) => (n, ptr, root)
+          case Array(n, ptr, root, ep) => (n, ptr, root, ep.toLong)
           case _ => throw new IllegalArgumentException(
             s"Nightly.recover: malformed round marker line at $markerPath: '$line'")
         }
@@ -138,15 +147,32 @@ object Nightly {
     * Returns (tier, action = completed | already-current) per entry.
     * Idempotent: a crash mid-recover leaves the marker standing and
     * the next call finishes the remainder.
+    *
+    * FENCED against the marker's own staleness: the roll-forward runs
+    * only from the exact crash state the marker describes (pointer
+    * epoch = the recorded post-flip epoch minus one). Any other epoch
+    * means a lifecycle operation acted on the pointer BETWEEN the
+    * crash and this run — an operator who inspected the wreck and
+    * rolled back, a vacuum, another publisher — and re-applying the
+    * crashed round's intent would silently clobber it: refuse loudly
+    * and make the operator resolve (then delete) the marker instead.
     */
   def recover(spark: SparkSession, markerPath: String): Seq[(String, String)] = {
     val entries = readMarker(spark, markerPath)
-    val healed = entries.map { case (name, ptr, root) =>
+    val healed = entries.map { case (name, ptr, root, expected) =>
       val rootQ = IndexManifest.qualify(spark, Seq(root)).head
       val cur = try Some(IndexManifest.readPointer(spark, ptr))
         catch { case _: IllegalArgumentException => None }
       if (cur.contains(rootQ)) name -> "already-current"
       else {
+        val epoch = IndexManifest.readEpoch(spark, ptr)
+        require(epoch == expected - 1,
+          s"Nightly.recover: the marker at $markerPath intends $name -> $root with a " +
+            s"post-flip epoch of $expected, but the pointer at $ptr sits at epoch " +
+            s"$epoch on ${cur.getOrElse("<absent>")} — a lifecycle operation ran on " +
+            "this pointer after the crashed round, so rolling its intent forward " +
+            "would clobber that write. Resolve the pointer state manually, then " +
+            "delete the marker")
         ServePointer.publish(spark, ptr, root, name)
         name -> "completed"
       }
@@ -173,6 +199,10 @@ object Nightly {
     require(tiers.nonEmpty, "Nightly.run: no tiers to maintain")
     require(tiers.map(_.name).distinct.size == tiers.size,
       s"Nightly.run: duplicate tier names in ${tiers.map(_.name).mkString(", ")}")
+    // shape validation BEFORE any maintain runs: a misconfigured tier
+    // must refuse up front, not after the round's expensive phase
+    tiers.foreach(t => require(t.hashCol.isDefined == t.liveHashes.isDefined,
+      s"Nightly tier '${t.name}': hashCol and liveHashes must be supplied together"))
     // 0. heal a prior round's crashed swap FIRST: tonight's maintain
     // rounds must chain from consistent pointers, not a mixed state
     markerPath.foreach(m => recover(spark, m): Unit)
@@ -239,7 +269,8 @@ object Nightly {
         // also a consistent state, so nothing remains to heal).
         markerPath.foreach(m => writeMarker(spark, m,
           newRoots.map { case (t, root) =>
-            (t.name, t.pointerPath, IndexManifest.qualify(spark, Seq(root)).head)
+            (t.name, t.pointerPath, IndexManifest.qualify(spark, Seq(root)).head,
+              fences(t.name) + 1)
           }))
         val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
         try {
@@ -251,6 +282,7 @@ object Nightly {
           markerPath.foreach(m => deleteMarker(spark, m))
         } catch {
           case e: Throwable =>
+            var restoreFailed = false
             flipped.foreach { t =>
               try {
                 prev(t) match {
@@ -260,13 +292,17 @@ object Nightly {
                     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
                       .delete(p, false): Unit
                 }
-              } catch { case _: Throwable => () } // best effort; rethrow the cause
+              } catch { case _: Throwable => restoreFailed = true } // best effort; rethrow the cause
             }
-            // pointers are back on yesterday — consistent, nothing to
-            // heal; a standing marker would wrongly roll FORWARD next
-            // run. Only an outright crash leaves it, by design.
-            markerPath.foreach(m =>
-              try deleteMarker(spark, m) catch { case _: Throwable => () })
+            // the marker may only leave with a CONSISTENT state behind
+            // it: every restore succeeded = yesterday everywhere, so a
+            // standing marker would wrongly roll FORWARD next run. Any
+            // restore FAILURE means the pointers are mixed — exactly
+            // the state the marker heals — so it stays, and the next
+            // run's recover completes the (gate-approved) swap.
+            if (!restoreFailed)
+              markerPath.foreach(m =>
+                try deleteMarker(spark, m) catch { case _: Throwable => () })
             throw e
         }
         val rel = release.map(_.apply())

@@ -61,6 +61,14 @@ object Retrieval {
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
+  /** One document's token count — THE length definition every surface
+    * shares (direct [[bm25]], index build, stats): split on single
+    * spaces, drop empty artifacts. One expression so the serve-path dl
+    * and the index-time dl can never drift.
+    */
+  private def docLen(textCol: String): Column =
+    size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long")
+
   /** (id, dl) per-document token counts (split artifacts excluded) and
     * the corpus stats (n_docs, total_len) they aggregate to — shared
     * by [[bm25]]'s length normalization.
@@ -68,8 +76,7 @@ object Retrieval {
   private def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol),
-        size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("dl"))
+      .select(col(idCol), docLen(textCol).as("dl"))
 
   /** One matched term's score contribution, from columns
     * (tf, df, dl, n_docs, total_len) — the ONE arithmetic shape both
@@ -194,8 +201,7 @@ object Retrieval {
     // index does not store text, so a post-hoc hash is impossible)
     val dl = docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol),
-        size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("dl"),
+      .select(col(idCol), docLen(textCol).as("dl"),
         contentHash(col(textCol)).as("content_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -288,14 +294,15 @@ object Retrieval {
     val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
       .columns.filter(c => c != "dl" && c != "content_hash").head
     IndexManifest.memo(spark, h, s"live-doc-hashes/$idCol") {
-      val ord = h.segments.zipWithIndex.map { case (sp, i) =>
-        val df = spark.read.parquet(s"$sp/doclen")
-        val hashed =
-          if (df.columns.contains("content_hash")) df
-          else df.withColumn("content_hash", lit(null).cast("long"))
-        hashed.select(col(idCol), col("content_hash"), lit(i).as("__seg"))
-      }.reduce(_.unionByName(_))
+      // the shared (memoized) segment union: its lenient unionByName
+      // already nulls the fingerprint for PRE-hash segments in a mixed
+      // chain; only an index whose EVERY segment predates the column
+      // needs the explicit unknown pad
+      val ord0 = IndexManifest.segTableOrd(spark, h, "doclen")
+      val ord = if (ord0.columns.contains("content_hash")) ord0
+        else ord0.withColumn("content_hash", lit(null).cast("long"))
       IndexManifest.maskLive(ord, IndexManifest.tombstoneRel(spark, h, idCol), idCol)
+        .select(col(idCol), col("content_hash"))
     }
   }
 

@@ -69,7 +69,9 @@ class NightlySpec extends SparkTestBase {
     // flipped, tier b not — the mixed state nothing inside one tier
     // can see
     val marker = s"$root/nightly.round"
-    Nightly.writeMarker(spark, marker, Seq(("a", ptrA, a1), ("b", ptrB, b1)))
+    // the marker records each pointer's POST-flip epoch (both sit at 1
+    // from the setup publish; the round's flip takes them to 2)
+    Nightly.writeMarker(spark, marker, Seq(("a", ptrA, a1, 2L), ("b", ptrB, b1, 2L)))
     ServePointer.publish(spark, ptrA, a1, "a")
     assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted") &&
       ServePointer.read(spark, ptrB).endsWith("/b0"), "precondition: mixed pointers")
@@ -107,6 +109,19 @@ class NightlySpec extends SparkTestBase {
     assert(!new java.io.File(marker).exists,
       "a completed swap must not leave its marker behind")
     assert(ServePointer.read(spark, ptrA).endsWith("/a2/deleted"))
+    // a lifecycle operation BETWEEN a crash and the next run fences the
+    // marker's stale intent out: recover must refuse, not clobber it
+    val before = ServePointer.read(spark, ptrA)
+    Nightly.writeMarker(spark, marker,
+      Seq(("a", ptrA, a1, ServePointer.epoch(spark, ptrA) + 1)))
+    // the operator acted post-crash (ANY lifecycle op moves the epoch
+    // past the marker's recorded crash state)
+    ServePointer.publish(spark, ptrA, before, "a")
+    val e = intercept[IllegalArgumentException] { Nightly.recover(spark, marker) }
+    assert(e.getMessage.contains("after the crashed round"), e.getMessage)
+    assert(new java.io.File(marker).exists,
+      "a refused recover must leave the marker for the operator")
+    assert(ServePointer.read(spark, ptrA) == before, "the operator's action must stand")
   }
 
   test("a pointer flip during the round fences that tier's swap out; the round rolls back consistent") {

@@ -1194,6 +1194,27 @@ class StreamingSpec extends SparkTestBase {
     // must clear before resuming — documented on ingestRound)
     assert(ServePointer.read(spark, ptr).endsWith("/night/updated"))
     assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 5L)
+    // and the natural operational response — restarting the stream —
+    // must NOT self-undo the winner: the replay finds the committed
+    // batch root, sees (via its recorded chain base) that the pointer
+    // no longer serves what the batch was built on, and refuses
+    // instead of re-flipping the stale chain
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+        0L, ptr, s"$root/gen", "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("another writer moved the pointer"), e2.getMessage)
+    assert(ServePointer.read(spark, ptr).endsWith("/night/updated"),
+      "the replay refusal must leave the winner serving")
+    // clearing the stale batch root (the documented operator action)
+    // lets the stream resume cleanly on the winner's generation
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen/batch-0"), true))
+    Retrieval.ingestIndexBatch(spark, all.where($"doc_id" >= 5 && $"doc_id" <= 7),
+      0L, ptr, s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr).contains("/gen/batch-0/"))
+    assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 8L)
   }
 
   test("ingestPqUpsertBatch: re-embedded vectors stop serving their old codes; refusals match the shared contract") {
