@@ -70,9 +70,9 @@ object IngestScaleSmoke {
       val batchIds = corpus.where(col("doc_id") < stride)
         .orderBy("doc_id").limit(2 * batchN).collect().map(_.getLong(0))
       val (aIds, bIds) = batchIds.splitAt(batchN)
-      val batchA = corpus.where(col("doc_id").isin(aIds: _*))
-      val batchB = corpus.where(col("doc_id").isin(bIds: _*))
-      val baseCorpus = corpus.where(!col("doc_id").isin(batchIds: _*))
+      val batchA = corpus.where(col("doc_id").isin(aIds.toIndexedSeq: _*))
+      val batchB = corpus.where(col("doc_id").isin(bIds.toIndexedSeq: _*))
+      val baseCorpus = corpus.where(!col("doc_id").isin(batchIds.toIndexedSeq: _*))
 
       val root = s"/tmp/graft_ingest_root_${n}x"
       rmrf(root)

@@ -69,9 +69,9 @@ object UpsertScaleSmoke {
       val corpus = corpusOf(n)
       val replacedIds = corpus.where(col("doc_id") < stride)
         .orderBy("doc_id").limit(halfN).collect().map(_.getLong(0))
-      val replaced = corpus.where(col("doc_id").isin(replacedIds: _*))
+      val replaced = corpus.where(col("doc_id").isin(replacedIds.toIndexedSeq: _*))
         .select(col("doc_id"), concat(col("text"), lit(" refreshed")).as("text"))
-      val arrivals = corpus.where(col("doc_id").isin(replacedIds: _*))
+      val arrivals = corpus.where(col("doc_id").isin(replacedIds.toIndexedSeq: _*))
         .select((col("doc_id") + lit(replicas.toLong * stride + stride)).as("doc_id"),
           concat(col("text"), lit(" new")).as("text"))
       val batch = replaced.unionByName(arrivals)
@@ -122,7 +122,7 @@ object UpsertScaleSmoke {
       val wantCount = corpus.count() + halfN
       if (liveCount != wantCount)
         failures += s"x$n: served live count $liveCount != post-upsert corpus $wantCount"
-      val post = corpus.where(!col("doc_id").isin(replacedIds: _*)).unionByName(batch)
+      val post = corpus.where(!col("doc_id").isin(replacedIds.toIndexedSeq: _*)).unionByName(batch)
       val refPath = s"$root/ref"
       Retrieval.buildIndex(post, "doc_id", "text", refPath)
       val got = Retrieval.searchTopKIndexed(spark, served, "doc_id",
