@@ -124,6 +124,55 @@ class NightlySpec extends SparkTestBase {
     assert(ServePointer.read(spark, ptrA) == before, "the operator's action must stand")
   }
 
+  test("a failed restore keeps the marker, and recover completes the gated swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly-restorefail").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    val registry = rowsDf.where(col("doc_id") =!= 2L).select("doc_id")
+    val marker = s"$root/round.marker"
+    // tier b's flip fails transiently (an FS hiccup), and the
+    // best-effort restore of already-flipped tier a fails TOO — the
+    // double-fault that used to delete the marker over a MIXED state
+    var phase = 0
+    ServePointer.setFenceCheckHook { p =>
+      if (p == ptrB && phase == 0) {
+        phase = 1; throw new RuntimeException("injected transient flip failure")
+      } else if (p == ptrA && phase == 1) {
+        phase = 2; ServePointer.setFenceCheckHook(_ => ())
+        throw new RuntimeException("injected transient restore failure")
+      }
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        Nightly.run(spark, Seq(
+          tier("a", registry, ptrA, () => SideIndex.maintain(spark, s"$root/a0",
+            Some(Seq(2L).toDF("doc_id")), None, "doc_id", "a", s"$root/a1",
+            maxMaskedRatio = 1.0)),
+          tier("b", registry, ptrB, () => SideIndex.maintain(spark, s"$root/b0",
+            Some(Seq(2L).toDF("doc_id")), None, "doc_id", "b", s"$root/b1",
+            maxMaskedRatio = 1.0))),
+          markerPath = Some(marker))
+      }
+      assert(e.getMessage.contains("flip failure"), e.getMessage)
+    } finally ServePointer.setFenceCheckHook(_ => ())
+    // mixed pointers (a on tonight, b on yesterday) AND the marker
+    // stands — the heal survives exactly because the restore failed
+    assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted"))
+    assert(ServePointer.read(spark, ptrB).endsWith("/b0"))
+    assert(new java.io.File(marker).exists,
+      "a failed restore must keep the marker — it is the only heal for the mixed state")
+    // the next run's entry recover (here called directly) rolls the
+    // gate-approved round forward: consistent tonight, marker cleared
+    val healed = Nightly.recover(spark, marker)
+    assert(healed.toSet == Set("a" -> "already-current", "b" -> "completed"),
+      healed.mkString(", "))
+    assert(ServePointer.read(spark, ptrB).endsWith("/b1/deleted"))
+    assert(!new java.io.File(marker).exists)
+  }
+
   test("a pointer flip during the round fences that tier's swap out; the round rolls back consistent") {
     val root = java.nio.file.Files.createTempDirectory("graft-nightly-fence").toString
     SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
