@@ -1076,35 +1076,48 @@ private[operators] object IndexManifest {
           }
         }
         // a committed chain extends the pointer value it was BUILT
-        // from, recorded in the batch root (`chainbase`) before the
-        // maintain ran. A replay may re-flip only while the pointer
-        // still serves that base — or already serves this batch's own
-        // committed step (the normal crash-after-flip heal). Any OTHER
-        // pointer value means a different writer moved it after this
-        // round committed — the fence-refusal-then-restart footgun: a
-        // restarted stream would otherwise re-flip a chain built from
-        // the superseded base and silently un-serve the other writer's
-        // generation. Refuse; the operator deletes the batch root (or
-        // republishes deliberately) before resuming. Batch roots
-        // without the record (pre-chainbase residue) keep the old
-        // re-flip behavior.
+        // from, recorded (qualified) in the batch root (`chainbase`)
+        // before the maintain ran. A replay may re-flip only while the
+        // pointer still serves that base — or already serves this
+        // batch's own committed step (the normal crash-after-flip
+        // heal). If the pointer serves a generation that CARRIES this
+        // batch's root by reference (a maintenance round chained on
+        // top while the stream was down), the batch's data already
+        // serves and the replay is a NO-OP. Any OTHER pointer value
+        // means a different writer moved it after this round committed
+        // — the fence-refusal-then-restart footgun: a restarted stream
+        // would otherwise re-flip a chain built from the superseded
+        // base and silently un-serve the other writer's generation.
+        // Refuse; the operator retires the batch root through
+        // ServePointer.vacuum (NEVER a raw delete — the root may be
+        // carried by reference) or republishes deliberately. Batch
+        // roots without the record keep the old re-flip behavior.
         val baseRec = new org.apache.hadoop.fs.Path(s"$outRoot/chainbase")
-        if (baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(baseRec)) {
-          val bfs = baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bfs = baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val replayNoop = bfs.exists(baseRec) && {
           val in = bfs.open(baseRec)
           val recordedBase = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-          val curQ = qualifiedPath(spark, readPointer(spark, pointerPath))
+          val curRoot = readPointer(spark, pointerPath)
+          val curQ = qualifiedPath(spark, curRoot)
           val rootQ = qualifiedPath(spark, root)
-          require(curQ == recordedBase || curQ == rootQ,
-            s"ingestRound: batch $batchId committed at $root chaining from " +
-              s"$recordedBase, but the pointer now serves $curQ — another writer " +
-              "moved the pointer after this round committed (out of the " +
-              "single-writer contract), and re-flipping would silently un-serve " +
-              "its generation. Delete the batch root (or republish deliberately) " +
-              "before resuming the ingest")
+          if (curQ == recordedBase || curQ == rootQ) false
+          else {
+            val curH = handle(spark, curRoot, what)
+            val chainedThrough = qualify(spark, curH.segments ++ curH.tombstones)
+              .exists(p => p == rootQ || p.startsWith(rootQ + "/"))
+            require(chainedThrough,
+              s"ingestRound: batch $batchId committed at $root chaining from " +
+                s"$recordedBase, but the pointer now serves $curQ — another writer " +
+                "moved the pointer after this round committed (out of the " +
+                "single-writer contract), and re-flipping would silently un-serve " +
+                "its generation. Retire the batch root through ServePointer.vacuum " +
+                "(never a raw delete — it may be carried by reference) or republish " +
+                "deliberately before resuming the ingest")
+            true // the serving generation carries this batch: already applied
+          }
         }
-        publishPointerFenced(spark, pointerPath, root, what, fence)
+        if (!replayNoop) publishPointerFenced(spark, pointerPath, root, what, fence)
       case None =>
         val outQ = qualifiedPath(spark, outRoot)
         if (torn) {
@@ -1122,8 +1135,10 @@ private[operators] object IndexManifest {
           val cur = readPointer(spark, pointerPath)
           // record the chain base FIRST (see the COMMITTED branch): a
           // replay of this batch may only re-flip while the pointer
-          // still serves what this round built on
-          writeAtomic(spark, s"$outRoot/chainbase", cur)
+          // still serves what this round built on. Qualified, so a
+          // hand-bootstrapped (unqualified) pointer file compares
+          // scheme-stably at replay time
+          writeAtomic(spark, s"$outRoot/chainbase", qualifiedPath(spark, cur))
           publishPointerFenced(spark, pointerPath, maintain(rows, cur, outRoot), what,
             fence)
         }

@@ -99,23 +99,25 @@ object Nightly {
     * residue (IndexManifest.ingestRound): evidence on disk, not
     * in-memory state, decides the replay.
     */
-  /** Marker lines are `(tier, pointerPath, newRoot, expectedEpoch)`:
-    * the epoch each pointer will hold AFTER its (fenced) flip commits.
-    * The epoch is what lets [[recover]] distinguish the two healable
-    * crash states from FOREIGN writes that arrived between the crash
-    * and the next run — an unflipped tier sits at `expected - 1`, a
-    * flipped one at `expected` with the pointer on the intended root;
-    * anything else means another lifecycle operation acted on the
-    * pointer since, and rolling forward would clobber it.
+  /** Marker lines are `(tier, pointerPath, newRoot, prevRoot)` —
+    * `prevRoot` is the pointer value the round read before flipping
+    * (empty when the pointer did not exist yet). The PREV value is
+    * what lets [[recover]] separate every healable own-round state
+    * from a FOREIGN write that arrived between the crash and the next
+    * run: a tier still (or restored back) on `prevRoot` is safe to
+    * roll forward — that covers never-flipped, crashed-inside-the-flip
+    * -window, and flipped-then-restored-by-the-rollback-path alike —
+    * while a pointer on ANY other root means another lifecycle
+    * operation acted since, and rolling forward would clobber it.
     */
   private[graft] def writeMarker(
       spark: SparkSession, markerPath: String,
-      entries: Seq[(String, String, String, Long)]): Unit =
+      entries: Seq[(String, String, String, String)]): Unit =
     IndexManifest.writeAtomic(spark, markerPath,
-      entries.map { case (n, p, r, ep) => s"$n\t$p\t$r\t$ep" }.mkString("\n"))
+      entries.map { case (n, p, r, prev) => s"$n\t$p\t$r\t$prev" }.mkString("\n"))
 
   private[graft] def readMarker(
-      spark: SparkSession, markerPath: String): Seq[(String, String, String, Long)] = {
+      spark: SparkSession, markerPath: String): Seq[(String, String, String, String)] = {
     val p = new org.apache.hadoop.fs.Path(markerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -124,8 +126,9 @@ object Nightly {
       val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       s.linesIterator.filter(_.nonEmpty).map { line =>
-        line.split("\t") match {
-          case Array(n, ptr, root, ep) => (n, ptr, root, ep.toLong)
+        // -1 keeps the trailing empty prev field of a first-publish tier
+        line.split("\t", -1) match {
+          case Array(n, ptr, root, prev) => (n, ptr, root, prev)
           case _ => throw new IllegalArgumentException(
             s"Nightly.recover: malformed round marker line at $markerPath: '$line'")
         }
@@ -149,27 +152,32 @@ object Nightly {
     * the next call finishes the remainder.
     *
     * FENCED against the marker's own staleness: the roll-forward runs
-    * only from the exact crash state the marker describes (pointer
-    * epoch = the recorded post-flip epoch minus one). Any other epoch
-    * means a lifecycle operation acted on the pointer BETWEEN the
-    * crash and this run — an operator who inspected the wreck and
-    * rolled back, a vacuum, another publisher — and re-applying the
-    * crashed round's intent would silently clobber it: refuse loudly
-    * and make the operator resolve (then delete) the marker instead.
+    * only while the tier's pointer still serves the round's recorded
+    * BASE (or already serves the intended root). Any other pointer
+    * value means a lifecycle operation acted BETWEEN the crash and
+    * this run — another publisher, a vacuum that republished — and
+    * re-applying the crashed round's intent would silently clobber
+    * it: refuse loudly and make the operator resolve (then delete)
+    * the marker instead. One deliberate consequence: an operator who
+    * hand-rolls a tier back to the round's base WITHOUT deleting the
+    * standing marker is indistinguishable from the round's own
+    * restore and will be rolled forward — resolving a crashed swap
+    * manually always ends by deleting the marker.
     */
   def recover(spark: SparkSession, markerPath: String): Seq[(String, String)] = {
     val entries = readMarker(spark, markerPath)
-    val healed = entries.map { case (name, ptr, root, expected) =>
+    val healed = entries.map { case (name, ptr, root, prev) =>
       val rootQ = IndexManifest.qualify(spark, Seq(root)).head
+      val prevQ = if (prev.isEmpty) None
+        else Some(IndexManifest.qualify(spark, Seq(prev)).head)
       val cur = try Some(IndexManifest.readPointer(spark, ptr))
         catch { case _: IllegalArgumentException => None }
       if (cur.contains(rootQ)) name -> "already-current"
       else {
-        val epoch = IndexManifest.readEpoch(spark, ptr)
-        require(epoch == expected - 1,
-          s"Nightly.recover: the marker at $markerPath intends $name -> $root with a " +
-            s"post-flip epoch of $expected, but the pointer at $ptr sits at epoch " +
-            s"$epoch on ${cur.getOrElse("<absent>")} — a lifecycle operation ran on " +
+        require(cur == prevQ,
+          s"Nightly.recover: the marker at $markerPath intends $name -> $root (from " +
+            s"${prevQ.getOrElse("<no previous pointer>")}), but the pointer at $ptr " +
+            s"now serves ${cur.getOrElse("<absent>")} — a lifecycle operation ran on " +
             "this pointer after the crashed round, so rolling its intent forward " +
             "would clobber that write. Resolve the pointer state manually, then " +
             "delete the marker")
@@ -270,7 +278,7 @@ object Nightly {
         markerPath.foreach(m => writeMarker(spark, m,
           newRoots.map { case (t, root) =>
             (t.name, t.pointerPath, IndexManifest.qualify(spark, Seq(root)).head,
-              fences(t.name) + 1)
+              prev(t).getOrElse(""))
           }))
         val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
         try {
@@ -289,8 +297,12 @@ object Nightly {
                   case Some(old) => ServePointer.publish(spark, t.pointerPath, old, t.name)
                   case None =>
                     val p = new org.apache.hadoop.fs.Path(t.pointerPath)
-                    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                      .delete(p, false): Unit
+                    val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    // Hadoop local delete reports failure via the
+                    // boolean, not an exception — a swallowed false
+                    // here is the same double-fault as a throwing
+                    // restore and must keep the marker
+                    if (!pfs.delete(p, false) && pfs.exists(p)) restoreFailed = true
                 }
               } catch { case _: Throwable => restoreFailed = true } // best effort; rethrow the cause
             }

@@ -69,9 +69,10 @@ class NightlySpec extends SparkTestBase {
     // flipped, tier b not — the mixed state nothing inside one tier
     // can see
     val marker = s"$root/nightly.round"
-    // the marker records each pointer's POST-flip epoch (both sit at 1
-    // from the setup publish; the round's flip takes them to 2)
-    Nightly.writeMarker(spark, marker, Seq(("a", ptrA, a1, 2L), ("b", ptrB, b1, 2L)))
+    // the marker records each tier's intended root AND the base the
+    // round flipped from
+    Nightly.writeMarker(spark, marker,
+      Seq(("a", ptrA, a1, s"$root/a0"), ("b", ptrB, b1, s"$root/b0")))
     ServePointer.publish(spark, ptrA, a1, "a")
     assert(ServePointer.read(spark, ptrA).endsWith("/a1/deleted") &&
       ServePointer.read(spark, ptrB).endsWith("/b0"), "precondition: mixed pointers")
@@ -109,19 +110,18 @@ class NightlySpec extends SparkTestBase {
     assert(!new java.io.File(marker).exists,
       "a completed swap must not leave its marker behind")
     assert(ServePointer.read(spark, ptrA).endsWith("/a2/deleted"))
-    // a lifecycle operation BETWEEN a crash and the next run fences the
-    // marker's stale intent out: recover must refuse, not clobber it
+    // a FOREIGN write between the crash and the next run fences the
+    // marker's stale intent out: the marker describes a crashed
+    // a0 -> a1 round, but the pointer has since moved to a2 — recover
+    // must refuse, not clobber it
     val before = ServePointer.read(spark, ptrA)
-    Nightly.writeMarker(spark, marker,
-      Seq(("a", ptrA, a1, ServePointer.epoch(spark, ptrA) + 1)))
-    // the operator acted post-crash (ANY lifecycle op moves the epoch
-    // past the marker's recorded crash state)
-    ServePointer.publish(spark, ptrA, before, "a")
+    Nightly.writeMarker(spark, marker, Seq(("a", ptrA, a1, s"$root/a0")))
     val e = intercept[IllegalArgumentException] { Nightly.recover(spark, marker) }
     assert(e.getMessage.contains("after the crashed round"), e.getMessage)
     assert(new java.io.File(marker).exists,
       "a refused recover must leave the marker for the operator")
-    assert(ServePointer.read(spark, ptrA) == before, "the operator's action must stand")
+    assert(ServePointer.read(spark, ptrA) == before, "the foreign write must stand")
+    assert(new java.io.File(marker).delete())
   }
 
   test("a failed restore keeps the marker, and recover completes the gated swap") {

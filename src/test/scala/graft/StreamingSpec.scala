@@ -1217,6 +1217,33 @@ class StreamingSpec extends SparkTestBase {
     assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 8L)
   }
 
+  test("ingestIndexBatch: a replay is a NO-OP when the serving generation chains THROUGH the batch") {
+    import graft.operators.{Retrieval, ServePointer}
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-chained").toString
+    val ptr = s"$root/CURRENT"
+    val all = ingestDocs.toDF("doc_id", "text")
+    Retrieval.buildIndex(all.where($"doc_id" <= 4), "doc_id", "text", s"$root/base")
+    ServePointer.publish(spark, ptr, s"$root/base", "BM25")
+    val b0 = all.where($"doc_id" >= 5 && $"doc_id" <= 7)
+    Retrieval.ingestIndexBatch(spark, b0, 0L, ptr, s"$root/gen", "doc_id", "text")
+    // the stream crashes BEFORE its checkpoint commits; a maintenance
+    // round then legitimately chains on top of the batch's generation
+    // (the stream is down — no concurrent writers)
+    val night = Retrieval.maintainIndex(spark, ServePointer.read(spark, ptr),
+      deletes = None, increment = Some(all.where($"doc_id" === 9)),
+      "doc_id", "text", s"$root/night")
+    ServePointer.publish(spark, ptr, night, "BM25")
+    val served = ServePointer.read(spark, ptr)
+    // the restart replays batch 0: the serving manifest carries the
+    // batch's segments by reference, so its data ALREADY serves — the
+    // replay must be a pure no-op, never a pointer regression onto the
+    // batch's own step (which would un-serve doc 9) and not a refusal
+    Retrieval.ingestIndexBatch(spark, b0, 0L, ptr, s"$root/gen", "doc_id", "text")
+    assert(ServePointer.read(spark, ptr) == served,
+      "a chained-through replay must not move the pointer")
+    assert(Retrieval.liveDocIds(spark, ServePointer.read(spark, ptr)).count() == 8L)
+  }
+
   test("ingestPqUpsertBatch: re-embedded vectors stop serving their old codes; refusals match the shared contract") {
     import graft.operators.{ServePointer, Similarity}
     val root = java.nio.file.Files.createTempDirectory("graft-pq-upsert").toString
