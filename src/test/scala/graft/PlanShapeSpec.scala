@@ -755,4 +755,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!corr.contains("Exchange hashpartitioning"),
       s"global 6-number aggregate should use a single-partition exchange, not a hash shuffle:\n$corr")
   }
+
+  test("the content-audit live relations scan only their narrow columns") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-hash").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", s"$root/idx")
+    // the audit feed must stay a metadata-narrow scan at 100 TB: the
+    // doclen read prunes to (id, content_hash) — dl never leaves the
+    // parquet footer — and nothing touches postings or text
+    val plan = executedPlanString(Retrieval.liveDocHashes(spark, s"$root/idx"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,content_hash:bigint>"),
+      s"liveDocHashes must prune the doclen scan to (id, hash):\n$plan")
+    assert(!plan.contains("/postings"),
+      s"the audit feed must never scan postings:\n$plan")
+  }
 }
