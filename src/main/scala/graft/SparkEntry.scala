@@ -1144,7 +1144,8 @@ object SparkEntry {
           p => SideIndex.read(s, p, "doc_id", "chars").select(col("doc_id")),
           hashCol = Some("content_hash"),
           liveHashes = Some(p => SideIndex.read(s, p, "doc_id", "chars")))),
-        keepGenerations = Some(1), markerPath = Some(marker))
+        keepGenerations = Some(1), markerPath = Some(marker),
+        snapshotPath = Some(s"$root/DEPLOYMENT"))
       require(report.collect().forall(r =>
           r.getAs[Long]("in_sync") == 1L && r.getAs[Boolean]("published")),
         "pipeline_day_night_all setup: the nightly gate refused the benign round")
@@ -1153,6 +1154,13 @@ object SparkEntry {
       Seq(pB, pA, pS).foreach { p =>
         require(ServePointer.read(s, p).contains("/night/"),
           s"pipeline_day_night_all setup: the $p swap did not land")
+      }
+      // the READER-side atomic handoff names exactly the night's roots
+      val snap = graft.operators.DeploymentSnapshot.read(s, s"$root/DEPLOYMENT")
+      Seq("bm25" -> pB, "ann" -> pA, "side" -> pS).foreach { case (tierName, p) =>
+        require(snap(tierName) == ServePointer.read(s, p),
+          s"pipeline_day_night_all setup: the deployment snapshot disagrees with the " +
+            s"$tierName pointer after the swap")
       }
       // day 2: brand-new rows resume ingest on the night's generations
       Retrieval.ingestIndexBatch(s, docs.where(col("doc_id") % 5 === 0)

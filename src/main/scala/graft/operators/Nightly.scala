@@ -164,7 +164,9 @@ object Nightly {
     * restore and will be rolled forward — resolving a crashed swap
     * manually always ends by deleting the marker.
     */
-  def recover(spark: SparkSession, markerPath: String): Seq[(String, String)] = {
+  def recover(
+      spark: SparkSession, markerPath: String,
+      snapshotPath: Option[String] = None): Seq[(String, String)] = {
     val entries = readMarker(spark, markerPath)
     val healed = entries.map { case (name, ptr, root, prev) =>
       val rootQ = IndexManifest.qualify(spark, Seq(root)).head
@@ -185,7 +187,16 @@ object Nightly {
         name -> "completed"
       }
     }
-    if (entries.nonEmpty) deleteMarker(spark, markerPath)
+    if (entries.nonEmpty) {
+      // a crash AFTER the flips but BEFORE the snapshot publish left
+      // readers on yesterday's deployment while the pointers serve
+      // tonight — the standing marker carries the full intent, so the
+      // heal republishes the snapshot before clearing it
+      snapshotPath.foreach(sp => DeploymentSnapshot.publish(spark, sp,
+        entries.map { case (n, _, root, _) => n -> root },
+        entries.map { case (n, _, _, _) => n -> n }.toMap))
+      deleteMarker(spark, markerPath)
+    }
     healed
   }
 
@@ -203,7 +214,8 @@ object Nightly {
       tiers: Seq[Tier],
       release: Option[() => DataFrame] = None,
       keepGenerations: Option[Int] = None,
-      markerPath: Option[String] = None): (DataFrame, Option[DataFrame]) = {
+      markerPath: Option[String] = None,
+      snapshotPath: Option[String] = None): (DataFrame, Option[DataFrame]) = {
     require(tiers.nonEmpty, "Nightly.run: no tiers to maintain")
     require(tiers.map(_.name).distinct.size == tiers.size,
       s"Nightly.run: duplicate tier names in ${tiers.map(_.name).mkString(", ")}")
@@ -213,7 +225,7 @@ object Nightly {
       s"Nightly tier '${t.name}': hashCol and liveHashes must be supplied together"))
     // 0. heal a prior round's crashed swap FIRST: tonight's maintain
     // rounds must chain from consistent pointers, not a mixed state
-    markerPath.foreach(m => recover(spark, m): Unit)
+    markerPath.foreach(m => recover(spark, m, snapshotPath): Unit)
     // 1. every maintain round completes BEFORE anything is judged:
     // each publishes valid (manifest-committed) generations that
     // nothing serves until the swap, so a mid-round crash leaves
@@ -287,6 +299,15 @@ object Nightly {
               fences(t.name))
             flipped += t
           }
+          // the READER-side atomic handoff: once every tier pointer
+          // flipped, ONE rename publishes the whole deployment —
+          // snapshot readers see yesterday's tier set or tonight's,
+          // never the mixed window the sequential flips above open.
+          // Written before the marker clears, so a crash between the
+          // two replays both idempotently on the next run.
+          snapshotPath.foreach(sp => DeploymentSnapshot.publish(spark, sp,
+            newRoots.map { case (t, root) => t.name -> root },
+            newRoots.map { case (t, _) => t.name -> t.name }.toMap))
           markerPath.foreach(m => deleteMarker(spark, m))
         } catch {
           case e: Throwable =>

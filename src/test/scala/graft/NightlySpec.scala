@@ -124,6 +124,67 @@ class NightlySpec extends SparkTestBase {
     assert(new java.io.File(marker).delete())
   }
 
+  test("the deployment snapshot flips ALL tiers atomically for readers") {
+    import graft.operators.DeploymentSnapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    val snap = s"$root/DEPLOYMENT"
+    DeploymentSnapshot.publish(spark, snap,
+      Seq("a" -> s"$root/a0", "b" -> s"$root/b0"))
+    // an unservable root can never enter a snapshot
+    assert(intercept[IllegalArgumentException] {
+      DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/nowhere"))
+    }.getMessage.contains("manifest missing"))
+    val before = DeploymentSnapshot.read(spark, snap)
+    val registry = rowsDf.where(col("doc_id") =!= 2L).select("doc_id")
+    val marker = s"$root/round.marker"
+    // a READER lands exactly between the two pointer flips: tier a's
+    // pointer already serves tonight, but the snapshot still names
+    // yesterday for EVERY tier — the window the snapshot closes
+    var midSwap: Map[String, String] = null
+    ServePointer.setFenceCheckHook { p =>
+      if (p == ptrB) {
+        ServePointer.setFenceCheckHook(_ => ())
+        midSwap = DeploymentSnapshot.read(spark, snap)
+      }
+    }
+    try {
+      Nightly.run(spark, Seq(
+        tier("a", registry, ptrA, () => SideIndex.maintain(spark, s"$root/a0",
+          Some(Seq(2L).toDF("doc_id")), None, "doc_id", "a", s"$root/a1",
+          maxMaskedRatio = 1.0)),
+        tier("b", registry, ptrB, () => SideIndex.maintain(spark, s"$root/b0",
+          Some(Seq(2L).toDF("doc_id")), None, "doc_id", "b", s"$root/b1",
+          maxMaskedRatio = 1.0))),
+        markerPath = Some(marker), snapshotPath = Some(snap)): Unit
+    } finally ServePointer.setFenceCheckHook(_ => ())
+    assert(midSwap == before,
+      s"a mid-swap snapshot read must see the OLD deployment on every tier: $midSwap")
+    val after = DeploymentSnapshot.read(spark, snap)
+    assert(after("a").endsWith("/a1/deleted") && after("b").endsWith("/b1/deleted"),
+      s"the completed round must snapshot tonight's roots: $after")
+    assert(DeploymentSnapshot.readTier(spark, snap, "a") == after("a"))
+    assert(intercept[IllegalArgumentException] {
+      DeploymentSnapshot.readTier(spark, snap, "zzz")
+    }.getMessage.contains("names no tier"))
+    // crash AFTER the flips but BEFORE the snapshot publish: pointers
+    // serve tonight, readers still see yesterday — recover republishes
+    // the snapshot from the standing marker's intent
+    Nightly.writeMarker(spark, marker,
+      Seq(("a", ptrA, after("a"), before("a")), ("b", ptrB, after("b"), before("b"))))
+    DeploymentSnapshot.publish(spark, snap,
+      Seq("a" -> before("a"), "b" -> before("b")))
+    val healed = Nightly.recover(spark, marker, Some(snap))
+    assert(healed.toSet == Set("a" -> "already-current", "b" -> "already-current"))
+    assert(DeploymentSnapshot.read(spark, snap) == after,
+      "recover must bring the reader-side snapshot forward with the pointers")
+    assert(!new java.io.File(marker).exists)
+  }
+
   test("a failed restore keeps the marker, and recover completes the gated swap") {
     val root = java.nio.file.Files.createTempDirectory("graft-nightly-restorefail").toString
     SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
