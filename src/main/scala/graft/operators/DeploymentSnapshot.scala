@@ -34,24 +34,40 @@ import org.apache.spark.sql.SparkSession
   */
 object DeploymentSnapshot {
 
-  /** Atomically publish the snapshot: every (tier, indexRoot) pair is
-    * resolved through the manifest handle FIRST — a snapshot can never
-    * name a root that refuses to serve — then the whole map lands in
-    * one rename. `whats` names each tier's index family for handle
-    * validation errors (defaults to the tier name).
+  /** Atomically publish the snapshot: every incoming (tier, indexRoot)
+    * pair is resolved through the manifest handle FIRST — a snapshot
+    * can never name a root that refuses to serve — then the whole map
+    * lands in one rename. MERGES by default: tiers an existing
+    * snapshot names that this publish does not carry keep their
+    * (already-validated-at-write) roots, so a round over a SUBSET of
+    * tiers — the fix-one-tier-and-re-run path — cannot silently evict
+    * the others from the reader-facing deployment. `replace = true` is
+    * the full-redeploy form that drops absent tiers deliberately.
+    * `whats` names each tier's index family for handle validation
+    * errors (defaults to the tier name).
     */
   def publish(
       spark: SparkSession, path: String, tiers: Seq[(String, String)],
-      whats: Map[String, String] = Map.empty): Unit = {
+      whats: Map[String, String] = Map.empty, replace: Boolean = false): Unit = {
     require(tiers.nonEmpty, "DeploymentSnapshot.publish: no tiers")
     require(tiers.map(_._1).distinct.size == tiers.size,
       s"DeploymentSnapshot.publish: duplicate tiers in ${tiers.map(_._1).mkString(", ")}")
-    val qualified = tiers.map { case (tier, root) =>
+    val incoming = tiers.map { case (tier, root) =>
       IndexManifest.handle(spark, root, whats.getOrElse(tier, tier)): Unit
       tier -> IndexManifest.qualify(spark, Seq(root)).head
     }
+    val existing =
+      if (replace) Seq.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
+        else {
+          val named = incoming.map(_._1).toSet
+          read(spark, path).toSeq.filterNot { case (t, _) => named(t) }.sortBy(_._1)
+        }
+      }
     IndexManifest.writeAtomic(spark, path,
-      qualified.map { case (t, r) => s"$t\t$r" }.mkString("\n"))
+      (existing ++ incoming).map { case (t, r) => s"$t\t$r" }.mkString("\n"))
   }
 
   /** The whole deployment in one read — resolve EVERY tier from the
@@ -80,8 +96,10 @@ object DeploymentSnapshot {
   /** One tier's root from the snapshot; refuses on an unknown tier so
     * a renamed tier fails loudly instead of serving a stale default.
     */
-  def readTier(spark: SparkSession, path: String, tier: String): String =
-    read(spark, path).getOrElse(tier, throw new IllegalArgumentException(
+  def readTier(spark: SparkSession, path: String, tier: String): String = {
+    val snap = read(spark, path)
+    snap.getOrElse(tier, throw new IllegalArgumentException(
       s"DeploymentSnapshot.readTier: snapshot at $path names no tier '$tier' " +
-        s"(has: ${read(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+        s"(has: ${snap.keys.toSeq.sorted.mkString(", ")})"))
+  }
 }

@@ -872,9 +872,20 @@ private[operators] object IndexManifest {
     }
   }
 
+  /** `pinned` extends the surviving set with roots something OUTSIDE
+    * this pointer's own lifecycle still serves — the [[Nightly]] use:
+    * the deployment snapshot a pre-swap reader resolved can name a
+    * root that intraday ingest pushed several generations deep in the
+    * history, where a count-based keep window alone would reclaim it;
+    * pinning the superseded snapshot's root for the round that
+    * replaces it gives those readers the same one-generation grace the
+    * keep window gives pointer readers. An already-absent pinned root
+    * is skipped (the grace is moot once it is gone).
+    */
   def retainGenerations(
       spark: SparkSession, pointerPath: String, keep: Int,
-      what: String = "segmented"): org.apache.spark.sql.DataFrame = {
+      what: String = "segmented",
+      pinned: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(keep >= 0, s"retainGenerations: keep must be >= 0, got $keep")
     val fence = readEpoch(spark, pointerPath)
     val current = readPointer(spark, pointerPath)
@@ -893,11 +904,16 @@ private[operators] object IndexManifest {
     }
     val kept = hist.takeRight(keep)
     val candidates = hist.dropRight(keep)
-    var reachable = (current +: kept).flatMap { r =>
+    val pinnedLive = pinned.filter { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(hadoopConf).exists(p)
+    }
+    val survivors = (kept ++ pinnedLive).distinct
+    var reachable = (current +: survivors).flatMap { r =>
       val h = handle(spark, r, what)
       qualify(spark, r +: (h.segments ++ h.tombstones))
     }.toSet
-    val servingQ = (current +: kept).map(qualifiedPath(spark, _))
+    val servingQ = (current +: survivors).map(qualifiedPath(spark, _))
     // newest-first: a candidate referenced by anything that survives
     // is HELD, and what it references must then survive as well — the
     // hold test runs over the candidate's whole ROUND root, so a
@@ -921,7 +937,7 @@ private[operators] object IndexManifest {
     // commits its history rewrite under its own bump
     val report = vacuumFenced(spark, pointerPath,
       retired.map(expandRoundRoot(spark, _, servingQ)), what,
-      alsoServing = kept ++ held.toSeq,
+      alsoServing = survivors ++ held.toSeq,
       fence = if (retired.nonEmpty) Some(fence) else None)
     if (retired.nonEmpty || absent.nonEmpty) {
       if (retired.isEmpty)

@@ -112,9 +112,29 @@ object Nightly {
     */
   private[graft] def writeMarker(
       spark: SparkSession, markerPath: String,
-      entries: Seq[(String, String, String, String)]): Unit =
+      entries: Seq[(String, String, String, String)],
+      snapshot: Option[String] = None): Unit =
     IndexManifest.writeAtomic(spark, markerPath,
-      entries.map { case (n, p, r, prev) => s"$n\t$p\t$r\t$prev" }.mkString("\n"))
+      (snapshot.map(sp => s"!snapshot\t$sp").toSeq ++
+        entries.map { case (n, p, r, prev) => s"$n\t$p\t$r\t$prev" }).mkString("\n"))
+
+  /** The snapshot path a marker recorded (the `!snapshot` header) —
+    * part of the round's intent, so a standalone `recover(marker)`
+    * heals the reader-side snapshot even when the caller does not know
+    * (or predates) the round's snapshotPath.
+    */
+  private[graft] def readMarkerSnapshot(
+      spark: SparkSession, markerPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      s.linesIterator.find(_.startsWith("!snapshot\t")).map(_.split("\t")(1))
+    }
+  }
 
   private[graft] def readMarker(
       spark: SparkSession, markerPath: String): Seq[(String, String, String, String)] = {
@@ -125,7 +145,7 @@ object Nightly {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      s.linesIterator.filter(_.nonEmpty).map { line =>
+      s.linesIterator.filter(l => l.nonEmpty && !l.startsWith("!snapshot\t")).map { line =>
         // -1 keeps the trailing empty prev field of a first-publish tier
         line.split("\t", -1) match {
           case Array(n, ptr, root, prev) => (n, ptr, root, prev)
@@ -190,11 +210,12 @@ object Nightly {
     if (entries.nonEmpty) {
       // a crash AFTER the flips but BEFORE the snapshot publish left
       // readers on yesterday's deployment while the pointers serve
-      // tonight — the standing marker carries the full intent, so the
-      // heal republishes the snapshot before clearing it
-      snapshotPath.foreach(sp => DeploymentSnapshot.publish(spark, sp,
-        entries.map { case (n, _, root, _) => n -> root },
-        entries.map { case (n, _, _, _) => n -> n }.toMap))
+      // tonight — the marker records the round's snapshot path as part
+      // of its intent, so the heal republishes it even from a
+      // standalone recover(marker) call that passes no snapshotPath
+      snapshotPath.orElse(readMarkerSnapshot(spark, markerPath)).foreach(sp =>
+        DeploymentSnapshot.publish(spark, sp,
+          entries.map { case (n, _, root, _) => n -> root }))
       deleteMarker(spark, markerPath)
     }
     healed
@@ -208,6 +229,15 @@ object Nightly {
     * every row, the [[Curation.maintainRelease]] report convention);
     * releaseReport is the release closure's own report when it ran,
     * None when the gate refused or no release was supplied.
+    *
+    * @param keepGenerations  per-tier retention window applied AFTER a
+    *                  fully-swapped round ([[ServePointer.retain]])
+    * @param markerPath  opt-in crash-atomic swap: the round's intent is
+    *                  written here before the first flip and healed by
+    *                  [[recover]] (invoked at entry) after a crash
+    * @param snapshotPath  opt-in reader-side atomicity: one
+    *                  [[DeploymentSnapshot]] rename publishes ALL
+    *                  tiers' new roots after the last flip
     */
   def run(
       spark: SparkSession,
@@ -280,6 +310,20 @@ object Nightly {
           t -> (try Some(IndexManifest.readPointer(spark, t.pointerPath))
             catch { case _: IllegalArgumentException => None })
         }.toMap
+        // the OUTGOING snapshot's roots, read before the new one
+        // replaces it: a reader that resolved it just before the swap
+        // may still hold them, so this round's retention pins them —
+        // the same one-generation grace the keep window gives
+        // pointer-cadence readers (intraday ingest can push a
+        // snapshot root several generations deep, past any count
+        // window)
+        val outgoingSnapshot: Map[String, String] = snapshotPath.flatMap { sp =>
+          val p = new org.apache.hadoop.fs.Path(sp)
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            Some(DeploymentSnapshot.read(spark, sp))
+          else None
+        }.getOrElse(Map.empty)
+        var snapshotPublished = false
         // the round marker lands BEFORE the first flip — a process
         // crash anywhere inside the swap window leaves it on disk, and
         // the next run's recover() rolls the remaining tiers FORWARD
@@ -291,7 +335,7 @@ object Nightly {
           newRoots.map { case (t, root) =>
             (t.name, t.pointerPath, IndexManifest.qualify(spark, Seq(root)).head,
               prev(t).getOrElse(""))
-          }))
+          }, snapshot = snapshotPath))
         val flipped = scala.collection.mutable.ArrayBuffer.empty[Tier]
         try {
           newRoots.foreach { case (t, root) =>
@@ -305,9 +349,11 @@ object Nightly {
           // never the mixed window the sequential flips above open.
           // Written before the marker clears, so a crash between the
           // two replays both idempotently on the next run.
-          snapshotPath.foreach(sp => DeploymentSnapshot.publish(spark, sp,
-            newRoots.map { case (t, root) => t.name -> root },
-            newRoots.map { case (t, _) => t.name -> t.name }.toMap))
+          snapshotPath.foreach { sp =>
+            DeploymentSnapshot.publish(spark, sp,
+              newRoots.map { case (t, root) => t.name -> root })
+            snapshotPublished = true
+          }
           markerPath.foreach(m => deleteMarker(spark, m))
         } catch {
           case e: Throwable =>
@@ -326,6 +372,22 @@ object Nightly {
                     if (!pfs.delete(p, false) && pfs.exists(p)) restoreFailed = true
                 }
               } catch { case _: Throwable => restoreFailed = true } // best effort; rethrow the cause
+            }
+            // a snapshot already published this round must go back to
+            // yesterday's deployment with the pointers — otherwise a
+            // failure AFTER the snapshot write (the marker delete, the
+            // release) would leave readers on tonight's roots while the
+            // operator sees a refused round serving yesterday. A tier
+            // with no previous pointer cannot be cleanly restored into
+            // a merge — treat it like a failed restore and let the
+            // standing marker roll the whole round forward instead.
+            if (snapshotPublished) {
+              val prevPairs = tiers.flatMap(t => prev(t).map(t.name -> _))
+              if (prevPairs.size != tiers.size) restoreFailed = true
+              else {
+                try DeploymentSnapshot.publish(spark, snapshotPath.get, prevPairs)
+                catch { case _: Throwable => restoreFailed = true }
+              }
             }
             // the marker may only leave with a CONSISTENT state behind
             // it: every restore succeeded = yesterday everywhere, so a
@@ -347,8 +409,11 @@ object Nightly {
         // refuses and stays). A retention failure propagates AFTER the
         // swap and release completed: the round is consistent, disk
         // just holds more than the window — re-run retain to heal.
+        // the superseded snapshot's root per tier gets one round of
+        // retention grace (see outgoingSnapshot above)
         keepGenerations.foreach { keep =>
-          tiers.foreach(t => ServePointer.retain(spark, t.pointerPath, keep, t.name): Unit)
+          tiers.foreach(t => ServePointer.retain(spark, t.pointerPath, keep, t.name,
+            pinned = outgoingSnapshot.get(t.name).toSeq): Unit)
         }
         rel
       }

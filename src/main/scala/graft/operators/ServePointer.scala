@@ -20,6 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     handle and deletes ONLY fully-unreachable retired roots,
   *     refusing loudly otherwise.
   *
+  * A pointer is PER-TIER; a reader needing a consistent CROSS-tier
+  * view resolves a [[DeploymentSnapshot]] instead (one atomic rename
+  * naming every tier's root — what [[Nightly]] publishes behind its
+  * gate).
+  *
   * The lifecycle is SINGLE-WRITER per pointer — one maintenance
   * scheduler owns publish / rollback / vacuum / retain — and the
   * contract is ENFORCED, not just documented: a fencing epoch beside
@@ -110,9 +115,14 @@ object ServePointer {
     * (absent retired roots report `absent` and drop). Returns one row
     * per history entry outside the window: (root, status = vacuumed |
     * held | absent, n_files_deleted, bytes_deleted).
+    *
+    * `pinned` names roots something OUTSIDE this pointer's lifecycle
+    * still serves (a published [[DeploymentSnapshot]]'s root for the
+    * round replacing it): they survive this round regardless of the
+    * keep window — the reader-grace pinning [[Nightly]] applies.
     */
   def retain(
       spark: SparkSession, pointerPath: String, keep: Int,
-      what: String = "segmented"): DataFrame =
-    IndexManifest.retainGenerations(spark, pointerPath, keep, what)
+      what: String = "segmented", pinned: Seq[String] = Nil): DataFrame =
+    IndexManifest.retainGenerations(spark, pointerPath, keep, what, pinned)
 }

@@ -185,6 +185,48 @@ class NightlySpec extends SparkTestBase {
     assert(!new java.io.File(marker).exists)
   }
 
+  test("retention pins the superseded snapshot's root for one round of reader grace") {
+    import graft.operators.DeploymentSnapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-pin").toString
+    val ptrA = s"$root/A"
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    val snap = s"$root/DEPLOYMENT"
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0"))
+    // INTRADAY: two compacting flips push the snapshot's root two
+    // generations deep — beyond any keep=1 window
+    SideIndex.compact(spark, s"$root/a0", s"$root/i1")
+    ServePointer.publish(spark, ptrA, s"$root/i1", "a")
+    SideIndex.compact(spark, s"$root/i1", s"$root/i2")
+    ServePointer.publish(spark, ptrA, s"$root/i2", "a")
+    def night(out: String, dropId: Long, reg: org.apache.spark.sql.DataFrame) =
+      Nightly.run(spark, Seq(
+        tier("a", reg, ptrA, () => SideIndex.maintain(spark,
+          ServePointer.read(spark, ptrA), Some(Seq(dropId).toDF("doc_id")), None,
+          "doc_id", "a", out, maxSegments = 1, maxMaskedRatio = 0.0))),
+        keepGenerations = Some(1), markerPath = Some(s"$root/marker"),
+        snapshotPath = Some(snap))
+    val (r1, _) = night(s"$root/n1", 2L, rowsDf.where(col("doc_id") =!= 2L).select("doc_id"))
+    assert(r1.head().getAs[Boolean]("published"))
+    // keep=1 kept i2; i1 (unreferenced, unpinned) was vacuumed; a0 —
+    // two generations deep — survives ONLY because the outgoing
+    // snapshot named it: a reader that resolved that snapshot just
+    // before the swap still reads a whole index
+    assert(!new java.io.File(s"$root/i1").exists, "i1 had no pin and no window")
+    assert(new java.io.File(s"$root/a0").exists,
+      "the superseded snapshot's root must get one round of grace")
+    assert(SideIndex.read(spark, s"$root/a0", "doc_id", "a").count() == 10L,
+      "the pinned root must still serve whole")
+    assert(DeploymentSnapshot.readTier(spark, snap, "a").endsWith("/n1/compacted"))
+    // the NEXT round un-pins it: the snapshot has moved on, the grace
+    // window closes, and retention reclaims a0 normally
+    val (r2, _) = night(s"$root/n2", 3L,
+      rowsDf.where(col("doc_id") =!= 2L && col("doc_id") =!= 3L).select("doc_id"))
+    assert(r2.head().getAs[Boolean]("published"))
+    assert(!new java.io.File(s"$root/a0").exists,
+      "the grace lasts exactly one round — then the root reclaims")
+  }
+
   test("a failed restore keeps the marker, and recover completes the gated swap") {
     val root = java.nio.file.Files.createTempDirectory("graft-nightly-restorefail").toString
     SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
