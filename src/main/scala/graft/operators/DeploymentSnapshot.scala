@@ -29,6 +29,14 @@ import org.apache.spark.sql.SparkSession
   * tier pointer directly and accept per-tier granularity; the
   * snapshot is for consumers whose correctness needs a CONSISTENT
   * cross-tier view (the cross-tier joins the audit exists to protect).
+  * Writer contract: the snapshot has ONE publisher (the nightly
+  * scheduler) — the merge is a read-modify-write with no fence, so
+  * concurrent subset publishes are out of contract (they could lose
+  * each other's tiers). Renaming or decommissioning a tier is a
+  * deliberate operator action: publish the full new deployment with
+  * `replace = true` so the stale entry leaves the snapshot instead of
+  * pointing at a root retention will eventually reclaim.
+  *
   * Reference counterpart: none — the deployment composition over this
   * repo's own index lifecycle, like [[Nightly]] itself.
   */

@@ -904,9 +904,16 @@ private[operators] object IndexManifest {
     }
     val kept = hist.takeRight(keep)
     val candidates = hist.dropRight(keep)
+    // a pinned root must degrade, never wedge: absent = the grace is
+    // moot; present-but-unservable (a torn manifest) = the reader it
+    // protects is already broken, and refusing RETENTION on its
+    // account would wedge every subsequent round (the absent-history
+    // healing's lesson). Kept window entries stay strict — they are
+    // this pointer's own rollback targets.
     val pinnedLive = pinned.filter { r =>
       val p = new org.apache.hadoop.fs.Path(r)
-      p.getFileSystem(hadoopConf).exists(p)
+      p.getFileSystem(hadoopConf).exists(p) &&
+        scala.util.Try(handle(spark, r, what)).isSuccess
     }
     val survivors = (kept ++ pinnedLive).distinct
     var reachable = (current +: survivors).flatMap { r =>
@@ -1028,6 +1035,15 @@ private[operators] object IndexManifest {
     * ingest's disk footprint is bounded by the compaction cadence,
     * not the batch count.
     */
+  /** `snapshotPath` names the deployment snapshot (if any) whose roots
+    * this round's retention must PIN: intraday batches push the root
+    * the nightly snapshot names several generations deep, where the
+    * keep window alone would reclaim it from under every snapshot
+    * reader hours before the next nightly republish. The whole
+    * snapshot's root set is pinned — other tiers' roots merely extend
+    * the reachable set harmlessly, and a torn/absent pinned root
+    * degrades instead of wedging (see retainGenerations).
+    */
   private[operators] def ingestRound(
       spark: SparkSession,
       rows: org.apache.spark.sql.DataFrame,
@@ -1036,7 +1052,8 @@ private[operators] object IndexManifest {
       ingestRoot: String,
       what: String,
       maintain: (org.apache.spark.sql.DataFrame, String, String) => String,
-      keepGenerations: Option[Int]): Unit = {
+      keepGenerations: Option[Int],
+      snapshotPath: Option[String] = None): Unit = {
     val outRoot = s"$ingestRoot/batch-$batchId"
     val rootP = new org.apache.hadoop.fs.Path(outRoot)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1159,8 +1176,14 @@ private[operators] object IndexManifest {
             fence)
         }
     }
-    keepGenerations.foreach(k =>
-      retainGenerations(spark, pointerPath, k, what).collect(): Unit)
+    keepGenerations.foreach { k =>
+      val pinned = snapshotPath.toSeq.flatMap { sp =>
+        val p = new org.apache.hadoop.fs.Path(sp)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
+        else DeploymentSnapshot.read(spark, sp).values.toSeq
+      }
+      retainGenerations(spark, pointerPath, k, what, pinned).collect(): Unit
+    }
   }
 
 }

@@ -132,7 +132,8 @@ object Nightly {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      s.linesIterator.find(_.startsWith("!snapshot\t")).map(_.split("\t")(1))
+      s.linesIterator.find(_.startsWith("!snapshot\t"))
+        .flatMap(_.split("\t", -1).lift(1)).filter(_.nonEmpty)
     }
   }
 
@@ -212,8 +213,11 @@ object Nightly {
       // readers on yesterday's deployment while the pointers serve
       // tonight — the marker records the round's snapshot path as part
       // of its intent, so the heal republishes it even from a
-      // standalone recover(marker) call that passes no snapshotPath
-      snapshotPath.orElse(readMarkerSnapshot(spark, markerPath)).foreach(sp =>
+      // standalone recover(marker) call that passes no snapshotPath.
+      // The RECORDED path wins over the caller's: healing a crashed
+      // round means completing THAT round's intent, not a config that
+      // changed since
+      readMarkerSnapshot(spark, markerPath).orElse(snapshotPath).foreach(sp =>
         DeploymentSnapshot.publish(spark, sp,
           entries.map { case (n, _, root, _) => n -> root }))
       deleteMarker(spark, markerPath)
@@ -374,18 +378,22 @@ object Nightly {
               } catch { case _: Throwable => restoreFailed = true } // best effort; rethrow the cause
             }
             // a snapshot already published this round must go back to
-            // yesterday's deployment with the pointers — otherwise a
-            // failure AFTER the snapshot write (the marker delete, the
-            // release) would leave readers on tonight's roots while the
-            // operator sees a refused round serving yesterday. A tier
-            // with no previous pointer cannot be cleanly restored into
-            // a merge — treat it like a failed restore and let the
+            // the OUTGOING deployment with the pointers — the last
+            // AUDITED tier set, not the pointers' pre-flip values
+            // (intraday ingest may have moved those onto roots no
+            // cross-tier audit ever approved). Otherwise a failure
+            // after the snapshot write (e.g. the marker delete) would
+            // leave readers on tonight's roots while the operator sees
+            // a refused round. A round that ADDED a tier the outgoing
+            // snapshot lacked (or CREATED the snapshot) cannot restore
+            // by merge — treat it like a failed restore and let the
             // standing marker roll the whole round forward instead.
             if (snapshotPublished) {
-              val prevPairs = tiers.flatMap(t => prev(t).map(t.name -> _))
-              if (prevPairs.size != tiers.size) restoreFailed = true
+              val restorePairs = tiers.flatMap(t =>
+                outgoingSnapshot.get(t.name).map(t.name -> _))
+              if (restorePairs.size != tiers.size) restoreFailed = true
               else {
-                try DeploymentSnapshot.publish(spark, snapshotPath.get, prevPairs)
+                try DeploymentSnapshot.publish(spark, snapshotPath.get, restorePairs)
                 catch { case _: Throwable => restoreFailed = true }
               }
             }

@@ -329,12 +329,13 @@ object SideIndex {
       flavor: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit =
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None): Unit =
     IndexManifest.ingestRound(spark, batch.where(col(idCol).isNotNull),
       batchId, pointerPath, ingestRoot, s"side($flavor)",
       (rows, cur, outRoot) => maintain(spark, cur, None, Some(rows),
         idCol, flavor, outRoot, maxSegments, maxMaskedRatio),
-      keepGenerations)
+      keepGenerations, snapshotPath)
 
   /** [[ingestBatch]]'s UPSERT form — the CDC-shaped side-table stream
     * where a batch row is "the current payload of this id", refreshed
@@ -359,7 +360,8 @@ object SideIndex {
       flavor: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit = {
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None): Unit = {
     IndexManifest.requireUpsertBatch(batch, batchId, idCol, None,
       "SideIndex.ingestUpsertBatch")
     IndexManifest.ingestRound(spark, batch,
@@ -378,7 +380,7 @@ object SideIndex {
             maxSegments, maxMaskedRatio)
         } finally replaced.unpersist()
       },
-      keepGenerations)
+      keepGenerations, snapshotPath)
   }
 
   /** The operational metadata row (n_segments, n_tombstone_gens,

@@ -1039,14 +1039,15 @@ object Similarity {
       residual: Boolean = false,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit =
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None): Unit =
     IndexManifest.ingestRound(spark,
       batch.where(col(idCol).isNotNull && col(vecCol).isNotNull),
       batchId, pointerPath, ingestRoot, "IVF-PQ",
       (rows, cur, outRoot) => maintainPqIndex(spark, cur, None, Some(rows),
         idCol, vecCol, coarseCents, codebooks, outRoot, residual,
         maxSegments, maxMaskedRatio),
-      keepGenerations)
+      keepGenerations, snapshotPath)
 
   /** [[ingestPqIndexBatch]]'s UPSERT form — the CDC-shaped vector
     * stream where a batch row is "the current embedding of this id",
@@ -1077,7 +1078,8 @@ object Similarity {
       residual: Boolean = false,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None): Unit = {
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None): Unit = {
     IndexManifest.requireUpsertBatch(batch, batchId, idCol, Some(vecCol),
       "ingestPqUpsertBatch")
     IndexManifest.ingestRound(spark, batch,
@@ -1096,7 +1098,7 @@ object Similarity {
             coarseCents, codebooks, outRoot, residual, maxSegments, maxMaskedRatio)
         } finally replaced.unpersist()
       },
-      keepGenerations)
+      keepGenerations, snapshotPath)
   }
 
   /** The canonical per-vector payload fingerprint under an index's

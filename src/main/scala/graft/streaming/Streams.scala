@@ -508,14 +508,16 @@ object Streams {
       checkpointDir: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Retrieval.ingestIndexBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
-          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations)
+          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations,
+          snapshotPath)
       }
       .start()
 
@@ -537,14 +539,16 @@ object Streams {
       checkpointDir: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Retrieval.ingestUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
-          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations)
+          idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations,
+          snapshotPath)
       }
       .start()
 
@@ -568,7 +572,8 @@ object Streams {
       residual: Boolean = false,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -576,7 +581,7 @@ object Streams {
         graft.operators.Similarity.ingestPqIndexBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, vecCol, coarseCents, codebooks, residual,
-          maxSegments, maxMaskedRatio, keepGenerations)
+          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath)
       }
       .start()
 
@@ -600,7 +605,8 @@ object Streams {
       residual: Boolean = false,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -608,7 +614,7 @@ object Streams {
         graft.operators.Similarity.ingestPqUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, vecCol, coarseCents, codebooks, residual,
-          maxSegments, maxMaskedRatio, keepGenerations)
+          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath)
       }
       .start()
 
@@ -626,14 +632,16 @@ object Streams {
       checkpointDir: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.SideIndex.ingestUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
-          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations)
+          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations,
+          snapshotPath)
       }
       .start()
 
@@ -652,14 +660,16 @@ object Streams {
       checkpointDir: String,
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
-      keepGenerations: Option[Int] = None
+      keepGenerations: Option[Int] = None,
+      snapshotPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.SideIndex.ingestBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
-          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations)
+          idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations,
+          snapshotPath)
       }
       .start()
 
