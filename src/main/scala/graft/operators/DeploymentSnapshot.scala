@@ -60,6 +60,15 @@ object DeploymentSnapshot {
     require(tiers.nonEmpty, "DeploymentSnapshot.publish: no tiers")
     require(tiers.map(_._1).distinct.size == tiers.size,
       s"DeploymentSnapshot.publish: duplicate tiers in ${tiers.map(_._1).mkString(", ")}")
+    // the format is line-per-tier, tab-separated: a name or root
+    // carrying the delimiters would publish a file read() rejects on
+    // every subsequent resolve — refuse at the WRITE, not the reads
+    tiers.foreach { case (t, r) =>
+      require(!t.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !r.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"DeploymentSnapshot.publish: tier '$t' / root '$r' may not contain tabs " +
+          "or newlines (the snapshot format's delimiters)")
+    }
     val incoming = tiers.map { case (tier, root) =>
       IndexManifest.handle(spark, root, whats.getOrElse(tier, tier)): Unit
       tier -> IndexManifest.qualify(spark, Seq(root)).head
@@ -67,12 +76,8 @@ object DeploymentSnapshot {
     val existing =
       if (replace) Seq.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path)
-        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
-        else {
-          val named = incoming.map(_._1).toSet
-          read(spark, path).toSeq.filterNot { case (t, _) => named(t) }.sortBy(_._1)
-        }
+        val named = incoming.map(_._1).toSet
+        readIfExists(spark, path).toSeq.filterNot { case (t, _) => named(t) }.sortBy(_._1)
       }
     IndexManifest.writeAtomic(spark, path,
       (existing ++ incoming).map { case (t, r) => s"$t\t$r" }.mkString("\n"))
@@ -99,6 +104,18 @@ object DeploymentSnapshot {
           s"DeploymentSnapshot.read: malformed snapshot line at $path: '$line'")
       }
     }.toMap
+  }
+
+  /** [[read]] when the snapshot may legitimately not exist yet (the
+    * lifecycle paths that consult it opportunistically — retention
+    * pinning, the nightly's outgoing-deployment capture, the publish
+    * merge): absent = empty map, no refusal. The serve paths use
+    * [[read]] — a READER's missing snapshot is an error.
+    */
+  def readIfExists(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Map.empty
+    else read(spark, path)
   }
 
   /** One tier's root from the snapshot; refuses on an unknown tier so

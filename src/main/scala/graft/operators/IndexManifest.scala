@@ -904,17 +904,26 @@ private[operators] object IndexManifest {
     }
     val kept = hist.takeRight(keep)
     val candidates = hist.dropRight(keep)
-    // a pinned root must degrade, never wedge: absent = the grace is
-    // moot; present-but-unservable (a torn manifest) = the reader it
-    // protects is already broken, and refusing RETENTION on its
-    // account would wedge every subsequent round (the absent-history
-    // healing's lesson). Kept window entries stay strict — they are
-    // this pointer's own rollback targets.
-    val pinnedLive = pinned.filter { r =>
-      val p = new org.apache.hadoop.fs.Path(r)
-      p.getFileSystem(hadoopConf).exists(p) &&
-        scala.util.Try(handle(spark, r, what)).isSuccess
-    }
+    // only roots from THIS pointer's own lifecycle can be retired
+    // here, so foreign pins (a multi-tier snapshot's other tiers) drop
+    // up front — no cross-tier handle loads on what is a per-micro-
+    // batch path under streaming ingest
+    val ownRoots = (current +: histAll).map(qualifiedPath(spark, _)).toSet
+    // a pin degrades on the PERMANENT refusals — root absent, or
+    // manifest gone (IllegalArgumentException: the grace is moot, the
+    // reader it protects is already broken) — but any OTHER load
+    // failure (a transient IO blip) PROPAGATES: silently un-pinning on
+    // a flaky read would make a live snapshot root vacuum-eligible.
+    // Kept-window entries stay strict — this pointer's own rollback
+    // targets must refuse loudly.
+    val pinnedLive = pinned
+      .filter(r => ownRoots(qualifiedPath(spark, r)))
+      .filter { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(hadoopConf).exists(p) &&
+          (try { handle(spark, r, what); true }
+          catch { case _: IllegalArgumentException => false })
+      }
     val survivors = (kept ++ pinnedLive).distinct
     var reachable = (current +: survivors).flatMap { r =>
       val h = handle(spark, r, what)
@@ -934,8 +943,16 @@ private[operators] object IndexManifest {
       val rq = qualifiedPath(spark, expandRoundRoot(spark, r, servingQ))
       if (reachable.exists(p => p == rq || p.startsWith(rq + "/"))) {
         held += r
-        val h = handle(spark, r, what)
-        reachable ++= qualify(spark, r +: (h.segments ++ h.tombstones))
+        // a held candidate whose manifest is gone (a partial cleanup's
+        // residue) cannot extend reachability — hold it WITHOUT the
+        // extension rather than wedging every subsequent round; its
+        // carried bases survive only if something readable still
+        // references them. Transient read failures still propagate
+        // (refusing retention is safe; deleting on a flaky read is not).
+        try {
+          val h = handle(spark, r, what)
+          reachable ++= qualify(spark, r +: (h.segments ++ h.tombstones))
+        } catch { case _: IllegalArgumentException => () }
       }
     }
     val retired = candidates.filterNot(held.contains)
@@ -1177,10 +1194,13 @@ private[operators] object IndexManifest {
         }
     }
     keepGenerations.foreach { k =>
+      // an unreadable/malformed snapshot must not wedge the stream
+      // here: retention just loses its pins for the round (its readers
+      // are already broken — read() throws for them too) and the
+      // refusal belongs to the serve path
       val pinned = snapshotPath.toSeq.flatMap { sp =>
-        val p = new org.apache.hadoop.fs.Path(sp)
-        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
-        else DeploymentSnapshot.read(spark, sp).values.toSeq
+        try DeploymentSnapshot.readIfExists(spark, sp).values.toSeq
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
       retainGenerations(spark, pointerPath, k, what, pinned).collect(): Unit
     }

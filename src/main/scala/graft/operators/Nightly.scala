@@ -321,12 +321,8 @@ object Nightly {
         // pointer-cadence readers (intraday ingest can push a
         // snapshot root several generations deep, past any count
         // window)
-        val outgoingSnapshot: Map[String, String] = snapshotPath.flatMap { sp =>
-          val p = new org.apache.hadoop.fs.Path(sp)
-          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-            Some(DeploymentSnapshot.read(spark, sp))
-          else None
-        }.getOrElse(Map.empty)
+        val outgoingSnapshot: Map[String, String] = snapshotPath
+          .map(DeploymentSnapshot.readIfExists(spark, _)).getOrElse(Map.empty)
         var snapshotPublished = false
         // the round marker lands BEFORE the first flip — a process
         // crash anywhere inside the swap window leaves it on disk, and
