@@ -1057,6 +1057,49 @@ object SparkEntry {
       ptr
     })
 
+  /** Per-corpus memoized TIER-RETIREMENT fixture: a two-tier
+    * deployment snapshot whose `bucket` tier is retired FIRST-CLASS
+    * ([[graft.operators.Nightly.retireTier]] — atomic drop +
+    * tombstone + pointer-side retention), after which the surviving
+    * `quality` tier keeps evolving through the ordinary churn +
+    * subset-publish path. The setup enforces the retirement contract
+    * inline (readers refuse on the retired tier; a merge publish
+    * cannot resurrect it), so the query can only produce its rows by
+    * serving the survivor THROUGH the post-retire snapshot.
+    */
+  private val tierRetireCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tierRetireSnapshot(s: SparkSession, dir: String): String =
+    tierRetireCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{DeploymentSnapshot, Nightly, ServePointer, SideIndex}
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val root = java.nio.file.Files.createTempDirectory("graft-tier-retire").toString
+      val snap = s"$root/DEPLOYMENT"
+      val (ptrQ, ptrB) = (s"$root/QUALITY", s"$root/BUCKET")
+      SideIndex.build(docs.select(col("doc_id"), length(col("text")).cast("long")
+        .as("text_len")), "doc_id", "quality", s"$root/q0")
+      SideIndex.build(docs.select(col("doc_id"), (col("doc_id") % 100).as("bucket")),
+        "doc_id", "bucket", s"$root/b0")
+      ServePointer.publish(s, ptrQ, s"$root/q0", "quality")
+      ServePointer.publish(s, ptrB, s"$root/b0", "bucket")
+      DeploymentSnapshot.publish(s, snap,
+        Seq("quality" -> s"$root/q0", "bucket" -> s"$root/b0"))
+      Nightly.retireTier(s, snap, "bucket", ptrB, "bucket"): Unit
+      require(scala.util.Try(DeploymentSnapshot.readTier(s, snap, "bucket")).isFailure,
+        "pipeline_tier_retire setup: the retired tier must refuse readers")
+      require(scala.util.Try(DeploymentSnapshot.publish(s, snap,
+        Seq("bucket" -> s"$root/b0"))).isFailure,
+        "pipeline_tier_retire setup: a merge publish must not resurrect the retired tier")
+      // the survivor's ordinary life goes on: nightly churn (%9
+      // deleted), pointer flip, SUBSET publish merging into the
+      // post-retire snapshot without touching the tombstone
+      val q1 = SideIndex.maintain(s, ServePointer.read(s, ptrQ),
+        deletes = Some(docs.where(col("doc_id") % 9 === 0).select("doc_id")),
+        increment = None, "doc_id", "quality", s"$root/q1", maxMaskedRatio = 1.0)
+      ServePointer.publish(s, ptrQ, q1, "quality")
+      DeploymentSnapshot.publish(s, snap, Seq("quality" -> q1))
+      snap
+    })
+
   /** Per-corpus memoized ALL-TIER day-night lifecycle — the full
     * deployment story in one fixture: the THREE index families'
     * pointers driven through the SAME two-day loop. Day 1 streams two
@@ -3375,6 +3418,23 @@ object SparkEntry {
           SideIndex.read(s, ServePointer.read(s, pS), "doc_id", "chars")
             .select(col("doc_id"))))
     }),
+    "pipeline_tier_retire" -> ((s, dir) => {
+      // first-class tier retirement: the bucket tier left the
+      // deployment atomically (tombstoned — readers refuse, a merge
+      // publish cannot resurrect it; enforced in the fixture), and the
+      // surviving quality tier kept evolving through subset publishes.
+      // The serve resolves the SNAPSHOT, so the rows grade the whole
+      // post-retire deployment state: survivor's post-churn relation,
+      // the deployment's tier count, and the tombstone roster
+      import graft.operators.{DeploymentSnapshot, SideIndex}
+      val snap = tierRetireSnapshot(s, dir)
+      val live = SideIndex.read(s,
+        DeploymentSnapshot.readTier(s, snap, "quality"), "doc_id", "quality")
+      live.select(col("doc_id"), col("text_len"))
+        .withColumn("n_tiers", lit(DeploymentSnapshot.read(s, snap).size))
+        .withColumn("retired_tiers",
+          lit(DeploymentSnapshot.readRetired(s, snap).toSeq.sorted.mkString(",")))
+    }),
     "index_retained" -> ((s, dir) => {
       // what the pointer serves AFTER `retain(keep = 1)` vacuumed the
       // unreachable base root: round B's masked live read, unchanged —
@@ -5604,6 +5664,14 @@ object SparkEntry {
                 1 AS n_segments, 0 AS n_tombstone_gens,
                 (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_rows_live
          FROM live""",
+    "pipeline_tier_retire" ->
+      // the surviving tier after the bucket tier's retirement and one
+      // %9-delete churn round: the snapshot serves ONE tier (n_tiers =
+      // 1) with the bucket tombstoned, and its live relation is the
+      // post-churn replay
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+                1 AS n_tiers, 'bucket' AS retired_tiers
+         FROM documents WHERE text IS NOT NULL AND doc_id % 9 <> 0""",
     "pipeline_day_night" ->
       // the replayed day-night corpus: nightly survivors (%7 deleted,
       // %14 re-added refreshed) of the full day-1 corpus, plus day 2's
@@ -7217,6 +7285,9 @@ object SparkEntry {
     // streaming ingest -> audit-gated nightly churn + swap -> day-2
     // ingest on the night's generation, value-graded through one serve
     "pipeline_day_night", "pipeline_day_night_all",
+    // first-class tier retirement: atomic tombstoned drop from the
+    // deployment snapshot, survivor keeps evolving via subset publish
+    "pipeline_tier_retire",
     // text-OR-image duplicate families: both modality pair graphs
     // through one connected-components pass, plus the published
     // survivor corpus over the same union graph
@@ -7384,7 +7455,7 @@ object SparkEntry {
     "retrieval_index_deleted", "retrieval_index_info", "retrieval_index_maintained",
     "retrieval_index_streamed", "retrieval_index_upserted", "ann_index_upserted",
     "side_index_upserted", "pipeline_day_night", "pipeline_day_night_all",
-    "index_audit_content_all",
+    "pipeline_tier_retire", "index_audit_content_all",
     "retrieval_batch_serve", "side_index_live", "side_index_maintained",
     "side_index_streamed", "index_audit", "index_audit_ann", "index_audit_content", "index_vacuumed",
     "index_retained", "index_rolled_back",

@@ -382,17 +382,31 @@ private[operators] object IndexManifest {
     * refuse), and filter pushdown still reaches every per-segment scan
     * (Catalyst pushes through Project-of-literal and Union).
     */
+  /** The columns a segment generation may LEGITIMATELY lack, per
+    * table — the sanctioned format-evolution cases, padded explicitly
+    * as typed nulls before a STRICT union. Everything else refuses:
+    * an unexpected missing column (a partial write, external
+    * truncation, a foreign tool's rewrite) is corruption the union is
+    * a tripwire for, not evolution to read through as silent nulls.
+    * Today's only entry: doclen's content_hash fingerprint — an index
+    * built before the column existed and updated after carries both
+    * segment shapes, and null = "unknown" is exactly the audit's
+    * pinned semantics for a fingerprint that was never recorded.
+    */
+  private val optionalSegColumns
+      : Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] =
+    Map("doclen" -> Seq("content_hash" -> org.apache.spark.sql.types.LongType))
+
   def segTableOrd(
-      spark: SparkSession, segs: Seq[String], table: String): org.apache.spark.sql.DataFrame =
+      spark: SparkSession, segs: Seq[String], table: String): org.apache.spark.sql.DataFrame = {
+    val optional = optionalSegColumns.getOrElse(table, Seq.empty)
     segs.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
-    // allowMissingColumns: a column one segment generation lacks reads
-    // as null rather than refusing the union — the format-evolution
-    // path (e.g. doclen's content_hash fingerprint: an index built
-    // before the column existed and updated after carries both segment
-    // shapes, and null = "unknown" is exactly the audit's pinned
-    // semantics for a fingerprint that was never recorded)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val df = spark.read.parquet(s"$s/$table").withColumn("__seg", lit(i))
+      optional.foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+      }
+    }.reduce(_.unionByName(_))
+  }
 
   /** `rows` (a [[segTableOrd]] relation) minus the tombstone-masked
     * ones: a row dies iff its id is tombstoned AND its segment
@@ -486,8 +500,8 @@ private[operators] object IndexManifest {
   // ==================== serve pointer + generation GC ====================
 
   /** The pointer's FENCING EPOCH lives beside it as `<pointer>.epoch`
-    * (a plain-text counter, written through the same atomic-rename
-    * path as the pointer itself). The pointer lifecycle is
+    * (a plain-text counter, cat-able) plus per-commit EPOCH MARKERS
+    * `<pointer>.epoch.<N>`. The pointer lifecycle is
     * SINGLE-WRITER — one maintenance scheduler owns publish /
     * rollback / vacuum / retention on a pointer — and the epoch is
     * what turns a violation into a refusal instead of a lost update
@@ -498,29 +512,54 @@ private[operators] object IndexManifest {
     * concurrent scheduler — or the classic zombie, stalled past its
     * schedule and resumed after its replacement took over — finds the
     * epoch moved and refuses, having changed NOTHING; the committed
-    * winner's state stands. The residual window (between the bump and
-    * the mutation it guards) is one metadata write wide — the
-    * filesystem offers no compare-and-swap, so this is fencing, not a
-    * lock — and closing it entirely would need an external
-    * coordination service; within the documented single-scheduler
-    * deployment the fence exists purely to catch misconfiguration.
+    * winner's state stands. The bump itself is an EXCLUSIVE CREATE of
+    * the next marker file (atomic on HDFS and POSIX-backed stores):
+    * two racers that both read epoch N cannot both commit N+1 — the
+    * filesystem hands exactly one of them the marker and the other
+    * refuses having changed nothing. What remains is fencing, not a
+    * lock: the fence serializes commit DECISIONS, not execution spans
+    * — an operation that ENTERS after a vacuum's bump can still
+    * overlap the vacuum's in-flight deletes — so within the documented
+    * single-scheduler deployment the fence exists to catch
+    * misconfiguration loudly, not to make concurrent schedulers safe.
     */
   private def epochPath(pointerPath: String): String = pointerPath + ".epoch"
 
+  /** The committed epoch-marker numbers beside the pointer (the
+    * exclusive-create commit records). The newest marker is never
+    * deleted before a higher one exists, so their max never
+    * understates the committed epoch; the counter file is the
+    * human-readable floor that lets older markers be reclaimed.
+    */
+  private def epochMarkers(
+      fs: org.apache.hadoop.fs.FileSystem, pointerPath: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(epochPath(pointerPath))
+    val dir = base.getParent
+    val prefix = base.getName + "."
+    if (dir == null || !fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+  }
+
   /** The pointer's current fencing epoch — 0 before any lifecycle
     * operation ever committed. Monotonic: every committed publish /
-    * rollback / vacuum / retention round bumps it by one.
+    * rollback / vacuum / retention round bumps it by one. The value is
+    * the max of the counter file and the commit markers, so a crash
+    * between the marker create and the counter rewrite still counts.
     */
   def readEpoch(spark: SparkSession, pointerPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(epochPath(pointerPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      s.trim.toLong
-    }
+    val floor =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        s.trim.toLong
+      }
+    (floor +: epochMarkers(fs, pointerPath)).max
   }
 
   /** Test seam: invoked with the pointer path immediately before every
@@ -530,7 +569,15 @@ private[operators] object IndexManifest {
     */
   private[graft] var onFenceCheck: String => Unit = _ => ()
 
-  private def checkAndBumpEpoch(
+  /** Second test seam: fires BETWEEN the fence's epoch read and its
+    * exclusive-create commit — the window the pre-r19 read-then-rename
+    * bump left open (two racers could both read N and both write N+1).
+    * A spec interleaving a full racing commit here proves the
+    * exclusive create hands the epoch to exactly one of them.
+    */
+  private[graft] var onFenceCommit: String => Unit = _ => ()
+
+  private[operators] def checkAndBumpEpoch(
       spark: SparkSession, pointerPath: String, entryEpoch: Long, who: String): Unit = {
     onFenceCheck(pointerPath)
     val cur = readEpoch(spark, pointerPath)
@@ -541,7 +588,35 @@ private[operators] object IndexManifest {
         "reads are stale. The pointer lifecycle is single-writer per pointer; the " +
         "losing side changed NOTHING — re-read the pointer and retry from the " +
         "current state")
+    onFenceCommit(pointerPath)
+    // the commit: EXCLUSIVE create of the next marker — atomic, so two
+    // racers that both passed the read check above get exactly one
+    // winner, not two writers both renaming the same counter value
+    val marker = new org.apache.hadoop.fs.Path(s"${epochPath(pointerPath)}.${entryEpoch + 1}")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.io.IOException =>
+        if (fs.exists(marker))
+          throw new IllegalArgumentException(
+            s"$who lost the pointer fence at $pointerPath: a concurrent lifecycle " +
+              s"operation committed epoch ${entryEpoch + 1} first (exclusive create of " +
+              s"${marker.getName} refused). The pointer lifecycle is single-writer per " +
+              "pointer; the losing side changed NOTHING — re-read the pointer and " +
+              "retry from the current state")
+        else throw e
+    }
+    // floor rewrite + marker GC are housekeeping, not the commit: the
+    // counter keeps the epoch cat-able and lets superseded markers be
+    // reclaimed. Deleting only markers <= entryEpoch keeps the newest
+    // marker alive until a HIGHER commit exists, so readEpoch's max
+    // never understates the committed epoch even if a slow racer's
+    // floor rewrite lands late (rename last-wins) or a crash skips it.
     writeAtomic(spark, epochPath(pointerPath), (entryEpoch + 1).toString)
+    epochMarkers(fs, pointerPath).filter(_ <= entryEpoch).foreach { n =>
+      try fs.delete(new org.apache.hadoop.fs.Path(s"${epochPath(pointerPath)}.$n"), false): Unit
+      catch { case scala.util.control.NonFatal(_) => () } // best effort
+    }
   }
 
   /** Atomically flip the SERVE POINTER at `pointerPath` to the index
@@ -728,10 +803,14 @@ private[operators] object IndexManifest {
     * bytes_deleted) — zeros for the already-absent. Pure filesystem
     * metadata plus the deletes; nothing scans data. Fenced: the
     * reachable set is computed from a pointer read the epoch fence
-    * guards — a concurrent flip between that read and the deletes
-    * moves the epoch, and the vacuum refuses having deleted NOTHING
-    * (the alternative is deleting a root the new pointer serves; see
-    * [[readEpoch]]).
+    * guards — a flip COMMITTING between that read and the vacuum's
+    * own commit moves the epoch (the bump is an exclusive create, so
+    * the race has exactly one winner), and the vacuum refuses having
+    * deleted nothing. The fence serializes commit decisions, not
+    * execution spans: a flip that ENTERS after the vacuum committed
+    * can still overlap its in-flight deletes — best-effort
+    * misconfiguration detection, not a lock; the single-writer
+    * contract is what makes vacuum safe (see [[readEpoch]]).
     */
   def vacuum(
       spark: SparkSession, pointerPath: String, retiredRoots: Seq[String],
@@ -1060,7 +1139,42 @@ private[operators] object IndexManifest {
     * snapshot's root set is pinned — other tiers' roots merely extend
     * the reachable set harmlessly, and a torn/absent pinned root
     * degrades instead of wedging (see retainGenerations).
+    *
+    * `nightlyMarkerPath` names the [[Nightly]] round marker (if the
+    * deployment runs a marker-protected nightly): a STANDING marker
+    * that names this pointer means a crashed swap left the deployment
+    * half-flipped, and the round REFUSES up front — intraday ingest
+    * chaining new generations on the mixed state would move the
+    * pointer off the marker's recorded base, after which
+    * [[Nightly.recover]] refuses to heal and the nightly wedges until
+    * an operator reconciles by hand. Refusing here keeps the heal
+    * automatic: run recover (or the next nightly, which heals at
+    * entry), then resume the stream.
     */
+  /** The chainbase record format this builder writes. v1 is one line:
+    * `graft-chainbase-v1\t<qualified base root>`. A bare qualified
+    * path with no stamp is the first (r18) format — semantically
+    * identical to v1, so it parses; any HIGHER stamp was written by a
+    * newer builder whose replay semantics this one may not share, and
+    * refuses loudly instead of applying the wrong era's rules.
+    */
+  private val ChainbaseVersion = 1
+
+  private def parseChainbase(content: String, outRoot: String): String =
+    if (!content.startsWith("graft-chainbase-v")) content // pre-stamp (r18) record
+    else content.split("\t", 2) match {
+      case Array(tag, base) =>
+        val v = scala.util.Try(tag.stripPrefix("graft-chainbase-v").toInt).getOrElse(-1)
+        require(v >= 1 && v <= ChainbaseVersion,
+          s"ingestRound: the chainbase record at $outRoot/chainbase carries format " +
+            s"'$tag', newer than this builder understands (max " +
+            s"v$ChainbaseVersion) — replaying it here could apply superseded replay " +
+            "semantics. Upgrade the builder before resuming the ingest")
+        base.trim
+      case _ => throw new IllegalArgumentException(
+        s"ingestRound: malformed chainbase record at $outRoot/chainbase: '$content'")
+    }
+
   private[operators] def ingestRound(
       spark: SparkSession,
       rows: org.apache.spark.sql.DataFrame,
@@ -1070,10 +1184,24 @@ private[operators] object IndexManifest {
       what: String,
       maintain: (org.apache.spark.sql.DataFrame, String, String) => String,
       keepGenerations: Option[Int],
-      snapshotPath: Option[String] = None): Unit = {
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit = {
     val outRoot = s"$ingestRoot/batch-$batchId"
     val rootP = new org.apache.hadoop.fs.Path(outRoot)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    nightlyMarkerPath.foreach { m =>
+      val standing = Nightly.readMarker(spark, m)
+      if (standing.nonEmpty) {
+        val ptrQ = qualify(spark, Seq(pointerPath)).head
+        require(!standing.exists(e => qualify(spark, Seq(e._2)).head == ptrQ),
+          s"ingestRound: a standing nightly round marker at $m names this pointer " +
+            s"($pointerPath) — a crashed swap left the deployment half-flipped. Run " +
+            "Nightly.recover (or let the next nightly heal at entry) before resuming " +
+            "intraday ingest: generations chained on the half-swapped state would " +
+            "move the pointer off the marker's recorded base, and recover would then " +
+            "refuse to heal the deployment")
+      }
+    }
     // the fence spans the WHOLE round — pointer read, maintain, flip:
     // a pointer movement during the maintain (a nightly scheduler
     // racing this stream, out of the single-writer contract) moves
@@ -1140,17 +1268,36 @@ private[operators] object IndexManifest {
         // base and silently un-serve the other writer's generation.
         // Refuse; the operator retires the batch root through
         // ServePointer.vacuum (NEVER a raw delete — the root may be
-        // carried by reference) or republishes deliberately. Batch
-        // roots without the record keep the old re-flip behavior.
+        // carried by reference) or republishes deliberately. A batch
+        // root WITHOUT the record predates chain-aware replay (built
+        // before the upgrade): version skew must be loud, so unless
+        // the pointer already serves this batch's own committed step
+        // (the provably-safe crash-after-flip heal), the replay
+        // refuses instead of silently keeping the old re-flip
+        // behavior — re-flipping without a recorded base could
+        // un-serve another writer's generation exactly like the
+        // fenced case above.
         val baseRec = new org.apache.hadoop.fs.Path(s"$outRoot/chainbase")
         val bfs = baseRec.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val replayNoop = bfs.exists(baseRec) && {
+        val curRoot = readPointer(spark, pointerPath)
+        val curQ = qualifiedPath(spark, curRoot)
+        val rootQ = qualifiedPath(spark, root)
+        val replayNoop = if (!bfs.exists(baseRec)) {
+          require(curQ == rootQ,
+            s"ingestRound: batch $batchId committed at $root with NO chainbase " +
+              "record — this batch root predates chain-aware replay, so the replay " +
+              "cannot prove the pointer still serves the base the chain was built " +
+              s"from (it now serves $curQ). Verify the pointer state manually: if " +
+              "the batch's data already serves (or is carried by the serving " +
+              "generation), retire the batch root through ServePointer.vacuum — " +
+              "never a raw delete, it may be carried by reference — otherwise " +
+              "republish deliberately; then resume the ingest")
+          false // pointer already on this root: re-flip is the idempotent heal
+        } else {
           val in = bfs.open(baseRec)
-          val recordedBase = try new String(in.readAllBytes(),
+          val recorded = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-          val curRoot = readPointer(spark, pointerPath)
-          val curQ = qualifiedPath(spark, curRoot)
-          val rootQ = qualifiedPath(spark, root)
+          val recordedBase = parseChainbase(recorded, outRoot)
           if (curQ == recordedBase || curQ == rootQ) false
           else {
             val curH = handle(spark, curRoot, what)
@@ -1187,8 +1334,12 @@ private[operators] object IndexManifest {
           // replay of this batch may only re-flip while the pointer
           // still serves what this round built on. Qualified, so a
           // hand-bootstrapped (unqualified) pointer file compares
-          // scheme-stably at replay time
-          writeAtomic(spark, s"$outRoot/chainbase", qualifiedPath(spark, cur))
+          // scheme-stably at replay time; version-stamped, so a future
+          // semantic change to replay classification refuses loudly on
+          // records it does not understand instead of silently
+          // applying the wrong era's rules (see parseChainbase)
+          writeAtomic(spark, s"$outRoot/chainbase",
+            s"graft-chainbase-v$ChainbaseVersion\t${qualifiedPath(spark, cur)}")
           publishPointerFenced(spark, pointerPath, maintain(rows, cur, outRoot), what,
             fence)
         }

@@ -110,13 +110,35 @@ object Nightly {
     * while a pointer on ANY other root means another lifecycle
     * operation acted since, and rolling forward would clobber it.
     */
+  /** The marker format's delimiter rule, checked at [[run]] ENTRY
+    * (before any maintain spends hours) and again here at the write: a
+    * tier name / path carrying a tab or newline would write a marker
+    * [[readMarker]] rejects as malformed — and that would only surface
+    * in [[recover]] after a crash, the one moment the marker is
+    * needed, wedging the nightly until manual cleanup. Same refusal
+    * [[DeploymentSnapshot.publish]] applies to its own format.
+    */
+  private[graft] def requireMarkerSafe(field: String, value: String): Unit =
+    require(!value.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+      !value.startsWith("!"),
+      s"Nightly: $field '$value' may not contain tabs or newlines (the round " +
+        "marker format's delimiters) or a leading '!' (the format's header sigil)")
+
   private[graft] def writeMarker(
       spark: SparkSession, markerPath: String,
       entries: Seq[(String, String, String, String)],
-      snapshot: Option[String] = None): Unit =
+      snapshot: Option[String] = None): Unit = {
+    snapshot.foreach(requireMarkerSafe("snapshot path", _))
+    entries.foreach { case (n, p, r, prev) =>
+      requireMarkerSafe("tier name", n)
+      requireMarkerSafe("pointer path", p)
+      requireMarkerSafe("root", r)
+      if (prev.nonEmpty) requireMarkerSafe("previous root", prev)
+    }
     IndexManifest.writeAtomic(spark, markerPath,
       (snapshot.map(sp => s"!snapshot\t$sp").toSeq ++
         entries.map { case (n, p, r, prev) => s"$n\t$p\t$r\t$prev" }).mkString("\n"))
+  }
 
   /** The snapshot path a marker recorded (the `!snapshot` header) —
     * part of the round's intent, so a standalone `recover(marker)`
@@ -257,6 +279,13 @@ object Nightly {
     // must refuse up front, not after the round's expensive phase
     tiers.foreach(t => require(t.hashCol.isDefined == t.liveHashes.isDefined,
       s"Nightly tier '${t.name}': hashCol and liveHashes must be supplied together"))
+    // delimiter-safety up front too: a tab-carrying tier name would
+    // otherwise surface only in recover() after a crash — the one
+    // moment the marker is needed (see requireMarkerSafe)
+    if (markerPath.isDefined) tiers.foreach { t =>
+      requireMarkerSafe("tier name", t.name)
+      requireMarkerSafe("pointer path", t.pointerPath)
+    }
     // 0. heal a prior round's crashed swap FIRST: tonight's maintain
     // rounds must chain from consistent pointers, not a mixed state
     markerPath.foreach(m => recover(spark, m, snapshotPath): Unit)
@@ -427,5 +456,44 @@ object Nightly {
       .toDF("tier", "n_live", "n_missing", "n_orphaned", "n_dup_pairs", "n_stale",
         "in_sync", "published")
     (report, releaseReport)
+  }
+
+  /** First-class TIER RETIREMENT — the scheduler-side composition over
+    * [[DeploymentSnapshot.retire]]: drop the tier from the
+    * reader-facing deployment atomically (tombstoned, so a later
+    * subset publish cannot resurrect it) and run the tier's
+    * pointer-side retention so its superseded generations reclaim now
+    * that the snapshot no longer pins them. The just-retired root
+    * itself is PINNED through this retention pass — a reader that
+    * resolved the snapshot moments before the retire may still be
+    * serving from it (the same one-round grace [[run]] gives
+    * superseded snapshot roots); reclaim it later with
+    * [[ServePointer.vacuum]] once readers have drained, or leave the
+    * tier's pointer lifecycle running if the tier merely left the
+    * deployment without being decommissioned.
+    *
+    * Refuses while a crashed swap's round marker stands: the marker's
+    * recorded intent names tiers by pointer, and retiring one out from
+    * under it would make [[recover]]'s heal ambiguous — heal first
+    * (run [[recover]] or the next [[run]]), then retire.
+    *
+    * Returns the root the retired tier was serving in the snapshot.
+    */
+  def retireTier(
+      spark: SparkSession, snapshotPath: String, tier: String,
+      pointerPath: String, what: String = "segmented",
+      markerPath: Option[String] = None,
+      keepGenerations: Option[Int] = Some(0)): String = {
+    markerPath.foreach { m =>
+      require(readMarker(spark, m).isEmpty,
+        s"Nightly.retireTier: a round marker stands at $m — a crashed swap is " +
+          "waiting to be healed, and retiring a tier out from under its recorded " +
+          "intent would make the heal ambiguous. Run Nightly.recover (or the next " +
+          "Nightly.run) first, then retire")
+    }
+    val root = DeploymentSnapshot.retire(spark, snapshotPath, tier)
+    keepGenerations.foreach(k =>
+      ServePointer.retain(spark, pointerPath, k, what, pinned = Seq(root)).collect(): Unit)
+    root
   }
 }

@@ -674,12 +674,13 @@ object Retrieval {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit =
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit =
     IndexManifest.ingestRound(spark, batch.where(col(textCol).isNotNull),
       batchId, pointerPath, ingestRoot, "BM25",
       (rows, cur, outRoot) => maintainIndex(spark, cur, None, Some(rows),
         idCol, textCol, outRoot, maxSegments, maxMaskedRatio),
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
 
   /** [[ingestIndexBatch]]'s UPSERT form — the CDC-shaped stream where
     * a batch row is "the current version of this document", new or
@@ -717,7 +718,8 @@ object Retrieval {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit = {
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit = {
     // ONE bounded aggregate validates the whole batch BEFORE any state
     // changes (and before any filtering could hide a malformed row
     // from the checks) — shared verbatim with the vector/side upserts
@@ -739,7 +741,7 @@ object Retrieval {
             idCol, textCol, outRoot, maxSegments, maxMaskedRatio)
         } finally replaced.unpersist()
       },
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
   }
 
   /** Format version 3 = segmented layout (manifest carries the

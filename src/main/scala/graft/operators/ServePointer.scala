@@ -26,14 +26,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gate).
   *
   * The lifecycle is SINGLE-WRITER per pointer — one maintenance
-  * scheduler owns publish / rollback / vacuum / retain — and the
-  * contract is ENFORCED, not just documented: a fencing epoch beside
-  * the pointer (`<pointer>.epoch`) is read at entry and
-  * check-and-bumped at each operation's commit point, so a concurrent
-  * or stalled-and-resumed scheduler refuses loudly having changed
-  * nothing, instead of e.g. a vacuum deleting a root a racing publish
-  * just started serving. Readers need no fence — the pointer rename
-  * is atomic either way.
+  * scheduler owns publish / rollback / vacuum / retain — and a
+  * violation REFUSES loudly instead of losing an update: a fencing
+  * epoch beside the pointer (`<pointer>.epoch`) is read at entry and
+  * check-and-bumped at each operation's commit point through an
+  * exclusive file create, so of two racers exactly one commits and
+  * the other refuses having changed nothing — e.g. a vacuum whose
+  * pointer read a racing publish stalled-out refuses before its first
+  * delete. This is fencing, not a lock: it serializes commit
+  * decisions, not execution spans (an operation entering AFTER a
+  * vacuum's commit can overlap its in-flight deletes), so it exists
+  * to catch misconfiguration, not to make concurrent schedulers
+  * safe. Readers need no fence — the pointer rename is atomic either
+  * way.
   *
   * Reference counterpart: none — ironbeam's runs are ephemeral; this
   * is the durable-index lifecycle a 100 TB always-on deployment needs,
@@ -58,6 +63,13 @@ object ServePointer {
     */
   private[graft] def setFenceCheckHook(f: String => Unit): Unit =
     IndexManifest.onFenceCheck = f
+
+  /** Test seam: interleave an action INSIDE the fence — between its
+    * epoch read and its exclusive-create commit (see
+    * IndexManifest.onFenceCommit). Production never sets it.
+    */
+  private[graft] def setFenceCommitHook(f: String => Unit): Unit =
+    IndexManifest.onFenceCommit = f
 
   /** Atomically flip the pointer at `pointerPath` to `indexRoot`,
     * refusing a target that cannot serve (missing manifest, severed

@@ -330,12 +330,13 @@ object SideIndex {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit =
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit =
     IndexManifest.ingestRound(spark, batch.where(col(idCol).isNotNull),
       batchId, pointerPath, ingestRoot, s"side($flavor)",
       (rows, cur, outRoot) => maintain(spark, cur, None, Some(rows),
         idCol, flavor, outRoot, maxSegments, maxMaskedRatio),
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
 
   /** [[ingestBatch]]'s UPSERT form — the CDC-shaped side-table stream
     * where a batch row is "the current payload of this id", refreshed
@@ -361,7 +362,8 @@ object SideIndex {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit = {
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit = {
     IndexManifest.requireUpsertBatch(batch, batchId, idCol, None,
       "SideIndex.ingestUpsertBatch")
     IndexManifest.ingestRound(spark, batch,
@@ -380,7 +382,7 @@ object SideIndex {
             maxSegments, maxMaskedRatio)
         } finally replaced.unpersist()
       },
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
   }
 
   /** The operational metadata row (n_segments, n_tombstone_gens,

@@ -1040,14 +1040,15 @@ object Similarity {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit =
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit =
     IndexManifest.ingestRound(spark,
       batch.where(col(idCol).isNotNull && col(vecCol).isNotNull),
       batchId, pointerPath, ingestRoot, "IVF-PQ",
       (rows, cur, outRoot) => maintainPqIndex(spark, cur, None, Some(rows),
         idCol, vecCol, coarseCents, codebooks, outRoot, residual,
         maxSegments, maxMaskedRatio),
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
 
   /** [[ingestPqIndexBatch]]'s UPSERT form — the CDC-shaped vector
     * stream where a batch row is "the current embedding of this id",
@@ -1079,7 +1080,8 @@ object Similarity {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None): Unit = {
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None): Unit = {
     IndexManifest.requireUpsertBatch(batch, batchId, idCol, Some(vecCol),
       "ingestPqUpsertBatch")
     IndexManifest.ingestRound(spark, batch,
@@ -1098,7 +1100,7 @@ object Similarity {
             coarseCents, codebooks, outRoot, residual, maxSegments, maxMaskedRatio)
         } finally replaced.unpersist()
       },
-      keepGenerations, snapshotPath)
+      keepGenerations, snapshotPath, nightlyMarkerPath)
   }
 
   /** The canonical per-vector payload fingerprint under an index's

@@ -490,10 +490,13 @@ object Streams {
     * upsert/vector/side siblings below) is a pointer-lifecycle WRITER:
     * while it runs, nothing else may publish, roll back, vacuum, or
     * retain on `pointerPath` (schedule nightly maintenance on a
-    * different pointer, or stop the stream for the window). The
-    * contract is enforced, not just stated: every round carries the
-    * pointer's fencing epoch across its whole read-maintain-flip span,
-    * so a concurrent flip makes the round REFUSE after its batch root
+    * different pointer, or stop the stream for the window). A
+    * violation is DETECTED, not prevented (fencing, not a lock —
+    * commit decisions serialize through the epoch's exclusive-create
+    * bump, but a later-entering operation's execution can still
+    * overlap an earlier one's): every round carries the pointer's
+    * fencing epoch across its whole read-maintain-flip span, so a
+    * concurrent flip makes the round REFUSE after its batch root
     * committed — the stream stops, and the operator must delete that
     * batch root (and resolve pointer ownership) before resuming,
     * because a foreachBatch replay would otherwise re-flip a chain
@@ -509,7 +512,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -517,7 +521,7 @@ object Streams {
         graft.operators.Retrieval.ingestIndexBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations,
-          snapshotPath)
+          snapshotPath, nightlyMarkerPath)
       }
       .start()
 
@@ -540,7 +544,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -548,7 +553,7 @@ object Streams {
         graft.operators.Retrieval.ingestUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, textCol, maxSegments, maxMaskedRatio, keepGenerations,
-          snapshotPath)
+          snapshotPath, nightlyMarkerPath)
       }
       .start()
 
@@ -573,7 +578,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -581,7 +587,7 @@ object Streams {
         graft.operators.Similarity.ingestPqIndexBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, vecCol, coarseCents, codebooks, residual,
-          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath)
+          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath, nightlyMarkerPath)
       }
       .start()
 
@@ -606,7 +612,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -614,7 +621,7 @@ object Streams {
         graft.operators.Similarity.ingestPqUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, vecCol, coarseCents, codebooks, residual,
-          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath)
+          maxSegments, maxMaskedRatio, keepGenerations, snapshotPath, nightlyMarkerPath)
       }
       .start()
 
@@ -633,7 +640,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -641,7 +649,7 @@ object Streams {
         graft.operators.SideIndex.ingestUpsertBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations,
-          snapshotPath)
+          snapshotPath, nightlyMarkerPath)
       }
       .start()
 
@@ -661,7 +669,8 @@ object Streams {
       maxSegments: Int = 8,
       maxMaskedRatio: Double = 0.2,
       keepGenerations: Option[Int] = None,
-      snapshotPath: Option[String] = None
+      snapshotPath: Option[String] = None,
+      nightlyMarkerPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -669,7 +678,7 @@ object Streams {
         graft.operators.SideIndex.ingestBatch(
           batch.sparkSession, batch, batchId, pointerPath, ingestRoot,
           idCol, flavor, maxSegments, maxMaskedRatio, keepGenerations,
-          snapshotPath)
+          snapshotPath, nightlyMarkerPath)
       }
       .start()
 

@@ -16,6 +16,115 @@ class PropertySpec extends SparkTestBase {
   private def randomStrings(n: Int): List[String] =
     List.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
 
+  test("crash-injection over the nightly swap state machine: 120 random kill schedules all heal") {
+    // The marker/recover/snapshot drills in NightlySpec are
+    // example-based; this drives the same post-gate protocol —
+    // marker -> flip x N -> snapshot -> marker-clear — through RANDOM
+    // kill points and asserts the deployment invariant every time:
+    //   (A) a snapshot reader sees yesterday's deployment or
+    //       tonight's, NEVER a mix;
+    //   (B) one recover() call converges the crashed round to
+    //       tonight's roots on every pointer AND the snapshot, and
+    //       clears the marker;
+    //   (C) a second recover() is a no-op (convergence, not progress).
+    // A kill is a PREFIX of the step sequence (a thrown exception
+    // inside Nightly.run takes its in-process ROLLBACK path, which is
+    // a different — already-drilled — state), executed over prebuilt
+    // immutable generations so a schedule costs file metadata, not
+    // Spark jobs; every 10th schedule then runs the REAL Nightly.run
+    // on top of the healed state to prove the protocol replayed here
+    // is the one run() speaks.
+    import graft.operators.{DeploymentSnapshot, Nightly, ServePointer, SideIndex}
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 10L).map(i => (i, i * 2)).toDF("doc_id", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-prop").toString
+    val prnd = new scala.util.Random(20260816L)
+    // gen chain per tier family: gen(k+1) = gen(k) minus doc (k+2) —
+    // immutable, shared by every schedule (pointer files are the only
+    // per-schedule state)
+    val tierNames = Seq("a", "b", "c")
+    val gens: Map[String, IndexedSeq[String]] = tierNames.map { tn =>
+      SideIndex.build(docs, "doc_id", tn, s"$base/$tn-g0")
+      val chain = (1 to 3).scanLeft(s"$base/$tn-g0") { (cur, k) =>
+        SideIndex.maintain(spark, cur, Some(Seq(k + 1L).toDF("doc_id")), None,
+          "doc_id", tn, s"$base/$tn-g$k", maxMaskedRatio = 1.0)
+      }
+      tn -> chain.toIndexedSeq
+    }.toMap
+    def hfsDelete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false): Unit
+    }
+    def snapGen(snap: Map[String, String], tiers: Seq[String]): Option[Int] =
+      (0 to 3).find(g => tiers.forall(tn => snap.get(tn).exists(_.endsWith(
+        gens(tn)(g).stripPrefix(base)))))
+    for (schedule <- 1 to 120) {
+      val nTiers = 2 + prnd.nextInt(2)
+      val tiers = tierNames.take(nTiers)
+      val rounds = 1 + prnd.nextInt(2)
+      val dir = s"$base/s$schedule"
+      val snapPath = s"$dir/DEPLOYMENT"
+      val marker = s"$dir/round"
+      val ptr = tiers.map(tn => tn -> s"$dir/PTR-$tn").toMap
+      tiers.foreach(tn => ServePointer.publish(spark, ptr(tn), gens(tn)(0), tn))
+      DeploymentSnapshot.publish(spark, snapPath, tiers.map(tn => tn -> gens(tn)(0)))
+      for (round <- 1 to rounds) {
+        val (from, to) = (round - 1, round)
+        // the post-gate swap sequence, killed after a random prefix:
+        // k=0 nothing landed; k=1 marker only; k=1+j j tiers flipped;
+        // k=nTiers+2 snapshot republished; k=nTiers+3 completed round
+        val kill = prnd.nextInt(nTiers + 4)
+        def steps(upTo: Int): Unit = {
+          if (upTo >= 1) Nightly.writeMarker(spark, marker,
+            tiers.map(tn => (tn, ptr(tn), gens(tn)(to), gens(tn)(from))),
+            snapshot = Some(snapPath))
+          tiers.zipWithIndex.foreach { case (tn, j) =>
+            if (upTo >= 2 + j) ServePointer.publish(spark, ptr(tn), gens(tn)(to), tn)
+          }
+          if (upTo >= nTiers + 2)
+            DeploymentSnapshot.publish(spark, snapPath, tiers.map(tn => tn -> gens(tn)(to)))
+          if (upTo >= nTiers + 3) hfsDelete(marker)
+        }
+        steps(kill)
+        // (A) reader atomicity at the crash point: the one snapshot
+        // read resolves a SINGLE generation across every tier
+        val seen = snapGen(DeploymentSnapshot.read(spark, snapPath), tiers)
+        assert(seen.contains(from) || seen.contains(to),
+          s"schedule $schedule round $round kill $kill: mixed reader view $seen")
+        // (B) one heal converges — to tonight when the round's intent
+        // landed (marker written), to yesterday when it never did
+        Nightly.recover(spark, marker, Some(snapPath)): Unit
+        val expected = if (kill >= 1) to else from
+        tiers.foreach(tn => assert(
+          ServePointer.read(spark, ptr(tn)).endsWith(gens(tn)(expected).stripPrefix(base)),
+          s"schedule $schedule round $round kill $kill: pointer $tn not converged"))
+        assert(snapGen(DeploymentSnapshot.read(spark, snapPath), tiers).contains(expected),
+          s"schedule $schedule round $round kill $kill: snapshot not converged")
+        assert(!new java.io.File(marker).exists,
+          s"schedule $schedule round $round kill $kill: marker survived the heal")
+        // (C) convergence: a second recover has nothing to do
+        assert(Nightly.recover(spark, marker, Some(snapPath)).isEmpty)
+        // a never-started round replays in full before the next one
+        if (kill == 0) steps(nTiers + 3)
+      }
+      // every 10th schedule: the REAL Nightly.run on the healed state —
+      // the protocol above must compose with the actual scheduler path
+      if (schedule % 10 == 0) {
+        val from = rounds
+        val registry = docs.where(!col("doc_id").isin((2L to from + 2L): _*))
+          .select("doc_id")
+        val (report, _) = Nightly.run(spark,
+          tiers.map(tn => Nightly.Tier(tn, registry, "doc_id", ptr(tn),
+            () => gens(tn)(from + 1),
+            p => SideIndex.read(spark, p, "doc_id", tn).select(col("doc_id")))),
+          markerPath = Some(marker), snapshotPath = Some(snapPath))
+        assert(report.collect().forall(_.getAs[Boolean]("published")),
+          s"schedule $schedule: the post-heal nightly must publish")
+        assert(snapGen(DeploymentSnapshot.read(spark, snapPath), tiers).contains(from + 1))
+      }
+    }
+  }
+
   test("KMV merge is associative+commutative and order-independent") {
     for (trial <- 1 to 8) {
       val xs = randomStrings(20 + trial * 15)

@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** r19 lifecycle hardening drills: the exclusive-create epoch commit
+  * (the read-then-rename bump's both-racers-pass window is closed),
+  * the deployment snapshot's fenced merge and first-class tier
+  * retirement, chainbase record versioning, round-marker delimiter
+  * validation, intraday-ingest refusal on a standing crashed-swap
+  * marker, and the scoped (strict-by-default) segment-table union.
+  */
+class LifecycleHardeningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rowsDf = (1L to 10L).map(i => (i, i * 2)).toDF("doc_id", "v")
+
+  private def hfs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = hfs(path).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("the fence's exclusive-create commit: a racer landing INSIDE the read-commit window loses exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fence-excl").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen1")
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen2")
+    assert(ServePointer.epoch(spark, ptr) == 1L)
+    // the pre-r19 bump read the counter then renamed it: two racers
+    // that both read epoch 1 could BOTH commit 2 and both pass the
+    // fence. The commit is now an exclusive create of the next epoch
+    // marker — interleave a full racing publish between this one's
+    // epoch read (which passes) and its create (which must then lose)
+    ServePointer.setFenceCommitHook { p =>
+      if (p == ptr) {
+        ServePointer.setFenceCommitHook(_ => ()) // the racer must not recurse
+        ServePointer.publish(spark, ptr, s"$root/gen2")
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ServePointer.publish(spark, ptr, s"$root/gen1")
+      }
+      assert(e.getMessage.contains("lost the pointer fence"), e.getMessage)
+    } finally ServePointer.setFenceCommitHook(_ => ())
+    // exactly one winner: the racer's publish stands, the loser
+    // changed NOTHING (pointer, history, epoch)
+    assert(ServePointer.read(spark, ptr).endsWith("/gen2"))
+    assert(ServePointer.epoch(spark, ptr) == 2L, "one commit, one bump")
+    assert(!ServePointer.history(spark, ptr).exists(_.endsWith("/gen1")),
+      "the losing publish must not have touched the history")
+    // the loser's documented remedy works: re-read and retry
+    ServePointer.publish(spark, ptr, s"$root/gen1")
+    assert(ServePointer.read(spark, ptr).endsWith("/gen1"))
+    assert(ServePointer.epoch(spark, ptr) == 3L)
+    // marker GC: superseded epoch markers are reclaimed — the epoch
+    // state stays O(1) files (floor + the newest marker), not one
+    // file per lifecycle operation forever
+    val markers = new java.io.File(root).list().filter(_.startsWith("CURRENT.epoch."))
+      .filterNot(_.endsWith(".crc"))
+    assert(markers.toSeq == Seq("CURRENT.epoch.3"), markers.mkString(", "))
+  }
+
+  test("a crash between the marker create and the floor rewrite still counts the committed epoch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fence-crash").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0")
+    assert(ServePointer.epoch(spark, ptr) == 1L)
+    // simulate the crash window: epoch 2's exclusive-create landed but
+    // the process died before rewriting the floor counter
+    hfs(root).create(new org.apache.hadoop.fs.Path(s"$ptr.epoch.2"), false).close()
+    assert(ServePointer.epoch(spark, ptr) == 2L,
+      "the marker alone must carry the committed epoch")
+    // and the next lifecycle operation proceeds from 2, not 1
+    SideIndex.compact(spark, s"$root/gen0", s"$root/gen1")
+    ServePointer.publish(spark, ptr, s"$root/gen1")
+    assert(ServePointer.epoch(spark, ptr) == 3L)
+  }
+
+  test("the deployment snapshot's merge is fenced: racing subset publishes get one winner and no lost tiers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-fence").toString
+    val snap = s"$root/DEPLOYMENT"
+    Seq("a", "b", "c").foreach(t => SideIndex.build(rowsDf, "doc_id", t, s"$root/${t}0"))
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0"))
+    // two fix-one-tier re-runs race: each read the snapshot (tier a
+    // only), each merges its own tier in. Unfenced, the slower rename
+    // would silently evict the faster one's tier; fenced, the slower
+    // one refuses having written nothing
+    ServePointer.setFenceCommitHook { p =>
+      if (p == snap) {
+        ServePointer.setFenceCommitHook(_ => ())
+        DeploymentSnapshot.publish(spark, snap, Seq("c" -> s"$root/${t0("c")}"))
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeploymentSnapshot.publish(spark, snap, Seq("b" -> s"$root/${t0("b")}"))
+      }
+      assert(e.getMessage.contains("lost the pointer fence"), e.getMessage)
+    } finally ServePointer.setFenceCommitHook(_ => ())
+    val afterRace = DeploymentSnapshot.read(spark, snap)
+    assert(afterRace.keySet == Set("a", "c"),
+      s"the winner's merge must stand untouched: $afterRace")
+    // the loser retries from the current state and ALL tiers survive
+    DeploymentSnapshot.publish(spark, snap, Seq("b" -> s"$root/${t0("b")}"))
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("a", "b", "c"))
+  }
+
+  private def t0(t: String) = s"${t}0"
+
+  test("retire drops a tier atomically, readers refuse, and a merge publish cannot resurrect it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retire").toString
+    val snap = s"$root/DEPLOYMENT"
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b1")
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0", "b" -> s"$root/b0"))
+    val retired = DeploymentSnapshot.retire(spark, snap, "a")
+    assert(retired.endsWith("/a0"), retired)
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("b"))
+    assert(DeploymentSnapshot.readRetired(spark, snap) == Set("a"))
+    // readers refuse with the live tier list from the next resolve
+    val e = intercept[IllegalArgumentException] {
+      DeploymentSnapshot.readTier(spark, snap, "a")
+    }
+    assert(e.getMessage.contains("names no tier 'a'") && e.getMessage.contains("b"),
+      e.getMessage)
+    // a subset publish of ANOTHER tier merges without resurrecting a
+    DeploymentSnapshot.publish(spark, snap, Seq("b" -> s"$root/b1"))
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("b"))
+    assert(DeploymentSnapshot.readRetired(spark, snap) == Set("a"),
+      "the tombstone must survive unrelated merges")
+    // a merge publish CARRYING the retired tier refuses with the remedy
+    val e2 = intercept[IllegalArgumentException] {
+      DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0"))
+    }
+    assert(e2.getMessage.contains("RETIRED") && e2.getMessage.contains("replace = true"),
+      e2.getMessage)
+    // re-introduction is the deliberate full-redeploy form, which
+    // clears tombstones
+    DeploymentSnapshot.publish(spark, snap,
+      Seq("a" -> s"$root/a0", "b" -> s"$root/b1"), replace = true)
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("a", "b"))
+    assert(DeploymentSnapshot.readRetired(spark, snap).isEmpty)
+    // retiring an unknown tier refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      DeploymentSnapshot.retire(spark, snap, "zzz")
+    }.getMessage.contains("names no tier 'zzz'"))
+  }
+
+  test("Nightly.retireTier refuses under a standing marker, then reclaims history with reader grace") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retire-tier").toString
+    val snap = s"$root/DEPLOYMENT"
+    val marker = s"$root/nightly.round"
+    val ptr = s"$root/A"
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    ServePointer.publish(spark, ptr, s"$root/a0", "a")
+    // the snapshot names a0; intraday ingest then moves the pointer one
+    // generation further — the snapshot root is now HISTORY, the state
+    // where retirement's reader grace actually matters
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0"))
+    SideIndex.compact(spark, s"$root/a0", s"$root/a1")
+    ServePointer.publish(spark, ptr, s"$root/a1", "a")
+    SideIndex.compact(spark, s"$root/a1", s"$root/a2")
+    ServePointer.publish(spark, ptr, s"$root/a2", "a")
+    assert(ServePointer.history(spark, ptr).size == 2)
+    // a standing crashed-swap marker blocks retirement: healing first
+    // keeps recover unambiguous
+    Nightly.writeMarker(spark, marker, Seq(("a", ptr, s"$root/a2", s"$root/a1")))
+    val e = intercept[IllegalArgumentException] {
+      Nightly.retireTier(spark, snap, "a", ptr, "a", markerPath = Some(marker))
+    }
+    assert(e.getMessage.contains("round marker stands"), e.getMessage)
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("a"), "nothing retired")
+    hfs(marker).delete(new org.apache.hadoop.fs.Path(marker), false)
+    // now the retire: snapshot entry gone, history reclaimed EXCEPT the
+    // just-retired root (a reader that resolved the snapshot moments
+    // before may still serve from it — one round of grace)
+    val retired = Nightly.retireTier(spark, snap, "a", ptr, "a",
+      markerPath = Some(marker))
+    assert(retired.endsWith("/a0"), retired)
+    assert(intercept[IllegalArgumentException] {
+      DeploymentSnapshot.readTier(spark, snap, "a")
+    }.getMessage.contains("names no tier 'a'"))
+    assert(new java.io.File(s"$root/a0").exists,
+      "the retired snapshot root keeps one round of reader grace")
+    assert(!new java.io.File(s"$root/a1").exists,
+      "unpinned history outside the keep window is reclaimed")
+    // once readers drained, the ordinary pointer lifecycle reclaims the
+    // graced root too — retirement leaves no special state behind
+    ServePointer.retain(spark, ptr, keep = 0, "a").collect(): Unit
+    assert(!new java.io.File(s"$root/a0").exists)
+  }
+
+  test("a committed batch root with NO chainbase record refuses the replay unless it provably heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-chainbase").toString
+    val ptr = s"$root/CURRENT"
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0", "t")
+    val batch = Seq((11L, 22L), (12L, 24L)).toDF("doc_id", "v")
+    SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    val committedRoot = ServePointer.read(spark, ptr)
+    assert(committedRoot.contains("/batch-0/"))
+    // hand-write the LEGACY state: a pre-upgrade batch root has no
+    // chainbase record. While the pointer still serves this batch's own
+    // committed step, the replay is the provably-safe crash-after-flip
+    // heal and proceeds
+    val rec = s"$root/ingest/batch-0/chainbase"
+    assert(hfs(rec).delete(new org.apache.hadoop.fs.Path(rec), false))
+    SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    assert(ServePointer.read(spark, ptr) == committedRoot)
+    // but once the pointer serves anything else, a record-less replay
+    // cannot prove its chain base and must refuse — version skew is
+    // loud, not a silent re-flip of a stale chain
+    ServePointer.publish(spark, ptr, s"$root/gen0", "t")
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    }
+    assert(e.getMessage.contains("NO chainbase record") &&
+      e.getMessage.contains("ServePointer.vacuum"), e.getMessage)
+    assert(ServePointer.read(spark, ptr).endsWith("/gen0"), "the refusal changed nothing")
+    // a chainbase stamped by a NEWER builder refuses too, with the
+    // upgrade remedy — its replay semantics may differ from this era's
+    writeFile(rec, s"graft-chainbase-v9\t${IndexManifest.qualify(spark, Seq(s"$root/gen0")).head}")
+    val e2 = intercept[IllegalArgumentException] {
+      SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    }
+    assert(e2.getMessage.contains("newer than this builder"), e2.getMessage)
+    // the CURRENT record format (and the r18 bare-path form it
+    // supersedes) both replay: same-base re-flip proceeds
+    writeFile(rec, IndexManifest.qualify(spark, Seq(s"$root/gen0")).head)
+    SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    assert(ServePointer.read(spark, ptr) == committedRoot)
+  }
+
+  test("round-marker delimiter validation refuses at write AND at run entry, before any maintain") {
+    val root = java.nio.file.Files.createTempDirectory("graft-marker-val").toString
+    val e = intercept[IllegalArgumentException] {
+      Nightly.writeMarker(spark, s"$root/m",
+        Seq(("bad\ttier", s"$root/P", s"$root/r", "")))
+    }
+    assert(e.getMessage.contains("may not contain tabs"), e.getMessage)
+    assert(!new java.io.File(s"$root/m").exists, "nothing may be written")
+    // at run entry: the refusal lands BEFORE the round's expensive
+    // phase — the maintain closure must never run
+    var maintained = false
+    val e2 = intercept[IllegalArgumentException] {
+      Nightly.run(spark, Seq(Nightly.Tier("bad\ttier", rowsDf.select("doc_id"),
+        "doc_id", s"$root/P", () => { maintained = true; s"$root/never" },
+        _ => rowsDf.select("doc_id"))),
+        markerPath = Some(s"$root/m"))
+    }
+    assert(e2.getMessage.contains("may not contain tabs"), e2.getMessage)
+    assert(!maintained, "the refusal must land before any maintain runs")
+  }
+
+  test("intraday ingest refuses while a standing round marker names its pointer") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-marker").toString
+    val (ptr, marker) = (s"$root/CURRENT", s"$root/nightly.round")
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0", "t")
+    val batch = Seq((11L, 22L)).toDF("doc_id", "v")
+    // a crashed swap left its marker naming this pointer: ingest must
+    // not chain on the half-swapped state (recover would later refuse)
+    Nightly.writeMarker(spark, marker, Seq(("t", ptr, s"$root/gen0", "")))
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t",
+        nightlyMarkerPath = Some(marker))
+    }
+    assert(e.getMessage.contains("standing nightly round marker") &&
+      e.getMessage.contains("Nightly.recover"), e.getMessage)
+    assert(ServePointer.read(spark, ptr).endsWith("/gen0"), "the refusal changed nothing")
+    // a marker over OTHER tiers' pointers does not block this stream
+    Nightly.writeMarker(spark, marker, Seq(("x", s"$root/OTHER", s"$root/gen0", "")))
+    SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t",
+      nightlyMarkerPath = Some(marker))
+    assert(ServePointer.read(spark, ptr).contains("/batch-0/"))
+    // and once the marker is healed away, the same config proceeds
+    hfs(marker).delete(new org.apache.hadoop.fs.Path(marker), false)
+    SideIndex.ingestBatch(spark, Seq((12L, 24L)).toDF("doc_id", "v"), 1L, ptr,
+      s"$root/ingest", "doc_id", "t", nightlyMarkerPath = Some(marker))
+    assert(ServePointer.read(spark, ptr).contains("/batch-1/"))
+  }
+
+  test("the segment-table union is STRICT except the sanctioned doclen content_hash evolution") {
+    val root = java.nio.file.Files.createTempDirectory("graft-seg-union").toString
+    // the sanctioned case: a doclen segment built before content_hash
+    // existed unions as typed nulls — the audit's "never recorded"
+    Seq((1L, 3L, 99L)).toDF("doc_id", "dl", "content_hash")
+      .write.parquet(s"$root/segNew/doclen")
+    Seq((2L, 4L)).toDF("doc_id", "dl").write.parquet(s"$root/segOld/doclen")
+    val doclen = IndexManifest.segTableOrd(spark, Seq(s"$root/segNew", s"$root/segOld"),
+      "doclen").orderBy("doc_id").collect()
+    assert(doclen.length == 2 && !doclen(0).isNullAt(2) && doclen(1).isNullAt(2))
+    // everything else stays a corruption tripwire: a segment missing a
+    // NON-sanctioned column refuses the union instead of reading as
+    // silent nulls in serve paths
+    Seq((1L, 2L)).toDF("doc_id", "v").write.parquet(s"$root/s0/rows")
+    Seq(3L).toDF("doc_id").write.parquet(s"$root/s1/rows")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      IndexManifest.segTableOrd(spark, Seq(s"$root/s0", s"$root/s1"), "rows").collect()
+    }
+    assert(e.getMessage.contains("\"v\""), e.getMessage)
+  }
+}
