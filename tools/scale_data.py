@@ -6,10 +6,15 @@ times with per-copy key remapping that PRESERVES referential integrity
 content columns are deterministically mutated per copy so duplication
 DENSITY stays at sf0.1's level instead of multiplying:
 
- - documents.text: copy i>0 interleaves a copy token between words —
-   cross-copy shingle sets disjoint (no manufactured near-dup pairs),
-   intra-copy near-dup structure identical to the source corpus;
-   n_chars recomputed to stay consistent with the mutated text.
+ - documents.text: copy i>0 suffixes EVERY token with a copy tag — a
+   bijective vocabulary rename, so intra-copy word-2-gram (shingle)
+   structure is exactly isomorphic to the source corpus and cross-copy
+   shingle sets are disjoint (no manufactured near-dup pairs). NOT an
+   interleaved separator token: inserting a token between words turns
+   every 2-shingle into (word, tag), which degrades bigram similarity
+   to unigram similarity and inflates near-dup density quadratically
+   (measured: 84M LSH candidate pairs at 10x vs the ~600k a linear
+   scale-up implies). n_chars recomputed to match the mutated text.
  - embeddings.embedding: copy i>0 adds a deterministic per-element,
    per-copy jitter large enough to break cosine near-duplicate
    collisions across copies (the value-level analogue of the text rule).
@@ -94,14 +99,17 @@ emit("events", f"""
   FROM {rp('events')} CROSS JOIN range({K}) r(i)""")
 
 emit("documents", f"""
-  SELECT doc_id + i * {OFF['doc']} AS doc_id,
-         CASE WHEN i = 0 THEN text
-              ELSE replace(text, ' ', ' w' || i || ' ') END AS text,
-         lang, source,
-         CASE WHEN i = 0 THEN n_chars
-              ELSE CAST(length(replace(text, ' ', ' w' || i || ' '))
-                        AS BIGINT) END AS n_chars
-  FROM {rp('documents')} CROSS JOIN range({K}) r(i)""")
+  WITH scaled AS (
+    SELECT doc_id + i * {OFF['doc']} AS doc_id,
+           CASE WHEN i = 0 THEN text
+                ELSE array_to_string(list_transform(string_split(text, ' '),
+                       t -> t || 'x' || i), ' ') END AS text,
+           lang, source, n_chars AS n_chars0, i
+    FROM {rp('documents')} CROSS JOIN range({K}) r(i))
+  SELECT doc_id, text, lang, source,
+         CASE WHEN i = 0 THEN n_chars0
+              ELSE CAST(length(text) AS BIGINT) END AS n_chars
+  FROM scaled""")
 
 emit("embeddings", f"""
   SELECT vec_id + i * {OFF['vec']} AS vec_id,
