@@ -427,7 +427,11 @@ object Dedup {
     * representatives first, exactly the [[nearDuplicatesCollapsed]]
     * composition: exact dups collapse to one keeper before any
     * quadratic pair list exists, and keeper pairs expand back
-    * per-cluster if needed.
+    * per-cluster if needed. Independently, UNRELATED documents chance-
+    * collide at a rate quadratic in corpus size (the birthday term) —
+    * the `bits = 16` default is a toy/test width that drowns in chance
+    * pairs past ~1k docs: derive `bits` from corpus size with
+    * [[simhashBitsFor]] / audit with [[simhashChancePairs]].
     */
   def simhashNearDuplicates(
       docs: DataFrame,
@@ -436,9 +440,68 @@ object Dedup {
       bits: Int = 16,
       maxHamming: Int = 2
   ): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     fingerprintNearDuplicates(
       simhash(docs, idCol, textCol, bits), idCol, "simhash", bits, maxHamming)
+  }
+
+  /** Expected CHANCE pairs within `maxHamming` bits among `corpusSize`
+    * UNRELATED documents — the birthday term that makes the simhash
+    * `bits` choice a function of corpus size, not taste: two random
+    * b-bit fingerprints collide within h bits with probability
+    * V(b,h) / 2^b where V(b,h) = sum_{i<=h} C(b,i) (the Hamming-ball
+    * volume), so the expected chance-pair count is C(n,2) * V / 2^b —
+    * QUADRATIC in n. These pairs are not wrong (the oracle's literal
+    * all-pairs Hamming scan counts them too); they are USELESS output
+    * that swamps the true near-duplicates and makes the pair relation
+    * super-linear at scale. The measured case: this repo's 10× corpus
+    * sweep had `dedup_simhash_pairs` at bits = 16 grow 13.2× in rows
+    * for 10× documents — exactly this term (BENCH_SF1.md).
+    */
+  def simhashChancePairs(corpusSize: Long, bits: Int, maxHamming: Int = 2): Double = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
+    val ball = (0 to maxHamming).map { i =>
+      (0 until i).map(j => (bits - j).toDouble / (j + 1)).product
+    }.sum
+    corpusSize.toDouble * (corpusSize - 1).toDouble / 2.0 * ball / math.pow(2.0, bits)
+  }
+
+  /** The smallest simhash `bits` (within this fingerprint family's
+    * 16..32 — md5 leading nibbles carry at most 32) whose expected
+    * chance pairs stay under `tolerancePairsPerDoc * corpusSize` —
+    * derive the default from corpus size instead of inheriting 16:
+    *
+    *   - bits = 16, h = 2 crosses 1 chance pair per 20 docs at n ≈ 50
+    *     and 1 per doc at n ≈ 1,000 — 16 bits is a TOY/TEST width;
+    *   - bits = 24 holds 0.05 pairs/doc to n ≈ 5.6k;
+    *   - bits = 32 holds it to n ≈ 810k documents.
+    *
+    * Beyond the n where even 32 bits exceeds the tolerance this
+    * REFUSES loudly instead of returning a width that drowns the
+    * output in chance pairs: at that scale collapse exact duplicates
+    * first ([[nearDuplicatesCollapsed]]'s composition — chance pairs
+    * scale with the quadratic term of the SURVIVOR count), shard the
+    * pairing by corpus partition, or use MinHash-LSH
+    * ([[nearDuplicates]]), whose banding tunes precision independently
+    * of a fixed fingerprint width.
+    */
+  def simhashBitsFor(
+      corpusSize: Long, maxHamming: Int = 2,
+      tolerancePairsPerDoc: Double = 0.05): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0, got $corpusSize")
+    require(tolerancePairsPerDoc > 0,
+      s"tolerancePairsPerDoc must be > 0, got $tolerancePairsPerDoc")
+    (16 to 32).find(b =>
+      simhashChancePairs(corpusSize, b, maxHamming) <=
+        tolerancePairsPerDoc * corpusSize.max(1L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"simhashBitsFor: even 32 fingerprint bits expect ${"%.2g".format(
+          simhashChancePairs(corpusSize, 32, maxHamming))} chance pairs over " +
+          s"$corpusSize docs (tolerance ${tolerancePairsPerDoc}/doc) — at this scale " +
+          "collapse exact duplicates first (nearDuplicatesCollapsed), shard the " +
+          "pairing, or use MinHash-LSH (nearDuplicates) instead of widening simhash"))
   }
 
   /** Banded Hamming pairing over ANY precomputed <=64-bit fingerprint

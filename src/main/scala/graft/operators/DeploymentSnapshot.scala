@@ -34,8 +34,14 @@ import org.apache.spark.sql.SparkSession
   * pointers got — a `<snapshot>.epoch` beside the file, read before
   * the merge's read-modify-write and check-and-bumped (exclusive
   * create) at the rename — so two concurrent publishes (a fix-one-
-  * tier re-run racing the nightly) produce one winner and one loud
-  * refusal instead of silently losing each other's tiers. Renaming or
+  * tier re-run racing the nightly) get one committed winner and one
+  * loud refusal. Same caveat as the pointer fence: the epoch
+  * serializes commit DECISIONS, not execution spans — a publish that
+  * ENTERS in the window between a winner's epoch bump and its
+  * late-landing rename reads the pre-winner parts, passes its own
+  * fence, and the two renames still race last-wins — so the fence
+  * exists to catch single-publisher-contract violations loudly, not
+  * to make concurrent publishers safe. Renaming or
   * decommissioning a tier is a deliberate operator action:
   * [[retire]] drops the tier atomically and TOMBSTONES it, so a
   * subsequent subset publish cannot resurrect the stale entry by

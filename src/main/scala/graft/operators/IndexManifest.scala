@@ -513,10 +513,20 @@ private[operators] object IndexManifest {
     * schedule and resumed after its replacement took over — finds the
     * epoch moved and refuses, having changed NOTHING; the committed
     * winner's state stands. The bump itself is an EXCLUSIVE CREATE of
-    * the next marker file (atomic on HDFS and POSIX-backed stores):
-    * two racers that both read epoch N cannot both commit N+1 — the
-    * filesystem hands exactly one of them the marker and the other
-    * refuses having changed nothing. What remains is fencing, not a
+    * the next marker file: two racers that both read epoch N cannot
+    * both commit N+1 — the filesystem hands exactly one of them the
+    * marker and the other refuses having changed nothing. Exclusivity
+    * is only as atomic as the store's create-no-overwrite: genuinely
+    * atomic on HDFS (a NameNode namespace operation) and on `file:`
+    * paths (routed to an O_EXCL `Files.createFile`, because Hadoop's
+    * RawLocalFileSystem `create(overwrite = false)` is
+    * check-then-create, not atomic); on object stores without an
+    * atomic conditional create (plain S3A) the exclusive create is
+    * best-effort check-then-create — the fence there still catches
+    * every non-simultaneous violation (the stalled-zombie class) but
+    * two truly simultaneous commits can both pass, so deployments on
+    * such stores keep the single-scheduler contract by external
+    * means. What remains is fencing, not a
     * lock: the fence serializes commit DECISIONS, not execution spans
     * — an operation that ENTERS after a vacuum's bump can still
     * overlap the vacuum's in-flight deletes — so within the documented
@@ -551,14 +561,25 @@ private[operators] object IndexManifest {
   def readEpoch(spark: SparkSession, pointerPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(epochPath(pointerPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the floor is CONVENIENCE, never the truth: the newest commit
+    // marker always survives until a higher commit exists, so
+    // max(markers) alone carries the committed epoch. Concurrent
+    // commits' floor rewrites can therefore be tolerated failing in
+    // ANY transient way here — momentarily absent (delete-then-rename
+    // overwrite on the local FileContext), or paired with another
+    // writer's .crc sidecar (ChecksumFs renames file and crc as two
+    // steps) — floor 0 and the markers still answer correctly, and
+    // the next commit rewrites a consistent floor.
     val floor =
-      if (!fs.exists(p)) 0L
-      else {
-        val in = fs.open(p)
-        val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        s.trim.toLong
-      }
+      try {
+        if (!fs.exists(p)) 0L
+        else {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          s.trim.toLong
+        }
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     (floor +: epochMarkers(fs, pointerPath)).max
   }
 
@@ -589,22 +610,37 @@ private[operators] object IndexManifest {
         "losing side changed NOTHING — re-read the pointer and retry from the " +
         "current state")
     onFenceCommit(pointerPath)
-    // the commit: EXCLUSIVE create of the next marker — atomic, so two
-    // racers that both passed the read check above get exactly one
-    // winner, not two writers both renaming the same counter value
+    // the commit: EXCLUSIVE create of the next marker — two racers
+    // that both passed the read check above get exactly one winner,
+    // not two writers both renaming the same counter value. On local
+    // paths the create goes through java.nio (O_EXCL — genuinely
+    // atomic under thread/process concurrency) because Hadoop's
+    // RawLocalFileSystem create(overwrite=false) is check-then-create;
+    // the marker is an empty name-only file nothing reads back, so
+    // skipping the checksummed writer loses nothing (no .crc sidecar
+    // to drift). HDFS keeps the namespace-atomic fs.create path.
     val marker = new org.apache.hadoop.fs.Path(s"${epochPath(pointerPath)}.${entryEpoch + 1}")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try fs.create(marker, false).close()
-    catch {
-      case e: java.io.IOException =>
-        if (fs.exists(marker))
-          throw new IllegalArgumentException(
-            s"$who lost the pointer fence at $pointerPath: a concurrent lifecycle " +
-              s"operation committed epoch ${entryEpoch + 1} first (exclusive create of " +
-              s"${marker.getName} refused). The pointer lifecycle is single-writer per " +
-              "pointer; the losing side changed NOTHING — re-read the pointer and " +
-              "retry from the current state")
-        else throw e
+    def lostRace() = new IllegalArgumentException(
+      s"$who lost the pointer fence at $pointerPath: a concurrent lifecycle " +
+        s"operation committed epoch ${entryEpoch + 1} first (exclusive create of " +
+        s"${marker.getName} refused). The pointer lifecycle is single-writer per " +
+        "pointer; the losing side changed NOTHING — re-read the pointer and " +
+        "retry from the current state")
+    val markerQ = fs.makeQualified(marker)
+    if (markerQ.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(markerQ.toUri.getPath)
+      // Hadoop's create auto-creates parents; match it (a first-ever
+      // publish commits its epoch before any other file exists there)
+      if (local.getParent != null) java.nio.file.Files.createDirectories(local.getParent): Unit
+      try java.nio.file.Files.createFile(local): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => throw lostRace() }
+    } else {
+      try fs.create(marker, false).close()
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(marker)) throw lostRace() else throw e
+      }
     }
     // floor rewrite + marker GC are housekeeping, not the commit: the
     // counter keeps the epoch cat-able and lets superseded markers be
@@ -612,7 +648,14 @@ private[operators] object IndexManifest {
     // marker alive until a HIGHER commit exists, so readEpoch's max
     // never understates the committed epoch even if a slow racer's
     // floor rewrite lands late (rename last-wins) or a crash skips it.
-    writeAtomic(spark, epochPath(pointerPath), (entryEpoch + 1).toString)
+    // Best-effort BY CONSTRUCTION, so failures must not propagate: two
+    // closely-spaced commits' floor rewrites can race on stores whose
+    // overwrite-rename is delete-then-rename (the local FileContext),
+    // and throwing HERE would report a COMMITTED operation as failed —
+    // the epoch already moved. A skipped rewrite just leaves the floor
+    // low until the next commit; the marker carries the truth.
+    try writeAtomic(spark, epochPath(pointerPath), (entryEpoch + 1).toString)
+    catch { case scala.util.control.NonFatal(_) => () }
     epochMarkers(fs, pointerPath).filter(_ <= entryEpoch).foreach { n =>
       try fs.delete(new org.apache.hadoop.fs.Path(s"${epochPath(pointerPath)}.$n"), false): Unit
       catch { case scala.util.control.NonFatal(_) => () } // best effort
@@ -716,6 +759,41 @@ private[operators] object IndexManifest {
   }
 
   private def historyPath(pointerPath: String): String = pointerPath + ".history"
+
+  /** The pointer-side DURABLE record of the deployment's nightly
+    * round-marker path — `<pointerPath>.nightly`, one line, cat-able.
+    * Written by [[Nightly.run]] at entry whenever the deployment runs
+    * marker-protected, so the half-swap ingest refusal rides with the
+    * pointer itself: an intraday stream launched through a standard
+    * wrapper with NO marker argument still discovers the marker from
+    * the pointer it already reads and refuses under a standing crashed
+    * swap ([[ingestRound]]) — the protection a deployment most needs
+    * is no longer the easiest to forget. The latest nightly's config
+    * wins (a deliberate marker-path move propagates on the next run);
+    * deployments that never ran a marker-protected nightly have no
+    * record and no check, exactly the pre-config behavior.
+    */
+  private def nightlyConfigPath(pointerPath: String): String = pointerPath + ".nightly"
+
+  private[operators] def readNightlyMarkerConfig(
+      spark: SparkSession, pointerPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(nightlyConfigPath(pointerPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(s.trim).filter(_.nonEmpty)
+    }
+  }
+
+  private[operators] def writeNightlyMarkerConfig(
+      spark: SparkSession, pointerPath: String, markerPath: String): Unit =
+    // skip the rewrite when current — the config changes when an
+    // operator deliberately moves the marker path, not nightly
+    if (!readNightlyMarkerConfig(spark, pointerPath).contains(markerPath))
+      writeAtomic(spark, nightlyConfigPath(pointerPath), markerPath)
 
   /** The pointer's GENERATION HISTORY: the distinct roots this pointer
     * previously served, oldest first, current root excluded. Written
@@ -1141,7 +1219,11 @@ private[operators] object IndexManifest {
     * degrades instead of wedging (see retainGenerations).
     *
     * `nightlyMarkerPath` names the [[Nightly]] round marker (if the
-    * deployment runs a marker-protected nightly): a STANDING marker
+    * deployment runs a marker-protected nightly); the round ALSO
+    * discovers the marker path recorded beside the pointer by every
+    * marker-protected [[Nightly.run]] ([[readNightlyMarkerConfig]]),
+    * so the check holds even for call sites that never thread the
+    * parameter: a STANDING marker
     * that names this pointer means a crashed swap left the deployment
     * half-flipped, and the round REFUSES up front — intraday ingest
     * chaining new generations on the mixed state would move the
@@ -1164,8 +1246,18 @@ private[operators] object IndexManifest {
     if (!content.startsWith("graft-chainbase-v")) content // pre-stamp (r18) record
     else content.split("\t", 2) match {
       case Array(tag, base) =>
-        val v = scala.util.Try(tag.stripPrefix("graft-chainbase-v").toInt).getOrElse(-1)
-        require(v >= 1 && v <= ChainbaseVersion,
+        // an unparsable tag is CORRUPTION, not a newer writer — the
+        // refusal is equally loud either way (nothing is mutated), but
+        // the remedy differs: upgrade the builder vs restore the record
+        val v = scala.util.Try(tag.stripPrefix("graft-chainbase-v").toInt).toOption
+          .filter(_ >= 1) // v0 never existed: a sub-1 stamp is garbling too
+          .getOrElse(throw new IllegalArgumentException(
+            s"ingestRound: malformed chainbase record at $outRoot/chainbase: " +
+              s"version tag '$tag' does not parse — the record is corrupt or " +
+              "garbled, not a recognizable format version. Restore the batch " +
+              "root (or retire it through ServePointer.vacuum) before resuming " +
+              "the ingest"))
+        require(v <= ChainbaseVersion,
           s"ingestRound: the chainbase record at $outRoot/chainbase carries format " +
             s"'$tag', newer than this builder understands (max " +
             s"v$ChainbaseVersion) — replaying it here could apply superseded replay " +
@@ -1189,7 +1281,13 @@ private[operators] object IndexManifest {
     val outRoot = s"$ingestRoot/batch-$batchId"
     val rootP = new org.apache.hadoop.fs.Path(outRoot)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    nightlyMarkerPath.foreach { m =>
+    // the crashed-swap check runs against the explicitly passed marker
+    // path AND the one the deployment recorded beside the pointer
+    // (readNightlyMarkerConfig — written by every marker-protected
+    // Nightly.run): a stream wrapper that never threads
+    // nightlyMarkerPath keeps the protection anyway
+    (nightlyMarkerPath.toSeq ++
+        readNightlyMarkerConfig(spark, pointerPath)).distinct.foreach { m =>
       val standing = Nightly.readMarker(spark, m)
       if (standing.nonEmpty) {
         val ptrQ = qualify(spark, Seq(pointerPath)).head

@@ -286,6 +286,13 @@ object Nightly {
       requireMarkerSafe("tier name", t.name)
       requireMarkerSafe("pointer path", t.pointerPath)
     }
+    // 0a. record the marker path beside every tier pointer — the
+    // DURABLE deployment config that lets intraday ingest discover the
+    // crashed-swap protection from the pointer it already reads
+    // (IndexManifest.readNightlyMarkerConfig), instead of each stream
+    // call site having to remember to thread nightlyMarkerPath
+    markerPath.foreach(m =>
+      tiers.foreach(t => IndexManifest.writeNightlyMarkerConfig(spark, t.pointerPath, m)))
     // 0. heal a prior round's crashed swap FIRST: tonight's maintain
     // rounds must chain from consistent pointers, not a mixed state
     markerPath.foreach(m => recover(spark, m, snapshotPath): Unit)
@@ -448,6 +455,10 @@ object Nightly {
           tiers.foreach(t => ServePointer.retain(spark, t.pointerPath, keep, t.name,
             pinned = outgoingSnapshot.get(t.name).toSeq): Unit)
         }
+        // a PUBLISHED round is the retirement-grace clock: reclaim the
+        // retired roots whose readers had their rounds to drain, count
+        // the rest one round down (Nightly.retireTier's graceRounds)
+        snapshotPath.foreach(sp => tickRetirementGrace(spark, sp))
         rel
       }
     import spark.implicits._
@@ -464,18 +475,30 @@ object Nightly {
     * subset publish cannot resurrect it) and run the tier's
     * pointer-side retention so its superseded generations reclaim now
     * that the snapshot no longer pins them. The just-retired root
-    * itself is PINNED through this retention pass — a reader that
-    * resolved the snapshot moments before the retire may still be
-    * serving from it (the same one-round grace [[run]] gives
-    * superseded snapshot roots); reclaim it later with
-    * [[ServePointer.vacuum]] once readers have drained, or leave the
-    * tier's pointer lifecycle running if the tier merely left the
-    * deployment without being decommissioned.
+    * itself gets READER GRACE: it is pinned through this retention
+    * pass and stays reclaimable-not-reclaimed for `graceRounds` more
+    * PUBLISHED nightly rounds — a reader that resolved the snapshot
+    * moments before the retire (or a long-draining batch job holding
+    * that resolve) can keep reading while the grace lasts; the root
+    * reclaims on round `graceRounds + 1`. The countdown is durable
+    * (`<snapshotPath>.grace`, one `tier \t pointer \t root \t what \t
+    * keep \t remaining` line per retired root, written by this call
+    * and ticked by every published [[run]] over the same
+    * snapshotPath), so the grace survives scheduler restarts; same
+    * single-scheduler write contract as the snapshot itself. Pass
+    * `keepGenerations = None` to manage the tier's retention entirely
+    * by hand (no immediate retain, no ledger entry — reclaim later
+    * with [[ServePointer.vacuum]]), or leave the tier's pointer
+    * lifecycle running if the tier merely left the deployment without
+    * being decommissioned.
     *
     * Refuses while a crashed swap's round marker stands: the marker's
     * recorded intent names tiers by pointer, and retiring one out from
     * under it would make [[recover]]'s heal ambiguous — heal first
-    * (run [[recover]] or the next [[run]]), then retire.
+    * (run [[recover]] or the next [[run]]), then retire. The marker
+    * path is discovered from the pointer's durable nightly config
+    * (written by every marker-protected [[run]]) even when the caller
+    * does not pass `markerPath`.
     *
     * Returns the root the retired tier was serving in the snapshot.
     */
@@ -483,8 +506,17 @@ object Nightly {
       spark: SparkSession, snapshotPath: String, tier: String,
       pointerPath: String, what: String = "segmented",
       markerPath: Option[String] = None,
-      keepGenerations: Option[Int] = Some(0)): String = {
-    markerPath.foreach { m =>
+      keepGenerations: Option[Int] = Some(0),
+      graceRounds: Int = 1): String = {
+    require(graceRounds >= 1,
+      s"Nightly.retireTier: graceRounds must be >= 1 (a reader that resolved the " +
+        s"snapshot just before the retire needs at least one round to drain), got " +
+        graceRounds)
+    // discover the deployment's marker path from the pointer when the
+    // caller did not thread it — same un-forgettable-config stance as
+    // the intraday ingest check (IndexManifest.readNightlyMarkerConfig)
+    (markerPath.toSeq ++
+        IndexManifest.readNightlyMarkerConfig(spark, pointerPath)).distinct.foreach { m =>
       require(readMarker(spark, m).isEmpty,
         s"Nightly.retireTier: a round marker stands at $m — a crashed swap is " +
           "waiting to be healed, and retiring a tier out from under its recorded " +
@@ -492,8 +524,80 @@ object Nightly {
           "Nightly.run) first, then retire")
     }
     val root = DeploymentSnapshot.retire(spark, snapshotPath, tier)
-    keepGenerations.foreach(k =>
-      ServePointer.retain(spark, pointerPath, k, what, pinned = Seq(root)).collect(): Unit)
+    keepGenerations.foreach { k =>
+      ServePointer.retain(spark, pointerPath, k, what, pinned = Seq(root)).collect(): Unit
+      // durable grace countdown: every published run() over this
+      // snapshot ticks it down; the root reclaims on the round that
+      // finds the count already at 0 — i.e. it survives exactly
+      // graceRounds published rounds after this retire and reclaims
+      // on round graceRounds + 1
+      requireMarkerSafe("tier name", tier)
+      requireMarkerSafe("pointer path", pointerPath)
+      requireMarkerSafe("what", what)
+      writeGrace(spark, snapshotPath,
+        readGrace(spark, snapshotPath)
+          .filterNot(e => e.tier == tier && e.root == IndexManifest.qualify(spark, Seq(root)).head) :+
+          GraceEntry(tier, pointerPath, IndexManifest.qualify(spark, Seq(root)).head,
+            what, k, graceRounds))
+    }
     root
+  }
+
+  // ==================== retirement grace ledger ====================
+
+  /** One retired root awaiting reclaim: after `remaining` more
+    * published rounds tick it to due, the root's pointer runs an
+    * UNPINNED retention (`keep` window) and the entry drops.
+    */
+  private[graft] final case class GraceEntry(
+      tier: String, pointerPath: String, root: String, what: String,
+      keep: Int, remaining: Int)
+
+  private def gracePath(snapshotPath: String): String = snapshotPath + ".grace"
+
+  private[graft] def readGrace(spark: SparkSession, snapshotPath: String): Seq[GraceEntry] = {
+    val p = new org.apache.hadoop.fs.Path(gracePath(snapshotPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      s.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", -1) match {
+          case Array(t, ptr, r, w, k, rem) => GraceEntry(t, ptr, r, w, k.toInt, rem.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"Nightly: malformed retirement-grace line at ${gracePath(snapshotPath)}: '$line'")
+        }
+      }.toSeq
+    }
+  }
+
+  private def writeGrace(
+      spark: SparkSession, snapshotPath: String, entries: Seq[GraceEntry]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(gracePath(snapshotPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (entries.isEmpty) { if (fs.exists(p)) fs.delete(p, false): Unit }
+    else IndexManifest.writeAtomic(spark, gracePath(snapshotPath),
+      entries.map(e =>
+        s"${e.tier}\t${e.pointerPath}\t${e.root}\t${e.what}\t${e.keep}\t${e.remaining}")
+        .mkString("\n"))
+  }
+
+  /** The published round's grace tick: reclaim every DUE retired root
+    * (remaining already 0 — its readers had their rounds to drain) via
+    * an unpinned retention on its pointer, then decrement the rest.
+    * Reclaim-first ordering makes a crash between the two heal on the
+    * next round's re-tick (retain is idempotent; an absent root
+    * reports `absent` and drops) instead of leaking the root forever.
+    */
+  private def tickRetirementGrace(spark: SparkSession, snapshotPath: String): Unit = {
+    val entries = readGrace(spark, snapshotPath)
+    if (entries.nonEmpty) {
+      val (due, waiting) = entries.partition(_.remaining <= 0)
+      due.foreach(e =>
+        ServePointer.retain(spark, e.pointerPath, e.keep, e.what).collect(): Unit)
+      writeGrace(spark, snapshotPath, waiting.map(e => e.copy(remaining = e.remaining - 1)))
+    }
   }
 }

@@ -294,10 +294,12 @@ object Retrieval {
     val idCol = spark.read.parquet(s"${h.segments.head}/doclen")
       .columns.filter(c => c != "dl" && c != "content_hash").head
     IndexManifest.memo(spark, h, s"live-doc-hashes/$idCol") {
-      // the shared (memoized) segment union: its lenient unionByName
-      // already nulls the fingerprint for PRE-hash segments in a mixed
-      // chain; only an index whose EVERY segment predates the column
-      // needs the explicit unknown pad
+      // the shared (memoized) segment union is STRICT on schema, but
+      // doclen's content_hash is the one sanctioned evolution column
+      // (IndexManifest.optionalSegColumns): PRE-hash segments in a
+      // mixed chain get an explicit typed-null pad there, so only an
+      // index whose EVERY segment predates the column (a table the
+      // allowlist never saw) needs the unknown pad here
       val ord0 = IndexManifest.segTableOrd(spark, h, "doclen")
       val ord = if (ord0.columns.contains("content_hash")) ord0
         else ord0.withColumn("content_hash", lit(null).cast("long"))

@@ -214,6 +214,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("simhash bits guidance: chance-pair birthday term and corpus-size-derived width") {
+    // the closed form: C(n,2) * V(b,h) / 2^b with V the Hamming ball
+    val expected1k16 = 1000.0 * 999 / 2 * (1 + 16 + 120) / math.pow(2, 16)
+    assert(math.abs(Dedup.simhashChancePairs(1000, 16, 2) - expected1k16) < 1e-6,
+      s"got ${Dedup.simhashChancePairs(1000, 16, 2)}, want $expected1k16")
+    // ~1 chance pair PER DOC at only 1k docs: 16 bits is a toy width
+    assert(expected1k16 > 1000)
+    // the guidance is monotone in corpus size and lands on the
+    // hand-computed widths (0.05 pairs/doc default tolerance)
+    assert(Dedup.simhashBitsFor(40) == 16)
+    assert(Dedup.simhashBitsFor(1000) == 22)
+    assert(Dedup.simhashBitsFor(60000) == 28)
+    assert(Dedup.simhashBitsFor(800000) == 32)
+    val widths = Seq(10L, 100L, 1000L, 10000L, 100000L).map(Dedup.simhashBitsFor(_))
+    assert(widths == widths.sorted, s"bits must grow with corpus size: $widths")
+    // past 32 bits' reach the guidance REFUSES with the remedy instead
+    // of returning a width that drowns in chance pairs
+    val e = intercept[IllegalArgumentException] { Dedup.simhashBitsFor(10_000_000) }
+    assert(e.getMessage.contains("MinHash") &&
+      e.getMessage.contains("collapse exact duplicates"), e.getMessage)
+    // the widened fingerprint actually pairs: exact dups at hamming 0
+    val pairs32 = Dedup.simhashNearDuplicates(docs, "doc_id", "text", bits = 32,
+      maxHamming = 2).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs32.contains((0L, 1L, 0)), pairs32.mkString(", "))
+  }
+
   test("jaccardPairs computes word-set jaccard above threshold") {
     // doc0 vs doc2: |intersect|=7 of |union|=9 distinct words -> 0.7778
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 70)

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** r19 lifecycle hardening drills: the exclusive-create epoch commit
   * (the read-then-rename bump's both-racers-pass window is closed),
@@ -201,6 +202,52 @@ class LifecycleHardeningSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/a0").exists)
   }
 
+  test("retirement reader grace is configurable: the retired root survives N published rounds and reclaims on round N+1") {
+    val root = java.nio.file.Files.createTempDirectory("graft-grace").toString
+    val snap = s"$root/DEPLOYMENT"
+    val (ptrA, ptrB) = (s"$root/A", s"$root/B")
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    DeploymentSnapshot.publish(spark, snap,
+      Seq("a" -> s"$root/a0", "b" -> s"$root/b0"))
+    // intraday ingest advances A past the snapshot root: a0 is history,
+    // the state where a long-draining pre-retire reader needs grace
+    SideIndex.compact(spark, s"$root/a0", s"$root/a1")
+    ServePointer.publish(spark, ptrA, s"$root/a1", "a")
+    Nightly.retireTier(spark, snap, "a", ptrA, "a", graceRounds = 2)
+    assert(new java.io.File(s"$snap.grace").exists, "durable grace ledger")
+    var n = 0
+    def publishedRound(): Unit = {
+      n += 1
+      val prev = ServePointer.read(spark, ptrB)
+      Nightly.run(spark, Seq(Nightly.Tier("b", rowsDf.select("doc_id"), "doc_id", ptrB,
+        () => { SideIndex.compact(spark, prev, s"$root/b$n"); s"$root/b$n" },
+        p => SideIndex.read(spark, p, "doc_id", "b").select(col("doc_id")))),
+        snapshotPath = Some(snap)): Unit
+    }
+    publishedRound() // round 1 of 2: a pre-retire reader still reads
+    assert(SideIndex.read(spark, s"$root/a0", "doc_id", "a").count() == 10,
+      "grace round 1: the pre-retire snapshot's root must still serve")
+    publishedRound() // round 2 of 2: still readable
+    assert(SideIndex.read(spark, s"$root/a0", "doc_id", "a").count() == 10,
+      "grace round 2: the pre-retire snapshot's root must still serve")
+    publishedRound() // round 3 = graceRounds + 1: reclaim
+    assert(!new java.io.File(s"$root/a0").exists,
+      "the retired root reclaims on round graceRounds + 1")
+    assert(!new java.io.File(s"$snap.grace").exists,
+      "a fully-ticked ledger leaves no state behind")
+    // the serving root of the retired tier's own pointer is untouched:
+    // retirement removed the tier from the deployment, not its data
+    assert(SideIndex.read(spark, ServePointer.read(spark, ptrA), "doc_id", "a")
+      .count() == 10)
+    // graceRounds < 1 refuses: a just-resolved reader always needs a round
+    assert(intercept[IllegalArgumentException] {
+      Nightly.retireTier(spark, snap, "b", ptrB, "b", graceRounds = 0)
+    }.getMessage.contains("graceRounds"))
+  }
+
   test("a committed batch root with NO chainbase record refuses the replay unless it provably heals") {
     val root = java.nio.file.Files.createTempDirectory("graft-chainbase").toString
     val ptr = s"$root/CURRENT"
@@ -289,6 +336,115 @@ class LifecycleHardeningSpec extends SparkTestBase {
     SideIndex.ingestBatch(spark, Seq((12L, 24L)).toDF("doc_id", "v"), 1L, ptr,
       s"$root/ingest", "doc_id", "t", nightlyMarkerPath = Some(marker))
     assert(ServePointer.read(spark, ptr).contains("/batch-1/"))
+  }
+
+  test("fence stress: real threads racing commits on one pointer and one snapshot — epoch == total successes, exactly one winner per epoch") {
+    // the hook drills above prove the interleaving SEMANTICS
+    // single-threaded; this pins the whole commit path — entry read,
+    // O_EXCL marker create, floor rewrite, marker GC — under genuine
+    // thread scheduling. Each attempt re-reads the epoch at entry and
+    // tries to commit; the filesystem must hand every epoch value to
+    // exactly one winner, and the final epoch must count exactly the
+    // successful commits (a lost update would undercount, a
+    // double-winner would overcount the winners-per-epoch set).
+    val root = java.nio.file.Files.createTempDirectory("graft-fence-stress").toString
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    val ptr = s"$root/CURRENT"
+    ServePointer.publish(spark, ptr, s"$root/gen0", "t")
+    val snap = s"$root/DEPLOYMENT"
+    DeploymentSnapshot.publish(spark, snap, Seq("t" -> s"$root/gen0"))
+    for (path <- Seq(ptr, snap)) {
+      val startEpoch = IndexManifest.readEpoch(spark, path)
+      assert(startEpoch == 1L)
+      val threads = 8
+      val attemptsPerThread = 25 // 200 racing commit attempts per path
+      val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wonEpochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val start = new java.util.concurrent.CyclicBarrier(threads)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val futures = (1 to threads).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              start.await()
+              var i = 0
+              while (i < attemptsPerThread) {
+                val entry = IndexManifest.readEpoch(spark, path)
+                try {
+                  IndexManifest.checkAndBumpEpoch(spark, path, entry, "stress")
+                  successes.incrementAndGet(): Unit
+                  if (!wonEpochs.add(entry + 1))
+                    violations.add(s"epoch ${entry + 1} committed twice"): Unit
+                } catch {
+                  case _: IllegalArgumentException => () // lost the race: fine
+                }
+                i += 1
+              }
+            }
+          })
+        }
+        futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow(): Unit
+      assert(violations.isEmpty, violations.toArray.mkString("; "))
+      assert(successes.get > 0, "at least some commits must win")
+      val finalEpoch = IndexManifest.readEpoch(spark, path)
+      assert(finalEpoch == startEpoch + successes.get,
+        s"final epoch $finalEpoch must count exactly the ${successes.get} successful " +
+          s"commits over $startEpoch — a mismatch means a lost or double-counted commit")
+      assert(wonEpochs.asScala.toSeq.sorted ==
+        ((startEpoch + 1) to finalEpoch).toSeq,
+        "the winners must cover every epoch value exactly once, gap-free")
+      // marker GC keeps epoch state O(1) files even under contention:
+      // the newest marker survives; superseded ones are reclaimed
+      // (best-effort — a handful may outlive a racing deleter)
+      val base = new java.io.File(path).getName + ".epoch."
+      val markers = new java.io.File(root).list()
+        .filter(n => n.startsWith(base) && !n.endsWith(".crc"))
+        .map(_.stripPrefix(base).toLong)
+      assert(markers.max == finalEpoch, s"newest marker must be $finalEpoch")
+      assert(markers.length <= threads,
+        s"marker GC must keep epoch state bounded, found ${markers.length}")
+    }
+  }
+
+  test("the half-swap refusal is un-forgettable: a marker-protected nightly records its marker path beside the pointer, and a NO-ARGS ingest discovers it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-marker-config").toString
+    val (ptr, marker) = (s"$root/CURRENT", s"$root/nightly.round")
+    SideIndex.build(rowsDf, "doc_id", "t", s"$root/gen0")
+    ServePointer.publish(spark, ptr, s"$root/gen0", "t")
+    // ONE marker-protected nightly: the round records the marker path
+    // as durable deployment config beside the pointer
+    Nightly.run(spark, Seq(Nightly.Tier("t", rowsDf.select("doc_id"), "doc_id", ptr,
+      () => { SideIndex.compact(spark, s"$root/gen0", s"$root/gen1"); s"$root/gen1" },
+      p => SideIndex.read(spark, p, "doc_id", "t").select(col("doc_id")))),
+      markerPath = Some(marker))
+    assert(ServePointer.read(spark, ptr).endsWith("/gen1"))
+    assert(new java.io.File(s"$ptr.nightly").exists,
+      "the nightly must record its marker path beside the pointer")
+    // a later crashed swap leaves its marker standing; an intraday
+    // batch launched through the STANDARD wrapper — NO marker argument
+    // — must refuse anyway: the protection rides with the pointer, not
+    // with each call site's memory of an optional parameter
+    Nightly.writeMarker(spark, marker, Seq(("t", ptr, s"$root/gen1", "")))
+    val batch = Seq((11L, 22L)).toDF("doc_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    }
+    assert(e.getMessage.contains("standing nightly round marker"), e.getMessage)
+    assert(ServePointer.read(spark, ptr).endsWith("/gen1"), "the refusal changed nothing")
+    // retireTier discovers the same config when markerPath is not threaded
+    val snap = s"$root/DEPLOYMENT"
+    DeploymentSnapshot.publish(spark, snap, Seq("t" -> s"$root/gen1"))
+    val e2 = intercept[IllegalArgumentException] {
+      Nightly.retireTier(spark, snap, "t", ptr, "t")
+    }
+    assert(e2.getMessage.contains("round marker stands"), e2.getMessage)
+    assert(DeploymentSnapshot.read(spark, snap).keySet == Set("t"), "nothing retired")
+    // healed, the same no-args call proceeds
+    Nightly.recover(spark, marker)
+    SideIndex.ingestBatch(spark, batch, 0L, ptr, s"$root/ingest", "doc_id", "t")
+    assert(ServePointer.read(spark, ptr).contains("/batch-0/"))
   }
 
   test("the segment-table union is STRICT except the sanctioned doclen content_hash evolution") {
