@@ -1448,7 +1448,11 @@ private[operators] object IndexManifest {
       // are already broken — read() throws for them too) and the
       // refusal belongs to the serve path
       val pinned = snapshotPath.toSeq.flatMap { sp =>
-        try DeploymentSnapshot.readIfExists(spark, sp).values.toSeq
+        try DeploymentSnapshot.readIfExists(spark, sp).values.toSeq ++
+          // a root still in retirement grace (Nightly.retireTier) is
+          // promised to pre-retire readers — intraday retention on a
+          // pointer whose tier left the deployment must not reclaim it
+          Nightly.gracePinnedRoots(spark, sp, pointerPath)
         catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
       retainGenerations(spark, pointerPath, k, what, pinned).collect(): Unit

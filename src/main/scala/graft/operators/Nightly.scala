@@ -453,7 +453,11 @@ object Nightly {
         // retention grace (see outgoingSnapshot above)
         keepGenerations.foreach { keep =>
           tiers.foreach(t => ServePointer.retain(spark, t.pointerPath, keep, t.name,
-            pinned = outgoingSnapshot.get(t.name).toSeq): Unit)
+            pinned = outgoingSnapshot.get(t.name).toSeq ++
+              // a re-introduced tier whose earlier retirement is still
+              // in grace must not have the graced root reclaimed by
+              // this round's ordinary retention
+              snapshotPath.toSeq.flatMap(sp => gracePinnedRoots(spark, sp, t.pointerPath))): Unit)
         }
         // a PUBLISHED round is the retirement-grace clock: reclaim the
         // retired roots whose readers had their rounds to drain, count
@@ -525,7 +529,11 @@ object Nightly {
     }
     val root = DeploymentSnapshot.retire(spark, snapshotPath, tier)
     keepGenerations.foreach { k =>
-      ServePointer.retain(spark, pointerPath, k, what, pinned = Seq(root)).collect(): Unit
+      // pin the just-retired root AND any root still in grace from an
+      // earlier retirement of this pointer (retire-reintroduce-retire)
+      ServePointer.retain(spark, pointerPath, k, what,
+        pinned = root +: gracePinnedRoots(spark, snapshotPath, pointerPath))
+        .collect(): Unit
       // durable grace countdown: every published run() over this
       // snapshot ticks it down; the root reclaims on the round that
       // finds the count already at 0 — i.e. it survives exactly
@@ -595,9 +603,30 @@ object Nightly {
     val entries = readGrace(spark, snapshotPath)
     if (entries.nonEmpty) {
       val (due, waiting) = entries.partition(_.remaining <= 0)
+      // a reclaim must not strand ANOTHER root still in grace on the
+      // same pointer (a retire-reintroduce-retire sequence stacks
+      // entries): everything still waiting stays pinned through the
+      // due entries' retention
       due.foreach(e =>
-        ServePointer.retain(spark, e.pointerPath, e.keep, e.what).collect(): Unit)
+        ServePointer.retain(spark, e.pointerPath, e.keep, e.what,
+          pinned = waiting.filter(_.pointerPath == e.pointerPath).map(_.root))
+          .collect(): Unit)
       writeGrace(spark, snapshotPath, waiting.map(e => e.copy(remaining = e.remaining - 1)))
     }
   }
+
+  /** The grace-ledger roots still pending on `pointerPath` — every
+    * retention pass that can run while a retirement grace is open
+    * (the nightly's per-tier retain, intraday ingest retention, a
+    * second retire on the same pointer, the tick's own reclaims) pins
+    * these so an unrelated round cannot reclaim a root whose readers
+    * were promised more time. STRICT: an unreadable/malformed ledger
+    * propagates — silently un-pinning a promised root is the one
+    * failure mode this helper exists to prevent (per-micro-batch
+    * callers that must not wedge wrap it, same as their snapshot
+    * pins).
+    */
+  private[operators] def gracePinnedRoots(
+      spark: SparkSession, snapshotPath: String, pointerPath: String): Seq[String] =
+    readGrace(spark, snapshotPath).filter(_.pointerPath == pointerPath).map(_.root)
 }

@@ -248,6 +248,79 @@ class LifecycleHardeningSpec extends SparkTestBase {
     }.getMessage.contains("graceRounds"))
   }
 
+  test("a graced root survives EVERY other retention pass: intraday ingest, a re-introduced tier's nightly retain, a second retire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-grace-pin").toString
+    val snap = s"$root/DEPLOYMENT"
+    val ptrA = s"$root/A"
+    SideIndex.build(rowsDf, "doc_id", "a", s"$root/a0")
+    ServePointer.publish(spark, ptrA, s"$root/a0", "a")
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> s"$root/a0"))
+    SideIndex.compact(spark, s"$root/a0", s"$root/a1")
+    ServePointer.publish(spark, ptrA, s"$root/a1", "a")
+    Nightly.retireTier(spark, snap, "a", ptrA, "a", graceRounds = 2)
+    assert(new java.io.File(s"$root/a0").exists)
+    // 1. the tier left the deployment but its pointer lifecycle keeps
+    // running: intraday ingest retention (keep = 0) reclaims ordinary
+    // history (a1 — no longer snapshot-pinned) but NOT the graced a0
+    SideIndex.ingestBatch(spark, Seq((11L, 22L)).toDF("doc_id", "v"), 0L, ptrA,
+      s"$root/ingest", "doc_id", "a",
+      keepGenerations = Some(0), snapshotPath = Some(snap))
+    // (a1 is HELD, not graced — the serving batch root carries its
+    // segments by reference until a compaction re-homes them)
+    assert(new java.io.File(s"$root/a0").exists,
+      "intraday retention must pin the graced root")
+    // 2. the tier is re-introduced; its nightly round's own retention
+    // (keep = 0) must pin the graced root too — and the round's tick
+    // counts the grace down without reclaiming it
+    val batchRoot = ServePointer.read(spark, ptrA)
+    DeploymentSnapshot.publish(spark, snap, Seq("a" -> batchRoot), replace = true)
+    val registry = (1L to 11L).toDF("doc_id")
+    Nightly.run(spark, Seq(Nightly.Tier("a", registry, "doc_id", ptrA,
+      () => { SideIndex.compact(spark, batchRoot, s"$root/a2"); s"$root/a2" },
+      p => SideIndex.read(spark, p, "doc_id", "a").select(col("doc_id")))),
+      keepGenerations = Some(0), snapshotPath = Some(snap)): Unit
+    assert(ServePointer.read(spark, ptrA).endsWith("/a2"))
+    assert(new java.io.File(s"$root/a0").exists,
+      "the re-introduced tier's nightly retention must pin the graced root")
+    // 3. a second retirement of the same pointer (keep = 0) reclaims
+    // what it may (the superseded batch root) but pins the still-graced
+    // a0 alongside its own root, and STACKS a second ledger entry
+    Nightly.retireTier(spark, snap, "a", ptrA, "a", graceRounds = 1)
+    assert(new java.io.File(s"$root/a0").exists,
+      "a second retire must pin earlier grace entries")
+    assert(Nightly.readGrace(spark, snap).size == 2, "stacked grace entries")
+    // with a2 re-homed, the batch root (and the a1 it carried) lose
+    // their last reference and reclaim through the second retire's pass
+    assert(!new java.io.File(batchRoot.stripPrefix("file:")).exists &&
+      !new java.io.File(s"$root/a1").exists,
+      "unpinned, no-longer-carried history reclaims as usual")
+    // 4. the schedule still holds: published rounds tick both entries
+    // down; a0 (retired first, graceRounds = 2: one nightly already
+    // ticked it) reclaims exactly one round after its promise expires,
+    // while the second entry's root keeps serving (current root —
+    // retention never touches it)
+    val ptrB = s"$root/B"
+    SideIndex.build(rowsDf, "doc_id", "b", s"$root/b0")
+    ServePointer.publish(spark, ptrB, s"$root/b0", "b")
+    DeploymentSnapshot.publish(spark, snap, Seq("b" -> s"$root/b0"))
+    var n = 0
+    def publishedRound(): Unit = {
+      n += 1
+      val prev = ServePointer.read(spark, ptrB)
+      Nightly.run(spark, Seq(Nightly.Tier("b", rowsDf.select("doc_id"), "doc_id", ptrB,
+        () => { SideIndex.compact(spark, prev, s"$root/b$n"); s"$root/b$n" },
+        p => SideIndex.read(spark, p, "doc_id", "b").select(col("doc_id")))),
+        snapshotPath = Some(snap)): Unit
+    }
+    publishedRound() // both entries wait (a0 at 0, a2 at 0 after this tick)
+    assert(new java.io.File(s"$root/a0").exists, "still graced")
+    publishedRound() // both due: a0 reclaims; a2 is current and stays
+    assert(!new java.io.File(s"$root/a0").exists, "grace expired, root reclaimed")
+    assert(!new java.io.File(s"$snap.grace").exists, "ledger fully drained")
+    assert(SideIndex.read(spark, s"$root/a2", "doc_id", "a").count() == 11,
+      "the second retirement's root keeps serving its readers")
+  }
+
   test("a committed batch root with NO chainbase record refuses the replay unless it provably heals") {
     val root = java.nio.file.Files.createTempDirectory("graft-chainbase").toString
     val ptr = s"$root/CURRENT"
