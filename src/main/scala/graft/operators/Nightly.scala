@@ -573,7 +573,8 @@ object Nightly {
         finally in.close()
       s.linesIterator.filter(_.nonEmpty).map { line =>
         line.split("\t", -1) match {
-          case Array(t, ptr, r, w, k, rem) => GraceEntry(t, ptr, r, w, k.toInt, rem.toInt)
+          case Array(t, ptr, r, w, k, rem) if k.toIntOption.isDefined && rem.toIntOption.isDefined =>
+            GraceEntry(t, ptr, r, w, k.toInt, rem.toInt)
           case _ => throw new IllegalArgumentException(
             s"Nightly: malformed retirement-grace line at ${gracePath(snapshotPath)}: '$line'")
         }
