@@ -164,6 +164,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"band exchange not reused across self-join sides:\n$plan")
     assert("Generate explode".r.findAllIn(finalPlan).size == 1,
       s"fingerprint/band subtree computed more than once:\n$finalPlan")
+    // the corpus-sized width (dedup_simhash_pairs32) must keep the
+    // exact same shape — wider bands change band signatures, never the
+    // join strategy or the subtree reuse
+    val plan32 = executedPlanString(
+      graft.operators.Dedup.simhashNearDuplicates(docs, "doc_id", "text", 32, 2))
+    val finalPlan32 = plan32.split("== Initial Plan ==")(0)
+    assert(!plan32.contains("CartesianProduct") && !plan32.contains("BroadcastNestedLoopJoin") &&
+      finalPlan32.contains("ReusedExchange") &&
+      "Generate explode".r.findAllIn(finalPlan32).size == 1,
+      s"32-bit simhash pairing lost the pinned plan shape:\n$plan32")
   }
 
   test("repeated-span detection runs ONE generator and ONE exchange, windowed frequency") {
