@@ -558,6 +558,12 @@ private[operators] object IndexManifest {
     * the max of the counter file and the commit markers, so a crash
     * between the marker create and the counter rewrite still counts.
     */
+  /** Paths whose epoch-floor file was seen with unparseable content —
+    * the warn-once guard of [[readEpoch]]'s corruption diagnostic.
+    */
+  private val garbledFloorWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def readEpoch(spark: SparkSession, pointerPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(epochPath(pointerPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -577,7 +583,20 @@ private[operators] object IndexManifest {
           val in = fs.open(p)
           val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
             finally in.close()
-          s.trim.toLong
+          try s.trim.toLong
+          catch { case _: NumberFormatException =>
+            // PERSISTENTLY garbled content is not one of the tolerated
+            // transient races (those are absence/crc-sidecar shapes, IO
+            // errors): the answer stays correct (markers carry the
+            // committed epoch), but out-of-band corruption must remain
+            // observable — warn once per path, not once per fence read
+            if (garbledFloorWarned.add(p.toString))
+              System.err.println(
+                s"[readEpoch] epoch floor at $p exists but does not parse " +
+                  s"('${s.trim.take(40)}') — serving from commit markers; the next " +
+                  "committed operation rewrites a consistent floor")
+            0L
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => 0L }
     (floor +: epochMarkers(fs, pointerPath)).max
@@ -1443,19 +1462,38 @@ private[operators] object IndexManifest {
         }
     }
     keepGenerations.foreach { k =>
-      // an unreadable/malformed snapshot must not wedge the stream
-      // here: retention just loses its pins for the round (its readers
-      // are already broken — read() throws for them too) and the
-      // refusal belongs to the serve path
-      val pinned = snapshotPath.toSeq.flatMap { sp =>
-        try DeploymentSnapshot.readIfExists(spark, sp).values.toSeq ++
+      // TWO pin sources, two DIFFERENT failure domains — never one catch:
+      // - an unreadable/malformed SNAPSHOT loses only its own pins for
+      //   the round (its readers are already broken — read() throws for
+      //   them too) and the refusal belongs to the serve path;
+      // - an unreadable GRACE LEDGER must SKIP the retention pass
+      //   entirely (reclaim nothing this batch): pre-retire readers
+      //   resolved their roots from an earlier HEALTHY snapshot read and
+      //   are mid-drain — a torn .grace file does not break them, but
+      //   running retention without its pins would reclaim the promised
+      //   root under them, the exact failure gracePinnedRoots exists to
+      //   prevent. Holding one extra generation for a round is the
+      //   fail-safe side; the stream itself never wedges.
+      val snapPinned = snapshotPath.toSeq.flatMap { sp =>
+        try DeploymentSnapshot.readIfExists(spark, sp).values.toSeq
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+      val gracePinned =
+        try Right(snapshotPath.toSeq.flatMap(sp =>
           // a root still in retirement grace (Nightly.retireTier) is
           // promised to pre-retire readers — intraday retention on a
           // pointer whose tier left the deployment must not reclaim it
-          Nightly.gracePinnedRoots(spark, sp, pointerPath)
-        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          Nightly.gracePinnedRoots(spark, sp, pointerPath)))
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
+      gracePinned match {
+        case Right(g) =>
+          retainGenerations(spark, pointerPath, k, what, snapPinned ++ g).collect(): Unit
+        case Left(e) =>
+          System.err.println(
+            s"[ingestRound] $what: retirement-grace ledger unreadable beside " +
+              s"${snapshotPath.getOrElse("<none>")} — skipping this batch's retention " +
+              s"(reclaiming nothing) rather than running it unpinned: ${e.getMessage}")
       }
-      retainGenerations(spark, pointerPath, k, what, pinned).collect(): Unit
     }
   }
 

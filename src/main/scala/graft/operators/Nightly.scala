@@ -461,8 +461,15 @@ object Nightly {
         }
         // a PUBLISHED round is the retirement-grace clock: reclaim the
         // retired roots whose readers had their rounds to drain, count
-        // the rest one round down (Nightly.retireTier's graceRounds)
-        snapshotPath.foreach(sp => tickRetirementGrace(spark, sp))
+        // the rest one round down (Nightly.retireTier's graceRounds).
+        // The OUTGOING snapshot's roots ride along as extra pins: on a
+        // swap round the per-tier retain above deliberately pinned them
+        // for tonight's draining readers (one-round snapshot grace), and
+        // a due entry's unpinned retain on the same pointer — a tier
+        // retired, re-introduced, whose grace expires tonight — must not
+        // vacuum what this very round just promised.
+        snapshotPath.foreach(sp =>
+          tickRetirementGrace(spark, sp, extraPins = outgoingSnapshot.values.toSeq))
         rel
       }
     import spark.implicits._
@@ -516,6 +523,13 @@ object Nightly {
       s"Nightly.retireTier: graceRounds must be >= 1 (a reader that resolved the " +
         s"snapshot just before the retire needs at least one round to drain), got " +
         graceRounds)
+    // validate EVERY ledger-bound value before any state mutates: these
+    // used to run inside keepGenerations.foreach, AFTER the retire and
+    // retain — a tab/newline-bearing value would throw with the tier
+    // already retired but no grace entry recorded
+    requireMarkerSafe("tier name", tier)
+    requireMarkerSafe("pointer path", pointerPath)
+    requireMarkerSafe("what", what)
     // discover the deployment's marker path from the pointer when the
     // caller did not thread it — same un-forgettable-config stance as
     // the intraday ingest check (IndexManifest.readNightlyMarkerConfig)
@@ -538,10 +552,7 @@ object Nightly {
       // snapshot ticks it down; the root reclaims on the round that
       // finds the count already at 0 — i.e. it survives exactly
       // graceRounds published rounds after this retire and reclaims
-      // on round graceRounds + 1
-      requireMarkerSafe("tier name", tier)
-      requireMarkerSafe("pointer path", pointerPath)
-      requireMarkerSafe("what", what)
+      // on round graceRounds + 1 (values validated at entry, above)
       writeGrace(spark, snapshotPath,
         readGrace(spark, snapshotPath)
           .filterNot(e => e.tier == tier && e.root == IndexManifest.qualify(spark, Seq(root)).head) :+
@@ -600,17 +611,21 @@ object Nightly {
     * next round's re-tick (retain is idempotent; an absent root
     * reports `absent` and drops) instead of leaking the root forever.
     */
-  private def tickRetirementGrace(spark: SparkSession, snapshotPath: String): Unit = {
+  private def tickRetirementGrace(
+      spark: SparkSession, snapshotPath: String,
+      extraPins: Seq[String] = Seq.empty): Unit = {
     val entries = readGrace(spark, snapshotPath)
     if (entries.nonEmpty) {
       val (due, waiting) = entries.partition(_.remaining <= 0)
       // a reclaim must not strand ANOTHER root still in grace on the
       // same pointer (a retire-reintroduce-retire sequence stacks
       // entries): everything still waiting stays pinned through the
-      // due entries' retention
+      // due entries' retention, as does every caller-threaded extra pin
+      // (run() passes the outgoing snapshot's roots — pinning a root
+      // that never lived in this pointer's history is a no-op)
       due.foreach(e =>
         ServePointer.retain(spark, e.pointerPath, e.keep, e.what,
-          pinned = waiting.filter(_.pointerPath == e.pointerPath).map(_.root))
+          pinned = waiting.filter(_.pointerPath == e.pointerPath).map(_.root) ++ extraPins)
           .collect(): Unit)
       writeGrace(spark, snapshotPath, waiting.map(e => e.copy(remaining = e.remaining - 1)))
     }
