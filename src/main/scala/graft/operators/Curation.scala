@@ -47,18 +47,38 @@ object Curation {
     // a carried column that collides with the gate's own outputs would
     // be silently overwritten (keep/reject_reason) or turn ambiguous
     // (id/signals) — refuse at the API boundary instead
-    val reserved = idCol +: Seq("n_tokens", "bigram_rep", "alpha_ratio", "reject_reason", "keep")
+    val reserved = idCol +: Seq("n_tokens", "bigram_rep", "alpha_ratio", "reject_reason", "keep",
+      "__graft_q")
     require(carryCols.intersect(reserved).isEmpty,
       s"qualityFilter carryCols ${carryCols.intersect(reserved).mkString(", ")} collide with gate output columns")
     // carryCols ride the signal projection so a downstream stage that
     // needs the text (language ID, budget cut) composes WITHOUT a
     // join back to the corpus — at 100 TB a second text scan is the
-    // expensive part of the whole gate
-    val out = docs.select(
-      col(idCol) +: carryCols.map(col) ++: Seq(
-        TextFunctions.tokenCount(txt).as("n_tokens"),
-        TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
-        TextFunctions.alphaRatio(txt).as("alpha_ratio")): _*)
+    // expensive part of the whole gate.
+    //
+    // The signals are emitted THROUGH a one-element explode (a Generate
+    // barrier), not as plain projection aliases: every caller filters on
+    // `keep`, and Catalyst's predicate pushdown substitutes projection
+    // aliases into the pushed Filter with no cost guard — with plain
+    // aliases the keep CASE re-evaluates every signal (and, when the
+    // caller's text column is itself an expensive alias like
+    // extractText, the WHOLE upstream chain: measured 7 evaluations of
+    // the 12-regexp extraction per row on the html capstone) below the
+    // projection. A predicate on a generator output cannot push below
+    // the Generate, so the signals are computed exactly once per row;
+    // the explode of a single-element array keeps row count and order
+    // semantics untouched for ~an array allocation per row.
+    val qStruct = explode(array(struct(
+      TextFunctions.tokenCount(txt).as("n_tokens"),
+      TextFunctions.bigramRepetitionRatio(txt).as("bigram_rep"),
+      TextFunctions.alphaRatio(txt).as("alpha_ratio"))))
+    val out = docs
+      .select(col(idCol) +: carryCols.map(col) :+ qStruct.as("__graft_q"): _*)
+      .select(
+        col(idCol) +: carryCols.map(col) ++: Seq(
+          col("__graft_q.n_tokens").as("n_tokens"),
+          col("__graft_q.bigram_rep").as("bigram_rep"),
+          col("__graft_q.alpha_ratio").as("alpha_ratio")): _*)
     out.select(
       out.columns.toIndexedSeq.map(col) :+
         // null text first: every signal is NULL for it, so the later

@@ -63,12 +63,18 @@ object Dedup {
         org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
         numHashes))
     docs
-      // "has at least one 2-shingle" as a CHEAP input-side predicate
-      // (>= 2 tokens), not `size(sigs) > 0`: Catalyst would push the
-      // latter below the projection by alias substitution and evaluate
-      // the full numHashes-x-shingles hash expression twice per row
-      // (once in the Filter, once in the Project)
-      .where(col(textCol).isNotNull && size(split(col(textCol), " ")) >= 2)
+      // "has at least one 2-shingle" as a CHEAP input-side predicate,
+      // not `size(sigs) > 0`: Catalyst would push the latter below the
+      // projection by alias substitution and evaluate the full
+      // numHashes-x-shingles hash expression twice per row (once in
+      // the Filter, once in the Project). The predicate is
+      // contains-a-space rather than `size(split(text)) >= 2`: split
+      // on the single-space separator yields >= 2 tokens iff the text
+      // contains at least one separator occurrence (every space adds
+      // one element, trailing empties kept with limit -1), and
+      // contains() is one byte scan where split allocates the whole
+      // token array per row a SECOND time just to count it.
+      .where(col(textCol).isNotNull && col(textCol).contains(" "))
       .select(col(idCol), sig.as("sigs"))
       .select(col(idCol) +: (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
   }
@@ -367,10 +373,23 @@ object Dedup {
       .where(col(textCol).isNotNull)
       .select(
         col(idCol),
+        // KnownNotNull: the fingerprint is non-null for EVERY non-null
+        // text (SimHashFingerprint.compute totals to a value even on an
+        // empty token array), and the row above just filtered the nulls
+        // — but the logical plan cannot see that (Filter does not narrow
+        // attribute nullability at the logical level), so without the
+        // tag every banded consumer's `isNotNull` guard and every
+        // inferred join-key null filter alias-substitutes the FULL
+        // fingerprint expression into pushed-down Filter conjuncts and
+        // re-evaluates the hash pass 2x more per row (measured: the
+        // sf0.1 pairing scan carried graft_simhash 3x per row). With
+        // the tag those guards fold to TRUE and the projection is the
+        // one evaluation.
         org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.expressions.SimHashFingerprint(
-            org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
-            bits)).as("simhash"))
+          org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+            graft.expressions.SimHashFingerprint(
+              org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")),
+              bits))).as("simhash"))
 
   /** The corpus fingerprint relation in the PUBLISHED side-index
     * schema — (doc_id, fp) — the rows [[publishFingerprintIndex]]
@@ -648,27 +667,60 @@ object Dedup {
     val t = docs.select(
       col(idCol),
       col(blockCol),
-      array_sort(array_distinct(split(col(textCol), " "))).as("toks")
+      sortedTokenSet(col(textCol)).as("toks")
     )
     val a = t.select(col(idCol).as("a_id"), col(blockCol).as("blk"), col("toks").as("a_toks"))
     val b = t.select(col(idCol).as("b_id"), col(blockCol).as("blk"), col("toks").as("b_toks"))
-    a.join(b, "blk")
-      .where(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        sortedIntersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
-        (size(col("a_toks")) + size(col("b_toks"))).as("n_sum")
-      )
-      .withColumn("n_union", col("n_sum") - col("n_inter"))
-      .drop("n_sum")
-      .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6).as("jaccard")
-      )
+    jaccardTail(
+      a.join(b, "blk")
+        .where(col("a_id") < col("b_id")),
+      thresholdPct)
   }
+
+  /** One-pass sorted distinct token set of a text column.
+    * `sort_array` (native ordering comparator), not `array_sort`: the
+    * latter is a higher-order function whose default lambda comparator
+    * is interpreted per ELEMENT COMPARISON — on a corpus-wide verify
+    * scan the O(n log n) comparator calls were the projection's cost.
+    * Token arrays from split() are null-free, so the two functions'
+    * orderings coincide (both binary UTF8 ascending; they differ only
+    * on null placement).
+    */
+  private def sortedTokenSet(text: Column): Column =
+    sort_array(array_distinct(split(text, " ")))
+
+  /** The shared verify tail: length prefilter (cheap, join-condition
+    * pushable — prunes on two array headers before any merge scan),
+    * then the exact intersect + threshold + jaccard projection. The
+    * (n_inter, n_sum) pair rides a one-element explode (Generate
+    * barrier): with plain aliases the threshold predicate pushes into
+    * the JOIN CONDITION by alias substitution and the
+    * O(|A|+|B|) sorted-intersect merge scan runs THREE times per
+    * candidate pair (twice in the pushed threshold test, once in the
+    * output projection — verified in the sf0.1 plan); behind the
+    * barrier it runs once.
+    */
+  private def jaccardTail(pairsWithToks: DataFrame, thresholdPct: Int): DataFrame =
+    pairsWithToks
+      // length prefilter (similarity-join literature): J(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so a size-incompatible pair cannot
+      // reach the threshold — pruned on two array headers BEFORE the
+      // O(n+m) merge scan ever runs. Provably result-neutral.
+      .where(least(size(col("a_toks")), size(col("b_toks"))) * 100 >=
+             greatest(size(col("a_toks")), size(col("b_toks"))) * thresholdPct)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        explode(array(struct(
+          sortedIntersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
+          (size(col("a_toks")) + size(col("b_toks"))).as("n_sum")))).as("v"))
+      .where(col("v.n_inter") * 100 >= (col("v.n_sum") - col("v.n_inter")) * thresholdPct)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(col("v.n_inter").cast("double") /
+          (col("v.n_sum") - col("v.n_inter")).cast("double"), 6).as("jaccard")
+      )
 
   /** Jaccard verification restricted to an explicit candidate pair
     * list (a_id, b_id): token arrays are joined ONTO the pair list (two
@@ -691,7 +743,7 @@ object Dedup {
     val toks = docs.select(
       Seq(
         col(idCol).as("tid"),
-        array_sort(array_distinct(split(col(textCol), " "))).as("toks")
+        sortedTokenSet(col(textCol)).as("toks")
       ) ++ blockCol.map(c => col(c).as("blk")): _*)
     val aSide = toks.select(
       Seq(col("tid").as("a_id"), col("toks").as("a_toks")) ++
@@ -700,27 +752,9 @@ object Dedup {
       Seq(col("tid").as("b_id"), col("toks").as("b_toks")) ++
         blockCol.map(_ => col("blk").as("b_blk")): _*)
     val joined = pairs.join(aSide, "a_id").join(bSide, "b_id")
-    blockCol.fold(joined)(_ => joined.where(col("a_blk") === col("b_blk")))
-      // length prefilter (similarity-join literature): J(A,B) <=
-      // min(|A|,|B|)/max(|A|,|B|), so a size-incompatible pair cannot
-      // reach the threshold — pruned on two array headers BEFORE the
-      // O(n+m) merge scan ever runs. Provably result-neutral.
-      .where(least(size(col("a_toks")), size(col("b_toks"))) * 100 >=
-             greatest(size(col("a_toks")), size(col("b_toks"))) * thresholdPct)
-      .select(
-        col("a_id"),
-        col("b_id"),
-        sortedIntersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
-        (size(col("a_toks")) + size(col("b_toks"))).as("n_sum")
-      )
-      .withColumn("n_union", col("n_sum") - col("n_inter"))
-      .drop("n_sum")
-      .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6).as("jaccard")
-      )
+    jaccardTail(
+      blockCol.fold(joined)(_ => joined.where(col("a_blk") === col("b_blk"))),
+      thresholdPct)
   }
 
   /** Candidate-pair generator signature shared by [[lshCandidatePairs]]
@@ -914,13 +948,21 @@ object Dedup {
     // without it the distinct()'s (src,dst) partitioning forces a full
     // edge re-shuffle EVERY iteration — the dominant relation shuffled
     // O(log d) times instead of once.
+    // dedup AFTER the src repartition, not before: rows sharing (src,
+    // dst) necessarily share src, so HashPartitioning(src) satisfies
+    // the dedup aggregate's clustered distribution and the per-
+    // partition dedup reuses the repartition exchange — one full
+    // shuffle of the edge relation instead of two (distinct-then-
+    // repartition paid an extra (src,dst) exchange of the biggest
+    // relation in the loop), and the aggregate preserves the src
+    // layout the per-iteration frontier join requires.
     val edges = pairs
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select("e.src", "e.dst")
-      .distinct()
       .repartition(nPart, col("src"))
+      .dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the cache must not outlive this call on ANY exit path — including
     // a mid-loop failure or the non-convergence throw — so the whole

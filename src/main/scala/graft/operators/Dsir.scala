@@ -117,7 +117,14 @@ object Dsir {
         org.apache.spark.sql.graftbridge.Bridge.expression(split(col(textCol), " ")), term))
     docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol), scored.as("s"))
+      // the score rides a one-element explode (Generate barrier): the
+      // n_feats filter below would otherwise alias-substitute the WHOLE
+      // scoring expression into its pushed-down Filter and hash every
+      // document's features twice per row (measured in the sf0.1 plan:
+      // graft_ngram_score once in the Filter, once in the Project) — a
+      // predicate on a generator output cannot push below the Generate,
+      // so the corpus scores exactly once
+      .select(col(idCol), explode(array(scored)).as("s"))
       // docs with zero features (null text is already gone; all-empty
       // token arrays) emit no row — zero evidence, same contract as the
       // aggregate form this replaces

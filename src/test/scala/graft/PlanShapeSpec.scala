@@ -133,6 +133,52 @@ class PlanShapeSpec extends SparkTestBase {
       s"interpreted HOFs back in the quality predicate:\n$plan")
   }
 
+  test("expensive projections evaluate exactly once under pushed filters (r21 barriers)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // quality gate over an expensive text alias (the html capstone
+    // shape): predicate pushdown used to alias-substitute the WHOLE
+    // 12-regexp extraction chain into the pushed keep-filter — 7
+    // evaluations per row. The Generate barrier pins it to one.
+    val extracted = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.extractText(col("text")).as("text"))
+    val gated = graft.operators.Curation.qualityFilter(extracted, "doc_id", "text",
+      minTokens = 10, maxBigramRep = 0.2, minAlphaRatio = 0.8)
+      .where(col("keep") === 1)
+      .select("doc_id", "n_tokens")
+    val gPlan = executedPlanString(gated).split("== Initial Plan ==")(0)
+    // the extraction chain's script-strip pattern is its unique marker
+    // (alpha_ratio legitimately carries its own small regexp_replace)
+    val extractions = gPlan.linesIterator.count(_.contains("(?is)<script"))
+    assert(extractions == 1,
+      s"extraction chain appears on $extractions plan lines (want exactly 1):\n$gPlan")
+
+    // simhash pairing: the banded consumer's isNotNull guard and the
+    // inferred join-key null filters used to re-evaluate the
+    // fingerprint hash 3x per row; KnownNotNull folds them away. One
+    // side computes (the other is a ReusedExchange), and that side
+    // carries the expression exactly once, in the projection.
+    val pairs = graft.operators.Dedup.simhashNearDuplicates(
+      docs, "doc_id", "text", bits = 16, maxHamming = 2)
+    val sPlan = executedPlanString(pairs).split("== Initial Plan ==")(0)
+    val simhashLines = sPlan.linesIterator.count(_.contains("graft_simhash"))
+    assert(simhashLines == 1,
+      s"graft_simhash appears on $simhashLines plan lines (want exactly 1 — " +
+        s"null-check pushdown re-evaluating the hash):\n$sPlan")
+
+    // jaccard verify: the threshold predicate used to push into the
+    // join condition and run the O(|A|+|B|) sorted-intersect merge scan
+    // 3x per candidate pair; behind the Generate barrier it runs once.
+    val verified = graft.operators.Dedup.nearDuplicates(
+      docs, "doc_id", "text", numHashes = 8, rowsPerBand = 2, thresholdPct = 40)
+    val vPlan = executedPlanString(verified).split("== Initial Plan ==")(0)
+    val intersects = vPlan.linesIterator.count(_.contains("graft_sorted_intersect_size"))
+    assert(intersects == 1,
+      s"sorted-intersect appears on $intersects plan lines (want exactly 1):\n$vPlan")
+    assert(!vPlan.contains("lambdafunction"),
+      s"interpreted HOF comparator back in the token-set projection:\n$vPlan")
+  }
+
   test("LSH candidate join shuffles on the bucket key, not a cross join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 2)
@@ -569,12 +615,20 @@ class PlanShapeSpec extends SparkTestBase {
       graft.operators.Dsir.scoreWith(docs, "doc_id", "text", term))
       .split("== Initial Plan ==")(0)
     // the whole serve path (hash + term lookup + sum) is one native
-    // expression inside whole-stage codegen — no explode, no join, no
-    // exchange anywhere in the scoring scan
+    // expression inside whole-stage codegen — no per-feature explode,
+    // no join, no exchange anywhere in the scoring scan. The score DOES
+    // ride a one-element explode (the Generate barrier that keeps the
+    // n_feats filter from re-evaluating the scoring expression below
+    // the projection — r21), so the pin is: the expression appears
+    // EXACTLY ONCE, inside the codegen'd Generate, and nothing explodes
+    // per feature.
     val scoreLine = scorePlan.linesIterator.find(_.contains("graft_ngram_score")).getOrElse("")
     assert(scoreLine.contains("*("), s"DSIR scoring fell out of codegen:\n$scoreLine")
     assert(!scorePlan.contains("Exchange"), s"DSIR scoring scan shuffles:\n$scorePlan")
-    assert(!scorePlan.contains("Generate"), s"DSIR scoring still explodes features:\n$scorePlan")
+    val scoreEvals = scorePlan.linesIterator.count(_.contains("graft_ngram_score"))
+    assert(scoreEvals == 1,
+      s"DSIR scoring expression evaluated $scoreEvals times (want exactly 1 — the " +
+        s"n_feats filter must not re-evaluate it below the projection):\n$scorePlan")
 
     val selPlan = executedPlanString(
       graft.operators.Dsir.selectTopKWith(docs, "doc_id", "text", term, 10))
