@@ -176,6 +176,118 @@ case class CharTrigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Adjacent token pairs of a token array as (w1, w2) structs — the
+  * word-bigram generator behind [[graft.operators.LangModel]]'s
+  * training counts and scoring stream. Matches
+  * `transform(sequence(0, size(toks) - 2), i -> struct(toks[i], toks[i + 1]))`
+  * exactly (null tokens pass through as null struct fields; fewer than
+  * two tokens yields an empty array). Exists because that composed
+  * form is a CodegenFallback higher-order function — an interpreted
+  * lambda per TOKEN on every corpus scan of the LM tier — where this
+  * is one codegen'd pass building slice views.
+  */
+case class AdjacentPairs(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_adjacent_pairs expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    DataTypes.createStructType(Array(
+      DataTypes.createStructField("w1", StringType, true),
+      DataTypes.createStructField("w2", StringType, true))),
+    containsNull = false)
+  override def prettyName: String = "graft_adjacent_pairs"
+
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: UTF8String = if (input.isNullAt(0)) null else input.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (input.isNullAt(i)) null else input.getUTF8String(i)
+      out(i - 1) = org.apache.spark.sql.catalyst.InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adjacentPairs", this, classOf[AdjacentPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Summed non-overlapping occurrence count of a fixed gram set in a
+  * string — the language-profile score
+  * `sum over grams of (length(text) - length(replace(text, g, ''))) / len(g)`
+  * without materializing a replaced COPY of the document per gram:
+  * the composed form allocates grams-many document-sized strings per
+  * row (25 per row for the 5-language default profiles — the dominant
+  * cost and GC load of the language-ID projection), where this is
+  * grams-many allocation-free scans. Semantics are exactly the
+  * replace-count recipe the DuckDB oracle replays: non-overlapping
+  * left-to-right matches (indexOf-then-skip-gram-length ≡ what
+  * replace() removes), gram length in code points, null text -> null.
+  */
+case class GramCountSum(child: Expression, grams: Seq[String])
+    extends UnaryExpression {
+  require(grams.nonEmpty && grams.forall(_.nonEmpty),
+    "graft_gram_count_sum needs a non-empty gram set of non-empty grams")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_count_sum expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_gram_count_sum"
+
+  // precomputed once per plan: the UTF8String needles. The scan mirrors
+  // UTF8String.replace byte for byte: find() at byte positions, skip by
+  // the needle's BYTE length on a match — the same non-overlapping
+  // left-to-right matches replace() removes.
+  @transient private lazy val needles: Array[UTF8String] =
+    grams.map(UTF8String.fromString).toArray
+
+  def compute(s: UTF8String): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < needles.length) {
+      val g = needles(i)
+      val gBytes = g.numBytes()
+      var found = s.find(g, 0)
+      while (found >= 0) {
+        sum += 1L
+        found = s.find(g, found + gBytes)
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramCountSum", this, classOf[GramCountSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Duplicate word-bigram fraction of a token array — `round(1 -
   * distinct_bigrams / total_bigrams, 6)`, 0.0 for fewer than two
   * tokens — the Gopher-style repetition quality signal, in ONE pass

@@ -80,17 +80,18 @@ object TextFunctions {
   /** Exact occurrence count of each profile gram summed per language:
     * count(g) = (len(text) - len(replace(text, g, ''))) / len(g) —
     * non-overlapping left-to-right occurrences, the same answer every
-    * engine's plain `replace` gives.
+    * engine's plain `replace` gives. Served by the native
+    * [[graft.expressions.GramCountSum]] scan: the composed
+    * length/replace form materializes a document-sized replaced COPY
+    * per gram per row (25 allocations/row under the default 5-language
+    * profiles — the dominant cost and GC load of the language-ID
+    * projection), where the expression is the same non-overlapping
+    * find-and-skip walk replace() does internally, minus the copy.
     */
   def langNgramScore(text: Column, grams: Seq[String]): Column =
-    grams.map { g =>
-      // divide by the gram's CODE-POINT count, matching Spark/DuckDB
-      // length() semantics — g.length is UTF-16 units, which
-      // double-counts supplementary-plane characters (astral CJK,
-      // emoji) and would zero out a learned astral gram's score
-      val glen = g.codePointCount(0, g.length)
-      ((length(text) - length(replace(text, lit(g), lit("")))) / glen).cast("long")
-    }.reduce(_ + _)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.GramCountSum(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), grams))
 
   /** Multi-language character-n-gram language ID — the gate a
     * multilingual curation run actually branches on, replacing the

@@ -30,11 +30,19 @@ object LangModel {
 
   private def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .where(col(textCol).isNotNull && size(split(col(textCol), " ")) >= 2)
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol), expr(
-        """explode(transform(sequence(0, size(toks) - 2),
-             i -> struct(toks[i] AS w1, toks[i + 1] AS w2))) AS bg"""))
+      // contains-a-space ≡ "split yields >= 2 tokens" for the single-
+      // space separator (every space adds one element, trailing empties
+      // kept) without allocating the token array a second time just to
+      // count it; the pair generator is the native codegen'd
+      // graft_adjacent_pairs — the transform(sequence(...)) form it
+      // replaces was a CodegenFallback lambda interpreted per token on
+      // every LM-tier corpus scan
+      .where(col(textCol).isNotNull && col(textCol).contains(" "))
+      .select(col(idCol), explode(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.AdjacentPairs(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              split(col(textCol), " "))))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** (w1, w2, c) bigram counts — one hash aggregation over the token
@@ -76,6 +84,16 @@ object LangModel {
       bigrams: DataFrame,
       unigrams: DataFrame
   ): DataFrame = {
+    // The stream joins the count tables DIRECTLY — measured (r21)
+    // against the distinct-bigram-proxy rewrite (enrich the distinct
+    // (w1,w2) relation with the model, rejoin the stream once): the
+    // proxy form is ~30% slower here because the count tables are
+    // vocabulary-sized and AQE converts every one of these joins to a
+    // broadcast at runtime — the stream is then never shuffled at all,
+    // while the proxy form forces two stream shuffles (distinct +
+    // rejoin) to save shuffles the broadcast regime never pays. The
+    // proxy shape only wins when the model tables exceed broadcast
+    // reach; at that scale pass pre-aggregated tables and revisit.
     val total = unigrams.agg(sum("c").as("n_total"))
     bigramStream(docs, idCol, textCol)
       .join(bigrams.select(col("w1"), col("w2"), col("c").as("c_bg")), Seq("w1", "w2"), "left")
