@@ -75,6 +75,23 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    // BOX-SPEED CANARY: a fixed, input-independent pure-CPU Spark job
+    // (hash-mix sum over a seeded range) timed at sweep start AND end
+    // and written into the artifact. Three consecutive rounds burned
+    // adjudication effort proving apparent per-query drift was shared-
+    // box load, not plan change; with the canary in every artifact,
+    // drift adjudication is arithmetic — if the canary moved with the
+    // queries, it is the box. Warm once (codegen), then time; ~1-2 s
+    // per measurement, outside every per-query timing window.
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, numPartitions = cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect(): Unit // xor: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }
+    canarySec() // warm the canary's codegen so both timings measure the box
+    val canaryStart = canarySec()
+
     // GRAFT_BENCH_MEM=1 adds per-query PEAK HEAP to the artifact: the
     // JVM's per-pool peak-usage counters are reset before each query's
     // runs and summed after — in local mode driver and executors share
@@ -138,6 +155,9 @@ object Bench {
           (if (memTrack) f", peak heap $peakMb%.0f MB)" else ")"))
       (name, sec, lo, hi, peakMb)
     }
+    val canaryEnd = canarySec()
+    System.err.println(
+      f"[bench] canary (fixed CPU job): start $canaryStart%.3f s, end $canaryEnd%.3f s")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The FULL artifact — per-query medians AND [min,max] spreads, one
@@ -155,6 +175,7 @@ object Bench {
     java.nio.file.Files.writeString(outPath,
       f"""{
   "metric": "total", "value": $total%.3f, "unit": "sec", "sf": "$sfDir",
+  "canary_start_sec": $canaryStart%.3f, "canary_end_sec": $canaryEnd%.3f,
   "queries": {
 ${fullLines.mkString(",\n")}
   }

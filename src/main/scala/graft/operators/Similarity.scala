@@ -254,21 +254,15 @@ object Similarity {
     * break to the lowest cell id.
     */
   def assignCell(vec: Column, centroids: Array[Array[Float]]): Column = {
-    // same (negscore, cell) struct shape as probeCells: each of the k
-    // dot products is referenced exactly once (the previous greatest +
-    // when-chain evaluated every score twice unless codegen CSE caught
-    // it). Argmin via least(), not array_sort(...).getItem(0): Least is
-    // a codegen'd O(k) expression over the struct ordering, where
-    // array_sort is a CodegenFallback higher-order function whose
-    // default lambda comparator is INTERPRETED per comparison — on the
-    // full-corpus assignment scan that lambda was the projection's
-    // cost. Identical semantics: natural (negscore, cell) struct
-    // ordering, non-null elements, ties to the lowest cell id.
+    // same (negscore, cell) struct-sort shape as probeCells: each of
+    // the k dot products is referenced exactly once (the previous
+    // greatest + when-chain evaluated every score twice unless codegen
+    // CSE caught it)
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val halfNorm2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2.0
       struct((lit(0.0) - (dot(vec, typedLit(c)) - lit(halfNorm2))).as("negscore"), lit(i).as("cell"))
     }
-    least(scored.toSeq: _*).getField("cell")
+    array_sort(array(scored.toSeq: _*)).getItem(0).getField("cell")
   }
 
   /** The `nprobe` nearest centroid cell ids for a query vector —
@@ -1443,11 +1437,8 @@ object Similarity {
         (dot(vec, typedLit(c)) / (l2Norm(vec) * lit(cnorm))).as("cent_cos"))
     }
     // the duplicate dot(vec, c) per centroid is shared by codegen CSE
-    // (both references are the same canonicalized subtree). Argmin via
-    // codegen'd least() — the assignCell rationale: array_sort's
-    // default lambda comparator is interpreted per comparison on a
-    // corpus-wide scan; same natural struct ordering, same result.
-    val best = least(scored.toSeq: _*)
+    // (both references are the same canonicalized subtree)
+    val best = array_sort(array(scored.toSeq: _*)).getItem(0)
     struct(best.getField("cell").as("cell"), best.getField("cent_cos").as("cent_cos"))
   }
 
