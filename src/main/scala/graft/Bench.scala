@@ -85,7 +85,7 @@ object Bench {
     // per measurement, outside every per-query timing window.
     def canarySec(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, numPartitions = cpus.toInt)
+      spark.range(0L, 1000000000L, 1L, numPartitions = cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect(): Unit // xor: no ANSI overflow
       (System.nanoTime() - t0) / 1e9
     }
