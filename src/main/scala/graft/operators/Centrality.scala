@@ -59,23 +59,29 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val degEdges = degreeJoinedEdges(pairs, aCol, bCol)
-    // nodes and the node count derive FROM THE CACHE, not from the raw
-    // deg/pairs lineage — otherwise the expensive pair subtree executes
-    // again for n and a third time for the init ranks; the count is the
-    // one bounded driver action, and it doubles as the cache
-    // materialization barrier
-    val nodes = degEdges.select(col("src")).distinct()
-    val nNodes = nodes.count()
-    // the SAME IEEE ops the in-plan form evaluated: double(1-d) divided
-    // by double(n), once — rounds identically as a driver literal
-    val teleport = (1.0 - damping) / nNodes.toDouble
-    val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
-    try {
+    val (degEdges, loopPart, release) = degreeJoinedEdgesSized(pairs, aCol, bCol)
+    // every action below — the node count, the loop, the output
+    // checkpoint — runs with the shuffle width scoped to the edge
+    // cache's data-derived layout, so each round's aggregation exchange
+    // lands co-partitioned with the cache instead of on the session
+    // width (see [[AdaptiveLoop]])
+    try AdaptiveLoop.scoped(pairs.sparkSession, loopPart) {
+      // nodes and the node count derive FROM THE CACHE, not from the raw
+      // deg/pairs lineage — otherwise the expensive pair subtree executes
+      // again for n and a third time for the init ranks; this count is
+      // also the edge cache's materialization barrier, after which the
+      // pair staging cache is released
+      val nodes = degEdges.select(col("src")).distinct()
+      val nNodes = nodes.count()
+      release()
+      // the SAME IEEE ops the in-plan form evaluated: double(1-d) divided
+      // by double(n), once — rounds identically as a driver literal
+      val teleport = (1.0 - damping) / nNodes.toDouble
+      val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
       val ranked = loopRanks(degEdges, init, teleport, damping, iterations)
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
-    } finally degEdges.unpersist()
+    } finally { degEdges.unpersist(); release() }
   }
 
   /** The shared edge preparation of both rank loops, CACHED: both
@@ -92,15 +98,49 @@ object Centrality {
   private[graft] def degreeJoinedEdges(
       pairs: DataFrame, aCol: String, bCol: String,
       weightCol: Option[String] = None): DataFrame = {
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val (out, _, release) = degreeJoinedEdgesSized(pairs, aCol, bCol, weightCol)
+    out.count(): Unit // materialize before releasing the pair staging cache
+    release()
+    out
+  }
+
+  /** [[degreeJoinedEdges]] plus the DATA-DERIVED loop width its layout
+    * was pinned to (see [[AdaptiveLoop]]): the PAIR relation — the
+    * expensive (LSH + verify) subtree, and the smallest relation in
+    * the whole construction — is materialized into a short-lived
+    * staging cache whose exact bytes size the loop width, then the
+    * degree-joined edge relation builds FROM that cache (explode +
+    * degree aggregate + join read cached pairs, never re-run the pair
+    * subtree) into its `src`-pinned layout, and the pair cache is
+    * released. The staging cache is cheaper than staging the edge
+    * relation itself (half the rows, no degree column), and the edge
+    * relation is still written to cache exactly once — same cache
+    * traffic as an unsized build, one extra bounded count. The
+    * returned `release` thunk drops the pair cache: callers invoke it
+    * after their FIRST full action over the edge relation (which
+    * materializes it from the pair cache) — deferring the release
+    * saves the builder its own materialization pass.
+    */
+  private[graft] def degreeJoinedEdgesSized(
+      pairs: DataFrame, aCol: String, bCol: String,
+      weightCol: Option[String] = None): (DataFrame, Int, () => Unit) = {
+    val pairsC = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairRows = pairsC.count()
+    // the edge relation is both directions of every pair plus an 8-byte
+    // degree: 2x the pair bytes + 16/row bounds it from above without
+    // materializing it first
+    val loopPart = AdaptiveLoop.partitionsForBytes(
+      pairs.sparkSession,
+      AdaptiveLoop.cachedBytes(pairsC) * 2 + BigInt(16L * pairRows),
+      2L * pairRows)
     val edges = weightCol match {
       case None =>
-        pairs.select(explode(array(
+        pairsC.select(explode(array(
             struct(col(aCol).as("src"), col(bCol).as("dst")),
             struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
           .select("e.src", "e.dst")
       case Some(w) =>
-        pairs.select(explode(array(
+        pairsC.select(explode(array(
             struct(col(aCol).as("src"), col(bCol).as("dst"), col(w).as("w")),
             struct(col(bCol).as("src"), col(aCol).as("dst"), col(w).as("w")))).as("e"))
           .select("e.src", "e.dst", "e.w")
@@ -109,9 +149,10 @@ object Centrality {
       case None    => edges.groupBy("src").agg(count(lit(1)).as("deg"))
       case Some(_) => edges.groupBy("src").agg(sum("w").as("wdeg"))
     }
-    edges.join(deg, "src")
-      .repartition(nPart, col("src"))
+    val out = edges.join(deg, "src")
+      .repartition(loopPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (out, loopPart, () => { pairsC.unpersist(); () })
   }
 
   /** The fixed-iteration rank recursion as ONE lazy plan, shared by
@@ -133,8 +174,15 @@ object Centrality {
       contrib: Column = col("r") / col("deg")): DataFrame = {
     var ranks = init
     for (_ <- 1 to iterations) {
+      // the rank side is hinted shuffle_hash: the planner's size
+      // estimates would otherwise BROADCAST it — a driver round-trip
+      // build JOB every round (the same per-round overhead the CC
+      // loop's A/B measured 2.7x slower) — where the co-partitioned
+      // hash join streams the cached edge layout with no exchange at
+      // all: the rank relation arrives from its groupBy already
+      // hash-partitioned on the join key at the loop width
       ranks = degEdges
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(ranks.select(col("id").as("src"), col("r")).hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), contrib.as("c"))
         .groupBy("id")
         .agg(sum("c").as("in"))
@@ -171,17 +219,18 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val degEdges = degreeJoinedEdges(pairs, aCol, bCol, Some(weightCol))
-    val nodes = degEdges.select(col("src")).distinct()
-    val nNodes = nodes.count()
-    val teleport = (1.0 - damping) / nNodes.toDouble
-    val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
-    try {
+    val (degEdges, loopPart, release) = degreeJoinedEdgesSized(pairs, aCol, bCol, Some(weightCol))
+    try AdaptiveLoop.scoped(pairs.sparkSession, loopPart) {
+      val nodes = degEdges.select(col("src")).distinct()
+      val nNodes = nodes.count()
+      release()
+      val teleport = (1.0 - damping) / nNodes.toDouble
+      val init = nodes.select(col("src").as("id"), lit(1.0 / nNodes.toDouble).as("r"))
       val ranked = loopRanks(degEdges, init, teleport, damping, iterations,
         contrib = col("r") * col("w") / col("wdeg"))
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
-    } finally degEdges.unpersist()
+    } finally { degEdges.unpersist(); release() }
   }
 
   /** Personalized PageRank: random-walk-with-restart proximity to a
@@ -221,22 +270,26 @@ object Centrality {
       reliableOutput: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val degEdges = degreeJoinedEdges(pairs, aCol, bCol)
+    val (degEdges, loopPart, release) = degreeJoinedEdgesSized(pairs, aCol, bCol)
     // the seed relation is touched every round (teleport) — persist it
     // so an expensive upstream (a quality gate, a sample) runs once;
     // the count doubles as its materialization barrier and |S|
     val seedIds = seeds.select(col(seedCol).as("id"))
       .where(col("id").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try AdaptiveLoop.scoped(pairs.sparkSession, loopPart) {
       val nSeeds = seedIds.count()
       require(nSeeds > 0, "pageRankPersonalized: empty seed set")
+      // no explicit edge-cache materialization here: the loop's output
+      // checkpoint materializes it from the pair staging cache, which
+      // stays alive until the finally releases it
       val ranked = personalizedRanks(degEdges, seedIds, nSeeds, damping, iterations)
       if (reliableOutput) Dedup.reliableCheckpoint(ranked)
       else ranked.localCheckpoint(true)
     } finally {
       degEdges.unpersist()
       seedIds.unpersist()
+      release()
     }
   }
 
@@ -259,8 +312,10 @@ object Centrality {
     val teleportRows = seedIds.select(col("id"), lit(teleport).as("r"))
     var ranks = seedIds.select(col("id"), lit(1.0 / nSeeds.toDouble).as("r"))
     for (_ <- 1 to iterations) {
+      // shuffle_hash on the rank side for the same reason as
+      // [[loopRanks]]: no per-round broadcast build job
       ranks = degEdges
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(ranks.select(col("id").as("src"), col("r")).hint("shuffle_hash"), "src")
         .select(col("dst").as("id"),
           (lit(damping) * col("r") / col("deg")).as("r"))
         .unionByName(teleportRows)
