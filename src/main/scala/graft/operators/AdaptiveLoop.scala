@@ -53,9 +53,23 @@ private[graft] object AdaptiveLoop {
   def cachedBytes(cached: DataFrame): BigInt =
     cached.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** Two regimes, both data-derived: when the relation is big,
+    * bytes/target partitions (shuffle efficiency, guide §2.2); when it
+    * is small, a PARALLELISM floor of min(cluster cores, one partition
+    * per target/8 bytes) — a loop round is compute-bound the moment
+    * each core has a few MB of join work, and the sf1 A/B measured the
+    * pure bytes policy serializing a 32-core box onto 2 partitions
+    * (weighted rounds got ~15% slower). The floor never exceeds the
+    * core count, so the tiny-relation case keeps its 2-partition
+    * layout instead of 32 near-empty tasks per round.
+    */
   def partitionsForBytes(spark: SparkSession, bytes: BigInt, rows: Long): Int = {
-    val byBytes = (bytes / BigInt(targetBytes(spark))).toLong + 1L
-    math.max(2L, math.min(byBytes, math.max(2L, rows)))
+    val target = targetBytes(spark)
+    val byBytes = (bytes / BigInt(target)).toLong + 1L
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val parallelFloor =
+      math.min(cores, (bytes / BigInt(math.max(1L, target / 8))).toLong + 1L)
+    math.max(2L, math.min(math.max(byBytes, parallelFloor), math.max(2L, rows)))
       .min(Int.MaxValue.toLong).toInt
   }
 
