@@ -938,16 +938,43 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25,
       maxDriverEdges: Long = 500000L): DataFrame = {
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // The PAIR relation — the expensive (LSH + verify) subtree and the
+    // smallest relation in the construction — stages into a short-lived
+    // cache whose exact bytes pick the LOOP WIDTH (see [[AdaptiveLoop]];
+    // the edge relation is bounded by both directions of every pair),
+    // so the edge cache can be laid out at that width from the start
+    // instead of inheriting the session shuffle width: every
+    // iteration's frontier join, aggregation, checkpoint, and
+    // convergence probe then run at the data's width — 2 partitions
+    // locally, thousands on a 10^10-edge cluster — instead of 32
+    // near-empty tasks per stage per round.
+    val pairsC = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val pairRows = pairsC.count()
+    def bothDirections(rel: DataFrame): DataFrame = rel
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+    // the deduplicated edge count can only be <= both directions of
+    // every pair, so 2|pairs| under the gate GUARANTEES the driver
+    // path: collect straight from the pair staging cache (union-find
+    // tolerates duplicate edges; the result is identical) and never
+    // build, shuffle, or cache the edge relation at all
+    if (2L * pairRows <= maxDriverEdges)
+      return driverUnionFind(pairs.sparkSession, bothDirections(pairsC))
+    val loopPart = AdaptiveLoop.partitionsForBytes(
+      pairs.sparkSession,
+      AdaptiveLoop.cachedBytes(pairsC) * 2 + BigInt(16L * pairRows),
+      2L * pairRows)
     // both edge directions via ONE explode, not union-of-two-branches:
-    // a union would expand the (expensive — LSH + verify join) pairs
-    // subtree into two copies and execute it twice during the persist
-    // materialization; the explode scans it once. The one-time
-    // repartition on src pins the cached layout to the partitioning
-    // every iteration's frontier join requires (HashPartitioning(src)):
-    // without it the distinct()'s (src,dst) partitioning forces a full
-    // edge re-shuffle EVERY iteration — the dominant relation shuffled
-    // O(log d) times instead of once.
+    // a union would expand the pairs subtree into two copies — here it
+    // scans the pair staging cache once. The one-time repartition on
+    // src pins the cached layout to the partitioning every iteration's
+    // frontier join requires (HashPartitioning(src)): without it the
+    // distinct()'s (src,dst) partitioning forces a full edge re-shuffle
+    // EVERY iteration — the dominant relation shuffled O(log d) times
+    // instead of once.
     // dedup AFTER the src repartition, not before: rows sharing (src,
     // dst) necessarily share src, so HashPartitioning(src) satisfies
     // the dedup aggregate's clustered distribution and the per-
@@ -956,29 +983,29 @@ object Dedup {
     // repartition paid an extra (src,dst) exchange of the biggest
     // relation in the loop), and the aggregate preserves the src
     // layout the per-iteration frontier join requires.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-      .repartition(nPart, col("src"))
+    val edges = bothDirections(pairsC)
+      .repartition(loopPart, col("src"))
       .dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the cache must not outlive this call on ANY exit path — including
+    // the caches must not outlive this call on ANY exit path — including
     // a mid-loop failure or the non-convergence throw — so the whole
-    // body runs under one finally that releases it
+    // body runs under one finally that releases them
     try {
-    // Size the loop's vertex-relation layout from the data, not the
-    // session shuffle width: every iteration scans and re-checkpoints the
-    // label relation, and a 10^4-row relation spread over 32 partitions
-    // is ~200 pure-overhead tasks per round. The edge count (known after
-    // the cache materializes) upper-bounds the vertex count, so
-    // vertex-side stages get ceil(|E| / 250k) partitions — one partition
-    // locally, thousands on a 10^10-edge cluster run.
+    // the count doubles as the edge cache's materialization barrier
+    // (built FROM the pair cache, which is released right after) and
+    // feeds the small-graph gate for the 2|pairs|-above-gate case where
+    // deduplication may still land the edge relation under it
     val edgeRows = edges.count()
+    pairsC.unpersist()
     if (edgeRows <= maxDriverEdges)
       return driverUnionFind(pairs.sparkSession, edges)
-    val loopPart = math.max(1L, math.min(nPart.toLong, edgeRows / 250000L + 1L)).toInt
+    // the whole iteration — init checkpoint, per-round joins and
+    // aggregations, per-round checkpoints and convergence probes — runs
+    // with the shuffle width scoped to the edge cache's layout and AQE
+    // off (see [[AdaptiveLoop.scoped]]): every in-loop exchange lands
+    // co-partitioned with the cache, and the per-round adaptive
+    // re-planning pauses disappear
+    AdaptiveLoop.scoped(pairs.sparkSession, loopPart) {
     // The initial labels fuse the FIRST propagation round into the init
     // checkpoint for free: the init already pays a groupBy over the edge
     // relation to enumerate vertices, and adding min(dst) to that same
@@ -1065,7 +1092,9 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations; raise maxIter")
     labels
+    }
     } finally edges.unpersist()
+    } finally pairsC.unpersist()
   }
 
   /** Incremental duplicate-cluster MAINTENANCE — the daily-delta
