@@ -1568,10 +1568,24 @@ object Similarity {
       col(idCol).as("id"),
       assignCellWithCos(col(vecCol), cents).getField("cent_cos").as("cent_cos"))
     val members = clusters.join(policy, Seq("id"))
-    val keepers = members
+    // the (cent_cos, id) argmin as TWO hash aggregates + a join rather
+    // than one min(struct): a struct buffer is not hash-aggregable, so
+    // the single-aggregate form planned a SortAggregate — a per-
+    // partition sort of the member relation on every run. Equivalent by
+    // the struct ordering's lexicographic definition: min cent_cos
+    // first, then min id among exactly the rows carrying it (cent_cos
+    // is never NULL here — cluster members verified with a positive
+    // norm product — and Spark's min/equality agree on NaN and signed
+    // zero, so the tie set matches the struct comparison's). The member
+    // relation's join exchanges canonicalize, so the corpus-side
+    // centroid scoring still evaluates once.
+    val minCos = members
       .groupBy(col("cluster_id"))
-      .agg(min(struct(col("cent_cos"), col("id"))).as("keep"))
-      .select(col("cluster_id"), col("keep.id").as("keep_id"))
+      .agg(min(col("cent_cos")).as("min_cos"))
+    val keepers = members.join(minCos, Seq("cluster_id"))
+      .where(col("cent_cos") === col("min_cos"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("keep_id"))
     val losers = members.join(keepers, Seq("cluster_id"))
       .where(col("id") =!= col("keep_id"))
       .select(col("id").as(idCol))
