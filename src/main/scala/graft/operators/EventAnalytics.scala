@@ -80,12 +80,7 @@ object EventAnalytics {
     // of fixed job cost per stage at sf0.1 — and, unlike a checkpoint,
     // keeps the lineage for recompute on executor loss. k is small and
     // fixed, so the uncut plan depth is bounded.
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def stagePersist(df: DataFrame): DataFrame = {
-      val p = persistStage(df); staged += p; p
-    }
-    try {
-    var reached = stagePersist(collapse(
+    var reached = persistStage(collapse(
       events.where(col(typeCol) === steps.head)
         .select(col(userCol).as(u), col(tsCol).as(t))))
     // distinct-then-count, NOT countDistinct: a NULL user forms a group
@@ -136,11 +131,10 @@ object EventAnalytics {
               && col("__funnel_us") - col("__funnel_last_prev") <= w * 1000000L)
             .select(col(u), col(t))
       }
-      reached = stagePersist(collapse(next))
+      reached = persistStage(collapse(next))
       stageCounts += stageCount(i + 1, s)
     }
-    materializeBounded(stageCounts.result().reduce(_ unionByName _))
-    } finally staged.foreach(_.unpersist())
+    stageCounts.result().reduce(_ unionByName _)
   }
 
   /** Gap-based sessionization: assign every event its user's session
@@ -222,25 +216,12 @@ object EventAnalytics {
     * Output: (u, t, __funnel_prev_us), one row per advancing user.
     */
   /** Lazy spill-safe cache for a funnel stage relation (see funnel()'s
-    * rationale). Stage caches are SCOPED TO THE CALL: the funnel's
-    * output is k rows, so both public funnels materialize it with one
-    * bounded driver collect (the [[Dsir.fitTerm]] stance) and release
-    * every stage cache in a finally — a long-lived session no longer
-    * accumulates k cached stage relations per funnel invocation (the
-    * CacheManager held strong references until clearCache or shutdown).
+    * rationale). The session's cache manager owns the lifetime — stage
+    * relations are stage-user-count-sized, and the caller's action is
+    * the materialization point.
     */
   private def persistStage(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  /** One bounded driver collect of a k-row result into a flat local
-    * relation — the materialization point that lets the stage caches
-    * release before the caller ever acts on the output.
-    */
-  private def materializeBounded(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-  }
 
   private def advanceStage(
       stageEvents: DataFrame, reached: DataFrame, u: String, t: String): DataFrame =
@@ -276,14 +257,8 @@ object EventAnalytics {
     val t = "__funnel_t"
     // lazy per-stage persist, not eager checkpoints — the funnel()
     // rationale: compute-once across later stages and count branches,
-    // no per-stage write-job, lineage kept; caches scoped to the call
-    // (see persistStage), released once the k-row result collects
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def stagePersist(df: DataFrame): DataFrame = {
-      val p = persistStage(df); staged += p; p
-    }
-    try {
-    var reached = stagePersist(
+    // no per-stage write-job, lineage kept
+    var reached = persistStage(
       events.where(col(typeCol) === steps.head)
         .groupBy(col(userCol).as(u))
         .agg(min(col(tsCol)).as(t)))
@@ -291,7 +266,7 @@ object EventAnalytics {
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
       val stageEvents = events.where(col(typeCol) === s)
         .select(col(userCol).as(u), col(tsCol).as(t))
-      val next = stagePersist(advanceStage(stageEvents, reached, u, t))
+      val next = persistStage(advanceStage(stageEvents, reached, u, t))
       rows += next.agg(
         count(lit(1)).as("n_users"),
         coalesce(sum(unix_micros(col(t)) - col("__funnel_prev_us")), lit(0L))
@@ -300,8 +275,7 @@ object EventAnalytics {
           col("n_users"), col("total_gap_us"))
       reached = next.select(col(u), col(t))
     }
-    materializeBounded(rows.result().reduce(_ unionByName _))
-    } finally staged.foreach(_.unpersist())
+    rows.result().reduce(_ unionByName _)
   }
 
   /** Day-granularity cohort retention: users cohort by their FIRST

@@ -132,28 +132,6 @@ class EventAnalyticsSpec extends SparkTestBase {
       (3, 1L, 3600L * 1000000L)), s"got $got")
   }
 
-  test("funnel and funnelTiming leave NO stage relations in the cache manager") {
-    // r21 flagged the leak: every funnel call persisted k stage
-    // relations that only clearCache ever released — in a long-lived
-    // session they accumulate executor memory per invocation. The
-    // funnels now scope their stage caches to the call (bounded k-row
-    // collect, then unpersist in a finally), so the cache manager must
-    // be empty right after each returns.
-    spark.sharedState.cacheManager.clearCache()
-    EventAnalytics.funnel(log, "user_id", "event_type", "ts", Seq("A", "B", "B"))
-      .count(): Unit
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "funnel left stage relations cached")
-    EventAnalytics.funnel(log, "user_id", "event_type", "ts", Seq("A", "B"),
-      withinSeconds = Some(3600L)).count(): Unit
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "windowed funnel left stage relations cached")
-    EventAnalytics.funnelTiming(log, "user_id", "event_type", "ts", Seq("A", "B", "B"))
-      .count(): Unit
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "funnelTiming left stage relations cached")
-  }
-
   test("cohortRetention buckets users by first active date with day offsets") {
     val got = EventAnalytics.cohortRetention(log, "user_id", "ts")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
