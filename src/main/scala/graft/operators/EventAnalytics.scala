@@ -219,6 +219,19 @@ object EventAnalytics {
     * rationale). The session's cache manager owns the lifetime — stage
     * relations are stage-user-count-sized, and the caller's action is
     * the materialization point.
+    *
+    * CACHE-LIFETIME CONTRACT (the public funnel APIs inherit it): the
+    * returned plan is lazy, so the stage caches cannot be released
+    * inside the operator without recomputing every stage per action —
+    * an r22 variant that collected the k-row result eagerly and
+    * unpersisted in a finally was measured 2.2-2.7x slower across the
+    * funnel family precisely because repeated invocations lost the
+    * shared stage caches. Callers that invoke funnels repeatedly in a
+    * long-lived session own the release: identical stage plans re-hit
+    * the same cache entries (cheap, the intended steady state), and a
+    * session-level `spark.sharedState.cacheManager.clearCache()` (or
+    * unpersisting the returned relations' sources) reclaims the memory
+    * when a workload retires.
     */
   private def persistStage(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
