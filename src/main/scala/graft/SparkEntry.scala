@@ -420,22 +420,41 @@ object SparkEntry {
     * both the cluster and the survivor queries. Output: (a_id, b_id).
     */
   private def crossModalEdges(s: SparkSession, dir: String): DataFrame = {
+    // Each modality's star edges derive from the SAME groupBy that picks
+    // the representatives (collect_list + explode), not a join back onto
+    // the fingerprint relation: the join-back branch's exchange never
+    // canonicalizes with the aggregate's (partial-agg map side vs plain),
+    // so the r21 shape computed every fingerprint relation — the BMP
+    // render + JDK decode pass and the simhash scan — TWICE per query.
+    // With members and reps riding one aggregate, the decode/simhash
+    // exchanges are shared (ReusedExchange) and each modality's
+    // fingerprint pass evaluates once. Row-identical to the join form:
+    // explode emits every group member, the a!=b filter drops the rep's
+    // self-row, and the null-fingerprint guard reproduces the old join's
+    // null-key drop (simhash is KnownNotNull; dhash only on a decode
+    // failure the ok gate already excludes).
     val docs = t(s, dir, "documents")
     val tfp = Dedup.simhash(docs, "doc_id", "text", bits = 16)
-    val tReps = tfp.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
-    val tMembers = tfp.join(tReps, "simhash").where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val tGroups = tfp.where(col("simhash").isNotNull)
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+    val tMembers = tGroups
+      .select(col("rep").as("a_id"), explode(col("ids")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
     val tPairs = Dedup.fingerprintNearDuplicates(
-        tReps.select(col("rep").as("id"), col("simhash")), "id", "simhash",
+        tGroups.select(col("rep").as("id"), col("simhash")), "id", "simhash",
         bits = 16, maxHamming = 2)
       .select(col("a_id"), col("b_id"))
     val ifp = Multimodal.decodeBmpDhash(fixtureBmps(s, dir), "id", "payload")
       .where(col("ok") === 1)
-    val iReps = ifp.groupBy(col("dhash")).agg(min(col("id")).as("rep"))
-    val iMembers = ifp.join(iReps, "dhash").where(col("id") =!= col("rep"))
-      .select(col("rep").as("a_id"), col("id").as("b_id"))
+    val iGroups = ifp.where(col("dhash").isNotNull)
+      .groupBy(col("dhash"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
+    val iMembers = iGroups
+      .select(col("rep").as("a_id"), explode(col("ids")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
     val iPairs = Dedup.fingerprintNearDuplicates(
-        iReps.select(col("rep").as("id"), col("dhash")), "id", "dhash",
+        iGroups.select(col("rep").as("id"), col("dhash")), "id", "dhash",
         bits = 64, maxHamming = 8)
       .select(col("a_id"), col("b_id"))
     tMembers.unionByName(tPairs).unionByName(iMembers).unionByName(iPairs)
